@@ -1,0 +1,166 @@
+package graft.ingest
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.rules.{EventRule, Rules}
+import graft.schema.SchemaRegistry
+import graft.sources.{ConcatJsonReader, ObjectSource}
+
+/** End-to-end ingest: objects → event rules → parse/infer → schema rules
+  * → evolve → partitioned append — the reference's `Load` pipeline
+  * (`pkg/usecase/load.go:58-134`, lifecycle SURVEY §3.1).
+  *
+  * Batch (`ingest`/`enqueue` CLI ≡ `ingestPaths`/`ingestPrefix`) and
+  * streaming (`serve` ≡ `stream`) share the same body; streaming uses
+  * the checkpointed file source for discovery (at-least-once per file)
+  * with deterministic row IDs making replays idempotent downstream
+  * (SURVEY §2.7 T3: checkpoint + md5 id replaces the Firestore state
+  * machine).
+  *
+  * Parallelism: the reference fans out with 3 goroutine pools
+  * (objects×32, tables×8, chunks×8 — `load.go:150,103,336`); here Spark
+  * task scheduling subsumes objects/chunks, and destinations are written
+  * per-table from one shuffled dataset (SURVEY §4 parallelism row).
+  */
+object Pipeline {
+
+  final case class Config(
+      registry: SchemaRegistry,
+      rules: Rules,
+      /** Write one telemetry row per ingest to `_meta.load_log`
+        * (ref K6, `pkg/usecase/bigquery.go:64-89`). */
+      telemetry: Boolean = true,
+      /** Drop incoming rows whose `id` already exists in the destination
+        * (partition-scoped anti-join) — replay safety across delivery
+        * mechanisms, the reference's Firestore dedup role (T3). */
+      dedup: Boolean = false)
+
+  final case class LoadResult(ingestId: String, results: Seq[TableSink.IngestResult])
+
+  /** Ingest explicit object paths (≡ `swarm ingest` CLI, SURVEY §3.2). */
+  def ingestPaths(spark: SparkSession, cfg: Config, paths: Seq[String]): LoadResult = {
+    val objects = ObjectSource.list(spark, paths.head)
+    val all = paths.tail.foldLeft(objects)((df, p) =>
+      df.unionByName(ObjectSource.list(spark, p)))
+    ingestObjects(spark, cfg, all)
+  }
+
+  /** Ingest everything under a prefix (≡ `swarm enqueue` backfill,
+    * SURVEY §3.3 — with Spark owning both listing and processing the
+    * work-list handoff disappears). */
+  def ingestPrefix(spark: SparkSession, cfg: Config, prefixGlob: String): LoadResult =
+    ingestObjects(spark, cfg, ObjectSource.list(spark, prefixGlob))
+
+  /** Core body: evaluate event rules on metadata, parse matched objects,
+    * transform per schema rule, append per destination. */
+  def ingestObjects(spark: SparkSession, cfg: Config, objects: DataFrame): LoadResult = {
+    val ingestId = UUID.randomUUID().toString
+    val started = System.currentTimeMillis()
+    val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
+      // object list is metadata (rows = objects, not records) — driver-side
+      val paths = matched.select("path").collect().map(_.getString(0)).toSeq
+      if (paths.isEmpty) Nil
+      else {
+        val records = readObjects(spark, rule, paths)
+        val routed = Transform(records, cfg.rules.schemaRule(rule.schemaRule), ingestId)
+        TableSink.append(spark, cfg.registry, routed, cfg.dedup)
+      }
+    }
+    if (cfg.telemetry) writeLoadLog(spark, cfg.registry, ingestId, started, results)
+    LoadResult(ingestId, results)
+  }
+
+  /** Parse one event-rule's objects with full-scan schema inference
+    * (`spark.read.json` samples ALL rows — same coverage the reference
+    * advertises vs BigQuery autodetect's 500-row sample,
+    * `docs/comparisons.md:18`). `dropFieldIfAllNull` reproduces the
+    * null/empty stripping of `cloneWithoutNil` at inference time. */
+  private[ingest] def readObjects(spark: SparkSession, rule: EventRule,
+      paths: Seq[String]): DataFrame =
+    if (rule.multiDoc) ConcatJsonReader.read(spark, paths)
+    else spark.read
+      .option("dropFieldIfAllNull", "true")
+      .json(paths: _*)
+
+  /** Same body over an already-parsed line Dataset (streaming batches
+    * arrive as text lines; inference via `read.json(Dataset[String])`
+    * avoids re-reading the files). */
+  private def ingestLines(spark: SparkSession, cfg: Config, rule: EventRule,
+      lines: Dataset[String], ingestId: String): Seq[TableSink.IngestResult] = {
+    val records = spark.read.option("dropFieldIfAllNull", "true").json(lines)
+    val routed = Transform(records, cfg.rules.schemaRule(rule.schemaRule), ingestId)
+    TableSink.append(spark, cfg.registry, routed, cfg.dedup)
+  }
+
+  /** Streaming ingest over a landing directory (≡ `swarm serve`,
+    * SURVEY §3.1): the checkpointed text file source discovers new
+    * objects (gz transparent), `_metadata` supplies the object attrs for
+    * event rules, and each micro-batch runs the same transform/append
+    * body via foreachBatch. `Trigger.AvailableNow` drains a backlog and
+    * stops (backfill); a processing-time trigger runs continuously.
+    */
+  def stream(spark: SparkSession, cfg: Config, landingGlob: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import spark.implicits._
+    var reader = spark.readStream.format("text")
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val lines = reader.load(landingGlob)
+      .select(col("value"),
+        col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("size"),
+        col("_metadata.file_modification_time").as("created_at"))
+    lines.writeStream
+      .queryName("graft-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ingestId = UUID.randomUUID().toString
+        val started = System.currentTimeMillis()
+        val files = batch.select("path", "size", "created_at").distinct()
+          .withColumn("bucket", lit(""))
+          .withColumn("name", col("path"))
+        val results = cfg.rules.matchObjects(files).flatMap { case (rule, matched) =>
+          val paths = matched.select("path").collect().map(_.getString(0))
+          if (paths.isEmpty) Nil
+          else if (rule.multiDoc)
+            // rare path: concatenated-JSON objects are re-read whole
+            TableSink.append(spark, cfg.registry,
+              Transform(ConcatJsonReader.read(spark, paths.toSeq),
+                cfg.rules.schemaRule(rule.schemaRule), ingestId), cfg.dedup)
+          else {
+            val lines = batch.filter(col("path").isin(paths.toIndexedSeq: _*))
+              .select("value").as[String]
+            ingestLines(spark, cfg, rule, lines, ingestId)
+          }
+        }
+        if (cfg.telemetry)
+          writeLoadLog(spark, cfg.registry, ingestId, started, results)
+        ()
+      }
+      .start()
+  }
+
+  /** Telemetry row per load → `_meta.load_log`, month-partitioned like
+    * the reference's meta table (`pkg/usecase/bigquery.go:64-89`). */
+  private def writeLoadLog(spark: SparkSession, registry: SchemaRegistry,
+      ingestId: String, startedMs: Long,
+      results: Seq[TableSink.IngestResult]): Unit = {
+    import spark.implicits._
+    val rows = results.map(r =>
+      (ingestId, new java.sql.Timestamp(startedMs),
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        r.dataset, r.table, r.schemaVersion, r.success))
+    if (rows.isEmpty) return
+    val df = rows.toDF("ingest_id", "started_at", "finished_at",
+        "dataset", "table", "schema_version", "success")
+      .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
+    df.write.mode("append").partitionBy("__part")
+      .parquet(registry.dataDir("_meta", "load_log"))
+  }
+}

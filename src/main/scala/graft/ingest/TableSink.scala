@@ -1,0 +1,114 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schema.{SchemaMerge, SchemaRegistry}
+
+/** Per-destination append with schema evolution and time-partitioning —
+  * the reference's `ingestRecords` (`pkg/usecase/load.go:283-372`):
+  * infer schema → merge into live table (create/evolve) → write rows,
+  * partitioned by the destination's time unit
+  * (`pkg/usecase/utils.go:170-194`; hour/day/month/year
+  * `pkg/domain/types/types.go:51-57`).
+  *
+  * Scale design: routing destinations are FEW (they're table names), rows
+  * are MANY — so we `collect()` only the distinct routing triple (driver
+  * metadata, bounded by table count) and keep all row movement inside one
+  * partitioned write per destination. The partition column `__part` keeps
+  * per-table files clustered by event time so downstream reads prune
+  * (SURVEY §4 partition-pruning row).
+  */
+object TableSink {
+
+  /** Table row schema = envelope with this dest's inferred data struct. */
+  private def tableSchema(dataSchema: StructType): StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("ingest_id", StringType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("ingested_at", TimestampType, nullable = false),
+    StructField("data", dataSchema, nullable = true)))
+
+  private def partCol(unit: String) = unit match {
+    case "hour" => date_format(col("timestamp"), "yyyy-MM-dd-HH")
+    case "day" => date_format(col("timestamp"), "yyyy-MM-dd")
+    case "month" => date_format(col("timestamp"), "yyyy-MM")
+    case "year" => date_format(col("timestamp"), "yyyy")
+    case _ => lit("all")
+  }
+
+  /** Result of one destination append (telemetry — ref `IngestLog`,
+    * `model/bigquery.go:26-39`). */
+  final case class IngestResult(dataset: String, table: String,
+      partition: String, schemaVersion: Int, success: Boolean)
+
+  /** Append a routed DataFrame (Transform output) to its destination
+    * tables, evolving each table's schema as needed.
+    *
+    * `dedup=true` drops incoming rows whose `id` already exists in the
+    * destination — replay safety across delivery mechanisms, the role of
+    * the reference's Firestore state machine (SURVEY §2.7 T3). The
+    * anti-join is scoped to the time partitions present in the batch, so
+    * at scale it reads only the overlapping slices of the table (id
+    * re-deliveries are near-in-time), not the whole history.
+    */
+  def append(spark: SparkSession, registry: SchemaRegistry,
+      routed: DataFrame, dedup: Boolean = false): Seq[IngestResult] = {
+    val pruned = Transform.pruneDataSchema(routed)
+    // distinct destinations: driver-side, O(#tables) not O(#rows)
+    val dests = pruned.select("dataset", "table", "partition").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    dests.toSeq.map { case (ds, tbl, unit) =>
+      val slice = pruned
+        .filter(col("dataset") === ds && col("table") === tbl &&
+          col("partition") === unit)
+        .drop("dataset", "table", "partition")
+      val deduped =
+        if (!dedup || !registry.exists(ds, tbl)) slice
+        else {
+          val existing = readWithPart(spark, registry, ds, tbl)
+          val parts = slice.select(partCol(unit).as("__p")).distinct()
+            .collect().map(_.getString(0))
+          slice.join(
+            existing.filter(col("__part").isin(parts.toIndexedSeq: _*))
+              .select(col("id").as("__existing_id")),
+            col("id") === col("__existing_id"), "left_anti")
+        }
+      appendSlice(spark, registry, ds, tbl, unit, deduped)
+    }
+  }
+
+  /** Append one destination's slice; evolve-then-retry like the
+    * reference's SCHEMA_MISMATCH loop (`pkg/infra/bq/stream.go:87-106`) —
+    * with a local registry the merge happens before the write, so one
+    * retry suffices for racing writers. */
+  def appendSlice(spark: SparkSession, registry: SchemaRegistry, dataset: String,
+      table: String, partitionUnit: String, slice: DataFrame): IngestResult = {
+    val incomingData = slice.schema("data").dataType.asInstanceOf[StructType]
+    val incoming = tableSchema(incomingData)
+    val effective = registry.createOrUpdate(dataset, table, incoming)
+    val effData = effective("data").dataType.asInstanceOf[StructType]
+    val aligned = slice.withColumn("data",
+      graft.functions.alignStruct(col("data"), incomingData, effData))
+    val withPart = aligned.withColumn("__part", partCol(partitionUnit))
+    withPart.write.mode("append").partitionBy("__part")
+      .parquet(registry.dataDir(dataset, table))
+    val version = registry.currentSchema(dataset, table).map(_._1).getOrElse(1)
+    IngestResult(dataset, table, partitionUnit, version, success = true)
+  }
+
+  /** Read a table back under its evolved schema (partition column kept
+    * out of the logical row — it's derivable from `timestamp`). */
+  def read(spark: SparkSession, registry: SchemaRegistry, dataset: String,
+      table: String): DataFrame =
+    readWithPart(spark, registry, dataset, table).drop("__part")
+
+  private def readWithPart(spark: SparkSession, registry: SchemaRegistry,
+      dataset: String, table: String): DataFrame = {
+    val (_, schema) = registry.currentSchema(dataset, table)
+      .getOrElse(sys.error(s"no such table $dataset.$table"))
+    spark.read.schema(schema.add("__part", StringType))
+      .parquet(registry.dataDir(dataset, table))
+  }
+}

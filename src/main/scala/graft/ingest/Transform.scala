@@ -1,0 +1,105 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.rules._
+import graft.schema.SchemaMerge
+
+/** Record transform: parsed JSON records → routed, enveloped log rows
+  * (the tail of the reference's `importSource`, `pkg/usecase/load.go:186-249`).
+  *
+  * Output columns (fixed envelope — ref `model/bigquery.go:98-105` — plus
+  * routing): `id, ingest_id, timestamp, ingested_at, data` +
+  * `dataset, table, partition`.
+  *
+  * Entirely declarative: explode is a built-in Generator, transforms are
+  * `withColumn`/`dropFields`, the default id is md5-of-canonical-JSON
+  * (graft.functions.logId) — all codegen-friendly, no UDFs.
+  */
+object Transform {
+
+  val EnvelopeCols: Seq[String] =
+    Seq("id", "ingest_id", "timestamp", "ingested_at", "data")
+  val RoutingCols: Seq[String] = Seq("dataset", "table", "partition")
+
+  /** Apply one schema rule to a DataFrame of parsed records (one row per
+    * record, record fields as top-level columns). `ingestId` is constant
+    * per pipeline invocation (ref: UUIDv4 per table-ingest,
+    * `types.go:17,25`).
+    */
+  def apply(records: DataFrame, rule: SchemaRule, ingestId: String): DataFrame = {
+    // 1. one doc -> N records (ref rule `r := input.Records[_]`)
+    val exploded = rule.explodePath match {
+      case Some(path) =>
+        records.select(explode(col(path)).as("__rec")).select("__rec.*")
+      case None => records
+    }
+    // 2. record-level predicate (0 matches -> record dropped, ref load.go:213)
+    val filtered = rule.when.fold(exploded)(w => exploded.filter(expr(w)))
+    // 3. field transforms
+    val reshaped = rule.transforms.foldLeft(filtered) {
+      case (df, DropField(path)) =>
+        if (path.contains(".")) {
+          val Array(top, rest @ _*) = path.split("\\."): @unchecked
+          df.withColumn(top, col(top).dropFields(rest.mkString(".")))
+        } else df.drop(path)
+      case (df, RenameField(from, to)) => df.withColumnRenamed(from, to)
+      case (df, SetField(nm, e)) => df.withColumn(nm, expr(e))
+    }
+    // 4. routing + envelope exprs are evaluated with record fields in
+    //    scope, then the record is packed into `data`.
+    val dataFields = reshaped.columns.toSeq
+    val withEnvelope = reshaped
+      .withColumn("dataset", expr(rule.dataset).cast(StringType))
+      .withColumn("table", expr(rule.table).cast(StringType))
+      .withColumn("partition", lit(rule.partition))
+      .withColumn("timestamp", toTimestamp(expr(rule.timestamp), reshaped, rule.timestamp))
+      .withColumn("__explicit_id", rule.id.map(expr(_).cast(StringType)).getOrElse(lit(null).cast(StringType)))
+    val packed = withEnvelope.withColumn("data",
+      struct(dataFields.map(col): _*))
+    val dataSchema = packed.schema("data").dataType.asInstanceOf[StructType]
+    packed
+      .withColumn("id",
+        coalesce(col("__explicit_id"), graft.functions.logId(col("data"), dataSchema)))
+      .withColumn("ingest_id", lit(ingestId))
+      .withColumn("ingested_at", current_timestamp())
+      // record validation (ref model/policy.go:73-89): dataset/table/
+      // timestamp are required; invalid logs error out in the reference —
+      // we drop-with-metric semantics via filter (strictness configurable
+      // at the pipeline level).
+      .filter(col("dataset").isNotNull && col("table").isNotNull &&
+        col("timestamp").isNotNull)
+      .select((EnvelopeCols ++ RoutingCols).map(col): _*)
+  }
+
+  /** Interpret the rule's timestamp expr by type: DOUBLE Unix seconds
+    * (the reference's float64 contract, `policy.go:69`), native
+    * timestamp/date, or an RFC3339-ish string. */
+  private def toTimestamp(c: Column, df: DataFrame, raw: String): Column = {
+    val t = df.select(c.as("__t")).schema.head.dataType
+    t match {
+      case _: NumericType => graft.functions.floatSecondsToTimestamp(c)
+      case TimestampType => c
+      case DateType => c.cast(TimestampType)
+      case StringType => to_timestamp(c)
+      case other => sys.error(s"timestamp expr '$raw' has unusable type $other")
+    }
+  }
+
+  /** Strip null-only fields from the routed rows' `data` struct — the
+    * schema-level equivalent of the reference's per-record
+    * `cloneWithoutNil` (`pkg/usecase/utils.go:14-154`): a field that is
+    * null in EVERY row of the batch carries no type and must not reach
+    * the table schema. (Per-ROW null values inside an otherwise-typed
+    * field are fine — parquet stores them as nulls, same as BigQuery.)
+    */
+  def pruneDataSchema(routed: DataFrame): DataFrame = {
+    val dataSchema = routed.schema("data").dataType.asInstanceOf[StructType]
+    val pruned = SchemaMerge.pruneNullTypes(dataSchema)
+    if (pruned == dataSchema) routed
+    else routed.withColumn("data",
+      graft.functions.alignStruct(col("data"), dataSchema, pruned))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative rule config — the Spark-native replacement for the
+  * reference's Rego policy surface (SURVEY §2.8).
+  *
+  * The reference evaluates `package event` over object metadata to decide
+  * how to parse (ref `pkg/usecase/event.go:11-21`, grammar
+  * `docs/rule.md:17-124`) and `package schema.{name}` per record to
+  * transform and route (ref `pkg/usecase/load.go:205-245`). Every observed
+  * rule uses primitives Spark SQL already has (`startswith`, `split`,
+  * `lower`, `json.patch` remove, rfc3339 parse — SURVEY §2.6 F8), so
+  * rules here are plain Spark SQL expression strings compiled to
+  * [[Column]]s: predicates stay in whole-stage codegen and benefit from
+  * pushdown, unlike an interpreted policy engine.
+  */
+
+/** Parse directive — the reference's `Source` (`model/policy.go:25-30`):
+  * which parser/compression to use and which schema rule to apply.
+  * `parser` must be "json"; `compress` "gzip" or empty (validated like
+  * ref `types.go:132-143`; gzip is transparent to Spark by extension).
+  */
+final case class EventRule(
+    name: String,
+    /** Boolean Spark SQL over object metadata columns
+      * (`bucket`, `name`, `size`, `created_at`, `md5`). */
+    when: String,
+    parser: String = "json",
+    compress: String = "",
+    /** True when objects are single/concatenated JSON docs rather than
+      * NDJSON (the reference auto-detects via its Decoder loop,
+      * `load.go:251-279`; we make it a rule property). */
+    multiDoc: Boolean = false,
+    schemaRule: String) {
+  require(parser == "json", s"unsupported parser '$parser' (ref allows only json)")
+  require(compress == "" || compress == "gzip",
+    s"unsupported compress '$compress' (ref allows only gzip)")
+  def predicate: Column = expr(when)
+}
+
+/** One field-level transform on the record (the reference reshapes
+  * records arbitrarily in Rego — `json.patch` remove, renames, arithmetic;
+  * `docs/rule.md` README example). */
+sealed trait TransformOp
+/** Remove a (possibly dotted) field — ≡ Rego `json.patch` remove. */
+final case class DropField(path: String) extends TransformOp
+/** Rename a top-level field. */
+final case class RenameField(from: String, to: String) extends TransformOp
+/** Add/replace a top-level field from a SQL expr over the record. */
+final case class SetField(name: String, sqlExpr: String) extends TransformOp
+
+/** Per-record transform + routing — the reference's schema rule output
+  * `Log{dataset, table, partition, id, timestamp, data}`
+  * (`model/policy.go:64-71`). All string fields are Spark SQL exprs over
+  * the record's top-level columns; 0 rule matches drop the record
+  * (ref `load.go:213-216`), explode turns one doc into many records
+  * (ref fixture rule `r := input.Records[_]`).
+  */
+final case class SchemaRule(
+    name: String,
+    /** Optional array field to explode first: one doc → N records. */
+    explodePath: Option[String] = None,
+    /** Optional boolean SQL filter over the (exploded) record. */
+    when: Option[String] = None,
+    /** Destination dataset/table — SQL exprs (usually literals). */
+    dataset: String,
+    table: String,
+    /** Time-partition granularity: hour | day | month | year | "" (none)
+      * (ref `types.go:51-57`). */
+    partition: String = "",
+    /** SQL expr for the row id; empty → md5(canonical_json(data)). */
+    id: Option[String] = None,
+    /** SQL expr yielding the event time: DOUBLE Unix seconds (like the
+      * reference's float64 contract), a timestamp, or an RFC3339 string. */
+    timestamp: String,
+    transforms: Seq[TransformOp] = Nil) {
+  require(Set("", "hour", "day", "month", "year")(partition),
+    s"bad partition unit '$partition'")
+}
+
+/** A rule set = the reference's policy directory. */
+final case class Rules(event: Seq[EventRule], schema: Seq[SchemaRule]) {
+  private val byName = schema.map(r => r.name -> r).toMap
+  def schemaRule(name: String): SchemaRule =
+    byName.getOrElse(name, sys.error(s"no schema rule '$name'"))
+
+  /** Event-rule evaluation over an object-metadata DataFrame: each rule
+    * that matches fans the object out once (set semantics like Rego
+    * `src[s]`; N matches = N parse directives — ref `event.go:11-21`).
+    * Returns (rule, matching-objects) pairs; unmatched objects are
+    * dropped (ignored object, ref behavior).
+    */
+  def matchObjects(objects: DataFrame): Seq[(EventRule, DataFrame)] =
+    event.map(r => r -> objects.filter(r.predicate)).filter(_._2 != null)
+}

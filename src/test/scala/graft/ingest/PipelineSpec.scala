@@ -1,0 +1,188 @@
+package graft.ingest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.rules._
+import graft.schema.SchemaRegistry
+
+/** E2E ingest mirroring the reference's test scenarios
+  * (`pkg/usecase/load_test.go`, fixtures described in FIXTURES.md —
+  * fixture data here is same-shaped, independently authored). */
+class PipelineSpec extends SparkSpec {
+
+  private val accessLogNdjson =
+    """{"log_id": "a1", "event_time": 1559347200.25, "remote_ip": "10.0.0.1", "user": "user1", "action": "login", "success": true}
+      |{"log_id": "a2", "event_time": 1559347201.5, "remote_ip": "10.0.0.2", "user": "user2", "action": "logout", "success": false}
+      |""".stripMargin
+
+  // one concatenated-JSON doc exploding into 2 records; includes an
+  // always-null field (must be pruned) and nested structs/arrays
+  private val batchDoc =
+    """{"Records": [
+      |  {"eventID": "e-1", "eventTime": "2020-03-02T23:55:50Z", "eventName": "PutObject",
+      |   "responseElements": null, "who": {"type": "svc", "invokedBy": "s3"},
+      |   "bytes": {"in": 1228.0, "out": 0.0},
+      |   "resources": [{"type": "Object", "arn": "arn:1"}], "readOnly": false},
+      |  {"eventID": "e-2", "eventTime": "2020-03-02T23:56:10Z", "eventName": "GetObject",
+      |   "responseElements": null, "who": {"type": "user", "invokedBy": "cli"},
+      |   "bytes": {"in": 0.0, "out": 55.5},
+      |   "resources": [{"type": "Object", "arn": "arn:2"}], "readOnly": true}
+      |]}""".stripMargin
+
+  private def accessRules(extra: Seq[TransformOp] = Nil) = Rules(
+    event = Seq(EventRule(name = "access", when = "name LIKE '%.log'",
+      schemaRule = "access")),
+    schema = Seq(SchemaRule(name = "access",
+      dataset = "'swarm_test'", table = "'my_log_table'",
+      id = Some("log_id"), timestamp = "event_time", transforms = extra)))
+
+  test("access-log NDJSON end-to-end (getting-started golden path)") {
+    val landing = tmpDir("landing")
+    writeFile(landing, "access.log", accessLogNdjson)
+    writeFile(landing, "ignored.txt", "not json\n") // no event rule match
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val res = Pipeline.ingestPrefix(spark, Pipeline.Config(registry, accessRules()),
+      s"$landing/*")
+    assert(res.results.map(r => (r.dataset, r.table)) == Seq(("swarm_test", "my_log_table")))
+
+    val out = TableSink.read(spark, registry, "swarm_test", "my_log_table")
+      .orderBy("id")
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).toSeq == Seq("a1", "a2")) // id = log_id
+    // envelope: fractional seconds kept to micros (ref load.go:233-236)
+    assert(rows(0).getTimestamp(2).toInstant.toString == "2019-06-01T00:00:00.250Z")
+    // data struct carries the record fields
+    val data = out.select("data.user", "data.success").orderBy("data.user").collect()
+    assert(data.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("user1", true), ("user2", false)))
+    // telemetry row written
+    val meta = spark.read.parquet(registry.dataDir("_meta", "load_log"))
+    assert(meta.count() == 1)
+  }
+
+  test("multi-doc explode + null pruning + gzip (cloudtrail-shaped)") {
+    val landing = tmpDir("landing")
+    writeGzip(landing, "trail1.json.gz", batchDoc)
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val rules = Rules(
+      event = Seq(EventRule(name = "trail", when = "name LIKE '%.json.gz'",
+        multiDoc = true, schemaRule = "trail")),
+      schema = Seq(SchemaRule(name = "trail",
+        explodePath = Some("Records"),
+        dataset = "'aws'", table = "'cloudtrail'", partition = "month",
+        id = Some("eventID"), timestamp = "eventTime")))
+    Pipeline.ingestObjects(spark, Pipeline.Config(registry, rules),
+      graft.sources.ObjectSource.list(spark, s"$landing/*"))
+
+    val out = TableSink.read(spark, registry, "aws", "cloudtrail").orderBy("id")
+    assert(out.select("id").collect().map(_.getString(0)).toSeq == Seq("e-1", "e-2"))
+    // null-only field pruned from the table schema (cloneWithoutNil ≡)
+    val dataFields = out.schema("data").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(!dataFields.contains("responseElements"))
+    assert(dataFields.contains("who") && dataFields.contains("resources"))
+    // nested values survive
+    val r = out.filter(col("id") === "e-2")
+      .select("data.who.invokedBy", "data.bytes.out", "data.resources")
+      .head()
+    assert(r.getString(0) == "cli" && r.getDouble(1) == 55.5)
+    // month partition dirs exist
+    val partDirs = new java.io.File(registry.dataDir("aws", "cloudtrail"))
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(partDirs.contains("__part=2020-03"))
+  }
+
+  test("schema evolution across heterogeneous batches (ref client_test.go:41-111)") {
+    val landing = tmpDir("landing")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val rules = Rules(
+      event = Seq(EventRule(name = "any", when = "name LIKE '%.log'", schemaRule = "s")),
+      schema = Seq(SchemaRule(name = "s", dataset = "'d'", table = "'t'",
+        timestamp = "ts")))
+    writeFile(landing, "batch1/a.log", """{"ts": 1.0, "red": "r", "blue": 5}""" + "\n")
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry, rules), s"$landing/batch1/*")
+    writeFile(landing, "batch2/b.log", """{"ts": 2.0, "red": "r2", "orange": 1.5}""" + "\n")
+    writeFile(landing, "batch2/c.log", """{"ts": 3.0, "black": true}""" + "\n")
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry, rules), s"$landing/batch2/*")
+
+    val (version, schema) = registry.currentSchema("d", "t").get
+    assert(version == 2)
+    val dataFields = schema("data").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(Set("red", "blue", "orange", "black", "ts").subsetOf(dataFields))
+    // old files readable under evolved schema: missing cols are NULL
+    val out = TableSink.read(spark, registry, "d", "t")
+    assert(out.count() == 3)
+    assert(out.filter(col("data.blue").isNotNull).count() == 1)
+    assert(out.filter(col("data.black") === true).count() == 1)
+  }
+
+  test("default id is deterministic md5 of canonical data (ref types.go:27-34)") {
+    val landing = tmpDir("landing")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val rules = Rules(
+      event = Seq(EventRule(name = "any", when = "name LIKE '%.log'", schemaRule = "s")),
+      schema = Seq(SchemaRule(name = "s", dataset = "'d'", table = "'t'",
+        timestamp = "ts"))) // no id -> md5(canonical json)
+    writeFile(landing, "a.log", """{"ts": 1.0, "z": "v", "a": 1}""" + "\n")
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry, rules), s"$landing/*.log")
+    val id1 = TableSink.read(spark, registry, "d", "t").select("id").head().getString(0)
+    // re-ingest identical record into a fresh table -> same id
+    val registry2 = new SchemaRegistry(tmpDir("tables"))
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry2, rules), s"$landing/*.log")
+    val id2 = TableSink.read(spark, registry2, "d", "t").select("id").head().getString(0)
+    assert(id1 == id2 && id1.length == 32)
+  }
+
+  test("event rule fan-out: N matching rules ingest the object N ways") {
+    val landing = tmpDir("landing")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val rules = Rules(
+      event = Seq(
+        EventRule(name = "r1", when = "name LIKE '%.log'", schemaRule = "s1"),
+        EventRule(name = "r2", when = "size > 0", schemaRule = "s2")),
+      schema = Seq(
+        SchemaRule(name = "s1", dataset = "'d'", table = "'t1'", timestamp = "ts"),
+        SchemaRule(name = "s2", dataset = "'d'", table = "'t2'", timestamp = "ts")))
+    writeFile(landing, "a.log", """{"ts": 1.0, "v": 1}""" + "\n")
+    val res = Pipeline.ingestPrefix(spark, Pipeline.Config(registry, rules), s"$landing/*")
+    assert(res.results.map(_.table).toSet == Set("t1", "t2"))
+  }
+
+  test("dedup: re-delivered objects don't duplicate rows (ref T3 state machine)") {
+    val landing = tmpDir("landing")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val cfg = Pipeline.Config(registry, accessRules(), dedup = true)
+    writeFile(landing, "a.log", accessLogNdjson)
+    Pipeline.ingestPrefix(spark, cfg, s"$landing/*")
+    // same object re-delivered (at-least-once) -> no new rows
+    Pipeline.ingestPrefix(spark, cfg, s"$landing/*")
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 2)
+    // a genuinely new record still lands
+    writeFile(landing, "b.log",
+      """{"log_id": "a3", "event_time": 1559347300, "user": "u3", "action": "x", "success": true}""" + "\n")
+    Pipeline.ingestPrefix(spark, cfg, s"$landing/*")
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 3)
+  }
+
+  test("streaming ingest: AvailableNow drains, checkpoint prevents reprocessing") {
+    val landing = tmpDir("landing")
+    val checkpoint = tmpDir("ckpt")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val cfg = Pipeline.Config(registry, accessRules())
+    writeFile(landing, "one.log", accessLogNdjson)
+    val q1 = Pipeline.stream(spark, cfg, landing, checkpoint)
+    q1.awaitTermination()
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 2)
+    // second run: only the NEW file is processed (file-source checkpoint)
+    writeFile(landing, "two.log",
+      """{"log_id": "b1", "event_time": 1559347300, "user": "user3", "action": "login", "success": true}""" + "\n")
+    val q2 = Pipeline.stream(spark, cfg, landing, checkpoint)
+    q2.awaitTermination()
+    val out = TableSink.read(spark, registry, "swarm_test", "my_log_table")
+    assert(out.count() == 3)
+    assert(out.filter(col("id") === "a1").count() == 1) // not duplicated
+  }
+}
