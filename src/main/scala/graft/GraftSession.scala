@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine-wide session tuning so Verify / Bench / tests /
+  * user code all run the same plan-shaping configuration.
+  *
+  * Scale rationale (these matter more on a 1000-executor cluster than on
+  * local[32], but local mirrors them):
+  *   - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *     splitting, and dynamic broadcast-join demotion/promotion — the
+  *     reference has fixed goroutine pools (BASELINE.md), we let the
+  *     runtime re-plan instead.
+  *   - shuffle.partitions: sized to cores locally; on a real cluster
+  *     AQE's coalescing makes the initial number a ceiling, not a tuning
+  *     knob.
+  *   - nanosAsLong: the driver's `events` table is TIMESTAMP(NANOS)
+  *     parquet which Spark refuses natively (see Tables.events).
+  */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

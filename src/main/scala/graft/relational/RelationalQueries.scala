@@ -1,0 +1,384 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The batch relational surface (SURVEY §2.3-§2.5: joins / aggs /
+  * windows / set ops are *absent* in the reference — delegated to
+  * BigQuery SQL via its `migrate`/`Query` passthrough, ref
+  * `pkg/infra/bq/client.go:53-62` — and come to us from stock Catalyst).
+  * Everything here is declarative DataFrame API: Catalyst gets full
+  * freedom on join order, pushdown and pruning; AQE resizes shuffles at
+  * runtime.
+  *
+  * Oracle parity rules (the driver hash-compares against DuckDB):
+  *   - money/value sums go through DECIMAL(18,6) so the aggregate is
+  *     exact and order-independent, then cast to DOUBLE (identical bits
+  *     on both engines for the same exact decimal);
+  *   - averages are computed as exact-decimal sum / count in DOUBLE
+  *     division, never engine-native avg() (whose intermediate types
+  *     differ);
+  *   - every query ORDER BYs a unique key, and no sort key is ever null
+  *     (Spark and DuckDB default null ordering differs).
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a DOUBLE column: decimal-widen
+    * per element, sum, cast back. Deterministic across partitionings —
+    * plain `sum(double)` is not associative and would hash-mismatch. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+  /** SQL spelling of [[dsum]] for the DuckDB oracle. */
+  def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+  def davg(c: Column): Column = dsum(c) / count(c)
+  def davgSql(e: String): String = s"${dsumSql(e)} / COUNT($e)"
+
+  /** q01: TPC-H Q1-shaped pricing summary — full-scan groupBy with
+    * map-side partial aggregation; 4 groups, so the shuffle is tiny
+    * regardless of SF (partial agg does all the work). */
+  def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+           ${dsumSql("l_quantity")} AS sum_qty,
+           ${dsumSql("l_extendedprice")} AS sum_base_price,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+           ${davgSql("l_quantity")} AS avg_qty,
+           ${davgSql("l_extendedprice")} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** q02: revenue by region/nation — fact⋈dims star join. The dimension
+    * chain (customer⋈nation⋈region) is explicitly broadcast: at any SF
+    * the dims are orders of magnitude below lineitem, so the only
+    * shuffle left is the final 25-group aggregation (map-side combined).
+    */
+  def q02(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(s, d).select("r_regionkey", "r_name")
+    val dims = broadcast(cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(dims, ord("o_custkey") === dims("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q02Sql: String = s"""
+    SELECT r_name, n_name,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""
+
+  /** q03: top-10 unshipped-revenue orders for one segment (TPC-H Q3
+    * shape) — selective dim filter broadcast into the fact join, then a
+    * global top-k (Spark's sort+limit is a per-partition top-k followed
+    * by a driver merge — no full sort at scale). */
+  def q03(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String = s"""
+    SELECT l_orderkey,
+           ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  /** q04: order-priority check (TPC-H Q4 shape) — EXISTS ≡ left-semi
+    * join; Catalyst turns it into a shuffled semi (or broadcast when one
+    * side shrinks under AQE). */
+  def q04(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val late = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_shipdate")
+    val semi = ord.join(late,
+      ord("o_orderkey") === late("l_orderkey") &&
+        late("l_shipdate") > add_months(ord("o_orderdate"), 1), "left_semi")
+    semi.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 1 MONTH)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
+  /** q05: top-3 orders per customer by price — ranking window. The
+    * window shuffles once on o_custkey; rank+filter is pipelined
+    * (whole-stage codegen) with no second shuffle. */
+  def q05(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  val q05Sql: String = """
+    SELECT o_custkey, o_orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk"""
+
+  /** q06: selective scan-agg (TPC-H Q6 shape) — the pushdown showcase:
+    * all three predicates reach the parquet reader (`PushedFilters`),
+    * only 4 columns are read, result is a single row with zero shuffle
+    * (partial agg + single-row final). */
+  def q06(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q06Sql: String = s"""
+    SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24"""
+
+  /** q07: distinct aggregation — count(distinct) expands to a two-phase
+    * aggregate in Spark (partial distinct per partition, then final);
+    * no row explosion crosses the wire. */
+  def q07(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("nations"),
+        count(lit(1)).as("customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+
+  val q07Sql: String = s"""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS nations,
+           COUNT(*) AS customers,
+           ${dsumSql("c_acctbal")} AS total_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  /** q08: ROLLUP over (returnflag, linestatus) — grouping-set aggregate;
+    * subtotal levels are computed in the same shuffle (Expand), not by
+    * re-scanning. NULL grouping cells are labeled 'ALL' so no sort key
+    * is null. */
+  def q08(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q08Sql: String = s"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           ${dsumSql("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus"""
+
+  /** q09: anti join — suppliers with no shipment in a narrow window.
+    * Catalyst picks broadcast-anti when the subquery side is small;
+    * the fact side is pre-filtered before the join (pushdown). */
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val active = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-08").cast(TimestampType))
+      .select("l_suppkey")
+    Tables.supplier(s, d)
+      .join(active, col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q09Sql: String = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey
+                        AND l_shipdate >= TIMESTAMP '1998-01-01'
+                        AND l_shipdate <  TIMESTAMP '1998-01-08')
+    ORDER BY s_suppkey"""
+
+  /** q10: set operations — INTERSECT/EXCEPT compile to Spark semi/anti
+    * aggregates (distinct + join), exercising the multiset machinery the
+    * reference only has as union (`LogRecordSet.Merge`). */
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("which", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("which", lit("customer_only"))
+    val suppOnly = suppNations.except(custNations)
+      .withColumn("which", lit("supplier_only"))
+    both.unionByName(custOnly).unionByName(suppOnly)
+      .orderBy(col("which"), col("nationkey"))
+      .select(col("which"), col("nationkey"))
+  }
+
+  val q10Sql: String = """
+    SELECT which, nationkey FROM (
+      SELECT 'both' AS which, nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'customer_only', nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'supplier_only', nationkey FROM
+        (SELECT s_nationkey AS nationkey FROM supplier
+         EXCEPT SELECT c_nationkey FROM customer))
+    ORDER BY which, nationkey"""
+
+  /** q11: correlated scalar aggregate — customers above their segment's
+    * average balance, written as window aggregates (one shuffle on
+    * segment, no self-join). */
+  def q11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("seg_avg",
+        (sum(col("c_acctbal").cast(DecimalType(18, 6))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)))
+      .filter(col("c_acctbal") > col("seg_avg") * 1.5)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q11Sql: String = """
+    SELECT c_custkey, c_mktsegment FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_avg
+      FROM customer)
+    WHERE c_acctbal > seg_avg * 1.5
+    ORDER BY c_custkey"""
+
+  /** q12: event-time bucketing — hourly tumbling aggregation over the
+    * event stream table (the batch shape of a streaming windowed agg;
+    * SURVEY §2.7 T4). Group key count is bounded by hours×types so the
+    * shuffle stays tiny at any SF. */
+  def q12(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val q12Sql: String = s"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           ${dsumSql("value")} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type"""
+
+  /** q13: semi-structured extraction — pull a field out of the JSON
+    * `props` column (the reference's whole business is JSON records;
+    * here as a column-level op). get_json_object is codegen'd. */
+  def q13(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        col("event_type"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_type")).as("types"))
+      .orderBy(col("k"))
+
+  val q13Sql: String = """
+    SELECT CAST(json_extract_string(props, 'k') AS INTEGER) AS k,
+           COUNT(*) AS n,
+           COUNT(DISTINCT event_type) AS types
+    FROM events
+    GROUP BY k
+    ORDER BY k"""
+
+  /** Name → (query, oracle) for SparkEntry wiring. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("q01_pricing_summary", q01 _, q01Sql),
+    ("q02_revenue_by_nation", q02 _, q02Sql),
+    ("q03_topk_orders", q03 _, q03Sql),
+    ("q04_order_priority_semijoin", q04 _, q04Sql),
+    ("q05_window_rank", q05 _, q05Sql),
+    ("q06_selective_filter", q06 _, q06Sql),
+    ("q07_distinct_agg", q07 _, q07Sql),
+    ("q08_rollup", q08 _, q08Sql),
+    ("q09_anti_join", q09 _, q09Sql),
+    ("q10_set_ops", q10 _, q10Sql),
+    ("q11_window_avg_filter", q11 _, q11Sql),
+    ("q12_events_hourly", q12 _, q12Sql),
+    ("q13_json_extract", q13 _, q13Sql))
+}

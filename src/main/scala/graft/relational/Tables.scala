@@ -1,0 +1,44 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's TPC-H-ish test tables (TESTDATA.md).
+  *
+  * Scale notes (the 100 TB story):
+  *   - Fact tables (`lineitem`, `orders`, `events`, `documents`,
+  *     `embeddings`) are read with only the columns the query needs —
+  *     all queries select before shuffling, so parquet column pruning
+  *     and predicate pushdown apply (verify via `PushedFilters` in
+  *     `.explain("formatted")`).
+  *   - Dimension tables (`region`, `nation`, `supplier`, `customer`,
+  *     `part`) stay small relative to facts at every SF (they grow
+  *     linearly but stay orders of magnitude below `lineitem`), so
+  *     joins against them are marked broadcast-able at the call sites.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright; with `spark.sql.legacy.parquet.nanosAsLong
+    * =true` (set in [[graft.GraftSession]]) it arrives as LONG
+    * nanoseconds and we restore a native µs TIMESTAMP here (truncation
+    * to micros matches Spark's own timestamp precision).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+}
