@@ -48,9 +48,15 @@ object SparkEntry {
     * data ops). Column names match oracleSql exactly (driver sorts
     * columns by name before hashing). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all.map { case (n, f, _) => n -> f }.toMap
+    RelationalQueries.all.map { case (n, f, _) => n -> f }.toMap ++
+      graft.queries.CurationQueries.all.map { case (n, f, _) => n -> f }.toMap
 
-  /** DuckDB-runnable oracle SQL per query (same column names/aliases). */
+  /** DuckDB-runnable oracle SQL per query (same column names/aliases).
+    * Queries absent here (approximate/streaming ops) get the driver's
+    * weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.all.map { case (n, _, sql) => n -> sql.trim }.toMap
+    RelationalQueries.all.map { case (n, _, sql) => n -> sql.trim }.toMap ++
+      graft.queries.CurationQueries.all.collect {
+        case (n, _, Some(sql)) => n -> sql.trim
+      }.toMap
 }

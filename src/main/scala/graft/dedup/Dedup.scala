@@ -1,0 +1,187 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextFunctions._
+
+/** Deduplication operators for training-data curation at corpus scale:
+  * exact (content-hash), MinHash+LSH, SimHash, and exact n-gram Jaccard
+  * verification. Embedding-space near-dup lives in [[graft.sim.Similarity]].
+  *
+  * Scale design notes:
+  *   - Exact dedup is one hash-shuffle on the content digest — the only
+  *     O(corpus) shuffle in the family; everything upstream of it
+  *     (digest computation) is map-side.
+  *   - MinHash signatures are a single narrow projection (no shuffle,
+  *     no explode): per-row fold over the shingle array. LSH banding
+  *     then shuffles only (band_id, doc_id) pairs — tiny rows — and the
+  *     per-bucket self-join touches only colliding docs, never the
+  *     full cross product. This is the 100 TB path: candidate
+  *     generation cost tracks collision count, not corpus².
+  *   - Exact Jaccard re-verification joins only the LSH (or
+  *     shared-shingle) candidate pairs back to the shingle sets.
+  *   - SimHash is again a pure projection; near-dup = Hamming distance
+  *     on 32-bit signatures, and bucketing by signature bytes gives the
+  *     same LSH-style candidate cut.
+  */
+object Dedup {
+
+  /** Content digest for exact dedup (md5 of the raw text — same digest
+    * the reference uses for row identity, `pkg/domain/types/types.go:27-34`). */
+  def contentKey(text: Column): Column = md5(text)
+
+  /** Exact dedup: keep the lowest-id row per identical content. Returns
+    * the kept rows. One shuffle on the digest. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature: for each of `k` seeded hash functions, the
+    * minimum md5Long over the doc's word `shingleK`-shingles. Returned
+    * as array<long> of length k; docs with no shingles get nulls.
+    * Pure projection — computed without explode or shuffle. */
+  def minhashSignature(text: Column, k: Int, shingleK: Int = 3): Column = {
+    val sh = wordShingles(text, shingleK)
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(sh, s => md5Long(concat(seed.cast(StringType), lit("|"), s), 15))))
+  }
+
+  /** SQL twin of [[minhashSignature]] for the DuckDB oracle. `textE` is
+    * a SQL expression for the text. */
+  def minhashSignatureSql(textE: String, k: Int, shingleK: Int = 3): String = {
+    val toks = s"regexp_split_to_array(trim($textE), '\\s+')"
+    val sh = s"""(CASE WHEN len($toks) < $shingleK THEN []::VARCHAR[]
+      ELSE list_transform(range(1, len($toks) - ${shingleK - 2}),
+        i -> list_aggregate(list_slice($toks, i, i + ${shingleK - 1}), 'string_agg', ' ')) END)"""
+    s"""list_transform(range(0, $k), seed -> list_min(list_transform($sh,
+        s -> ${md5LongSql("concat(CAST(seed AS VARCHAR), '|', s)", 15)})))"""
+  }
+
+  /** LSH banding over minhash signatures: split the k-length signature
+    * into `bands` bands of k/bands rows each; docs sharing any band are
+    * candidate pairs. Emits distinct (a, b) with a < b.
+    *
+    * Only (band_key, doc_id) rows shuffle; the self-join is per-bucket.
+    * Buckets with a single doc produce nothing; heavy buckets mean real
+    * near-dups (work is output-proportional).
+    */
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    val banded = df.select(col(idCol).as("doc"), col(sigCol).as("sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_key", {
+        val rowsPerBand = floor(size(col("sig")) / bands).cast(IntegerType)
+        concat(col("band").cast(StringType), lit(":"),
+          to_json(slice(col("sig"), col("band") * rowsPerBand + 1, rowsPerBand)))
+      })
+      .select("doc", "band_key")
+    val l = banded.select(col("doc").as("a"), col("band_key"))
+    val r = banded.select(col("doc").as("b"), col("band_key"))
+    l.join(r, "band_key").filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns
+    * (distinct shingles): |∩| / |∪| as an exact int/int double. */
+  def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(array_union(sa, sb))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast(DoubleType) / uni.cast(DoubleType))
+  }
+
+  /** All-pairs exact n-gram Jaccard above a threshold, generated via the
+    * shared-shingle inverted index (explode → self-join on shingle →
+    * count shared → exact verify). Exact but heavier than LSH: the
+    * shuffle carries one row per (shingle, doc) posting; candidate work
+    * is Σ_shingle df(shingle)² — fine when postings are short, which
+    * `minDocFreqFilter` can enforce upstream for 100 TB runs (drop
+    * ubiquitous shingles like stop-phrases, as standard). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"),
+      array_distinct(wordShingles(col(textCol), shingleK)).as("sh"))
+    val postings = docs.select(col("doc"), explode(col("sh")).as("s"))
+    val shared = postings.as("x").join(postings.as("y"), col("x.s") === col("y.s"))
+      .filter(col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = docs.select(col("doc"), size(col("sh")).as("n"))
+    shared
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("sim", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens (term-frequency weighted):
+    * bit b of the signature is 1 iff Σ_tokens tf·(±1 by bit b of the
+    * token hash) > 0. Single-pass fold (md5 once per distinct token),
+    * pure projection, no shuffle; near-dups are pairs at small Hamming
+    * distance on the signature. */
+  def simhash(text: Column): Column = {
+    val toks = tokens(text)
+    val uniq = array_distinct(toks)
+    // (hash, term-frequency) per distinct token, materialized once
+    val hs = transform(uniq, t => struct(
+      md5Long(t, 8).as("h"),
+      size(filter(toks, x => x === t)).cast(LongType).as("tf")))
+    val powers = array((0 until 32).map(b => lit(1L << b)): _*)
+    // fold tokens once, accumulating all 32 per-bit sums in an array
+    val zeros = transform(powers, _ => lit(0L))
+    val bitSums = aggregate(hs, zeros, (acc, e) =>
+      zip_with(acc, powers, (a, p) =>
+        a + when((e.getField("h") / p).cast(LongType) % 2 === 1, e.getField("tf"))
+          .otherwise(-e.getField("tf"))))
+    aggregate(zip_with(bitSums, powers,
+        (s, p) => when(s > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** SQL twins of [[simhash]] for the DuckDB oracle: `simhashHsSql`
+    * builds the per-doc (hash, tf) list (put it in a subquery column,
+    * e.g. `hs`), and `simhashFromHsSql` expands the 32 per-bit sums over
+    * that column — DuckDB's list_reduce has no initial-value form, so
+    * the array-accumulator fold Spark uses is spelled as 32 summands
+    * referencing the shared `hs` column instead. Identical integer
+    * arithmetic → identical signatures. */
+  def simhashHsSql(textE: String): String = {
+    val toks = s"regexp_split_to_array(trim($textE), '\\s+')"
+    s"""list_transform(list_distinct($toks), t -> struct_pack(
+        h := ${md5LongSql("t", 8)},
+        tf := CAST(len(list_filter($toks, x -> x = t)) AS BIGINT)))"""
+  }
+  def simhashFromHsSql(hsCol: String): String =
+    (0 until 32).map { b =>
+      val p = 1L << b
+      s"""(CASE WHEN list_sum(list_transform($hsCol,
+           e -> CASE WHEN (e.h // $p) % 2 = 1 THEN e.tf ELSE -e.tf END)) > 0
+           THEN CAST($p AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" + ")
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on each of the 4 signature
+    * bytes (docs agreeing on ANY byte collide — catches all pairs with
+    * Hamming distance ≤ 3 by pigeonhole, probabilistically more), then
+    * verify with exact Hamming ≤ `maxHamming`. Same output-proportional
+    * LSH shape as [[lshCandidates]]. */
+  def simhashNearDup(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocked = df.select(col(idCol).as("doc"), col(sigCol).as("sig"))
+      .withColumn("blk", explode(array((0 until 4).map(i =>
+        concat_ws(":", lit(i), shiftright(col("sig"), i * 8).bitwiseAND(lit(255L)))): _*)))
+    val l = blocked.select(col("doc").as("a"), col("sig").as("siga"), col("blk"))
+    val r = blocked.select(col("doc").as("b"), col("sig").as("sigb"), col("blk"))
+    l.join(r, "blk").filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("siga"), col("sigb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.relational.Tables
+import graft.relational.RelationalQueries.{davg, davgSql, dsum, dsumSql}
+import graft.sim.Similarity
+import graft.text.TextFunctions._
+
+/** Training-data-curation operator surface over the `documents` and
+  * `embeddings` tables: text analysis, dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), and similarity search. Each query has a
+  * DuckDB oracle twin built from the same integer/md5 arithmetic, so the
+  * driver hash-compare is exact (see the determinism contract in
+  * [[graft.text.TextFunctions]]).
+  */
+object CurationQueries {
+
+  // ---- shared SQL fragments (DuckDB spellings of TextFunctions) ----
+
+  private def toksSql(e: String) = s"regexp_split_to_array(trim($e), '\\s+')"
+
+  private def shinglesSql(toksE: String, k: Int): String =
+    s"""(CASE WHEN len($toksE) < $k THEN []::VARCHAR[]
+       ELSE list_transform(range(1, len($toksE) - ${k - 2}),
+         i -> ${(0 until k).map(j => s"$toksE[i + $j]").mkString(" || ' ' || ")}) END)"""
+
+  private def markerHitsSql(textE: String, markers: Seq[String]): String =
+    s"len(list_filter(${toksSql(s"lower($textE)")}, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  // ---- q20: token counting (whitespace + BPE-ish) ----
+
+  def q20(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCount(col("text"))).as("ws_tokens"),
+        sum(bpeishCount(col("text"))).as("bpeish_tokens"),
+        davg(col("n_chars").cast(DoubleType)).as("avg_chars"))
+      .orderBy(col("source"))
+
+  val q20Sql: String = s"""
+    SELECT source, COUNT(*) AS docs,
+           SUM(len(${toksSql("text")})) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '$BpePattern'))) AS bpeish_tokens,
+           ${davgSql("CAST(n_chars AS DOUBLE)")} AS avg_chars
+    FROM documents GROUP BY source ORDER BY source"""
+
+  // ---- q21: quality scoring ----
+
+  def q21(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(meanTokenLen(col("text")), 6).as("mean_token_len"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  val q21Sql: String = {
+    val nt = s"len(${toksSql("text")})"
+    val allMarkers = LangMarkers.flatMap(_._2)
+    val punct = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val digit = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val upper = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val mtl = s"""(CASE WHEN $nt = 0 THEN 0.0 ELSE
+      CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST($nt AS DOUBLE) END)"""
+    val stopHits = markerHitsSql("text", allMarkers)
+    val quality = s"""round(greatest(0.0, least(1.0,
+        0.4 * least(CAST($nt AS DOUBLE) / 64.0, 1.0)
+      + 0.4 * least(CAST($stopHits AS DOUBLE) / CAST($nt AS DOUBLE) * 4.0, 1.0)
+      + 0.2 * (1.0 - ($punct + $digit + $upper)))), 6)"""
+    s"""
+    SELECT doc_id, $nt AS n_tokens,
+           round($punct, 6) AS punct_ratio,
+           round($mtl, 6) AS mean_token_len,
+           $quality AS quality
+    FROM documents ORDER BY doc_id"""
+  }
+
+  // ---- q22: language ID ----
+
+  def q22(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+      .withColumn("agree", col("lang") === col("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  val q22Sql: String = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHitsSql("text", ms) }
+    val best = s"greatest(${hits.map(_._2).mkString(",")})"
+    val pred = hits.foldRight("'unknown'") { case ((lang, h), els) =>
+      s"(CASE WHEN $h > 0 AND $h = $best THEN '$lang' ELSE $els END)"
+    }
+    s"""
+    SELECT doc_id, lang, $pred AS pred_lang, (lang = $pred) AS agree
+    FROM documents ORDER BY doc_id"""
+  }
+
+  // ---- q23: document fingerprinting (rolling + winnowing) ----
+
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        rollingFingerprint(col("text")).as("rolling_fp"),
+        array_join(winnowFingerprints(col("text"), 3, 4), ",").as("winnow_fps"))
+      .orderBy(col("doc_id"))
+
+  val q23Sql: String = {
+    val toks = toksSql("text")
+    val rolling = s"""list_reduce(
+      list_prepend(CAST(0 AS BIGINT), list_transform($toks, t -> ${md5LongSql("t", 8)} % 2147483647)),
+      (acc, x) -> (acc * 31 + x) % 2147483647)"""
+    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
+    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
+      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
+      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
+    s"""
+    SELECT doc_id, $rolling AS rolling_fp,
+           array_to_string(list_sort(list_distinct($winnow)), ',') AS winnow_fps
+    FROM documents ORDER BY doc_id"""
+  }
+
+  // ---- q24: exact dedup ----
+
+  def q24(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = Dedup.exact(docs, "text", "doc_id")
+    docs.agg(count(lit(1)).as("total"),
+        countDistinct(md5(col("text"))).as("distinct_docs"))
+      .crossJoin(kept.agg(count(lit(1)).as("kept"),
+        dsum(col("n_chars").cast(DoubleType)).as("kept_chars")))
+  }
+
+  val q24Sql: String = s"""
+    SELECT (SELECT COUNT(*) FROM documents) AS total,
+           (SELECT COUNT(DISTINCT md5(text)) FROM documents) AS distinct_docs,
+           COUNT(*) AS kept,
+           ${dsumSql("CAST(n_chars AS DOUBLE)")} AS kept_chars
+    FROM (SELECT n_chars, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1"""
+
+  // ---- q25: exact n-gram Jaccard top pairs ----
+
+  def q25(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", shingleK = 3)
+      .orderBy(col("sim").desc, col("a"), col("b"))
+      .limit(20)
+
+  val q25Sql: String = {
+    val toks = toksSql("text")
+    s"""
+    WITH docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
+    postings AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    shared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM postings x JOIN postings y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+    SELECT a, b, CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS sim
+    FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    ORDER BY sim DESC, a, b LIMIT 20"""
+  }
+
+  // ---- q26: MinHash + LSH candidate pairs ----
+
+  val MinhashK = 8
+  val LshBands = 4
+
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), MinhashK).as("sig"))
+    Dedup.lshCandidates(docs, "doc_id", "sig", LshBands)
+      .join(docs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+      .withColumn("sig_agree",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / MinhashK)
+      .select(col("a"), col("b"), col("sig_agree"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q26Sql: String = {
+    val r = MinhashK / LshBands
+    val sig = Dedup.minhashSignatureSql("text", MinhashK)
+    val bandKeys = (0 until LshBands).map(b =>
+      s"concat('$b', ':', CAST(to_json(list_slice(sig, ${b * r + 1}, ${b * r + r})) AS VARCHAR))")
+    s"""
+    WITH docs AS (SELECT doc_id, $sig AS sig FROM documents),
+    banded AS (SELECT doc_id, unnest([${bandKeys.mkString(",")}]) AS band_key FROM docs),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+    SELECT a, b,
+           CAST(len(list_filter(list_zip(da.sig, db.sig), z -> z[1] = z[2])) AS DOUBLE) / $MinhashK AS sig_agree
+    FROM pairs JOIN docs da ON da.doc_id = a JOIN docs db ON db.doc_id = b
+    ORDER BY a, b"""
+  }
+
+  // ---- q27: SimHash signatures ----
+
+  def q27(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q27Sql: String = s"""
+    SELECT doc_id, ${Dedup.simhashFromHsSql("hs")} AS simhash
+    FROM (SELECT doc_id, ${Dedup.simhashHsSql("text")} AS hs FROM documents)
+    ORDER BY doc_id"""
+
+  // ---- q28: brute-force cosine top-k ----
+
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q28Sql: String = {
+    val dot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(%s, %s), z -> z[1] * z[2])), (acc, v) -> acc + v)"
+    val dqc = dot.format("q.v", "c.v")
+    val dqq = dot.format("q.v", "q.v")
+    val dcc = dot.format("c.v", "c.v")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      round($dqc / (sqrt($dqq) * sqrt($dcc)), 6) AS sim
+               FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+    WHERE rk <= 10 ORDER BY query_id, rk"""
+  }
+
+  // ---- q29: embedding-space near-duplicate pairs ----
+
+  def q29(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(
+      Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0), threshold = 0.3)
+      .orderBy(col("a"), col("b"))
+
+  val q29Sql: String = {
+    val dot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(%s, %s), z -> z[1] * z[2])), (acc, v) -> acc + v)"
+    val dab = dot.format("x.v", "y.v")
+    val daa = dot.format("x.v", "x.v")
+    val dbb = dot.format("y.v", "y.v")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT a, b, sim FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round($dab / (sqrt($daa) * sqrt($dbb)), 6) AS sim
+      FROM e x JOIN e y ON x.vec_id < y.vec_id)
+    WHERE sim >= 0.3 ORDER BY a, b"""
+  }
+
+  // ---- q30: ANN via SRP-LSH (approximate — rows-only check; recall
+  //      vs brute force is asserted in SimilaritySpec) ----
+
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q20_token_stats", q20 _, Some(q20Sql)),
+    ("q21_quality_score", q21 _, Some(q21Sql)),
+    ("q22_lang_id", q22 _, Some(q22Sql)),
+    ("q23_fingerprints", q23 _, Some(q23Sql)),
+    ("q24_exact_dedup", q24 _, Some(q24Sql)),
+    ("q25_jaccard_pairs", q25 _, Some(q25Sql)),
+    ("q26_minhash_lsh", q26 _, Some(q26Sql)),
+    ("q27_simhash", q27 _, Some(q27Sql)),
+    ("q28_cosine_topk", q28 _, Some(q28Sql)),
+    ("q29_embedding_neardup", q29 _, Some(q29Sql)),
+    ("q30_ann_lsh", q30 _, None))
+}

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting. All are pure `Column` expressions — no UDFs,
+  * so every operator stays inside whole-stage codegen and needs zero
+  * shuffles (per-row work scales embarrassingly to any corpus size).
+  *
+  * Determinism contract: each function must be exactly reproducible in
+  * portable SQL (the DuckDB oracle), so hashing is built on md5 (byte-
+  * identical across engines) rather than engine-native hash functions,
+  * and ratios are exact int/int double divisions.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * other non-space chars — the standard pre-tokenizer shape used to
+    * approximate LLM token counts without a vocab. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** Exact ratio helpers: int/int → double division is bit-identical
+    * across engines for identical operands. */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+
+  def punctRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "[\\.,!\\?;:]", "")), length(text))
+
+  def digitRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "[0-9]", "")), length(text))
+
+  def upperRatio(text: Column): Column =
+    ratio(length(text) - length(regexp_replace(text, "[A-Z]", "")), length(text))
+
+  /** Mean characters per whitespace token. */
+  def meanTokenLen(text: Column): Column =
+    ratio(length(regexp_replace(trim(text), "\\s+", "")), tokenCount(text))
+
+  /** Per-language stopword markers for the language-ID heuristic.
+    * Order matters: ties resolve by list order (en first). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"))
+
+  /** Count of hits of any marker word for one language (token-exact:
+    * split + filter + size — portable to SQL via list_filter). */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(markers)))
+
+  /** N-gram/stopword heuristic language ID: argmax of marker hits with
+    * deterministic tie-break by [[LangMarkers]] order (when() chains
+    * evaluate top-down, so the first language is checked first); no hits
+    * at all → 'unknown'. */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.reverse.foldLeft(lit("unknown"): Column) { case (els, (lang, h)) =>
+      when(h > 0 && h === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs and
+    * stopword presence, penalizes punctuation/digit/upper noise. The
+    * exact formula is arbitrary (as in any production quality filter);
+    * what matters is that it is deterministic and portable. */
+  def qualityScore(text: Column): Column = {
+    val ntok = tokenCount(text).cast(DoubleType)
+    val lengthTerm = least(ntok / lit(64.0), lit(1.0))
+    val stopTerm = least(markerHits(text, LangMarkers.flatMap(_._2)).cast(DoubleType) / ntok * 4.0, lit(1.0))
+    val noise = punctRatio(text) + digitRatio(text) + upperRatio(text)
+    round(greatest(lit(0.0), least(lit(1.0),
+      lit(0.4) * lengthTerm + lit(0.4) * stopTerm + lit(0.2) * (lit(1.0) - noise))), 6)
+  }
+
+  /** First `n` hex chars of md5 → LONG (portable hex parse: positional
+    * fold over digit values; Spark `conv` has no DuckDB twin). n ≤ 15
+    * keeps the value inside a signed 64-bit long. */
+  def md5Long(c: Column, n: Int = 8): Column = {
+    require(n <= 15, "n>15 overflows signed long")
+    val h = substring(md5(c), 1, n)
+    aggregate(sequence(lit(1), lit(n)), lit(0L),
+      (acc, i) => acc * 16 + (instr(lit("0123456789abcdef"), substring(h, i, lit(1))) - 1).cast(LongType))
+  }
+  /** SQL twin of [[md5Long]] for the DuckDB oracle. */
+  def md5LongSql(e: String, n: Int = 8): String =
+    s"list_reduce(list_transform(range(1, ${n + 1}), i -> " +
+      s"CAST(strpos('0123456789abcdef', substring(substring(md5($e),1,$n), CAST(i AS INT), 1)) - 1 AS BIGINT)), " +
+      s"(acc, x) -> acc * 16 + x)"
+
+  /** Word k-shingles: overlapping k-grams of whitespace tokens, joined
+    * by single spaces. Fewer than k tokens → empty array. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < k, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(t) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
+  }
+
+  /** Rolling polynomial fingerprint over tokens:
+    * fold(acc*31 + md5Long(token)) mod (2^31-1). One value per doc —
+    * order-sensitive (reorderings change it), content-exact. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31 + pmod(md5Long(t, 8), lit(2147483647L))) % 2147483647L)
+
+  /** Winnowing-style fingerprint set (Schleimer et al., SIGMOD'03 —
+    * public algorithm): hash every k-shingle, slide a window of `w`
+    * hashes, keep each window's minimum, distinct + sort. Robust to
+    * local edits; the standard document-fingerprint for near-dup/
+    * plagiarism detection at corpus scale. Returned as a sorted array. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(wordShingles(text, k), s => md5Long(s, 8))
+    val n = size(hashes)
+    val mins = when(n === 0, array().cast(ArrayType(LongType)))
+      .otherwise(when(n <= w, array(array_min(hashes)))
+        .otherwise(transform(sequence(lit(1), n - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w))))))
+    array_sort(array_distinct(mins))
+  }
+}

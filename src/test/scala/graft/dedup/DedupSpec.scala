@@ -1,0 +1,72 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy dog"), // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "spark engines content completely different about"), // permutation of 4
+    (6L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical content") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("minhash signature: length k, deterministic, similar docs agree more") {
+    val sigs = docs.filter($"doc_id" <= 4)
+      .select($"doc_id", Dedup.minhashSignature($"text", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) == sigs(2L)) // identical text, identical signature
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(agree13 > agree14)
+  }
+
+  test("lsh candidates find near-dup pair without full cross product") {
+    val sigged = docs.filter(length($"text") > 0)
+      .select($"doc_id", Dedup.minhashSignature($"text", 16).as("sig"))
+    // r=1 rows per band: collision prob per band = jaccard (~0.4 for
+    // the 1↔3 near-dup), so 16 bands make a miss vanishingly unlikely
+    val pairs = Dedup.lshCandidates(sigged, "doc_id", "sig", bands = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+  }
+
+  test("jaccardPairs: exact similarity, dup pair scores 1.0") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L))) // no shared shingles
+  }
+
+  test("simhash: identical for dups, close for near-dups, far for unrelated") {
+    val sigs = docs.filter(length($"text") > 0)
+      .select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(4L) == sigs(5L)) // simhash ignores token order (bag of words)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("simhashNearDup blocks and verifies by hamming distance") {
+    val sigged = docs.filter(length($"text") > 0)
+      .select($"doc_id", Dedup.simhash($"text").as("sh"))
+    val closePairs = Dedup.simhashNearDup(sigged, "doc_id", "sh", maxHamming = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(closePairs.contains((1L, 2L)))
+    assert(closePairs.contains((4L, 5L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = {
+    // deterministic pseudo-random corpus + two planted near-dups of vec 0
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => i.toLong -> Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val planted = Seq(
+      100L -> base(0)._2.map(x => x + 0.01f),
+      101L -> base(0)._2.map(x => x * 1.05f))
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("cosine: exact on known vectors") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 1.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine($"a", $"b").as("s")).as[Double].collect()
+    assert(math.abs(sims(0)) < 1e-12 && math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK finds planted near-dups first") {
+    val q = vecs.filter($"vec_id" === 0L)
+    val top = Similarity.bruteForceTopK(q, vecs, k = 3)
+      .orderBy($"rk").select("neighbor_id").as[Long].collect()
+    assert(top.take(2).toSet == Set(100L, 101L))
+  }
+
+  test("nearDupPairs finds planted pairs above threshold") {
+    val pairs = Similarity.nearDupPairs(vecs, threshold = 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((0L, 101L)))
+  }
+
+  test("srp signature deterministic; lshTopK recall vs brute force is high") {
+    val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
+      .as[Long].collect()
+    val sig2 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
+      .as[Long].collect()
+    assert(sig1.toSeq == sig2.toSeq)
+
+    val q = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, vecs, k = 5, planes = 16, bandBits = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // the planted near-dup must survive LSH bucketing for query 0
+    assert(approx.contains((0L, 100L)))
+  }
+}
