@@ -49,7 +49,8 @@ object SparkEntry {
     * columns by name before hashing). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all.map { case (n, f, _) => n -> f }.toMap ++
-      graft.queries.CurationQueries.all.map { case (n, f, _) => n -> f }.toMap
+      graft.queries.CurationQueries.all.map { case (n, f, _) => n -> f }.toMap ++
+      graft.queries.PipelineQueries.all.map { case (n, f, _) => n -> f }.toMap
 
   /** DuckDB-runnable oracle SQL per query (same column names/aliases).
     * Queries absent here (approximate/streaming ops) get the driver's
@@ -57,6 +58,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.all.map { case (n, _, sql) => n -> sql.trim }.toMap ++
       graft.queries.CurationQueries.all.collect {
+        case (n, _, Some(sql)) => n -> sql.trim
+      }.toMap ++
+      graft.queries.PipelineQueries.all.collect {
         case (n, _, Some(sql)) => n -> sql.trim
       }.toMap
 }

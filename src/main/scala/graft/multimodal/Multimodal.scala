@@ -1,0 +1,150 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column handling for training-data pipelines: image/audio/
+  * video travel as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract / resize / frame-sample run as partition-
+  * local batch functions over the binary payloads.
+  *
+  * The Spark-side plumbing — schemas, size-aware partitioning, the
+  * batched `mapPartitions` shape (mirroring Arrow-batch UDF execution),
+  * frame explosion — is real and tested. The actual codec calls are
+  * STUBBED: this container has no image/audio libraries, so
+  * [[FakeCodec]] stands in with a deterministic md5-derived
+  * implementation (byte-exact reproducible, which also lets the decode
+  * path be oracle-checked end-to-end). Swapping in a real codec touches
+  * only [[FakeCodec]].
+  *
+  * Scale notes:
+  *   - Binary payloads never shuffle for decode: `decodeImages` is a
+  *     pure mapPartitions (narrow). Only the small decoded metadata +
+  *     feature vectors flow onward.
+  *   - Media blobs are heavily size-skewed; [[repartitionBySize]] uses
+  *     range-partitioning on cumulative byte size so a partition holds
+  *     ~equal bytes, not ~equal row counts (the classic fix for one
+  *     task decoding all the 4K videos while 31 decode thumbnails).
+  *   - Frame sampling explodes rows but each output frame carries a
+  *     digest/slice, not a re-encoded payload — the explosion is
+  *     metadata-sized.
+  */
+object Multimodal {
+
+  /** One media object: payload + typed metadata. */
+  final case class Media(media_id: Long, media_type: String, fmt: String,
+      content: Array[Byte])
+
+  final case class DecodedImage(media_id: Long, width: Int, height: Int,
+      channels: Int, features: Array[Double])
+
+  final case class Frame(media_id: Long, frame_idx: Int, frame_md5: String)
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  /** The codec boundary. A real deployment implements this with e.g.
+    * javacpp/ffmpeg or sends batches to a Python `mapInArrow` worker;
+    * here it is a deterministic fake (md5-derived) so pipelines are
+    * testable and oracle-checkable without native libs. */
+  object FakeCodec {
+    private def md5hex(b: Array[Byte]): String =
+      MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+
+    private def hexLong(h: String, n: Int): Long =
+      java.lang.Long.parseLong(h.take(n), 16)
+
+    /** STUB decode: dimensions/channels/features derived from the md5
+      * of the payload — a real decoder returns the codec's values. */
+    def decodeImage(id: Long, bytes: Array[Byte]): DecodedImage = {
+      val h = md5hex(bytes)
+      val width = 1 + (hexLong(h, 8) % 1024L).toInt
+      val height = 1 + (hexLong(h.substring(8, 16), 8) % 1024L).toInt
+      val channels = 1 + (hexLong(h.substring(16, 20), 4) % 4L).toInt
+      val features = (0 until 8).map { j =>
+        val hj = md5hex((h + "/" + j).getBytes("UTF-8"))
+        (hexLong(hj, 8) % 1000L).toDouble / 1000.0
+      }.toArray
+      DecodedImage(id, width, height, channels, features)
+    }
+
+    /** STUB frame count: a real demuxer reads container metadata. */
+    def frameCount(bytes: Array[Byte]): Int =
+      math.max(1, math.min(10, bytes.length / 1000))
+
+    /** STUB frame extraction: digest of payload + index stands in for
+      * the decoded frame image. */
+    def frame(id: Long, bytes: Array[Byte], idx: Int): Frame =
+      Frame(id, idx, md5hex((new String(bytes, "UTF-8") + "#" + idx).getBytes("UTF-8")))
+  }
+
+  /** Range-partition by cumulative payload size so each task decodes a
+    * comparable byte volume (row-count partitioning is wrong for media:
+    * blob sizes span orders of magnitude). */
+  def repartitionBySize(df: DataFrame, partitions: Int): DataFrame =
+    df.withColumn("__len", length(col("content")))
+      .repartitionByRange(partitions, col("__len"), col("media_id"))
+      .drop("__len")
+
+  /** Decode a media DataFrame's image payloads in partition-local
+    * batches of `batchSize` (the Arrow-batch execution shape: a real
+    * codec amortizes per-batch setup — GPU transfer, library context —
+    * exactly like this). Narrow op: no shuffle. */
+  def decodeImages(media: DataFrame, batchSize: Int = 64): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec context would be acquired here
+          batch.iterator.map { case (id, bytes) => FakeCodec.decodeImage(id, bytes) }
+        }
+      }
+  }
+
+  /** Logical resize: rescale decoded dimensions and renormalize
+    * features — metadata math today (STUB), a pixel op with a real
+    * codec; the pipeline shape (second narrow pass over decoded data)
+    * is what matters. */
+  def resize(decoded: Dataset[DecodedImage], maxSide: Int): Dataset[DecodedImage] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+      d.copy(width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  /** Sample frames from video payloads: one output row per frame
+    * (metadata-sized). Frame count comes from the (stubbed) demuxer. */
+  def sampleFrames(media: DataFrame, batchSize: Int = 16): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            (0 until FakeCodec.frameCount(bytes)).iterator
+              .map(i => FakeCodec.frame(id, bytes, i))
+          }
+        }
+      }
+  }
+
+  /** Build a media table from the `documents` test table (text bytes as
+    * payload — the container ships no real media; the column types and
+    * sizes behave like thumbnails). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, lit("video")).otherwise(lit("image")).as("media_type"),
+      lit("fake").as("fmt"),
+      encode(col("text"), "UTF-8").cast(BinaryType).as("content"))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ingest.{Pipeline, TableSink}
+import graft.multimodal.Multimodal
+import graft.relational.Tables
+import graft.rules._
+import graft.schema.SchemaRegistry
+
+/** Queries exercising the ingestion engine itself (the reference's core:
+  * rule-routed, schema-inferring NDJSON → table pipelines, batch and
+  * streaming) plus the multimodal decode path.
+  *
+  * The ingest queries round-trip the `events` table through NDJSON →
+  * rules → envelope → managed table, then aggregate the *table* — so the
+  * DuckDB oracle (same aggregate over the original parquet) verifies the
+  * pipeline was lossless, not just that it ran. The multimodal decode is
+  * md5-deterministic (see [[Multimodal.FakeCodec]]) and oracle-checked
+  * the same way.
+  */
+object PipelineQueries {
+
+  private def eventsRules = Rules(
+    event = Seq(EventRule(name = "events-ndjson",
+      when = "name LIKE '%.json' OR name LIKE '%.txt'",
+      schemaRule = "events")),
+    schema = Seq(SchemaRule(name = "events",
+      dataset = "'analytics'", table = "'events'",
+      partition = "day", timestamp = "ts",
+      id = Some("cast(event_id as string)"))))
+
+  private def exportNdjson(s: SparkSession, d: String, dir: String): Unit =
+    Tables.events(s, d)
+      .withColumn("ts", unix_timestamp(col("ts")).cast("double"))
+      .coalesce(4).write.mode("overwrite").json(dir)
+
+  /** q33: batch ingest round-trip — events → NDJSON objects → full rule
+    * pipeline → managed table → aggregate the table. */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q33").toString
+    exportNdjson(s, d, s"$work/landing")
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    Pipeline.ingestPrefix(s, Pipeline.Config(registry, eventsRules),
+      s"$work/landing/part-*")
+    TableSink.read(s, registry, "analytics", "events")
+      .groupBy(col("data.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("distinct_ids"),
+        graft.relational.RelationalQueries.dsum(col("data.value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val q33Sql: String = s"""
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS distinct_ids,
+           ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** q34: streaming ingest round-trip — the same landing dir drained by
+    * the checkpointed file-source stream (Trigger.AvailableNow), then
+    * the same lossless-ness aggregate. Covers SURVEY §2.7 T1-T3. */
+  def q34(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-q34").toString
+    exportNdjson(s, d, s"$work/landing")
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    val q = Pipeline.stream(s, Pipeline.Config(registry, eventsRules),
+      s"$work/landing/part-*", s"$work/checkpoint", Trigger.AvailableNow())
+    q.awaitTermination()
+    TableSink.read(s, registry, "analytics", "events")
+      .groupBy(col("data.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("distinct_ids"))
+      .orderBy(col("event_type"))
+  }
+
+  val q34Sql: String = """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS distinct_ids
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** q35: schema evolution — two heterogeneous NDJSON batches into one
+    * table; result = the evolved schema as rows. Rows-only check (the
+    * merge laws are property-tested in SchemaMergeSpec; the golden
+    * field list is asserted in PipelineSpec). */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-q35").toString
+    def write(name: String, lines: String): Unit = {
+      val p = java.nio.file.Paths.get(work, "landing", name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, lines.getBytes("UTF-8"))
+    }
+    write("a.json", """{"ts":1700000000.0,"color":"red","n":1}
+{"ts":1700000001.0,"color":"blue","n":2}""")
+    write("b.json", """{"ts":1700000002.0,"color":"green","size":{"w":3,"h":4}}""")
+    val rules = Rules(
+      event = Seq(EventRule(name = "all", when = "name LIKE '%.json'",
+        schemaRule = "colors")),
+      schema = Seq(SchemaRule(name = "colors",
+        dataset = "'demo'", table = "'colors'", timestamp = "ts")))
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    Pipeline.ingestPaths(s, Pipeline.Config(registry, rules),
+      Seq(s"$work/landing/a.json"))
+    Pipeline.ingestPaths(s, Pipeline.Config(registry, rules),
+      Seq(s"$work/landing/b.json"))
+    val (version, schema) = registry.currentSchema("demo", "colors").get
+    val dataType = schema("data").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    dataType.fields.map(f => (f.name, f.dataType.simpleString, version))
+      .toSeq.toDF("field", "type", "schema_version").orderBy("field")
+  }
+
+  /** q31: multimodal image decode — binary payload column through the
+    * batched mapPartitions decoder; md5-deterministic so oracle-exact. */
+  def q31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.repartitionBySize(
+      Multimodal.mediaFromDocuments(Tables.documents(s, d)), 8)
+    Multimodal.decodeImages(media)
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        round(element_at(col("features"), 1), 6).as("f0"))
+      .orderBy(col("media_id"))
+  }
+
+  val q31Sql: String = """
+    SELECT doc_id AS media_id,
+           1 + CAST(list_reduce(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef', substring(md5(text), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x) % 1024 AS INT) AS width,
+           1 + CAST(list_reduce(list_transform(range(9, 17), i ->
+               CAST(strpos('0123456789abcdef', substring(md5(text), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x) % 1024 AS INT) AS height,
+           1 + CAST(list_reduce(list_transform(range(17, 21), i ->
+               CAST(strpos('0123456789abcdef', substring(md5(text), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x) % 4 AS INT) AS channels,
+           round(CAST(list_reduce(list_transform(range(1, 9), i ->
+               CAST(strpos('0123456789abcdef', substring(md5(md5(text) || '/0'), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             (a, x) -> a * 16 + x) % 1000 AS DOUBLE) / 1000.0, 6) AS f0
+    FROM documents ORDER BY media_id"""
+
+  /** q32: video frame sampling — per-payload frame explosion through the
+    * stubbed demuxer; output is metadata-sized, oracle-exact. */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      .filter(col("media_type") === "video")
+    Multimodal.sampleFrames(media)
+      .orderBy(col("media_id"), col("frame_idx"))
+      .select(col("media_id"), col("frame_idx"), col("frame_md5"))
+  }
+
+  val q32Sql: String = """
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+           md5(text || '#' || CAST(f AS VARCHAR)) AS frame_md5
+    FROM (SELECT doc_id, text,
+            unnest(range(0, greatest(1, least(10, octet_length(encode(text)) // 1000)))) AS f
+          FROM documents WHERE doc_id % 3 = 0)
+    ORDER BY media_id, frame_idx"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q31_multimodal_decode", q31 _, Some(q31Sql)),
+    ("q32_frame_sample", q32 _, Some(q32Sql)),
+    ("q33_ingest_pipeline", q33 _, Some(q33Sql)),
+    ("q34_stream_ingest", q34 _, Some(q34Sql)),
+    ("q35_schema_evolution", q35 _, None))
+}

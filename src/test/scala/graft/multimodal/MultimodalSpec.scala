@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.mediaFromDocuments(
+    Seq((1L, "hello world this is a test document"),
+      (3L, "short"),
+      (6L, "x" * 3500)) // "video" (id%3==0), 3 frames
+      .toDF("doc_id", "text"))
+
+  test("media table has binary payload + typed metadata") {
+    val s = media.schema
+    assert(s("content").dataType.typeName == "binary")
+    assert(media.count() == 3)
+    assert(media.filter($"media_type" === "video").count() == 2)
+  }
+
+  test("decodeImages: deterministic, bounded dims, 8 features in [0,1)") {
+    val d1 = Multimodal.decodeImages(media).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeImages(media, batchSize = 1).collect().sortBy(_.media_id)
+    assert(d1.map(_.media_id).toSeq == Seq(1L, 3L, 6L))
+    // batch size must not change results (pure per-element decode)
+    assert(d1.zip(d2).forall { case (a, b) =>
+      a.width == b.width && a.height == b.height && a.features.sameElements(b.features) })
+    d1.foreach { d =>
+      assert(d.width >= 1 && d.width <= 1024 && d.height >= 1 && d.height <= 1024)
+      assert(d.channels >= 1 && d.channels <= 4)
+      assert(d.features.length == 8 && d.features.forall(f => f >= 0.0 && f < 1.0))
+    }
+  }
+
+  test("resize caps the longest side, preserves ids") {
+    val resized = Multimodal.resize(Multimodal.decodeImages(media), maxSide = 64)
+      .collect()
+    assert(resized.forall(d => math.max(d.width, d.height) <= 64))
+    assert(resized.map(_.media_id).sorted.toSeq == Seq(1L, 3L, 6L))
+  }
+
+  test("sampleFrames: count from payload size, deterministic digests") {
+    val frames = Multimodal.sampleFrames(media.filter($"media_type" === "video"))
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    // id 3 "short" -> 1 frame; id 6 (3500 bytes) -> 3 frames
+    assert(frames.map(_.media_id).toSeq == Seq(3L, 6L, 6L, 6L))
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 0, 1, 2))
+    assert(frames.map(_.frame_md5).distinct.length == 4)
+  }
+
+  test("repartitionBySize balances byte volume") {
+    val parts = Multimodal.repartitionBySize(media, 2)
+    assert(parts.rdd.getNumPartitions == 2)
+    assert(parts.count() == 3)
+  }
+}
