@@ -1,0 +1,33 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dry-run sink (SURVEY §2.1 K4): instead of appending to managed
+  * tables, write each destination's rows as NDJSON plus the inferred
+  * schema as JSON — the reference's `--dry-run` file-dumper
+  * (`pkg/infra/dump/client.go:21-104`, layout `{dataset}.{table}.log` +
+  * `{dataset}.{table}.schema.json`).
+  */
+object DumpSink {
+
+  /** Dump a routed DataFrame (Transform output) per destination.
+    * Returns the written (dataset, table) pairs. */
+  def dump(routed: DataFrame, outDir: String): Seq[(String, String)] = {
+    Files.createDirectories(Paths.get(outDir))
+    val dests = routed.select("dataset", "table").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    dests.toSeq.map { case (ds, tbl) =>
+      val slice = routed
+        .filter(col("dataset") === ds && col("table") === tbl)
+        .drop("dataset", "table", "partition")
+      slice.coalesce(1).write.mode("overwrite")
+        .json(s"$outDir/$ds.$tbl.log")
+      Files.writeString(Paths.get(s"$outDir/$ds.$tbl.schema.json"),
+        slice.schema.prettyJson)
+      (ds, tbl)
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.schema.{SchemaMerge, SchemaRegistry}
+
+/** Table migration (SURVEY §3.3): the reference's `migrate` command
+  * copies a table's schema into a destination then runs
+  * ``INSERT `dst` SELECT * FROM `src` `` through the warehouse's SQL
+  * engine (`pkg/usecase/migrate.go:14-73`, `pkg/controller/cmd/migrate
+  * .go:26`). Here both halves are native: schema copy goes through the
+  * registry's create-or-evolve (so a populated destination widens rather
+  * than clobbers), data copy is a distributed append of the source read.
+  */
+object Migrate {
+
+  /** Copy src into dst (creating or evolving dst's schema first).
+    * Returns the migrated row count. */
+  def migrate(spark: SparkSession, registry: SchemaRegistry,
+      srcDataset: String, srcTable: String,
+      dstDataset: String, dstTable: String,
+      partitionUnit: String = ""): Long = {
+    val (_, srcSchema) = registry.currentSchema(srcDataset, srcTable)
+      .getOrElse(sys.error(s"no such table $srcDataset.$srcTable"))
+    registry.createOrUpdate(dstDataset, dstTable, srcSchema)
+    val rows = TableSink.read(spark, registry, srcDataset, srcTable)
+    TableSink.appendSlice(spark, registry, dstDataset, dstTable,
+      partitionUnit, rows)
+    TableSink.read(spark, registry, dstDataset, dstTable).count()
+  }
+
+  /** SQL passthrough (SURVEY §2.1 K3): the reference hands raw SQL to
+    * BigQuery (`pkg/infra/bq/client.go:53-62`); we hand it to Spark SQL
+    * with the registry's tables registered as temp views. */
+  def sql(spark: SparkSession, registry: SchemaRegistry,
+      tables: Seq[(String, String)], query: String): DataFrame = {
+    tables.foreach { case (ds, tbl) =>
+      TableSink.read(spark, registry, ds, tbl)
+        .createOrReplaceTempView(s"${ds}_$tbl")
+    }
+    spark.sql(query)
+  }
+}

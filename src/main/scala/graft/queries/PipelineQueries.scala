@@ -157,10 +157,56 @@ object PipelineQueries {
           FROM documents WHERE doc_id % 3 = 0)
     ORDER BY media_id, frame_idx"""
 
+  /** q36: notification decode (SURVEY S7) — Cloud-Storage object-event
+    * JSON (built deterministically from `events`) through the fixed-
+    * schema from_json decoder: string→long size, RFC3339→timestamp,
+    * base64 md5→hex. The oracle computes the decoded values directly,
+    * so the encode→decode round-trip must be lossless to match. */
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val eventJson = Tables.events(s, d).select(to_json(struct(
+      lit("storage#object").as("kind"),
+      concat(lit("logs/"), col("event_id"), lit(".json")).as("name"),
+      lit("data-bucket").as("bucket"),
+      (col("event_id") * 100).cast("string").as("size"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timeCreated"),
+      base64(unhex(md5(col("event_id").cast("string")))).as("md5Hash"))).as("j"))
+    eventJson.select(graft.sources.Events.decodeStorageEvent(col("j")).as("o"))
+      .select(col("o.bucket").as("bucket"), col("o.name").as("name"),
+        col("o.path").as("path"), col("o.size").as("size"),
+        date_format(col("o.created_at"), "yyyy-MM-dd HH:mm:ss").as("created_str"),
+        col("o.md5").as("md5"))
+      .orderBy(col("name"))
+  }
+
+  val q36Sql: String = """
+    SELECT 'data-bucket' AS bucket,
+           concat('logs/', CAST(event_id AS VARCHAR), '.json') AS name,
+           concat('gs://data-bucket/logs/', CAST(event_id AS VARCHAR), '.json') AS path,
+           event_id * 100 AS size,
+           strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS created_str,
+           md5(CAST(event_id AS VARCHAR)) AS md5
+    FROM events ORDER BY name"""
+
+  /** q37: SQL passthrough (SURVEY K3) — a raw SQL string handed to
+    * Spark SQL over registered views, the analogue of the reference
+    * handing SQL to BigQuery. The oracle is the *same string*. */
+  val passthroughSql: String = """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  def q37(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(passthroughSql)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
     ("q33_ingest_pipeline", q33 _, Some(q33Sql)),
     ("q34_stream_ingest", q34 _, Some(q34Sql)),
-    ("q35_schema_evolution", q35 _, None))
+    ("q35_schema_evolution", q35 _, None),
+    ("q36_event_decode", q36 _, Some(q36Sql)),
+    ("q37_sql_passthrough", q37 _, Some(passthroughSql)))
 }

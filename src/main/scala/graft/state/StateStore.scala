@@ -1,0 +1,100 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.time.Instant
+
+/** Message-processing state machine (SURVEY §2.7 T3): the reference
+  * deduplicates Pub/Sub deliveries with a Firestore-backed transactional
+  * state keyed by message ID — states running/completed/failed with
+  * expiry and TTL (`pkg/domain/model/state.go:9-31`,
+  * `pkg/infra/firestore/client.go:24-60`; defaults 30 min timeout /
+  * 7 d TTL, `pkg/usecase/usecase.go:36-38`).
+  *
+  * In the Spark design the checkpointed file source already gives
+  * per-file exactly-once *discovery*, so this store is only needed when
+  * mirroring the push architecture (multiple ingest drivers racing on
+  * the same queue). It is file-backed with atomic create as the
+  * transaction primitive (O_CREATE_NEW ≡ Firestore create-if-absent),
+  * which works on any shared filesystem; on object storage the same
+  * interface fronts a conditional-put.
+  *
+  * Acquisition semantics (`state.go:19-31`):
+  *   - no state        → acquire (running)
+  *   - completed       → never re-acquire
+  *   - failed          → always re-acquire
+  *   - running         → re-acquire only after expiry
+  */
+final class StateStore(rootDir: String,
+    timeoutMillis: Long = 30L * 60 * 1000,
+    ttlMillis: Long = 7L * 24 * 3600 * 1000,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  sealed trait State { def name: String }
+  case object Running extends State { val name = "running" }
+  case object Completed extends State { val name = "completed" }
+  case object Failed extends State { val name = "failed" }
+
+  final case class Record(id: String, state: String, updatedAt: Long, expiresAt: Long)
+
+  Files.createDirectories(Paths.get(rootDir))
+
+  private def file(id: String): Path = Paths.get(rootDir, s"$id.state")
+
+  private def write(p: Path, r: Record, createNew: Boolean): Boolean = {
+    val body = s"""{"id":"${r.id}","state":"${r.state}","updated_at":${r.updatedAt},"expires_at":${r.expiresAt}}"""
+    try {
+      if (createNew)
+        Files.write(p, body.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+      else {
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        Files.write(tmp, body.getBytes("UTF-8"))
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  def get(id: String): Option[Record] = {
+    val p = file(id)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), "UTF-8")
+      def field(k: String): String =
+        s.split(s""""$k":"?""")(1).takeWhile(c => c != '"' && c != ',' && c != '}')
+      val rec = Record(field("id"), field("state"),
+        field("updated_at").toLong, field("expires_at").toLong)
+      // TTL: an expired record is as good as absent (Firestore TTL doc)
+      if (clock() > rec.updatedAt + ttlMillis) None else Some(rec)
+    }
+  }
+
+  /** Try to acquire `id` for processing. Returns true when this caller
+    * now owns it (state transitions to running). */
+  def acquire(id: String): Boolean = {
+    val now = clock()
+    val fresh = Record(id, Running.name, now, now + timeoutMillis)
+    get(id) match {
+      case None =>
+        // absent (or TTL-expired): atomic create wins the race; if the
+        // file exists but the record TTL-expired, overwrite in place
+        write(file(id), fresh, createNew = !Files.exists(file(id))) ||
+          (get(id).isEmpty && write(file(id), fresh, createNew = false))
+      case Some(r) if r.state == Completed.name => false
+      case Some(r) if r.state == Failed.name => write(file(id), fresh, createNew = false)
+      case Some(r) if r.state == Running.name && now > r.expiresAt =>
+        write(file(id), fresh, createNew = false)
+      case _ => false
+    }
+  }
+
+  def markCompleted(id: String): Unit = {
+    val now = clock()
+    write(file(id), Record(id, Completed.name, now, now + timeoutMillis), createNew = false)
+  }
+
+  def markFailed(id: String): Unit = {
+    val now = clock()
+    write(file(id), Record(id, Failed.name, now, now + timeoutMillis), createNew = false)
+  }
+}
