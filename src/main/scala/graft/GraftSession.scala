@@ -31,6 +31,15 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // InferFiltersFromGenerate rewrites explode(e) into
+      // Filter(size(e)>0 && isnotnull(e)) + Generate and then pushes the
+      // filter down THROUGH projections, substituting aliases — for an
+      // expensive generator input (shingling, banding) the whole
+      // expression tree gets re-evaluated once more per row (measured
+      // 25× slowdown on the n-gram pair join). The inferred filter is
+      // redundant for us: Generate itself skips empty/null inputs.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = builder(cpus).getOrCreate()

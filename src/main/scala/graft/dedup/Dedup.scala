@@ -41,15 +41,19 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: for each of `k` seeded hash functions, the
-    * minimum md5Long over the doc's word `shingleK`-shingles. Returned
-    * as array<long> of length k; docs with no shingles get nulls.
-    * Pure projection — computed without explode or shuffle. */
-  def minhashSignature(text: Column, k: Int, shingleK: Int = 3): Column = {
-    val sh = wordShingles(text, shingleK)
+  /** MinHash signature from an already-staged shingles column: for each
+    * of `k` seeded hash functions, the minimum md5Long over the doc's
+    * shingles. Returned as array<long> of length k; docs with no
+    * shingles get nulls. Pure projection — no explode, no shuffle.
+    * PERF: `shingles` must be a bound column (see wordShinglesOf). */
+  def minhashSignatureOf(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(sh, s => md5Long(concat(seed.cast(StringType), lit("|"), s), 15))))
-  }
+      seed => array_min(transform(shingles,
+        s => md5Long(concat(seed.cast(StringType), lit("|"), s), 15))))
+
+  /** Convenience for tests/small data — hot paths stage shingles. */
+  def minhashSignature(text: Column, k: Int, shingleK: Int = 3): Column =
+    minhashSignatureOf(wordShingles(text, shingleK), k)
 
   /** SQL twin of [[minhashSignature]] for the DuckDB oracle. `textE` is
     * a SQL expression for the text. */
@@ -70,7 +74,14 @@ object Dedup {
     * Buckets with a single doc produce nothing; heavy buckets mean real
     * near-dups (work is output-proportional).
     */
-  def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
+    lshCandidatesWithSigs(df, idCol, sigCol, bands).select("a", "b")
+
+  /** Candidate pairs with both signatures attached — avoids the two
+    * join-backs (and signature recomputation) a caller would otherwise
+    * need for signature-agreement scoring. */
+  def lshCandidatesWithSigs(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int): DataFrame = {
     val banded = df.select(col(idCol).as("doc"), col(sigCol).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", {
@@ -78,11 +89,11 @@ object Dedup {
         concat(col("band").cast(StringType), lit(":"),
           to_json(slice(col("sig"), col("band") * rowsPerBand + 1, rowsPerBand)))
       })
-      .select("doc", "band_key")
-    val l = banded.select(col("doc").as("a"), col("band_key"))
-    val r = banded.select(col("doc").as("b"), col("band_key"))
+      .select("doc", "sig", "band_key")
+    val l = banded.select(col("doc").as("a"), col("sig").as("siga"), col("band_key"))
+    val r = banded.select(col("doc").as("b"), col("sig").as("sigb"), col("band_key"))
     l.join(r, "band_key").filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b", "siga", "sigb").distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns
@@ -101,15 +112,31 @@ object Dedup {
     * `minDocFreqFilter` can enforce upstream for 100 TB runs (drop
     * ubiquitous shingles like stop-phrases, as standard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val docs = df.select(col(idCol).as("doc"),
-      array_distinct(wordShingles(col(textCol), shingleK)).as("sh"))
-    val postings = docs.select(col("doc"), explode(col("sh")).as("s"))
+      shingleK: Int = 3, threshold: Double = 0.0,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      .select(col("doc"), array_distinct(wordShinglesOf(col("t"), shingleK)).as("sh"))
+    // postings feed three plan branches (self-join ×2 + sizes); persist
+    // so shingling+explode runs once, not per branch
+    val allPostings = docs.select(col("doc"), explode(col("sh")).as("s")).persist()
+    // stopword-shingle cut: a shingle occurring in more than maxDocFreq
+    // docs contributes df² candidate pairs but near-zero signal — the
+    // standard inverted-index prune for corpus-scale all-pairs jaccard.
+    // Jaccard is then computed over the PRUNED shingle sets (both the
+    // intersection counts and the set sizes), keeping it a true metric.
+    val postings =
+      if (maxDocFreq == Int.MaxValue) allPostings
+      else {
+        val rare = allPostings.groupBy(col("s"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+          .select(col("s"))
+        allPostings.join(rare, "s")
+      }
     val shared = postings.as("x").join(postings.as("y"), col("x.s") === col("y.s"))
       .filter(col("x.doc") < col("y.doc"))
       .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = docs.select(col("doc"), size(col("sh")).as("n"))
+    val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     shared
       .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
       .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n", "nb"), "b")
@@ -124,8 +151,7 @@ object Dedup {
     * token hash) > 0. Single-pass fold (md5 once per distinct token),
     * pure projection, no shuffle; near-dups are pairs at small Hamming
     * distance on the signature. */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
+  def simhashOf(toks: Column): Column = {
     val uniq = array_distinct(toks)
     // (hash, term-frequency) per distinct token, materialized once
     val hs = transform(uniq, t => struct(
@@ -142,6 +168,8 @@ object Dedup {
         (s, p) => when(s > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
   }
+
+  def simhash(text: Column): Column = simhashOf(tokens(text))
 
   /** SQL twins of [[simhash]] for the DuckDB oracle: `simhashHsSql`
     * builds the per-doc (hash, tf) list (put it in a subquery column,

@@ -31,13 +31,26 @@ object CurationQueries {
   private def markerHitsSql(textE: String, markers: Seq[String]): String =
     s"len(list_filter(${toksSql(s"lower($textE)")}, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
 
+  /** `documents` ships as one parquet file per SF — a single input
+    * partition. The per-row work below (shingling, hashing, signature
+    * folds) is compute-bound, so spread it across all cores first; the
+    * shuffle moves only the small doc rows. (At real corpus scale the
+    * source would already be thousands of splits and this is a no-op
+    * guard.) */
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.documents(s, d)
+    val par = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   // ---- q20: token counting (whitespace + BPE-ish) ----
 
   def q20(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
-        sum(tokenCount(col("text"))).as("ws_tokens"),
+        sum(size(col("t"))).as("ws_tokens"),
         sum(bpeishCount(col("text"))).as("bpeish_tokens"),
         davg(col("n_chars").cast(DoubleType)).as("avg_chars"))
       .orderBy(col("source"))
@@ -52,12 +65,14 @@ object CurationQueries {
   // ---- q21: quality scoring ----
 
   def q21(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("lt", tokens(lower(col("text"))))
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
+        size(col("t")).as("n_tokens"),
         round(punctRatio(col("text")), 6).as("punct_ratio"),
         round(meanTokenLen(col("text")), 6).as("mean_token_len"),
-        qualityScore(col("text")).as("quality"))
+        qualityScoreOf(col("text"), col("t"), col("lt")).as("quality"))
       .orderBy(col("doc_id"))
 
   val q21Sql: String = {
@@ -90,8 +105,9 @@ object CurationQueries {
   // ---- q22: language ID ----
 
   def q22(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+    docs(s, d)
+      .withColumn("lt", tokens(lower(col("text"))))
+      .select(col("doc_id"), col("lang"), langIdOf(col("lt")).as("pred_lang"))
       .withColumn("agree", col("lang") === col("pred_lang"))
       .orderBy(col("doc_id"))
 
@@ -109,10 +125,13 @@ object CurationQueries {
   // ---- q23: document fingerprinting (rolling + winnowing) ----
 
   def q23(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("sh", wordShinglesOf(col("t"), 3))
+      .withColumn("hashes", transform(col("sh"), x => md5Long(x, 8)))
       .select(col("doc_id"),
-        rollingFingerprint(col("text")).as("rolling_fp"),
-        array_join(winnowFingerprints(col("text"), 3, 4), ",").as("winnow_fps"))
+        rollingFingerprintOf(col("t")).as("rolling_fp"),
+        array_join(winnowFromHashes(col("hashes"), 4), ",").as("winnow_fps"))
       .orderBy(col("doc_id"))
 
   val q23Sql: String = {
@@ -151,8 +170,14 @@ object CurationQueries {
 
   // ---- q25: exact n-gram Jaccard top pairs ----
 
+  /** Shingles occurring in more docs than this are pruned before the
+    * pair join (df² candidate blowup for near-zero signal); the oracle
+    * prunes identically. */
+  val JaccardMaxDf = 50
+
   def q25(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", shingleK = 3)
+    Dedup.jaccardPairs(docs(s, d), "doc_id", "text", shingleK = 3,
+      maxDocFreq = JaccardMaxDf)
       .orderBy(col("sim").desc, col("a"), col("b"))
       .limit(20)
 
@@ -160,11 +185,13 @@ object CurationQueries {
     val toks = toksSql("text")
     s"""
     WITH docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
-    postings AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    all_postings AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    rare AS (SELECT s FROM all_postings GROUP BY s HAVING COUNT(*) <= $JaccardMaxDf),
+    postings AS (SELECT doc_id, all_postings.s AS s FROM all_postings JOIN rare ON all_postings.s = rare.s),
     shared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
                FROM postings x JOIN postings y ON x.s = y.s AND x.doc_id < y.doc_id
                GROUP BY 1, 2),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY doc_id)
     SELECT a, b, CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS sim
     FROM shared JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
     ORDER BY sim DESC, a, b LIMIT 20"""
@@ -176,11 +203,14 @@ object CurationQueries {
   val LshBands = 4
 
   def q26(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.minhashSignature(col("text"), MinhashK).as("sig"))
-    Dedup.lshCandidates(docs, "doc_id", "sig", LshBands)
-      .join(docs.select(col("doc_id").as("a"), col("sig").as("siga")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("sig").as("sigb")), "b")
+    // persist: the banding self-join reads the signatures from two plan
+    // branches — without it the 8-seed minhash fold runs twice
+    val sigged = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), wordShinglesOf(col("t"), 3).as("sh"))
+      .select(col("doc_id"), Dedup.minhashSignatureOf(col("sh"), MinhashK).as("sig"))
+      .persist()
+    Dedup.lshCandidatesWithSigs(sigged, "doc_id", "sig", LshBands)
       .withColumn("sig_agree",
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
           .cast(DoubleType) / MinhashK)
@@ -207,8 +237,9 @@ object CurationQueries {
   // ---- q27: SimHash signatures ----
 
   def q27(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), Dedup.simhashOf(col("t")).as("simhash"))
       .orderBy(col("doc_id"))
 
   val q27Sql: String = s"""

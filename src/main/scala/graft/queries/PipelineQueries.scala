@@ -163,7 +163,12 @@ object PipelineQueries {
     * base64 md5→hex. The oracle computes the decoded values directly,
     * so the encode→decode round-trip must be lossless to match. */
   def q36(s: SparkSession, d: String): DataFrame = {
-    val eventJson = Tables.events(s, d).select(to_json(struct(
+    // events ships as one parquet file; the JSON encode→decode round
+    // trip is per-row compute, so spread it across cores first
+    val ev = Tables.events(s, d)
+    val par = s.sparkContext.defaultParallelism
+    val spread = if (ev.rdd.getNumPartitions < par) ev.repartition(par) else ev
+    val eventJson = spread.select(to_json(struct(
       lit("storage#object").as("kind"),
       concat(lit("logs/"), col("event_id"), lit(".json")).as("name"),
       lit("data-bucket").as("bucket"),

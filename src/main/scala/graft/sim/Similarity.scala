@@ -28,16 +28,31 @@ import graft.text.TextFunctions.md5Long
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns — explicit
-    * left-fold dot products so the accumulation order is fixed and
-    * portable (DuckDB's list_inner_product matches element order). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** Left-fold dot product — accumulation order is fixed and portable
+    * (the DuckDB oracle folds in the same order → identical doubles). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity between two array<double> columns. Hot paths
+    * stage per-row norms once (see [[withVecNorm]]) instead. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Stage (id, vector, norm) — the norm is computed once per row here,
+    * not once per candidate pair (interpreted higher-order functions
+    * re-evaluate inlined subtrees, so pair-side norms would cost a full
+    * dot per pair per side). Also raises partition count for the
+    * compute-bound scoring when the source is a single small file. */
+  private def withVecNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val staged = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      .withColumn(normAs, sqrt(dot(col(vecAs), col(vecAs))))
+    if (df.rdd.getNumPartitions < par) staged.repartition(par) else staged
+  }
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * `queries` must be small (it is broadcast); `corpus` can be
@@ -45,11 +60,11 @@ object Similarity {
     * are excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val q = broadcast(withVecNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val c = withVecNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -58,19 +73,29 @@ object Similarity {
   }
 
   /** Deterministic SRP hyperplane component: ±1 for plane p, dimension
-    * j, derived from md5 — no stored plane matrix. */
-  private def planeSign(p: Column, j: Column): Column =
-    when(md5Long(concat(p.cast(StringType), lit("_"), j.cast(StringType)), 8) % 2 === 0,
-      lit(1.0)).otherwise(lit(-1.0))
+    * j, derived from md5(p_j) — the plane "matrix" is a pure function,
+    * so any process regenerates it bit-identically (no broadcast state).
+    * Computed driver-side once and embedded as literals: per-row hash
+    * evaluation would recompute row-constant values. */
+  private def planeSign(p: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$j".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(h, 16) % 2 == 0) 1.0 else -1.0
+  }
 
   /** SRP-LSH signature: `planes`-bit long; bit p = sign(v · r_p) where
-    * r_p is the ±1 pseudo-random hyperplane. Pure projection. */
-  def srpSignature(vec: Column, planes: Int): Column = {
-    val v = asDouble(vec)
+    * r_p is the ±1 pseudo-random hyperplane. Pure projection; `vec`
+    * must be a staged array<double> column (hot-path contract). `dims`
+    * caps the plane literals; extra vector dimensions are ignored,
+    * which keeps signatures stable if dims grow. */
+  def srpSignature(vec: Column, planes: Int, dims: Int = 64): Column = {
     val bits = (0 until planes).map { p =>
+      val signs = array((0 until dims).map(j => lit(planeSign(p, j))): _*)
+      // slice to the vector's length: zip_with pads the shorter side
+      // with nulls, which would poison the fold for dims < `dims`
       val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(v) - 1),
-          j => planeSign(lit(p), j)), (x, s) => x * s),
+        zip_with(vec, slice(signs, lit(1), size(vec)), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -87,19 +112,18 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(planes % bandBits == 0)
     val bands = planes / bandBits
-    def banded(df: DataFrame, id: String, v: String): DataFrame = {
-      val sig = srpSignature(col(vecCol), planes)
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v), sig.as("sig"))
+    def banded(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      withVecNorm(df, idCol, vecCol, id, v, n)
+        .withColumn("sig", srpSignature(col(v), planes))
         .withColumn("band", explode(array((0 until bands).map(b =>
           concat_ws(":", lit(b),
             shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)))): _*)))
-    }
-    val q = broadcast(banded(queries, "query_id", "qv"))
-    val c = banded(corpus, "neighbor_id", "cv")
+    val q = broadcast(banded(queries, "query_id", "qv", "qn"))
+    val c = banded(corpus, "neighbor_id", "cv", "cn")
     val cands = c.join(q, "band")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
+      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rk", row_number().over(w))
@@ -112,10 +136,10 @@ object Similarity {
     * candidate cut above is the scale path. Pairs are (a < b). */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = corpus.select(col(idCol).as("a"), asDouble(col(vecCol)).as("va"))
-    val r = corpus.select(col(idCol).as("b"), asDouble(col(vecCol)).as("vb"))
+    val l = withVecNorm(corpus, idCol, vecCol, "a", "va", "na")
+    val r = withVecNorm(corpus, idCol, vecCol, "b", "vb", "nb")
     l.crossJoin(r).filter(col("a") < col("b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim")
   }

@@ -60,42 +60,51 @@ object TextFunctions {
 
   /** Count of hits of any marker word for one language (token-exact:
     * split + filter + size — portable to SQL via list_filter). */
-  def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => t.isInCollection(markers)))
+  /** Marker hits from a staged lowercase-tokens column (hot path). */
+  def markerHitsOf(ltoks: Column, markers: Seq[String]): Column =
+    size(filter(ltoks, t => t.isInCollection(markers)))
 
-  /** N-gram/stopword heuristic language ID: argmax of marker hits with
-    * deterministic tie-break by [[LangMarkers]] order (when() chains
-    * evaluate top-down, so the first language is checked first); no hits
-    * at all → 'unknown'. */
-  def langId(text: Column): Column = {
-    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    markerHitsOf(tokens(lower(text)), markers)
+
+  /** N-gram/stopword heuristic language ID from a staged lowercase-
+    * tokens column: argmax of marker hits with deterministic tie-break
+    * by [[LangMarkers]] order (when() chains evaluate top-down, so the
+    * first language is checked first); no hits at all → 'unknown'. */
+  def langIdOf(ltoks: Column): Column = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHitsOf(ltoks, ms) }
     val best = greatest(hits.map(_._2): _*)
     hits.reverse.foldLeft(lit("unknown"): Column) { case (els, (lang, h)) =>
       when(h > 0 && h === best, lit(lang)).otherwise(els)
     }
   }
 
+  def langId(text: Column): Column = langIdOf(tokens(lower(text)))
+
   /** Composite quality score in [0,1]: rewards mid-length docs and
     * stopword presence, penalizes punctuation/digit/upper noise. The
     * exact formula is arbitrary (as in any production quality filter);
     * what matters is that it is deterministic and portable. */
-  def qualityScore(text: Column): Column = {
-    val ntok = tokenCount(text).cast(DoubleType)
+  def qualityScoreOf(text: Column, toks: Column, ltoks: Column): Column = {
+    val ntok = size(toks).cast(DoubleType)
     val lengthTerm = least(ntok / lit(64.0), lit(1.0))
-    val stopTerm = least(markerHits(text, LangMarkers.flatMap(_._2)).cast(DoubleType) / ntok * 4.0, lit(1.0))
+    val stopTerm = least(markerHitsOf(ltoks, LangMarkers.flatMap(_._2)).cast(DoubleType) / ntok * 4.0, lit(1.0))
     val noise = punctRatio(text) + digitRatio(text) + upperRatio(text)
     round(greatest(lit(0.0), least(lit(1.0),
       lit(0.4) * lengthTerm + lit(0.4) * stopTerm + lit(0.2) * (lit(1.0) - noise))), 6)
   }
 
-  /** First `n` hex chars of md5 → LONG (portable hex parse: positional
-    * fold over digit values; Spark `conv` has no DuckDB twin). n ≤ 15
-    * keeps the value inside a signed 64-bit long. */
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text), tokens(lower(text)))
+
+  /** First `n` hex chars of md5 → LONG. Spark side uses the native
+    * `conv` expression (single codegen-able op); the DuckDB oracle
+    * spells the identical value as a positional digit fold (DuckDB has
+    * no conv) — same integer for any hex string. n ≤ 15 keeps the value
+    * inside a signed 64-bit long. */
   def md5Long(c: Column, n: Int = 8): Column = {
     require(n <= 15, "n>15 overflows signed long")
-    val h = substring(md5(c), 1, n)
-    aggregate(sequence(lit(1), lit(n)), lit(0L),
-      (acc, i) => acc * 16 + (instr(lit("0123456789abcdef"), substring(h, i, lit(1))) - 1).cast(LongType))
+    conv(substring(md5(c), 1, n), 16, 10).cast(LongType)
   }
   /** SQL twin of [[md5Long]] for the DuckDB oracle. */
   def md5LongSql(e: String, n: Int = 8): String =
@@ -103,29 +112,49 @@ object TextFunctions {
       s"CAST(strpos('0123456789abcdef', substring(substring(md5($e),1,$n), CAST(i AS INT), 1)) - 1 AS BIGINT)), " +
       s"(acc, x) -> acc * 16 + x)"
 
-  /** Word k-shingles: overlapping k-grams of whitespace tokens, joined
-    * by single spaces. Fewer than k tokens → empty array. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < k, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(1), size(t) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
-  }
+  /** Word k-shingles from an already-materialized tokens column.
+    *
+    * PERF CONTRACT: pass a *bound column* (staged via `.withColumn`),
+    * never an expression tree — higher-order functions evaluate
+    * interpreted, so an inlined `split()` here would be re-executed for
+    * every element access (measured 1000× slowdowns). Staging between
+    * projections keeps each array computed once per row; Catalyst's
+    * CollapseProject leaves multi-referenced non-cheap aliases alone. */
+  def wordShinglesOf(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
 
-  /** Rolling polynomial fingerprint over tokens:
+  /** Word k-shingles of raw text — convenience for tests/small data;
+    * hot paths must stage tokens and call [[wordShinglesOf]]. */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesOf(tokens(text), k)
+
+  /** Rolling polynomial fingerprint over a tokens column:
     * fold(acc*31 + md5Long(token)) mod (2^31-1). One value per doc —
     * order-sensitive (reorderings change it), content-exact. */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+  def rollingFingerprintOf(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => (acc * 31 + pmod(md5Long(t, 8), lit(2147483647L))) % 2147483647L)
+
+  def rollingFingerprint(text: Column): Column =
+    rollingFingerprintOf(tokens(text))
 
   /** Winnowing-style fingerprint set (Schleimer et al., SIGMOD'03 —
     * public algorithm): hash every k-shingle, slide a window of `w`
     * hashes, keep each window's minimum, distinct + sort. Robust to
     * local edits; the standard document-fingerprint for near-dup/
     * plagiarism detection at corpus scale. Returned as a sorted array. */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(wordShingles(text, k), s => md5Long(s, 8))
+  def winnowFingerprintsOf(shingles: Column, w: Int = 4): Column =
+    winnowFromHashes(transform(shingles, s => md5Long(s, 8)), w)
+
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    winnowFingerprintsOf(wordShingles(text, k), w)
+
+  /** Winnow from an already-staged hash column (hot path: stage
+    * `transform(shingles, md5Long)` first — the sliding-window slices
+    * re-read the array per window, so it must be a bound column). */
+  def winnowFromHashes(hashes: Column, w: Int): Column = {
     val n = size(hashes)
     val mins = when(n === 0, array().cast(ArrayType(LongType)))
       .otherwise(when(n <= w, array(array_min(hashes)))
