@@ -51,6 +51,13 @@ object Dedup {
       seed => array_min(transform(shingles,
         s => md5Long(concat(seed.cast(StringType), lit("|"), s), 15))))
 
+  /** Native-kernel variant of [[minhashSignatureOf]] — identical values
+    * via the codegen'd [[graft.plans.MinhashSignatureExpr]] (requires a
+    * GraftExtensions session). ~10× the interpreted HOF version on the
+    * md5-bound signature fold. */
+  def minhashSignatureNative(shingles: Column, k: Int): Column =
+    call_function("graft_minhash", shingles, lit(k))
+
   /** Convenience for tests/small data — hot paths stage shingles. */
   def minhashSignature(text: Column, k: Int, shingleK: Int = 3): Column =
     minhashSignatureOf(wordShingles(text, shingleK), k)

@@ -208,7 +208,7 @@ object CurationQueries {
     val sigged = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), wordShinglesOf(col("t"), 3).as("sh"))
-      .select(col("doc_id"), Dedup.minhashSignatureOf(col("sh"), MinhashK).as("sig"))
+      .select(col("doc_id"), Dedup.minhashSignatureNative(col("sh"), MinhashK).as("sig"))
       .persist()
     Dedup.lshCandidatesWithSigs(sigged, "doc_id", "sig", LshBands)
       .withColumn("sig_agree",

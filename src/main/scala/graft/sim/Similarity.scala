@@ -33,6 +33,14 @@ object Similarity {
   def dot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
+  /** Native-kernel dot (codegen'd [[graft.plans.DotProductExpr]], same
+    * accumulation order → bit-identical to [[dot]]); falls back to the
+    * declarative fold on sessions without GraftExtensions. */
+  private def fastDot(df: DataFrame)(x: Column, y: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_dot"))
+      call_function("graft_dot", x, y)
+    else dot(x, y)
+
   /** Cosine similarity between two array<double> columns. Hot paths
     * stage per-row norms once (see [[withVecNorm]]) instead. */
   def cosine(a: Column, b: Column): Column =
@@ -50,7 +58,7 @@ object Similarity {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val staged = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
-      .withColumn(normAs, sqrt(dot(col(vecAs), col(vecAs))))
+      .withColumn(normAs, sqrt(fastDot(df)(col(vecAs), col(vecAs))))
     if (df.rdd.getNumPartitions < par) staged.repartition(par) else staged
   }
 
@@ -64,7 +72,7 @@ object Similarity {
     val c = withVecNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -123,7 +131,7 @@ object Similarity {
     val cands = c.join(q, "band")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-      .withColumn("sim", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rk", row_number().over(w))
@@ -139,7 +147,7 @@ object Similarity {
     val l = withVecNorm(corpus, idCol, vecCol, "a", "va", "na")
     val r = withVecNorm(corpus, idCol, vecCol, "b", "vb", "nb")
     l.crossJoin(r).filter(col("a") < col("b"))
-      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("sim", round(fastDot(corpus)(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim")
   }

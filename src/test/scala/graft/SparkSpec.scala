@@ -25,14 +25,10 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  // same session shape as production (GraftSession): extensions with the
+  // native kernel functions, optimizer exclusions, nanos handling
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = graft.GraftSession.builder("4").appName("graft-test").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

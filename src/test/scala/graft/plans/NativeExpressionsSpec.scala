@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFunctions._
+
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a completely different sentence with other words entirely"),
+    (3L, "xy"), // fewer tokens than shingle k -> empty shingle set
+    (4L, "")).toDF("doc_id", "text")
+
+  test("graft_minhash matches the declarative HOF signature bit-for-bit") {
+    val staged = docs
+      .withColumn("t", tokens($"text"))
+      .withColumn("sh", wordShinglesOf($"t", 3))
+    val hof = staged.select($"doc_id", Dedup.minhashSignatureOf($"sh", 8).as("sig"))
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    val native = staged.select($"doc_id", Dedup.minhashSignatureNative($"sh", 8).as("sig"))
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    assert(native == hof)
+    assert(native(1L).forall(_.isDefined) && native(1L).length == 8)
+    assert(native(3L).forall(_.isEmpty)) // no shingles -> null minima
+  }
+
+  test("graft_dot matches the declarative fold bit-for-bit") {
+    val vecs = Seq((Array(1.5, -2.25, 3.125), Array(0.5, 4.0, -1.0)))
+      .toDF("a", "b")
+    val hof = vecs.select(Similarity.dot($"a", $"b")).as[Double].head()
+    val native = vecs.select(call_function("graft_dot", $"a", $"b")).as[Double].head()
+    assert(hof == native)
+    assert(native == 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.0)
+  }
+
+  test("native expressions are callable from SQL and survive codegen") {
+    docs.withColumn("t", tokens($"text"))
+      .withColumn("sh", wordShinglesOf($"t", 3))
+      .createOrReplaceTempView("nat_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_minhash(sh, 4) AS sig FROM nat_docs WHERE doc_id = 1")
+      .as[(Long, Seq[Option[Long]])].head()
+    assert(viaSql._2.length == 4 && viaSql._2.forall(_.isDefined))
+  }
+}
