@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators (SURVEY §2.7 T4/T5).
+  *
+  * The reference stores event time but never windows it (T4 marked
+  * absent) and keeps no per-key value state (T5) — its only state is
+  * the message-processing machine. These operators are the Spark-native
+  * capabilities a log-analytics engine layers on the same ingest
+  * stream: watermarked tumbling/sliding aggregation and gap-based
+  * sessionization with typed per-key state.
+  *
+  * Scale notes: windowed aggregation is a keyed shuffle with partial
+  * aggregation and watermark-driven state eviction (bounded state ∝
+  * open windows × keys); sessionization state is one small struct per
+  * active key, timed out by the watermark — both are the canonical
+  * bounded-state designs for unbounded streams.
+  */
+object StreamOps {
+
+  /** Tumbling (or sliding) event-time counts/sums per key with a
+    * watermark for late-data cutoff. Works identically on batch
+    * DataFrames (window() is just an expression), which is how the spec
+    * cross-checks streaming output. */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, slideDur: Option[String] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val w = slideDur match {
+      case Some(s) => window(col(tsCol), windowDur, s)
+      case None => window(col(tsCol), windowDur)
+    }
+    withWm.groupBy(w.as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+        col(keyCol), col("n"), col("total"))
+  }
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState with
+    * EVENT-time timeouts: a session closes when a later event crosses
+    * the gap (in-batch or across batches), or when the watermark passes
+    * lastSeen+gap with no new data. Event-time timeouts keep bounded
+    * runs (Trigger.AvailableNow) terminating deterministically —
+    * processing-time timeouts would hold the query open. Emits closed
+    * sessions (append mode). */
+  def sessionize(events: Dataset[Event], gapMillis: Long,
+      watermark: String = "30 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.lastSeen),
+              s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMillis =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, new Timestamp(s.start),
+                    new Timestamp(s.lastSeen), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly above the current watermark or Spark
+              // rejects it; the max() keeps long-idle sessions closable
+              state.setTimeoutTimestamp(
+                math.max(s.lastSeen + gapMillis, state.getCurrentWatermarkMs + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.streaming.StreamOps.{Event, Session}
+
+/** MemoryStream test harness notes (hard-won):
+  *   - Trigger.AvailableNow snapshots available offsets AT START — add
+  *     data BEFORE start() or the run sees nothing.
+  *   - Watermark/state live in the CHECKPOINT: two AvailableNow runs
+  *     against the same checkpointLocation behave as consecutive
+  *     micro-batches of one query (restart semantics — exactly what
+  *     production ingestion does).
+  *   - processAllAvailable() can hang with ProcessingTimeTimeout
+  *     queries; bounded AvailableNow runs terminate deterministically.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedAgg: tumbling event-time windows (batch shape)") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:10"), "click", 1.0),
+      (ts("2024-01-01 00:00:50"), "click", 2.0),
+      (ts("2024-01-01 00:01:10"), "click", 4.0),
+      (ts("2024-01-01 00:01:20"), "view", 8.0))
+      .toDF("ts", "event_type", "value")
+    val out = StreamOps.windowedAgg(df, "ts", "event_type", "value", "1 minute")
+      .orderBy("window_start", "event_type")
+      .select("event_type", "n", "total")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 8.0)))
+  }
+
+  test("windowedAgg streaming: watermark finalizes windows, late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val ckpt = tmpDir("wm-ckpt")
+    val out = tmpDir("wm-out")
+    def run(): Unit = {
+      // file sink (unlike memory) supports checkpoint recovery, so two
+      // AvailableNow runs behave as consecutive batches of one query
+      val q = StreamOps.windowedAgg(
+        mem.toDF().toDF("ts", "event_type", "value"),
+        "ts", "event_type", "value", "1 minute", watermark = "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: window [00:00,00:01) + an event far ahead that advances the
+    // watermark past that window's end
+    mem.addData((ts("2024-01-01 00:00:10"), "click", 1.0),
+      (ts("2024-01-01 00:10:00"), "click", 1.0))
+    run()
+    // run 2 (same checkpoint = same logical query): a LATE event for the
+    // closed window; the finalized window must not include it
+    mem.addData((ts("2024-01-01 00:00:20"), "click", 99.0))
+    run()
+    val all = spark.read.parquet(out)
+      .select("window_start", "n", "total").as[(Timestamp, Long, Double)]
+      .collect().map { case (k, n, t) => k.toString -> (n, t) }.toMap
+    assert(all(ts("2024-01-01 00:00:00").toString) == (1L, 1.0))
+  }
+
+  test("sessionize: event-time gap splits sessions; state survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val ckpt = tmpDir("sess-ckpt")
+    val out = tmpDir("sess-out")
+    def run(): Unit = {
+      val q = StreamOps.sessionize(mem.toDS(), gapMillis = 60000)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1: user 1 bursts twice, 4.5 min apart -> first session closes
+    // in-batch via the gap; the watermark (max ts 00:05 − 30s) then
+    // passes both users' idle timeouts, closing user 2's session and
+    // user 1's second one by event-time timeout
+    mem.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 00:00:30"), 2.0),
+      Event(1L, ts("2024-01-01 00:05:00"), 4.0),
+      Event(2L, ts("2024-01-01 00:00:00"), 8.0))
+    run()
+    val r1 = spark.read.parquet(out).as[Session].collect()
+    val u1 = r1.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+    assert(u1.head.session_start == ts("2024-01-01 00:00:00"))
+    assert(u1.head.session_end == ts("2024-01-01 00:00:30"))
+    val u2r1 = r1.filter(_.user_id == 2L)
+    assert(u2r1.length == 1 && u2r1.head.n_events == 1 && u2r1.head.total_value == 8.0)
+
+    // run 2 (same checkpoint = restart): a new event for user 2 opens a
+    // fresh session; the already-closed one is NOT re-emitted, and the
+    // fresh one stays open (nothing past its gap yet)
+    mem.addData(Event(2L, ts("2024-01-01 00:30:00"), 16.0))
+    run()
+    val r2 = spark.read.parquet(out).as[Session].collect()
+    val u2r2 = r2.filter(_.user_id == 2L)
+    assert(u2r2.length == 1) // still just the run-1 closed session
+    assert(!r2.exists(s => s.user_id == 2L && s.total_value == 16.0))
+  }
+}
