@@ -57,8 +57,8 @@ object CurationQueries {
 
   val q20Sql: String = s"""
     SELECT source, COUNT(*) AS docs,
-           SUM(len(${toksSql("text")})) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '$BpePattern'))) AS bpeish_tokens,
+           CAST(SUM(len(${toksSql("text")})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT) AS bpeish_tokens,
            ${davgSql("CAST(n_chars AS DOUBLE)")} AS avg_chars
     FROM documents GROUP BY source ORDER BY source"""
 
@@ -69,7 +69,7 @@ object CurationQueries {
       .withColumn("t", tokens(col("text")))
       .withColumn("lt", tokens(lower(col("text"))))
       .select(col("doc_id"),
-        size(col("t")).as("n_tokens"),
+        size(col("t")).cast("long").as("n_tokens"),
         round(punctRatio(col("text")), 6).as("punct_ratio"),
         round(meanTokenLen(col("text")), 6).as("mean_token_len"),
         qualityScoreOf(col("text"), col("t"), col("lt")).as("quality"))
@@ -95,7 +95,7 @@ object CurationQueries {
       + 0.4 * least(CAST($stopHits AS DOUBLE) / CAST($nt AS DOUBLE) * 4.0, 1.0)
       + 0.2 * (1.0 - ($punct + $digit + $upper)))), 6)"""
     s"""
-    SELECT doc_id, $nt AS n_tokens,
+    SELECT doc_id, CAST($nt AS BIGINT) AS n_tokens,
            round($punct, 6) AS punct_ratio,
            round($mtl, 6) AS mean_token_len,
            $quality AS quality

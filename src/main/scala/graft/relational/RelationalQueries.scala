@@ -169,7 +169,7 @@ object RelationalQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, d)
       .select("o_custkey", "o_orderkey", "o_totalprice")
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rk"))
       .orderBy(col("o_custkey"), col("rk"))
@@ -366,6 +366,137 @@ object RelationalQueries {
     GROUP BY k
     ORDER BY k"""
 
+  /** q14: GROUPING SETS / cube — both subtotal layouts in one shuffle
+    * (Expand), labeled to keep sort keys non-null. */
+  def q14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  val q14Sql: String = s"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority"""
+
+  /** q15: IN-subquery (uncorrelated) — compiles to a left-semi join
+    * against the distinct subquery side. */
+  def q15(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"))
+    Tables.orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q15Sql: String = """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** q16: conditional aggregation (pivot shape) — one pass, one shuffle,
+    * a column per category; spelled with explicit conditional sums so
+    * the column names are deterministic on both engines. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    def cnt(status: String) =
+      sum(when(col("o_orderstatus") === status, 1).otherwise(0)).as(s"n_$status")
+    def tot(status: String) =
+      dsum(when(col("o_orderstatus") === status, col("o_totalprice")).otherwise(lit(0.0)))
+        .as(s"total_$status")
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(cnt("O"), cnt("F"), cnt("P"), tot("O"), tot("F"), tot("P"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q16Sql: String = {
+    def cnt(st: String) = s"CAST(SUM(CASE WHEN o_orderstatus = '$st' THEN 1 ELSE 0 END) AS BIGINT) AS n_$st"
+    def tot(st: String) =
+      s"${dsumSql(s"CASE WHEN o_orderstatus = '$st' THEN o_totalprice ELSE 0.0 END")} AS total_$st"
+    s"""
+    SELECT o_orderpriority, ${cnt("O")}, ${cnt("F")}, ${cnt("P")},
+           ${tot("O")}, ${tot("F")}, ${tot("P")}
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  }
+
+  /** q17: string-function surface — lower/upper/substring/replace/
+    * concat/length/trim, all codegen'd, identical semantics in DuckDB. */
+  def q17(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        lower(col("p_brand")).as("brand_lower"),
+        upper(substring(col("p_type"), 1, 5)).as("type_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("deVoweled"),
+        concat_ws("::", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  val q17Sql: String = """
+    SELECT p_partkey,
+           lower(p_brand) AS brand_lower,
+           upper(substring(p_type, 1, 5)) AS type_prefix,
+           length(p_name) AS name_len,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS deVoweled,
+           concat_ws('::', p_brand, p_type) AS brand_type
+    FROM part ORDER BY p_partkey"""
+
+  /** q18: UNION dedup vs UNION ALL — distinct-union is a hash agg over
+    * the concatenation; both engines treat it identically. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 90)
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.union(b).distinct()
+      .agg(count(lit(1)).as("n_union_distinct"))
+      .crossJoin(a.unionAll(b).agg(count(lit(1)).as("n_union_all")))
+  }
+
+  val q18Sql: String = """
+    SELECT (SELECT COUNT(*) FROM (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 90
+              UNION
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS n_union_distinct,
+           (SELECT COUNT(*) FROM (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 90
+              UNION ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS n_union_all"""
+
+  /** q19: date/time arithmetic — truncation, extraction, intervals,
+    * diffs; output as strings/ints so both engines hash identically. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(lit("2002-01-01").cast(TimestampType), col("o_orderdate")).cast("long").as("days_to_2002"))
+      .orderBy(col("o_orderkey"))
+
+  val q19Sql: String = """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           EXTRACT(dayofweek FROM o_orderdate) + 1 AS dow,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
+
   /** Name → (query, oracle) for SparkEntry wiring. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01 _, q01Sql),
@@ -380,5 +511,11 @@ object RelationalQueries {
     ("q10_set_ops", q10 _, q10Sql),
     ("q11_window_avg_filter", q11 _, q11Sql),
     ("q12_events_hourly", q12 _, q12Sql),
-    ("q13_json_extract", q13 _, q13Sql))
+    ("q13_json_extract", q13 _, q13Sql),
+    ("q14_cube", q14 _, q14Sql),
+    ("q15_in_subquery", q15 _, q15Sql),
+    ("q16_pivot_agg", q16 _, q16Sql),
+    ("q17_string_funcs", q17 _, q17Sql),
+    ("q18_union_dedup", q18 _, q18Sql),
+    ("q19_date_arith", q19 _, q19Sql))
 }

@@ -75,7 +75,7 @@ object Similarity {
       .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
   }
@@ -134,7 +134,7 @@ object Similarity {
       .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    cands.withColumn("rk", row_number().over(w))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
   }
