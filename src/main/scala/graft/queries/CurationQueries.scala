@@ -303,6 +303,16 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---- q38: ANN via IVF coarse quantizer (approximate — rows-only
+  //      check; recall vs brute force asserted in SimilaritySpec) ----
+
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10,
+      nlist = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -314,5 +324,6 @@ object CurationQueries {
     ("q27_simhash", q27 _, Some(q27Sql)),
     ("q28_cosine_topk", q28 _, Some(q28Sql)),
     ("q29_embedding_neardup", q29 _, Some(q29Sql)),
-    ("q30_ann_lsh", q30 _, None))
+    ("q30_ann_lsh", q30 _, None),
+    ("q38_ann_ivf", q38 _, None))
 }

@@ -139,6 +139,93 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: `nlist` centroids taken
+    * deterministically from the corpus (rows with the smallest
+    * md5(vec_id) — an unbiased pseudo-random sample reproducible on any
+    * executor), refined with one Lloyd iteration driver-side. Centroids
+    * are small (nlist × dims doubles) and live as plan literals — no
+    * broadcast state, no model file.
+    *
+    * At 100 TB this is THE similarity-search shape: the corpus is
+    * partitioned (bucketed/clustered on `cluster`) once at ingest, and
+    * a query probes `nprobe` inverted lists instead of the whole
+    * corpus — the same join pattern as the LSH path but with
+    * data-adaptive buckets. */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val seeds = corpus
+      .select(asDouble(col(vecCol)).as("v"),
+        md5Long(col(idCol).cast(StringType), 15).as("h"))
+      .orderBy(col("h")).limit(nlist)
+      .collect().map(_.getSeq[Double](0).toArray)
+    // one Lloyd step: assign all vectors to nearest seed, average
+    val assigned = assignCluster(corpus, seeds, idCol, vecCol)
+      .select(col("cluster"), col("__v"))
+      .collect().groupBy(_.getInt(0))
+    seeds.indices.map { c =>
+      assigned.get(c) match {
+        case Some(rows) =>
+          val vs = rows.map(_.getSeq[Double](1).toArray)
+          val dim = vs.head.length
+          val mean = new Array[Double](dim)
+          vs.foreach(v => (0 until dim).foreach(j => mean(j) += v(j)))
+          (0 until dim).foreach(j => mean(j) /= vs.length)
+          mean
+        case None => seeds(c)
+      }
+    }.toArray
+  }
+
+  /** Assign each vector to its nearest centroid (max v·c − ‖c‖²/2 ≡ min
+    * L2 distance). Centroids are literals → pure codegen-able
+    * projection, no shuffle. Output keeps the staged vector as `__v`. */
+  def assignCluster(df: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = col("__v")
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val half = c.map(x => x * x).sum / 2.0
+      (fastDot(df)(v, cLit) - lit(half)).as(s"__s$i")
+    }
+    val best = scores.zipWithIndex.map { case (s, i) => struct(s.as("s"), lit(i).as("c")) }
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cluster", greatest(best.toIndexedSeq: _*).getField("c"))
+  }
+
+  /** ANN via IVF: bucket the corpus by nearest centroid, probe the
+    * query's `nprobe` nearest lists, exact-rerank within them. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val c = assignCluster(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("cluster"))
+      .withColumn("cn", sqrt(fastDot(corpus)(col("cv"), col("cv"))))
+    // query side: rank ALL centroids, keep nprobe nearest (explode)
+    val qAssigned = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))
+      .withColumn("cluster", explode(array({
+        val scored = cents.zipWithIndex.map { case (cc, i) =>
+          val cLit = array(cc.map(lit): _*)
+          val half = cc.map(x => x * x).sum / 2.0
+          struct((fastDot(queries)(col("qv"), cLit) - lit(half)).as("s"), lit(i).as("c"))
+        }
+        // top-nprobe centroids via array sort of (score, idx) structs
+        val arr = array_sort(array(scored.toIndexedSeq: _*),
+          (a, b) => when(a.getField("s") > b.getField("s"), -1)
+            .when(a.getField("s") < b.getField("s"), 1).otherwise(0))
+        (0 until nprobe).map(i => element_at(arr, i + 1).getField("c"))
+      }: _*)))
+    val cands = c.join(broadcast(qAssigned), "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+  }
+
   /** Embedding-space near-duplicates: all pairs with cosine ≥ threshold.
     * Exact all-pairs (for oracle checking and modest corpora); the LSH
     * candidate cut above is the scale path. Pairs are (a < b). */

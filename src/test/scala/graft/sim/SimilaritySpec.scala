@@ -36,6 +36,24 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 100L)) && pairs.contains((0L, 101L)))
   }
 
+  test("ivfTopK: centroids deterministic, planted near-dups found, recall high") {
+    val cents1 = Similarity.ivfCentroids(vecs, nlist = 4)
+    val cents2 = Similarity.ivfCentroids(vecs, nlist = 4)
+    assert(cents1.length == 4)
+    assert(cents1.zip(cents2).forall { case (a, b) => a.sameElements(b) })
+
+    val q = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(q, vecs, k = 5, nlist = 4, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // the planted near-dup of vector 0 lands in the same (or probed)
+    // cluster and must be found
+    assert(approx.contains((0L, 100L)))
+  }
+
   test("srp signature deterministic; lshTopK recall vs brute force is high") {
     val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
       .as[Long].collect()
