@@ -303,6 +303,32 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---- q39: SimHash near-dup pairs (byte-block LSH + Hamming verify) ----
+
+  val SimhashMaxHamming = 8
+
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val sigged = docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), Dedup.simhashOf(col("t")).as("sh"))
+    Dedup.simhashNearDup(sigged, "doc_id", "sh", maxHamming = SimhashMaxHamming)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q39Sql: String = s"""
+    WITH sigs AS (
+      SELECT doc_id, ${Dedup.simhashFromHsSql("hs")} AS sh
+      FROM (SELECT doc_id, ${Dedup.simhashHsSql("text")} AS hs FROM documents)),
+    blocked AS (
+      SELECT doc_id, sh, unnest([
+        ${(0 until 4).map(i => s"concat('$i', ':', CAST((sh // ${1L << (i * 8)}) % 256 AS VARCHAR))").mkString(",")}
+      ]) AS blk FROM sigs)
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
+    FROM blocked x JOIN blocked y ON x.blk = y.blk AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sh, y.sh)) <= $SimhashMaxHamming
+    ORDER BY a, b"""
+
   // ---- q38: ANN via IVF coarse quantizer (approximate — rows-only
   //      check; recall vs brute force asserted in SimilaritySpec) ----
 
@@ -325,5 +351,6 @@ object CurationQueries {
     ("q28_cosine_topk", q28 _, Some(q28Sql)),
     ("q29_embedding_neardup", q29 _, Some(q29Sql)),
     ("q30_ann_lsh", q30 _, None),
-    ("q38_ann_ivf", q38 _, None))
+    ("q38_ann_ivf", q38 _, None),
+    ("q39_simhash_neardup", q39 _, Some(q39Sql)))
 }
