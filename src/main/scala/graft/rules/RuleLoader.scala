@@ -1,0 +1,89 @@
+package graft.rules
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Rule-config file loading — the reference loads Rego policies from
+  * directories/files (`pkg/infra/policy/client.go:35-120`); we load the
+  * declarative rule config from JSON files (one file or a directory of
+  * `*.json`, merged in filename order). Jackson ships with Spark, so no
+  * extra dependency.
+  *
+  * File shape:
+  * {{{
+  * { "event": [ { "name": "...", "when": "<bool SQL over object metadata>",
+  *                "schemaRule": "...", "parser": "json", "compress": "",
+  *                "multiDoc": false } ],
+  *   "schema": [ { "name": "...", "dataset": "'d'", "table": "'t'",
+  *                 "partition": "day", "timestamp": "<SQL expr>",
+  *                 "id": "<SQL expr>",            // optional
+  *                 "explodePath": "Records",       // optional
+  *                 "when": "<bool SQL>",           // optional
+  *                 "transforms": [                  // optional
+  *                   { "op": "drop",   "path": "a.b" },
+  *                   { "op": "rename", "from": "x", "to": "y" },
+  *                   { "op": "set",    "name": "z", "expr": "x * 2" } ] } ] }
+  * }}}
+  */
+object RuleLoader {
+
+  private val mapper = new ObjectMapper()
+
+  def fromFile(path: String): Rules = fromJson(Files.readString(Paths.get(path)))
+
+  /** Load and merge every `*.json` under a directory (filename order —
+    * deterministic like the reference's sorted policy-dir walk). */
+  def fromDir(dir: String): Rules = {
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    require(files.nonEmpty, s"no *.json rule files under $dir")
+    files.map(p => fromJson(Files.readString(p)))
+      .reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))
+  }
+
+  def fromJson(json: String): Rules = {
+    val root = mapper.readTree(json)
+    val events = arr(root, "event").map { n =>
+      EventRule(
+        name = req(n, "name"),
+        when = req(n, "when"),
+        parser = opt(n, "parser").getOrElse("json"),
+        compress = opt(n, "compress").getOrElse(""),
+        multiDoc = Option(n.get("multiDoc")).exists(_.asBoolean(false)),
+        schemaRule = req(n, "schemaRule"))
+    }
+    val schemas = arr(root, "schema").map { n =>
+      SchemaRule(
+        name = req(n, "name"),
+        explodePath = opt(n, "explodePath"),
+        when = opt(n, "when"),
+        dataset = req(n, "dataset"),
+        table = req(n, "table"),
+        partition = opt(n, "partition").getOrElse(""),
+        id = opt(n, "id"),
+        timestamp = req(n, "timestamp"),
+        transforms = arr(n, "transforms").map(parseTransform))
+    }
+    Rules(events, schemas)
+  }
+
+  private def parseTransform(n: JsonNode): TransformOp =
+    req(n, "op") match {
+      case "drop" => DropField(req(n, "path"))
+      case "rename" => RenameField(req(n, "from"), req(n, "to"))
+      case "set" => SetField(req(n, "name"), req(n, "expr"))
+      case other => sys.error(s"unknown transform op '$other'")
+    }
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] =
+    Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+
+  private def req(n: JsonNode, field: String): String =
+    Option(n.get(field)).filter(!_.isNull).map(_.asText())
+      .getOrElse(sys.error(s"rule config missing required field '$field' in ${n.toString.take(120)}"))
+
+  private def opt(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filter(f => !f.isNull && f.asText().nonEmpty).map(_.asText())
+}
