@@ -65,7 +65,8 @@ object Dedup {
   /** SQL twin of [[minhashSignature]] for the DuckDB oracle. `textE` is
     * a SQL expression for the text. */
   def minhashSignatureSql(textE: String, k: Int, shingleK: Int = 3): String = {
-    val toks = s"regexp_split_to_array(trim($textE), '\\s+')"
+    val toks = s"(CASE WHEN length(trim($textE)) = 0 THEN []::VARCHAR[] " +
+      s"ELSE regexp_split_to_array(trim($textE), '\\s+') END)"
     val sh = s"""(CASE WHEN len($toks) < $shingleK THEN []::VARCHAR[]
       ELSE list_transform(range(1, len($toks) - ${shingleK - 2}),
         i -> list_aggregate(list_slice($toks, i, i + ${shingleK - 1}), 'string_agg', ' ')) END)"""
@@ -186,7 +187,8 @@ object Dedup {
     * referencing the shared `hs` column instead. Identical integer
     * arithmetic → identical signatures. */
   def simhashHsSql(textE: String): String = {
-    val toks = s"regexp_split_to_array(trim($textE), '\\s+')"
+    val toks = s"(CASE WHEN length(trim($textE)) = 0 THEN []::VARCHAR[] " +
+      s"ELSE regexp_split_to_array(trim($textE), '\\s+') END)"
     s"""list_transform(list_distinct($toks), t -> struct_pack(
         h := ${md5LongSql("t", 8)},
         tf := CAST(len(list_filter($toks, x -> x = t)) AS BIGINT)))"""

@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -70,12 +69,21 @@ object Kernels {
   }
 
   /** Dot-product kernel (left-to-right accumulation — same order as the
-    * declarative fold and the DuckDB oracle, so doubles match bitwise). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * declarative fold and the DuckDB oracle, so doubles match bitwise).
+    * Returns null for unequal lengths or null elements — the exact
+    * semantics of the zip_with/aggregate fold (zip_with pads the short
+    * side with nulls, which poison the sum), so swapping kernels can
+    * never change results. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 }
@@ -88,15 +96,16 @@ case class MinhashSignatureExpr(child: Expression, kExpr: Expression)
   override def left: Expression = child
   override def right: Expression = kExpr
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == ArrayType(StringType) ||
-        child.dataType == ArrayType(StringType, containsNull = false))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_minhash needs array<string>, got ${child.dataType.simpleString}")
+    if (!(child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash needs array<string>, got ${child.dataType.simpleString}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_minhash needs a foldable INT k")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = child.nullable
-
-  private lazy val k: Int = kExpr.eval(InternalRow.empty).asInstanceOf[Int]
 
   override def nullSafeEval(shingles: Any, kv: Any): Any =
     Kernels.minhashSignature(shingles.asInstanceOf[ArrayData], kv.asInstanceOf[Int])
@@ -123,13 +132,16 @@ case class DotProductExpr(left: Expression, right: Expression)
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"graft_dot needs two array<double>, got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
     Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.plans.Kernels.dot($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}$$r = graft.plans.Kernels.dot($a, $b);
+      if (${ev.value}$$r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}$$r.doubleValue(); }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProductExpr =

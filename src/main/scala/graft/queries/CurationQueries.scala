@@ -21,7 +21,12 @@ object CurationQueries {
 
   // ---- shared SQL fragments (DuckDB spellings of TextFunctions) ----
 
-  private def toksSql(e: String) = s"regexp_split_to_array(trim($e), '\\s+')"
+  /** DuckDB twin of TextFunctions.tokens INCLUDING the empty-text
+    * guard: regexp_split_to_array('') is [''] (len 1) in DuckDB while
+    * Spark's guarded split gives [] — an empty/whitespace-only document
+    * would silently diverge every token-derived oracle. */
+  private def toksSql(e: String) =
+    s"(CASE WHEN length(trim($e)) = 0 THEN []::VARCHAR[] ELSE regexp_split_to_array(trim($e), '\\s+') END)"
 
   private def shinglesSql(toksE: String, k: Int): String =
     s"""(CASE WHEN len($toksE) < $k THEN []::VARCHAR[]
@@ -37,11 +42,8 @@ object CurationQueries {
     * shuffle moves only the small doc rows. (At real corpus scale the
     * source would already be thousands of splits and this is a no-op
     * guard.) */
-  private def docs(s: SparkSession, d: String): DataFrame = {
-    val df = Tables.documents(s, d)
-    val par = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  private def docs(s: SparkSession, d: String): DataFrame =
+    graft.util.Spread(Tables.documents(s, d))
 
   // ---- q20: token counting (whitespace + BPE-ish) ----
 
@@ -92,7 +94,8 @@ object CurationQueries {
     val stopHits = markerHitsSql("text", allMarkers)
     val quality = s"""round(greatest(0.0, least(1.0,
         0.4 * least(CAST($nt AS DOUBLE) / 64.0, 1.0)
-      + 0.4 * least(CAST($stopHits AS DOUBLE) / CAST($nt AS DOUBLE) * 4.0, 1.0)
+      + 0.4 * (CASE WHEN $nt = 0 THEN 0.0
+               ELSE least(CAST($stopHits AS DOUBLE) / CAST($nt AS DOUBLE) * 4.0, 1.0) END)
       + 0.2 * (1.0 - ($punct + $digit + $upper)))), 6)"""
     s"""
     SELECT doc_id, CAST($nt AS BIGINT) AS n_tokens,

@@ -165,9 +165,7 @@ object PipelineQueries {
   def q36(s: SparkSession, d: String): DataFrame = {
     // events ships as one parquet file; the JSON encode→decode round
     // trip is per-row compute, so spread it across cores first
-    val ev = Tables.events(s, d)
-    val par = s.sparkContext.defaultParallelism
-    val spread = if (ev.rdd.getNumPartitions < par) ev.repartition(par) else ev
+    val spread = graft.util.Spread(Tables.events(s, d))
     val eventJson = spread.select(to_json(struct(
       lit("storage#object").as("kind"),
       concat(lit("logs/"), col("event_id"), lit(".json")).as("name"),

@@ -38,7 +38,10 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, NOT `/`: long/long in Spark is DOUBLE division, and
+    // nano-epoch values exceed double precision (ulp 256ns) — the lossy
+    // round-then-truncate corrupted ~1.6% of timestamps by 1µs
     read(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -36,8 +36,11 @@ object RuleLoader {
   /** Load and merge every `*.json` under a directory (filename order —
     * deterministic like the reference's sorted policy-dir walk). */
   def fromDir(dir: String): Rules = {
-    val files = Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    val stream = Files.list(Paths.get(dir))
+    val files =
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      finally stream.close()
     require(files.nonEmpty, s"no *.json rule files under $dir")
     files.map(p => fromJson(Files.readString(p)))
       .reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))

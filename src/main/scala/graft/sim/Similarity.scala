@@ -54,12 +54,14 @@ object Similarity {
     * dot per pair per side). Also raises partition count for the
     * compute-bound scoring when the source is a single small file. */
   private def withVecNorm(df: DataFrame, idCol: String, vecCol: String,
-      idAs: String, vecAs: String, normAs: String): DataFrame = {
-    val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
-    val staged = df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
+      idAs: String, vecAs: String, normAs: String,
+      spread: Boolean = true): DataFrame = {
+    // spread BEFORE staging so the norm computation parallelizes too;
+    // spread=false for query sides that are about to be broadcast (a
+    // repartition shuffle before a broadcast collect is pure waste)
+    val src = if (spread) graft.util.Spread(df) else df
+    src.select(col(idCol).as(idAs), asDouble(col(vecCol)).as(vecAs))
       .withColumn(normAs, sqrt(fastDot(df)(col(vecAs), col(vecAs))))
-    if (df.rdd.getNumPartitions < par) staged.repartition(par) else staged
   }
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
@@ -68,7 +70,7 @@ object Similarity {
     * are excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(withVecNorm(queries, idCol, vecCol, "query_id", "qv", "qn"))
+    val q = broadcast(withVecNorm(queries, idCol, vecCol, "query_id", "qv", "qn", spread = false))
     val c = withVecNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -158,18 +160,24 @@ object Similarity {
         md5Long(col(idCol).cast(StringType), 15).as("h"))
       .orderBy(col("h")).limit(nlist)
       .collect().map(_.getSeq[Double](0).toArray)
-    // one Lloyd step: assign all vectors to nearest seed, average
-    val assigned = assignCluster(corpus, seeds, idCol, vecCol)
-      .select(col("cluster"), col("__v"))
-      .collect().groupBy(_.getInt(0))
+    // one Lloyd step, DISTRIBUTED: per-(cluster, dim) means via
+    // groupBy — only nlist×dims aggregate rows reach the driver, never
+    // the corpus vectors (collecting them would cap corpus size at
+    // driver memory). Decimal-exact sums keep centroids deterministic
+    // across partitionings (double partial-avg is order-dependent).
+    val dims = seeds.head.length
+    val means = assignCluster(corpus, seeds, idCol, vecCol)
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(30, 15))).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .collect()
+    val byCluster = means.groupBy(_.getInt(0))
     seeds.indices.map { c =>
-      assigned.get(c) match {
+      byCluster.get(c) match {
         case Some(rows) =>
-          val vs = rows.map(_.getSeq[Double](1).toArray)
-          val dim = vs.head.length
-          val mean = new Array[Double](dim)
-          vs.foreach(v => (0 until dim).foreach(j => mean(j) += v(j)))
-          (0 until dim).foreach(j => mean(j) /= vs.length)
+          val mean = seeds(c).clone()
+          rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
           mean
         case None => seeds(c)
       }

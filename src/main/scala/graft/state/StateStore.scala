@@ -70,23 +70,49 @@ final class StateStore(rootDir: String,
   }
 
   /** Try to acquire `id` for processing. Returns true when this caller
-    * now owns it (state transitions to running). */
+    * now owns it (state transitions to running).
+    *
+    * Races: the absent-record path is decided by atomic CREATE_NEW; the
+    * re-acquisition paths (failed / expired-running / TTL-expired) are
+    * read-check-overwrite and would let two callers both win, so they
+    * are serialized through a short-lived lock file (also CREATE_NEW —
+    * the loser returns false and relies on redelivery). A lock left by
+    * a crashed winner is broken after `lockTimeoutMillis`. */
   def acquire(id: String): Boolean = {
     val now = clock()
     val fresh = Record(id, Running.name, now, now + timeoutMillis)
-    get(id) match {
-      case None =>
-        // absent (or TTL-expired): atomic create wins the race; if the
-        // file exists but the record TTL-expired, overwrite in place
-        write(file(id), fresh, createNew = !Files.exists(file(id))) ||
-          (get(id).isEmpty && write(file(id), fresh, createNew = false))
-      case Some(r) if r.state == Completed.name => false
-      case Some(r) if r.state == Failed.name => write(file(id), fresh, createNew = false)
-      case Some(r) if r.state == Running.name && now > r.expiresAt =>
-        write(file(id), fresh, createNew = false)
-      case _ => false
-    }
+    val p = file(id)
+    if (!Files.exists(p) && write(p, fresh, createNew = true)) return true
+    val lock = p.resolveSibling(p.getFileName.toString + ".lock")
+    if (!tryLock(lock, now)) return false
+    try {
+      get(id) match {
+        case None =>
+          write(p, fresh, createNew = !Files.exists(p)) ||
+            write(p, fresh, createNew = false)
+        case Some(r) if r.state == Completed.name => false
+        case Some(r) if r.state == Failed.name => write(p, fresh, createNew = false)
+        case Some(r) if r.state == Running.name && now > r.expiresAt =>
+          write(p, fresh, createNew = false)
+        case _ => false
+      }
+    } finally Files.deleteIfExists(lock)
   }
+
+  private val lockTimeoutMillis = 60000L
+
+  private def tryLock(lock: Path, now: Long): Boolean =
+    try {
+      Files.write(lock, now.toString.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val age = try now - new String(Files.readAllBytes(lock), "UTF-8").trim.toLong
+          catch { case _: Throwable => 0L }
+        if (age > lockTimeoutMillis) Files.deleteIfExists(lock)
+        false // breaker also retries via redelivery, never self-grants
+    }
 
   def markCompleted(id: String): Unit = {
     val now = clock()

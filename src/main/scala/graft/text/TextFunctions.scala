@@ -88,7 +88,10 @@ object TextFunctions {
   def qualityScoreOf(text: Column, toks: Column, ltoks: Column): Column = {
     val ntok = size(toks).cast(DoubleType)
     val lengthTerm = least(ntok / lit(64.0), lit(1.0))
-    val stopTerm = least(markerHitsOf(ltoks, LangMarkers.flatMap(_._2)).cast(DoubleType) / ntok * 4.0, lit(1.0))
+    // guard ntok=0: an unguarded x/0 is null, and null-skipping least()
+    // would hand empty documents FULL stopword credit (quality 0.6)
+    val stopTerm = when(ntok === 0, lit(0.0)).otherwise(
+      least(markerHitsOf(ltoks, LangMarkers.flatMap(_._2)).cast(DoubleType) / ntok * 4.0, lit(1.0)))
     val noise = punctRatio(text) + digitRatio(text) + upperRatio(text)
     round(greatest(lit(0.0), least(lit(1.0),
       lit(0.4) * lengthTerm + lit(0.4) * stopTerm + lit(0.2) * (lit(1.0) - noise))), 6)
