@@ -179,6 +179,11 @@ object Dedup {
 
   def simhash(text: Column): Column = simhashOf(tokens(text))
 
+  /** Native-kernel simhash (codegen'd [[graft.plans.SimhashExpr]],
+    * identical arithmetic to [[simhashOf]] — asserted in
+    * NativeExpressionsSpec); requires a GraftExtensions session. */
+  def simhashNative(toks: Column): Column = call_function("graft_simhash", toks)
+
   /** SQL twins of [[simhash]] for the DuckDB oracle: `simhashHsSql`
     * builds the per-doc (hash, tf) list (put it in a subquery column,
     * e.g. `hs`), and `simhashFromHsSql` expands the 32 per-bit sums over

@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimhashExpr(args(0))))
   }
 }

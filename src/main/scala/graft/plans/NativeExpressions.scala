@@ -68,6 +68,49 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** SimHash kernel: tf-weighted 32-bit signature, exactly the
+    * arithmetic of Dedup.simhashOf (bit b set iff Σ tf·(±1 by bit b of
+    * md5Long(token, 8)) > 0). Integer sums commute, so the HashMap
+    * iteration order is irrelevant. The declarative version computes tf
+    * via an O(n²) interpreted filter per distinct token — this is the
+    * hottest per-row kernel in the dedup family. */
+  def simhash(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val tf = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        tf.merge(t, 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    val bitSums = new Array[Long](32)
+    val it = tf.entrySet().iterator()
+    val d = md5.get()
+    while (it.hasNext) {
+      val e = it.next()
+      d.reset()
+      val b = d.digest(e.getKey.getBytes)
+      // first 8 hex digits of md5 == first 4 bytes as unsigned int
+      val h = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      val w = e.getValue
+      var bit = 0
+      while (bit < 32) {
+        bitSums(bit) += (if (((h >> bit) & 1L) == 1L) w else -w)
+        bit += 1
+      }
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 32) {
+      if (bitSums(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
   /** Dot-product kernel (left-to-right accumulation — same order as the
     * declarative fold and the DuckDB oracle, so doubles match bitwise).
     * Returns null for unequal lengths or null elements — the exact
@@ -119,6 +162,31 @@ case class MinhashSignatureExpr(child: Expression, kExpr: Expression)
     copy(child = newLeft, kExpr = newRight)
 
   override def prettyName: String = "graft_minhash"
+}
+
+/** `graft_simhash(tokens)`: tf-weighted 32-bit SimHash of a string
+  * array. */
+case class SimhashExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash needs array<string>, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(toks: Any): Any =
+    Kernels.simhash(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.Kernels.simhash($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
 }
 
 /** `graft_dot(a, b)`: dot product of two double arrays. */

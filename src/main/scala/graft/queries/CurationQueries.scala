@@ -242,7 +242,7 @@ object CurationQueries {
   def q27(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), Dedup.simhashOf(col("t")).as("simhash"))
+      .select(col("doc_id"), Dedup.simhashNative(col("t")).as("simhash"))
       .orderBy(col("doc_id"))
 
   val q27Sql: String = s"""
@@ -313,7 +313,7 @@ object CurationQueries {
   def q39(s: SparkSession, d: String): DataFrame = {
     val sigged = docs(s, d)
       .withColumn("t", tokens(col("text")))
-      .select(col("doc_id"), Dedup.simhashOf(col("t")).as("sh"))
+      .select(col("doc_id"), Dedup.simhashNative(col("t")).as("sh"))
     Dedup.simhashNearDup(sigged, "doc_id", "sh", maxHamming = SimhashMaxHamming)
       .orderBy(col("a"), col("b"))
   }

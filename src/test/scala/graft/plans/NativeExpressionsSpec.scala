@@ -28,6 +28,26 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(native(3L).forall(_.isEmpty)) // no shingles -> null minima
   }
 
+  test("graft_simhash matches the declarative tf-weighted fold bit-for-bit") {
+    val staged = docs.withColumn("t", tokens($"text"))
+    val hof = staged.select($"doc_id", Dedup.simhashOf($"t").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val native = staged.select($"doc_id", Dedup.simhashNative($"t").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof)
+    assert(native(4L) == 0L) // empty text -> no tokens -> zero signature
+  }
+
+  test("graft_dot returns null for unequal lengths, matching zip_with semantics") {
+    val uneven = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val viaKernel = uneven
+      .select(call_function("graft_dot", $"a", $"b").as("d"))
+      .collect().head.isNullAt(0)
+    val viaFold = uneven.select(Similarity.dot($"a", $"b").as("d"))
+      .collect().head.isNullAt(0)
+    assert(viaKernel && viaFold)
+  }
+
   test("graft_dot matches the declarative fold bit-for-bit") {
     val vecs = Seq((Array(1.5, -2.25, 3.125), Array(0.5, 4.0, -1.0)))
       .toDF("a", "b")
