@@ -25,7 +25,7 @@ object SparkEntry {
     import graft.rules._
     import graft.schema.SchemaRegistry
 
-    val work = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val work = graft.util.Workspace.temp("graft-entry")
     val landing = s"$work/landing"
     graft.relational.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("ts", unix_timestamp(col("ts")).cast("double"))

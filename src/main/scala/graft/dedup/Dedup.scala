@@ -94,8 +94,12 @@ object Dedup {
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", {
         val rowsPerBand = floor(size(col("sig")) / bands).cast(IntegerType)
+        // when k % bands != 0 the last band absorbs the k % bands
+        // remainder rows instead of silently dropping them (recall bug)
+        val len = when(col("band") === bands - 1,
+          size(col("sig")) - rowsPerBand * (bands - 1)).otherwise(rowsPerBand)
         concat(col("band").cast(StringType), lit(":"),
-          to_json(slice(col("sig"), col("band") * rowsPerBand + 1, rowsPerBand)))
+          to_json(slice(col("sig"), col("band") * rowsPerBand + 1, len)))
       })
       .select("doc", "sig", "band_key")
     val l = banded.select(col("doc").as("a"), col("sig").as("siga"), col("band_key"))

@@ -125,6 +125,9 @@ object Pipeline {
         val files = batch.select("path", "size", "created_at").distinct()
           .withColumn("bucket", lit(""))
           .withColumn("name", col("path"))
+          // file-source metadata has no checksum; keep the rule-visible
+          // schema identical to ObjectSource.list (null never matches)
+          .withColumn("md5", lit(null).cast("string"))
         val results = cfg.rules.matchObjects(files).flatMap { case (rule, matched) =>
           val paths = matched.select("path").collect().map(_.getString(0))
           if (paths.isEmpty) Nil

@@ -49,29 +49,37 @@ object Transform {
       case (df, SetField(nm, e)) => df.withColumn(nm, expr(e))
     }
     // 4. routing + envelope exprs are evaluated with record fields in
-    //    scope, then the record is packed into `data`.
+    //    scope — under RESERVED internal names, so a record field named
+    //    dataset/table/partition/timestamp is packed into `data`
+    //    untouched rather than silently replaced by the routing value
+    //    (`timestamp` is a common log field). Renamed to the envelope
+    //    names only in the final projection, after `data` is packed.
     val dataFields = reshaped.columns.toSeq
     val withEnvelope = reshaped
-      .withColumn("dataset", expr(rule.dataset).cast(StringType))
-      .withColumn("table", expr(rule.table).cast(StringType))
-      .withColumn("partition", lit(rule.partition))
-      .withColumn("timestamp", toTimestamp(expr(rule.timestamp), reshaped, rule.timestamp))
-      .withColumn("__explicit_id", rule.id.map(expr(_).cast(StringType)).getOrElse(lit(null).cast(StringType)))
-    val packed = withEnvelope.withColumn("data",
+      .withColumn("__graft_ds", expr(rule.dataset).cast(StringType))
+      .withColumn("__graft_tbl", expr(rule.table).cast(StringType))
+      .withColumn("__graft_ts", toTimestamp(expr(rule.timestamp), reshaped, rule.timestamp))
+      .withColumn("__graft_id", rule.id.map(expr(_).cast(StringType)).getOrElse(lit(null).cast(StringType)))
+    val packed = withEnvelope.withColumn("__graft_data",
       struct(dataFields.map(col): _*))
-    val dataSchema = packed.schema("data").dataType.asInstanceOf[StructType]
+    val dataSchema = packed.schema("__graft_data").dataType.asInstanceOf[StructType]
     packed
-      .withColumn("id",
-        coalesce(col("__explicit_id"), graft.functions.logId(col("data"), dataSchema)))
-      .withColumn("ingest_id", lit(ingestId))
-      .withColumn("ingested_at", current_timestamp())
       // record validation (ref model/policy.go:73-89): dataset/table/
       // timestamp are required; invalid logs error out in the reference —
       // we drop-with-metric semantics via filter (strictness configurable
       // at the pipeline level).
-      .filter(col("dataset").isNotNull && col("table").isNotNull &&
-        col("timestamp").isNotNull)
-      .select((EnvelopeCols ++ RoutingCols).map(col): _*)
+      .filter(col("__graft_ds").isNotNull && col("__graft_tbl").isNotNull &&
+        col("__graft_ts").isNotNull)
+      .select(
+        coalesce(col("__graft_id"),
+          graft.functions.logId(col("__graft_data"), dataSchema)).as("id"),
+        lit(ingestId).as("ingest_id"),
+        col("__graft_ts").as("timestamp"),
+        current_timestamp().as("ingested_at"),
+        col("__graft_data").as("data"),
+        col("__graft_ds").as("dataset"),
+        col("__graft_tbl").as("table"),
+        lit(rule.partition).as("partition"))
   }
 
   /** Interpret the rule's timestamp expr by type: DOUBLE Unix seconds

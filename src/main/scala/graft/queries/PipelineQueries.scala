@@ -40,7 +40,7 @@ object PipelineQueries {
   /** q33: batch ingest round-trip — events → NDJSON objects → full rule
     * pipeline → managed table → aggregate the table. */
   def q33(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q33").toString
+    val work = graft.util.Workspace.temp("graft-q33")
     exportNdjson(s, d, s"$work/landing")
     val registry = new SchemaRegistry(s"$work/warehouse")
     Pipeline.ingestPrefix(s, Pipeline.Config(registry, eventsRules),
@@ -63,7 +63,7 @@ object PipelineQueries {
     * the checkpointed file-source stream (Trigger.AvailableNow), then
     * the same lossless-ness aggregate. Covers SURVEY §2.7 T1-T3. */
   def q34(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-q34").toString
+    val work = graft.util.Workspace.temp("graft-q34")
     exportNdjson(s, d, s"$work/landing")
     val registry = new SchemaRegistry(s"$work/warehouse")
     val q = Pipeline.stream(s, Pipeline.Config(registry, eventsRules),
@@ -86,7 +86,7 @@ object PipelineQueries {
     * field list is asserted in PipelineSpec). */
   def q35(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft-q35").toString
+    val work = graft.util.Workspace.temp("graft-q35")
     def write(name: String, lines: String): Unit = {
       val p = java.nio.file.Paths.get(work, "landing", name)
       java.nio.file.Files.createDirectories(p.getParent)
@@ -173,7 +173,7 @@ object PipelineQueries {
       (col("event_id") * 100).cast("string").as("size"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timeCreated"),
       base64(unhex(md5(col("event_id").cast("string")))).as("md5Hash"))).as("j"))
-    eventJson.select(graft.sources.Events.decodeStorageEvent(col("j")).as("o"))
+    graft.sources.Events.decodeStorageEvents(eventJson, col("j"), "o")
       .select(col("o.bucket").as("bucket"), col("o.name").as("name"),
         col("o.path").as("path"), col("o.size").as("size"),
         date_format(col("o.created_at"), "yyyy-MM-dd HH:mm:ss").as("created_str"),

@@ -93,5 +93,5 @@ final case class Rules(event: Seq[EventRule], schema: Seq[SchemaRule]) {
     * dropped (ignored object, ref behavior).
     */
   def matchObjects(objects: DataFrame): Seq[(EventRule, DataFrame)] =
-    event.map(r => r -> objects.filter(r.predicate)).filter(_._2 != null)
+    event.map(r => r -> objects.filter(r.predicate))
 }

@@ -119,6 +119,25 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("data.black") === true).count() == 1)
   }
 
+  test("record fields named like envelope/routing columns survive into data") {
+    import spark.implicits._
+    val records = Seq(
+      ("r1", 1700000000.5, "my-ds", "my-tbl", "my-part", "orig-ts")
+    ).toDF("log_id", "event_time", "dataset", "table", "partition", "timestamp")
+    val rule = SchemaRule(name = "s", dataset = "'d'", table = "'t'",
+      partition = "day", id = Some("log_id"), timestamp = "event_time")
+    val out = Transform(records, rule, "ing-1")
+    // routing/envelope values come from the rule, not the record
+    val env = out.select("dataset", "table", "partition").head()
+    assert((env.getString(0), env.getString(1), env.getString(2)) == ("d", "t", "day"))
+    assert(out.select("timestamp").head().getTimestamp(0).toInstant.toString ==
+      "2023-11-14T22:13:20.500Z")
+    // the record's own same-named fields are packed into data untouched
+    val data = out.select("data.dataset", "data.table", "data.partition", "data.timestamp").head()
+    assert((data.getString(0), data.getString(1), data.getString(2), data.getString(3)) ==
+      ("my-ds", "my-tbl", "my-part", "orig-ts"))
+  }
+
   test("default id is deterministic md5 of canonical data (ref types.go:27-34)") {
     val landing = tmpDir("landing")
     val registry = new SchemaRegistry(tmpDir("tables"))
