@@ -36,6 +36,13 @@ object CurationQueries {
   private def markerHitsSql(textE: String, markers: Seq[String]): String =
     s"len(list_filter(${toksSql(s"lower($textE)")}, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
 
+  /** DuckDB twin of [[Similarity.dot]]: left fold in element order from
+    * an explicit 0.0 — the same accumulation order as Spark's fold, so
+    * the doubles (and everything derived from them) are bit-identical. */
+  private def dotSql(a: String, b: String): String =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), z -> z[1] * z[2])), (acc, v) -> acc + v)"
+
   /** `documents` ships as one parquet file per SF — a single input
     * partition. The per-row work below (shingling, hashing, signature
     * folds) is compute-bound, so spread it across all cores first; the
@@ -259,11 +266,9 @@ object CurationQueries {
   }
 
   val q28Sql: String = {
-    val dot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      "list_transform(list_zip(%s, %s), z -> z[1] * z[2])), (acc, v) -> acc + v)"
-    val dqc = dot.format("q.v", "c.v")
-    val dqq = dot.format("q.v", "q.v")
-    val dcc = dot.format("c.v", "c.v")
+    val dqc = dotSql("q.v", "c.v")
+    val dqq = dotSql("q.v", "q.v")
+    val dcc = dotSql("c.v", "c.v")
     s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -283,11 +288,9 @@ object CurationQueries {
       .orderBy(col("a"), col("b"))
 
   val q29Sql: String = {
-    val dot = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      "list_transform(list_zip(%s, %s), z -> z[1] * z[2])), (acc, v) -> acc + v)"
-    val dab = dot.format("x.v", "y.v")
-    val daa = dot.format("x.v", "x.v")
-    val dbb = dot.format("y.v", "y.v")
+    val dab = dotSql("x.v", "y.v")
+    val daa = dotSql("x.v", "x.v")
+    val dbb = dotSql("y.v", "y.v")
     s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
     SELECT a, b, sim FROM (
@@ -297,13 +300,45 @@ object CurationQueries {
     WHERE sim >= 0.3 ORDER BY a, b"""
   }
 
-  // ---- q30: ANN via SRP-LSH (approximate — rows-only check; recall
-  //      vs brute force is asserted in SimilaritySpec) ----
+  // ---- q30: ANN via SRP-LSH ----
 
   def q30(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Exact oracle for the "approximate" LSH: the SRP planes are a pure
+    * function of md5 ([[Similarity.planeSign]]), so the oracle replays
+    * the identical signature → band → candidate → exact-rerank pipeline
+    * in DuckDB with the same ±1 plane literals — approximate recall,
+    * deterministic output. */
+  val q30Sql: String = {
+    val planes = 16; val bandBits = 4; val dims = 64
+    val sigTerms = (0 until planes).map { p =>
+      val signs = (0 until dims).map(j => Similarity.planeSign(p, j)).mkString("[", ",", "]")
+      val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(list_zip(v, list_slice($signs, 1, len(v))), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    val bandExprs = (0 until planes / bandBits).map(b =>
+      s"concat('$b', ':', CAST((sig >> ${b * bandBits}) & ${(1 << bandBits) - 1} AS VARCHAR))")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+                    (${sigTerms.mkString(" + ")}) AS sig FROM e),
+    banded AS (SELECT vec_id, unnest([${bandExprs.mkString(",")}]) AS band FROM sigs),
+    cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM banded q JOIN banded c ON q.band = c.band
+              WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(${dotSql("sq.v", "sc.v")} / (sq.nrm * sc.nrm), 6) AS sim
+               FROM cands
+               JOIN sigs sq ON sq.vec_id = query_id
+               JOIN sigs sc ON sc.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) WHERE rk <= 10 ORDER BY query_id, rk"""
   }
 
   // ---- q39: SimHash near-dup pairs (byte-block LSH + Hamming verify) ----
@@ -332,14 +367,59 @@ object CurationQueries {
     WHERE bit_count(xor(x.sh, y.sh)) <= $SimhashMaxHamming
     ORDER BY a, b"""
 
-  // ---- q38: ANN via IVF coarse quantizer (approximate — rows-only
-  //      check; recall vs brute force asserted in SimilaritySpec) ----
+  // ---- q38: ANN via IVF coarse quantizer ----
 
   def q38(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10,
       nlist = 16, nprobe = 4)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Exact oracle for IVF: seeds (smallest md5(vec_id)), one Lloyd step
+    * with decimal-exact means, refined-centroid assignment (argmax ties →
+    * LARGER cluster, mirroring Spark's `greatest(struct(s,c))`), query
+    * probe of nprobe nearest lists (ties → SMALLER cluster, mirroring the
+    * stable array_sort), exact rerank. Same folds → same doubles. */
+  val q38Sql: String = {
+    val nlist = 16; val nprobe = 4; val k = 10
+    def halfS(c: String) =
+      "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($c, x -> x * x)), (acc, x) -> acc + x) / 2.0)"
+    val h = md5LongSql("CAST(vec_id AS VARCHAR)", 15)
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v
+              FROM (SELECT v, $h AS h FROM e) ORDER BY h LIMIT $nlist),
+    assign0 AS (SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, e.v AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql("e.v", "s.v")} - ${halfS("s.v")}) DESC, s.c DESC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    means AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+              FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign0)
+              GROUP BY c, pos),
+    refined AS (SELECT s.c AS c, COALESCE(m.mv, s.v) AS v
+                FROM seeds s LEFT JOIN
+                  (SELECT c, list(m ORDER BY pos) AS mv FROM means GROUP BY c) m
+                  ON s.c = m.c),
+    cassign AS (SELECT vec_id AS neighbor_id, v AS cv, sqrt(${dotSql("v", "v")}) AS cn, c AS cluster
+                FROM (SELECT e.vec_id, e.v AS v, r.c AS c,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY (${dotSql("e.v", "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+                      FROM e CROSS JOIN refined r) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, v AS qv, sqrt(${dotSql("v", "v")}) AS qn, c AS cluster
+               FROM (SELECT e.vec_id, e.v AS v, r.c AS c,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY (${dotSql("e.v", "r.v")} - ${halfS("r.v")}) DESC, r.c ASC) AS rn
+                     FROM e CROSS JOIN refined r WHERE e.vec_id < 5) WHERE rn <= $nprobe),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(${dotSql("qv", "cv")} / (qn * cn), 6) AS sim
+               FROM cassign JOIN qprobe USING (cluster)
+               WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) WHERE rk <= $k ORDER BY query_id, rk"""
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -353,7 +433,7 @@ object CurationQueries {
     ("q27_simhash", q27 _, Some(q27Sql)),
     ("q28_cosine_topk", q28 _, Some(q28Sql)),
     ("q29_embedding_neardup", q29 _, Some(q29Sql)),
-    ("q30_ann_lsh", q30 _, None),
-    ("q38_ann_ivf", q38 _, None),
+    ("q30_ann_lsh", q30 _, Some(q30Sql)),
+    ("q38_ann_ivf", q38 _, Some(q38Sql)),
     ("q39_simhash_neardup", q39 _, Some(q39Sql)))
 }

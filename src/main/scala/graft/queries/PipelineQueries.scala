@@ -81,11 +81,12 @@ object PipelineQueries {
     FROM events GROUP BY event_type ORDER BY event_type"""
 
   /** q35: schema evolution — two heterogeneous NDJSON batches into one
-    * table; result = the evolved schema as rows. Rows-only check (the
-    * merge laws are property-tested in SchemaMergeSpec; the golden
-    * field list is asserted in PipelineSpec). */
+    * table; result = the table read back under the EVOLVED schema (old
+    * rows' missing fields null, new nested struct readable) + the final
+    * version + the full field:type list. The oracle is the golden
+    * expectation over the same two literal batches, so the driver
+    * hash-checks both the merged values and the merged schema text. */
   def q35(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val work = graft.util.Workspace.temp("graft-q35")
     def write(name: String, lines: String): Unit = {
       val p = java.nio.file.Paths.get(work, "landing", name)
@@ -107,8 +108,28 @@ object PipelineQueries {
       Seq(s"$work/landing/b.json"))
     val (version, schema) = registry.currentSchema("demo", "colors").get
     val dataType = schema("data").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-    dataType.fields.map(f => (f.name, f.dataType.simpleString, version))
-      .toSeq.toDF("field", "type", "schema_version").orderBy("field")
+    val fieldsStr = dataType.fields.sortBy(_.name)
+      .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+    TableSink.read(s, registry, "demo", "colors")
+      .select(col("data.color").as("color"), col("data.n").as("n"),
+        col("data.size.w").as("w"), col("data.size.h").as("h"),
+        col("data.ts").as("ts"),
+        lit(version).as("schema_version"), lit(fieldsStr).as("fields"))
+      .orderBy("color")
+  }
+
+  val q35Sql: String = {
+    // Spark JSON inference sorts struct keys → h before w
+    val fields = "color:string,n:bigint,size:struct<h:bigint,w:bigint>,ts:double"
+    s"""
+    SELECT * FROM (VALUES
+      ('blue', CAST(2 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(1700000001.0 AS DOUBLE), CAST(2 AS INT), '$fields'),
+      ('green', CAST(NULL AS BIGINT), CAST(3 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(1700000002.0 AS DOUBLE), CAST(2 AS INT), '$fields'),
+      ('red', CAST(1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(1700000000.0 AS DOUBLE), CAST(2 AS INT), '$fields'))
+    AS t(color, n, w, h, ts, schema_version, fields) ORDER BY color"""
   }
 
   /** q31: multimodal image decode — binary payload column through the
@@ -209,7 +230,7 @@ object PipelineQueries {
     ("q32_frame_sample", q32 _, Some(q32Sql)),
     ("q33_ingest_pipeline", q33 _, Some(q33Sql)),
     ("q34_stream_ingest", q34 _, Some(q34Sql)),
-    ("q35_schema_evolution", q35 _, None),
+    ("q35_schema_evolution", q35 _, Some(q35Sql)),
     ("q36_event_decode", q36 _, Some(q36Sql)),
     ("q37_sql_passthrough", q37 _, Some(passthroughSql)))
 }

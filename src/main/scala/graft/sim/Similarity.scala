@@ -87,7 +87,7 @@ object Similarity {
     * so any process regenerates it bit-identically (no broadcast state).
     * Computed driver-side once and embedded as literals: per-row hash
     * evaluation would recompute row-constant values. */
-  private def planeSign(p: Int, j: Int): Double = {
+  private[graft] def planeSign(p: Int, j: Int): Double = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${p}_$j".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
