@@ -280,25 +280,41 @@ object CurationQueries {
     WHERE rk <= 10 ORDER BY query_id, rk"""
   }
 
-  // ---- q29: embedding-space near-duplicate pairs ----
+  // ---- q29: embedding-space near-duplicate pairs (LSH candidates +
+  //      exact cosine verify — the scale path; no crossJoin) ----
+
+  /** Shared DuckDB fragments for the SRP-LSH pipeline (q29/q30): the
+    * signature sum-of-bits over a `v` column, and the band-key list over
+    * a `sig` column — same md5-derived ±1 plane literals Spark embeds. */
+  private def srpSigSql(planes: Int = 16, dims: Int = 64): String =
+    (0 until planes).map { p =>
+      val signs = (0 until dims).map(j => Similarity.planeSign(p, j)).mkString("[", ",", "]")
+      val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(list_zip(v, list_slice($signs, 1, len(v))), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
+  private def srpBandListSql(planes: Int = 16, bandBits: Int = 4): String =
+    (0 until planes / bandBits).map(b =>
+      s"concat('$b', ':', CAST((sig >> ${b * bandBits}) & ${(1 << bandBits) - 1} AS VARCHAR))")
+      .mkString("[", ",", "]")
 
   def q29(s: SparkSession, d: String): DataFrame =
-    Similarity.nearDupPairs(
-      Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0), threshold = 0.3)
+    Similarity.nearDupPairsLsh(Tables.embeddings(s, d), threshold = 0.3)
       .orderBy(col("a"), col("b"))
 
-  val q29Sql: String = {
-    val dab = dotSql("x.v", "y.v")
-    val daa = dotSql("x.v", "x.v")
-    val dbb = dotSql("y.v", "y.v")
-    s"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0)
-    SELECT a, b, sim FROM (
-      SELECT x.vec_id AS a, y.vec_id AS b,
-             round($dab / (sqrt($daa) * sqrt($dbb)), 6) AS sim
-      FROM e x JOIN e y ON x.vec_id < y.vec_id)
-    WHERE sim >= 0.3 ORDER BY a, b"""
-  }
+  val q29Sql: String = s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+                    ${srpSigSql()} AS sig FROM e),
+    banded AS (SELECT vec_id, unnest(${srpBandListSql()}) AS band FROM sigs),
+    cands AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              FROM banded x JOIN banded y ON x.band = y.band
+              WHERE x.vec_id < y.vec_id)
+    SELECT a, b, round(${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm), 6) AS sim
+    FROM cands JOIN sigs sa ON sa.vec_id = a JOIN sigs sb ON sb.vec_id = b
+    WHERE round(${dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm), 6) >= 0.3
+    ORDER BY a, b"""
 
   // ---- q30: ANN via SRP-LSH ----
 
@@ -313,21 +329,11 @@ object CurationQueries {
     * the identical signature → band → candidate → exact-rerank pipeline
     * in DuckDB with the same ±1 plane literals — approximate recall,
     * deterministic output. */
-  val q30Sql: String = {
-    val planes = 16; val bandBits = 4; val dims = 64
-    val sigTerms = (0 until planes).map { p =>
-      val signs = (0 until dims).map(j => Similarity.planeSign(p, j)).mkString("[", ",", "]")
-      val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(list_zip(v, list_slice($signs, 1, len(v))), z -> z[1] * z[2])), (acc, x) -> acc + x)"
-      s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-    }
-    val bandExprs = (0 until planes / bandBits).map(b =>
-      s"concat('$b', ':', CAST((sig >> ${b * bandBits}) & ${(1 << bandBits) - 1} AS VARCHAR))")
-    s"""
+  val q30Sql: String = s"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sigs AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
-                    (${sigTerms.mkString(" + ")}) AS sig FROM e),
-    banded AS (SELECT vec_id, unnest([${bandExprs.mkString(",")}]) AS band FROM sigs),
+                    ${srpSigSql()} AS sig FROM e),
+    banded AS (SELECT vec_id, unnest(${srpBandListSql()}) AS band FROM sigs),
     cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
               FROM banded q JOIN banded c ON q.band = c.band
               WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
@@ -339,7 +345,6 @@ object CurationQueries {
     SELECT query_id, neighbor_id, sim, rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
       FROM scored) WHERE rk <= 10 ORDER BY query_id, rk"""
-  }
 
   // ---- q39: SimHash near-dup pairs (byte-block LSH + Hamming verify) ----
 

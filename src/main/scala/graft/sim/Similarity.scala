@@ -112,6 +112,14 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Explode a signature column into its LSH band keys ("b:val"). */
+  private def withSrpBands(df: DataFrame, planes: Int, bandBits: Int): DataFrame = {
+    require(planes % bandBits == 0)
+    df.withColumn("band", explode(array((0 until planes / bandBits).map(b =>
+      concat_ws(":", lit(b),
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)))): _*)))
+  }
+
   /** ANN via SRP-LSH: bucket corpus by signature bands (each band =
     * `bandBits` consecutive signature bits; vectors sharing any band
     * with the query are candidates), then exact cosine re-rank to top-k
@@ -120,14 +128,9 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       planes: Int = 16, bandBits: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(planes % bandBits == 0)
-    val bands = planes / bandBits
     def banded(df: DataFrame, id: String, v: String, n: String): DataFrame =
-      withVecNorm(df, idCol, vecCol, id, v, n)
-        .withColumn("sig", srpSignature(col(v), planes))
-        .withColumn("band", explode(array((0 until bands).map(b =>
-          concat_ws(":", lit(b),
-            shiftright(col("sig"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)))): _*)))
+      withSrpBands(withVecNorm(df, idCol, vecCol, id, v, n)
+        .withColumn("sig", srpSignature(col(v), planes)), planes, bandBits)
     val q = broadcast(banded(queries, "query_id", "qv", "qn"))
     val c = banded(corpus, "neighbor_id", "cv", "cn")
     val cands = c.join(q, "band")
@@ -235,8 +238,9 @@ object Similarity {
   }
 
   /** Embedding-space near-duplicates: all pairs with cosine ≥ threshold.
-    * Exact all-pairs (for oracle checking and modest corpora); the LSH
-    * candidate cut above is the scale path. Pairs are (a < b). */
+    * Exact all-pairs — O(n²); the EXACT VERIFIER for modest corpora and
+    * the recall baseline in SimilaritySpec. The scale path is
+    * [[nearDupPairsLsh]]. Pairs are (a < b). */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val l = withVecNorm(corpus, idCol, vecCol, "a", "va", "na")
@@ -245,5 +249,27 @@ object Similarity {
       .withColumn("sim", round(fastDot(corpus)(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim")
+  }
+
+  /** Embedding-space near-duplicates at scale: SRP-LSH band collisions
+    * generate candidate pairs (output-proportional — the shuffle carries
+    * (band, id, vec) rows, never the cross product), then EXACT cosine
+    * verifies each candidate against the threshold. Recall < 1 like any
+    * LSH (tested vs [[nearDupPairs]] in SimilaritySpec); every emitted
+    * pair is exact. This is the 100 TB shape — no crossJoin anywhere. */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+      planes: Int = 16, bandBits: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val staged = withSrpBands(
+      withVecNorm(corpus, idCol, vecCol, "doc", "v", "nrm")
+        .withColumn("sig", srpSignature(col("v"), planes)), planes, bandBits)
+    val l = staged.select(col("doc").as("a"), col("v").as("va"), col("nrm").as("na"), col("band"))
+    val r = staged.select(col("doc").as("b"), col("v").as("vb"), col("nrm").as("nb"), col("band"))
+    // verify before distinct: only passing pairs shuffle for the dedup,
+    // and the ≤ bands-fold duplicate sims are computed map-side
+    l.join(r, "band").filter(col("a") < col("b"))
+      .withColumn("sim", round(fastDot(corpus)(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("a", "b", "sim").distinct()
   }
 }

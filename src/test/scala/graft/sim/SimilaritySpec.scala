@@ -54,6 +54,17 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.contains((0L, 100L)))
   }
 
+  test("nearDupPairsLsh: subset of exact pairs, planted near-dups survive banding") {
+    val exact = Similarity.nearDupPairs(vecs, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(vecs, threshold = 0.9, planes = 16, bandBits = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // every LSH pair is exact-verified, so lsh ⊆ exact
+    assert(lsh.subsetOf(exact))
+    // highly-similar planted pairs collide in some band at these params
+    assert(lsh.contains((0L, 100L)) && lsh.contains((0L, 101L)))
+  }
+
   test("srp signature deterministic; lshTopK recall vs brute force is high") {
     val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
       .as[Long].collect()
