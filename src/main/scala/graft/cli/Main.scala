@@ -1,0 +1,140 @@
+package graft.cli
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.GraftSession
+import graft.ingest.{Enqueue, Migrate, Pipeline}
+import graft.rules.RuleLoader
+import graft.schema.SchemaRegistry
+
+/** CLI entry points mirroring the reference binary's subcommands
+  * (`/root/reference/main.go:1-12`, `pkg/controller/cmd/cli.go`):
+  *
+  * {{{
+  *   graft.cli.Main ingest  --rules R --warehouse W [--dry-run --output D] [--dedup] <glob>...
+  *   graft.cli.Main serve   --rules R --warehouse W --checkpoint C [--continuous MS] [--max-files N] <glob>
+  *   graft.cli.Main enqueue --output D [--count-limit N] [--size-limit B] <glob>
+  *   graft.cli.Main schema  --rules R <glob>...
+  *   graft.cli.Main migrate --warehouse W <srcDs.srcTbl> <dstDs.dstTbl> [--partition U]
+  *   graft.cli.Main sql     --warehouse W <query>
+  * }}}
+  *
+  * `--rules` takes a JSON rule file or a directory of them (the Rego
+  * policy-dir replacement, SURVEY §2.8); `--warehouse` is the registry
+  * root. `serve` ≡ the reference's server loop re-expressed as the
+  * checkpointed streaming source: AvailableNow drains-and-exits
+  * (backfill), `--continuous` keeps a processing-time trigger running.
+  */
+object Main {
+
+  private val usage: String =
+    """usage: graft [ingest|serve|enqueue|schema|migrate|sql] <flags> <args>
+      |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] <glob>...
+      |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
+      |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
+      |  schema  --rules <file|dir> <glob>...
+      |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
+      |  sql     --warehouse <dir> <query>""".stripMargin
+
+  /** Parsed flags + positional args (flags may appear anywhere). */
+  private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
+    val flags = Map.newBuilder[String, String]
+    val pos = Seq.newBuilder[String]
+    val boolFlags = Set("--dry-run", "--dedup")
+    var rest = args.toList
+    while (rest.nonEmpty) rest match {
+      case f :: tail if boolFlags(f) =>
+        flags += f.drop(2) -> "true"; rest = tail
+      case f :: v :: tail if f.startsWith("--") =>
+        flags += f.drop(2) -> v; rest = tail
+      case f :: Nil if f.startsWith("--") =>
+        sys.error(s"flag $f needs a value"); rest = Nil
+      case p :: tail => pos += p; rest = tail
+      case Nil =>
+    }
+    (flags.result(), pos.result())
+  }
+
+  private def loadRules(path: String) =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+      RuleLoader.fromDir(path)
+    else RuleLoader.fromFile(path)
+
+  private def req(flags: Map[String, String], k: String): String =
+    flags.getOrElse(k, sys.error(s"missing required flag --$k\n$usage"))
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val (flags, pos) = parse(args.toSeq.tail)
+    val spark = GraftSession.get()
+    try args(0) match {
+
+      case "ingest" | "i" =>
+        require(pos.nonEmpty, "ingest needs at least one object path/glob")
+        val cfg = Pipeline.Config(
+          new SchemaRegistry(req(flags, "warehouse")),
+          loadRules(req(flags, "rules")),
+          dedup = flags.contains("dedup"),
+          dryRunDir = if (flags.contains("dry-run"))
+            Some(flags.getOrElse("output", ".")) else None)
+        val res = Pipeline.ingestPaths(spark, cfg, pos)
+        res.results.foreach(r => println(
+          s"${r.dataset}.${r.table} v${r.schemaVersion} rows=${r.logCount} ok=${r.success}"))
+
+      case "serve" | "s" =>
+        require(pos.size == 1, "serve needs exactly one landing glob")
+        val cfg = Pipeline.Config(
+          new SchemaRegistry(req(flags, "warehouse")),
+          loadRules(req(flags, "rules")),
+          dedup = flags.contains("dedup"))
+        val trigger = flags.get("continuous")
+          .map(ms => Trigger.ProcessingTime(ms.toLong))
+          .getOrElse(Trigger.AvailableNow())
+        val q = Pipeline.stream(spark, cfg, pos.head, req(flags, "checkpoint"),
+          trigger, flags.get("max-files").map(_.toInt))
+        q.awaitTermination()
+
+      case "enqueue" | "e" =>
+        require(pos.size == 1, "enqueue needs exactly one prefix glob")
+        val files = Enqueue.enqueue(spark, pos.head, req(flags, "output"),
+          flags.get("count-limit").map(_.toInt).getOrElse(Enqueue.DefaultCountLimit),
+          flags.get("size-limit").map(_.toLong).getOrElse(Enqueue.DefaultSizeLimit))
+        files.foreach(println)
+
+      case "schema" =>
+        require(pos.nonEmpty, "schema needs at least one object path/glob")
+        val cfg = Pipeline.Config(new SchemaRegistry(
+          flags.getOrElse("warehouse", graft.util.Workspace.temp("graft-schema"))),
+          loadRules(req(flags, "rules")))
+        Pipeline.inferSchemas(spark, cfg, pos).foreach { case (ds, tbl, schema) =>
+          println(s"-- $ds.$tbl")
+          println(schema.treeString)
+        }
+
+      case "migrate" | "m" =>
+        require(pos.size == 2, "migrate needs <srcDs.srcTbl> <dstDs.dstTbl>")
+        val Array(sds, stbl) = pos(0).split("\\.", 2)
+        val Array(dds, dtbl) = pos(1).split("\\.", 2)
+        val n = Migrate.migrate(spark, new SchemaRegistry(req(flags, "warehouse")),
+          sds, stbl, dds, dtbl, flags.getOrElse("partition", ""))
+        println(s"migrated $sds.$stbl -> $dds.$dtbl rows=$n")
+
+      case "sql" =>
+        require(pos.size == 1, "sql needs exactly one query string")
+        val registry = new SchemaRegistry(req(flags, "warehouse"))
+        // telemetry tables are plain parquet (no registry schema entry) —
+        // register them too so `_meta_load_log` etc. are queryable
+        Seq("load_log", "source_log").foreach { t =>
+          val dir = registry.dataDir("_meta", t)
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+            spark.read.parquet(dir).drop("__part")
+              .createOrReplaceTempView(s"_meta_$t")
+        }
+        val df = Migrate.sql(spark, registry, registry.listTables(), pos.head)
+        df.toJSON.collect().foreach(println)
+
+      case other =>
+        System.err.println(s"unknown command '$other'\n$usage"); sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -31,13 +31,20 @@ object Pipeline {
   final case class Config(
       registry: SchemaRegistry,
       rules: Rules,
-      /** Write one telemetry row per ingest to `_meta.load_log`
-        * (ref K6, `pkg/usecase/bigquery.go:64-89`). */
+      /** Write telemetry to `_meta.load_log` (one row per destination,
+        * with LogCount) and `_meta.source_log` (one row per source
+        * object, with RowCount) — ref K6, `model/bigquery.go:9-39`,
+        * hook `pkg/usecase/load.go:66-81`. */
       telemetry: Boolean = true,
       /** Drop incoming rows whose `id` already exists in the destination
         * (partition-scoped anti-join) — replay safety across delivery
         * mechanisms, the reference's Firestore dedup role (T3). */
-      dedup: Boolean = false)
+      dedup: Boolean = false,
+      /** Dry-run (ref `--dry-run`, `cmd/ingest.go:33-39`): route records
+        * through the full rule/transform path but write NDJSON + schema
+        * dumps to this directory instead of appending to tables; no
+        * telemetry rows are written either. */
+      dryRunDir: Option[String] = None)
 
   final case class LoadResult(ingestId: String, results: Seq[TableSink.IngestResult])
 
@@ -60,17 +67,37 @@ object Pipeline {
   def ingestObjects(spark: SparkSession, cfg: Config, objects: DataFrame): LoadResult = {
     val ingestId = UUID.randomUUID().toString
     val started = System.currentTimeMillis()
+    val sourceLogs = Seq.newBuilder[(String, String, Long)] // (rule, path, rows)
     val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
       // object list is metadata (rows = objects, not records) — driver-side
       val paths = matched.select("path").collect().map(_.getString(0)).toSeq
       if (paths.isEmpty) Nil
       else {
         val records = readObjects(spark, rule, paths)
+        if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
+          // per-source decoded-row counts (ref SourceLog.RowCount,
+          // `model/bigquery.go:19-26`) — one distributed pass, one
+          // metadata-sized row per object. input_file_name() is empty for
+          // non-file-backed reads (multiDoc re-serialization) → one
+          // rule-level row there.
+          records.groupBy(input_file_name().as("p"))
+            .agg(count(lit(1)).as("n")).collect()
+            .foreach(r => sourceLogs += ((rule.name, r.getString(0), r.getLong(1))))
+        }
         val routed = Transform(records, cfg.rules.schemaRule(rule.schemaRule), ingestId)
-        TableSink.append(spark, cfg.registry, routed, cfg.dedup)
+        cfg.dryRunDir match {
+          case Some(dir) =>
+            DumpSink.dump(Transform.pruneDataSchema(routed), dir).map { case (ds, tbl) =>
+              TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
+            }
+          case None => TableSink.append(spark, cfg.registry, routed, cfg.dedup)
+        }
       }
     }
-    if (cfg.telemetry) writeLoadLog(spark, cfg.registry, ingestId, started, results)
+    if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
+      writeLoadLog(spark, cfg.registry, ingestId, started, results)
+      writeSourceLog(spark, cfg.registry, ingestId, started, sourceLogs.result())
+    }
     LoadResult(ingestId, results)
   }
 
@@ -149,8 +176,9 @@ object Pipeline {
       .start()
   }
 
-  /** Telemetry row per load → `_meta.load_log`, month-partitioned like
-    * the reference's meta table (`pkg/usecase/bigquery.go:64-89`). */
+  /** Telemetry row per destination append → `_meta.load_log`,
+    * month-partitioned like the reference's meta table
+    * (`pkg/usecase/bigquery.go:64-89`); `log_count` ≡ IngestLog.LogCount. */
   private def writeLoadLog(spark: SparkSession, registry: SchemaRegistry,
       ingestId: String, startedMs: Long,
       results: Seq[TableSink.IngestResult]): Unit = {
@@ -158,12 +186,49 @@ object Pipeline {
     val rows = results.map(r =>
       (ingestId, new java.sql.Timestamp(startedMs),
         new java.sql.Timestamp(System.currentTimeMillis()),
-        r.dataset, r.table, r.schemaVersion, r.success))
+        r.dataset, r.table, r.schemaVersion, r.logCount, r.success))
     if (rows.isEmpty) return
     val df = rows.toDF("ingest_id", "started_at", "finished_at",
-        "dataset", "table", "schema_version", "success")
+        "dataset", "table", "schema_version", "log_count", "success")
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
     df.write.mode("append").partitionBy("__part")
       .parquet(registry.dataDir("_meta", "load_log"))
+  }
+
+  /** Per-source telemetry → `_meta.source_log` (ref SourceLog:
+    * one row per ingested object with its decoded row count). */
+  private def writeSourceLog(spark: SparkSession, registry: SchemaRegistry,
+      ingestId: String, startedMs: Long,
+      sources: Seq[(String, String, Long)]): Unit = {
+    import spark.implicits._
+    if (sources.isEmpty) return
+    val df = sources.map { case (rule, path, n) =>
+      (ingestId, new java.sql.Timestamp(startedMs), rule, path, n)
+    }.toDF("ingest_id", "started_at", "rule", "path", "row_count")
+      .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
+    df.write.mode("append").partitionBy("__part")
+      .parquet(registry.dataDir("_meta", "source_log"))
+  }
+
+  /** Schema-only pass (≡ `swarm schema` CLI, `cmd/schema.go`): run rules
+    * + inference + transform + null-pruning, return each destination's
+    * effective data schema WITHOUT writing anything. */
+  def inferSchemas(spark: SparkSession, cfg: Config,
+      paths: Seq[String]): Seq[(String, String, org.apache.spark.sql.types.StructType)] = {
+    val objects = paths.map(p => ObjectSource.list(spark, p))
+      .reduceLeft(_ unionByName _)
+    cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
+      val ps = matched.select("path").collect().map(_.getString(0)).toSeq
+      if (ps.isEmpty) Nil
+      else {
+        val routed = Transform.pruneDataSchema(
+          Transform(readObjects(spark, rule, ps),
+            cfg.rules.schemaRule(rule.schemaRule), "schema-inspect"))
+        val dataSchema = routed.schema("data").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        routed.select("dataset", "table").distinct().collect()
+          .map(r => (r.getString(0), r.getString(1), dataSchema)).toSeq
+      }
+    }
   }
 }

@@ -39,9 +39,15 @@ object TableSink {
   }
 
   /** Result of one destination append (telemetry — ref `IngestLog`,
-    * `model/bigquery.go:26-39`). */
+    * `model/bigquery.go:26-39`: dataset/table/schema + LogCount). */
   final case class IngestResult(dataset: String, table: String,
-      partition: String, schemaVersion: Int, success: Boolean)
+      partition: String, schemaVersion: Int, logCount: Long, success: Boolean)
+
+  /** Destination-append concurrency — the reference ingests tables with
+    * a goroutine pool of 8 (`pkg/usecase/usecase.go:34`); here each
+    * append is itself a distributed job, but submitting them
+    * concurrently lets Spark pipeline small-table writes. */
+  val TableConcurrency = 8
 
   /** Append a routed DataFrame (Transform output) to its destination
     * tables, evolving each table's schema as needed.
@@ -59,7 +65,7 @@ object TableSink {
     // distinct destinations: driver-side, O(#tables) not O(#rows)
     val dests = pruned.select("dataset", "table", "partition").distinct()
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    dests.toSeq.map { case (ds, tbl, unit) =>
+    def one(ds: String, tbl: String, unit: String): IngestResult = {
       val slice = pruned
         .filter(col("dataset") === ds && col("table") === tbl &&
           col("partition") === unit)
@@ -77,6 +83,21 @@ object TableSink {
         }
       appendSlice(spark, registry, ds, tbl, unit, deduped)
     }
+    if (dests.length <= 1) dests.toSeq.map((one _).tupled)
+    else {
+      // many-table batch: submit per-destination jobs concurrently
+      // (registry DDL stays serialized by its per-table lock)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(TableConcurrency, dests.length))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(dests.toSeq.map { case (ds, tbl, unit) =>
+          Future(one(ds, tbl, unit))
+        }), Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 
   /** Append one destination's slice; evolve-then-retry like the
@@ -92,10 +113,15 @@ object TableSink {
     val aligned = slice.withColumn("data",
       graft.functions.alignStruct(col("data"), incomingData, effData))
     val withPart = aligned.withColumn("__part", partCol(partitionUnit))
-    withPart.write.mode("append").partitionBy("__part")
+    // row count observed DURING the write job (ref IngestLog.LogCount,
+    // `model/bigquery.go:37`) — no second pass over the data
+    val obs = org.apache.spark.sql.Observation()
+    withPart.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("__part")
       .parquet(registry.dataDir(dataset, table))
+    val logCount = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     val version = registry.currentSchema(dataset, table).map(_._1).getOrElse(1)
-    IngestResult(dataset, table, partitionUnit, version, success = true)
+    IngestResult(dataset, table, partitionUnit, version, logCount, success = true)
   }
 
   /** Read a table back under its evolved schema (partition column kept

@@ -35,7 +35,10 @@ object PipelineQueries {
   private def exportNdjson(s: SparkSession, d: String, dir: String): Unit =
     Tables.events(s, d)
       .withColumn("ts", unix_timestamp(col("ts")).cast("double"))
-      .coalesce(4).write.mode("overwrite").json(dir)
+      // repartition (not coalesce — the source is a single parquet file,
+      // so coalesce(4) would stay at 1) → 4 landing objects, exercising
+      // multi-object listing and per-source telemetry
+      .repartition(4).write.mode("overwrite").json(dir)
 
   /** q33: batch ingest round-trip — events → NDJSON objects → full rule
     * pipeline → managed table → aggregate the table. */
@@ -211,6 +214,31 @@ object PipelineQueries {
            md5(CAST(event_id AS VARCHAR)) AS md5
     FROM events ORDER BY name"""
 
+  /** q40: telemetry parity (SURVEY K6/A3) — ingest the events NDJSON
+    * export, then read back `_meta.load_log` (per-destination LogCount)
+    * and `_meta.source_log` (per-object RowCount). The oracle derives
+    * every count independently from the events table, so the telemetry
+    * row counts are hash-checked, not just present. */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q40")
+    exportNdjson(s, d, s"$work/landing")
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    Pipeline.ingestPrefix(s, Pipeline.Config(registry, eventsRules),
+      s"$work/landing/part-*")
+    val load = s.read.parquet(registry.dataDir("_meta", "load_log"))
+      .select(col("dataset"), col("table"), col("schema_version"),
+        col("log_count"), col("success"))
+    val src = s.read.parquet(registry.dataDir("_meta", "source_log"))
+      .agg(sum(col("row_count")).as("src_rows"), count(lit(1)).as("n_sources"))
+    load.crossJoin(src)
+  }
+
+  val q40Sql: String = """
+    SELECT 'analytics' AS dataset, 'events' AS "table",
+           CAST(1 AS INT) AS schema_version, COUNT(*) AS log_count, true AS success,
+           COUNT(*) AS src_rows, CAST(4 AS BIGINT) AS n_sources
+    FROM events"""
+
   /** q37: SQL passthrough (SURVEY K3) — a raw SQL string handed to
     * Spark SQL over registered views, the analogue of the reference
     * handing SQL to BigQuery. The oracle is the *same string*. */
@@ -232,5 +260,6 @@ object PipelineQueries {
     ("q34_stream_ingest", q34 _, Some(q34Sql)),
     ("q35_schema_evolution", q35 _, Some(q35Sql)),
     ("q36_event_decode", q36 _, Some(q36Sql)),
-    ("q37_sql_passthrough", q37 _, Some(passthroughSql)))
+    ("q37_sql_passthrough", q37 _, Some(passthroughSql)),
+    ("q40_telemetry", q40 _, Some(q40Sql)))
 }

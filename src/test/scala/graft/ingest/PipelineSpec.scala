@@ -57,9 +57,39 @@ class PipelineSpec extends SparkSpec {
     val data = out.select("data.user", "data.success").orderBy("data.user").collect()
     assert(data.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
       Seq(("user1", true), ("user2", false)))
-    // telemetry row written
+    // telemetry: load_log row carries the appended-row count (IngestLog
+    // .LogCount parity), source_log one row per object with RowCount
     val meta = spark.read.parquet(registry.dataDir("_meta", "load_log"))
     assert(meta.count() == 1)
+    val metaRow = meta.select("dataset", "table", "log_count", "success").head()
+    assert(metaRow.getString(0) == "swarm_test" && metaRow.getLong(2) == 2L
+      && metaRow.getBoolean(3))
+    val srcLog = spark.read.parquet(registry.dataDir("_meta", "source_log"))
+      .select("rule", "path", "row_count").collect()
+    assert(srcLog.length == 1 && srcLog(0).getString(0) == "access"
+      && srcLog(0).getString(1).endsWith("access.log") && srcLog(0).getLong(2) == 2L)
+  }
+
+  test("many-table batch: destinations append concurrently, counts per table") {
+    val landing = tmpDir("landing")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val rules = Rules(
+      event = Seq(EventRule(name = "any", when = "name LIKE '%.log'", schemaRule = "s")),
+      schema = Seq(SchemaRule(name = "s", dataset = "'d'",
+        table = "concat('t', cast(v % 6 as string))", timestamp = "ts")))
+    val lines = (0 until 12).map(i => s"""{"ts": ${1000.0 + i}, "v": $i}""").mkString("\n")
+    writeFile(landing, "a.log", lines + "\n")
+    val res = Pipeline.ingestPrefix(spark, Pipeline.Config(registry, rules), s"$landing/*")
+    assert(res.results.length == 6)
+    assert(res.results.forall(r => r.logCount == 2 && r.success))
+    assert(res.results.map(_.table).toSet == (0 until 6).map(i => s"t$i").toSet)
+    (0 until 6).foreach { i =>
+      assert(TableSink.read(spark, registry, "d", s"t$i").count() == 2)
+    }
+    // one load_log row per destination, each with its own count
+    val meta = spark.read.parquet(registry.dataDir("_meta", "load_log"))
+    assert(meta.count() == 6)
+    assert(meta.filter(col("log_count") === 2).count() == 6)
   }
 
   test("multi-doc explode + null pruning + gzip (cloudtrail-shaped)") {
@@ -92,6 +122,38 @@ class PipelineSpec extends SparkSpec {
     val partDirs = new java.io.File(registry.dataDir("aws", "cloudtrail"))
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(partDirs.contains("__part=2020-03"))
+  }
+
+  test("CloudTrail fixture golden-ID parity with the reference engine (plain + gzip)") {
+    // Replays the reference's flagship e2e (`pkg/usecase/load_test.go:54-128`)
+    // against ITS OWN fixture, read in place: same policy semantics
+    // (testdata/policy/schema.rego — explode Records, id = r.eventID,
+    // month partition), asserting the exact LogIDs the Go engine asserts.
+    val fixture = "/root/reference/pkg/usecase/testdata/object/cloudtrail_example.json"
+    assume(new java.io.File(fixture).exists, "reference fixture not present")
+    val goldenIds = Set( // load_test.go:115-120
+      "ac3cfd93-435d-41cc-bbd7-aad0340ec668",
+      "18e67b09-94a3-4b5c-9b3a-cd549b3341fb",
+      "dbb28938-5ed4-4774-8bb6-82ea916b21bb",
+      "d4dacb9d-9822-4217-b88d-d334bde89755")
+    for (path <- Seq(fixture, fixture + ".gz")) {
+      val registry = new SchemaRegistry(tmpDir("tables"))
+      val rules = Rules(
+        event = Seq(EventRule(name = "trail", when = "name LIKE '%cloudtrail%'",
+          multiDoc = true, schemaRule = "cloudtrail",
+          compress = if (path.endsWith(".gz")) "gzip" else "")),
+        schema = Seq(SchemaRule(name = "cloudtrail", explodePath = Some("Records"),
+          dataset = "'my_dataset'", table = "'cloudtrail'", partition = "month",
+          id = Some("eventID"), timestamp = "eventTime")))
+      Pipeline.ingestPaths(spark, Pipeline.Config(registry, rules), Seq(path))
+      val out = TableSink.read(spark, registry, "my_dataset", "cloudtrail")
+      assert(out.count() == 4, s"4 records expected from $path")
+      assert(out.select("id").collect().map(_.getString(0)).toSet == goldenIds)
+      // timestamp contract: RFC3339 eventTime, µs precision
+      val ts = out.filter(col("id") === "d4dacb9d-9822-4217-b88d-d334bde89755")
+        .select("timestamp").head().getTimestamp(0)
+      assert(ts.toInstant.toString == "2020-03-02T23:55:50Z")
+    }
   }
 
   test("schema evolution across heterogeneous batches (ref client_test.go:41-111)") {
