@@ -239,6 +239,33 @@ object PipelineQueries {
            COUNT(*) AS src_rows, CAST(4 AS BIGINT) AS n_sources
     FROM events"""
 
+  /** q41: backfill round-trip (SURVEY K5/A4/S8) — list the landing
+    * prefix, pack it into work-list batches (Enqueue), decode the batch
+    * messages back to object rows (the S8 fan-out decoder), read the
+    * decoded paths, and aggregate. Proves listing → batching → publish →
+    * decode → read is lossless; the oracle derives the same counts from
+    * the events table directly. countLimit=2 with an unreachable size
+    * limit → exactly ⌈4 objects / 2⌉ = 2 batches at every SF. */
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q41")
+    exportNdjson(s, d, s"$work/landing")
+    val batchFiles = graft.ingest.Enqueue.enqueue(s, s"$work/landing/part-*",
+      s"$work/batches", countLimit = 2, sizeLimit = Long.MaxValue)
+    val objects = graft.sources.Events.explodeWorkList(
+      s.read.text(batchFiles: _*).withColumnRenamed("value", "j"), "j")
+    // objects listed in the work-list are re-read as the ingest would
+    val paths = objects.select("path").collect().map(_.getString(0)).toSeq
+    s.read.json(paths: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("distinct_ids"))
+      .withColumn("n_batches", lit(batchFiles.length))
+  }
+
+  val q41Sql: String = """
+    SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS distinct_ids,
+           CAST(2 AS INT) AS n_batches
+    FROM events"""
+
   /** q37: SQL passthrough (SURVEY K3) — a raw SQL string handed to
     * Spark SQL over registered views, the analogue of the reference
     * handing SQL to BigQuery. The oracle is the *same string*. */
@@ -261,5 +288,6 @@ object PipelineQueries {
     ("q35_schema_evolution", q35 _, Some(q35Sql)),
     ("q36_event_decode", q36 _, Some(q36Sql)),
     ("q37_sql_passthrough", q37 _, Some(passthroughSql)),
-    ("q40_telemetry", q40 _, Some(q40Sql)))
+    ("q40_telemetry", q40 _, Some(q40Sql)),
+    ("q41_enqueue_roundtrip", q41 _, Some(q41Sql)))
 }

@@ -75,17 +75,21 @@ object Events {
       lower(hex(unbase64(ev.getField("md5Hash")))).as("md5"))
 
   /** Batch work-list message: `{"objects":[{bucket,name,size},...]}` →
-    * one row per object (`explode`, ref S8 fan-out). */
+    * one row per object (`explode`, ref S8 fan-out). An explicit `path`
+    * in the message (Enqueue writes one) wins over the reconstructed
+    * `gs://bucket/name` — local/non-GCS work-lists stay readable. */
   val swarmMessageSchema: StructType = StructType(Seq(
     StructField("objects", ArrayType(StructType(Seq(
       StructField("bucket", StringType),
       StructField("name", StringType),
+      StructField("path", StringType),
       StructField("size", LongType)))))))
 
   def explodeWorkList(df: DataFrame, jsonCol: String): DataFrame =
     df.select(explode(from_json(col(jsonCol), swarmMessageSchema)
         .getField("objects")).as("o"))
       .select(col("o.bucket").as("bucket"), col("o.name").as("name"),
-        concat(lit("gs://"), col("o.bucket"), lit("/"), col("o.name")).as("path"),
+        coalesce(col("o.path"),
+          concat(lit("gs://"), col("o.bucket"), lit("/"), col("o.name"))).as("path"),
         col("o.size").as("size"))
 }

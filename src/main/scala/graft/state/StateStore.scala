@@ -27,7 +27,8 @@ import java.time.Instant
 final class StateStore(rootDir: String,
     timeoutMillis: Long = 30L * 60 * 1000,
     ttlMillis: Long = 7L * 24 * 3600 * 1000,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    sleeper: Long => Unit = Thread.sleep(_)) {
 
   sealed trait State { def name: String }
   case object Running extends State { val name = "running" }
@@ -108,11 +109,49 @@ final class StateStore(rootDir: String,
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        val age = try now - new String(Files.readAllBytes(lock), "UTF-8").trim.toLong
-          catch { case _: Throwable => 0L }
-        if (age > lockTimeoutMillis) Files.deleteIfExists(lock)
+        val content = try Some(new String(Files.readAllBytes(lock), "UTF-8").trim)
+          catch { case _: Throwable => None }
+        val age = content.flatMap(_.toLongOption).map(now - _).getOrElse(0L)
+        if (age > lockTimeoutMillis) breakStaleLock(lock, content)
         false // breaker also retries via redelivery, never self-grants
     }
+
+  /** Break a stale lock ATOMICALLY: rename it aside first (only one
+    * breaker can win the move), then delete only if the moved file still
+    * carries the stale timestamp we read. A lock that was released and
+    * re-created between our read and the move carries a fresh timestamp
+    * — it is put back, not destroyed. (Plain delete-after-read could
+    * destroy a new winner's live lock and let two callers both pass
+    * tryLock — the ADVICE race.) */
+  private def breakStaleLock(lock: Path, staleContent: Option[String]): Unit = {
+    val aside = lock.resolveSibling(
+      lock.getFileName.toString + ".broken-" + java.util.UUID.randomUUID())
+    try {
+      Files.move(lock, aside) // atomic same-directory rename
+      val moved = new String(Files.readAllBytes(aside), "UTF-8").trim
+      if (staleContent.contains(moved)) Files.deleteIfExists(aside)
+      else // stole a freshly re-created lock — restore it
+        try Files.move(aside, lock)
+        catch { case _: Exception => Files.deleteIfExists(aside) }
+    } catch { case _: Exception => () } // lost the break race: nothing held
+  }
+
+  /** Wait until `id` leaves `running` or `untilMillis` passes — the
+    * reference's waiter path (`pkg/usecase/state.go:45-66`, default 10 s
+    * poll): a second worker DEFERS to the current owner instead of
+    * dropping the delivery, then decides via [[acquire]] whether the
+    * owner completed (skip) or failed/expired (take over). Returns the
+    * final observed state name (None = no / TTL-expired record). */
+  def waitState(id: String, untilMillis: Long,
+      checkIntervalMillis: Long = 10000L): Option[String] = {
+    while (true) {
+      val st = get(id)
+      if (!st.exists(_.state == Running.name)) return st.map(_.state)
+      if (clock() > untilMillis) return st.map(_.state)
+      sleeper(checkIntervalMillis)
+    }
+    None // unreachable
+  }
 
   def markCompleted(id: String): Unit = {
     val now = clock()

@@ -96,6 +96,41 @@ class OperatorsSpec extends SparkSpec {
     assert(st.acquire("m3"))
   }
 
+  test("StateStore.waitState: defer-poll-decide (ref state.go:45-66, server_test.go:149+)") {
+    var now = 1000L
+    var polls = 0
+    var onPoll: () => Unit = () => ()
+    val st = new StateStore(tmpDir("state"), timeoutMillis = 1000,
+      ttlMillis = 1000000, clock = () => now,
+      sleeper = ms => { polls += 1; now += ms; onPoll() })
+
+    // waiter polls (fake 10s interval) until the owner completes → skip
+    assert(st.acquire("w1"))
+    onPoll = () => if (polls == 2) st.markCompleted("w1")
+    assert(st.waitState("w1", untilMillis = now + 60000,
+      checkIntervalMillis = 10000) == Some("completed"))
+    assert(polls == 2)
+    assert(!st.acquire("w1")) // completed → skip, not re-process
+
+    // waiter times out while the owner is still running → returns
+    // running; re-acquire succeeds only because the state itself expired
+    polls = 0; onPoll = () => ()
+    assert(st.acquire("w2"))
+    assert(st.waitState("w2", untilMillis = now + 15000,
+      checkIntervalMillis = 10000) == Some("running"))
+    assert(polls == 2) // two sleeps pushed clock past the deadline
+    assert(st.acquire("w2")) // 20s elapsed > 1s state timeout
+
+    // failed → returns immediately (no sleep), take-over allowed
+    val st2 = new StateStore(tmpDir("state2"), timeoutMillis = 1000,
+      ttlMillis = 1000000, clock = () => now, sleeper = _ => fail("must not sleep"))
+    st2.markFailed("w3")
+    assert(st2.waitState("w3", untilMillis = now + 60000) == Some("failed"))
+    assert(st2.acquire("w3"))
+    // absent → immediately None
+    assert(st2.waitState("nope", untilMillis = now + 60000) == None)
+  }
+
   test("DumpSink writes NDJSON + schema per destination (ref dump/client.go)") {
     val dir = tmpDir("dump")
     val routed = Seq(
