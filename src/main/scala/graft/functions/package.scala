@@ -60,6 +60,22 @@ package object functions {
     * (ref `message.go:82-91`). */
   def b64Md5ToHex(c: Column): Column = lower(hex(unbase64(c)))
 
+  /** Parse + validate a `gs://bucket/object` URL into a
+    * `struct(bucket, name, path)` row, NULL when invalid — the
+    * column-level twin of the reference's `CSUrl.Parse`
+    * (`types.go:81-104`: must have the gs:// prefix, a non-empty
+    * bucket, and an object part; the object may contain further
+    * slashes). Being an expression, a million-URL work-list validates
+    * inside the scan, not on the driver. */
+  def parseGsUrl(url: Column): Column = {
+    val bucket = regexp_extract(url, "^gs://([^/]+)/(.*)$", 1)
+    val name = regexp_extract(url, "^gs://([^/]+)/(.*)$", 2)
+    when(url.startsWith("gs://") && bucket =!= "",
+      struct(bucket.as("bucket"), name.as("name"), url.as("path")))
+      .otherwise(lit(null).cast(
+        "struct<bucket:string,name:string,path:string>"))
+  }
+
   /** Project a struct column onto a target struct schema: fields present
     * in both are recursively aligned/cast, fields only in the target
     * become NULLs, fields only in the source are dropped. This is how a

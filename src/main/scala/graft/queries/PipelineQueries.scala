@@ -32,13 +32,16 @@ object PipelineQueries {
       partition = "day", timestamp = "ts",
       id = Some("cast(event_id as string)"))))
 
-  private def exportNdjson(s: SparkSession, d: String, dir: String): Unit =
-    Tables.events(s, d)
+  private def exportNdjson(s: SparkSession, d: String, dir: String,
+      codec: Option[String] = None): Unit = {
+    val w = Tables.events(s, d)
       .withColumn("ts", unix_timestamp(col("ts")).cast("double"))
       // repartition (not coalesce — the source is a single parquet file,
       // so coalesce(4) would stay at 1) → 4 landing objects, exercising
       // multi-object listing and per-source telemetry
-      .repartition(4).write.mode("overwrite").json(dir)
+      .repartition(4).write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(dir)
+  }
 
   /** q33: batch ingest round-trip — events → NDJSON objects → full rule
     * pipeline → managed table → aggregate the table. */
@@ -245,10 +248,12 @@ object PipelineQueries {
     * decoded paths, and aggregate. Proves listing → batching → publish →
     * decode → read is lossless; the oracle derives the same counts from
     * the events table directly. countLimit=2 with an unreachable size
-    * limit → exactly ⌈4 objects / 2⌉ = 2 batches at every SF. */
+    * limit → exactly ⌈4 objects / 2⌉ = 2 batches at every SF. The
+    * landing objects are GZIPPED NDJSON, so the oracle-checked path also
+    * covers S4 decompression (transparent by extension). */
   def q41(s: SparkSession, d: String): DataFrame = {
     val work = graft.util.Workspace.temp("graft-q41")
-    exportNdjson(s, d, s"$work/landing")
+    exportNdjson(s, d, s"$work/landing", codec = Some("gzip"))
     val batchFiles = graft.ingest.Enqueue.enqueue(s, s"$work/landing/part-*",
       s"$work/batches", countLimit = 2, sizeLimit = Long.MaxValue)
     val objects = graft.sources.Events.explodeWorkList(

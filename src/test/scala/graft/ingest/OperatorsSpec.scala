@@ -73,6 +73,15 @@ class OperatorsSpec extends SparkSpec {
     assert(decoded.select("size").as[Long].collect().toSet == Set(100L))
   }
 
+  test("parseGsUrl validates like CSUrl.Parse (ref types.go:81-104)") {
+    val rows = Seq("gs://bkt/a/b.log", "gs://bkt/", "gs://b", "s3://x/y", "gs:///obj", "")
+      .toDF("u").select(graft.functions.parseGsUrl($"u").as("o"))
+      .select($"o.bucket", $"o.name").collect()
+    assert(rows(0).getString(0) == "bkt" && rows(0).getString(1) == "a/b.log")
+    assert(rows(1).getString(0) == "bkt" && rows(1).getString(1) == "") // empty object ok
+    assert((2 to 5).forall(rows(_).isNullAt(0))) // no object part / wrong scheme / empty bucket
+  }
+
   test("StateStore acquisition matrix (ref state.go:19-31)") {
     var now = 1000L
     val st = new StateStore(tmpDir("state"), timeoutMillis = 100,

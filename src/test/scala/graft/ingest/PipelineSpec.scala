@@ -248,6 +248,19 @@ class PipelineSpec extends SparkSpec {
     assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 3)
   }
 
+  test("backpressure: maxFilesPerTrigger bounds each micro-batch (T6)") {
+    val landing = tmpDir("landing")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    (1 to 3).foreach(i => writeFile(landing, s"f$i.log",
+      s"""{"log_id": "b$i", "event_time": ${1559347200 + i}, "user": "u$i", "action": "x", "success": true}""" + "\n"))
+    val q = Pipeline.stream(spark, Pipeline.Config(registry, accessRules()),
+      landing, tmpDir("ckpt"), maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 3)
+    // 3 files at 1 file/trigger → 3 non-empty micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+  }
+
   test("streaming ingest: AvailableNow drains, checkpoint prevents reprocessing") {
     val landing = tmpDir("landing")
     val checkpoint = tmpDir("ckpt")
