@@ -427,6 +427,22 @@ object CurationQueries {
       FROM scored) WHERE rk <= $k ORDER BY query_id, rk"""
   }
 
+  // ---- q42: ANN over an IVF-PARTITIONED store ----
+
+  /** Same semantics as q38, different physical layout: the corpus is
+    * written once partitioned by coarse cluster, and the query scan is
+    * pruned to the probed partitions (PartitionFilters) — the 100 TB
+    * shape where a query reads ~nprobe/nlist of the corpus. Centroids
+    * are deterministic, so the q38 oracle is exact for this too. */
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q42")
+    val emb = Tables.embeddings(s, d)
+    val cents = Similarity.writeIvfStore(emb, s"$work/ivf", nlist = 16)
+    Similarity.ivfStoreTopK(s, s"$work/ivf", cents,
+      emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -440,5 +456,6 @@ object CurationQueries {
     ("q29_embedding_neardup", q29 _, Some(q29Sql)),
     ("q30_ann_lsh", q30 _, Some(q30Sql)),
     ("q38_ann_ivf", q38 _, Some(q38Sql)),
-    ("q39_simhash_neardup", q39 _, Some(q39Sql)))
+    ("q39_simhash_neardup", q39 _, Some(q39Sql)),
+    ("q42_ann_ivf_store", q42 _, Some(q38Sql)))
 }

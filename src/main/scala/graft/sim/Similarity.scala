@@ -203,17 +203,11 @@ object Similarity {
       .withColumn("cluster", greatest(best.toIndexedSeq: _*).getField("c"))
   }
 
-  /** ANN via IVF: bucket the corpus by nearest centroid, probe the
-    * query's `nprobe` nearest lists, exact-rerank within them. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
-    val c = assignCluster(corpus, cents, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("cluster"))
-      .withColumn("cn", sqrt(fastDot(corpus)(col("cv"), col("cv"))))
-    // query side: rank ALL centroids, keep nprobe nearest (explode)
-    val qAssigned = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+  /** Query side of IVF: rank ALL centroids per query, explode the
+    * `nprobe` nearest as (query_id, qv, qn, cluster) probe rows. */
+  private def probeQueries(queries: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int, idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))
       .withColumn("cluster", explode(array({
         val scored = cents.zipWithIndex.map { case (cc, i) =>
@@ -227,14 +221,66 @@ object Similarity {
             .when(a.getField("s") < b.getField("s"), 1).otherwise(0))
         (0 until nprobe).map(i => element_at(arr, i + 1).getField("c"))
       }: _*)))
-    val cands = c.join(broadcast(qAssigned), "cluster")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+
+  /** Exact cosine rerank of (cluster-joined) candidates to top-k. */
+  private def rerank(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cands.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+  }
+
+  /** ANN via IVF: bucket the corpus by nearest centroid, probe the
+    * query's `nprobe` nearest lists, exact-rerank within them. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val c = assignCluster(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("cluster"))
+      .withColumn("cn", sqrt(fastDot(corpus)(col("cv"), col("cv"))))
+    val cands = c.join(broadcast(probeQueries(queries, cents, nprobe, idCol, vecCol)), "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    rerank(cands, k)
+  }
+
+  /** Write the corpus as an IVF-partitioned store: one directory
+    * partition per coarse cluster. THE 100 TB layout — the expensive
+    * clustering pass runs once at ingest; every subsequent ANN query
+    * prunes to its probed partitions at the SCAN (PartitionFilters),
+    * reading ~nprobe/nlist of the data. Returns the centroids (plan
+    * literals; regenerate any time with [[ivfCentroids]] — they are
+    * deterministic). */
+  def writeIvfStore(corpus: DataFrame, dir: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    assignCluster(corpus, cents, idCol, vecCol)
+      .select(col(idCol), col("__v").as(vecCol), col("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    cents
+  }
+
+  /** ANN over an IVF-partitioned store written by [[writeIvfStore]]:
+    * the probed-cluster filter is a partition-column predicate, so the
+    * scan reads ONLY those directories. Same candidates → same result
+    * as [[ivfTopK]] with the same centroids. */
+  def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cents: Array[Array[Double]], queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = probeQueries(queries, cents, nprobe, idCol, vecCol)
+    // probed clusters: metadata-sized (≤ queries × nprobe) driver list
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val store = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probed: _*)) // → PartitionFilters
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cluster"))
+      .withColumn("cn", sqrt(fastDot(queries)(col("cv"), col("cv"))))
+    val cands = store.join(broadcast(probes), "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(fastDot(queries)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    rerank(cands, k)
   }
 
   /** Embedding-space near-duplicates: all pairs with cosine ≥ threshold.

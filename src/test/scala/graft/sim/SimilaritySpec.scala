@@ -54,6 +54,23 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.contains((0L, 100L)))
   }
 
+  test("ivf store: same result as ivfTopK; scan is partition-pruned") {
+    val dir = graft.util.Workspace.temp("ivf-store-spec") + "/store"
+    val cents = Similarity.writeIvfStore(vecs, dir, nlist = 4)
+    val q = vecs.filter($"vec_id" < 5)
+    val direct = Similarity.ivfTopK(q, vecs, k = 5, nlist = 4, nprobe = 2)
+      .orderBy("query_id", "rk").collect().toSeq
+    val stored = Similarity.ivfStoreTopK(spark, dir, cents, q, k = 5, nprobe = 2)
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(stored == direct)
+
+    // the probed-cluster predicate must reach the scan as a partition
+    // filter (reads nprobe/nlist of the store), not a post-scan filter
+    val plan = Similarity.ivfStoreTopK(spark, dir, cents, q, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"), s"no partition pruning in:\n$plan")
+  }
+
   test("nearDupPairsLsh: subset of exact pairs, planted near-dups survive banding") {
     val exact = Similarity.nearDupPairs(vecs, threshold = 0.9)
       .select("a", "b").as[(Long, Long)].collect().toSet
