@@ -67,6 +67,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(all(ts("2024-01-01 00:00:00").toString) == (1L, 1.0))
   }
 
+  test("dedupWithinWatermark: replays inside horizon dropped, state evicted after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val ckpt = tmpDir("dd-ckpt")
+    val out = tmpDir("dd-out")
+    def run(): Unit = {
+      val q = StreamOps.dedupWithinWatermark(
+        mem.toDF().toDF("ts", "id", "value"), Seq("id"), "ts",
+        watermark = "30 seconds")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def ids() = spark.read.parquet(out).select("id").as[String]
+      .collect().groupBy(identity).view.mapValues(_.length).toMap
+
+    // run 1: in-batch duplicate of "a" collapses
+    mem.addData((ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:00:05"), "a", 2.0),
+      (ts("2024-01-01 00:00:00"), "b", 3.0))
+    run()
+    assert(ids() == Map("a" -> 1, "b" -> 1))
+
+    // run 2 (same checkpoint = restart): the cross-batch replay of "a"
+    // is inside the horizon -> dropped; "c" far ahead advances the
+    // watermark past a's expiry, evicting its state
+    mem.addData((ts("2024-01-01 00:00:10"), "a", 4.0),
+      (ts("2024-01-01 00:20:00"), "c", 5.0))
+    run()
+    assert(ids() == Map("a" -> 1, "b" -> 1, "c" -> 1))
+
+    // run 3: same id AFTER the horizon is a new record (bounded state —
+    // the dedup guarantee is per-horizon, not forever)
+    mem.addData((ts("2024-01-01 00:25:00"), "a", 6.0))
+    run()
+    assert(ids() == Map("a" -> 2, "b" -> 1, "c" -> 1))
+
+    // batch twin: same operator shape on a static frame is a plain dedup
+    val batch = Seq((ts("2024-01-01 00:00:00"), "a", 1.0),
+      (ts("2024-01-01 00:00:05"), "a", 2.0)).toDF("ts", "id", "value")
+    assert(StreamOps.dedupWithinWatermark(batch, Seq("id"), "ts").count() == 1)
+  }
+
   test("sessionize: event-time gap splits sessions; state survives restart") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
