@@ -427,6 +427,78 @@ object CurationQueries {
       FROM scored) WHERE rk <= $k ORDER BY query_id, rk"""
   }
 
+  // ---- q43: PII-style redaction ----
+
+  /** The corpus is synthetic word-soup with no PII, so the query first
+    * injects deterministic contact strings derived from (doc_id, source)
+    * — giving every document real email/URL/IP matches — then counts and
+    * redacts them. This exercises true cross-engine regex parity (the
+    * hash check covers the redacted bytes, not just the counts). */
+  def q43(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("aug", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@"), col("source"), lit(".example.com"),
+        lit(" via https://"), col("source"), lit(".example.com/d/"), col("doc_id"),
+        lit(" from 10.0."), col("doc_id") % 256, lit("."), col("doc_id") % 100))
+      .select(col("doc_id"),
+        redactionCount(col("aug"), EmailPattern).as("n_email"),
+        redactionCount(col("aug"), UrlPattern).as("n_url"),
+        redactionCount(col("aug"), Ipv4Pattern).as("n_ip"),
+        md5(redact(col("aug"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  val q43Sql: String = {
+    // patterns land in single-quoted SQL literals; DuckDB takes
+    // backslashes literally there, so no escaping is needed
+    def esc(p: String) = p
+    val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com'" +
+      " || ' via https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)" +
+      " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    s"""
+    WITH aug AS (SELECT doc_id, $aug AS aug FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(aug, '${esc(EmailPattern)}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(aug, '${esc(UrlPattern)}')) AS INT) AS n_url,
+      CAST(len(regexp_extract_all(aug, '${esc(Ipv4Pattern)}')) AS INT) AS n_ip,
+      md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        '${esc(EmailPattern)}', '[EMAIL]', 'g'),
+        '${esc(UrlPattern)}', '[URL]', 'g'),
+        '${esc(Ipv4Pattern)}', '[IP]', 'g')) AS redacted_md5
+    FROM aug ORDER BY doc_id"""
+  }
+
+  // ---- q44: repetition signal (duplicate-n-gram fraction) ----
+
+  /** Gopher-style repetition filter: fraction of 2-/3-gram shingles
+    * that repeat an earlier one; high values mean the document loops.
+    * Thresholding dup3 is the keep/drop decision a curation pipeline
+    * applies before training. */
+  def q44(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("s2", wordShinglesOf(col("t"), 2))
+      .withColumn("s3", wordShinglesOf(col("t"), 3))
+      .withColumn("d2", dupNgramRatio(col("s2")))
+      .withColumn("d3", dupNgramRatio(col("s3")))
+      .select(col("doc_id"),
+        round(col("d2"), 6).as("dup2"),
+        round(col("d3"), 6).as("dup3"),
+        (col("d3") < 0.5).as("keep"))
+      .orderBy("doc_id")
+
+  val q44Sql: String = {
+    def dup(c: String) =
+      s"(CASE WHEN len($c) = 0 THEN 0.0 ELSE CAST(len($c) - len(list_distinct($c)) AS DOUBLE) / CAST(len($c) AS DOUBLE) END)"
+    s"""
+    WITH t AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+    sh AS (SELECT doc_id, ${shinglesSql("t", 2)} AS s2, ${shinglesSql("t", 3)} AS s3 FROM t)
+    SELECT doc_id,
+      round(${dup("s2")}, 6) AS dup2,
+      round(${dup("s3")}, 6) AS dup3,
+      ${dup("s3")} < 0.5 AS keep
+    FROM sh ORDER BY doc_id"""
+  }
+
   // ---- q42: ANN over an IVF-PARTITIONED store ----
 
   /** Same semantics as q38, different physical layout: the corpus is
@@ -457,5 +529,7 @@ object CurationQueries {
     ("q30_ann_lsh", q30 _, Some(q30Sql)),
     ("q38_ann_ivf", q38 _, Some(q38Sql)),
     ("q39_simhash_neardup", q39 _, Some(q39Sql)),
-    ("q42_ann_ivf_store", q42 _, Some(q38Sql)))
+    ("q42_ann_ivf_store", q42 _, Some(q38Sql)),
+    ("q43_redaction", q43 _, Some(q43Sql)),
+    ("q44_repetition", q44 _, Some(q44Sql)))
 }

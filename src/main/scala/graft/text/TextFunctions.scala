@@ -100,6 +100,37 @@ object TextFunctions {
   def qualityScore(text: Column): Column =
     qualityScoreOf(text, tokens(text), tokens(lower(text)))
 
+  /** PII-style redaction (emails, URLs, IPv4) — the scrub pass every
+    * training-data pipeline runs before export. Patterns are written in
+    * the common subset of Java regex (Spark) and RE2 (DuckDB oracle):
+    * character classes, bounded repeats, and ASCII `\b` only, so both
+    * engines match byte-identically. Pure codegen'd `regexp_replace` —
+    * per-row work, no shuffle, linear at any corpus size. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[A-Za-z0-9./_-]+"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Matches of one redaction pattern (count BEFORE redacting). */
+  def redactionCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails → [EMAIL], then URLs → [URL], then IPv4 → [IP].
+    * Order matters and is part of the contract: an IP inside a URL is
+    * absorbed by [URL], never double-redacted. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        UrlPattern, "[URL]"),
+      Ipv4Pattern, "[IP]")
+
+  /** Duplicate-n-gram fraction (Gopher-style repetition signal): the
+    * fraction of shingles that are repeats of an earlier one. 0 = no
+    * repetition, →1 = the document is one phrase looping. Pass a BOUND
+    * shingles column (see [[wordShinglesOf]] PERF CONTRACT). */
+  def dupNgramRatio(shingles: Column): Column =
+    ratio(size(shingles) - size(array_distinct(shingles)), size(shingles))
+
   /** First `n` hex chars of md5 → LONG. Spark side uses the native
     * `conv` expression (single codegen-able op); the DuckDB oracle
     * spells the identical value as a positional digit fold (DuckDB has

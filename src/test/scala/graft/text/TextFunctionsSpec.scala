@@ -63,6 +63,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(w1.toSeq == w1.toSeq.sorted && w1.toSeq.distinct == w1.toSeq)
   }
 
+  test("redact: emails, URLs, IPs; IP inside a URL absorbed by [URL]") {
+    val r = one[String](redact($"t"),
+      "mail bob.smith+x@corp.example.org see https://10.1.2.3/path?x=1 or http://a.b/c from 192.168.0.1 end")
+    // query-string '?' is outside the URL charset — the path up to it is
+    // redacted, the tail survives (documented conservative charset)
+    assert(r == "mail [EMAIL] see [URL]?x=1 or [URL] from [IP] end")
+    assert(one[Int](redactionCount($"t", EmailPattern), "a@b.co and c.d@e.f.gh x") == 2)
+    assert(one[Int](redactionCount($"t", Ipv4Pattern), "1.2.3.4 and 500.1.2.3") == 2)
+    assert(one[String](redact($"t"), "no pii here") == "no pii here")
+  }
+
+  test("dupNgramRatio: 0 for unique, rises with repetition, 0 on empty") {
+    def dup2(s: String) = {
+      val df = Seq(s).toDF("t").withColumn("tk", tokens($"t"))
+        .withColumn("s2", wordShinglesOf($"tk", 2))
+      df.select(dupNgramRatio($"s2").as("r")).collect().head.getDouble(0)
+    }
+    assert(dup2("a b c d e") == 0.0)
+    assert(dup2("a b a b a b") > 0.5)
+    assert(dup2("") == 0.0)
+  }
+
   test("qualityScore in [0,1], rewards stopword-rich text") {
     val hi = one[java.lang.Double](qualityScore($"t"),
       "the cat and the dog is a friend of the house and it is warm")
