@@ -271,6 +271,39 @@ object PipelineQueries {
            CAST(2 AS INT) AS n_batches
     FROM events"""
 
+  /** q45: small-file compaction round-trip — write the events table
+    * month-partitioned but heavily fragmented (16 shuffled files per
+    * partition, the shape a micro-batching streaming sink leaves
+    * behind), compact every partition to the byte target, then
+    * aggregate the COMPACTED table. The oracle is the same aggregate
+    * over the original events parquet, so the hash check proves the
+    * rewrite was byte-lossless; the fragmentation drop itself is
+    * asserted in CompactSpec (file counts aren't SQL-visible). */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q45")
+    val dir = s"$work/events_table"
+    Tables.events(s, d)
+      .withColumn("__part", date_format(col("ts"), "yyyy-MM"))
+      .repartition(16)
+      .write.partitionBy("__part").parquet(dir)
+    val reports = graft.ingest.Compact.compactDir(s, dir, targetBytes = 1L << 30)
+    require(reports.nonEmpty && reports.forall(r => r.filesAfter < r.filesBefore),
+      s"compaction was a no-op: $reports")
+    s.read.parquet(dir)
+      .groupBy(col("__part"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.relational.RelationalQueries.dsum(col("value")).as("total_value"))
+      .orderBy(col("__part"))
+  }
+
+  val q45Sql: String = s"""
+    SELECT strftime(ts, '%Y-%m') AS __part,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value
+    FROM events GROUP BY 1 ORDER BY __part"""
+
   /** q37: SQL passthrough (SURVEY K3) — a raw SQL string handed to
     * Spark SQL over registered views, the analogue of the reference
     * handing SQL to BigQuery. The oracle is the *same string*. */
@@ -294,5 +327,6 @@ object PipelineQueries {
     ("q36_event_decode", q36 _, Some(q36Sql)),
     ("q37_sql_passthrough", q37 _, Some(passthroughSql)),
     ("q40_telemetry", q40 _, Some(q40Sql)),
-    ("q41_enqueue_roundtrip", q41 _, Some(q41Sql)))
+    ("q41_enqueue_roundtrip", q41 _, Some(q41Sql)),
+    ("q45_compaction", q45 _, Some(q45Sql)))
 }
