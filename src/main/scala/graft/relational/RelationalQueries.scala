@@ -497,6 +497,57 @@ object RelationalQueries {
            datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002
     FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
 
+  /** q46: salted sort-merge join on an EXTREMELY skewed key —
+    * l_returnflag has 3 values, so an unsalted shuffle join lands the
+    * whole fact table on 3 reducers; the salt spreads each flag over 8.
+    * The salt is a deterministic hash of the row's key (never rand()),
+    * so the result — and the oracle hash — is exact. */
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val dim = li.select(col("l_returnflag")).distinct()
+      .withColumn("w",
+        pmod(graft.text.TextFunctions.md5Long(col("l_returnflag"), 8), lit(100)))
+    Joins.saltedJoin(li.hint("merge"), dim, "l_returnflag", nSalts = 8,
+        saltBy = pmod(col("l_orderkey"), lit(97)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"),
+        max(col("w")).as("w"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q46Sql: String = s"""
+    WITH dim AS (SELECT DISTINCT l_returnflag,
+                        ${graft.text.TextFunctions.md5LongSql("l_returnflag", 8)} % 100 AS w
+                 FROM lineitem)
+    SELECT l_returnflag, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS total,
+           MAX(w) AS w
+    FROM lineitem JOIN dim USING (l_returnflag)
+    GROUP BY 1 ORDER BY l_returnflag"""
+
+  /** q47: exchange-free big-big join via bucketed layout — both tables
+    * are written bucketed+sorted on the join key (shuffle paid once, at
+    * write), then the join's scan partitioning already satisfies the
+    * requirement and the plan has no exchange before the merge join
+    * (asserted in JoinsSpec). The per-round write cost is the point:
+    * it amortizes over every subsequent join at 100 TB. */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q47")
+    Joins.writeBucketed(Tables.orders(s, d), "q47_orders_b", s"$work/o",
+      "o_orderkey", nBuckets = 8)
+    Joins.writeBucketed(
+      Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "q47_lineitem_b", s"$work/l", "o_orderkey", nBuckets = 8)
+    Joins.bucketedJoin(s, "q47_orders_b", "q47_lineitem_b", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q47Sql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("l_quantity")} AS qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1 ORDER BY o_orderpriority"""
+
   /** Name → (query, oracle) for SparkEntry wiring. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01 _, q01Sql),
@@ -517,5 +568,7 @@ object RelationalQueries {
     ("q16_pivot_agg", q16 _, q16Sql),
     ("q17_string_funcs", q17 _, q17Sql),
     ("q18_union_dedup", q18 _, q18Sql),
-    ("q19_date_arith", q19 _, q19Sql))
+    ("q19_date_arith", q19 _, q19Sql),
+    ("q46_salted_join", q46 _, q46Sql),
+    ("q47_bucketed_join", q47 _, q47Sql))
 }
