@@ -31,6 +31,7 @@ object Main {
     """usage: graft [ingest|serve|enqueue|schema|migrate|sql] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
+      |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>]
       |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
@@ -93,6 +94,26 @@ object Main {
         val q = Pipeline.stream(spark, cfg, pos.head, req(flags, "checkpoint"),
           trigger, flags.get("max-files").map(_.toInt))
         q.awaitTermination()
+
+      case "push" | "p" =>
+        // HTTP Pub/Sub push endpoint (S6): receiver spools notifications,
+        // the continuous query ingests the referenced objects
+        val cfg = Pipeline.Config(
+          new SchemaRegistry(req(flags, "warehouse")),
+          loadRules(req(flags, "rules")),
+          dedup = flags.contains("dedup"))
+        val spool = req(flags, "spool")
+        val rx = new graft.sources.PushReceiver(spool,
+          flags.get("port").map(_.toInt).getOrElse(0)).start()
+        println(s"push receiver listening on :${rx.boundPort}, spool=$spool")
+        val rewrite = flags.get("path-rewrite").map { s =>
+          val Array(from, to) = s.split("=", 2); (from, to)
+        }
+        val q = Pipeline.streamNotifications(spark, cfg, s"$spool/*.json",
+          req(flags, "checkpoint"),
+          Trigger.ProcessingTime(flags.get("interval").map(_.toLong).getOrElse(1000L)),
+          rewrite)
+        try q.awaitTermination() finally rx.stop()
 
       case "enqueue" | "e" =>
         require(pos.size == 1, "enqueue needs exactly one prefix glob")

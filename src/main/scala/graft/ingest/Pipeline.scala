@@ -176,6 +176,43 @@ object Pipeline {
       .start()
   }
 
+  /** Streaming ingest driven by OBJECT NOTIFICATIONS rather than
+    * directory listing — the other half of S6: [[graft.sources.PushReceiver]]
+    * spools one storage-event JSON line per Pub/Sub push, and this query
+    * tails the spool (checkpointed text source, at-least-once), decodes
+    * each event to object metadata ([[Events.decodeStorageEvents]] — the
+    * staged single-parse hot path) and runs the referenced objects
+    * through the full rule pipeline. This is the reference's `serve`
+    * loop shape exactly: notification in → object fetched → rules →
+    * append (`pkg/controller/server/server.go` → `usecase.Load`).
+    *
+    * `pathRewrite` remaps a decoded path prefix before the read —
+    * `gs://bucket/` → another connector's scheme or a local mirror.
+    * The notification stream is metadata-sized; the heavy lifting
+    * (reading the objects) is a fresh distributed job per micro-batch. */
+  def streamNotifications(spark: SparkSession, cfg: Config, spoolGlob: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      pathRewrite: Option[(String, String)] = None): StreamingQuery =
+    spark.readStream.format("text").load(spoolGlob)
+      .writeStream
+      .queryName("graft-push-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val decoded = graft.sources.Events
+          .decodeStorageEvents(batch, col("value"), "ev").select("ev.*")
+        val objects = pathRewrite.fold(decoded) { case (from, to) =>
+          decoded.withColumn("path",
+            when(col("path").startsWith(from),
+              concat(lit(to), expr(s"substring(path, ${from.length + 1})")))
+              .otherwise(col("path")))
+        }
+        ingestObjects(spark, cfg, objects)
+        ()
+      }
+      .start()
+
   /** Telemetry row per destination append → `_meta.load_log`,
     * month-partitioned like the reference's meta table
     * (`pkg/usecase/bigquery.go:64-89`); `log_count` ≡ IngestLog.LogCount. */
