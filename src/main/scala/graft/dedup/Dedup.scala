@@ -230,4 +230,29 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxHamming)
   }
+
+  /** Train/eval decontamination (exact n-gram overlap): flag every
+    * non-eval document sharing at least one word k-gram with the eval
+    * partition, with the count of distinct shared grams. The standard
+    * pre-training hygiene pass — a benchmark answer leaked verbatim
+    * into the training set shares long exact n-grams (k=13 is the
+    * common choice) even when the surrounding document differs.
+    *
+    * Scale shape: both sides are one explode of staged shingles; the
+    * eval gram set is benchmark-sized (thousands of docs, not the
+    * corpus), so it BROADCASTS and the flagging join is map-side — the
+    * only shuffle is the final per-doc countDistinct. Corpus-side cost
+    * is linear in total grams at any corpus size. */
+  def contamination(docs: DataFrame, evalPred: Column, k: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs
+      .withColumn("__t", tokens(col(textCol)))
+      .withColumn("gram", explode(wordShinglesOf(col("__t"), k)))
+      .select(col(idCol), col("gram"), evalPred.as("__eval"))
+    val evalGrams = grams.filter(col("__eval")).select("gram").distinct()
+    grams.filter(!col("__eval"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
 }

@@ -499,6 +499,24 @@ object CurationQueries {
     FROM sh ORDER BY doc_id"""
   }
 
+  // ---- q48: train/eval decontamination ----
+
+  /** Eval partition = doc_id % 10 == 0 (a stand-in benchmark slice);
+    * k=13 exact word-gram overlap, the standard decontamination
+    * criterion. Planted near-duplicates of eval docs are exactly what
+    * this catches. */
+  def q48(s: SparkSession, d: String): DataFrame =
+    Dedup.contamination(docs(s, d), col("doc_id") % 10 === 0, k = 13)
+      .orderBy(col("doc_id"))
+
+  val q48Sql: String = s"""
+    WITH t AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(${shinglesSql("t", 13)}) AS gram FROM t),
+    ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0)
+    SELECT doc_id, COUNT(DISTINCT gram) AS n_shared
+    FROM sh JOIN ev USING (gram) WHERE doc_id % 10 <> 0
+    GROUP BY 1 ORDER BY doc_id"""
+
   // ---- q42: ANN over an IVF-PARTITIONED store ----
 
   /** Same semantics as q38, different physical layout: the corpus is
@@ -531,5 +549,6 @@ object CurationQueries {
     ("q39_simhash_neardup", q39 _, Some(q39Sql)),
     ("q42_ann_ivf_store", q42 _, Some(q38Sql)),
     ("q43_redaction", q43 _, Some(q43Sql)),
-    ("q44_repetition", q44 _, Some(q44Sql)))
+    ("q44_repetition", q44 _, Some(q44Sql)),
+    ("q48_decontamination", q48 _, Some(q48Sql)))
 }

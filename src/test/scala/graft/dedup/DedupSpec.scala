@@ -14,6 +14,19 @@ class DedupSpec extends SparkSpec {
     (5L, "spark engines content completely different about"), // permutation of 4
     (6L, "")).toDF("doc_id", "text")
 
+  test("contamination: flags non-eval docs sharing a k-gram with eval; clean docs pass") {
+    val span = (1 to 13).map(i => s"w$i").mkString(" ") // one exact 13-gram
+    val corpus = Seq(
+      (10L, s"eval doc starts $span and then ends"), // eval (id % 10 == 0)
+      (11L, s"train doc leaked $span inside it"), // contaminated
+      (12L, "a clean training document with no overlap at all whatsoever here"),
+      (13L, "short")) // fewer than k tokens -> no grams, never flagged
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, $"doc_id" % 10 === 0, k = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits == Seq((11L, 1L)))
+  }
+
   test("exact dedup keeps lowest id per identical content") {
     val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .as[Long].collect().sorted
