@@ -245,10 +245,14 @@ object Dedup {
     * is linear in total grams at any corpus size. */
   def contamination(docs: DataFrame, evalPred: Column, k: Int = 13,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persist the exploded grams: both branches (eval gram set + train
+    // flagging) read it, and the k-token concat per shingle is the
+    // expensive part — computing it twice measured 2× on the whole query
     val grams = docs
       .withColumn("__t", tokens(col(textCol)))
       .withColumn("gram", explode(wordShinglesOf(col("__t"), k)))
       .select(col(idCol), col("gram"), evalPred.as("__eval"))
+      .persist()
     val evalGrams = grams.filter(col("__eval")).select("gram").distinct()
     grams.filter(!col("__eval"))
       .join(broadcast(evalGrams), "gram")

@@ -532,8 +532,9 @@ object RelationalQueries {
     * it amortizes over every subsequent join at 100 TB. */
   def q47(s: SparkSession, d: String): DataFrame = {
     val work = graft.util.Workspace.temp("graft-q47")
-    Joins.writeBucketed(Tables.orders(s, d), "q47_orders_b", s"$work/o",
-      "o_orderkey", nBuckets = 8)
+    Joins.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "q47_orders_b", s"$work/o", "o_orderkey", nBuckets = 8)
     Joins.writeBucketed(
       Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
       "q47_lineitem_b", s"$work/l", "o_orderkey", nBuckets = 8)
