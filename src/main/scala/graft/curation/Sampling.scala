@@ -1,0 +1,40 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions.md5Long
+
+/** Deterministic sampling for corpus mix balancing — the step between
+  * curation filters and training: cap over-represented sources, draw a
+  * reproducible uniform subset. Everything is keyed on md5 of the row
+  * id, NEVER rand(): the sample is identical on any cluster, any
+  * partitioning, any retry — so downstream dedup/decontamination stay
+  * hash-checkable and a re-run of the pipeline rebuilds the same
+  * training set (the property that makes data ablations comparable).
+  */
+object Sampling {
+
+  /** Keep ~`perMille`/1000 of rows, chosen by the id's md5 bucket.
+    * A pure map-side filter — no shuffle, no state, any scale. */
+  def uniformSample(df: DataFrame, idCol: Column, perMille: Int): DataFrame = {
+    require(perMille >= 0 && perMille <= 1000, "perMille in [0,1000]")
+    df.filter(pmod(md5Long(idCol.cast("string"), 8), lit(1000)) < perMille)
+  }
+
+  /** At most `cap` rows per stratum, chosen by md5 order of the id
+    * (reproducible "random" priority; ties broken by the id itself).
+    *
+    * Scale shape: one shuffle keyed on the strata; the rank filter is
+    * recognized by Spark 4's WindowGroupLimit, which keeps a partial
+    * top-`cap` per map task BEFORE the exchange — a skewed stratum
+    * ships ~cap rows per upstream task, not its full population. */
+  def stratifiedCap(df: DataFrame, strata: Seq[String], idCol: Column,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5Long(idCol.cast("string"), 15), idCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap).drop("__rk")
+  }
+}

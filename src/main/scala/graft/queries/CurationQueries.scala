@@ -517,6 +517,51 @@ object CurationQueries {
     FROM sh JOIN ev USING (gram) WHERE doc_id % 10 <> 0
     GROUP BY 1 ORDER BY doc_id"""
 
+  // ---- q49: deterministic stratified sampling ----
+
+  /** Mix balancing: cap every (lang, source) stratum at 3 documents,
+    * selected by md5 priority of the id — the reproducible-sample
+    * contract (same subset on any cluster/partitioning/retry). */
+  def q49(s: SparkSession, d: String): DataFrame =
+    graft.curation.Sampling.stratifiedCap(
+        docs(s, d), Seq("lang", "source"), col("doc_id"), cap = 3)
+      .select(col("lang"), col("source"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("doc_id"))
+
+  val q49Sql: String = s"""
+    SELECT lang, source, doc_id FROM (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+               ORDER BY ${md5LongSql("CAST(doc_id AS VARCHAR)", 15)}, doc_id) AS rk
+      FROM documents) WHERE rk <= 3
+    ORDER BY lang, source, doc_id"""
+
+  // ---- q50: exact length percentiles per language ----
+
+  /** Corpus length profile: EXACT interpolated percentiles (sort-based
+    * `percentile`, not the approximate sketch) — the distribution check
+    * a curation pipeline runs before/after filtering. Interpolation
+    * arithmetic is bit-identical to DuckDB's quantile_cont (verified:
+    * p50/p90/p99 hash-match). */
+  def q50(s: SparkSession, d: String): DataFrame =
+    docs(s, d).groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("p"),
+        count(lit(1)).as("n"))
+      .select(col("lang"),
+        element_at(col("p"), 1).as("p50"),
+        element_at(col("p"), 2).as("p90"),
+        element_at(col("p"), 3).as("p99"),
+        col("n"))
+      .orderBy(col("lang"))
+
+  val q50Sql: String = """
+    SELECT lang,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1 ORDER BY lang"""
+
   // ---- q42: ANN over an IVF-PARTITIONED store ----
 
   /** Same semantics as q38, different physical layout: the corpus is
@@ -550,5 +595,7 @@ object CurationQueries {
     ("q42_ann_ivf_store", q42 _, Some(q38Sql)),
     ("q43_redaction", q43 _, Some(q43Sql)),
     ("q44_repetition", q44 _, Some(q44Sql)),
-    ("q48_decontamination", q48 _, Some(q48Sql)))
+    ("q48_decontamination", q48 _, Some(q48Sql)),
+    ("q49_stratified_sample", q49 _, Some(q49Sql)),
+    ("q50_length_percentiles", q50 _, Some(q50Sql)))
 }

@@ -1,0 +1,44 @@
+package graft.curation
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.range(1000)
+    .select($"id".as("doc_id"), ($"id" % 4).cast("string").as("src"))
+
+  test("uniformSample: deterministic, rate within tolerance, map-side only") {
+    val a = Sampling.uniformSample(corpus, $"doc_id", 200)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.uniformSample(corpus.repartition(13), $"doc_id", 200)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b) // partitioning-independent
+    assert(math.abs(a.size - 200) < 60, s"rate off: ${a.size}/1000")
+    // rate 0 and 1000 are exact
+    assert(Sampling.uniformSample(corpus, $"doc_id", 0).count() == 0)
+    assert(Sampling.uniformSample(corpus, $"doc_id", 1000).count() == 1000)
+    // no exchange: pure filter
+    val plan = Sampling.uniformSample(corpus, $"doc_id", 200)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("stratifiedCap: cap per stratum, deterministic, small strata intact") {
+    val skewed = corpus.filter($"src" =!= "3")
+      .union(corpus.filter($"src" === "3").limit(2)) // one tiny stratum
+    val out = Sampling.stratifiedCap(skewed, Seq("src"), $"doc_id", cap = 10)
+    val sizes = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes("0") == 10 && sizes("1") == 10 && sizes("2") == 10)
+    assert(sizes("3") == 2) // under-cap strata pass through whole
+    // same subset regardless of partitioning
+    val again = Sampling.stratifiedCap(skewed.repartition(7), Seq("src"), $"doc_id", 10)
+    assert(again.select("doc_id").as[Long].collect().sorted.toSeq ==
+      out.select("doc_id").as[Long].collect().sorted.toSeq)
+    // Spark 4 recognizes the rank filter: partial top-k before the exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+}
