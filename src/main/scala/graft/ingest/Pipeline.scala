@@ -85,6 +85,9 @@ object Pipeline {
             .foreach(r => sourceLogs += ((rule.name, r.getString(0), r.getLong(1))))
         }
         val routed = Transform(records, cfg.rules.schemaRule(rule.schemaRule), ingestId)
+        if (cfg.telemetry && cfg.dryRunDir.isEmpty)
+          writeQuarantine(spark, cfg.registry, started,
+            Transform.invalid(records, cfg.rules.schemaRule(rule.schemaRule), ingestId))
         cfg.dryRunDir match {
           case Some(dir) =>
             DumpSink.dump(Transform.pruneDataSchema(routed), dir).map { case (ds, tbl) =>
@@ -230,6 +233,23 @@ object Pipeline {
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
     df.write.mode("append").partitionBy("__part")
       .parquet(registry.dataDir("_meta", "load_log"))
+  }
+
+  /** Records dropped by validation → `_meta.quarantine` (reasons +
+    * re-serialized record). The reference FAILS the object on one
+    * invalid log (`load.go:213-231`); at scale one bad record must not
+    * fail a billion-row object, so the pipeline appends the rejects
+    * where an operator can query them — dropped data is never silent.
+    * The isEmpty guard keeps the common all-valid case to a single
+    * extra validation pass with no write job. */
+  private def writeQuarantine(spark: SparkSession, registry: SchemaRegistry,
+      startedMs: Long, bad: DataFrame): Unit = {
+    if (bad.isEmpty) return
+    bad
+      .withColumn("rejected_at", lit(new java.sql.Timestamp(startedMs)))
+      .withColumn("__part", date_format(col("rejected_at"), "yyyy-MM"))
+      .write.mode("append").partitionBy("__part")
+      .parquet(registry.dataDir("_meta", "quarantine"))
   }
 
   /** Per-source telemetry → `_meta.source_log` (ref SourceLog:

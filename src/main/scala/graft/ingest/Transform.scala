@@ -82,6 +82,48 @@ object Transform {
         lit(rule.partition).as("partition"))
   }
 
+  /** The rows [[apply]] DROPS: records failing validation (null
+    * dataset/table/timestamp after rule evaluation), each with the
+    * machine-readable reasons and the record itself re-serialized as
+    * JSON. The reference errors the whole object on an invalid log
+    * (`pkg/usecase/load.go:213-231` → error); at corpus scale one bad
+    * record must not fail a billion-row object, so the pipeline appends
+    * these to a quarantine table instead ([[Pipeline]] `_meta.quarantine`)
+    * — dropped data is never silent. */
+  def invalid(records: DataFrame, rule: SchemaRule, ingestId: String): DataFrame = {
+    val exploded = rule.explodePath match {
+      case Some(path) =>
+        records.select(explode(col(path)).as("__rec")).select("__rec.*")
+      case None => records
+    }
+    val filtered = rule.when.fold(exploded)(w => exploded.filter(expr(w)))
+    val reshaped = rule.transforms.foldLeft(filtered) {
+      case (df, DropField(path)) =>
+        if (path.contains(".")) {
+          val Array(top, rest @ _*) = path.split("\\."): @unchecked
+          df.withColumn(top, col(top).dropFields(rest.mkString(".")))
+        } else df.drop(path)
+      case (df, RenameField(from, to)) => df.withColumnRenamed(from, to)
+      case (df, SetField(nm, e)) => df.withColumn(nm, expr(e))
+    }
+    val dataFields = reshaped.columns.toSeq
+    val checked = reshaped
+      .withColumn("__graft_ds", expr(rule.dataset).cast(StringType))
+      .withColumn("__graft_tbl", expr(rule.table).cast(StringType))
+      .withColumn("__graft_ts", toTimestamp(expr(rule.timestamp), reshaped, rule.timestamp))
+    checked
+      .filter(col("__graft_ds").isNull || col("__graft_tbl").isNull ||
+        col("__graft_ts").isNull)
+      .select(
+        lit(ingestId).as("ingest_id"),
+        lit(rule.name).as("rule"),
+        array_compact(array(
+          when(col("__graft_ds").isNull, lit("dataset_null")),
+          when(col("__graft_tbl").isNull, lit("table_null")),
+          when(col("__graft_ts").isNull, lit("timestamp_null")))).as("reasons"),
+        to_json(struct(dataFields.map(col): _*)).as("record"))
+  }
+
   /** Interpret the rule's timestamp expr by type: DOUBLE Unix seconds
     * (the reference's float64 contract, `policy.go:69`), native
     * timestamp/date, or an RFC3339-ish string. */

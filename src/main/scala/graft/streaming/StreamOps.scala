@@ -64,6 +64,33 @@ object StreamOps {
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols)
     else df.dropDuplicates(idCols)
 
+  /** Watermarked stream-stream interval join: pair each left event with
+    * the right-stream rows for the same key whose event time falls in
+    * [left ts, left ts + withinSecs] — click→purchase attribution,
+    * request→response correlation, notification→object matching.
+    *
+    * The time-range condition plus both watermarks is what makes this
+    * viable on unbounded streams: Spark derives a state-eviction bound
+    * for EACH side (a buffered left row can't match once the right
+    * watermark passes its ts + withinSecs, and vice versa), so state is
+    * proportional to the in-flight window, not the stream history.
+    * Without the range condition a stream-stream join must buffer
+    * forever.
+    *
+    * Returns the join with sides aliased `l` / `r` — select with
+    * qualified names (`col("l.user_id")`). Works identically on batch
+    * frames (the spec's cross-check twin). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, withinSecs: Long,
+      watermark: String = "30 seconds"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
+      .alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right)
+      .alias("r")
+    l.join(r, expr(s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
+      s"AND r.$rightTs <= l.$leftTs + interval $withinSecs seconds"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
   final case class Session(user_id: Long, session_start: Timestamp,

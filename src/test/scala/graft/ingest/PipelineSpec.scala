@@ -70,6 +70,28 @@ class PipelineSpec extends SparkSpec {
       && srcLog(0).getString(1).endsWith("access.log") && srcLog(0).getLong(2) == 2L)
   }
 
+  test("invalid records land in _meta.quarantine with reasons; valid rows unaffected") {
+    val landing = tmpDir("landing")
+    // record 2 has no event_time -> timestamp_null; record 3's is junk text
+    writeFile(landing, "access.log",
+      """{"log_id": "ok1", "event_time": 1559347200.0, "user": "u1"}
+        |{"log_id": "bad1", "user": "u2"}
+        |{"log_id": "ok2", "event_time": 1559347201.0, "user": "u3"}
+        |""".stripMargin)
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry, accessRules()), s"$landing/*")
+
+    val table = TableSink.read(spark, registry, "swarm_test", "my_log_table")
+    assert(table.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("ok1", "ok2"))
+
+    val q = spark.read.parquet(registry.dataDir("_meta", "quarantine"))
+    val rows = q.select("rule", "reasons", "record").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "access")
+    assert(rows(0).getSeq[String](1) == Seq("timestamp_null"))
+    assert(rows(0).getString(2).contains("\"log_id\":\"bad1\""))
+  }
+
   test("many-table batch: destinations append concurrently, counts per table") {
     val landing = tmpDir("landing")
     val registry = new SchemaRegistry(tmpDir("tables"))

@@ -67,6 +67,49 @@ class StreamOpsSpec extends SparkSpec {
     assert(all(ts("2024-01-01 00:00:00").toString) == (1L, 1.0))
   }
 
+  test("intervalJoin: in-window pairs only; streaming matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")))
+    val buys = Seq(
+      (1L, ts("2024-01-01 00:00:30"), 10.0), // within 60s of click 1
+      (1L, ts("2024-01-01 00:05:00"), 20.0), // between clicks: matches neither
+      (2L, ts("2024-01-01 00:02:00"), 30.0), // past user 2's window
+      (1L, ts("2024-01-01 00:10:30"), 40.0)) // within 60s of click 3
+    val expected = Set(
+      (1L, "2024-01-01 00:00:00", 10.0),
+      (1L, "2024-01-01 00:10:00", 40.0))
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("l.user_id", "cast(l.cts as string) AS cts", "r.amount")
+
+    // batch twin
+    val batch = pairs(StreamOps.intervalJoin(
+      clicks.toDF("user_id", "cts"), buys.toDF("user_id", "pts", "amount"),
+      "user_id", "cts", "pts", withinSecs = 60))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(batch == expected)
+
+    // streaming: same data through MemoryStreams, AvailableNow drain
+    val cs = MemoryStream[(Long, Timestamp)]
+    val ps = MemoryStream[(Long, Timestamp, Double)]
+    cs.addData(clicks: _*)
+    ps.addData(buys: _*)
+    val out = tmpDir("ivj-out")
+    val q = pairs(StreamOps.intervalJoin(
+      cs.toDF().toDF("user_id", "cts"), ps.toDF().toDF("user_id", "pts", "amount"),
+      "user_id", "cts", "pts", withinSecs = 60))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", tmpDir("ivj-ckpt"))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == expected)
+  }
+
   test("dedupWithinWatermark: replays inside horizon dropped, state evicted after") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
