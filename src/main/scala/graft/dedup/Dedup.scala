@@ -243,6 +243,54 @@ object Dedup {
     * corpus), so it BROADCASTS and the flagging join is map-side — the
     * only shuffle is the final per-doc countDistinct. Corpus-side cost
     * is linear in total grams at any corpus size. */
+  /** Connected components over near-dup PAIRS → duplicate CLUSTERS.
+    *
+    * Pair output (q25/q26/q27/q29) is not what a dedup pipeline
+    * consumes: it needs groups — "these 5 docs are one duplicate
+    * cluster, keep the canonical one". Components are computed by
+    * min-label propagation (each vertex repeatedly takes the minimum
+    * label among itself and its neighbors), the standard Pregel shape:
+    * one shuffle-join per iteration, O(component diameter) iterations.
+    * Near-dup clusters are dense and tiny (dup families, not social
+    * graphs), so diameter — and the iteration count — stays single-digit
+    * at any corpus size; each iteration's shuffle carries one (id,
+    * label) row per edge endpoint.
+    *
+    * Returns (id, comp) for every vertex appearing in `pairs`, where
+    * comp = the minimum doc id in the component (a deterministic
+    * canonical representative — "keep comp, drop the rest" is the
+    * dedup decision). Driver-side work is one boolean convergence probe
+    * per iteration, never row data. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist()
+      next.count() // materialize before dropping the parent cache
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      converged = changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   def contamination(docs: DataFrame, evalPred: Column, k: Int = 13,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // persist the exploded grams: both branches (eval gram set + train

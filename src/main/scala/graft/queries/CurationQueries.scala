@@ -517,6 +517,45 @@ object CurationQueries {
     FROM sh JOIN ev USING (gram) WHERE doc_id % 10 <> 0
     GROUP BY 1 ORDER BY doc_id"""
 
+  // ---- q51: duplicate clusters (connected components over pairs) ----
+
+  /** Pairs → clusters: exact Jaccard ≥ 0.8 pairs (the verified near-dup
+    * edge set) closed into components; cluster = min doc_id, the
+    * canonical keeper. The oracle computes the identical closure with a
+    * recursive CTE. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs(s, d), "doc_id", "text", shingleK = 3,
+        maxDocFreq = JaccardMaxDf)
+      .filter(col("sim") >= 0.8)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q51Sql: String = {
+    val toks = toksSql("text")
+    s"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
+    all_postings AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+    rare AS (SELECT s FROM all_postings GROUP BY s HAVING COUNT(*) <= $JaccardMaxDf),
+    postings AS (SELECT doc_id, all_postings.s AS s FROM all_postings JOIN rare ON all_postings.s = rare.s),
+    shared AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+               FROM postings x JOIN postings y ON x.s = y.s AND x.doc_id < y.doc_id
+               GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM postings GROUP BY doc_id),
+    pairs AS (SELECT a, b FROM shared
+              JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+    FROM reach GROUP BY src ORDER BY doc_id"""
+  }
+
   // ---- q49: deterministic stratified sampling ----
 
   /** Mix balancing: cap every (lang, source) stratum at 3 documents,
@@ -597,5 +636,6 @@ object CurationQueries {
     ("q44_repetition", q44 _, Some(q44Sql)),
     ("q48_decontamination", q48 _, Some(q48Sql)),
     ("q49_stratified_sample", q49 _, Some(q49Sql)),
-    ("q50_length_percentiles", q50 _, Some(q50Sql)))
+    ("q50_length_percentiles", q50 _, Some(q50Sql)),
+    ("q51_dedup_clusters", q51 _, Some(q51Sql)))
 }

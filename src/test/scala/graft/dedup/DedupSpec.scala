@@ -14,6 +14,15 @@ class DedupSpec extends SparkSpec {
     (5L, "spark engines content completely different about"), // permutation of 4
     (6L, "")).toDF("doc_id", "text")
 
+  test("connectedComponents: chains close transitively, min id is the label") {
+    // components: {1,2,3,4} (a path — the min label needs multiple
+    // propagation hops to reach vertex 4) and {7,8}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("contamination: flags non-eval docs sharing a k-gram with eval; clean docs pass") {
     val span = (1 to 13).map(i => s"w$i").mkString(" ") // one exact 13-gram
     val corpus = Seq(
