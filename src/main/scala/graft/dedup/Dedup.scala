@@ -263,31 +263,46 @@ object Dedup {
     * per iteration, never row data. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+    // Iterative DataFrame algorithms MUST truncate lineage each round:
+    // the loop's plans otherwise nest the previous iteration's whole
+    // tree (including the expensive pair pipeline), and cache
+    // substitution does not reliably cover the alias-deduped self-join
+    // fragments — measured as the full jaccard pipeline re-running
+    // inside iteration 2 (49 s for a 256-edge graph). `localCheckpoint`
+    // (eager) cuts the plan to the materialized RDD: the pair pipeline
+    // runs exactly once, and each iteration's jobs see only
+    // checkpoint-scan inputs.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+      .withColumn("comp", col("id")).localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val propagated = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist()
-      next.count() // materialize before dropping the parent cache
+      // pointer jumping (path halving): comp := comp's comp. Turns a
+      // linear chain's O(diameter) rounds into O(log diameter) — labels
+      // are one small row per paired vertex, so the extra self-join is
+      // negligible next to the edge join.
+      val next = propagated.alias("x")
+        .join(propagated.select(col("id").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
+        .localCheckpoint()
       val changed = next
         .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).isEmpty
-      labels.unpersist()
+        .filter(col("comp") =!= col("old")).count()
       labels = next
-      converged = changed
+      converged = changed == 0
       i += 1
     }
-    edges.unpersist()
     labels
   }
 
