@@ -145,7 +145,7 @@ object Main {
         val registry = new SchemaRegistry(req(flags, "warehouse"))
         // telemetry tables are plain parquet (no registry schema entry) —
         // register them too so `_meta_load_log` etc. are queryable
-        Seq("load_log", "source_log").foreach { t =>
+        Seq("load_log", "source_log", "quarantine").foreach { t =>
           val dir = registry.dataDir("_meta", t)
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
             spark.read.parquet(dir).drop("__part")

@@ -231,18 +231,6 @@ object Dedup {
       .filter(col("dist") <= maxHamming)
   }
 
-  /** Train/eval decontamination (exact n-gram overlap): flag every
-    * non-eval document sharing at least one word k-gram with the eval
-    * partition, with the count of distinct shared grams. The standard
-    * pre-training hygiene pass — a benchmark answer leaked verbatim
-    * into the training set shares long exact n-grams (k=13 is the
-    * common choice) even when the surrounding document differs.
-    *
-    * Scale shape: both sides are one explode of staged shingles; the
-    * eval gram set is benchmark-sized (thousands of docs, not the
-    * corpus), so it BROADCASTS and the flagging join is map-side — the
-    * only shuffle is the final per-doc countDistinct. Corpus-side cost
-    * is linear in total grams at any corpus size. */
   /** Connected components over near-dup PAIRS → duplicate CLUSTERS.
     *
     * Pair output (q25/q26/q27/q29) is not what a dedup pipeline
@@ -306,6 +294,18 @@ object Dedup {
     labels
   }
 
+  /** Train/eval decontamination (exact n-gram overlap): flag every
+    * non-eval document sharing at least one word k-gram with the eval
+    * partition, with the count of distinct shared grams. The standard
+    * pre-training hygiene pass — a benchmark answer leaked verbatim
+    * into the training set shares long exact n-grams (k=13 is the
+    * common choice) even when the surrounding document differs.
+    *
+    * Scale shape: both sides are one explode of staged shingles; the
+    * eval gram set is benchmark-sized (thousands of docs, not the
+    * corpus), so it BROADCASTS and the flagging join is map-side — the
+    * only shuffle is the final per-doc countDistinct. Corpus-side cost
+    * is linear in total grams at any corpus size. */
   def contamination(docs: DataFrame, evalPred: Column, k: Int = 13,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // persist the exploded grams: both branches (eval gram set + train

@@ -16,15 +16,21 @@ import org.apache.spark.sql.SparkSession
   * over-fragmented leaf partition into ~`targetBytes` files.
   *
   * Scale design:
+  *   - leaves are discovered recursively, so multi-level layouts
+  *     (`date=…/hour=…`) compact at the true leaf level;
   *   - each leaf partition is an INDEPENDENT scan → coalesce → write
-  *     job (no global shuffle; `coalesce` is a narrow dependency, so
-  *     the rewrite never repartitions the data);
+  *     job over EXACTLY the files listed up front (a file appended
+  *     concurrently is neither rewritten nor removed — it just stays);
+  *     `coalesce` is a narrow dependency, so the rewrite never
+  *     repartitions the data;
   *   - partitions already at or under the target file count are
   *     skipped without reading data (listing is metadata-only);
   *   - the swap is write-new → move-old-aside → promote-new →
-  *     delete-old, all single-directory renames, so a crash leaves
-  *     either the old or the new complete file set in place (plus at
-  *     worst a hidden temp dir a re-run cleans up). Concurrent
+  *     delete-old, all single-directory renames with checked results;
+  *     a failed promote rolls the originals back. A crash mid-swap
+  *     leaves a hidden `.compact-*-old` dir whose files the NEXT run
+  *     restores before doing anything else, so either the old or the
+  *     new complete file set is always recoverable. Concurrent
   *     *readers* of the same leaf may observe a mixed listing during
   *     the swap — callers that need stronger isolation should gate
   *     compaction with the ingest [[graft.state.StateStore]] lock,
@@ -35,19 +41,24 @@ object Compact {
   final case class Report(partition: String, filesBefore: Int,
       filesAfter: Int, bytes: Long)
 
-  /** Compact every leaf partition (`col=value` subdirectory) of `dir`;
-    * a flat unpartitioned directory compacts as a single leaf. Returns
-    * one [[Report]] per REWRITTEN partition (skipped ones are absent). */
+  /** Compact every leaf partition (deepest `col=value` directories,
+    * recursively) of `dir`; a flat unpartitioned directory compacts as
+    * a single leaf. Returns one [[Report]] per REWRITTEN partition
+    * (skipped ones are absent). */
   def compactDir(spark: SparkSession, dir: String,
       targetBytes: Long = 256L << 20): Seq[Report] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val subdirs = fs.listStatus(root).toSeq
+    leavesOf(fs, root).sortBy(_.toString)
+      .flatMap(compactLeaf(spark, fs, _, targetBytes))
+  }
+
+  /** Deepest partition dirs: recurse while `col=value` subdirs exist. */
+  private def leavesOf(fs: FileSystem, dir: Path): Seq[Path] = {
+    val parts = fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath)
-    val leaves = if (subdirs.isEmpty) Seq(root) else subdirs
-    leaves.sortBy(_.toString)
-      .flatMap(compactLeaf(spark, fs, _, targetBytes))
+    if (parts.isEmpty) Seq(dir) else parts.flatMap(leavesOf(fs, _))
   }
 
   private def visible(p: Path): Boolean = {
@@ -55,8 +66,27 @@ object Compact {
     !n.startsWith(".") && !n.startsWith("_")
   }
 
+  private def rename(fs: FileSystem, from: Path, to: Path): Unit =
+    if (!fs.rename(from, to))
+      sys.error(s"rename failed: $from -> $to")
+
+  /** Crash recovery: files stranded in a `.compact-*-old` dir (a
+    * previous run died between move-aside and promote) are restored to
+    * the leaf; stale `-new` dirs are dropped (their content was never
+    * promoted, the originals supersede it). */
+  private def recover(fs: FileSystem, leaf: Path): Unit =
+    fs.listStatus(leaf).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact-"))
+      .foreach { d =>
+        if (d.getPath.getName.endsWith("-old"))
+          fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+            .foreach(f => rename(fs, f.getPath, new Path(leaf, f.getPath.getName)))
+        fs.delete(d.getPath, true)
+      }
+
   private def compactLeaf(spark: SparkSession, fs: FileSystem, leaf: Path,
       targetBytes: Long): Option[Report] = {
+    recover(fs, leaf)
     val files = fs.listStatus(leaf).toSeq.filter(s => s.isFile && visible(s.getPath))
     val bytes = files.map(_.getLen).sum
     val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
@@ -65,16 +95,26 @@ object Compact {
     val runId = UUID.randomUUID().toString.take(8)
     val tmpNew = new Path(leaf, s".compact-$runId-new")
     val tmpOld = new Path(leaf, s".compact-$runId-old")
-    // 1. rewrite: one narrow job over just this leaf's files
-    spark.read.parquet(leaf.toString).coalesce(want)
+    // 1. rewrite EXACTLY the files listed above (not a fresh directory
+    //    listing — a concurrent append between the two would be
+    //    rewritten AND kept, duplicating its rows)
+    spark.read.parquet(files.map(_.getPath.toString): _*).coalesce(want)
       .write.mode("overwrite").parquet(tmpNew.toString)
     val produced = fs.listStatus(tmpNew).toSeq.filter(s => s.isFile && visible(s.getPath))
     // 2. move originals aside (renames — metadata ops)
     fs.mkdirs(tmpOld)
-    files.foreach(f => fs.rename(f.getPath, new Path(tmpOld, f.getPath.getName)))
-    // 3. promote the new files under unique names
-    produced.zipWithIndex.foreach { case (f, i) =>
-      fs.rename(f.getPath, new Path(leaf, f"compact-$runId-$i%05d.parquet"))
+    files.foreach(f => rename(fs, f.getPath, new Path(tmpOld, f.getPath.getName)))
+    // 3. promote the new files under unique names; on failure restore
+    //    the originals and surface the error
+    try produced.zipWithIndex.foreach { case (f, i) =>
+      rename(fs, f.getPath, new Path(leaf, f"compact-$runId-$i%05d.parquet"))
+    } catch {
+      case e: Throwable =>
+        fs.listStatus(tmpOld).toSeq.filter(_.isFile)
+          .foreach(f => fs.rename(f.getPath, new Path(leaf, f.getPath.getName)))
+        fs.delete(tmpOld, true)
+        fs.delete(tmpNew, true)
+        throw e
     }
     // 4. drop the old set + temp dirs
     fs.delete(tmpOld, true)

@@ -122,8 +122,20 @@ object Pipeline {
   private def ingestLines(spark: SparkSession, cfg: Config, rule: EventRule,
       lines: Dataset[String], ingestId: String): Seq[TableSink.IngestResult] = {
     val records = spark.read.option("dropFieldIfAllNull", "true").json(lines)
-    val routed = Transform(records, cfg.rules.schemaRule(rule.schemaRule), ingestId)
-    TableSink.append(spark, cfg.registry, routed, cfg.dedup)
+    ingestRecords(spark, cfg, rule, records, ingestId)
+  }
+
+  /** Transform + quarantine + append for one rule's parsed records —
+    * shared by the streaming branches so validation rejects are never
+    * silent there either (same contract as the batch path). */
+  private def ingestRecords(spark: SparkSession, cfg: Config, rule: EventRule,
+      records: DataFrame, ingestId: String): Seq[TableSink.IngestResult] = {
+    val schemaRule = cfg.rules.schemaRule(rule.schemaRule)
+    if (cfg.telemetry)
+      writeQuarantine(spark, cfg.registry, System.currentTimeMillis(),
+        Transform.invalid(records, schemaRule, ingestId))
+    TableSink.append(spark, cfg.registry,
+      Transform(records, schemaRule, ingestId), cfg.dedup)
   }
 
   /** Streaming ingest over a landing directory (≡ `swarm serve`,
@@ -163,9 +175,8 @@ object Pipeline {
           if (paths.isEmpty) Nil
           else if (rule.multiDoc)
             // rare path: concatenated-JSON objects are re-read whole
-            TableSink.append(spark, cfg.registry,
-              Transform(ConcatJsonReader.read(spark, paths.toSeq),
-                cfg.rules.schemaRule(rule.schemaRule), ingestId), cfg.dedup)
+            ingestRecords(spark, cfg, rule,
+              ConcatJsonReader.read(spark, paths.toSeq), ingestId)
           else {
             val lines = batch.filter(col("path").isin(paths.toIndexedSeq: _*))
               .select("value").as[String]

@@ -30,35 +30,8 @@ object Transform {
     * `types.go:17,25`).
     */
   def apply(records: DataFrame, rule: SchemaRule, ingestId: String): DataFrame = {
-    // 1. one doc -> N records (ref rule `r := input.Records[_]`)
-    val exploded = rule.explodePath match {
-      case Some(path) =>
-        records.select(explode(col(path)).as("__rec")).select("__rec.*")
-      case None => records
-    }
-    // 2. record-level predicate (0 matches -> record dropped, ref load.go:213)
-    val filtered = rule.when.fold(exploded)(w => exploded.filter(expr(w)))
-    // 3. field transforms
-    val reshaped = rule.transforms.foldLeft(filtered) {
-      case (df, DropField(path)) =>
-        if (path.contains(".")) {
-          val Array(top, rest @ _*) = path.split("\\."): @unchecked
-          df.withColumn(top, col(top).dropFields(rest.mkString(".")))
-        } else df.drop(path)
-      case (df, RenameField(from, to)) => df.withColumnRenamed(from, to)
-      case (df, SetField(nm, e)) => df.withColumn(nm, expr(e))
-    }
-    // 4. routing + envelope exprs are evaluated with record fields in
-    //    scope — under RESERVED internal names, so a record field named
-    //    dataset/table/partition/timestamp is packed into `data`
-    //    untouched rather than silently replaced by the routing value
-    //    (`timestamp` is a common log field). Renamed to the envelope
-    //    names only in the final projection, after `data` is packed.
-    val dataFields = reshaped.columns.toSeq
+    val (reshaped, dataFields) = reshape(records, rule)
     val withEnvelope = reshaped
-      .withColumn("__graft_ds", expr(rule.dataset).cast(StringType))
-      .withColumn("__graft_tbl", expr(rule.table).cast(StringType))
-      .withColumn("__graft_ts", toTimestamp(expr(rule.timestamp), reshaped, rule.timestamp))
       .withColumn("__graft_id", rule.id.map(expr(_).cast(StringType)).getOrElse(lit(null).cast(StringType)))
     val packed = withEnvelope.withColumn("__graft_data",
       struct(dataFields.map(col): _*))
@@ -91,6 +64,39 @@ object Transform {
     * these to a quarantine table instead ([[Pipeline]] `_meta.quarantine`)
     * — dropped data is never silent. */
   def invalid(records: DataFrame, rule: SchemaRule, ingestId: String): DataFrame = {
+    val (checked, dataFields) = reshape(records, rule)
+    checked
+      .filter(col("__graft_ds").isNull || col("__graft_tbl").isNull ||
+        col("__graft_ts").isNull)
+      .select(
+        lit(ingestId).as("ingest_id"),
+        lit(rule.name).as("rule"),
+        array_compact(array(
+          when(col("__graft_ds").isNull, lit("dataset_null")),
+          when(col("__graft_tbl").isNull, lit("table_null")),
+          when(col("__graft_ts").isNull, lit("timestamp_null")))).as("reasons"),
+        to_json(struct(dataFields.map(col): _*)).as("record"))
+  }
+
+  /** Shared head of [[apply]] and [[invalid]] — the two MUST agree on
+    * what reaches validation or quarantine contents drift from what
+    * apply actually drops.
+    *
+    * 1. one doc -> N records (ref rule `r := input.Records[_]`);
+    * 2. record-level predicate (0 matches -> record dropped, ref
+    *    load.go:213);
+    * 3. field transforms;
+    * 4. routing + envelope exprs evaluated with record fields in scope,
+    *    under RESERVED internal names so a record field named
+    *    dataset/table/partition/timestamp is packed into `data`
+    *    untouched rather than silently replaced by the routing value
+    *    (`timestamp` is a common log field) — renamed to the envelope
+    *    names only in the caller's final projection, after `data` is
+    *    packed.
+    *
+    * Returns the reshaped frame with `__graft_ds/tbl/ts` appended, plus
+    * the record's own column names (the future `data` fields). */
+  private def reshape(records: DataFrame, rule: SchemaRule): (DataFrame, Seq[String]) = {
     val exploded = rule.explodePath match {
       case Some(path) =>
         records.select(explode(col(path)).as("__rec")).select("__rec.*")
@@ -111,17 +117,7 @@ object Transform {
       .withColumn("__graft_ds", expr(rule.dataset).cast(StringType))
       .withColumn("__graft_tbl", expr(rule.table).cast(StringType))
       .withColumn("__graft_ts", toTimestamp(expr(rule.timestamp), reshaped, rule.timestamp))
-    checked
-      .filter(col("__graft_ds").isNull || col("__graft_tbl").isNull ||
-        col("__graft_ts").isNull)
-      .select(
-        lit(ingestId).as("ingest_id"),
-        lit(rule.name).as("rule"),
-        array_compact(array(
-          when(col("__graft_ds").isNull, lit("dataset_null")),
-          when(col("__graft_tbl").isNull, lit("table_null")),
-          when(col("__graft_ts").isNull, lit("timestamp_null")))).as("reasons"),
-        to_json(struct(dataFields.map(col): _*)).as("record"))
+    (checked, dataFields)
   }
 
   /** Interpret the rule's timestamp expr by type: DOUBLE Unix seconds

@@ -29,11 +29,14 @@ object Joins {
     *
     * `saltBy` must be DETERMINISTIC (e.g. a hash of the row's id — NOT
     * rand()) so replays/retries route a row to the same reducer and the
-    * result is reproducible; any well-spread expression works. */
+    * result is reproducible; any well-spread expression works. A null
+    * `saltBy` value maps to salt 0 (the row still joins — a null salt
+    * would silently drop it from the equi-join). */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
       nSalts: Int, saltBy: Column): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val l = skewed.withColumn("__salt", pmod(saltBy, lit(nSalts)).cast("int"))
+    val l = skewed.withColumn("__salt",
+      coalesce(pmod(saltBy, lit(nSalts)).cast("int"), lit(0)))
     val r = other.withColumn("__salt",
       explode(array((0 until nSalts).map(lit): _*)))
     l.join(r, Seq(key, "__salt")).drop("__salt")

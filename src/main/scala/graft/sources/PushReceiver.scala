@@ -35,14 +35,19 @@ final class PushReceiver(spoolDir: String, port: Int = 0) {
   private val mapper = new ObjectMapper
   Files.createDirectories(Paths.get(spoolDir))
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  private val pool = Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
   /** Bound port (useful with port=0 for tests). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): PushReceiver = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+
+  /** HttpServer.stop does NOT terminate a caller-supplied executor —
+    * without the explicit shutdown the non-daemon worker threads keep
+    * the JVM alive after the receiver stops. */
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def respond(ex: HttpExchange, code: Int, msg: String): Unit = {
     val body = msg.getBytes(UTF_8)
