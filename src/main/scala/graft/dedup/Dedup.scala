@@ -90,7 +90,18 @@ object Dedup {
     * need for signature-agreement scoring. */
   def lshCandidatesWithSigs(df: DataFrame, idCol: String, sigCol: String,
       bands: Int): DataFrame = {
-    val banded = df.select(col(idCol).as("doc"), col(sigCol).as("sig"))
+    val b = banded(df, idCol, sigCol, bands)
+    val l = b.select(col("doc").as("a"), col("sig").as("siga"), col("band_key"))
+    val r = b.select(col("doc").as("b"), col("sig").as("sigb"), col("band_key"))
+    l.join(r, "band_key").filter(col("a") < col("b"))
+      .select("a", "b", "siga", "sigb").distinct()
+  }
+
+  /** One (doc, sig, band_key) row per band of each signature — the
+    * exploded banding shared by the self-join and incremental paths,
+    * and the row shape of a PERSISTED band store. */
+  def banded(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
+    df.select(col(idCol).as("doc"), col(sigCol).as("sig"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_key", {
         val rowsPerBand = floor(size(col("sig")) / bands).cast(IntegerType)
@@ -102,10 +113,25 @@ object Dedup {
           to_json(slice(col("sig"), col("band") * rowsPerBand + 1, len)))
       })
       .select("doc", "sig", "band_key")
-    val l = banded.select(col("doc").as("a"), col("sig").as("siga"), col("band_key"))
-    val r = banded.select(col("doc").as("b"), col("sig").as("sigb"), col("band_key"))
-    l.join(r, "band_key").filter(col("a") < col("b"))
-      .select("a", "b", "siga", "sigb").distinct()
+
+  /** INCREMENTAL near-dup: candidates between a NEW batch and an
+    * EXISTING corpus's stored band table — the production dedup shape.
+    * Self-dedup (q26) re-signatures the whole corpus every run; a real
+    * pipeline signatures the corpus ONCE at ingest (persist
+    * [[banded]]'s output as a table), and each incoming batch
+    * signatures only itself and band-joins the store. Per-batch cost
+    * tracks the batch size; the corpus contributes a (pre-bucketed)
+    * join side that never recomputes. Returns one row per colliding
+    * (new, corpus) pair with both signatures for agreement scoring. */
+  def incrementalCandidates(batch: DataFrame, corpusBands: DataFrame,
+      idCol: String, sigCol: String, bands: Int): DataFrame = {
+    val n = banded(batch, idCol, sigCol, bands)
+      .select(col("doc").as("new_id"), col("sig").as("nsig"), col("band_key"))
+    val c = corpusBands
+      .select(col("doc").as("corpus_id"), col("sig").as("csig"), col("band_key"))
+    n.join(c, "band_key")
+      .select(col("new_id"), col("corpus_id"), col("nsig"), col("csig"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity between two shingle-set columns

@@ -517,6 +517,51 @@ object CurationQueries {
     FROM sh JOIN ev USING (gram) WHERE doc_id % 10 <> 0
     GROUP BY 1 ORDER BY doc_id"""
 
+  // ---- q52: incremental near-dup (new batch vs stored corpus bands) ----
+
+  /** Corpus = doc_id < 400 (already ingested, band table persisted to
+    * parquet once); batch = doc_id ≥ 400 (the incoming increment). Only
+    * the batch is signatured at query time; candidates come from the
+    * stored bands, verified by signature agreement ≥ 0.75. */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q52")
+    def sigged(df: DataFrame) = df
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), wordShinglesOf(col("t"), 3).as("sh"))
+      .select(col("doc_id"), Dedup.minhashSignatureNative(col("sh"), MinhashK).as("sig"))
+    val all = docs(s, d)
+    // one-time corpus pass (in production this runs at ingest)
+    Dedup.banded(sigged(all.filter(col("doc_id") < 400)), "doc_id", "sig", LshBands)
+      .write.mode("overwrite").parquet(s"$work/bands")
+    val store = s.read.parquet(s"$work/bands")
+    Dedup.incrementalCandidates(sigged(all.filter(col("doc_id") >= 400)),
+        store, "doc_id", "sig", LshBands)
+      .withColumn("sig_agree",
+        size(filter(zip_with(col("nsig"), col("csig"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / MinhashK)
+      .filter(col("sig_agree") >= 0.75)
+      .select(col("new_id"), col("corpus_id"), col("sig_agree"))
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val q52Sql: String = {
+    val r = MinhashK / LshBands
+    val sig = Dedup.minhashSignatureSql("text", MinhashK)
+    val bandKeys = (0 until LshBands).map(b =>
+      s"concat('$b', ':', CAST(to_json(list_slice(sig, ${b * r + 1}, ${b * r + r})) AS VARCHAR))")
+    s"""
+    WITH docs AS (SELECT doc_id, $sig AS sig FROM documents),
+    banded AS (SELECT doc_id, unnest([${bandKeys.mkString(",")}]) AS band_key FROM docs),
+    hits AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+             FROM banded n JOIN banded c ON n.band_key = c.band_key
+             WHERE n.doc_id >= 400 AND c.doc_id < 400)
+    SELECT new_id, corpus_id,
+           CAST(len(list_filter(list_zip(dn.sig, dc.sig), z -> z[1] = z[2])) AS DOUBLE) / $MinhashK AS sig_agree
+    FROM hits JOIN docs dn ON dn.doc_id = new_id JOIN docs dc ON dc.doc_id = corpus_id
+    WHERE CAST(len(list_filter(list_zip(dn.sig, dc.sig), z -> z[1] = z[2])) AS DOUBLE) / $MinhashK >= 0.75
+    ORDER BY new_id, corpus_id"""
+  }
+
   // ---- q51: duplicate clusters (connected components over pairs) ----
 
   /** Pairs → clusters: exact Jaccard ≥ 0.8 pairs (the verified near-dup
@@ -637,5 +682,6 @@ object CurationQueries {
     ("q48_decontamination", q48 _, Some(q48Sql)),
     ("q49_stratified_sample", q49 _, Some(q49Sql)),
     ("q50_length_percentiles", q50 _, Some(q50Sql)),
-    ("q51_dedup_clusters", q51 _, Some(q51Sql)))
+    ("q51_dedup_clusters", q51 _, Some(q51Sql)),
+    ("q52_incremental_neardup", q52 _, Some(q52Sql)))
 }

@@ -23,6 +23,23 @@ class DedupSpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("incrementalCandidates: new batch collides with stored corpus bands only") {
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("t", graft.text.TextFunctions.tokens($"text"))
+      .withColumn("sh", graft.text.TextFunctions.wordShinglesOf($"t", 3))
+      .select($"doc_id", Dedup.minhashSignatureOf($"sh", 8).as("sig"))
+    val corpus = docs.filter($"doc_id" <= 4)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+      (101L, "entirely novel text with no corpus overlap whatsoever"))
+      .toDF("doc_id", "text")
+    val store = Dedup.banded(sig(corpus), "doc_id", "sig", bands = 4)
+    val hits = Dedup.incrementalCandidates(sig(batch), store, "doc_id", "sig", 4)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((100L, 1L))) // the duplicate is caught
+    assert(!hits.exists(_._1 == 101L)) // the novel doc collides with nothing
+  }
+
   test("contamination: flags non-eval docs sharing a k-gram with eval; clean docs pass") {
     val span = (1 to 13).map(i => s"w$i").mkString(" ") // one exact 13-gram
     val corpus = Seq(
