@@ -88,6 +88,7 @@ object Main {
           new SchemaRegistry(req(flags, "warehouse")),
           loadRules(req(flags, "rules")),
           dedup = flags.contains("dedup"))
+        graft.streaming.StreamLog.attach(spark, cfg.registry)
         val trigger = flags.get("continuous")
           .map(ms => Trigger.ProcessingTime(ms.toLong))
           .getOrElse(Trigger.AvailableNow())
@@ -102,6 +103,7 @@ object Main {
           new SchemaRegistry(req(flags, "warehouse")),
           loadRules(req(flags, "rules")),
           dedup = flags.contains("dedup"))
+        graft.streaming.StreamLog.attach(spark, cfg.registry)
         val spool = req(flags, "spool")
         val rx = new graft.sources.PushReceiver(spool,
           flags.get("port").map(_.toInt).getOrElse(0)).start()
@@ -145,7 +147,7 @@ object Main {
         val registry = new SchemaRegistry(req(flags, "warehouse"))
         // telemetry tables are plain parquet (no registry schema entry) —
         // register them too so `_meta_load_log` etc. are queryable
-        Seq("load_log", "source_log", "quarantine").foreach { t =>
+        Seq("load_log", "source_log", "quarantine", "stream_log").foreach { t =>
           val dir = registry.dataDir("_meta", t)
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
             spark.read.parquet(dir).drop("__part")

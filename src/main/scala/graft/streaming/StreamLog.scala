@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.schema.SchemaRegistry
+
+/** Streaming telemetry → `_meta.stream_log`: one row per completed
+  * micro-batch (query name, batch id, input rows, trigger duration).
+  * The streaming counterpart of the reference's LoadLog/SourceLog
+  * telemetry (K6, `pkg/domain/model/bigquery.go:9-39`) — a `serve`/
+  * `push` deployment's per-batch health record, queryable next to the
+  * tables it loads (`graft sql "SELECT * FROM _meta_stream_log"`).
+  *
+  * Listener events arrive on Spark's listener bus (async, off the
+  * query's hot path); each row is a single metadata-sized append. The
+  * small files this accumulates are exactly what [[graft.ingest.Compact]]
+  * exists for. */
+final class StreamLog(spark: SparkSession, registry: SchemaRegistry)
+    extends StreamingQueryListener {
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    import spark.implicits._
+    val p = e.progress
+    val row = (Option(p.name).getOrElse(""), p.id.toString, p.batchId,
+      p.numInputRows, p.durationMs.getOrDefault("triggerExecution", 0L),
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    try Seq(row)
+      .toDF("query", "query_id", "batch_id", "input_rows", "trigger_ms", "logged_at")
+      .withColumn("__part", date_format(col("logged_at"), "yyyy-MM"))
+      .write.mode("append").partitionBy("__part")
+      .parquet(registry.dataDir("_meta", "stream_log"))
+    catch {
+      // telemetry must never kill the listener bus; the query goes on
+      case e: Exception =>
+        System.err.println(s"[stream_log] append failed: ${e.getMessage}")
+    }
+  }
+}
+
+object StreamLog {
+  /** Attach a stream logger to the session; returns it for removal. */
+  def attach(spark: SparkSession, registry: SchemaRegistry): StreamLog = {
+    val l = new StreamLog(spark, registry)
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: StreamLog): Unit =
+    spark.streams.removeListener(l)
+}
