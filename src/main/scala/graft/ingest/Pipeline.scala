@@ -110,11 +110,18 @@ object Pipeline {
     * `docs/comparisons.md:18`). `dropFieldIfAllNull` reproduces the
     * null/empty stripping of `cloneWithoutNil` at inference time. */
   private[ingest] def readObjects(spark: SparkSession, rule: EventRule,
-      paths: Seq[String]): DataFrame =
-    if (rule.multiDoc) ConcatJsonReader.read(spark, paths)
-    else spark.read
+      paths: Seq[String]): DataFrame = rule.parser match {
+    case "csv" =>
+      // header + full-scan inference: the same all-rows typing contract
+      // as the JSON path (vs sampled autodetect)
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(paths: _*)
+    case "parquet" => spark.read.parquet(paths: _*)
+    case _ if rule.multiDoc => ConcatJsonReader.read(spark, paths)
+    case _ => spark.read
       .option("dropFieldIfAllNull", "true")
       .json(paths: _*)
+  }
 
   /** Same body over an already-parsed line Dataset (streaming batches
     * arrive as text lines; inference via `read.json(Dataset[String])`
@@ -173,10 +180,12 @@ object Pipeline {
         val results = cfg.rules.matchObjects(files).flatMap { case (rule, matched) =>
           val paths = matched.select("path").collect().map(_.getString(0))
           if (paths.isEmpty) Nil
-          else if (rule.multiDoc)
-            // rare path: concatenated-JSON objects are re-read whole
+          else if (rule.multiDoc || rule.parser != "json")
+            // non-line formats (concatenated JSON, csv, parquet) are
+            // re-read whole by path; the text-source lines are only the
+            // discovery signal for them
             ingestRecords(spark, cfg, rule,
-              ConcatJsonReader.read(spark, paths.toSeq), ingestId)
+              readObjects(spark, rule, paths.toSeq), ingestId)
           else {
             val lines = batch.filter(col("path").isin(paths.toIndexedSeq: _*))
               .select("value").as[String]

@@ -304,6 +304,37 @@ object PipelineQueries {
            ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value
     FROM events GROUP BY 1 ORDER BY __part"""
 
+  /** q53: CSV ingest round-trip — the same lossless-pipeline check as
+    * q33 but through the `parser: csv` rule path (header + full-scan
+    * inference). Beyond the reference (swarm is JSON-only); a mixed
+    * landing zone needs it. */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q53")
+    Tables.events(s, d)
+      .withColumn("ts", unix_timestamp(col("ts")).cast("double"))
+      .repartition(4).write.mode("overwrite")
+      .option("header", "true").csv(s"$work/landing")
+    val rules = Rules(
+      event = Seq(EventRule(name = "events-csv", when = "name LIKE '%.csv'",
+        parser = "csv", schemaRule = "events")),
+      schema = Seq(SchemaRule(name = "events",
+        dataset = "'analytics'", table = "'events_csv'",
+        partition = "day", timestamp = "ts",
+        id = Some("cast(event_id as string)"))))
+    val registry = new SchemaRegistry(s"$work/wh")
+    Pipeline.ingestPrefix(s, Pipeline.Config(registry, rules, telemetry = false),
+      s"$work/landing/*.csv")
+    TableSink.read(s, registry, "analytics", "events_csv")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("distinct_ids"),
+        countDistinct(col("data.event_type")).as("n_types"))
+  }
+
+  val q53Sql: String = """
+    SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS distinct_ids,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events"""
+
   /** q37: SQL passthrough (SURVEY K3) — a raw SQL string handed to
     * Spark SQL over registered views, the analogue of the reference
     * handing SQL to BigQuery. The oracle is the *same string*. */
@@ -328,5 +359,6 @@ object PipelineQueries {
     ("q37_sql_passthrough", q37 _, Some(passthroughSql)),
     ("q40_telemetry", q40 _, Some(q40Sql)),
     ("q41_enqueue_roundtrip", q41 _, Some(q41Sql)),
-    ("q45_compaction", q45 _, Some(q45Sql)))
+    ("q45_compaction", q45 _, Some(q45Sql)),
+    ("q53_csv_ingest", q53 _, Some(q53Sql)))
 }

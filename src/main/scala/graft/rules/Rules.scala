@@ -27,6 +27,11 @@ final case class EventRule(
     /** Boolean Spark SQL over object metadata columns
       * (`bucket`, `name`, `size`, `created_at`, `md5`). */
     when: String,
+    /** Object format: `json` (NDJSON or, with [[multiDoc]], concatenated
+      * docs — the reference's only format, `load.go:251-279`), plus
+      * `csv` (header + full-scan type inference, matching the JSON
+      * path's inference contract) and `parquet` — the formats a mixed
+      * landing zone actually contains. */
     parser: String = "json",
     compress: String = "",
     /** True when objects are single/concatenated JSON docs rather than
@@ -34,7 +39,9 @@ final case class EventRule(
       * `load.go:251-279`; we make it a rule property). */
     multiDoc: Boolean = false,
     schemaRule: String) {
-  require(parser == "json", s"unsupported parser '$parser' (ref allows only json)")
+  require(Set("json", "csv", "parquet")(parser),
+    s"unsupported parser '$parser' (json | csv | parquet)")
+  require(parser == "json" || !multiDoc, "multiDoc applies to json only")
   require(compress == "" || compress == "gzip",
     s"unsupported compress '$compress' (ref allows only gzip)")
   def predicate: Column = expr(when)
