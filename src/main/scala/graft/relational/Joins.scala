@@ -61,6 +61,48 @@ object Joins {
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** As-of (point-in-time) join: for each left row, attach the LATEST
+    * right row for the same key with `rightTs` ≤ `leftTs` — the
+    * feature-store / market-data join Spark has no native operator for.
+    *
+    * Composed Spark-first instead of a custom physical operator: both
+    * sides are UNIONED into one per-key timeline (right rows flagged),
+    * a running `last(_, ignoreNulls)` over (key, time) carries the most
+    * recent right payload forward, and the left rows are projected out
+    * with the carried value. ONE shuffle (the window's partitioning by
+    * key) and a per-key sort — no time-range join, whose candidate set
+    * explodes with |left|×|right per window| at scale. Equal timestamps
+    * are INCLUSIVE (a right row at exactly `leftTs` is visible),
+    * matching DuckDB's `ASOF JOIN ... ON r.ts <= l.ts` — the oracle twin.
+    *
+    * `rightCols` maps right-side columns to output names (alias them
+    * away from left column names). The right side must be unique per
+    * (key, rightTs) — pre-aggregate if not, or the carried row among
+    * equal-ts right rows is arbitrary. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightCols: Seq[(String, String)]): DataFrame = {
+    val rStruct = struct(rightCols.map { case (c, a) => col(c).as(a) }: _*)
+    val rType = right.select(rStruct.as("__r")).schema.head.dataType
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lType = left.select(lStruct.as("__l")).schema.head.dataType
+    val rRows = right.select(col(key).as("__k"), col(rightTs).as("__t"),
+      rStruct.as("__r"), lit(1).as("__isr"), lit(null).cast(lType).as("__l"))
+    val lRows = left.select(col(key).as("__k"), col(leftTs).as("__t"),
+      lit(null).cast(rType).as("__r"), lit(0).as("__isr"), lStruct.as("__l"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      // right rows sort BEFORE left rows at the same instant → inclusive
+      .orderBy(col("__t").asc, col("__isr").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    rRows.unionByName(lRows)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0)
+      .select(col("__l.*") +:
+        rightCols.map { case (_, a) => col("__carried").getField(a).as(a) }: _*)
+  }
+
   /** Join two same-bucketed tables on their bucket key. The merge hint
     * pins sort-merge (a broadcast would hide the exchange-free scan
     * property this layout exists for — and at 100 TB neither side

@@ -549,6 +549,32 @@ object RelationalQueries {
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY 1 ORDER BY o_orderpriority"""
 
+  /** q54: as-of join — each event picks up the user's most recent
+    * prior-or-simultaneous click (the point-in-time feature-lookup
+    * shape). The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the
+    * hash check pins our union+window composition to an independent
+    * native implementation of the operator. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // unique (user, ts) right side — the asOfJoin determinism contract
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+    Joins.asOfJoin(ev.filter(col("event_id") < 2000), clicks,
+        "user_id", "ts", "ts",
+        Seq(("ts", "click_ts"), ("click_value", "click_value")))
+      .select(col("event_id"), col("click_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q54Sql: String = """
+    WITH clicks AS (SELECT user_id, ts, MAX(value) AS click_value
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT e.event_id, c.ts AS click_ts, c.click_value
+    FROM events e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts <= e.ts
+    WHERE e.event_id < 2000 ORDER BY e.event_id"""
+
   /** Name → (query, oracle) for SparkEntry wiring. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01 _, q01Sql),
@@ -571,5 +597,6 @@ object RelationalQueries {
     ("q18_union_dedup", q18 _, q18Sql),
     ("q19_date_arith", q19 _, q19Sql),
     ("q46_salted_join", q46 _, q46Sql),
-    ("q47_bucketed_join", q47 _, q47Sql))
+    ("q47_bucketed_join", q47 _, q47Sql),
+    ("q54_asof_join", q54 _, q54Sql))
 }

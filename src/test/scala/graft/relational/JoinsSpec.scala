@@ -22,6 +22,28 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt missing from plan:\n$plan")
   }
 
+  test("asOfJoin: latest right row at-or-before each left ts; no match -> null") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "e1"), // before any quote -> null
+      (1L, ts("2024-01-01 00:02:00"), "e2"), // after q@01:00 -> 10
+      (1L, ts("2024-01-01 00:05:00"), "e3"), // exactly at q@05:00 -> 30 (inclusive)
+      (2L, ts("2024-01-01 00:09:00"), "e4")) // other key -> its own quote
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 10.0),
+      (1L, ts("2024-01-01 00:05:00"), 30.0),
+      (2L, ts("2024-01-01 00:03:00"), 99.0))
+      .toDF("k", "rt", "price")
+    val out = Joins.asOfJoin(left, right, "k", "t", "rt",
+        Seq(("rt", "quote_t"), ("price", "price")))
+      .select("tag", "price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out == Map("e1" -> None, "e2" -> Some(10.0),
+      "e3" -> Some(30.0), "e4" -> Some(99.0)))
+  }
+
   test("bucketedJoin: no exchange in the plan; identical rows to a plain join") {
     val work = tmpDir("bucketed-spec")
     val left = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("a"))
