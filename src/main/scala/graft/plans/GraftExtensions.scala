@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimhashExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (args: Seq[Expression]) => WinnowExpr(args(0), args(1))))
   }
 }

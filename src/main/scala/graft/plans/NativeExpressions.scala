@@ -111,6 +111,49 @@ object Kernels {
     sig
   }
 
+  /** Winnowing kernel: hash every shingle (first 8 hex digits of md5,
+    * ≡ md5Long(s, 8)), slide a window of `w` hashes keeping each
+    * window's minimum, return the distinct minima sorted ascending —
+    * exactly [[graft.text.TextFunctions.winnowFromHashes]] over
+    * `transform(sh, md5Long(_, 8))`, fused into one compiled pass (the
+    * HOF version re-walks an interpreted tree per slice element).
+    * Assumes non-null shingle elements (what wordShinglesOf produces). */
+  def winnow(shingles: ArrayData, w: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val d = md5.get()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      d.reset()
+      val b = d.digest(shingles.getUTF8String(i).getBytes)
+      hashes(i) = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      i += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    if (n <= w) {
+      var min = Long.MaxValue
+      i = 0
+      while (i < n) { if (hashes(i) < min) min = hashes(i); i += 1 }
+      mins.add(min)
+    } else {
+      var start = 0
+      while (start <= n - w) {
+        var min = Long.MaxValue
+        var j = start
+        while (j < start + w) { if (hashes(j) < min) min = hashes(j); j += 1 }
+        mins.add(min)
+        start += 1
+      }
+    }
+    val out = new Array[Any](mins.size)
+    val it = mins.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Dot-product kernel (left-to-right accumulation — same order as the
     * declarative fold and the DuckDB oracle, so doubles match bitwise).
     * Returns null for unequal lengths or null elements — the exact
@@ -187,6 +230,39 @@ case class SimhashExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_winnow(shingles, w)`: winnowing fingerprint set of a string
+  * array. w must be foldable. */
+case class WinnowExpr(child: Expression, wExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = wExpr
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!(child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow needs array<string>, got ${child.dataType.simpleString}")
+    else if (wExpr.dataType != IntegerType || !wExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_winnow needs a foldable INT w")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(shingles: Any, wv: Any): Any =
+    Kernels.winnow(shingles.asInstanceOf[ArrayData], wv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, wv) =>
+      s"${ev.value} = graft.plans.Kernels.winnow($sh, $wv);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): WinnowExpr =
+    copy(child = newLeft, wExpr = newRight)
+
+  override def prettyName: String = "graft_winnow"
 }
 
 /** `graft_dot(a, b)`: dot product of two double arrays. */

@@ -138,10 +138,9 @@ object CurationQueries {
     docs(s, d)
       .withColumn("t", tokens(col("text")))
       .withColumn("sh", wordShinglesOf(col("t"), 3))
-      .withColumn("hashes", transform(col("sh"), x => md5Long(x, 8)))
       .select(col("doc_id"),
         rollingFingerprintOf(col("t")).as("rolling_fp"),
-        array_join(winnowFromHashes(col("hashes"), 4), ",").as("winnow_fps"))
+        array_join(winnowNative(col("sh"), 4), ",").as("winnow_fps"))
       .orderBy(col("doc_id"))
 
   val q23Sql: String = {

@@ -185,6 +185,13 @@ object TextFunctions {
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
     winnowFingerprintsOf(wordShingles(text, k), w)
 
+  /** Native-kernel winnow over a SHINGLES column: hash + sliding-min +
+    * distinct + sort fused into one compiled pass, identical values to
+    * `winnowFromHashes(transform(sh, md5Long(_, 8)), w)` (parity
+    * spec-tested; requires a GraftExtensions session). */
+  def winnowNative(shingles: Column, w: Int): Column =
+    call_function("graft_winnow", shingles, lit(w))
+
   /** Winnow from an already-staged hash column (hot path: stage
     * `transform(shingles, md5Long)` first — the sliding-window slices
     * re-read the array per window, so it must be a bound column). */

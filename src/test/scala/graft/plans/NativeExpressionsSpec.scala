@@ -28,6 +28,20 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(native(3L).forall(_.isEmpty)) // no shingles -> null minima
   }
 
+  test("graft_winnow matches the declarative winnow-over-md5Long bit-for-bit") {
+    val staged = docs
+      .withColumn("t", tokens($"text"))
+      .withColumn("sh", wordShinglesOf($"t", 3))
+      .withColumn("hashes", transform($"sh", x => md5Long(x, 8)))
+    val hof = staged.select($"doc_id", winnowFromHashes($"hashes", 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = staged.select($"doc_id", winnowNative($"sh", 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof)
+    assert(native(1L).nonEmpty && native(1L) == native(1L).sorted)
+    assert(native(3L).isEmpty) // no shingles -> empty fingerprint set
+  }
+
   test("graft_simhash matches the declarative tf-weighted fold bit-for-bit") {
     val staged = docs.withColumn("t", tokens($"text"))
     val hof = staged.select($"doc_id", Dedup.simhashOf($"t").as("s"))
