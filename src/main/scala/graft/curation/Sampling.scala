@@ -23,6 +23,31 @@ object Sampling {
     df.filter(pmod(md5Long(idCol.cast("string"), 8), lit(1000)) < perMille)
   }
 
+  /** Temperature-balanced mix allocation (the multilingual
+    * alpha-sampling scheme): stratum i gets weight cᵢ^alpha / Σ cⱼ^alpha
+    * — alpha 1.0 = proportional, 0.0 = uniform, 0.3-0.7 the usual
+    * up-weighting of low-resource strata. Returns one row per stratum
+    * with its count, weight, and integer allocation out of `budget`.
+    *
+    * Determinism contract: the denominator is folded LEFT-TO-RIGHT in
+    * stratum sort order (not a parallel sum() whose accumulation order
+    * is partition-dependent), so the doubles — and the oracle hash —
+    * are exact. The stratum table is tiny (one row per stratum); the
+    * only corpus-scale work is the counting aggregate. */
+  def mixAllocation(df: DataFrame, stratum: String, alpha: Double,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(col(stratum))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pw", pow(col("c").cast("double"), lit(alpha)))
+    val tot = counts
+      .agg(sort_array(collect_list(struct(col(stratum), col("pw")))).as("a"))
+      .select(aggregate(col("a"), lit(0.0), (acc, x) => acc + x.getField("pw")).as("tot"))
+    counts.crossJoin(tot)
+      .select(col(stratum), col("c"),
+        round(col("pw") / col("tot"), 6).as("weight"),
+        floor(lit(budget.toDouble) * col("pw") / col("tot")).cast("long").as("alloc"))
+  }
+
   /** At most `cap` rows per stratum, chosen by md5 order of the id
     * (reproducible "random" priority; ties broken by the id itself).
     *

@@ -561,6 +561,27 @@ object CurationQueries {
     ORDER BY new_id, corpus_id"""
   }
 
+  // ---- q55: temperature-balanced mix allocation ----
+
+  /** Token-budget allocation across languages with alpha=0.5 sampling
+    * (up-weights low-resource languages) — the mix-design step between
+    * curation and training. */
+  def q55(s: SparkSession, d: String): DataFrame =
+    graft.curation.Sampling.mixAllocation(docs(s, d), "lang",
+        alpha = 0.5, budget = 1000000L)
+      .orderBy(col("lang"))
+
+  val q55Sql: String = """
+    WITH counts AS (SELECT lang, COUNT(*) AS c,
+                           pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS pw
+                    FROM documents GROUP BY 1),
+    tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(pw ORDER BY lang)), (a, x) -> a + x) AS t
+            FROM counts)
+    SELECT lang, c, round(pw / t, 6) AS weight,
+           CAST(floor(1000000 * pw / t) AS BIGINT) AS alloc
+    FROM counts, tot ORDER BY lang"""
+
   // ---- q51: duplicate clusters (connected components over pairs) ----
 
   /** Pairs → clusters: exact Jaccard ≥ 0.8 pairs (the verified near-dup
@@ -682,5 +703,6 @@ object CurationQueries {
     ("q49_stratified_sample", q49 _, Some(q49Sql)),
     ("q50_length_percentiles", q50 _, Some(q50Sql)),
     ("q51_dedup_clusters", q51 _, Some(q51Sql)),
-    ("q52_incremental_neardup", q52 _, Some(q52Sql)))
+    ("q52_incremental_neardup", q52 _, Some(q52Sql)),
+    ("q55_mix_allocation", q55 _, Some(q55Sql)))
 }

@@ -25,6 +25,22 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("mixAllocation: alpha interpolates proportional -> uniform; weights sum to ~1") {
+    val df = (1 to 90).map(i => if (i <= 80) "big" else "small").toDF("src")
+    def weights(alpha: Double) =
+      Sampling.mixAllocation(df, "src", alpha, budget = 1000)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val prop = weights(1.0)
+    assert(math.abs(prop("big") - 8.0 / 9) < 1e-6) // 80/90
+    val uni = weights(0.0)
+    assert(uni("big") == 0.5 && uni("small") == 0.5)
+    val temp = weights(0.5)
+    assert(temp("small") > 1.0 / 9 && temp("small") < 0.5) // up-weighted, not equal
+    val allocs = Sampling.mixAllocation(df, "src", 0.5, budget = 1000)
+      .collect().map(_.getLong(3))
+    assert(allocs.sum <= 1000 && allocs.sum >= 998) // floor loses < 1 per stratum
+  }
+
   test("stratifiedCap: cap per stratum, deterministic, small strata intact") {
     val skewed = corpus.filter($"src" =!= "3")
       .union(corpus.filter($"src" === "3").limit(2)) // one tiny stratum
