@@ -88,13 +88,14 @@ object Main {
           new SchemaRegistry(req(flags, "warehouse")),
           loadRules(req(flags, "rules")),
           dedup = flags.contains("dedup"))
-        graft.streaming.StreamLog.attach(spark, cfg.registry)
+        val sl = graft.streaming.StreamLog.attach(spark, cfg.registry)
         val trigger = flags.get("continuous")
           .map(ms => Trigger.ProcessingTime(ms.toLong))
           .getOrElse(Trigger.AvailableNow())
         val q = Pipeline.stream(spark, cfg, pos.head, req(flags, "checkpoint"),
           trigger, flags.get("max-files").map(_.toInt))
         q.awaitTermination()
+        sl.drain() // let the final batch's telemetry land before stop
 
       case "push" | "p" =>
         // HTTP Pub/Sub push endpoint (S6): receiver spools notifications,
@@ -103,7 +104,7 @@ object Main {
           new SchemaRegistry(req(flags, "warehouse")),
           loadRules(req(flags, "rules")),
           dedup = flags.contains("dedup"))
-        graft.streaming.StreamLog.attach(spark, cfg.registry)
+        val sl = graft.streaming.StreamLog.attach(spark, cfg.registry)
         val spool = req(flags, "spool")
         val rx = new graft.sources.PushReceiver(spool,
           flags.get("port").map(_.toInt).getOrElse(0)).start()
@@ -115,7 +116,7 @@ object Main {
           req(flags, "checkpoint"),
           Trigger.ProcessingTime(flags.get("interval").map(_.toLong).getOrElse(1000L)),
           rewrite)
-        try q.awaitTermination() finally rx.stop()
+        try q.awaitTermination() finally { sl.drain(); rx.stop() }
 
       case "enqueue" | "e" =>
         require(pos.size == 1, "enqueue needs exactly one prefix glob")

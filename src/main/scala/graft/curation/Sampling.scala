@@ -36,7 +36,11 @@ object Sampling {
     * only corpus-scale work is the counting aggregate. */
   def mixAllocation(df: DataFrame, stratum: String, alpha: Double,
       budget: Long): DataFrame = {
-    val counts = df.groupBy(col(stratum))
+    // a null stratum is not a real corpus slice (and null sort order
+    // differs across engines, which would break the ordered-fold
+    // determinism contract) — excluded, not allocated
+    val counts = df.filter(col(stratum).isNotNull)
+      .groupBy(col(stratum))
       .agg(count(lit(1)).as("c"))
       .withColumn("pw", pow(col("c").cast("double"), lit(alpha)))
     val tot = counts

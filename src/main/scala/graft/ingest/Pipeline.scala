@@ -157,6 +157,14 @@ object Pipeline {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import spark.implicits._
+    // The text source DECODES file content as UTF-8 lines — fine for
+    // NDJSON rules (the lines are reused directly, no second read), but
+    // a binary parquet or multi-doc object would be materialized as
+    // garbage mega-rows just to be discarded. Rule sets containing any
+    // non-line format use metadata-only discovery instead.
+    if (cfg.rules.event.exists(r => r.parser != "json" || r.multiDoc))
+      return streamByListing(spark, cfg, landingGlob, checkpointDir, trigger,
+        maxFilesPerTrigger)
     var reader = spark.readStream.format("text")
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val lines = reader.load(landingGlob)
@@ -191,6 +199,43 @@ object Pipeline {
               .select("value").as[String]
             ingestLines(spark, cfg, rule, lines, ingestId)
           }
+        }
+        if (cfg.telemetry)
+          writeLoadLog(spark, cfg.registry, ingestId, started, results)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming ingest with METADATA-ONLY discovery: the checkpointed
+    * binaryFile source tracks new objects, but only (path, size, mtime)
+    * is ever selected — the source skips the content column entirely,
+    * so binary/columnar objects are never decoded as text. Every
+    * matched object is then read by its rule's own reader. Used by
+    * [[stream]] whenever a rule's format isn't line-JSON. */
+  private def streamByListing(spark: SparkSession, cfg: Config,
+      landingGlob: String, checkpointDir: String, trigger: Trigger,
+      maxFilesPerTrigger: Option[Int]): StreamingQuery = {
+    var reader = spark.readStream.format("binaryFile")
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val files = reader.load(landingGlob)
+      .select(col("path"), col("length").as("size"),
+        col("modificationTime").as("created_at"))
+    files.writeStream
+      .queryName("graft-ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ingestId = UUID.randomUUID().toString
+        val started = System.currentTimeMillis()
+        val objects = batch
+          .withColumn("bucket", lit(""))
+          .withColumn("name", col("path"))
+          .withColumn("md5", lit(null).cast("string"))
+        val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
+          val paths = matched.select("path").collect().map(_.getString(0)).toSeq
+          if (paths.isEmpty) Nil
+          else ingestRecords(spark, cfg, rule, readObjects(spark, rule, paths), ingestId)
         }
         if (cfg.telemetry)
           writeLoadLog(spark, cfg.registry, ingestId, started, results)

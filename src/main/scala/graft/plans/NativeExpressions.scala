@@ -117,7 +117,10 @@ object Kernels {
     * exactly [[graft.text.TextFunctions.winnowFromHashes]] over
     * `transform(sh, md5Long(_, 8))`, fused into one compiled pass (the
     * HOF version re-walks an interpreted tree per slice element).
-    * Assumes non-null shingle elements (what wordShinglesOf produces). */
+    * Null shingle elements hash to Long.MaxValue — i.e. they never win
+    * a window minimum, matching array_min's null-ignoring semantics
+    * (wordShinglesOf never produces them, but the SQL-registered
+    * function must not NPE on hand-built arrays). */
   def winnow(shingles: ArrayData, w: Int): ArrayData = {
     val n = shingles.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
@@ -125,10 +128,13 @@ object Kernels {
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      d.reset()
-      val b = d.digest(shingles.getUTF8String(i).getBytes)
-      hashes(i) = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
-        ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      if (shingles.isNullAt(i)) hashes(i) = Long.MaxValue
+      else {
+        d.reset()
+        val b = d.digest(shingles.getUTF8String(i).getBytes)
+        hashes(i) = ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+          ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+      }
       i += 1
     }
     val mins = new java.util.TreeSet[java.lang.Long]()
@@ -191,7 +197,7 @@ case class MinhashSignatureExpr(child: Expression, kExpr: Expression)
         "graft_minhash needs a foldable INT k")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = child.nullable || kExpr.nullable
 
   override def nullSafeEval(shingles: Any, kv: Any): Any =
     Kernels.minhashSignature(shingles.asInstanceOf[ArrayData], kv.asInstanceOf[Int])
@@ -249,7 +255,9 @@ case class WinnowExpr(child: Expression, wExpr: Expression)
         "graft_winnow needs a foldable INT w")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // wExpr too: a foldable NULL w must null the result, not reach the
+  // kernel (codegen elides the null check when nullable is false)
+  override def nullable: Boolean = child.nullable || wExpr.nullable
 
   override def nullSafeEval(shingles: Any, wv: Any): Any =
     Kernels.winnow(shingles.asInstanceOf[ArrayData], wv.asInstanceOf[Int])

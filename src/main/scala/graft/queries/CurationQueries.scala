@@ -574,7 +574,7 @@ object CurationQueries {
   val q55Sql: String = """
     WITH counts AS (SELECT lang, COUNT(*) AS c,
                            pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS pw
-                    FROM documents GROUP BY 1),
+                    FROM documents WHERE lang IS NOT NULL GROUP BY 1),
     tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                      list(pw ORDER BY lang)), (a, x) -> a + x) AS t
             FROM counts)

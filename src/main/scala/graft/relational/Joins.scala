@@ -78,7 +78,11 @@ object Joins {
     * `rightCols` maps right-side columns to output names (alias them
     * away from left column names). The right side must be unique per
     * (key, rightTs) — pre-aggregate if not, or the carried row among
-    * equal-ts right rows is arbitrary. */
+    * equal-ts right rows is arbitrary. Null semantics match the
+    * equi-join + comparison contract: right rows with a null key or
+    * null `rightTs` can never satisfy `r.key = l.key AND r.ts <= l.ts`,
+    * so they are dropped (NOT sorted first and carried, which is what
+    * a naive null-ascending window would do). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       rightCols: Seq[(String, String)]): DataFrame = {
@@ -86,8 +90,10 @@ object Joins {
     val rType = right.select(rStruct.as("__r")).schema.head.dataType
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val lType = left.select(lStruct.as("__l")).schema.head.dataType
-    val rRows = right.select(col(key).as("__k"), col(rightTs).as("__t"),
-      rStruct.as("__r"), lit(1).as("__isr"), lit(null).cast(lType).as("__l"))
+    val rRows = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__t"),
+        rStruct.as("__r"), lit(1).as("__isr"), lit(null).cast(lType).as("__l"))
     val lRows = left.select(col(key).as("__k"), col(leftTs).as("__t"),
       lit(null).cast(rType).as("__r"), lit(0).as("__isr"), lStruct.as("__l"))
     val w = org.apache.spark.sql.expressions.Window

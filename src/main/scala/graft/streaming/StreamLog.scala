@@ -20,11 +20,31 @@ import graft.schema.SchemaRegistry
 final class StreamLog(spark: SparkSession, registry: SchemaRegistry)
     extends StreamingQueryListener {
 
+  // progress events are delivered async on the listener bus; a one-shot
+  // driver that calls spark.stop() right after awaitTermination() would
+  // otherwise race the final batch's telemetry write (the write job
+  // then dies on the stopped context and the run records nothing)
+  private val pending = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var lastEventAtMs = 0L
+
+  /** Wait until the listener has been quiet for `quietMs` and no write
+    * is in flight (bounded by `maxWaitMs`) — call before stopping the
+    * session in one-shot runs so the final batch's row lands. */
+  def drain(maxWaitMs: Long = 5000, quietMs: Long = 400): Unit = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    while (System.currentTimeMillis() < deadline &&
+      (pending.get() > 0 ||
+        System.currentTimeMillis() - lastEventAtMs < quietMs))
+      Thread.sleep(50)
+  }
+
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     import spark.implicits._
+    pending.incrementAndGet()
+    lastEventAtMs = System.currentTimeMillis()
     val p = e.progress
     val row = (Option(p.name).getOrElse(""), p.id.toString, p.batchId,
       p.numInputRows, p.durationMs.getOrDefault("triggerExecution", 0L),
@@ -38,7 +58,7 @@ final class StreamLog(spark: SparkSession, registry: SchemaRegistry)
       // telemetry must never kill the listener bus; the query goes on
       case e: Exception =>
         System.err.println(s"[stream_log] append failed: ${e.getMessage}")
-    }
+    } finally pending.decrementAndGet()
   }
 }
 
