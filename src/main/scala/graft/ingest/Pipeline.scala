@@ -216,7 +216,17 @@ object Pipeline {
   private def streamByListing(spark: SparkSession, cfg: Config,
       landingGlob: String, checkpointDir: String, trigger: Trigger,
       maxFilesPerTrigger: Option[Int]): StreamingQuery = {
-    var reader = spark.readStream.format("binaryFile")
+    // streaming sources need an explicit schema; binaryFile's is fixed
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    var reader = spark.readStream.format("binaryFile").schema(binSchema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val files = reader.load(landingGlob)
       .select(col("path"), col("length").as("size"),

@@ -70,6 +70,24 @@ class PipelineSpec extends SparkSpec {
       && srcLog(0).getString(1).endsWith("access.log") && srcLog(0).getLong(2) == 2L)
   }
 
+  test("streaming ingest of csv rules uses metadata-only discovery (no text decode)") {
+    val landing = tmpDir("csv-landing")
+    writeFile(landing, "metrics.csv",
+      "metric_id,ts,v\nm1,1714557600.5,1.5\nm2,1714557601.0,2.5\n")
+    val registry = new SchemaRegistry(tmpDir("csv-tables"))
+    val cfg = Pipeline.Config(registry, Rules(
+      event = Seq(EventRule(name = "metrics", when = "name LIKE '%.csv'",
+        parser = "csv", schemaRule = "metrics")),
+      schema = Seq(SchemaRule(name = "metrics",
+        dataset = "'stream_test'", table = "'metrics'",
+        id = Some("metric_id"), timestamp = "ts"))))
+    val q = Pipeline.stream(spark, cfg, s"$landing/*.csv", tmpDir("csv-ckpt"))
+    q.awaitTermination()
+    val out = TableSink.read(spark, registry, "stream_test", "metrics")
+    assert(out.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("m1", "m2"))
+    assert(out.select("data.v").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.5, 2.5))
+  }
+
   test("invalid records land in _meta.quarantine with reasons; valid rows unaffected") {
     val landing = tmpDir("landing")
     // record 2 has no event_time -> timestamp_null; record 3's is junk text
