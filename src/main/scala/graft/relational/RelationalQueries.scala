@@ -575,6 +575,43 @@ object RelationalQueries {
       ON e.user_id = c.user_id AND c.ts <= e.ts
     WHERE e.event_id < 2000 ORDER BY e.event_id"""
 
+  /** q56: batch sessionization — the lag + cumulative-flag SQL twin of
+    * the streaming `StreamOps.sessionize` state machine: a session
+    * breaks when the gap to the previous event exceeds 30 min. Gap
+    * arithmetic is in exact integer MICROSECONDS (`unix_micros` ≡
+    * DuckDB `epoch_us`) — second-truncated `unix_timestamp` would
+    * misclassify sub-second boundaries. One shuffle (by user), two
+    * window passes over it. */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val ev = Tables.events(s, d).filter(col("user_id") < 50)
+      .withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("ns", when(lag(col("us"), 1).over(w).isNull ||
+        col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("total_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  val q56Sql: String = s"""
+    WITH e AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us
+               FROM events WHERE user_id < 50),
+    f AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM f)
+    SELECT user_id, sid, COUNT(*) AS n_events, ${dsumSql("value")} AS total_value,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY 1, 2 ORDER BY user_id, sid"""
+
   /** Name → (query, oracle) for SparkEntry wiring. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("q01_pricing_summary", q01 _, q01Sql),
@@ -598,5 +635,6 @@ object RelationalQueries {
     ("q19_date_arith", q19 _, q19Sql),
     ("q46_salted_join", q46 _, q46Sql),
     ("q47_bucketed_join", q47 _, q47Sql),
-    ("q54_asof_join", q54 _, q54Sql))
+    ("q54_asof_join", q54 _, q54Sql),
+    ("q56_sessionization", q56 _, q56Sql))
 }
