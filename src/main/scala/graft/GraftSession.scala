@@ -32,6 +32,12 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Dynamic-partition writes (time-partitioned table appends) insert
+      // a per-task sort on the partition column unless the writer may
+      // keep this many files open concurrently; our partition counts per
+      // batch are small (days/months in a batch), so trading open-file
+      // handles for the sort removes a full sort of every ingest batch.
+      .config("spark.sql.maxConcurrentOutputFileWriters", "64")
       // InferFiltersFromGenerate rewrites explode(e) into
       // Filter(size(e)>0 && isnotnull(e)) + Generate and then pushes the
       // filter down THROUGH projections, substituting aliases — for an

@@ -48,6 +48,16 @@ object Pipeline {
 
   final case class LoadResult(ingestId: String, results: Seq[TableSink.IngestResult])
 
+  /** Set GRAFT_TIMING=1 to print per-phase ingest timings to stderr —
+    * the local feedback loop for keeping the ingest hot path flat. */
+  private val timing = sys.env.contains("GRAFT_TIMING")
+  private def timed[A](tag: String)(f: => A): A =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[ingest] $tag ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
+    }
+
   /** Ingest explicit object paths (≡ `swarm ingest` CLI, SURVEY §3.2). */
   def ingestPaths(spark: SparkSession, cfg: Config, paths: Seq[String]): LoadResult = {
     val objects = ObjectSource.list(spark, paths.head)
@@ -62,8 +72,16 @@ object Pipeline {
   def ingestPrefix(spark: SparkSession, cfg: Config, prefixGlob: String): LoadResult =
     ingestObjects(spark, cfg, ObjectSource.list(spark, prefixGlob))
 
-  /** Core body: evaluate event rules on metadata, parse matched objects,
-    * transform per schema rule, append per destination. */
+  /** Core body: evaluate event rules on metadata, parse matched objects
+    * ONCE, transform per schema rule, append per destination.
+    *
+    * Single-pass contract (ref: one download per object, everything
+    * downstream in-memory — `pkg/usecase/load.go:186-249`): each rule's
+    * object set is read and JSON-parsed exactly once into a materialized
+    * batch ([[readBatch]]); source-row telemetry, quarantine, and the
+    * destination appends are all derived from that shared in-memory
+    * frame. At 100 TB the JSON parse IS the ingest cost, so parse
+    * amplification is the first thing this pipeline refuses to do. */
   def ingestObjects(spark: SparkSession, cfg: Config, objects: DataFrame): LoadResult = {
     val ingestId = UUID.randomUUID().toString
     val started = System.currentTimeMillis()
@@ -73,28 +91,29 @@ object Pipeline {
       val paths = matched.select("path").collect().map(_.getString(0)).toSeq
       if (paths.isEmpty) Nil
       else {
-        val records = readObjects(spark, rule, paths)
-        if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
-          // per-source decoded-row counts (ref SourceLog.RowCount,
-          // `model/bigquery.go:19-26`) — one distributed pass, one
-          // metadata-sized row per object. input_file_name() is empty for
-          // non-file-backed reads (multiDoc re-serialization) → one
-          // rule-level row there.
-          records.groupBy(input_file_name().as("p"))
-            .agg(count(lit(1)).as("n")).collect()
-            .foreach(r => sourceLogs += ((rule.name, r.getString(0), r.getLong(1))))
-        }
-        val routed = Transform(records, cfg.rules.schemaRule(rule.schemaRule), ingestId)
-        if (cfg.telemetry && cfg.dryRunDir.isEmpty)
-          writeQuarantine(spark, cfg.registry, started,
-            Transform.invalid(records, cfg.rules.schemaRule(rule.schemaRule), ingestId))
-        cfg.dryRunDir match {
-          case Some(dir) =>
-            DumpSink.dump(Transform.pruneDataSchema(routed), dir).map { case (ds, tbl) =>
-              TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
-            }
-          case None => TableSink.append(spark, cfg.registry, routed, cfg.dedup)
-        }
+        val batch = timed("readBatch")(readBatch(spark, rule, paths))
+        try {
+          if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
+            // per-source decoded-row counts (ref SourceLog.RowCount,
+            // `model/bigquery.go:19-26`) — aggregated over the cached
+            // batch, one metadata-sized row per object.
+            timed("sourceCounts")(batch.sourceCounts.collect()
+              .foreach(r => sourceLogs += ((rule.name, r.getString(0), r.getLong(1)))))
+          }
+          val schemaRule = cfg.rules.schemaRule(rule.schemaRule)
+          val routed = Transform(batch.records, schemaRule, ingestId)
+          if (cfg.telemetry && cfg.dryRunDir.isEmpty)
+            timed("quarantine")(writeQuarantine(spark, cfg.registry, started,
+              Transform.invalid(batch.records, schemaRule, ingestId)))
+          cfg.dryRunDir match {
+            case Some(dir) =>
+              DumpSink.dump(Transform.pruneDataSchema(routed), dir).map { case (ds, tbl) =>
+                TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
+              }
+            case None => timed("append")(TableSink.append(spark, cfg.registry, routed,
+              cfg.dedup, knownDests = schemaRule.literalDests))
+          }
+        } finally batch.release()
       }
     }
     if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
@@ -104,32 +123,105 @@ object Pipeline {
     LoadResult(ingestId, results)
   }
 
-  /** Parse one event-rule's objects with full-scan schema inference
-    * (`spark.read.json` samples ALL rows — same coverage the reference
+  /** One rule's object set, parsed and MATERIALIZED exactly once.
+    *
+    * `records` carries only the record fields (what [[Transform]] packs
+    * into `data`); `sourceCounts` is the per-source-object decoded row
+    * count `(p, n)` derived from the same cached frame; `release` frees
+    * the cache — callers must invoke it when the batch is fully
+    * consumed (no cached blocks outlive the ingest). */
+  private[ingest] final case class Batch(records: DataFrame,
+      sourceCounts: DataFrame, release: () => Unit)
+
+  private val SourceCol = "__graft_src"
+
+  /** Read + parse one event-rule's objects with full-scan schema
+    * inference (ALL rows type the schema — same coverage the reference
     * advertises vs BigQuery autodetect's 500-row sample,
-    * `docs/comparisons.md:18`). `dropFieldIfAllNull` reproduces the
-    * null/empty stripping of `cloneWithoutNil` at inference time. */
-  private[ingest] def readObjects(spark: SparkSession, rule: EventRule,
-      paths: Seq[String]): DataFrame = rule.parser match {
+    * `docs/comparisons.md:18`; `dropFieldIfAllNull` reproduces the
+    * null/empty stripping of `cloneWithoutNil` at inference time).
+    *
+    * Scan/parse budget (the scale contract):
+    *   - json/NDJSON: file bytes are read ONCE (`spark.read.text`, gz
+    *     transparent) into the block-manager cache; inference is one
+    *     parse over the cached lines, materialization one more
+    *     (`from_json` → typed rows, eagerly cached); every downstream
+    *     action — telemetry counts, quarantine, per-destination appends —
+    *     reads the typed cache. Versus parsing the files per action
+    *     (4× at round 2), this is 1× I/O + 2× in-memory parse.
+    *   - multiDoc: same, over [[ConcatJsonReader.docsWithPath]] docs.
+    *   - csv: header + full-scan inference then an eager cache — 2 file
+    *     reads total, downstream actions hit the cache.
+    *   - parquet: left lazy — columnar, self-describing, and caching
+    *     would defeat column pruning in the downstream projections. */
+  private[ingest] def readBatch(spark: SparkSession, rule: EventRule,
+      paths: Seq[String]): Batch = rule.parser match {
     case "csv" =>
-      // header + full-scan inference: the same all-rows typing contract
-      // as the JSON path (vs sampled autodetect)
-      spark.read.option("header", "true").option("inferSchema", "true")
+      val parsed = spark.read.option("header", "true").option("inferSchema", "true")
         .csv(paths: _*)
-    case "parquet" => spark.read.parquet(paths: _*)
-    case _ if rule.multiDoc => ConcatJsonReader.read(spark, paths)
-    case _ => spark.read
-      .option("dropFieldIfAllNull", "true")
-      .json(paths: _*)
+        .withColumn(SourceCol, input_file_name())
+        .persist()
+      parsed.count() // eager: downstream actions must not re-read files
+      Batch(parsed.drop(SourceCol), countsBySource(parsed),
+        () => { parsed.unpersist(); () })
+    case "parquet" =>
+      val df = spark.read.parquet(paths: _*)
+      Batch(df, countsBySource(df.withColumn(SourceCol, input_file_name())),
+        () => ())
+    case _ if rule.multiDoc =>
+      parseOnce(spark, ConcatJsonReader.docsWithPath(spark, paths))
+    case _ =>
+      parseOnce(spark,
+        spark.read.text(paths: _*)
+          .select(col("value"), input_file_name().as(SourceCol)))
   }
 
-  /** Same body over an already-parsed line Dataset (streaming batches
-    * arrive as text lines; inference via `read.json(Dataset[String])`
-    * avoids re-reading the files). */
+  private def countsBySource(df: DataFrame): DataFrame =
+    df.groupBy(col(SourceCol).as("p")).agg(count(lit(1)).as("n"))
+
+  /** The single-parse kernel: raw `(value, __graft_src)` docs → one
+    * cached typed frame. The raw docs are cached first (so inference
+    * costs CPU, not a second file read), the inferred-schema parse is
+    * materialized eagerly, then the raw cache is dropped — peak memory
+    * holds text + typed rows only during the parse itself.
+    *
+    * Parse semantics match `spark.read.json`: blank docs are skipped,
+    * a top-level JSON array contributes one record per element (the
+    * `ArrayType` wrap — Jackson wraps a lone object as a 1-element
+    * array), and an unparseable doc yields an all-null record (the
+    * PERMISSIVE row, which validation then quarantines as null-routed). */
+  private def parseOnce(spark: SparkSession, raw: DataFrame): Batch = {
+    import spark.implicits._
+    val lines = raw.persist()
+    val nonBlank = lines.filter(trim(col("value")) =!= "")
+    val elem = spark.read.option("dropFieldIfAllNull", "true")
+      .json(nonBlank.select("value").as[String]).schema
+    val arr = from_json(col("value"), org.apache.spark.sql.types.ArrayType(elem))
+    val parsed = nonBlank
+      .select(explode(coalesce(arr, array(lit(null).cast(elem)))).as("__rec"),
+        col(SourceCol))
+      .select(col("__rec.*"), col(SourceCol))
+      .persist()
+    // No eager materialization job: the FIRST downstream action (source
+    // counts when telemetry is on, else the append itself) fills the
+    // typed cache straight from the cached text — every later action
+    // reads typed rows. Both caches are dropped together at release();
+    // peak footprint is one batch of text + typed rows, spilling to disk
+    // beyond memory.
+    Batch(parsed.drop(SourceCol), countsBySource(parsed),
+      () => { parsed.unpersist(); lines.unpersist(); () })
+  }
+
+  /** Same single-parse body over an already-discovered line Dataset
+    * (streaming batches arrive as text lines; the caller holds the
+    * lines cache, so inference and the one materializing parse both
+    * run over memory, never re-reading the source files). */
   private def ingestLines(spark: SparkSession, cfg: Config, rule: EventRule,
       lines: Dataset[String], ingestId: String): Seq[TableSink.IngestResult] = {
-    val records = spark.read.option("dropFieldIfAllNull", "true").json(lines)
-    ingestRecords(spark, cfg, rule, records, ingestId)
+    val batch = parseOnce(spark, lines.toDF("value")
+      .withColumn(SourceCol, lit("")))
+    try ingestRecords(spark, cfg, rule, batch.records, ingestId)
+    finally batch.release()
   }
 
   /** Transform + quarantine + append for one rule's parsed records —
@@ -179,29 +271,35 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ingestId = UUID.randomUUID().toString
         val started = System.currentTimeMillis()
-        val files = batch.select("path", "size", "created_at").distinct()
-          .withColumn("bucket", lit(""))
-          .withColumn("name", col("path"))
-          // file-source metadata has no checksum; keep the rule-visible
-          // schema identical to ObjectSource.list (null never matches)
-          .withColumn("md5", lit(null).cast("string"))
-        val results = cfg.rules.matchObjects(files).flatMap { case (rule, matched) =>
-          val paths = matched.select("path").collect().map(_.getString(0))
-          if (paths.isEmpty) Nil
-          else if (rule.multiDoc || rule.parser != "json")
-            // non-line formats (concatenated JSON, csv, parquet) are
-            // re-read whole by path; the text-source lines are only the
-            // discovery signal for them
-            ingestRecords(spark, cfg, rule,
-              readObjects(spark, rule, paths.toSeq), ingestId)
-          else {
-            val lines = batch.filter(col("path").isin(paths.toIndexedSeq: _*))
-              .select("value").as[String]
-            ingestLines(spark, cfg, rule, lines, ingestId)
+        // the micro-batch lines feed discovery AND (for line-JSON rules)
+        // the parse itself — cache them so neither re-reads the files
+        val cached = batch.persist()
+        try {
+          val files = cached.select("path", "size", "created_at").distinct()
+            .withColumn("bucket", lit(""))
+            .withColumn("name", col("path"))
+            // file-source metadata has no checksum; keep the rule-visible
+            // schema identical to ObjectSource.list (null never matches)
+            .withColumn("md5", lit(null).cast("string"))
+          val results = cfg.rules.matchObjects(files).flatMap { case (rule, matched) =>
+            val paths = matched.select("path").collect().map(_.getString(0))
+            if (paths.isEmpty) Nil
+            else if (rule.multiDoc || rule.parser != "json") {
+              // non-line formats (concatenated JSON, csv, parquet) are
+              // re-read whole by path; the text-source lines are only the
+              // discovery signal for them
+              val b = readBatch(spark, rule, paths.toSeq)
+              try ingestRecords(spark, cfg, rule, b.records, ingestId)
+              finally b.release()
+            } else {
+              val lines = cached.filter(col("path").isin(paths.toIndexedSeq: _*))
+                .select("value").as[String]
+              ingestLines(spark, cfg, rule, lines, ingestId)
+            }
           }
-        }
-        if (cfg.telemetry)
-          writeLoadLog(spark, cfg.registry, ingestId, started, results)
+          if (cfg.telemetry)
+            writeLoadLog(spark, cfg.registry, ingestId, started, results)
+        } finally cached.unpersist()
         ()
       }
       .start()
@@ -245,7 +343,11 @@ object Pipeline {
         val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
           val paths = matched.select("path").collect().map(_.getString(0)).toSeq
           if (paths.isEmpty) Nil
-          else ingestRecords(spark, cfg, rule, readObjects(spark, rule, paths), ingestId)
+          else {
+            val b = readBatch(spark, rule, paths)
+            try ingestRecords(spark, cfg, rule, b.records, ingestId)
+            finally b.release()
+          }
         }
         if (cfg.telemetry)
           writeLoadLog(spark, cfg.registry, ingestId, started, results)
@@ -303,8 +405,11 @@ object Pipeline {
         new java.sql.Timestamp(System.currentTimeMillis()),
         r.dataset, r.table, r.schemaVersion, r.logCount, r.success))
     if (rows.isEmpty) return
+    // driver-sized telemetry (rows = destinations): one task, not a
+    // default-parallelism fan-out of empty partitions
     val df = rows.toDF("ingest_id", "started_at", "finished_at",
         "dataset", "table", "schema_version", "log_count", "success")
+      .coalesce(1)
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
     df.write.mode("append").partitionBy("__part")
       .parquet(registry.dataDir("_meta", "load_log"))
@@ -337,6 +442,7 @@ object Pipeline {
     val df = sources.map { case (rule, path, n) =>
       (ingestId, new java.sql.Timestamp(startedMs), rule, path, n)
     }.toDF("ingest_id", "started_at", "rule", "path", "row_count")
+      .coalesce(1) // driver-sized: rows = source objects in this ingest
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
     df.write.mode("append").partitionBy("__part")
       .parquet(registry.dataDir("_meta", "source_log"))
@@ -353,13 +459,16 @@ object Pipeline {
       val ps = matched.select("path").collect().map(_.getString(0)).toSeq
       if (ps.isEmpty) Nil
       else {
-        val routed = Transform.pruneDataSchema(
-          Transform(readObjects(spark, rule, ps),
-            cfg.rules.schemaRule(rule.schemaRule), "schema-inspect"))
-        val dataSchema = routed.schema("data").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        routed.select("dataset", "table").distinct().collect()
-          .map(r => (r.getString(0), r.getString(1), dataSchema)).toSeq
+        val batch = readBatch(spark, rule, ps)
+        try {
+          val routed = Transform.pruneDataSchema(
+            Transform(batch.records,
+              cfg.rules.schemaRule(rule.schemaRule), "schema-inspect"))
+          val dataSchema = routed.schema("data").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          routed.select("dataset", "table").distinct().collect()
+            .map(r => (r.getString(0), r.getString(1), dataSchema)).toSeq
+        } finally batch.release()
       }
     }
   }

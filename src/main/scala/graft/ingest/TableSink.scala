@@ -60,11 +60,16 @@ object TableSink {
     * re-deliveries are near-in-time), not the whole history.
     */
   def append(spark: SparkSession, registry: SchemaRegistry,
-      routed: DataFrame, dedup: Boolean = false): Seq[IngestResult] = {
+      routed: DataFrame, dedup: Boolean = false,
+      knownDests: Option[Seq[(String, String, String)]] = None): Seq[IngestResult] = {
     val pruned = Transform.pruneDataSchema(routed)
-    // distinct destinations: driver-side, O(#tables) not O(#rows)
-    val dests = pruned.select("dataset", "table", "partition").distinct()
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // distinct destinations: driver-side, O(#tables) not O(#rows) — and
+    // skipped entirely when the rule routes by literals
+    // ([[graft.rules.SchemaRule.literalDests]]): static routing is the
+    // common case and should not cost a scan of the batch.
+    val dests = knownDests.map(_.toArray).getOrElse(
+      pruned.select("dataset", "table", "partition").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))))
     def one(ds: String, tbl: String, unit: String): IngestResult = {
       val slice = pruned
         .filter(col("dataset") === ds && col("table") === tbl &&

@@ -33,13 +33,17 @@ object PipelineQueries {
       id = Some("cast(event_id as string)"))))
 
   private def exportNdjson(s: SparkSession, d: String, dir: String,
-      codec: Option[String] = None): Unit = {
+      codec: Option[String] = None, nParts: Int = 32): Unit = {
     val w = Tables.events(s, d)
       .withColumn("ts", unix_timestamp(col("ts")).cast("double"))
       // repartition (not coalesce — the source is a single parquet file,
-      // so coalesce(4) would stay at 1) → 4 landing objects, exercising
-      // multi-object listing and per-source telemetry
-      .repartition(4).write.mode("overwrite")
+      // so coalesce(n) would stay at 1) → n landing objects, exercising
+      // multi-object listing and per-source telemetry. Default 32: the
+      // landing file count caps the parallelism of every downstream
+      // parse job (text splits = files here), so a 4-file export made
+      // the whole ingest run 4-wide on a 32-core session. q40/q41 pin
+      // nParts=4 because their oracles assert the source/batch counts.
+      .repartition(nParts).write.mode("overwrite")
     codec.fold(w)(c => w.option("compression", c)).json(dir)
   }
 
@@ -224,7 +228,7 @@ object PipelineQueries {
     * row counts are hash-checked, not just present. */
   def q40(s: SparkSession, d: String): DataFrame = {
     val work = graft.util.Workspace.temp("graft-q40")
-    exportNdjson(s, d, s"$work/landing")
+    exportNdjson(s, d, s"$work/landing", nParts = 4)
     val registry = new SchemaRegistry(s"$work/warehouse")
     Pipeline.ingestPrefix(s, Pipeline.Config(registry, eventsRules),
       s"$work/landing/part-*")
@@ -253,7 +257,7 @@ object PipelineQueries {
     * covers S4 decompression (transparent by extension). */
   def q41(s: SparkSession, d: String): DataFrame = {
     val work = graft.util.Workspace.temp("graft-q41")
-    exportNdjson(s, d, s"$work/landing", codec = Some("gzip"))
+    exportNdjson(s, d, s"$work/landing", codec = Some("gzip"), nParts = 4)
     val batchFiles = graft.ingest.Enqueue.enqueue(s, s"$work/landing/part-*",
       s"$work/batches", countLimit = 2, sizeLimit = Long.MaxValue)
     val objects = graft.sources.Events.explodeWorkList(

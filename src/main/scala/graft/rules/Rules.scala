@@ -85,6 +85,19 @@ final case class SchemaRule(
     transforms: Seq[TransformOp] = Nil) {
   require(Set("", "hour", "day", "month", "year")(partition),
     s"bad partition unit '$partition'")
+
+  /** When dataset AND table are string LITERALS (`'x'` — the common
+    * case; every rule in the reference's examples routes statically),
+    * the destination set is known without scanning the batch, so the
+    * append path can skip its destination-discovery job entirely.
+    * Dynamic routing exprs return None and fall back to the scan. */
+  def literalDests: Option[Seq[(String, String, String)]] = {
+    val Lit = "^'([^']*)'$".r
+    (dataset.trim, table.trim) match {
+      case (Lit(d), Lit(t)) => Some(Seq((d, t, partition)))
+      case _ => None
+    }
+  }
 }
 
 /** A rule set = the reference's policy directory. */

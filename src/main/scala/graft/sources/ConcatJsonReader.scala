@@ -25,11 +25,21 @@ object ConcatJsonReader {
   /** Split the files at `paths` into one JSON document string per row. */
   def docs(spark: SparkSession, paths: Seq[String]): Dataset[String] = {
     import spark.implicits._
-    if (paths.isEmpty) return spark.emptyDataset[String]
+    docsWithPath(spark, paths).select("value").as[String]
+  }
+
+  /** Like [[docs]] but keeps the source path with each document —
+    * columns `(value, __graft_src)` — so the ingest pipeline can
+    * attribute per-source record counts without a second read. */
+  def docsWithPath(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (paths.isEmpty)
+      return spark.emptyDataset[(String, String)].toDF("value", "__graft_src")
     spark.read.format("binaryFile").load(paths: _*)
       .select("path", "content")
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => splitDocs(open(path, bytes)) }
+      .flatMap { case (path, bytes) => splitDocs(open(path, bytes)).map((_, path)) }
+      .toDF("value", "__graft_src")
   }
 
   /** Parse concatenated-JSON objects into records with inferred schema.
