@@ -75,7 +75,7 @@ object Main {
         val cfg = Pipeline.Config(
           new SchemaRegistry(req(flags, "warehouse")),
           loadRules(req(flags, "rules")),
-          dedup = flags.contains("dedup"),
+          dedup = if (flags.contains("dedup")) Some(true) else None,
           dryRunDir = if (flags.contains("dry-run"))
             Some(flags.getOrElse("output", ".")) else None)
         val res = Pipeline.ingestPaths(spark, cfg, pos)
@@ -87,7 +87,7 @@ object Main {
         val cfg = Pipeline.Config(
           new SchemaRegistry(req(flags, "warehouse")),
           loadRules(req(flags, "rules")),
-          dedup = flags.contains("dedup"))
+          dedup = if (flags.contains("dedup")) Some(true) else None)
         val sl = graft.streaming.StreamLog.attach(spark, cfg.registry)
         val trigger = flags.get("continuous")
           .map(ms => Trigger.ProcessingTime(ms.toLong))
@@ -103,7 +103,7 @@ object Main {
         val cfg = Pipeline.Config(
           new SchemaRegistry(req(flags, "warehouse")),
           loadRules(req(flags, "rules")),
-          dedup = flags.contains("dedup"))
+          dedup = if (flags.contains("dedup")) Some(true) else None)
         val sl = graft.streaming.StreamLog.attach(spark, cfg.registry)
         val spool = req(flags, "spool")
         val rx = new graft.sources.PushReceiver(spool,

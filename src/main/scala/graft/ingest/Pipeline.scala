@@ -38,8 +38,15 @@ object Pipeline {
       telemetry: Boolean = true,
       /** Drop incoming rows whose `id` already exists in the destination
         * (partition-scoped anti-join) — replay safety across delivery
-        * mechanisms, the reference's Firestore dedup role (T3). */
-      dedup: Boolean = false,
+        * mechanisms, the reference's Firestore dedup role (T3).
+        *
+        * None = the path's default: OFF for batch (`ingestPaths`/
+        * `ingestPrefix` — callers re-run batches deliberately), ON for
+        * every streaming entry point (`stream`/`streamNotifications` —
+        * at-least-once delivery means a crash can replay the last
+        * uncommitted micro-batch, and replays must not duplicate table
+        * rows out of the box). Some(x) forces x on any path. */
+      dedup: Option[Boolean] = None,
       /** Dry-run (ref `--dry-run`, `cmd/ingest.go:33-39`): route records
         * through the full rule/transform path but write NDJSON + schema
         * dumps to this directory instead of appending to tables; no
@@ -111,7 +118,7 @@ object Pipeline {
                 TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
               }
             case None => timed("append")(TableSink.append(spark, cfg.registry, routed,
-              cfg.dedup, knownDests = schemaRule.literalDests))
+              cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests))
           }
         } finally batch.release()
       }
@@ -234,7 +241,8 @@ object Pipeline {
       writeQuarantine(spark, cfg.registry, System.currentTimeMillis(),
         Transform.invalid(records, schemaRule, ingestId))
     TableSink.append(spark, cfg.registry,
-      Transform(records, schemaRule, ingestId), cfg.dedup)
+      Transform(records, schemaRule, ingestId), cfg.dedup.getOrElse(false),
+      knownDests = schemaRule.literalDests)
   }
 
   /** Streaming ingest over a landing directory (≡ `swarm serve`,
@@ -244,11 +252,18 @@ object Pipeline {
     * body via foreachBatch. `Trigger.AvailableNow` drains a backlog and
     * stops (backfill); a processing-time trigger runs continuously.
     */
-  def stream(spark: SparkSession, cfg: Config, landingGlob: String,
+  def stream(spark: SparkSession, cfg0: Config, landingGlob: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      /** Byte-budget per micro-batch (SURVEY §2.7 T6 — the memory half
+        * of backpressure: bounds a batch by DATA VOLUME, so one giant
+        * backlog object can't blow the executor memory budget that
+        * `maxFilesPerTrigger` alone would admit). Maps to the file
+        * source's native `maxBytesPerTrigger`. */
+      maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
     import spark.implicits._
+    val cfg = resolveStreamDedup(cfg0)
     // The text source DECODES file content as UTF-8 lines — fine for
     // NDJSON rules (the lines are reused directly, no second read), but
     // a binary parquet or multi-doc object would be materialized as
@@ -256,9 +271,10 @@ object Pipeline {
     // non-line format use metadata-only discovery instead.
     if (cfg.rules.event.exists(r => r.parser != "json" || r.multiDoc))
       return streamByListing(spark, cfg, landingGlob, checkpointDir, trigger,
-        maxFilesPerTrigger)
+        maxFilesPerTrigger, maxBytesPerTrigger)
     var reader = spark.readStream.format("text")
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => reader = reader.option("maxBytesPerTrigger", n))
     val lines = reader.load(landingGlob)
       .select(col("value"),
         col("_metadata.file_path").as("path"),
@@ -311,9 +327,11 @@ object Pipeline {
     * so binary/columnar objects are never decoded as text. Every
     * matched object is then read by its rule's own reader. Used by
     * [[stream]] whenever a rule's format isn't line-JSON. */
-  private def streamByListing(spark: SparkSession, cfg: Config,
+  private def streamByListing(spark: SparkSession, cfg0: Config,
       landingGlob: String, checkpointDir: String, trigger: Trigger,
-      maxFilesPerTrigger: Option[Int]): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int],
+      maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
+    val cfg = resolveStreamDedup(cfg0)
     // streaming sources need an explicit schema; binaryFile's is fixed
     val binSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
@@ -326,6 +344,7 @@ object Pipeline {
         org.apache.spark.sql.types.BinaryType)))
     var reader = spark.readStream.format("binaryFile").schema(binSchema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(n => reader = reader.option("maxBytesPerTrigger", n))
     val files = reader.load(landingGlob)
       .select(col("path"), col("length").as("size"),
         col("modificationTime").as("created_at"))
@@ -370,10 +389,11 @@ object Pipeline {
     * `gs://bucket/` → another connector's scheme or a local mirror.
     * The notification stream is metadata-sized; the heavy lifting
     * (reading the objects) is a fresh distributed job per micro-batch. */
-  def streamNotifications(spark: SparkSession, cfg: Config, spoolGlob: String,
+  def streamNotifications(spark: SparkSession, cfg0: Config, spoolGlob: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      pathRewrite: Option[(String, String)] = None): StreamingQuery =
+      pathRewrite: Option[(String, String)] = None): StreamingQuery = {
+    val cfg = resolveStreamDedup(cfg0)
     spark.readStream.format("text").load(spoolGlob)
       .writeStream
       .queryName("graft-push-ingest")
@@ -392,6 +412,14 @@ object Pipeline {
         ()
       }
       .start()
+  }
+
+  /** Streaming paths dedup by default (None → ON): at-least-once
+    * delivery means a crash can replay the last uncommitted micro-batch
+    * — replays must not duplicate table rows unless the caller
+    * explicitly opts out with `dedup = Some(false)`. */
+  private def resolveStreamDedup(cfg: Config): Config =
+    cfg.copy(dedup = Some(cfg.dedup.getOrElse(true)))
 
   /** Telemetry row per destination append → `_meta.load_log`,
     * month-partitioned like the reference's meta table

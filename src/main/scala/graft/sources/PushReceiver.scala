@@ -9,6 +9,8 @@ import java.util.concurrent.Executors
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
+import graft.state.StateStore
+
 /** Pub/Sub push ingress (SURVEY §2.1 S6) — the HTTP endpoint the
   * reference exposes for storage-notification delivery
   * (`pkg/controller/server/server.go:34-100`), re-expressed for Spark's
@@ -26,11 +28,40 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * at-least-once guarantee from there (replays are idempotent via the
   * deterministic row id + optional dedup).
   *
+  * Request-gate order mirrors the reference's middleware chain
+  * (`pkg/controller/server/middleware.go`): authorization (401) →
+  * memory limit (429) → handler.
+  *
+  *   - `auth`: caller-supplied predicate ≡ the Rego `package auth`
+  *     bearer-token policy (`middleware.go:17-46`,
+  *     `server/testdata/policy/auth_token.rego`); see
+  *     [[PushReceiver.bearerToken]] for the fixture-equivalent check.
+  *     Denied requests get 401 and are never spooled.
+  *   - `memoryLimitBytes`: deliveries are answered 429 while JVM heap
+  *     use exceeds the limit (`middleware.go:89-108` MemoryLimit; 0
+  *     disables). Pub/Sub backs off and redelivers — backpressure
+  *     without dropping data (SURVEY §2.7 T6).
+  *   - `state`: optional shared [[graft.state.StateStore]] keyed by the
+  *     envelope's message id — the reference's per-message
+  *     skip-if-completed / wait-if-running / take-over-if-expired dance
+  *     (`server.go:121-146`). With several receiver workers sharing one
+  *     spool + state dir, a redelivered message is spooled exactly once;
+  *     a crashed owner's message is re-acquired after its expiry.
+  *
   * Driver-side only and metadata-sized: one small JSON line per object
   * notification, never record data. jackson ships with Spark; no extra
   * dependency.
   */
-final class PushReceiver(spoolDir: String, port: Int = 0) {
+final class PushReceiver(spoolDir: String, port: Int = 0,
+    auth: HttpExchange => Boolean = _ => true,
+    state: Option[StateStore] = None,
+    memoryLimitBytes: Long = 0L,
+    heapUsed: () => Long = PushReceiver.jvmHeapUsed,
+    /** How long a blocked delivery defers to the current owner before
+      * nacking (ref WaitState bounded by the state's ExpiresAt;
+      * `pkg/usecase/state.go:45-66`). Short default: Pub/Sub redelivers
+      * anyway, so waiting mostly serves same-instant duplicate bursts. */
+    waitBudgetMillis: Long = 2000L) {
 
   private val mapper = new ObjectMapper
   Files.createDirectories(Paths.get(spoolDir))
@@ -59,27 +90,65 @@ final class PushReceiver(spoolDir: String, port: Int = 0) {
   private def handle(ex: HttpExchange): Unit =
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, "POST only"); return }
+      if (!auth(ex)) { respond(ex, 401, "Unauthorized"); return }
+      if (memoryLimitBytes > 0 && heapUsed() > memoryLimitBytes) {
+        respond(ex, 429, "Memory limit exceeded"); return
+      }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
       decodeEnvelope(body) match {
         case Left(err) => respond(ex, 400, err)
-        case Right(inner) =>
-          spool(inner)
-          respond(ex, 204, "")
+        case Right(env) => deliver(ex, env)
       }
     } catch {
       // spool write failed → nack so the sender redelivers
       case e: Exception => respond(ex, 500, s"spool failure: ${e.getMessage}")
     }
 
-  /** Envelope → compact single-line inner storage-event JSON, or a
-    * 400-worthy error. Mirrors the reference's decode order: envelope
-    * JSON → base64 message.data → inner JSON with name+bucket
-    * (`pkg/domain/model/message.go:32-58`). */
-  private[sources] def decodeEnvelope(body: String): Either[String, String] = {
+  /** Spool one decoded delivery, running the reference's message state
+    * machine when a store is configured (`server.go:121-146`):
+    * acquire → spool → completed; on acquire loss, skip if the owner
+    * completed, else defer briefly and ack/nack on the outcome. The
+    * failed path marks the state failed so the REDELIVERY re-acquires
+    * immediately (ref: failed → always re-acquire). */
+  private def deliver(ex: HttpExchange, env: Envelope): Unit =
+    (state, env.messageId) match {
+      case (Some(st), Some(id)) =>
+        if (st.acquire(id)) {
+          try { spool(env.inner); st.markCompleted(id); respond(ex, 204, "") }
+          catch { case e: Exception =>
+            st.markFailed(id)
+            respond(ex, 500, s"spool failure: ${e.getMessage}")
+          }
+        } else st.get(id).map(_.state) match {
+          case Some("completed") => respond(ex, 204, "") // duplicate: ack, skip
+          case _ =>
+            // another worker owns it right now — defer, then decide
+            st.waitState(id, System.currentTimeMillis() + waitBudgetMillis,
+              checkIntervalMillis = 50L) match {
+              case Some("completed") => respond(ex, 204, "")
+              case _ => respond(ex, 500, "message is being processed elsewhere")
+            }
+        }
+      case _ =>
+        spool(env.inner); respond(ex, 204, "")
+    }
+
+  /** Decoded push envelope: the inner storage-event JSON (compacted to
+    * one spool line) plus the Pub/Sub message id when present (the
+    * state-machine key; the reference's `PubSubMessage.MessageID`,
+    * `model/message.go:37-42` — we accept both its `message_id` tag and
+    * the Pub/Sub wire form `messageId`). */
+  private[sources] final case class Envelope(inner: String, messageId: Option[String])
+
+  /** Envelope → [[Envelope]], or a 400-worthy error. Mirrors the
+    * reference's decode order: envelope JSON → base64 message.data →
+    * inner JSON with name+bucket (`pkg/domain/model/message.go:32-58`). */
+  private[sources] def decodeEnvelope(body: String): Either[String, Envelope] = {
     val env = try mapper.readTree(body) catch {
       case e: Exception => return Left(s"envelope is not JSON: ${e.getMessage}")
     }
-    val data = env.path("message").path("data")
+    val msg = env.path("message")
+    val data = msg.path("data")
     if (!data.isTextual) return Left("missing message.data")
     val inner = try new String(java.util.Base64.getDecoder.decode(data.asText), UTF_8)
     catch { case _: IllegalArgumentException => return Left("message.data is not base64") }
@@ -88,7 +157,9 @@ final class PushReceiver(spoolDir: String, port: Int = 0) {
     }
     if (!ev.path("name").isTextual || !ev.path("bucket").isTextual)
       return Left("payload is not a storage event (name/bucket missing)")
-    Right(mapper.writeValueAsString(ev)) // compact: exactly one spool line
+    val id = Seq("messageId", "message_id").iterator
+      .map(msg.path).find(_.isTextual).map(_.asText)
+    Right(Envelope(mapper.writeValueAsString(ev), id)) // compact: exactly one spool line
   }
 
   /** Durable append: write to a hidden temp name, fsync-free atomic
@@ -98,5 +169,23 @@ final class PushReceiver(spoolDir: String, port: Int = 0) {
     val tmp = Paths.get(spoolDir, s".$id.tmp")
     Files.write(tmp, (line + "\n").getBytes(UTF_8))
     Files.move(tmp, Paths.get(spoolDir, s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object PushReceiver {
+
+  /** The reference auth fixture as a predicate: allow iff some
+    * `Authorization` header value equals `Bearer <token>`
+    * (`server/testdata/policy/auth_token.rego`,
+    * `input.header.Authorization[_] == "Bearer good-token"`). */
+  def bearerToken(token: String): HttpExchange => Boolean = { ex =>
+    val vs = ex.getRequestHeaders.get("Authorization")
+    vs != null && vs.stream().anyMatch(_ == s"Bearer $token")
+  }
+
+  /** HeapAlloc analogue for the 429 guard (`middleware.go:89-108`). */
+  def jvmHeapUsed(): Long = {
+    val rt = Runtime.getRuntime
+    rt.totalMemory() - rt.freeMemory()
   }
 }

@@ -275,7 +275,7 @@ class PipelineSpec extends SparkSpec {
   test("dedup: re-delivered objects don't duplicate rows (ref T3 state machine)") {
     val landing = tmpDir("landing")
     val registry = new SchemaRegistry(tmpDir("tables"))
-    val cfg = Pipeline.Config(registry, accessRules(), dedup = true)
+    val cfg = Pipeline.Config(registry, accessRules(), dedup = Some(true))
     writeFile(landing, "a.log", accessLogNdjson)
     Pipeline.ingestPrefix(spark, cfg, s"$landing/*")
     // same object re-delivered (at-least-once) -> no new rows
@@ -299,6 +299,43 @@ class PipelineSpec extends SparkSpec {
     assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 3)
     // 3 files at 1 file/trigger → 3 non-empty micro-batches
     assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+  }
+
+  test("backpressure: maxBytesPerTrigger bounds each micro-batch by volume (T6)") {
+    val landing = tmpDir("landing")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    (1 to 3).foreach(i => writeFile(landing, s"f$i.log",
+      s"""{"log_id": "b$i", "event_time": ${1559347200 + i}, "user": "u$i", "action": "x", "success": true}""" + "\n"))
+    // each file ~90 B; a 1-byte budget still admits one file per batch
+    // (the source never splits a file) — so volume, not file count,
+    // paces the drain: 3 non-empty micro-batches
+    val q = Pipeline.stream(spark, Pipeline.Config(registry, accessRules()),
+      landing, tmpDir("ckpt"), maxBytesPerTrigger = Some(1L))
+    q.awaitTermination()
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 3)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+  }
+
+  test("streaming replay safety: dedup is ON by default — a lost checkpoint " +
+    "(full at-least-once replay) cannot duplicate table rows") {
+    val landing = tmpDir("landing")
+    writeFile(landing, "access.log", accessLogNdjson)
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val cfg = Pipeline.Config(registry, accessRules()) // dedup = None → stream default ON
+    val q1 = Pipeline.stream(spark, cfg, landing, tmpDir("ckpt-1"))
+    q1.awaitTermination()
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 2)
+    // checkpoint lost → the fresh stream re-reads EVERY landing object;
+    // the id anti-join keeps the table exactly-once out of the box
+    val q2 = Pipeline.stream(spark, cfg, landing, tmpDir("ckpt-2"))
+    q2.awaitTermination()
+    val out = TableSink.read(spark, registry, "swarm_test", "my_log_table")
+    assert(out.count() == 2)
+    assert(out.select("id").distinct().count() == 2)
+    // explicit opt-out replays duplicate (the caller asked for raw appends)
+    val q3 = Pipeline.stream(spark, cfg.copy(dedup = Some(false)), landing, tmpDir("ckpt-3"))
+    q3.awaitTermination()
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 4)
   }
 
   test("streaming ingest: AvailableNow drains, checkpoint prevents reprocessing") {

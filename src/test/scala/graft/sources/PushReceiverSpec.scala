@@ -24,11 +24,18 @@ class PushReceiverSpec extends SparkSpec {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
-  private def envelope(bucket: String, name: String): String = {
+  private def envelope(bucket: String, name: String, msgId: String = "m-1"): String = {
     val ev = s"""{"kind":"storage#object","bucket":"$bucket","name":"$name",""" +
       s""""size":"123","timeCreated":"2024-05-01T10:00:00Z","md5Hash":"${Base64.getEncoder.encodeToString("x".getBytes(UTF_8))}"}"""
     val data = Base64.getEncoder.encodeToString(ev.getBytes(UTF_8))
-    s"""{"message":{"messageId":"m-1","data":"$data"},"subscription":"sub"}"""
+    s"""{"message":{"messageId":"$msgId","data":"$data"},"subscription":"sub"}"""
+  }
+
+  private def postAuth(port: Int, body: String, token: Option[String]): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port/"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    token.foreach(t => b.header("Authorization", t))
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
   private def spoolFiles(dir: String): Seq[String] =
@@ -54,6 +61,90 @@ class PushReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("auth hook: bearer token allows; wrong or missing token → 401, never spooled") {
+    // ≡ reference middleware.go:17-46 over auth_token.rego
+    // (`input.header.Authorization[_] == "Bearer good-token"`)
+    val spool = tmpDir("push-auth")
+    val rx = new PushReceiver(spool,
+      auth = PushReceiver.bearerToken("good-token")).start()
+    try {
+      val body = envelope("b", "o.log")
+      assert(postAuth(rx.boundPort, body, Some("Bearer good-token")).statusCode() == 204)
+      assert(postAuth(rx.boundPort, body, Some("Bearer bad-token")).statusCode() == 401)
+      assert(postAuth(rx.boundPort, body, None).statusCode() == 401)
+      assert(spoolFiles(spool).size == 1) // only the authorized push landed
+    } finally rx.stop()
+  }
+
+  test("memory guard: deliveries over the heap limit nacked with 429 (T6)") {
+    // ≡ reference middleware.go:89-108 MemoryLimit; heap probe injected
+    val spool = tmpDir("push-mem")
+    var heap = 0L
+    val rx = new PushReceiver(spool, memoryLimitBytes = 100L,
+      heapUsed = () => heap).start()
+    try {
+      heap = 50L
+      assert(post(rx.boundPort, envelope("b", "o.log")).statusCode() == 204)
+      heap = 200L // over limit: Pub/Sub should back off and redeliver
+      assert(post(rx.boundPort, envelope("b", "o2.log")).statusCode() == 429)
+      heap = 50L
+      assert(post(rx.boundPort, envelope("b", "o2.log")).statusCode() == 204)
+      assert(spoolFiles(spool).size == 2)
+    } finally rx.stop()
+  }
+
+  test("state machine: two receivers, one spool — duplicate delivery spools once; " +
+    "failed spool and crashed owner are re-acquired (ref server.go:121-146)") {
+    val spool = tmpDir("push-state-spool")
+    val stateDir = tmpDir("push-state")
+    // short processing timeout so the crashed-owner takeover is testable
+    def store = new graft.state.StateStore(stateDir, timeoutMillis = 300L)
+    val rx1 = new PushReceiver(spool, state = Some(store)).start()
+    val rx2 = new PushReceiver(spool, state = Some(store)).start()
+    try {
+      // same messageId delivered to BOTH workers (Pub/Sub redelivery
+      // across subscribers): first spools, second skips-as-completed
+      assert(post(rx1.boundPort, envelope("b", "o.log", msgId = "dup-1")).statusCode() == 204)
+      assert(post(rx2.boundPort, envelope("b", "o.log", msgId = "dup-1")).statusCode() == 204)
+      assert(spoolFiles(spool).size == 1, "duplicate delivery must spool exactly once")
+
+      // distinct message still processed by the second worker
+      assert(post(rx2.boundPort, envelope("b", "o2.log", msgId = "dup-2")).statusCode() == 204)
+      assert(spoolFiles(spool).size == 2)
+
+      // crashed owner: a `running` state whose expiry has passed — the
+      // next delivery takes over (after deferring past the expiry)
+      val st = store
+      assert(st.acquire("crashed-1")) // owner dies here: never marks
+      Thread.sleep(400L) // let the running state expire
+      assert(post(rx1.boundPort, envelope("b", "o3.log", msgId = "crashed-1")).statusCode() == 204)
+      assert(spoolFiles(spool).size == 3, "expired running message must be re-acquired")
+      assert(st.get("crashed-1").map(_.state).contains("completed"))
+
+      // failed state: always re-acquired immediately
+      val st2 = store
+      assert(st2.acquire("failed-1"))
+      st2.markFailed("failed-1")
+      assert(post(rx2.boundPort, envelope("b", "o4.log", msgId = "failed-1")).statusCode() == 204)
+      assert(spoolFiles(spool).size == 4)
+
+      // live owner: the blocked delivery defers, then NACKS (500) so the
+      // sender redelivers; once the owner's lease expires the redelivery
+      // takes over — the reference's ErrBlockingPubSub path
+      val rx3 = new PushReceiver(spool, state = Some(store),
+        waitBudgetMillis = 100L).start()
+      try {
+        val st3 = store
+        assert(st3.acquire("busy-1")) // owner alive, lease 300 ms
+        assert(post(rx3.boundPort, envelope("b", "o5.log", msgId = "busy-1")).statusCode() == 500)
+        assert(spoolFiles(spool).size == 4, "blocked delivery must not spool")
+        Thread.sleep(350L) // lease expires (owner crashed mid-flight)
+        assert(post(rx3.boundPort, envelope("b", "o5.log", msgId = "busy-1")).statusCode() == 204)
+        assert(spoolFiles(spool).size == 5)
+      } finally rx3.stop()
+    } finally { rx1.stop(); rx2.stop() }
+  }
+
   test("push → spool → streamNotifications → table; replay stays idempotent") {
     val spool = tmpDir("push-spool-e2e")
     val objects = tmpDir("push-objects")
@@ -68,7 +159,7 @@ class PushReceiverSpec extends SparkSpec {
       schema = Seq(SchemaRule(name = "access",
         dataset = "'push_test'", table = "'logs'",
         id = Some("log_id"), timestamp = "event_time"))),
-      dedup = true)
+      dedup = Some(true))
     val ckpt = tmpDir("push-ckpt")
     def drain(): Unit = {
       val q = Pipeline.streamNotifications(spark, cfg, s"$spool/*.json", ckpt,
