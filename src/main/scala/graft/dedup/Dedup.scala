@@ -82,8 +82,18 @@ object Dedup {
     * Buckets with a single doc produce nothing; heavy buckets mean real
     * near-dups (work is output-proportional).
     */
-  def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
-    lshCandidatesWithSigs(df, idCol, sigCol, bands).select("a", "b")
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    // id-only banding: the k-long signature array must NOT ride through
+    // the band explode × self-join × distinct (k=128 ≈ 1 KB/row × bands
+    // — it multiplies the shuffle by orders of magnitude vs the bare
+    // (band_key, doc) rows). Callers needing signatures use
+    // lshCandidatesWithSigs and pay for them knowingly.
+    val b = banded(df, idCol, sigCol, bands).select("doc", "band_key")
+    val l = b.select(col("doc").as("a"), col("band_key"))
+    val r = b.select(col("doc").as("b"), col("band_key"))
+    l.join(r, "band_key").filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
 
   /** Candidate pairs with both signatures attached — avoids the two
     * join-backs (and signature recomputation) a caller would otherwise
@@ -102,17 +112,23 @@ object Dedup {
     * and the row shape of a PERSISTED band store. */
   def banded(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
     df.select(col(idCol).as("doc"), col(sigCol).as("sig"))
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_key", {
+      // band keys are computed BEFORE the explode (one array projection
+      // per doc), so generators and downstream joins never carry or
+      // re-slice the k-long signature: an id-only caller (lshCandidates)
+      // gets `sig` pruned away entirely by Catalyst, and the explode
+      // emits bare (doc, band_key) rows.
+      .withColumn("__keys", {
         val rowsPerBand = floor(size(col("sig")) / bands).cast(IntegerType)
-        // when k % bands != 0 the last band absorbs the k % bands
-        // remainder rows instead of silently dropping them (recall bug)
-        val len = when(col("band") === bands - 1,
-          size(col("sig")) - rowsPerBand * (bands - 1)).otherwise(rowsPerBand)
-        concat(col("band").cast(StringType), lit(":"),
-          to_json(slice(col("sig"), col("band") * rowsPerBand + 1, len)))
+        transform(sequence(lit(0), lit(bands - 1)), band => {
+          // when k % bands != 0 the last band absorbs the k % bands
+          // remainder rows instead of silently dropping them (recall bug)
+          val len = when(band === bands - 1,
+            size(col("sig")) - rowsPerBand * (bands - 1)).otherwise(rowsPerBand)
+          concat(band.cast(StringType), lit(":"),
+            to_json(slice(col("sig"), band * rowsPerBand + 1, len)))
+        })
       })
-      .select("doc", "sig", "band_key")
+      .select(col("doc"), col("sig"), explode(col("__keys")).as("band_key"))
 
   /** INCREMENTAL near-dup: candidates between a NEW batch and an
     * EXISTING corpus's stored band table — the production dedup shape.
@@ -153,35 +169,97 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.0,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val docs = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
-      .select(col("doc"), array_distinct(wordShinglesOf(col("t"), shingleK)).as("sh"))
+      .select(col("doc"), array_distinct(wordShinglesNativeOf(col("t"), shingleK)).as("sh"))
     // postings feed three plan branches (self-join ×2 + sizes); persist
-    // so shingling+explode runs once, not per branch
+    // so shingling+explode runs once, not per branch. Released below —
+    // the function materializes its result eagerly (localCheckpoint) so
+    // no cached postings outlive the call (library hygiene: callers in
+    // long-lived sessions must not accumulate hidden caches).
     val allPostings = docs.select(col("doc"), explode(col("sh")).as("s")).persist()
-    // stopword-shingle cut: a shingle occurring in more than maxDocFreq
-    // docs contributes df² candidate pairs but near-zero signal — the
-    // standard inverted-index prune for corpus-scale all-pairs jaccard.
-    // Jaccard is then computed over the PRUNED shingle sets (both the
-    // intersection counts and the set sizes), keeping it a true metric.
-    val postings =
-      if (maxDocFreq == Int.MaxValue) allPostings
-      else {
-        val rare = allPostings.groupBy(col("s"))
-          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
-          .select(col("s"))
-        allPostings.join(rare, "s")
-      }
-    val shared = postings.as("x").join(postings.as("y"), col("x.s") === col("y.s"))
-      .filter(col("x.doc") < col("y.doc"))
-      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    shared
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n", "nb"), "b")
-      .withColumn("sim", col("inter").cast(DoubleType) /
-        (col("na") + col("nb") - col("inter")).cast(DoubleType))
-      .filter(col("sim") >= threshold)
-      .select(col("a"), col("b"), col("sim"))
+    try {
+      // stopword-shingle cut: a shingle occurring in more than maxDocFreq
+      // docs contributes df² candidate pairs but near-zero signal — the
+      // standard inverted-index prune for corpus-scale all-pairs jaccard.
+      // Jaccard is then computed over the PRUNED shingle sets (both the
+      // intersection counts and the set sizes), keeping it a true metric.
+      val postings =
+        if (maxDocFreq == Int.MaxValue) allPostings
+        else {
+          val rare = allPostings.groupBy(col("s"))
+            .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+            .select(col("s"))
+          allPostings.join(rare, "s")
+        }
+      val shared = postings.as("x").join(postings.as("y"), col("x.s") === col("y.s"))
+        .filter(col("x.doc") < col("y.doc"))
+        .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      shared
+        .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("sim", col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
+        .filter(col("sim") >= threshold)
+        .select(col("a"), col("b"), col("sim"))
+        .localCheckpoint() // eager: pairs are output-sized; frees postings
+    } finally allPostings.unpersist()
+  }
+
+  /** LSH-accelerated exact-threshold near-dup pairs — the 100 TB
+    * replacement for [[jaccardPairs]]'s inverted-index candidate join.
+    *
+    * Output: `(a, b, sim)` with sim = exact Jaccard over the distinct
+    * shingle sets, sim ≥ threshold. Candidates come from MinHash
+    * banding instead of the Σdf² postings self-join: signatures are a
+    * per-doc projection, banding shuffles only (band_key, doc) rows,
+    * and the per-bucket self-join is output-proportional — no postings
+    * explode, no document-frequency pass, no maxDocFreq knob (banding
+    * is what bounds candidate work at scale; the prune remains
+    * [[jaccardPairs]]'s contract, where the inverted index needs it).
+    * Every emitted edge is exact-verified, so precision is exact;
+    * recall is the LSH collision probability 1-(1-s^r)^b — with the
+    * default k=128/bands=32 (r=4), a threshold-0.8 pair is missed with
+    * p ≈ 5e-8.
+    *
+    * Needs a GraftExtensions session (native minhash kernel). */
+  def lshJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.8,
+      k: Int = 128, bands: Int = 32): DataFrame = {
+    // One cached frame (doc, sh, sig) feeds banding's self-join (two
+    // plan branches!) and both verify join-backs — materialized EAGERLY
+    // so the shingle+signature pass runs exactly once; an unmaterialized
+    // plan would recompute it per branch. Released before returning
+    // (the result is checkpointed). Empty docs can never reach a
+    // positive threshold and would all collide on the null signature —
+    // dropped up front. Signatures use the one-digest mix kernel
+    // (md5 per shingle + splitmix64 seeds): banding only needs
+    // signatures to agree with themselves, and k=128 md5s per shingle
+    // was the pipeline's dominant CPU.
+    val sigs = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      // emptiness precondition on the cheap TOKEN count, not on the
+      // shingle array: a filter above the shingle projection gets
+      // pushed below it with the alias substituted, silently computing
+      // the expensive shingle build twice per row
+      .filter(size(col("t")) >= shingleK)
+      .select(col("doc"),
+        array_distinct(call_function("graft_shingles", col("t"), lit(shingleK))).as("sh"))
+      .withColumn("sig", call_function("graft_minhash_mix", col("sh"), lit(k)))
+      .persist()
+    sigs.count() // eager fill: both join branches must hit the cache
+    try {
+      // candidates are output-sized — checkpoint them so the verify
+      // joins see EXACT stats and broadcast the candidate side, not the
+      // (cached, threshold-sized) corpus of shingle sets
+      val cand = lshCandidates(sigs, "doc", "sig", bands).localCheckpoint()
+      cand
+        .join(sigs.select(col("doc").as("a"), col("sh").as("sha")), "a")
+        .join(sigs.select(col("doc").as("b"), col("sh").as("shb")), "b")
+        .withColumn("sim", jaccard(col("sha"), col("shb")))
+        .filter(col("sim") >= threshold)
+        .select(col("a"), col("b"), col("sim"))
+        .localCheckpoint() // eager: edges are output-sized; frees the sets
+    } finally sigs.unpersist()
   }
 
   /** 32-bit SimHash over whitespace tokens (term-frequency weighted):
@@ -305,16 +383,20 @@ object Dedup {
       // linear chain's O(diameter) rounds into O(log diameter) — labels
       // are one small row per paired vertex, so the extra self-join is
       // negligible next to the edge join.
+      // The convergence probe rides the SAME job that materializes the
+      // checkpoint (observe() counts changed labels during it) — a
+      // separate join+count job per round doubled the per-iteration
+      // fixed cost on small graphs.
+      val obs = org.apache.spark.sql.Observation()
       val next = propagated.alias("x")
         .join(propagated.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
+        .join(labels.select(col("id"), col("comp").as("__old")), "id")
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"), col("__old"))
+        .observe(obs, sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      labels = next.drop("__old")
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
     labels
@@ -339,13 +421,16 @@ object Dedup {
     // expensive part — computing it twice measured 2× on the whole query
     val grams = docs
       .withColumn("__t", tokens(col(textCol)))
-      .withColumn("gram", explode(wordShinglesOf(col("__t"), k)))
+      .withColumn("gram", explode(wordShinglesNativeOf(col("__t"), k)))
       .select(col(idCol), col("gram"), evalPred.as("__eval"))
       .persist()
-    val evalGrams = grams.filter(col("__eval")).select("gram").distinct()
-    grams.filter(!col("__eval"))
-      .join(broadcast(evalGrams), "gram")
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_shared"))
+    try {
+      val evalGrams = grams.filter(col("__eval")).select("gram").distinct()
+      grams.filter(!col("__eval"))
+        .join(broadcast(evalGrams), "gram")
+        .groupBy(col(idCol))
+        .agg(countDistinct(col("gram")).as("n_shared"))
+        .localCheckpoint() // eager: per-doc counts; frees the gram cache
+    } finally grams.unpersist()
   }
 }

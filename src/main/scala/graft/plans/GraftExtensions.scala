@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinhashSignatureExpr(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => ShinglesExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_mix"),
+      new ExpressionInfo(classOf[MinhashMixExpr].getName, "graft_minhash_mix"),
+      (args: Seq[Expression]) => MinhashMixExpr(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))

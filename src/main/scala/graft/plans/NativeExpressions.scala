@@ -68,6 +68,79 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Word k-shingle kernel: space-joined sliding windows over a token
+    * array — value-identical to [[graft.text.TextFunctions.wordShinglesOf]]
+    * (`concat_ws(" ", ...)` skips null elements; fewer than k tokens →
+    * empty array), but a compiled loop instead of an interpreted
+    * `transform` that re-walks an expression tree per (window, element).
+    * The shingle build is the dominant CPU of the whole text-dedup
+    * family, so this kernel feeds jaccard/minhash/winnow paths. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k || k <= 0) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      arr(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One-digest MinHash kernel: md5 ONCE per shingle (first 8 bytes as
+    * a 64-bit value), then the k per-seed hashes are splitmix64 mixes
+    * of that base value — the standard "one strong hash + k universal
+    * derivations" scheme. Versus [[minhashSignature]]'s
+    * md5-per-(seed,shingle), this is k× fewer digests (k=128 → the
+    * signature pass stops being the pipeline's dominant CPU). Collision
+    * behavior is the same minwise-hash family; use it where signatures
+    * only need to AGREE with themselves (banding candidates), not match
+    * an external oracle's md5 replay. Null/empty arrays → null
+    * elements, matching [[minhashSignature]]. */
+  def minhashMix(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val d = md5.get()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        any = true
+        d.reset()
+        val b = d.digest(shingles.getUTF8String(i).getBytes)
+        var m = 0L
+        var j = 0
+        while (j < 8) { m = (m << 8) | (b(j) & 0xffL); j += 1 }
+        var s = 0
+        while (s < k) {
+          var z = m + (s + 1) * 0x9e3779b97f4a7c15L // golden-ratio stream
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L // splitmix64 finalizer
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= (z >>> 31)
+          if (z < mins(s)) mins(s) = z
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) { out(s) = if (any) mins(s) else null; s += 1 }
+    new GenericArrayData(out)
+  }
+
   /** SimHash kernel: tf-weighted 32-bit signature, exactly the
     * arithmetic of Dedup.simhashOf (bit b set iff Σ tf·(±1 by bit b of
     * md5Long(token, 8)) > 0). Integer sums commute, so the HashMap
@@ -211,6 +284,72 @@ case class MinhashSignatureExpr(child: Expression, kExpr: Expression)
     copy(child = newLeft, kExpr = newRight)
 
   override def prettyName: String = "graft_minhash"
+}
+
+/** `graft_shingles(tokens, k)`: word k-shingles of a token array.
+  * k must be foldable. */
+case class ShinglesExpr(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!(child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles needs array<string>, got ${child.dataType.simpleString}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_shingles needs a foldable INT k")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable || kExpr.nullable
+
+  override def nullSafeEval(toks: Any, kv: Any): Any =
+    Kernels.shingles(toks.asInstanceOf[ArrayData], kv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kv) =>
+      s"${ev.value} = graft.plans.Kernels.shingles($t, $kv);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShinglesExpr =
+    copy(child = newLeft, kExpr = newRight)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+/** `graft_minhash_mix(shingles, k)`: one-digest MinHash signature (md5
+  * per shingle + splitmix64 seed mixes). k must be foldable. */
+case class MinhashMixExpr(child: Expression, kExpr: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!(child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false)))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_mix needs array<string>, got ${child.dataType.simpleString}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_minhash_mix needs a foldable INT k")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable || kExpr.nullable
+
+  override def nullSafeEval(shingles: Any, kv: Any): Any =
+    Kernels.minhashMix(shingles.asInstanceOf[ArrayData], kv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, kv) =>
+      s"${ev.value} = graft.plans.Kernels.minhashMix($sh, $kv);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): MinhashMixExpr =
+    copy(child = newLeft, kExpr = newRight)
+
+  override def prettyName: String = "graft_minhash_mix"
 }
 
 /** `graft_simhash(tokens)`: tf-weighted 32-bit SimHash of a string

@@ -164,6 +164,16 @@ object TextFunctions {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesOf(tokens(text), k)
 
+  /** Native-kernel twin of [[wordShinglesOf]]: identical values
+    * (space-joined windows, concat_ws null-skipping, <k tokens → empty)
+    * via the compiled `graft_shingles` loop — the interpreted HOF
+    * version re-walks an expression tree per (window, element) and is
+    * the dominant CPU of the shingle-based dedup family. Requires a
+    * GraftExtensions session ([[graft.GraftSession]] registers it). */
+  def wordShinglesNativeOf(toks: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_shingles", toks,
+      org.apache.spark.sql.functions.lit(k))
+
   /** Rolling polynomial fingerprint over a tokens column:
     * fold(acc*31 + md5Long(token)) mod (2^31-1). One value per doc —
     * order-sensitive (reorderings change it), content-exact. */

@@ -90,6 +90,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L))) // no shared shingles
   }
 
+  test("lshJaccardPairs matches the exhaustive jaccardPairs edge set (recall + " +
+    "exact precision) and leaves no cache behind") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 2,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.lshJaccardPairs(docs, "doc_id", "text", shingleK = 2,
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // every exact edge found, sims identical
+    // hygiene: the big intermediates (postings / pruned sets) are
+    // released; only output-sized localCheckpoints may remain
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "no DataFrame caches may outlive the dedup calls")
+  }
+
   test("simhash: identical for dups, close for near-dups, far for unrelated") {
     val sigs = docs.filter(length($"text") > 0)
       .select($"doc_id", Dedup.simhash($"text").as("sh"))
