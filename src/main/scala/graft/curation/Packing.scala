@@ -1,0 +1,79 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Sequence packing and rule-based quality filtering — the two
+  * curation steps between "scored documents" and "training batches".
+  *
+  * Packing follows the standard concat-then-chunk pretraining recipe:
+  * documents are concatenated in a deterministic order and the token
+  * stream is cut into fixed-length sequences; a document is addressed
+  * by (sequence index, offset) of its first token. 100 TB shape:
+  * packing is computed within independent SHARDS (hash of the doc id),
+  * exactly how production pipelines shard their tokenized corpora — a
+  * single global ordering would serialize the window into one
+  * partition, while per-shard windows parallelize freely and each
+  * shard's stream is self-contained. Deterministic: same docs → same
+  * packs on any cluster/partitioning/retry.
+  */
+object Packing {
+
+  /** Per-document packing position under concat-then-chunk: documents
+    * ordered by `id` within `nShards` md5-derived shards; returns
+    * (doc_id, shard, n_tokens, pack_id, offset) where pack_id/offset
+    * locate the doc's first token in the shard's chunked stream.
+    * One window shuffle on (shard, id) — no global sort. */
+  def packPositions(docs: DataFrame, idCol: Column, tokenCountCol: Column,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(idCol.as("doc_id"), tokenCountCol.cast("long").as("n_tokens"),
+        pmod(md5Long(idCol.cast("string"), 8), lit(nShards)).cast("int").as("shard"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / seqLen).as("pack_id"),
+        (col("cum_before") % seqLen).as("offset"))
+  }
+
+  /** Per-(shard, pack) summary: docs starting in the pack and their
+    * token mass — the shape a batch loader consumes. */
+  def packSummary(positions: DataFrame): DataFrame =
+    positions.groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_started"))
+
+  /** One quality rule: `reason` is attached when `bad` holds. */
+  final case class QualityRule(reason: String, bad: Column)
+
+  /** Gopher-style rule set over the engine's text statistics (public
+    * heuristics: Rae et al. 2021 §A1.1 shapes — token-count bounds,
+    * mean-word-length window, symbol-heaviness, stopword presence).
+    * Thresholds are parameters, not dogma. `toks`/`ltoks` must be
+    * staged token columns (the *Of contract). */
+  def gopherRules(text: Column, toks: Column, ltoks: Column,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxPunct: Double = 0.1, maxDigit: Double = 0.2): Seq[QualityRule] = Seq(
+    QualityRule("too_few_tokens", size(toks) < minTokens),
+    QualityRule("too_many_tokens", size(toks) > maxTokens),
+    QualityRule("mean_word_len", meanTokenLen(text) < minMeanLen ||
+      meanTokenLen(text) > maxMeanLen),
+    QualityRule("punct_heavy", punctRatio(text) > maxPunct),
+    QualityRule("digit_heavy", digitRatio(text) > maxDigit),
+    QualityRule("no_stopwords",
+      markerHitsOf(ltoks, LangMarkers.flatMap(_._2)) === 0))
+
+  /** Apply a rule set: every row keeps/drops with machine-readable
+    * reasons (dropped data is never silent — same contract as the
+    * ingest quarantine). Pure projection: scales as a map pass. */
+  def qualityFilter(docs: DataFrame, rules: Seq[QualityRule]): DataFrame = {
+    val reasons = array_compact(array(rules.map(r =>
+      when(r.bad, lit(r.reason))): _*))
+    docs.withColumn("reasons", reasons)
+      .withColumn("keep", size(col("reasons")) === 0)
+  }
+}

@@ -689,6 +689,140 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---- q59: SemDeDup (semantic dedup within embedding clusters) ----
+
+  /** Semantic dedup: IVF clusters → within-cluster cosine ≥ 0.4 pairs
+    * → duplicate groups → keep the min id per group. The oracle replays
+    * the whole chain (seeds, Lloyd step, refined assignment — the q38
+    * machinery — then exhaustive within-cluster pairs and a recursive
+    * closure), so clustering, similarity, and grouping are all
+    * hash-checked. */
+  def q59(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.4, nlist = 16)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
+        col("rep"), col("keep"))
+      .orderBy(col("vec_id"))
+
+  val q59Sql: String = {
+    val nlist = 16
+    def halfS(c: String) =
+      "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($c, x -> x * x)), (acc, x) -> acc + x) / 2.0)"
+    val h = md5LongSql("CAST(vec_id AS VARCHAR)", 15)
+    s"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v
+              FROM (SELECT v, $h AS h FROM e) ORDER BY h LIMIT $nlist),
+    assign0 AS (SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, e.v AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql("e.v", "s.v")} - ${halfS("s.v")}) DESC, s.c DESC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    means AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+              FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign0)
+              GROUP BY c, pos),
+    refined AS (SELECT s.c AS c, COALESCE(m.mv, s.v) AS v
+                FROM seeds s LEFT JOIN
+                  (SELECT c, list(m ORDER BY pos) AS mv FROM means GROUP BY c) m
+                  ON s.c = m.c),
+    cassign AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS n, c AS cluster
+                FROM (SELECT e.vec_id, e.v AS v, r.c AS c,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY (${dotSql("e.v", "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+                      FROM e CROSS JOIN refined r) WHERE rn = 1),
+    pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+              FROM cassign x JOIN cassign y
+                ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              WHERE round(${dotSql("x.v", "y.v")} / (x.n * y.n), 6) >= 0.4),
+    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+    comp AS (SELECT src AS vec_id, LEAST(src, MIN(dst)) AS rep
+             FROM reach GROUP BY src)
+    SELECT c.vec_id, CAST(c.cluster AS INT) AS cluster,
+           COALESCE(p.rep, c.vec_id) AS rep,
+           (COALESCE(p.rep, c.vec_id) = c.vec_id) AS keep
+    FROM cassign c LEFT JOIN comp p USING (vec_id) ORDER BY vec_id"""
+  }
+
+  // ---- q57: sequence packing (concat-then-chunk, sharded) ----
+
+  /** Training-batch packing: per-doc (shard, pack, offset) positions
+    * under the concat-then-chunk recipe, computed within 8 independent
+    * md5 shards (per-shard windows parallelize; a global ordering
+    * would be one serial window). Deterministic → oracle-exact. */
+  def q57(s: SparkSession, d: String): DataFrame =
+    graft.curation.Packing.packPositions(
+        docs(s, d).withColumn("t", tokens(col("text"))),
+        col("doc_id"), size(col("t")), seqLen = 512, nShards = 8)
+      .withColumnRenamed("offset", "tok_offset") // OFFSET is reserved in DuckDB
+      .orderBy(col("doc_id"))
+
+  val q57Sql: String = {
+    val toks = toksSql("text")
+    s"""
+    WITH pos AS (
+      SELECT doc_id,
+             CAST(${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % 8 AS INT) AS shard,
+             CAST(len($toks) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      FROM pos)
+    SELECT doc_id, shard, n_tokens,
+           cum_before // 512 AS pack_id,
+           cum_before % 512 AS tok_offset
+    FROM cum ORDER BY doc_id"""
+  }
+
+  // ---- q58: rule-based quality filter (Gopher-style) ----
+
+  /** Keep/drop with machine-readable reasons — the curation decision
+    * step over the q21-style statistics (public Gopher heuristics;
+    * thresholds tuned to this corpus's shape so both outcomes occur).
+    * Pure projection: a map pass at any scale. */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("lt", tokens(lower(col("text"))))
+    graft.curation.Packing.qualityFilter(base,
+        graft.curation.Packing.gopherRules(col("text"), col("t"), col("lt"),
+          minTokens = 30))
+      .select(col("doc_id"), col("keep"),
+        array_join(col("reasons"), ",").as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q58Sql: String = {
+    val nt = s"len(${toksSql("text")})"
+    val mtl = s"""(CASE WHEN $nt = 0 THEN 0.0 ELSE
+      CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST($nt AS DOUBLE) END)"""
+    val punct = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val digit = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val stopHits = markerHitsSql("text", LangMarkers.flatMap(_._2))
+    val reasons = Seq(
+      s"CASE WHEN $nt < 30 THEN 'too_few_tokens' ELSE NULL END",
+      s"CASE WHEN $nt > 100000 THEN 'too_many_tokens' ELSE NULL END",
+      s"CASE WHEN $mtl < 3.0 OR $mtl > 10.0 THEN 'mean_word_len' ELSE NULL END",
+      s"CASE WHEN $punct > 0.1 THEN 'punct_heavy' ELSE NULL END",
+      s"CASE WHEN $digit > 0.2 THEN 'digit_heavy' ELSE NULL END",
+      s"CASE WHEN $stopHits = 0 THEN 'no_stopwords' ELSE NULL END")
+      .mkString("list_filter([", ", ", "], x -> x IS NOT NULL)")
+    s"""
+    SELECT doc_id, len($reasons) = 0 AS keep,
+           COALESCE(array_to_string($reasons, ','), '') AS reasons
+    FROM documents ORDER BY doc_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -711,5 +845,8 @@ object CurationQueries {
     ("q50_length_percentiles", q50 _, Some(q50Sql)),
     ("q51_dedup_clusters", q51 _, Some(q51Sql)),
     ("q52_incremental_neardup", q52 _, Some(q52Sql)),
-    ("q55_mix_allocation", q55 _, Some(q55Sql)))
+    ("q55_mix_allocation", q55 _, Some(q55Sql)),
+    ("q57_sequence_packing", q57 _, Some(q57Sql)),
+    ("q58_quality_filter", q58 _, Some(q58Sql)),
+    ("q59_semantic_dedup", q59 _, Some(q59Sql)))
 }

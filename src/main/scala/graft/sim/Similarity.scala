@@ -318,4 +318,44 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("a", "b", "sim").distinct()
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
+    * cluster the embedding space with the IVF coarse quantizer, compare
+    * pairs only WITHIN a cluster (cosine ≥ threshold), close the pairs
+    * into duplicate groups, keep the minimum id of each group.
+    *
+    * Returns one row per vector: (id, cluster, rep, keep) with
+    * rep = the group's canonical keeper (itself when not duplicated).
+    *
+    * 100 TB shape: the within-cluster self-join is the METHOD — nlist
+    * grows with the corpus so cluster populations stay bounded, and the
+    * quadratic term is paid per cluster, never globally (no crossJoin).
+    * Assignment is a centroid-literal projection; the only shuffles are
+    * the cluster self-join and the component closure over the (tiny)
+    * duplicate-pair graph. Needs a GraftExtensions session (native dot
+    * kernel — bit-identical to the declarative fold). */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    // (id, __v, __n, cluster) feeds both self-join sides and the final
+    // projection — materialized once, output-sized relative to corpus
+    val assigned = assignCluster(corpus, cents, idCol, vecCol)
+      .withColumn("__n", sqrt(call_function("graft_dot", col("__v"), col("__v"))))
+      .localCheckpoint()
+    val l = assigned.select(col(idCol).as("a"), col("__v").as("va"),
+      col("__n").as("na"), col("cluster"))
+    val r = assigned.select(col(idCol).as("b"), col("__v").as("vb"),
+      col("__n").as("nb"), col("cluster"))
+    val pairs = l.join(r, "cluster").filter(col("a") < col("b"))
+      .withColumn("sim", round(
+        call_function("graft_dot", col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("a", "b")
+    val comps = graft.dedup.Dedup.connectedComponents(pairs)
+    assigned.select(col(idCol), col("cluster"))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("comp"), col(idCol)).as("rep"),
+        (coalesce(col("comp"), col(idCol)) === col(idCol)).as("keep"))
+  }
 }

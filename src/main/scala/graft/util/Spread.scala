@@ -2,20 +2,27 @@ package graft.util
 
 import org.apache.spark.sql.DataFrame
 
-/** Partition-count guard for compute-bound projections over small
-  * single-file sources: the sf test tables arrive as ONE parquet file →
-  * one input partition, serializing per-row work (shingling, hashing,
-  * scoring) onto one core. On a real corpus (thousands of splits) the
-  * guard is a no-op.
+/** Widen a narrow file-backed frame to the session's parallelism before
+  * compute-bound projections (the driver's test tables ship as ONE
+  * parquet file each → one input partition → one busy core).
   *
-  * The partition probe goes through `df.rdd`, which materializes the
-  * physical plan — cheap for a scan-shaped frame, but call this once
-  * per source, not per plan branch, and never on a side that is about
-  * to be broadcast (the repartition shuffle would be pure waste).
+  * The width probe is `inputFiles` — resolved from the analyzed logical
+  * plan, so unlike an `rdd.getNumPartitions` probe it never forces
+  * physical planning of the whole query. File count under-counts the
+  * partitions of large splittable files, but the decision is the same:
+  * a source with fewer FILES than cores is at risk of narrow scans, and
+  * a source with more files than cores never needs the shuffle. Frames
+  * with no file lineage (in-memory datasets, flatMapped readers) are
+  * left alone — callers apply Spread to file scans.
+  *
+  * At real corpus scale the source is thousands of splits and this is a
+  * no-op guard; call it once per source, not per plan branch, and never
+  * on a side that is about to be broadcast.
   */
 object Spread {
   def apply(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val files = try df.inputFiles.length catch { case _: Exception => 0 }
+    if (files > 0 && files < par) df.repartition(par) else df
   }
 }

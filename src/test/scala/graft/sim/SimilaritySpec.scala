@@ -82,6 +82,21 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.contains((0L, 100L)) && lsh.contains((0L, 101L)))
   }
 
+  test("semanticDedup: planted near-dup group collapses to the min id; " +
+    "others keep themselves") {
+    val out = Similarity.semanticDedup(vecs, threshold = 0.95, nlist = 4)
+      .select("vec_id", "rep", "keep")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == 62) // every vector classified
+    // the planted dups (100, 101 ≈ vec 0) fold into rep 0 and drop
+    assert(byId(0L) == ((0L, 0L, true)))
+    assert(byId(100L) == ((100L, 0L, false)))
+    assert(byId(101L) == ((101L, 0L, false)))
+    // everything else is its own representative
+    assert(out.filter(r => !Set(0L, 100L, 101L)(r._1)).forall(r => r._2 == r._1 && r._3))
+  }
+
   test("srp signature deterministic; lshTopK recall vs brute force is high") {
     val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
       .as[Long].collect()
