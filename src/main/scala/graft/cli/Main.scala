@@ -31,7 +31,7 @@ object Main {
     """usage: graft [ingest|serve|enqueue|schema|migrate|sql] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
-      |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>]
+      |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-token <t>] [--state <dir>] [--memory-limit <bytes>]
       |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
@@ -107,7 +107,16 @@ object Main {
         val sl = graft.streaming.StreamLog.attach(spark, cfg.registry)
         val spool = req(flags, "spool")
         val rx = new graft.sources.PushReceiver(spool,
-          flags.get("port").map(_.toInt).getOrElse(0)).start()
+          flags.get("port").map(_.toInt).getOrElse(0),
+          // --auth-token <t>: only `Authorization: Bearer <t>` may push
+          auth = flags.get("auth-token")
+            .map(graft.sources.PushReceiver.bearerToken)
+            .getOrElse(_ => true),
+          // --state <dir>: multi-worker message state machine (shared dir)
+          state = flags.get("state").map(new graft.state.StateStore(_)),
+          // --memory-limit <bytes>: 429 above this heap use (T6)
+          memoryLimitBytes = flags.get("memory-limit").map(_.toLong).getOrElse(0L)
+        ).start()
         println(s"push receiver listening on :${rx.boundPort}, spool=$spool")
         val rewrite = flags.get("path-rewrite").map { s =>
           val Array(from, to) = s.split("=", 2); (from, to)
