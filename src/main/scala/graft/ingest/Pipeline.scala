@@ -51,7 +51,14 @@ object Pipeline {
         * through the full rule/transform path but write NDJSON + schema
         * dumps to this directory instead of appending to tables; no
         * telemetry rows are written either. */
-      dryRunDir: Option[String] = None)
+      dryRunDir: Option[String] = None,
+      /** Use [[graft.schema.DistributedInference]] for the JSON schema
+        * pass instead of `read.json` inference: per-partition schema
+        * folds tree-reduced as metadata (SURVEY §2.8 Aggregator
+        * fallback). Same typing on well-formed docs (spec-pinned);
+        * differs on corrupt docs (no `_corrupt_record` column — the
+        * PERMISSIVE parse quarantines them instead). */
+      distributedInference: Boolean = false)
 
   final case class LoadResult(ingestId: String, results: Seq[TableSink.IngestResult])
 
@@ -98,7 +105,8 @@ object Pipeline {
       val paths = matched.select("path").collect().map(_.getString(0)).toSeq
       if (paths.isEmpty) Nil
       else {
-        val batch = timed("readBatch")(readBatch(spark, rule, paths))
+        val batch = timed("readBatch")(
+          readBatch(spark, rule, paths, cfg.distributedInference))
         try {
           if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
             // per-source decoded-row counts (ref SourceLog.RowCount,
@@ -162,7 +170,7 @@ object Pipeline {
     *   - parquet: left lazy — columnar, self-describing, and caching
     *     would defeat column pruning in the downstream projections. */
   private[ingest] def readBatch(spark: SparkSession, rule: EventRule,
-      paths: Seq[String]): Batch = rule.parser match {
+      paths: Seq[String], distInfer: Boolean = false): Batch = rule.parser match {
     case "csv" =>
       val parsed = spark.read.option("header", "true").option("inferSchema", "true")
         .csv(paths: _*)
@@ -176,11 +184,11 @@ object Pipeline {
       Batch(df, countsBySource(df.withColumn(SourceCol, input_file_name())),
         () => ())
     case _ if rule.multiDoc =>
-      parseOnce(spark, ConcatJsonReader.docsWithPath(spark, paths))
+      parseOnce(spark, ConcatJsonReader.docsWithPath(spark, paths), distInfer)
     case _ =>
       parseOnce(spark,
         spark.read.text(paths: _*)
-          .select(col("value"), input_file_name().as(SourceCol)))
+          .select(col("value"), input_file_name().as(SourceCol)), distInfer)
   }
 
   private def countsBySource(df: DataFrame): DataFrame =
@@ -197,12 +205,17 @@ object Pipeline {
     * `ArrayType` wrap — Jackson wraps a lone object as a 1-element
     * array), and an unparseable doc yields an all-null record (the
     * PERMISSIVE row, which validation then quarantines as null-routed). */
-  private def parseOnce(spark: SparkSession, raw: DataFrame): Batch = {
+  private def parseOnce(spark: SparkSession, raw: DataFrame,
+      distInfer: Boolean = false): Batch = {
     import spark.implicits._
     val lines = raw.persist()
     val nonBlank = lines.filter(trim(col("value")) =!= "")
-    val elem = spark.read.option("dropFieldIfAllNull", "true")
-      .json(nonBlank.select("value").as[String]).schema
+    val elem =
+      if (distInfer)
+        graft.schema.DistributedInference.inferJson(
+          nonBlank.select("value").as[String])
+      else spark.read.option("dropFieldIfAllNull", "true")
+        .json(nonBlank.select("value").as[String]).schema
     val arr = from_json(col("value"), org.apache.spark.sql.types.ArrayType(elem))
     val parsed = nonBlank
       .select(explode(coalesce(arr, array(lit(null).cast(elem)))).as("__rec"),
@@ -226,7 +239,7 @@ object Pipeline {
   private def ingestLines(spark: SparkSession, cfg: Config, rule: EventRule,
       lines: Dataset[String], ingestId: String): Seq[TableSink.IngestResult] = {
     val batch = parseOnce(spark, lines.toDF("value")
-      .withColumn(SourceCol, lit("")))
+      .withColumn(SourceCol, lit("")), cfg.distributedInference)
     try ingestRecords(spark, cfg, rule, batch.records, ingestId)
     finally batch.release()
   }
@@ -304,7 +317,7 @@ object Pipeline {
               // non-line formats (concatenated JSON, csv, parquet) are
               // re-read whole by path; the text-source lines are only the
               // discovery signal for them
-              val b = readBatch(spark, rule, paths.toSeq)
+              val b = readBatch(spark, rule, paths.toSeq, cfg.distributedInference)
               try ingestRecords(spark, cfg, rule, b.records, ingestId)
               finally b.release()
             } else {
@@ -363,7 +376,7 @@ object Pipeline {
           val paths = matched.select("path").collect().map(_.getString(0)).toSeq
           if (paths.isEmpty) Nil
           else {
-            val b = readBatch(spark, rule, paths)
+            val b = readBatch(spark, rule, paths, cfg.distributedInference)
             try ingestRecords(spark, cfg, rule, b.records, ingestId)
             finally b.release()
           }
@@ -487,7 +500,7 @@ object Pipeline {
       val ps = matched.select("path").collect().map(_.getString(0)).toSeq
       if (ps.isEmpty) Nil
       else {
-        val batch = readBatch(spark, rule, ps)
+        val batch = readBatch(spark, rule, ps, cfg.distributedInference)
         try {
           val routed = Transform.pruneDataSchema(
             Transform(batch.records,
