@@ -32,7 +32,9 @@ object Transform {
   def apply(records: DataFrame, rule: SchemaRule, ingestId: String): DataFrame = {
     val (reshaped, dataFields) = reshape(records, rule)
     val withEnvelope = reshaped
-      .withColumn("__graft_id", rule.id.map(expr(_).cast(StringType)).getOrElse(lit(null).cast(StringType)))
+      // a missing id field falls back to the content digest, like no id rule
+      .withColumn("__graft_id", rule.id.map(exprOrNull(reshaped, _).cast(StringType))
+        .getOrElse(lit(null).cast(StringType)))
     val packed = withEnvelope.withColumn("__graft_data",
       struct(dataFields.map(col): _*))
     val dataSchema = packed.schema("__graft_data").dataType.asInstanceOf[StructType]
@@ -114,10 +116,24 @@ object Transform {
     }
     val dataFields = reshaped.columns.toSeq
     val checked = reshaped
-      .withColumn("__graft_ds", expr(rule.dataset).cast(StringType))
-      .withColumn("__graft_tbl", expr(rule.table).cast(StringType))
-      .withColumn("__graft_ts", toTimestamp(expr(rule.timestamp), reshaped, rule.timestamp))
+      .withColumn("__graft_ds", exprOrNull(reshaped, rule.dataset).cast(StringType))
+      .withColumn("__graft_tbl", exprOrNull(reshaped, rule.table).cast(StringType))
+      .withColumn("__graft_ts",
+        toTimestamp(exprOrNull(reshaped, rule.timestamp), reshaped, rule.timestamp))
     (checked, dataFields)
+  }
+
+  /** Rule exprs referencing fields ABSENT from the whole batch (a field
+    * the objects simply don't carry) must not fail the batch with an
+    * analysis error — they evaluate to null, so validation routes every
+    * record to quarantine with the usual `*_null` reason. The reference
+    * has the same shape: an undefined Rego reference yields no output →
+    * invalid log (`pkg/usecase/load.go:213-216`); we quarantine where it
+    * errors the object. */
+  private def exprOrNull(df: DataFrame, e: String): Column = {
+    val c = expr(e)
+    try { df.select(c); c }
+    catch { case _: org.apache.spark.sql.AnalysisException => lit(null) }
   }
 
   /** Interpret the rule's timestamp expr by type: DOUBLE Unix seconds
@@ -130,6 +146,7 @@ object Transform {
       case TimestampType => c
       case DateType => c.cast(TimestampType)
       case StringType => to_timestamp(c)
+      case NullType => c.cast(TimestampType) // absent field → quarantine path
       case other => sys.error(s"timestamp expr '$raw' has unusable type $other")
     }
   }

@@ -110,6 +110,25 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0).getString(2).contains("\"log_id\":\"bad1\""))
   }
 
+  test("all-invalid batch: every record quarantined, table ensured empty " +
+    "(literal routing), load_log records the zero-count append") {
+    val landing = tmpDir("landing")
+    writeFile(landing, "access.log",
+      """{"log_id": "x1", "user": "u1"}
+        |{"log_id": "x2", "user": "u2"}
+        |""".stripMargin) // no event_time anywhere → all rows invalid
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val res = Pipeline.ingestPrefix(spark, Pipeline.Config(registry, accessRules()),
+      s"$landing/*")
+    // literal-routed rules ensure the destination even when no record
+    // survives validation (the reference creates tables at schema time)
+    assert(res.results.map(r => (r.dataset, r.table, r.logCount)) ==
+      Seq(("swarm_test", "my_log_table", 0L)))
+    assert(TableSink.read(spark, registry, "swarm_test", "my_log_table").count() == 0)
+    val q = spark.read.parquet(registry.dataDir("_meta", "quarantine"))
+    assert(q.count() == 2) // dropped data is never silent
+  }
+
   test("many-table batch: destinations append concurrently, counts per table") {
     val landing = tmpDir("landing")
     val registry = new SchemaRegistry(tmpDir("tables"))
