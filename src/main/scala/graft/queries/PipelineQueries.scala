@@ -339,6 +339,35 @@ object PipelineQueries {
            COUNT(DISTINCT event_type) AS n_types
     FROM events"""
 
+  /** q60: replay-safe streaming ingest (SURVEY T2/T3, oracle-checked) —
+    * the SAME landing prefix is drained by TWO streams with independent
+    * checkpoints, i.e. a full at-least-once replay of every object
+    * (what a lost checkpoint does in production). Streaming dedup is on
+    * by default, so the table must still hold each record exactly once;
+    * the oracle is the single-copy aggregate over the source table, so
+    * the hash check proves replay-exactly-once, not just "it ran". */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q60")
+    exportNdjson(s, d, s"$work/landing")
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    val cfg = Pipeline.Config(registry, eventsRules)
+    Pipeline.stream(s, cfg, s"$work/landing/part-*", s"$work/ckpt-1",
+      Trigger.AvailableNow()).awaitTermination()
+    // checkpoint loss: a fresh stream re-reads EVERY landing object
+    Pipeline.stream(s, cfg, s"$work/landing/part-*", s"$work/ckpt-2",
+      Trigger.AvailableNow()).awaitTermination()
+    TableSink.read(s, registry, "analytics", "events")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("distinct_ids"),
+        graft.relational.RelationalQueries.dsum(col("data.value")).as("total_value"))
+  }
+
+  val q60Sql: String = s"""
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS distinct_ids,
+           ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value
+    FROM events"""
+
   /** q37: SQL passthrough (SURVEY K3) — a raw SQL string handed to
     * Spark SQL over registered views, the analogue of the reference
     * handing SQL to BigQuery. The oracle is the *same string*. */
@@ -364,5 +393,6 @@ object PipelineQueries {
     ("q40_telemetry", q40 _, Some(q40Sql)),
     ("q41_enqueue_roundtrip", q41 _, Some(q41Sql)),
     ("q45_compaction", q45 _, Some(q45Sql)),
-    ("q53_csv_ingest", q53 _, Some(q53Sql)))
+    ("q53_csv_ingest", q53 _, Some(q53Sql)),
+    ("q60_replay_dedup", q60 _, Some(q60Sql)))
 }
