@@ -169,7 +169,8 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.0,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val docs = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
-      .select(col("doc"), array_distinct(wordShinglesNativeOf(col("t"), shingleK)).as("sh"))
+      .select(col("doc"),
+        array_distinct(wordShinglesFastOf(df.sparkSession, col("t"), shingleK)).as("sh"))
     // postings feed three plan branches (self-join ×2 + sizes); persist
     // so shingling+explode runs once, not per branch. Released below —
     // the function materializes its result eagerly (localCheckpoint) so
@@ -246,8 +247,8 @@ object Dedup {
         array_distinct(call_function("graft_shingles", col("t"), lit(shingleK))).as("sh"))
       .withColumn("sig", call_function("graft_minhash_mix", col("sh"), lit(k)))
       .persist()
-    sigs.count() // eager fill: both join branches must hit the cache
     try {
+      sigs.count() // eager fill: both join branches must hit the cache
       // candidates are output-sized — checkpoint them so the verify
       // joins see EXACT stats and broadcast the candidate side, not the
       // (cached, threshold-sized) corpus of shingle sets
@@ -421,7 +422,7 @@ object Dedup {
     // expensive part — computing it twice measured 2× on the whole query
     val grams = docs
       .withColumn("__t", tokens(col(textCol)))
-      .withColumn("gram", explode(wordShinglesNativeOf(col("__t"), k)))
+      .withColumn("gram", explode(wordShinglesFastOf(docs.sparkSession, col("__t"), k)))
       .select(col(idCol), col("gram"), evalPred.as("__eval"))
       .persist()
     try {

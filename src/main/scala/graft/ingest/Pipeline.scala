@@ -176,7 +176,10 @@ object Pipeline {
         .csv(paths: _*)
         .withColumn(SourceCol, input_file_name())
         .persist()
-      parsed.count() // eager: downstream actions must not re-read files
+      // eager: downstream actions must not re-read files. A failure here
+      // must not leak the freshly-registered cache into the session.
+      try parsed.count()
+      catch { case t: Throwable => parsed.unpersist(); throw t }
       Batch(parsed.drop(SourceCol), countsBySource(parsed),
         () => { parsed.unpersist(); () })
     case "parquet" =>
@@ -209,27 +212,46 @@ object Pipeline {
       distInfer: Boolean = false): Batch = {
     import spark.implicits._
     val lines = raw.persist()
-    val nonBlank = lines.filter(trim(col("value")) =!= "")
-    val elem =
-      if (distInfer)
-        graft.schema.DistributedInference.inferJson(
-          nonBlank.select("value").as[String])
-      else spark.read.option("dropFieldIfAllNull", "true")
-        .json(nonBlank.select("value").as[String]).schema
-    val arr = from_json(col("value"), org.apache.spark.sql.types.ArrayType(elem))
-    val parsed = nonBlank
-      .select(explode(coalesce(arr, array(lit(null).cast(elem)))).as("__rec"),
-        col(SourceCol))
-      .select(col("__rec.*"), col(SourceCol))
-      .persist()
-    // No eager materialization job: the FIRST downstream action (source
-    // counts when telemetry is on, else the append itself) fills the
-    // typed cache straight from the cached text — every later action
-    // reads typed rows. Both caches are dropped together at release();
-    // peak footprint is one batch of text + typed rows, spilling to disk
-    // beyond memory.
-    Batch(parsed.drop(SourceCol), countsBySource(parsed),
-      () => { parsed.unpersist(); lines.unpersist(); () })
+    // inference can fail (unreadable object, truncated gz) — never leak
+    // the just-registered text cache into the session when it does
+    try {
+      val nonBlank = lines.filter(trim(col("value")) =!= "")
+      val elem =
+        if (distInfer)
+          graft.schema.DistributedInference.inferJson(
+            nonBlank.select("value").as[String])
+        else spark.read.option("dropFieldIfAllNull", "true")
+          .json(nonBlank.select("value").as[String]).schema
+      // stage the parsed array once (multi-referenced below: rows +
+      // corrupt detection) — an inline repeat would parse twice per row
+      val arr = from_json(col("value"), org.apache.spark.sql.types.ArrayType(elem))
+      val exploded = nonBlank
+        .withColumn("__arr", arr)
+        .select(explode(coalesce(col("__arr"), array(lit(null).cast(elem)))).as("__rec"),
+          col(SourceCol),
+          when(col("__arr").isNull, col("value")).as("__raw"))
+      // read.json PERMISSIVE keeps the offending text in the corrupt
+      // column when inference saw corrupt docs; from_json leaves it null
+      // — restore the payload so quarantine rows stay actionable
+      // ("dropped data is never silent" includes the unparseable bytes).
+      val corruptCol = spark.conf.get("spark.sql.columnNameOfCorruptRecord",
+        "_corrupt_record")
+      val parsed = (
+        if (elem.fieldNames.contains(corruptCol))
+          exploded.select(col("__rec.*"), col(SourceCol), col("__raw"))
+            .withColumn(corruptCol, coalesce(col(corruptCol), col("__raw")))
+            .drop("__raw")
+        else exploded.select(col("__rec.*"), col(SourceCol)))
+        .persist()
+      // No eager materialization job: the FIRST downstream action (source
+      // counts when telemetry is on, else the append itself) fills the
+      // typed cache straight from the cached text — every later action
+      // reads typed rows. Both caches are dropped together at release();
+      // peak footprint is one batch of text + typed rows, spilling to disk
+      // beyond memory.
+      Batch(parsed.drop(SourceCol), countsBySource(parsed),
+        () => { parsed.unpersist(); lines.unpersist(); () })
+    } catch { case t: Throwable => lines.unpersist(); throw t }
   }
 
   /** Same single-parse body over an already-discovered line Dataset

@@ -129,11 +129,25 @@ object Transform {
     * record to quarantine with the usual `*_null` reason. The reference
     * has the same shape: an undefined Rego reference yields no output →
     * invalid log (`pkg/usecase/load.go:213-216`); we quarantine where it
-    * errors the object. */
+    * errors the object.
+    *
+    * ONLY unresolved column/field references degrade — any other
+    * analysis error (unknown function, type mismatch: a mis-WRITTEN
+    * rule, not mis-shaped data) still fails loudly; swallowing those
+    * would silently quarantine 100% of every batch on a config typo.
+    * Structural rule config (explodePath, SetField transforms) likewise
+    * stays loud by design. */
   private def exprOrNull(df: DataFrame, e: String): Column = {
     val c = expr(e)
     try { df.select(c); c }
-    catch { case _: org.apache.spark.sql.AnalysisException => lit(null) }
+    catch {
+      case ae: org.apache.spark.sql.AnalysisException
+          if Option(ae.getCondition).exists(cls =>
+            cls.startsWith("UNRESOLVED_COLUMN") ||
+              cls.startsWith("FIELD_NOT_FOUND") ||
+              cls.startsWith("UNRESOLVED_FIELD")) =>
+        lit(null)
+    }
   }
 
   /** Interpret the rule's timestamp expr by type: DOUBLE Unix seconds

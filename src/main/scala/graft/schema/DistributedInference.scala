@@ -29,27 +29,27 @@ object DistributedInference {
   /** Infer the record schema of a line/doc Dataset in one distributed
     * pass. Blank docs are skipped (read.json behavior). */
   def inferJson(docs: Dataset[String], dropAllNull: Boolean = true): StructType = {
-    val partials = docs.mapPartitions { it =>
-      val factory = new JsonFactory()
-      var acc: DataType = StructType(Nil)
-      it.foreach { line =>
-        if (line != null && line.trim.nonEmpty)
-          docType(factory, line).foreach(t => acc = mergeTop(acc, t))
-      }
-      Iterator.single(acc.json)
-    }(org.apache.spark.sql.Encoders.STRING)
-    // partials are metadata (one string per partition): tree-reduce in
-    // the cluster so the driver merges O(log n) pairs, not n schemas
-    val merged =
-      if (partials.isEmpty) StructType(Nil)
-      else DataType.fromJson(partials.rdd.treeReduce((a, b) =>
-        mergeTop(DataType.fromJson(a), DataType.fromJson(b)).json))
+    // treeAggregate: per-partition fold inside seqOp, partial schemas
+    // (serializable metadata) merged with log depth. (An isEmpty guard +
+    // treeReduce would run the whole per-partition fold a second time
+    // just to ask "any rows?" — the zero value makes the empty case
+    // free.)
+    val merged = docs.rdd.treeAggregate(StructType(Nil): DataType)(
+      seqOp = { (acc, line) =>
+        if (line == null || line.trim.isEmpty) acc
+        else docType(localFactory.get(), line).fold(acc)(mergeTop(acc, _))
+      },
+      combOp = (a, b) => mergeTop(a, b))
     val struct = merged match {
       case s: StructType => s
       case _ => StructType(Nil)
     }
     val sorted = sortFields(struct).asInstanceOf[StructType]
     if (dropAllNull) SchemaMerge.pruneNullTypes(sorted) else sorted
+  }
+
+  private val localFactory = new ThreadLocal[JsonFactory] {
+    override def initialValue(): JsonFactory = new JsonFactory()
   }
 
   private def mergeTop(a: DataType, b: DataType): DataType =
@@ -98,7 +98,15 @@ object DistributedInference {
       ArrayType(elem)
     case JsonToken.VALUE_NUMBER_INT =>
       try { p.getLongValue; LongType }
-      catch { case _: Exception => DecimalType(38, 0) }
+      catch {
+        case _: Exception =>
+          // read.json parity: beyond-long integers become the smallest
+          // decimal that holds them; beyond decimal precision → DOUBLE
+          val bi = p.getBigIntegerValue
+          val digits = bi.abs.toString.length
+          if (digits <= DecimalType.MAX_PRECISION) DecimalType(digits, 0)
+          else DoubleType
+      }
     case JsonToken.VALUE_NUMBER_FLOAT => DoubleType
     case JsonToken.VALUE_STRING => StringType
     case JsonToken.VALUE_TRUE | JsonToken.VALUE_FALSE => BooleanType

@@ -174,6 +174,16 @@ object TextFunctions {
     org.apache.spark.sql.functions.call_function("graft_shingles", toks,
       org.apache.spark.sql.functions.lit(k))
 
+  /** [[wordShinglesNativeOf]] when the kernel is registered on the
+    * session, else the interpreted [[wordShinglesOf]] — identical values
+    * either way, so library entry points stay usable on a plain
+    * SparkSession (just slower) instead of failing analysis. */
+  def wordShinglesFastOf(session: org.apache.spark.sql.SparkSession,
+      toks: Column, k: Int): Column =
+    if (session.catalog.functionExists("graft_shingles"))
+      wordShinglesNativeOf(toks, k)
+    else wordShinglesOf(toks, k)
+
   /** Rolling polynomial fingerprint over a tokens column:
     * fold(acc*31 + md5Long(token)) mod (2^31-1). One value per doc —
     * order-sensitive (reorderings change it), content-exact. */

@@ -92,6 +92,9 @@ class DedupSpec extends SparkSpec {
 
   test("lshJaccardPairs matches the exhaustive jaccardPairs edge set (recall + " +
     "exact precision) and leaves no cache behind") {
+    // start from a clean slate so the hygiene assert below measures THIS
+    // test's calls, not leftovers from other suites on the shared session
+    spark.catalog.clearCache()
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 2,
         threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSet

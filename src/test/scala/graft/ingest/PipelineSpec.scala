@@ -129,6 +129,39 @@ class PipelineSpec extends SparkSpec {
     assert(q.count() == 2) // dropped data is never silent
   }
 
+  test("mis-written rules fail loudly: only missing FIELDS degrade to quarantine, " +
+    "unknown functions / bad exprs abort the batch") {
+    val landing = tmpDir("landing")
+    writeFile(landing, "access.log",
+      """{"log_id": "a1", "event_time": 1559347200.0, "user": "u1"}""" + "\n")
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val badFn = Rules(
+      event = Seq(EventRule(name = "a", when = "name LIKE '%.log'", schemaRule = "s")),
+      schema = Seq(SchemaRule(name = "s", dataset = "'d'", table = "'t'",
+        timestamp = "not_a_function(event_time)"))) // typo ≠ missing data
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Pipeline.ingestPrefix(spark, Pipeline.Config(registry, badFn), s"$landing/*")
+    }
+  }
+
+  test("unparseable docs quarantine WITH the offending bytes (corrupt payload kept)") {
+    val landing = tmpDir("landing")
+    writeFile(landing, "access.log",
+      """{"log_id": "ok1", "event_time": 1559347200.0, "user": "u1"}
+        |{"log_id": "broken", "event_time": 15593
+        |{"log_id": "ok2", "event_time": 1559347201.0, "user": "u2"}
+        |""".stripMargin)
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry, accessRules()), s"$landing/*")
+    val table = TableSink.read(spark, registry, "swarm_test", "my_log_table")
+    assert(table.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("ok1", "ok2"))
+    val q = spark.read.parquet(registry.dataDir("_meta", "quarantine"))
+      .select("record").collect().map(_.getString(0))
+    assert(q.length == 1)
+    assert(q(0).contains("broken"), // the raw line is recoverable
+      s"quarantined record must carry the unparseable bytes, got: ${q(0)}")
+  }
+
   test("many-table batch: destinations append concurrently, counts per table") {
     val landing = tmpDir("landing")
     val registry = new SchemaRegistry(tmpDir("tables"))

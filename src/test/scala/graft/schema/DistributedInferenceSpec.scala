@@ -35,6 +35,9 @@ class DistributedInferenceSpec extends SparkSpec {
     // conflicting types fall back to string
     check(Seq("""{"v":{"x":1}}""", """{"v":[1,2]}"""))
     check(Seq("""{"v":1}""", """{"v":"s"}"""))
+    // beyond-long integers: smallest containing decimal, like read.json
+    check(Seq("""{"v":99999999999999999999}"""))
+    check(Seq("""{"v":1}""", """{"v":99999999999999999999}"""))
   }
 
   test("partition count does not change the result (merge laws hold)") {
