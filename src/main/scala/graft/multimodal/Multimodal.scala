@@ -43,6 +43,9 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, frame_md5: String)
 
+  final case class DecodedAudio(media_id: Long, sample_rate: Int,
+      duration_ms: Long, channels: Int, mfcc: Array[Double])
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -75,6 +78,23 @@ object Multimodal {
       DecodedImage(id, width, height, channels, features)
     }
 
+    /** STUB audio decode: rate/duration/channels/MFCC-shaped features
+      * from the payload digest — a real decoder reads the container
+      * header and runs the filterbank. 13 coefficients, the classic
+      * MFCC count. */
+    def decodeAudio(id: Long, bytes: Array[Byte]): DecodedAudio = {
+      val h = md5hex(bytes)
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      val rate = rates((hexLong(h, 8) % 5L).toInt)
+      val durationMs = 1L + hexLong(h.substring(8, 16), 8) % 600000L
+      val channels = 1 + (hexLong(h.substring(16, 20), 4) % 2L).toInt
+      val mfcc = (0 until 13).map { j =>
+        val hj = md5hex((h + "@" + j).getBytes("UTF-8"))
+        (hexLong(hj, 8) % 2000L - 1000L).toDouble / 100.0
+      }.toArray
+      DecodedAudio(id, rate, durationMs, channels, mfcc)
+    }
+
     /** STUB frame count: a real demuxer reads container metadata. */
     def frameCount(bytes: Array[Byte]): Int =
       math.max(1, math.min(10, bytes.length / 1000))
@@ -105,6 +125,20 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch codec context would be acquired here
           batch.iterator.map { case (id, bytes) => FakeCodec.decodeImage(id, bytes) }
+        }
+      }
+  }
+
+  /** Decode audio payloads — same batched partition-local shape as
+    * [[decodeImages]]; only the small (rate, duration, channels, MFCC)
+    * rows flow onward, never the waveform. */
+  def decodeAudio(media: DataFrame, batchSize: Int = 64): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => FakeCodec.decodeAudio(id, bytes) }
         }
       }
   }

@@ -188,6 +188,36 @@ object PipelineQueries {
           FROM documents WHERE doc_id % 3 = 0)
     ORDER BY media_id, frame_idx"""
 
+  /** q61: multimodal audio decode — binary payloads through the batched
+    * audio decoder (rate / duration / channels / first MFCC), size-aware
+    * partitioning; md5-deterministic like q31 so the oracle replays the
+    * decode exactly. */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.repartitionBySize(
+      Tables.documents(s, d).select(col("doc_id").as("media_id"),
+        lit("audio").as("media_type"), lit("fake").as("fmt"),
+        encode(col("text"), "UTF-8").cast("binary").as("content")), 8)
+    Multimodal.decodeAudio(media)
+      .select(col("media_id"), col("sample_rate"), col("duration_ms"),
+        col("channels"), round(element_at(col("mfcc"), 1), 6).as("mfcc0"))
+      .orderBy(col("media_id"))
+  }
+
+  val q61Sql: String = {
+    def hexLong(src: String, from: Int, len: Int) =
+      s"""CAST(list_reduce(list_transform(range($from, ${from + len}), i ->
+          CAST(strpos('0123456789abcdef', substring($src, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        (a, x) -> a * 16 + x) AS BIGINT)"""
+    s"""
+    SELECT doc_id AS media_id,
+           list_extract([8000, 16000, 22050, 44100, 48000],
+             1 + CAST(${hexLong("md5(text)", 1, 8)} % 5 AS INT)) AS sample_rate,
+           1 + ${hexLong("md5(text)", 9, 8)} % 600000 AS duration_ms,
+           1 + CAST(${hexLong("md5(text)", 17, 4)} % 2 AS INT) AS channels,
+           round(CAST(${hexLong("md5(md5(text) || '@0')", 1, 8)} % 2000 - 1000 AS DOUBLE) / 100.0, 6) AS mfcc0
+    FROM documents ORDER BY media_id"""
+  }
+
   /** q36: notification decode (SURVEY S7) — Cloud-Storage object-event
     * JSON (built deterministically from `events`) through the fixed-
     * schema from_json decoder: string→long size, RFC3339→timestamp,
@@ -394,5 +424,6 @@ object PipelineQueries {
     ("q41_enqueue_roundtrip", q41 _, Some(q41Sql)),
     ("q45_compaction", q45 _, Some(q45Sql)),
     ("q53_csv_ingest", q53 _, Some(q53Sql)),
-    ("q60_replay_dedup", q60 _, Some(q60Sql)))
+    ("q60_replay_dedup", q60 _, Some(q60Sql)),
+    ("q61_audio_decode", q61 _, Some(q61Sql)))
 }

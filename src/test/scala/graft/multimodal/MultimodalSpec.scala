@@ -4,6 +4,24 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
+
+  test("decodeAudio: deterministic metadata + 13 MFCCs, batched narrow pass") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio", "fake", "some waveform bytes".getBytes("UTF-8")),
+      (2L, "audio", "fake", "other waveform".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "fmt", "content")
+    val out = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out.forall(a => Set(8000, 16000, 22050, 44100, 48000)(a.sample_rate)))
+    assert(out.forall(a => a.duration_ms >= 1 && a.duration_ms <= 600000))
+    assert(out.forall(a => a.channels == 1 || a.channels == 2))
+    assert(out.forall(_.mfcc.length == 13))
+    assert(out.forall(_.mfcc.forall(v => v >= -10.0 && v < 10.0)))
+    // deterministic: same payload → same decode
+    val again = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    assert(out.map(_.mfcc.toSeq).toSeq == again.map(_.mfcc.toSeq).toSeq)
+  }
   import spark.implicits._
 
   private def media = Multimodal.mediaFromDocuments(
