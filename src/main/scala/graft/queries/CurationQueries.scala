@@ -748,6 +748,65 @@ object CurationQueries {
     FROM cassign c LEFT JOIN comp p USING (vec_id) ORDER BY vec_id"""
   }
 
+  // ---- q62: incremental semantic near-dup vs stored IVF corpus ----
+
+  /** The production shape for embedding dedup (twin of q52's band-store
+    * path): corpus (vec_id < 400) clustered + written ONCE as an
+    * IVF-partitioned store; the incoming batch (vec_id ≥ 400) probes
+    * its 2 nearest lists and compares only those partition-pruned
+    * directories. The oracle replays centroids (corpus-only Lloyd
+    * step), both assignment tie rules, and the threshold, so the
+    * store round-trip is hash-checked. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val work = graft.util.Workspace.temp("graft-q62")
+    val cents = Similarity.writeIvfStore(emb.filter(col("vec_id") < 400),
+      s"$work/ivf", nlist = 16)
+    Similarity.incrementalSemanticNearDup(s, s"$work/ivf", cents,
+        emb.filter(col("vec_id") >= 400), threshold = 0.4, nprobe = 2)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val q62Sql: String = {
+    val nlist = 16; val nprobe = 2
+    def halfS(c: String) =
+      "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($c, x -> x * x)), (acc, x) -> acc + x) / 2.0)"
+    val h = md5LongSql("CAST(vec_id AS VARCHAR)", 15)
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400),
+    batch AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 400),
+    seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v
+              FROM (SELECT v, $h AS h FROM e) ORDER BY h LIMIT $nlist),
+    assign0 AS (SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, e.v AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql("e.v", "s.v")} - ${halfS("s.v")}) DESC, s.c DESC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    means AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+              FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign0)
+              GROUP BY c, pos),
+    refined AS (SELECT s.c AS c, COALESCE(m.mv, s.v) AS v
+                FROM seeds s LEFT JOIN
+                  (SELECT c, list(m ORDER BY pos) AS mv FROM means GROUP BY c) m
+                  ON s.c = m.c),
+    cassign AS (SELECT vec_id AS corpus_id, v AS cv, sqrt(${dotSql("v", "v")}) AS cn, c AS cluster
+                FROM (SELECT e.vec_id, e.v AS v, r.c AS c,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY (${dotSql("e.v", "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+                      FROM e CROSS JOIN refined r) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS new_id, v AS qv, sqrt(${dotSql("v", "v")}) AS qn, c AS cluster
+               FROM (SELECT b.vec_id, b.v AS v, r.c AS c,
+                       ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                         ORDER BY (${dotSql("b.v", "r.v")} - ${halfS("r.v")}) DESC, r.c ASC) AS rn
+                     FROM batch b CROSS JOIN refined r) WHERE rn <= $nprobe)
+    SELECT new_id, corpus_id,
+           round(${dotSql("qv", "cv")} / (qn * cn), 6) AS sim
+    FROM cassign JOIN qprobe USING (cluster)
+    WHERE round(${dotSql("qv", "cv")} / (qn * cn), 6) >= 0.4
+    ORDER BY new_id, corpus_id"""
+  }
+
   // ---- q57: sequence packing (concat-then-chunk, sharded) ----
 
   /** Training-batch packing: per-doc (shard, pack, offset) positions
@@ -848,5 +907,6 @@ object CurationQueries {
     ("q55_mix_allocation", q55 _, Some(q55Sql)),
     ("q57_sequence_packing", q57 _, Some(q57Sql)),
     ("q58_quality_filter", q58 _, Some(q58Sql)),
-    ("q59_semantic_dedup", q59 _, Some(q59Sql)))
+    ("q59_semantic_dedup", q59 _, Some(q59Sql)),
+    ("q62_incremental_semantic", q62 _, Some(q62Sql)))
 }

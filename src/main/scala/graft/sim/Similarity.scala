@@ -283,6 +283,33 @@ object Similarity {
     rerank(cands, k)
   }
 
+  /** INCREMENTAL semantic near-dup: a NEW batch of vectors against an
+    * EXISTING IVF-partitioned corpus store — the embedding twin of the
+    * minhash band-store path ([[graft.dedup.Dedup.incrementalCandidates]],
+    * the production dedup shape). The corpus was clustered ONCE at
+    * ingest ([[writeIvfStore]]); each incoming batch probes its
+    * `nprobe` nearest lists and compares only against those
+    * PARTITION-PRUNED directories — per-batch cost tracks the batch and
+    * the probed slice, never the corpus. Returns (new_id, corpus_id,
+    * sim) with exact cosine ≥ threshold. */
+  def incrementalSemanticNearDup(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cents: Array[Array[Double]], batch: DataFrame,
+      threshold: Double, nprobe: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = probeQueries(batch, cents, nprobe, idCol, vecCol)
+    val probed = probes.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val store = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probed: _*)) // → PartitionFilters
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"), col("cluster"))
+      .withColumn("cn", sqrt(fastDot(batch)(col("cv"), col("cv"))))
+    store.join(broadcast(probes), "cluster")
+      .withColumn("sim", round(fastDot(batch)(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("query_id").as("new_id"), col("corpus_id"), col("sim"))
+      .distinct() // nprobe > 1 can surface the same pair via two lists
+  }
+
   /** Embedding-space near-duplicates: all pairs with cosine ≥ threshold.
     * Exact all-pairs — O(n²); the EXACT VERIFIER for modest corpora and
     * the recall baseline in SimilaritySpec. The scale path is
