@@ -32,12 +32,14 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // Dynamic-partition writes (time-partitioned table appends) insert
-      // a per-task sort on the partition column unless the writer may
-      // keep this many files open concurrently; our partition counts per
-      // batch are small (days/months in a batch), so trading open-file
-      // handles for the sort removes a full sort of every ingest batch.
-      .config("spark.sql.maxConcurrentOutputFileWriters", "64")
+      // Dynamic-partition writes use the default SORT-based writer: the
+      // ingest path rebalance-clusters every batch by `__part` before the
+      // write (TableSink.appendSlice), so each task holds a handful of
+      // partition values and the per-task sort is near-free. The r3
+      // alternative (maxConcurrentOutputFileWriters=64) multiplied open
+      // parquet writers across tasks — 677 concurrent writers, shrunken
+      // row groups, tasks×partitions tiny files — the wrong trade at any
+      // scale once the batch is clustered.
       // InferFiltersFromGenerate rewrites explode(e) into
       // Filter(size(e)>0 && isnotnull(e)) + Generate and then pushes the
       // filter down THROUGH projections, substituting aliases — for an

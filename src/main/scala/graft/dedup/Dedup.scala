@@ -173,7 +173,7 @@ object Dedup {
         array_distinct(wordShinglesFastOf(df.sparkSession, col("t"), shingleK)).as("sh"))
     // postings feed three plan branches (self-join ×2 + sizes); persist
     // so shingling+explode runs once, not per branch. Released below —
-    // the function materializes its result eagerly (localCheckpoint) so
+    // the function materializes its result eagerly (Materialize.eager) so
     // no cached postings outlive the call (library hygiene: callers in
     // long-lived sessions must not accumulate hidden caches).
     val allPostings = docs.select(col("doc"), explode(col("sh")).as("s")).persist()
@@ -203,7 +203,10 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast(DoubleType))
         .filter(col("sim") >= threshold)
         .select(col("a"), col("b"), col("sim"))
-        .localCheckpoint() // eager: pairs are output-sized; frees postings
+        // eager: pairs are output-sized; frees postings. Reliable
+        // checkpoint when the session has a checkpoint dir (survives
+        // executor loss), local otherwise — see [[graft.util.Materialize]].
+        .transform(graft.util.Materialize.eager)
     } finally allPostings.unpersist()
   }
 
@@ -252,14 +255,16 @@ object Dedup {
       // candidates are output-sized — checkpoint them so the verify
       // joins see EXACT stats and broadcast the candidate side, not the
       // (cached, threshold-sized) corpus of shingle sets
-      val cand = lshCandidates(sigs, "doc", "sig", bands).localCheckpoint()
+      val cand = graft.util.Materialize.eager(lshCandidates(sigs, "doc", "sig", bands))
       cand
         .join(sigs.select(col("doc").as("a"), col("sh").as("sha")), "a")
         .join(sigs.select(col("doc").as("b"), col("sh").as("shb")), "b")
         .withColumn("sim", jaccard(col("sha"), col("shb")))
         .filter(col("sim") >= threshold)
         .select(col("a"), col("b"), col("sim"))
-        .localCheckpoint() // eager: edges are output-sized; frees the sets
+        // eager: edges are output-sized; frees the sets (checkpoint mode
+        // follows the session — [[graft.util.Materialize]])
+        .transform(graft.util.Materialize.eager)
     } finally sigs.unpersist()
   }
 
@@ -431,7 +436,9 @@ object Dedup {
         .join(broadcast(evalGrams), "gram")
         .groupBy(col(idCol))
         .agg(countDistinct(col("gram")).as("n_shared"))
-        .localCheckpoint() // eager: per-doc counts; frees the gram cache
+        // eager: per-doc counts; frees the gram cache (checkpoint mode
+        // follows the session — [[graft.util.Materialize]])
+        .transform(graft.util.Materialize.eager)
     } finally grams.unpersist()
   }
 }

@@ -116,11 +116,15 @@ object Pipeline {
               .foreach(r => sourceLogs += ((rule.name, r.getString(0), r.getLong(1)))))
           }
           val schemaRule = cfg.rules.schemaRule(rule.schemaRule)
-          val routed = Transform(batch.records, schemaRule, ingestId)
-          if (cfg.telemetry && cfg.dryRunDir.isEmpty)
-            timed("quarantine")(writeQuarantine(spark, cfg.registry, started,
-              Transform.invalid(batch.records, schemaRule, ingestId)))
-          cfg.dryRunDir match {
+          // invalid-row count rides the append job (observe below the
+          // validity filter) — the all-valid common case costs zero extra
+          // jobs; only a non-zero count triggers the quarantine pass.
+          val invalidObs =
+            if (cfg.telemetry && cfg.dryRunDir.isEmpty)
+              Some(org.apache.spark.sql.Observation())
+            else None
+          val routed = Transform(batch.records, schemaRule, ingestId, invalidObs)
+          val res = cfg.dryRunDir match {
             case Some(dir) =>
               DumpSink.dump(Transform.pruneDataSchema(routed), dir).map { case (ds, tbl) =>
                 TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
@@ -128,6 +132,12 @@ object Pipeline {
             case None => timed("append")(TableSink.append(spark, cfg.registry, routed,
               cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests))
           }
+          invalidObs.foreach { obs =>
+            if (invalidCount(obs) > 0)
+              timed("quarantine")(writeQuarantine(spark, cfg.registry, started,
+                Transform.invalid(batch.records, schemaRule, ingestId)))
+          }
+          res
         } finally batch.release()
       }
     }
@@ -216,12 +226,25 @@ object Pipeline {
     // the just-registered text cache into the session when it does
     try {
       val nonBlank = lines.filter(trim(col("value")) =!= "")
-      val elem =
+      val corruptName = spark.conf.get("spark.sql.columnNameOfCorruptRecord",
+        "_corrupt_record")
+      val inferred =
         if (distInfer)
           graft.schema.DistributedInference.inferJson(
             nonBlank.select("value").as[String])
         else spark.read.option("dropFieldIfAllNull", "true")
           .json(nonBlank.select("value").as[String]).schema
+      // A batch whose docs carry no object fields at all (e.g. top-level
+      // arrays of scalars — distributed inference folds them to an EMPTY
+      // struct) must not abort on the `__rec.*` star-expansion below;
+      // type it as pure corrupt records so every doc routes to quarantine
+      // with its payload — the same destination read.json's
+      // `_corrupt_record` inference gives such docs.
+      val elem =
+        if (inferred.nonEmpty) inferred
+        else org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(corruptName,
+            org.apache.spark.sql.types.StringType)))
       // stage the parsed array once (multi-referenced below: rows +
       // corrupt detection) — an inline repeat would parse twice per row
       val arr = from_json(col("value"), org.apache.spark.sql.types.ArrayType(elem))
@@ -229,17 +252,18 @@ object Pipeline {
         .withColumn("__arr", arr)
         .select(explode(coalesce(col("__arr"), array(lit(null).cast(elem)))).as("__rec"),
           col(SourceCol),
-          when(col("__arr").isNull, col("value")).as("__raw"))
+          // a null RECORD (whole doc unparseable → the array(null) wrap,
+          // or one element of a parsed array that didn't fit the schema)
+          // keeps the doc payload for the quarantine row
+          when(col("__rec").isNull, col("value")).as("__raw"))
       // read.json PERMISSIVE keeps the offending text in the corrupt
       // column when inference saw corrupt docs; from_json leaves it null
       // — restore the payload so quarantine rows stay actionable
       // ("dropped data is never silent" includes the unparseable bytes).
-      val corruptCol = spark.conf.get("spark.sql.columnNameOfCorruptRecord",
-        "_corrupt_record")
       val parsed = (
-        if (elem.fieldNames.contains(corruptCol))
+        if (elem.fieldNames.contains(corruptName))
           exploded.select(col("__rec.*"), col(SourceCol), col("__raw"))
-            .withColumn(corruptCol, coalesce(col(corruptCol), col("__raw")))
+            .withColumn(corruptName, coalesce(col(corruptName), col("__raw")))
             .drop("__raw")
         else exploded.select(col("__rec.*"), col(SourceCol)))
         .persist()
@@ -253,6 +277,27 @@ object Pipeline {
         () => { parsed.unpersist(); lines.unpersist(); () })
     } catch { case t: Throwable => lines.unpersist(); throw t }
   }
+
+  /** Above this many matched paths, the per-line path filter switches
+    * from an `isin` literal list to a broadcast semi-join: a backlog
+    * micro-batch of 50k files would otherwise build a 50k-literal In
+    * predicate evaluated against every line. Below it, the literal list
+    * wins (no join overhead, and an In over a handful of values is
+    * codegen'd to a hash set). */
+  private[ingest] val PathLiteralLimit = 512
+
+  /** Restrict a cached micro-batch to the lines of `paths` — literal
+    * `isin` for small sets, broadcast semi-join for large ones (the
+    * matched-path set is always driver-resident metadata; the join keeps
+    * its EVALUATION distributed instead of one giant predicate). */
+  private[ingest] def filterByPaths(cached: DataFrame, paths: Seq[String]): DataFrame =
+    if (paths.lengthCompare(PathLiteralLimit) <= 0)
+      cached.filter(col("path").isin(paths: _*))
+    else {
+      val spark = cached.sparkSession
+      import spark.implicits._
+      cached.join(broadcast(paths.toDF("path")), Seq("path"), "left_semi")
+    }
 
   /** Same single-parse body over an already-discovered line Dataset
     * (streaming batches arrive as text lines; the caller holds the
@@ -272,13 +317,23 @@ object Pipeline {
   private def ingestRecords(spark: SparkSession, cfg: Config, rule: EventRule,
       records: DataFrame, ingestId: String): Seq[TableSink.IngestResult] = {
     val schemaRule = cfg.rules.schemaRule(rule.schemaRule)
-    if (cfg.telemetry)
-      writeQuarantine(spark, cfg.registry, System.currentTimeMillis(),
-        Transform.invalid(records, schemaRule, ingestId))
-    TableSink.append(spark, cfg.registry,
-      Transform(records, schemaRule, ingestId), cfg.dedup.getOrElse(false),
-      knownDests = schemaRule.literalDests)
+    val invalidObs =
+      if (cfg.telemetry) Some(org.apache.spark.sql.Observation()) else None
+    val results = TableSink.append(spark, cfg.registry,
+      Transform(records, schemaRule, ingestId, invalidObs),
+      cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests)
+    invalidObs.foreach { obs =>
+      if (invalidCount(obs) > 0)
+        writeQuarantine(spark, cfg.registry, System.currentTimeMillis(),
+          Transform.invalid(records, schemaRule, ingestId))
+    }
+    results
   }
+
+  /** Observed invalid-row count from the append action (0 on an empty
+    * batch — count(when) never yields null). */
+  private def invalidCount(obs: org.apache.spark.sql.Observation): Long =
+    obs.get.get("invalid").map(_.asInstanceOf[Long]).getOrElse(0L)
 
   /** Streaming ingest over a landing directory (≡ `swarm serve`,
     * SURVEY §3.1): the checkpointed text file source discovers new
@@ -343,7 +398,7 @@ object Pipeline {
               try ingestRecords(spark, cfg, rule, b.records, ingestId)
               finally b.release()
             } else {
-              val lines = cached.filter(col("path").isin(paths.toIndexedSeq: _*))
+              val lines = filterByPaths(cached, paths.toIndexedSeq)
                 .select("value").as[String]
               ingestLines(spark, cfg, rule, lines, ingestId)
             }
@@ -474,8 +529,7 @@ object Pipeline {
         "dataset", "table", "schema_version", "log_count", "success")
       .coalesce(1)
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
-    df.write.mode("append").partitionBy("__part")
-      .parquet(registry.dataDir("_meta", "load_log"))
+    registry.appendPartitioned("_meta", "load_log", df)
   }
 
   /** Records dropped by validation → `_meta.quarantine` (reasons +
@@ -483,17 +537,14 @@ object Pipeline {
     * invalid log (`load.go:213-231`); at scale one bad record must not
     * fail a billion-row object, so the pipeline appends the rejects
     * where an operator can query them — dropped data is never silent.
-    * The isEmpty guard keeps the common all-valid case to a single
-    * extra validation pass with no write job. */
+    * Callers gate on the invalid count observed during the append job
+    * ([[invalidCount]]), so this runs ONLY when there is something to
+    * write — the all-valid common case never pays a probe or write job. */
   private def writeQuarantine(spark: SparkSession, registry: SchemaRegistry,
-      startedMs: Long, bad: DataFrame): Unit = {
-    if (bad.isEmpty) return
-    bad
+      startedMs: Long, bad: DataFrame): Unit =
+    registry.appendPartitioned("_meta", "quarantine", bad
       .withColumn("rejected_at", lit(new java.sql.Timestamp(startedMs)))
-      .withColumn("__part", date_format(col("rejected_at"), "yyyy-MM"))
-      .write.mode("append").partitionBy("__part")
-      .parquet(registry.dataDir("_meta", "quarantine"))
-  }
+      .withColumn("__part", date_format(col("rejected_at"), "yyyy-MM")))
 
   /** Per-source telemetry → `_meta.source_log` (ref SourceLog:
     * one row per ingested object with its decoded row count). */
@@ -507,8 +558,7 @@ object Pipeline {
     }.toDF("ingest_id", "started_at", "rule", "path", "row_count")
       .coalesce(1) // driver-sized: rows = source objects in this ingest
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
-    df.write.mode("append").partitionBy("__part")
-      .parquet(registry.dataDir("_meta", "source_log"))
+    registry.appendPartitioned("_meta", "source_log", df)
   }
 
   /** Schema-only pass (≡ `swarm schema` CLI, `cmd/schema.go`): run rules

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.schema.{SchemaMerge, SchemaRegistry}
+import graft.schema.TableBackend
 
 /** Per-destination append with schema evolution and time-partitioning —
   * the reference's `ingestRecords` (`pkg/usecase/load.go:283-372`):
@@ -12,6 +12,11 @@ import graft.schema.{SchemaMerge, SchemaRegistry}
   * partitioned by the destination's time unit
   * (`pkg/usecase/utils.go:170-194`; hour/day/month/year
   * `pkg/domain/types/types.go:51-57`).
+  *
+  * Storage is behind [[graft.schema.TableBackend]] — this object never
+  * touches parquet paths directly, so a BigQuery/Delta deployment swaps
+  * the backend without editing the engine (the reference's
+  * usecase-vs-infra split, `pkg/infra/bq/client.go`).
   *
   * Scale design: routing destinations are FEW (they're table names), rows
   * are MANY — so we `collect()` only the distinct routing triple (driver
@@ -59,7 +64,7 @@ object TableSink {
     * at scale it reads only the overlapping slices of the table (id
     * re-deliveries are near-in-time), not the whole history.
     */
-  def append(spark: SparkSession, registry: SchemaRegistry,
+  def append(spark: SparkSession, backend: TableBackend,
       routed: DataFrame, dedup: Boolean = false,
       knownDests: Option[Seq[(String, String, String)]] = None): Seq[IngestResult] = {
     val pruned = Transform.pruneDataSchema(routed)
@@ -76,9 +81,9 @@ object TableSink {
           col("partition") === unit)
         .drop("dataset", "table", "partition")
       val deduped =
-        if (!dedup || !registry.exists(ds, tbl)) slice
+        if (!dedup || !backend.exists(ds, tbl)) slice
         else {
-          val existing = readWithPart(spark, registry, ds, tbl)
+          val existing = backend.readWithPart(spark, ds, tbl)
           val parts = slice.select(partCol(unit).as("__p")).distinct()
             .collect().map(_.getString(0))
           slice.join(
@@ -86,12 +91,12 @@ object TableSink {
               .select(col("id").as("__existing_id")),
             col("id") === col("__existing_id"), "left_anti")
         }
-      appendSlice(spark, registry, ds, tbl, unit, deduped)
+      appendSlice(spark, backend, ds, tbl, unit, deduped)
     }
     if (dests.length <= 1) dests.toSeq.map((one _).tupled)
     else {
       // many-table batch: submit per-destination jobs concurrently
-      // (registry DDL stays serialized by its per-table lock)
+      // (backend DDL stays serialized by its per-table lock)
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -109,37 +114,40 @@ object TableSink {
     * reference's SCHEMA_MISMATCH loop (`pkg/infra/bq/stream.go:87-106`) —
     * with a local registry the merge happens before the write, so one
     * retry suffices for racing writers. */
-  def appendSlice(spark: SparkSession, registry: SchemaRegistry, dataset: String,
+  def appendSlice(spark: SparkSession, backend: TableBackend, dataset: String,
       table: String, partitionUnit: String, slice: DataFrame): IngestResult = {
     val incomingData = slice.schema("data").dataType.asInstanceOf[StructType]
     val incoming = tableSchema(incomingData)
-    val effective = registry.createOrUpdate(dataset, table, incoming)
+    val effective = backend.createOrUpdate(dataset, table, incoming)
     val effData = effective("data").dataType.asInstanceOf[StructType]
     val aligned = slice.withColumn("data",
       graft.functions.alignStruct(col("data"), incomingData, effData))
     val withPart = aligned.withColumn("__part", partCol(partitionUnit))
+    // Cluster the batch by its target partition BEFORE the dynamic-
+    // partition write. Without this, every input task opens a writer for
+    // every partition value it happens to hold: a 32-split batch spanning
+    // 141 day-partitions writes up to 32×141 ≈ 4,500 tiny files, and the
+    // parquet memory manager shrinks row groups under the hundreds of
+    // concurrent writers ("Scaling row group sizes … for 677 writers" in
+    // the round-3 bench) — the one write shape that gets WORSE with
+    // scale. REBALANCE is the AQE-aware clustering: rows with one __part
+    // land in one shuffle partition (→ one file per partition per batch),
+    // small partitions coalesce into shared tasks, and a skewed partition
+    // splits into a few LARGE files instead of one straggler task.
+    val clustered = withPart.hint("rebalance", "__part")
     // row count observed DURING the write job (ref IngestLog.LogCount,
     // `model/bigquery.go:37`) — no second pass over the data
     val obs = org.apache.spark.sql.Observation()
-    withPart.observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("__part")
-      .parquet(registry.dataDir(dataset, table))
+    backend.appendPartitioned(dataset, table,
+      clustered.observe(obs, count(lit(1)).as("n")))
     val logCount = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
-    val version = registry.currentSchema(dataset, table).map(_._1).getOrElse(1)
+    val version = backend.currentSchema(dataset, table).map(_._1).getOrElse(1)
     IngestResult(dataset, table, partitionUnit, version, logCount, success = true)
   }
 
   /** Read a table back under its evolved schema (partition column kept
     * out of the logical row — it's derivable from `timestamp`). */
-  def read(spark: SparkSession, registry: SchemaRegistry, dataset: String,
+  def read(spark: SparkSession, backend: TableBackend, dataset: String,
       table: String): DataFrame =
-    readWithPart(spark, registry, dataset, table).drop("__part")
-
-  private def readWithPart(spark: SparkSession, registry: SchemaRegistry,
-      dataset: String, table: String): DataFrame = {
-    val (_, schema) = registry.currentSchema(dataset, table)
-      .getOrElse(sys.error(s"no such table $dataset.$table"))
-    spark.read.schema(schema.add("__part", StringType))
-      .parquet(registry.dataDir(dataset, table))
-  }
+    backend.readWithPart(spark, dataset, table).drop("__part")
 }

@@ -28,23 +28,36 @@ object Transform {
     * record, record fields as top-level columns). `ingestId` is constant
     * per pipeline invocation (ref: UUIDv4 per table-ingest,
     * `types.go:17,25`).
+    *
+    * `observeInvalid`: when set, the count of records validation drops is
+    * collected DURING whatever action first consumes the returned frame
+    * (the destination append) — the caller decides afterwards whether a
+    * quarantine pass is needed at all, so the common all-valid ingest
+    * never runs an extra emptiness-probe job over the batch.
     */
-  def apply(records: DataFrame, rule: SchemaRule, ingestId: String): DataFrame = {
+  def apply(records: DataFrame, rule: SchemaRule, ingestId: String,
+      observeInvalid: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val (reshaped, dataFields) = reshape(records, rule)
     val withEnvelope = reshaped
       // a missing id field falls back to the content digest, like no id rule
       .withColumn("__graft_id", rule.id.map(exprOrNull(reshaped, _).cast(StringType))
         .getOrElse(lit(null).cast(StringType)))
-    val packed = withEnvelope.withColumn("__graft_data",
+    val packed0 = withEnvelope.withColumn("__graft_data",
       struct(dataFields.map(col): _*))
+    val valid = col("__graft_ds").isNotNull && col("__graft_tbl").isNotNull &&
+      col("__graft_ts").isNotNull
+    // the metrics node sits BELOW the validity filter, so the dropped
+    // rows are counted by the append job itself (count(when) is 0 on an
+    // empty batch, never null)
+    val packed = observeInvalid.fold(packed0)(obs =>
+      packed0.observe(obs, count(when(!valid, lit(1))).as("invalid")))
     val dataSchema = packed.schema("__graft_data").dataType.asInstanceOf[StructType]
     packed
       // record validation (ref model/policy.go:73-89): dataset/table/
       // timestamp are required; invalid logs error out in the reference —
       // we drop-with-metric semantics via filter (strictness configurable
       // at the pipeline level).
-      .filter(col("__graft_ds").isNotNull && col("__graft_tbl").isNotNull &&
-        col("__graft_ts").isNotNull)
+      .filter(valid)
       .select(
         coalesce(col("__graft_id"),
           graft.functions.logId(col("__graft_data"), dataSchema)).as("id"),

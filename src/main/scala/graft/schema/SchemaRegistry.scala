@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * catalog concern, not an engine concern). Schema files are tiny driver-
   * side metadata — never in the executor hot path.
   */
-final class SchemaRegistry(rootDir: String) {
+final class SchemaRegistry(rootDir: String) extends TableBackend {
 
   private val locks = new ConcurrentHashMap[String, Object]()
   private def lockFor(key: String): Object =
@@ -39,10 +39,10 @@ final class SchemaRegistry(rootDir: String) {
   private def schemaFile(dataset: String, table: String): Path =
     tableDir(dataset, table).resolve("schema.json")
 
-  def exists(dataset: String, table: String): Boolean =
+  override def exists(dataset: String, table: String): Boolean =
     Files.exists(schemaFile(dataset, table))
 
-  def currentSchema(dataset: String, table: String): Option[(Int, StructType)] = {
+  override def currentSchema(dataset: String, table: String): Option[(Int, StructType)] = {
     val f = schemaFile(dataset, table)
     if (!Files.exists(f)) None
     else {
@@ -61,7 +61,7 @@ final class SchemaRegistry(rootDir: String) {
     * merge-equal short-circuit, `bigquery.go:31-34`). Returns the table's
     * effective schema. Serialized per table.
     */
-  def createOrUpdate(dataset: String, table: String, incoming: StructType): StructType =
+  override def createOrUpdate(dataset: String, table: String, incoming: StructType): StructType =
     lockFor(s"$dataset.$table").synchronized {
       currentSchema(dataset, table) match {
         case None =>
@@ -90,6 +90,24 @@ final class SchemaRegistry(rootDir: String) {
     val (_, schema) = currentSchema(dataset, table)
       .getOrElse(sys.error(s"no such table $dataset.$table"))
     spark.read.schema(schema).parquet(dataDir(dataset, table))
+  }
+
+  /** [[TableBackend]]: plain partitioned parquet append under the
+    * table's data dir. Per-batch atomicity comes from the Hadoop commit
+    * protocol (task outputs stage under `_temporary` and move on job
+    * commit); telemetry tables use this same path without a registered
+    * schema — schema-on-read suffices for `_meta.*`. */
+  override def appendPartitioned(dataset: String, table: String, df: DataFrame): Unit =
+    df.write.mode("append").partitionBy("__part").parquet(dataDir(dataset, table))
+
+  /** [[TableBackend]]: live schema + `__part` surfaced for partition-
+    * pruned scans (dedup's anti-join reads only the batch's slices). */
+  override def readWithPart(spark: SparkSession, dataset: String,
+      table: String): DataFrame = {
+    val (_, schema) = currentSchema(dataset, table)
+      .getOrElse(sys.error(s"no such table $dataset.$table"))
+    spark.read.schema(schema.add("__part", org.apache.spark.sql.types.StringType))
+      .parquet(dataDir(dataset, table))
   }
 
   def listTables(): Seq[(String, String)] = {

@@ -368,7 +368,7 @@ object Similarity {
     // projection — materialized once, output-sized relative to corpus
     val assigned = assignCluster(corpus, cents, idCol, vecCol)
       .withColumn("__n", sqrt(call_function("graft_dot", col("__v"), col("__v"))))
-      .localCheckpoint()
+      .transform(graft.util.Materialize.eager)
     val l = assigned.select(col(idCol).as("a"), col("__v").as("va"),
       col("__n").as("na"), col("cluster"))
     val r = assigned.select(col(idCol).as("b"), col("__v").as("vb"),

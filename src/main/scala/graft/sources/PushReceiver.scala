@@ -109,7 +109,15 @@ final class PushReceiver(spoolDir: String, port: Int = 0,
     * acquire → spool → completed; on acquire loss, skip if the owner
     * completed, else defer briefly and ack/nack on the outcome. The
     * failed path marks the state failed so the REDELIVERY re-acquires
-    * immediately (ref: failed → always re-acquire). */
+    * immediately (ref: failed → always re-acquire).
+    *
+    * The still-owned-elsewhere outcome answers **205 Reset Content**,
+    * mirroring the reference's deliberate choice (`server.go:66-76,
+    * 134-139`): 205 is outside Pub/Sub's ack set {102,200,201,202,204},
+    * so the message IS redelivered — but unlike a 500 it doesn't count
+    * against the push endpoint's error-rate or dead-letter policy; it
+    * says "try again shortly", not "the endpoint is broken". Genuine
+    * spool failures keep answering 500. */
   private def deliver(ex: HttpExchange, env: Envelope): Unit =
     (state, env.messageId) match {
       case (Some(st), Some(id)) =>
@@ -126,7 +134,7 @@ final class PushReceiver(spoolDir: String, port: Int = 0,
             st.waitState(id, System.currentTimeMillis() + waitBudgetMillis,
               checkIntervalMillis = 50L) match {
               case Some("completed") => respond(ex, 204, "")
-              case _ => respond(ex, 500, "message is being processed elsewhere")
+              case _ => respond(ex, 205, "message is being processed elsewhere")
             }
         }
       case _ =>
@@ -177,10 +185,17 @@ object PushReceiver {
   /** The reference auth fixture as a predicate: allow iff some
     * `Authorization` header value equals `Bearer <token>`
     * (`server/testdata/policy/auth_token.rego`,
-    * `input.header.Authorization[_] == "Bearer good-token"`). */
-  def bearerToken(token: String): HttpExchange => Boolean = { ex =>
-    val vs = ex.getRequestHeaders.get("Authorization")
-    vs != null && vs.stream().anyMatch(_ == s"Bearer $token")
+    * `input.header.Authorization[_] == "Bearer good-token"`).
+    * Compared constant-time (`MessageDigest.isEqual`) — ordinary string
+    * equality short-circuits on the first differing byte, a timing side
+    * channel on the shared token. */
+  def bearerToken(token: String): HttpExchange => Boolean = {
+    val expected = s"Bearer $token".getBytes(UTF_8)
+    ex => {
+      val vs = ex.getRequestHeaders.get("Authorization")
+      vs != null && vs.stream().anyMatch(v =>
+        java.security.MessageDigest.isEqual(v.getBytes(UTF_8), expected))
+    }
   }
 
   /** HeapAlloc analogue for the 429 guard (`middleware.go:89-108`). */

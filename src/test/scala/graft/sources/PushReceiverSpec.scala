@@ -128,15 +128,19 @@ class PushReceiverSpec extends SparkSpec {
       assert(post(rx2.boundPort, envelope("b", "o4.log", msgId = "failed-1")).statusCode() == 204)
       assert(spoolFiles(spool).size == 4)
 
-      // live owner: the blocked delivery defers, then NACKS (500) so the
-      // sender redelivers; once the owner's lease expires the redelivery
-      // takes over — the reference's ErrBlockingPubSub path
+      // live owner: the blocked delivery defers, then answers 205 Reset
+      // Content — outside Pub/Sub's ack set, so the sender redelivers,
+      // but NOT an error code that trips dead-letter/error-rate policy
+      // (the reference's deliberate ErrBlockingPubSub status,
+      // server.go:66-76,134-139). Once the owner's lease expires the
+      // redelivery takes over.
       val rx3 = new PushReceiver(spool, state = Some(store),
         waitBudgetMillis = 100L).start()
       try {
         val st3 = store
         assert(st3.acquire("busy-1")) // owner alive, lease 300 ms
-        assert(post(rx3.boundPort, envelope("b", "o5.log", msgId = "busy-1")).statusCode() == 500)
+        assert(post(rx3.boundPort, envelope("b", "o5.log", msgId = "busy-1")).statusCode() == 205,
+          "duplicate delivery while the owner is running must defer with 205, not 500")
         assert(spoolFiles(spool).size == 4, "blocked delivery must not spool")
         Thread.sleep(350L) // lease expires (owner crashed mid-flight)
         assert(post(rx3.boundPort, envelope("b", "o5.log", msgId = "busy-1")).statusCode() == 204)
