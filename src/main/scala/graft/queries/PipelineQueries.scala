@@ -276,6 +276,38 @@ object PipelineQueries {
            COUNT(*) AS src_rows, CAST(4 AS BIGINT) AS n_sources
     FROM events"""
 
+  /** q63: per-request telemetry rollup (ref `LoadLog{Sources[],
+    * Ingests[]}`, `model/bigquery.go:9-39`) — ingest the events export,
+    * roll the flattened `_meta` tables up to ONE nested record per
+    * request ([[graft.ingest.LoadLogView]]), then project the nested
+    * arrays down to oracle-checkable scalars (sizes + sums + the
+    * destination fields inside the arrays): DuckDB can't hash Spark's
+    * nested rendering, so the check is on the array CONTENTS. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q63")
+    exportNdjson(s, d, s"$work/landing", nParts = 4)
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    Pipeline.ingestPrefix(s, Pipeline.Config(registry, eventsRules),
+      s"$work/landing/part-*")
+    graft.ingest.LoadLogView.requestRollup(s, registry)
+      .select(
+        size(col("sources")).as("n_sources"),
+        size(col("ingests")).as("n_ingests"),
+        aggregate(col("sources"), lit(0L),
+          (a, x) => a + x.getField("row_count")).as("src_rows"),
+        aggregate(col("ingests"), lit(0L),
+          (a, x) => a + x.getField("log_count")).as("log_rows"),
+        col("ingests")(0).getField("dataset").as("dataset"),
+        col("ingests")(0).getField("table").as("table"),
+        col("ingests")(0).getField("success").as("success"))
+  }
+
+  val q63Sql: String = """
+    SELECT CAST(4 AS INT) AS n_sources, CAST(1 AS INT) AS n_ingests,
+           COUNT(*) AS src_rows, COUNT(*) AS log_rows,
+           'analytics' AS dataset, 'events' AS "table", true AS success
+    FROM events"""
+
   /** q41: backfill round-trip (SURVEY K5/A4/S8) — list the landing
     * prefix, pack it into work-list batches (Enqueue), decode the batch
     * messages back to object rows (the S8 fan-out decoder), read the
@@ -425,5 +457,6 @@ object PipelineQueries {
     ("q45_compaction", q45 _, Some(q45Sql)),
     ("q53_csv_ingest", q53 _, Some(q53Sql)),
     ("q60_replay_dedup", q60 _, Some(q60Sql)),
-    ("q61_audio_decode", q61 _, Some(q61Sql)))
+    ("q61_audio_decode", q61 _, Some(q61Sql)),
+    ("q63_loadlog_rollup", q63 _, Some(q63Sql)))
 }

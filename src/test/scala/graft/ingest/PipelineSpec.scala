@@ -182,6 +182,23 @@ class PipelineSpec extends SparkSpec {
     val meta = spark.read.parquet(registry.dataDir("_meta", "load_log"))
     assert(meta.count() == 6)
     assert(meta.filter(col("log_count") === 2).count() == 6)
+
+    // per-request rollup (ref LoadLog{Sources[],Ingests[]}): ONE nested
+    // record for this request — 6 destination entries, 1 source entry
+    val roll = LoadLogView.requestRollup(spark, registry)
+    assert(roll.count() == 1)
+    val row = roll.select(col("ingest_id"), size(col("ingests")).as("ni"),
+      size(col("sources")).as("ns"),
+      col("sources")(0).getField("path").as("p"),
+      col("sources")(0).getField("row_count").as("rc")).head()
+    assert(row.getString(0) == res.ingestId)
+    assert(row.getInt(1) == 6 && row.getInt(2) == 1)
+    assert(row.getString(3).endsWith("a.log") && row.getLong(4) == 12L)
+    // nested shape matches the reference's record layout
+    val ingestsType = roll.schema("ingests").dataType.simpleString
+    assert(ingestsType ==
+      "array<struct<dataset:string,table:string,schema_version:int,log_count:bigint,success:boolean>>",
+      ingestsType)
   }
 
   test("multi-doc explode + null pruning + gzip (cloudtrail-shaped)") {
