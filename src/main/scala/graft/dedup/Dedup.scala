@@ -441,4 +441,59 @@ object Dedup {
         .transform(graft.util.Materialize.eager)
     } finally grams.unpersist()
   }
+
+  /** Bloom filter over a corpus' content digests — the STORED half of
+    * [[bloomNewDocs]]. Built in one distributed aggregation (Spark's
+    * own codegen'd `BloomFilterAggregate`, surfaced as
+    * `graft_bloom_agg` by GraftExtensions) and returned as bytes the
+    * caller persists beside the corpus table; size it with
+    * [[bloomBits]]. At 100 TB this is the standard incremental-ingest
+    * primitive: the filter is built ONCE per corpus epoch (or per
+    * partition, unioned), and every arriving batch probes it without
+    * touching corpus storage. */
+  def digestFilter(corpus: DataFrame, textCol: String,
+      expectedItems: Long, numBits: Long): Array[Byte] =
+    corpus.agg(call_function("graft_bloom_agg",
+        xxhash64(contentKey(col(textCol))), lit(expectedItems), lit(numBits))
+      .as("f")).head.getAs[Array[Byte]]("f")
+
+  /** Bits for a target false-positive rate: n·ln(p)/ln²2, the standard
+    * bloom sizing (FPs only cost extra exact-verify work — correctness
+    * never depends on p). */
+  def bloomBits(expectedItems: Long, fpp: Double): Long =
+    math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+
+  /** Incremental EXACT dedup of a batch against a stored corpus: keep
+    * the batch rows whose content digest does not exist in the corpus.
+    * Result is exact — the bloom filter only routes:
+    *
+    *   1. probe: rows whose digest misses the filter are DEFINITELY new
+    *     (bloom has no false negatives) — they pass with zero corpus
+    *     I/O. For a mostly-new batch that is ~all of it.
+    *   2. verify: probe hits (true dups + fpp·batch false positives)
+    *     reduce to a digest set that joins the corpus digest column —
+    *     broadcast semi-join, so the corpus scan is map-side with no
+    *     shuffle, AQE eliminates it entirely when no row hit the
+    *     filter, and a digest-bucketed corpus store prunes to matching
+    *     buckets. Confirmed-dup digests (output-sized) broadcast back
+    *     as the anti-join list.
+    *
+    * Versus the plain exact anti-join (shuffle corpus + batch on
+    * digest), per-batch corpus cost drops from O(corpus) shuffle to a
+    * shuffle-free scan gated on candidates — the pattern that keeps
+    * exact dedup incremental at 100 TB. `corpusDigests` is the stored
+    * digest column (`digest`), typically a column-pruned read of the
+    * corpus table or a maintained digest sidecar. */
+  def bloomNewDocs(batch: DataFrame, corpusDigests: DataFrame,
+      textCol: String, filter: Array[Byte]): DataFrame = {
+    val keyed = batch.withColumn("__digest", contentKey(col(textCol)))
+    val isHit = call_function("graft_bloom_contains",
+      lit(filter), xxhash64(col("__digest")))
+    val candDigests = keyed.filter(isHit).select(col("__digest")).distinct()
+    val dupDigests = corpusDigests
+      .join(broadcast(candDigests), col("digest") === col("__digest"), "left_semi")
+      .select(col("digest").as("__dup"))
+    keyed.join(broadcast(dupDigests), col("__digest") === col("__dup"), "left_anti")
+      .drop("__digest")
+  }
 }

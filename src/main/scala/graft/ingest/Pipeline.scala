@@ -57,7 +57,16 @@ object Pipeline {
         * folds tree-reduced as metadata (SURVEY §2.8 Aggregator
         * fallback). Same typing on well-formed docs (spec-pinned);
         * differs on corrupt docs (no `_corrupt_record` column — the
-        * PERMISSIVE parse quarantines them instead). */
+        * PERMISSIVE parse quarantines them instead).
+        *
+        * Default stays `read.json`, measured not assumed: interleaved
+        * warm runs of the full ingest over the 32-split / 100k-row
+        * events export are a wash (1.59–1.81 s both ways — the
+        * materializing parse dominates; the inference pass is the
+        * cheaper half under either implementation), and `read.json`
+        * keeps the richer corrupt-record payloads. Flip per-pipeline
+        * when inference cost shows up (very wide/nested docs, where the
+        * type-only Jackson fold skips row building). */
       distributedInference: Boolean = false)
 
   final case class LoadResult(ingestId: String, results: Seq[TableSink.IngestResult])

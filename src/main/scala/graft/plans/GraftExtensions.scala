@@ -36,5 +36,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowExpr(args(0), args(1))))
+    // Spark ships codegen'd bloom-filter expressions for its runtime
+    // join filters but does NOT register them for users — surface them
+    // (same classes, zero custom code) for the incremental-dedup
+    // operator ([[graft.dedup.Dedup.bloomNewDocs]]):
+    //   graft_bloom_agg(xxhash64(key), estimatedItems, numBits) → binary
+    //   graft_bloom_contains(filterBinary, xxhash64(key)) → boolean
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
   }
 }

@@ -882,6 +882,36 @@ object CurationQueries {
     FROM documents ORDER BY doc_id"""
   }
 
+  // ---- q64: bloom-gated incremental exact dedup vs a stored corpus ----
+
+  /** q64: incremental EXACT dedup against a STORED corpus via a bloom
+    * digest filter ([[Dedup.digestFilter]]/[[Dedup.bloomNewDocs]]) —
+    * the third "incremental vs stored index" shape beside q52 (band
+    * table) and q62 (IVF store). Even doc_ids play the stored corpus,
+    * odd ones the arriving batch; output = the batch docs whose text
+    * does not already exist in the corpus. The filter is sized for the
+    * sf0.01 corpus, so at larger SFs it saturates and MORE rows take
+    * the exact-verify path — the oracle hash-check therefore proves
+    * the verify stage rejects bloom false positives at every SF, not
+    * just the probe's happy path. */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    val filter = Dedup.digestFilter(corpus, "text",
+      expectedItems = 256L, numBits = Dedup.bloomBits(256L, 0.01))
+    val digests = corpus.select(Dedup.contentKey(col("text")).as("digest"))
+    Dedup.bloomNewDocs(batch, digests, "text", filter)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String = """
+    SELECT doc_id FROM documents b
+    WHERE doc_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id % 2 = 0 AND c.text = b.text)
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -908,5 +938,6 @@ object CurationQueries {
     ("q57_sequence_packing", q57 _, Some(q57Sql)),
     ("q58_quality_filter", q58 _, Some(q58Sql)),
     ("q59_semantic_dedup", q59 _, Some(q59Sql)),
-    ("q62_incremental_semantic", q62 _, Some(q62Sql)))
+    ("q62_incremental_semantic", q62 _, Some(q62Sql)),
+    ("q64_bloom_dedup", q64 _, Some(q64Sql)))
 }

@@ -53,6 +53,42 @@ class DedupSpec extends SparkSpec {
     assert(hits == Seq((11L, 1L)))
   }
 
+  test("bloomNewDocs: exact vs stored corpus; saturated filter still exact") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma"), // exact dup of corpus 1
+      (11L, "totally new document"),
+      (12L, "delta epsilon"), // exact dup of corpus 2
+      (13L, "another new one"),
+      (14L, "alpha beta gamma extended")) // near-dup but NOT exact → new
+      .toDF("doc_id", "text")
+    val digests = corpus.select(Dedup.contentKey(col("text")).as("digest"))
+
+    // well-sized filter: dups drop, new docs (incl. the near-dup) pass
+    val sized = Dedup.digestFilter(corpus, "text", 16L, Dedup.bloomBits(16L, 0.01))
+    val kept = Dedup.bloomNewDocs(batch, digests, "text", sized)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 13L, 14L))
+
+    // SATURATED filter (3 items into 8 bits → fpp ≈ 1): every row becomes
+    // a candidate, and the exact-verify stage must still reject only the
+    // true dups — correctness never depends on the filter's sizing
+    val saturated = Dedup.digestFilter(corpus, "text", 16L, 8L)
+    val keptSat = Dedup.bloomNewDocs(batch, digests, "text", saturated)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptSat == kept, "bloom false positives must not drop new docs")
+  }
+
+  test("bloomBits: standard sizing formula, monotone in items and precision") {
+    assert(Dedup.bloomBits(1000L, 0.01) > Dedup.bloomBits(1000L, 0.1))
+    // linear in items (up to ceil rounding)
+    val r = Dedup.bloomBits(10000L, 0.01).toDouble / Dedup.bloomBits(1000L, 0.01)
+    assert(math.abs(r - 10.0) < 0.01, s"ratio $r")
+    // ~9.59 bits/item at 1% — the textbook constant
+    val perItem = Dedup.bloomBits(1000000L, 0.01).toDouble / 1000000L
+    assert(perItem > 9.0 && perItem < 10.0, s"bits/item $perItem")
+  }
+
   test("exact dedup keeps lowest id per identical content") {
     val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .as[Long].collect().sorted
