@@ -67,7 +67,15 @@ object Pipeline {
         * keeps the richer corrupt-record payloads. Flip per-pipeline
         * when inference cost shows up (very wide/nested docs, where the
         * type-only Jackson fold skips row building). */
-      distributedInference: Boolean = false)
+      distributedInference: Boolean = false,
+      /** Cap on objects parsed per batch (the batch-side twin of the
+        * streaming `maxFilesPerTrigger`): a prefix backfill over 500k
+        * objects would otherwise build one driver path list feeding a
+        * single mega-batch — one cache holding the whole backfill. Each
+        * chunk runs the full parse→infer→append body; schema evolution
+        * absorbs cross-chunk drift. None = single batch (the right
+        * default below ~10k objects). */
+      maxObjectsPerBatch: Option[Int] = None)
 
   final case class LoadResult(ingestId: String, results: Seq[TableSink.IngestResult])
 
@@ -112,10 +120,17 @@ object Pipeline {
     val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
       // object list is metadata (rows = objects, not records) — driver-side
       val paths = matched.select("path").collect().map(_.getString(0)).toSeq
-      if (paths.isEmpty) Nil
+      // backfill guard: a 500k-object prefix would otherwise become one
+      // driver path list feeding a single mega-batch (one cache holding
+      // the whole backfill, one inference over everything). Chunking
+      // bounds peak memory per batch; schema evolution absorbs drift
+      // across chunks exactly as it does across separate ingests.
+      paths.grouped(cfg.maxObjectsPerBatch.getOrElse(Int.MaxValue).max(1)).toSeq
+        .flatMap { chunk =>
+      if (chunk.isEmpty) Nil
       else {
         val batch = timed("readBatch")(
-          readBatch(spark, rule, paths, cfg.distributedInference))
+          readBatch(spark, rule, chunk, cfg.distributedInference))
         try {
           if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
             // per-source decoded-row counts (ref SourceLog.RowCount,
@@ -148,6 +163,7 @@ object Pipeline {
           }
           res
         } finally batch.release()
+      }
       }
     }
     if (cfg.telemetry && cfg.dryRunDir.isEmpty) {

@@ -201,6 +201,29 @@ class PipelineSpec extends SparkSpec {
       ingestsType)
   }
 
+  test("maxObjectsPerBatch chunks a backfill without losing rows") {
+    val landing = tmpDir("landing")
+    (0 until 5).foreach { i =>
+      writeFile(landing, s"part$i.log",
+        s"""{"log_id": "p$i-1", "event_time": ${1559347200.0 + i}, "u": "a"}""" + "\n" +
+        s"""{"log_id": "p$i-2", "event_time": ${1559347300.0 + i}, "u": "b"}""" + "\n")
+    }
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val res = Pipeline.ingestPrefix(spark,
+      Pipeline.Config(registry, accessRules(), maxObjectsPerBatch = Some(2)),
+      s"$landing/*")
+    // 5 objects at 2 per chunk → 3 parse batches, each appending to the
+    // same destination; the table is complete and exactly-once
+    assert(res.results.length == 3, s"expected 3 chunk appends: ${res.results}")
+    assert(res.results.map(_.logCount).sum == 10L)
+    val out = TableSink.read(spark, registry, "swarm_test", "my_log_table")
+    assert(out.count() == 10L)
+    assert(out.select("id").distinct().count() == 10L)
+    // source telemetry still one row per object across chunks
+    val srcLog = spark.read.parquet(registry.dataDir("_meta", "source_log"))
+    assert(srcLog.count() == 5L)
+  }
+
   test("multi-doc explode + null pruning + gzip (cloudtrail-shaped)") {
     val landing = tmpDir("landing")
     writeGzip(landing, "trail1.json.gz", batchDoc)
