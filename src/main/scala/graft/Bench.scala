@@ -31,16 +31,19 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+    // Right(elapsed) on success, Left(timeToFailure) on error — a failed
+    // run's (tiny) elapsed must never win the min over a real sample.
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+        org.apache.spark.sql.DataFrame): Either[Double, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop per-query persisted intermediates
-      elapsed
+      if (ok) Right(elapsed) else Left(elapsed)
     }
     val ordered = selected.toSeq.sortBy(_._1)
     // two interleaved full passes (not per-query back-to-back repeats):
@@ -48,7 +51,13 @@ object Bench {
     // transient load spike can't inflate BOTH samples of the same query
     val pass1 = ordered.map { case (n, fn) => n -> once(n, fn) }
     val pass2 = ordered.map { case (n, fn) => n -> once(n, fn) }
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      val successes = Seq(a, b).collect { case Right(t) => t }
+      // no successful sample → report the SLOWER failure time (never a
+      // flattering min) — stderr already carries the error lines
+      n -> (if (successes.nonEmpty) successes.min
+            else Seq(a, b).collect { case Left(t) => t }.max)
+    }
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

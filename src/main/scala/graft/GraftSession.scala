@@ -32,6 +32,11 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Reliable checkpoints (Materialize.eager when a checkpoint dir is
+      // set) are deleted when their RDD is GC'd instead of accumulating
+      // until the checkpoint FS fills — the operators' no-hidden-state
+      // contract extends to checkpoint storage.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // Dynamic-partition writes use the default SORT-based writer: the
       // ingest path rebalance-clusters every batch by `__part` before the
       // write (TableSink.appendSlice), so each task holds a handful of

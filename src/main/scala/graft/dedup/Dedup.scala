@@ -366,16 +366,20 @@ object Dedup {
     // tree (including the expensive pair pipeline), and cache
     // substitution does not reliably cover the alias-deduped self-join
     // fragments — measured as the full jaccard pipeline re-running
-    // inside iteration 2 (49 s for a 256-edge graph). `localCheckpoint`
-    // (eager) cuts the plan to the materialized RDD: the pair pipeline
-    // runs exactly once, and each iteration's jobs see only
-    // checkpoint-scan inputs.
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // inside iteration 2 (49 s for a 256-edge graph). Eager
+    // checkpointing cuts the plan to the materialized RDD: the pair
+    // pipeline runs exactly once, and each iteration's jobs see only
+    // checkpoint-scan inputs. Checkpoint mode follows the session
+    // ([[graft.util.Materialize]]) so the loop is also executor-loss
+    // safe when a checkpoint dir is configured — the returned labels
+    // chain through these blocks.
+    val p = graft.util.Materialize.eager(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val edges = graft.util.Materialize.eager(
+      p.union(p.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = graft.util.Materialize.eager(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -400,7 +404,7 @@ object Dedup {
         .join(labels.select(col("id"), col("comp").as("__old")), "id")
         .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"), col("__old"))
         .observe(obs, sum(when(col("comp") =!= col("__old"), 1L).otherwise(0L)).as("changed"))
-        .localCheckpoint()
+        .transform(graft.util.Materialize.eager)
       labels = next.drop("__old")
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1

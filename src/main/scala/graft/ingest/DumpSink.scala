@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
 object DumpSink {
 
   /** Dump a routed DataFrame (Transform output) per destination.
-    * Returns the written (dataset, table) pairs. */
+    * Returns the written (dataset, table) pairs.
+    *
+    * APPEND semantics, like the reference's dumper (it opens the `.log`
+    * with O_APPEND, `dump/client.go:50`): one dry-run ingest may call
+    * this once per parse chunk (`maxObjectsPerBatch`), and chunk N must
+    * not clobber chunks 1..N-1. Callers wanting a clean dump point
+    * `dryRunDir` at a fresh directory per run. */
   def dump(routed: DataFrame, outDir: String): Seq[(String, String)] = {
     Files.createDirectories(Paths.get(outDir))
     val dests = routed.select("dataset", "table").distinct()
@@ -23,7 +29,7 @@ object DumpSink {
       val slice = routed
         .filter(col("dataset") === ds && col("table") === tbl)
         .drop("dataset", "table", "partition")
-      slice.coalesce(1).write.mode("overwrite")
+      slice.coalesce(1).write.mode("append")
         .json(s"$outDir/$ds.$tbl.log")
       Files.writeString(Paths.get(s"$outDir/$ds.$tbl.schema.json"),
         slice.schema.prettyJson)

@@ -31,8 +31,24 @@ object LoadLogView {
     * request whose rules matched no objects has an empty `sources`
     * array (left join), mirroring the reference's empty slice. */
   def requestRollup(spark: SparkSession, registry: SchemaRegistry): DataFrame = {
-    val load = spark.read.parquet(registry.dataDir("_meta", "load_log"))
-    val src = spark.read.parquet(registry.dataDir("_meta", "source_log"))
+    // a fresh warehouse (no telemetry-enabled ingest yet) has no _meta
+    // dirs — zero requests, not a PATH_NOT_FOUND. source_log can also
+    // be absent independently (ingests whose rules matched no objects
+    // write load_log only); the left join below already yields empty
+    // source arrays for those.
+    def metaOrEmpty(table: String, schemaDdl: String): DataFrame =
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(registry.dataDir("_meta", table))))
+        spark.read.parquet(registry.dataDir("_meta", table))
+      else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+    val load = metaOrEmpty("load_log",
+      "ingest_id string, started_at timestamp, finished_at timestamp, " +
+        "dataset string, table string, schema_version int, log_count bigint, " +
+        "success boolean")
+    val src = metaOrEmpty("source_log",
+      "ingest_id string, started_at timestamp, rule string, path string, " +
+        "row_count bigint")
     val ingests = load.groupBy(col("ingest_id"))
       .agg(
         min(col("started_at")).as("started_at"),

@@ -125,10 +125,11 @@ object Pipeline {
       // the whole backfill, one inference over everything). Chunking
       // bounds peak memory per batch; schema evolution absorbs drift
       // across chunks exactly as it does across separate ingests.
+      // (an empty path list yields no chunks — grouped() never emits
+      // an empty group, so every chunk below is non-empty)
       paths.grouped(cfg.maxObjectsPerBatch.getOrElse(Int.MaxValue).max(1)).toSeq
         .flatMap { chunk =>
-      if (chunk.isEmpty) Nil
-      else {
+      {
         val batch = timed("readBatch")(
           readBatch(spark, rule, chunk, cfg.distributedInference))
         try {

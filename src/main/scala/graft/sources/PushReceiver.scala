@@ -82,8 +82,10 @@ final class PushReceiver(spoolDir: String, port: Int = 0,
 
   private def respond(ex: HttpExchange, code: Int, msg: String): Unit = {
     val body = msg.getBytes(UTF_8)
-    ex.sendResponseHeaders(code, body.length)
-    ex.getResponseBody.write(body)
+    // 204/205 MUST NOT carry content (RFC 9110 §15.3.5-6) — a body on
+    // them makes strict clients/proxies mis-frame the response
+    if (code == 204 || code == 205 || body.isEmpty) ex.sendResponseHeaders(code, -1)
+    else { ex.sendResponseHeaders(code, body.length); ex.getResponseBody.write(body) }
     ex.close()
   }
 

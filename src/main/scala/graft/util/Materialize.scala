@@ -21,7 +21,12 @@ import org.apache.spark.sql.DataFrame
   *
   * Public API contract: frames returned by the dedup/similarity
   * operators inherit this lifetime — callers on clusters with node churn
-  * should set a checkpoint dir before calling them.
+  * should set a checkpoint dir before calling them. Reliable-checkpoint
+  * files are reclaimed when the frame is GC'd only under
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set by
+  * GraftSession; Spark's default leaves them on disk) — sessions built
+  * elsewhere should set it too, or clear the checkpoint dir between
+  * runs.
   */
 object Materialize {
   def eager(df: DataFrame): DataFrame =

@@ -224,6 +224,27 @@ class PipelineSpec extends SparkSpec {
     assert(srcLog.count() == 5L)
   }
 
+  test("chunked dry-run dumps ALL chunks (append, not clobber); fresh-warehouse rollup is empty") {
+    val landing = tmpDir("landing")
+    (0 until 4).foreach { i =>
+      writeFile(landing, s"part$i.log",
+        s"""{"log_id": "d$i", "event_time": ${1559347200.0 + i}, "u": "x"}""" + "\n")
+    }
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    val dumpDir = tmpDir("dry-run")
+    Pipeline.ingestPrefix(spark,
+      Pipeline.Config(registry, accessRules(), dryRunDir = Some(dumpDir),
+        maxObjectsPerBatch = Some(1)),
+      s"$landing/*")
+    // 4 objects at 1/chunk → 4 dump calls; every record must survive
+    val dumped = spark.read.json(s"$dumpDir/swarm_test.my_log_table.log")
+    assert(dumped.count() == 4L,
+      "dry-run chunks must append to the dump, not overwrite each other")
+    // dry-run writes no tables and no telemetry → the request rollup on
+    // this warehouse is EMPTY, not PATH_NOT_FOUND
+    assert(LoadLogView.requestRollup(spark, registry).count() == 0L)
+  }
+
   test("multi-doc explode + null pruning + gzip (cloudtrail-shaped)") {
     val landing = tmpDir("landing")
     writeGzip(landing, "trail1.json.gz", batchDoc)
