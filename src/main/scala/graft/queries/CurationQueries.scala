@@ -883,6 +883,71 @@ object CurationQueries {
     FROM documents ORDER BY doc_id"""
   }
 
+  // ---- q65: corpus vocabulary (token top-k by frequency) ----
+
+  /** q65: vocabulary building — top tokens by corpus term frequency,
+    * with document frequency alongside (the inputs to tokenizer/vocab
+    * training and to df-based filters like [[Dedup.jaccardPairs]]'
+    * maxDocFreq prune). Scale shape: one explode, then a single
+    * hash-shuffle on token with map-side partial aggregation (tokens
+    * collapse to the vocabulary long before the shuffle); the top-k is
+    * TakeOrderedAndProject, never a full sort. Fully ordered
+    * (tf desc, token asc) so the cut is deterministic. */
+  def q65(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+
+  val q65Sql: String = s"""
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents)
+    GROUP BY token ORDER BY tf DESC, token LIMIT 100"""
+
+  // ---- q66: rarity scoring against a broadcast vocabulary ----
+
+  /** q66: per-document rarity score — the mean inverse document
+    * frequency of the doc's tokens (tf-weighted: each occurrence
+    * contributes 1/df). The production shape for corpus-statistics
+    * scoring: derive a vocabulary table, BROADCAST it, score every doc
+    * map-side, one shuffle per aggregation. Uses only rational
+    * arithmetic (no transcendentals, whose last-ulp behavior differs
+    * across engines) and folds each doc's contributions in token order
+    * via a sorted array, so the doubles are bit-identical to the
+    * oracle's same-order fold (the [[dotSql]] determinism contract). */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val tok = base.select(col("doc_id"),
+      posexplode(tokens(lower(col("text")))).as(Seq("pos", "token")))
+    val dfs = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tok.join(broadcast(dfs), "token")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        (lit(1.0) / col("df").cast(DoubleType)).as("inv")))).as("xs"))
+      .select(col("doc_id"),
+        round(aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("inv"))
+          / size(col("xs")), 6).as("rarity"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("rarity", coalesce(col("rarity"), lit(0.0))) // token-less docs
+      .orderBy(col("doc_id"))
+  }
+
+  val q66Sql: String = s"""
+    WITH docs AS (SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                   unnest(toks) AS token FROM docs),
+    dfs AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    folded AS (
+      SELECT t.doc_id, list(1.0 / CAST(d.df AS DOUBLE) ORDER BY t.pos) AS xs
+      FROM tok t JOIN dfs d USING(token) GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           COALESCE(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f.xs),
+             (a, b) -> a + b) / len(f.xs), 6), 0.0) AS rarity
+    FROM documents d LEFT JOIN folded f USING(doc_id) ORDER BY d.doc_id"""
+
   // ---- q64: bloom-gated incremental exact dedup vs a stored corpus ----
 
   /** q64: incremental EXACT dedup against a STORED corpus via a bloom
@@ -940,5 +1005,7 @@ object CurationQueries {
     ("q58_quality_filter", q58 _, Some(q58Sql)),
     ("q59_semantic_dedup", q59 _, Some(q59Sql)),
     ("q62_incremental_semantic", q62 _, Some(q62Sql)),
-    ("q64_bloom_dedup", q64 _, Some(q64Sql)))
+    ("q64_bloom_dedup", q64 _, Some(q64Sql)),
+    ("q65_vocab_topk", q65 _, Some(q65Sql)),
+    ("q66_rarity_score", q66 _, Some(q66Sql)))
 }

@@ -78,6 +78,34 @@ class WriteShapeSpec extends SparkSpec {
     assert(TableSink.read(spark, registry, "shape_test", "t_day").count() == 10000L)
   }
 
+  test("streaming ingest (foreachBatch) holds the shape: one file per partition per micro-batch") {
+    import graft.rules._
+    val landing = tmpDir("shape-stream-landing")
+    // 8 landing objects × 175 records spanning 35 day-partitions — the
+    // q34 shape in miniature (many input splits × many partitions)
+    (0 until 8).foreach { f =>
+      val lines = (0 until 175).map { i =>
+        val ts = 1700000000.0 + ((f * 175 + i) % 35) * 86400.0
+        s"""{"log_id": "f$f-$i", "event_time": $ts, "v": $i}"""
+      }.mkString("\n")
+      writeFile(landing, s"obj$f.json", lines + "\n")
+    }
+    val registry = new graft.schema.SchemaRegistry(tmpDir("shape-stream-tables"))
+    val rules = Rules(
+      event = Seq(EventRule(name = "e", when = "name LIKE '%.json'", schemaRule = "s")),
+      schema = Seq(SchemaRule(name = "s", dataset = "'d'", table = "'t'",
+        partition = "day", id = Some("log_id"), timestamp = "event_time")))
+    val q = Pipeline.stream(spark, Pipeline.Config(registry, rules),
+      s"$landing/*", tmpDir("shape-stream-ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    assert(TableSink.read(spark, registry, "d", "t").count() == 8L * 175L)
+    val files = filesPerPartition(registry.dataDir("d", "t"))
+    assert(files.size == 35, s"expected 35 day partitions: ${files.size}")
+    assert(files.values.max == 1,
+      s"streaming append must cluster by __part too — worst partition has ${files.values.max} files")
+  }
+
   test("filterByPaths: literal isin below the limit, broadcast semi-join above") {
     import spark.implicits._
     val cached = (0 until 2000).map(i => (s"/data/f$i.json", s"line-$i"))
