@@ -948,6 +948,34 @@ object CurationQueries {
              (a, b) -> a + b) / len(f.xs), 6), 0.0) AS rarity
     FROM documents d LEFT JOIN folded f USING(doc_id) ORDER BY d.doc_id"""
 
+  // ---- q67: streaming corpus builder (exactly-once by content) ----
+
+  /** q67: the streaming face of incremental dedup
+    * ([[graft.streaming.CorpusBuilder]]) — drain the documents table
+    * from an NDJSON landing zone in 4 micro-batches, deduplicating each
+    * batch against the corpus built by the previous ones (bloom probe +
+    * exact verify), then aggregate the CORPUS. The output is
+    * batch-order independent (counts and char totals over distinct
+    * texts), so the oracle is a plain DISTINCT aggregate — what the
+    * corpus must equal no matter how the stream was chopped. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q67")
+    Tables.documents(s, d).repartition(8).write.json(s"$work/landing")
+    val q = graft.streaming.CorpusBuilder.build(s, s"$work/landing/part-*",
+      s"$work/ckpt", s"$work/corpus", maxFilesPerTrigger = Some(2),
+      expectedItems = 1L << 16)
+    q.awaitTermination()
+    s.read.parquet(s"$work/corpus/docs")
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct(col("text")).as("distinct_texts"),
+        sum(length(col("text"))).as("total_chars"))
+  }
+
+  val q67Sql: String = """
+    SELECT COUNT(*) AS n_kept, COUNT(*) AS distinct_texts,
+           SUM(length(text)) AS total_chars
+    FROM (SELECT DISTINCT text FROM documents)"""
+
   // ---- q64: bloom-gated incremental exact dedup vs a stored corpus ----
 
   /** q64: incremental EXACT dedup against a STORED corpus via a bloom
@@ -1007,5 +1035,6 @@ object CurationQueries {
     ("q62_incremental_semantic", q62 _, Some(q62Sql)),
     ("q64_bloom_dedup", q64 _, Some(q64Sql)),
     ("q65_vocab_topk", q65 _, Some(q65Sql)),
-    ("q66_rarity_score", q66 _, Some(q66Sql)))
+    ("q66_rarity_score", q66 _, Some(q66Sql)),
+    ("q67_stream_corpus", q67 _, Some(q67Sql)))
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusBuilderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusDocs(dir: String) = spark.read.parquet(s"$dir/docs")
+
+  test("appendNew: within-batch dedup, cross-batch content dedup, digest column") {
+    val corpus = tmpDir("corpus-batch")
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNew(spark, b1, corpus, "doc_id", "text", 1024L, 0.01) == 2L)
+    // replayed + partially-new batch: only the genuinely new content lands
+    val b2 = Seq((4L, "beta"), (5L, "gamma"), (6L, "gamma")).toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNew(spark, b2, corpus, "doc_id", "text", 1024L, 0.01) == 1L)
+    val docs = corpusDocs(corpus)
+    assert(docs.count() == 3L)
+    assert(docs.select("text").as[String].collect().sorted.toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    // within-batch winner is the lowest id
+    assert(docs.filter(col("text") === "alpha").select("doc_id").as[Long].head() == 1L)
+    // the digest column is the verify's source of truth and must match
+    assert(docs.filter(col(CorpusBuilder.DigestCol) =!= md5(col("text"))).count() == 0L)
+  }
+
+  test("bloom superset invariant: a stale-ahead filter (crash between bloom and append) is safe") {
+    val corpus = tmpDir("corpus-crash")
+    CorpusBuilder.appendNew(spark,
+      Seq((1L, "one")).toDF("doc_id", "text"), corpus, "doc_id", "text", 1024L, 0.01)
+    // simulate the crash window: bloom already carries a digest whose doc
+    // append never happened — replaying that batch must still admit it
+    val phantom = Seq((9L, "phantom")).toDF("doc_id", "text")
+    val bloomWithPhantom = {
+      val cur = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(corpus, "bloom.bin"))
+      // merge a filter of the phantom batch without appending its docs
+      val f = graft.dedup.Dedup.digestFilter(phantom, "text", 1024L,
+        graft.dedup.Dedup.bloomBits(1024L, 0.01))
+      val m = classOf[CorpusBuilder.type].getDeclaredMethods
+        .find(_.getName == "mergeFilters").get
+      m.setAccessible(true)
+      m.invoke(CorpusBuilder, cur, f).asInstanceOf[Array[Byte]]
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(corpus, "bloom.bin"), bloomWithPhantom)
+    // replay of the phantom batch: bloom says "maybe present", the exact
+    // verify finds no digest row → the doc is (re-)admitted, not lost
+    assert(CorpusBuilder.appendNew(spark, phantom, corpus,
+      "doc_id", "text", 1024L, 0.01) == 1L)
+    assert(corpusDocs(corpus).count() == 2L)
+  }
+
+  test("streaming build drains a landing dir exactly-once by content across restarts") {
+    val landing = tmpDir("corpus-landing")
+    val ckpt = tmpDir("corpus-ckpt")
+    val corpus = tmpDir("corpus-stream")
+    (0 until 4).foreach { f =>
+      val lines = (0 until 10).map { i =>
+        // 40 rows but only 20 distinct texts: dups within AND across files
+        s"""{"doc_id": ${f * 10 + i}, "text": "doc content ${(f * 10 + i) % 20}"}"""
+      }.mkString("\n")
+      writeFile(landing, s"f$f.json", lines + "\n")
+    }
+    val q = CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus,
+      maxFilesPerTrigger = Some(1)) // 4 micro-batches
+    q.awaitTermination()
+    val docs = corpusDocs(corpus)
+    assert(docs.count() == 20L)
+    assert(docs.select("text").distinct().count() == 20L)
+
+    // restart with the SAME checkpoint + new files (half dups): only new
+    // content lands
+    writeFile(landing, "f4.json",
+      """{"doc_id": 100, "text": "doc content 3"}""" + "\n" +
+        """{"doc_id": 101, "text": "brand new doc"}""" + "\n")
+    val q2 = CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus,
+      maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    assert(corpusDocs(corpus).count() == 21L)
+
+    // full replay (FRESH checkpoint, all files again): corpus unchanged —
+    // at-least-once delivery + content dedup = exactly-once by content
+    val q3 = CorpusBuilder.build(spark, s"$landing/*.json", tmpDir("corpus-ckpt2"),
+      corpus)
+    q3.awaitTermination()
+    assert(corpusDocs(corpus).count() == 21L)
+  }
+}
