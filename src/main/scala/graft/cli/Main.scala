@@ -28,14 +28,15 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|enqueue|schema|migrate|sql] <flags> <args>
-      |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] <glob>...
+    """usage: graft [ingest|serve|enqueue|schema|migrate|sql|corpus] <flags> <args>
+      |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-token <t>] [--state <dir>] [--memory-limit <bytes>]
       |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
-      |  sql     --warehouse <dir> <query>""".stripMargin
+      |  sql     --warehouse <dir> <query>
+      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] <glob>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -77,7 +78,8 @@ object Main {
           loadRules(req(flags, "rules")),
           dedup = if (flags.contains("dedup")) Some(true) else None,
           dryRunDir = if (flags.contains("dry-run"))
-            Some(flags.getOrElse("output", ".")) else None)
+            Some(flags.getOrElse("output", ".")) else None,
+          maxObjectsPerBatch = flags.get("batch-size").map(_.toInt))
         val res = Pipeline.ingestPaths(spark, cfg, pos)
         res.results.foreach(r => println(
           s"${r.dataset}.${r.table} v${r.schemaVersion} rows=${r.logCount} ok=${r.success}"))
@@ -165,6 +167,26 @@ object Main {
         }
         val df = Migrate.sql(spark, registry, registry.listTables(), pos.head)
         df.toJSON.collect().foreach(println)
+
+      case "corpus" | "c" =>
+        // streaming exact-deduped corpus builder (CorpusBuilder):
+        // exactly-once by content under any replay
+        require(pos.size == 1, "corpus needs exactly one landing glob")
+        val trigger = flags.get("continuous")
+          .map(ms => Trigger.ProcessingTime(ms.toLong))
+          .getOrElse(Trigger.AvailableNow())
+        val items = flags.get("expected-items").map(_.toLong).getOrElse(1L << 20)
+        val q = graft.streaming.CorpusBuilder.build(spark, pos.head,
+          req(flags, "checkpoint"), req(flags, "corpus"),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          trigger = trigger,
+          maxFilesPerTrigger = flags.get("max-files").map(_.toInt),
+          expectedItems = items,
+          fpp = flags.get("fpp").map(_.toDouble).getOrElse(0.01))
+        q.awaitTermination()
+        println(s"corpus rows: " +
+          spark.read.parquet(s"${req(flags, "corpus")}/docs").count())
 
       case other =>
         System.err.println(s"unknown command '$other'\n$usage"); sys.exit(2)
