@@ -36,13 +36,13 @@ object Main {
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
       |  sql     --warehouse <dir> <query>
-      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] <glob>""".stripMargin
+      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--near-dup] [--min-agree <f>] <glob>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
-    val boolFlags = Set("--dry-run", "--dedup")
+    val boolFlags = Set("--dry-run", "--dedup", "--near-dup")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -183,7 +183,11 @@ object Main {
           trigger = trigger,
           maxFilesPerTrigger = flags.get("max-files").map(_.toInt),
           expectedItems = items,
-          fpp = flags.get("fpp").map(_.toDouble).getOrElse(0.01))
+          fpp = flags.get("fpp").map(_.toDouble).getOrElse(0.01),
+          nearDup = if (flags.contains("near-dup"))
+            Some(graft.streaming.CorpusBuilder.NearDup(
+              minAgree = flags.get("min-agree").map(_.toDouble).getOrElse(0.8)))
+          else None)
         q.awaitTermination()
         println(s"corpus rows: " +
           spark.read.parquet(s"${req(flags, "corpus")}/docs").count())

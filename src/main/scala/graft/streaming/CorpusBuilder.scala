@@ -43,6 +43,16 @@ object CorpusBuilder {
   /** Reserved digest column appended to the corpus table. */
   val DigestCol = "__corpus_digest"
 
+  /** Reserved MinHash signature column (near-dup mode). */
+  val SigCol = "__corpus_sig"
+
+  /** Near-dup gate parameters: word-`shingleK`-gram MinHash signatures
+    * of `k` rows in `bands` LSH bands; a doc is dropped when a
+    * candidate's signature agrees on ≥ `minAgree` of the k rows (the
+    * MinHash estimate of Jaccard similarity). */
+  final case class NearDup(shingleK: Int = 3, k: Int = 64, bands: Int = 16,
+      minAgree: Double = 0.8)
+
   /** Start the streaming build: NDJSON docs under `landingGlob` →
     * exact-deduped corpus under `corpusDir` (docs parquet + bloom
     * file), checkpointed. `Trigger.AvailableNow` drains and stops
@@ -54,7 +64,10 @@ object CorpusBuilder {
       corpusDir: String, idCol: String = "doc_id", textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): StreamingQuery = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      /** Some(params) switches the per-batch gate from exact-content
+        * to MinHash near-dup ([[appendNearDupNew]]). */
+      nearDup: Option[NearDup] = None): StreamingQuery = {
     val schema = spark.read.json(landingGlob).schema
     var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
@@ -64,7 +77,10 @@ object CorpusBuilder {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendNew(spark, batch, corpusDir, idCol, textCol, expectedItems, fpp)
+        nearDup match {
+          case Some(nd) => appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd)
+          case None => appendNew(spark, batch, corpusDir, idCol, textCol, expectedItems, fpp)
+        }
         ()
       }
       .start()
@@ -105,6 +121,79 @@ object CorpusBuilder {
       // 2. then the docs (atomic per batch via the commit protocol)
       staged.write.mode("append").parquet(docsDir)
     }
+    appended
+  }
+
+  /** NEAR-DUP variant of [[appendNew]]: beyond exact-content drops, a
+    * batch doc is dropped when its MinHash signature agrees with a
+    * stored corpus doc's — or a smaller-id doc's in the same batch — on
+    * at least `minAgree` of the k rows (the MinHash estimate of Jaccard
+    * similarity; the crawler-dedup production gate). Approximate BY
+    * DESIGN — the exact near-dup family (jaccardPairs / lshJaccardPairs,
+    * q25/q26/q51) is the verified twin; identical content always agrees
+    * 1.0, so replayed micro-batches still drop their own earlier append
+    * and the corpus stays exactly-once by content.
+    *
+    * Storage model: digest AND signature are COLUMNS of the corpus
+    * table, so the probe's source of truth rides the same atomic append
+    * as the data — no band-table split-brain on a crash. The per-batch
+    * probe re-bands the corpus' (id, sig) projection: a column-pruned
+    * scan, no shingle recompute. At corpus scale, materialize
+    * [[Dedup.banded]] of that projection as a derived index
+    * (rebuildable from the table, like the IVF store) and pass it to
+    * [[Dedup.incrementalCandidates]] directly.
+    *
+    * Docs too short to shingle (< shingleK tokens) carry a null
+    * signature and are gated by exact content only. Needs a
+    * GraftExtensions session (native shingle/minhash kernels). */
+  def appendNearDupNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
+      idCol: String, textCol: String, nd: NearDup): Long = {
+    import graft.text.TextFunctions.tokens
+    val docsDir = s"$corpusDir/docs"
+    Files.createDirectories(Paths.get(corpusDir))
+    val minMatches = math.ceil(nd.minAgree * nd.k).toInt
+    def agrees(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v)) >= minMatches
+    // one projection computes digest + signature; consumed by several
+    // gates below — materialize once, batch-sized
+    val staged = graft.util.Materialize.eager(
+      Dedup.exact(batch, textCol, idCol)
+        .withColumn(DigestCol, Dedup.contentKey(col(textCol)))
+        .withColumn("__t", tokens(col(textCol)))
+        .withColumn(SigCol, when(size(col("__t")) >= nd.shingleK,
+          call_function("graft_minhash_mix",
+            array_distinct(call_function("graft_shingles", col("__t"), lit(nd.shingleK))),
+            lit(nd.k))))
+        .drop("__t"))
+    val batchSigs = staged.filter(col(SigCol).isNotNull)
+      .select(col(idCol), col(SigCol))
+    // within-batch: drop the larger id of any agreeing pair (canonical
+    // min-id per near-dup pair — pair-greedy, deterministic)
+    val withinDrop = Dedup.lshCandidatesWithSigs(batchSigs, idCol, SigCol, nd.bands)
+      .filter(agrees(col("siga"), col("sigb")))
+      .select(col("b").as("__drop"))
+    val corpusDrops =
+      if (!Files.exists(Paths.get(docsDir))) Nil
+      else {
+        val corpus = spark.read.parquet(docsDir)
+        val exactDrop = staged
+          .join(corpus.select(col(DigestCol).as("__cd")),
+            col(DigestCol) === col("__cd"), "left_semi")
+          .select(col(idCol).as("__drop"))
+        val corpusBands = Dedup.banded(
+          corpus.filter(col(SigCol).isNotNull).select(col(idCol), col(SigCol)),
+          idCol, SigCol, nd.bands)
+        val nearDrop = Dedup.incrementalCandidates(batchSigs, corpusBands,
+            idCol, SigCol, nd.bands)
+          .filter(agrees(col("nsig"), col("csig")))
+          .select(col("new_id").as("__drop"))
+        Seq(exactDrop, nearDrop)
+      }
+    val drops = (withinDrop +: corpusDrops).reduce(_ union _).distinct()
+    val fresh = graft.util.Materialize.eager(
+      staged.join(broadcast(drops), col(idCol) === col("__drop"), "left_anti"))
+    val appended = fresh.count()
+    if (appended > 0) fresh.write.mode("append").parquet(docsDir)
     appended
   }
 

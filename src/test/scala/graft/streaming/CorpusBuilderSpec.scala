@@ -53,6 +53,31 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(corpusDocs(corpus).count() == 2L)
   }
 
+  test("appendNearDupNew: near-dup gate within batch and vs corpus; short docs by content") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val nearBase = base.replace("tok100", "changed") // J ≈ 0.94 on 3-shingles
+    val unrelated = (1 to 100).map(i => s"other$i").mkString(" ")
+    val nd = CorpusBuilder.NearDup()
+    val corpus = tmpDir("neardup-corpus")
+    val b1 = Seq((1L, base), (2L, nearBase), (3L, unrelated), (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    // 2 drops within-batch (near-dup of 1); 1, 3 and the short doc land
+    assert(CorpusBuilder.appendNearDupNew(spark, b1, corpus, "doc_id", "text", nd) == 3L)
+    val b2 = Seq(
+      (10L, base.replace("tok1", "x1")), // near-dup of corpus doc 1 → drop
+      (11L, base),                       // exact replay of corpus content → drop
+      (12L, "tiny doc"),                 // short: exact-content drop
+      (13L, "fresh " + (1 to 50).map(i => s"z$i").mkString(" "))) // genuinely new
+      .toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNearDupNew(spark, b2, corpus, "doc_id", "text", nd) == 1L)
+    val docs = spark.read.parquet(s"$corpus/docs")
+    assert(docs.count() == 4L)
+    assert(docs.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 13L))
+    // full replay of both batches: self-matches drop everything
+    assert(CorpusBuilder.appendNearDupNew(spark, b1, corpus, "doc_id", "text", nd) == 0L)
+    assert(CorpusBuilder.appendNearDupNew(spark, b2, corpus, "doc_id", "text", nd) == 0L)
+  }
+
   test("streaming build drains a landing dir exactly-once by content across restarts") {
     val landing = tmpDir("corpus-landing")
     val ckpt = tmpDir("corpus-ckpt")
