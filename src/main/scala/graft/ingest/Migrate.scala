@@ -31,13 +31,26 @@ object Migrate {
 
   /** SQL passthrough (SURVEY §2.1 K3): the reference hands raw SQL to
     * BigQuery (`pkg/infra/bq/client.go:53-62`); we hand it to Spark SQL
-    * with the registry's tables registered as temp views. */
+    * with the registry's tables registered as temp views — including
+    * the `_meta` telemetry streams (schema-on-read; they carry no
+    * registered schema) as `meta_load_log` / `meta_source_log` /
+    * `meta_quarantine` / `meta_stream_log`, plus the per-request
+    * nested rollup as `meta_load_log_rollup` — the reference's
+    * operational queries over its meta table work here too. */
   def sql(spark: SparkSession, registry: SchemaRegistry,
       tables: Seq[(String, String)], query: String): DataFrame = {
     tables.foreach { case (ds, tbl) =>
       TableSink.read(spark, registry, ds, tbl)
         .createOrReplaceTempView(s"${ds}_$tbl")
     }
+    def metaDir(t: String) = registry.dataDir("_meta", t)
+    Seq("load_log", "source_log", "quarantine", "stream_log").foreach { t =>
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaDir(t))))
+        spark.read.parquet(metaDir(t)).createOrReplaceTempView(s"meta_$t")
+    }
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaDir("load_log"))))
+      LoadLogView.requestRollup(spark, registry)
+        .createOrReplaceTempView("meta_load_log_rollup")
     spark.sql(query)
   }
 }

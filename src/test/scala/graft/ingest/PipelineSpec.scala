@@ -224,6 +224,21 @@ class PipelineSpec extends SparkSpec {
     assert(srcLog.count() == 5L)
   }
 
+  test("sql passthrough exposes the telemetry meta tables and the request rollup") {
+    val landing = tmpDir("landing")
+    writeFile(landing, "access.log", accessLogNdjson)
+    val registry = new SchemaRegistry(tmpDir("tables"))
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry, accessRules()), s"$landing/*")
+    val tables = registry.listTables()
+    val meta = Migrate.sql(spark, registry, tables,
+      "SELECT l.log_count, s.row_count FROM meta_load_log l " +
+        "JOIN meta_source_log s USING (ingest_id)").head()
+    assert(meta.getLong(0) == 2L && meta.getLong(1) == 2L)
+    val roll = Migrate.sql(spark, registry, tables,
+      "SELECT size(sources), size(ingests) FROM meta_load_log_rollup").head()
+    assert(roll.getInt(0) == 1 && roll.getInt(1) == 1)
+  }
+
   test("chunked dry-run dumps ALL chunks (append, not clobber); fresh-warehouse rollup is empty") {
     val landing = tmpDir("landing")
     (0 until 4).foreach { i =>
