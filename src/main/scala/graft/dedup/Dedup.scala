@@ -107,6 +107,14 @@ object Dedup {
       .select("a", "b", "siga", "sigb").distinct()
   }
 
+  /** Agreeing-row count between two equal-length MinHash signatures —
+    * the ONE agreement kernel behind every signature-similarity score
+    * (fraction = matches / k is the MinHash estimate of Jaccard).
+    * Shared by the q26/q52 scoring and the corpus builder's near-dup
+    * gate, so null/element semantics can never drift between them. */
+  def sigMatches(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+
   /** One (doc, sig, band_key) row per band of each signature — the
     * exploded banding shared by the self-join and incremental paths,
     * and the row shape of a PERSISTED band store. */

@@ -39,18 +39,23 @@ object Migrate {
     * operational queries over its meta table work here too. */
   def sql(spark: SparkSession, registry: SchemaRegistry,
       tables: Seq[(String, String)], query: String): DataFrame = {
-    tables.foreach { case (ds, tbl) =>
-      TableSink.read(spark, registry, ds, tbl)
-        .createOrReplaceTempView(s"${ds}_$tbl")
-    }
+    // telemetry views FIRST, so a user table in a dataset literally
+    // named `meta` (view name collision) wins the name — user data must
+    // never be silently shadowed by telemetry
     def metaDir(t: String) = registry.dataDir("_meta", t)
     Seq("load_log", "source_log", "quarantine", "stream_log").foreach { t =>
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaDir(t))))
         spark.read.parquet(metaDir(t)).createOrReplaceTempView(s"meta_$t")
+      else spark.catalog.dropTempView(s"meta_$t") // stale view from a prior call
     }
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(metaDir("load_log"))))
-      LoadLogView.requestRollup(spark, registry)
-        .createOrReplaceTempView("meta_load_log_rollup")
+    // the rollup handles a fresh warehouse itself (empty frame, not an
+    // error) — register unconditionally for consistent query behavior
+    LoadLogView.requestRollup(spark, registry)
+      .createOrReplaceTempView("meta_load_log_rollup")
+    tables.foreach { case (ds, tbl) =>
+      TableSink.read(spark, registry, ds, tbl)
+        .createOrReplaceTempView(s"${ds}_$tbl")
+    }
     spark.sql(query)
   }
 }

@@ -224,7 +224,7 @@ object CurationQueries {
       .transform(graft.util.Materialize.eager)
     Dedup.lshCandidatesWithSigs(sigged, "doc_id", "sig", LshBands)
       .withColumn("sig_agree",
-        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
+        Dedup.sigMatches(col("siga"), col("sigb"))
           .cast(DoubleType) / MinhashK)
       .select(col("a"), col("b"), col("sig_agree"))
       .orderBy(col("a"), col("b"))
@@ -539,7 +539,7 @@ object CurationQueries {
     Dedup.incrementalCandidates(sigged(all.filter(col("doc_id") >= 400)),
         store, "doc_id", "sig", LshBands)
       .withColumn("sig_agree",
-        size(filter(zip_with(col("nsig"), col("csig"), (x, y) => x === y), b => b))
+        Dedup.sigMatches(col("nsig"), col("csig"))
           .cast(DoubleType) / MinhashK)
       .filter(col("sig_agree") >= 0.75)
       .select(col("new_id"), col("corpus_id"), col("sig_agree"))

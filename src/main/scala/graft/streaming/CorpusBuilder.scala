@@ -68,7 +68,7 @@ object CorpusBuilder {
       /** Some(params) switches the per-batch gate from exact-content
         * to MinHash near-dup ([[appendNearDupNew]]). */
       nearDup: Option[NearDup] = None): StreamingQuery = {
-    val schema = spark.read.json(landingGlob).schema
+    val schema = landingSchema(spark, landingGlob, corpusDir)
     var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     reader.json(landingGlob)
@@ -78,12 +78,44 @@ object CorpusBuilder {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         nearDup match {
-          case Some(nd) => appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd)
-          case None => appendNew(spark, batch, corpusDir, idCol, textCol, expectedItems, fpp)
+          case Some(nd) =>
+            appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd,
+              expectedItems, fpp)
+          case None => appendNew(spark, batch, corpusDir, idCol, textCol,
+            expectedItems, fpp)
         }
         ()
       }
       .start()
+  }
+
+  /** Doc schema for the stream: persisted beside the corpus after the
+    * first inference, so restarts skip the full-landing-zone inference
+    * pass (the checkpointed source would re-read nothing, but
+    * `read.json` inference would still parse every landed byte) and a
+    * `--continuous` builder can start on an already-known corpus before
+    * the next file arrives. A truly fresh start needs at least one
+    * landed file to infer from — failing that is a configuration error,
+    * reported as such. */
+  private def landingSchema(spark: SparkSession, landingGlob: String,
+      corpusDir: String): org.apache.spark.sql.types.StructType = {
+    val f = Paths.get(corpusDir, "doc-schema.json")
+    if (Files.exists(f))
+      org.apache.spark.sql.types.DataType.fromJson(
+        new String(Files.readAllBytes(f), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else {
+      val inferred =
+        try spark.read.json(landingGlob).schema
+        catch { case e: Exception => sys.error(
+          s"cannot infer the doc schema: no readable files under $landingGlob " +
+            s"and no stored schema at $f — land at least one file first " +
+            s"(${e.getMessage})")
+        }
+      Files.createDirectories(Paths.get(corpusDir))
+      Files.write(f, inferred.json.getBytes("UTF-8"))
+      inferred
+    }
   }
 
   /** One batch of the build (also usable directly for batch-incremental
@@ -95,33 +127,66 @@ object CorpusBuilder {
     val bloomPath = Paths.get(corpusDir, "bloom.bin")
     Files.createDirectories(Paths.get(corpusDir))
     val inBatch = Dedup.exact(batch, textCol, idCol)
+    // bloom.bin may exist with NO docs dir — the crash window of the
+    // very first batch (filter persists before the doc append). The
+    // superset invariant makes the filter's extra digests harmless, but
+    // only if the replay doesn't fault on the missing table.
     val stored: Option[Array[Byte]] =
       if (Files.exists(bloomPath)) Some(Files.readAllBytes(bloomPath)) else None
     val fresh = stored match {
-      case Some(f) =>
-        val digests = spark.read.parquet(docsDir)
-          .select(col(DigestCol).as("digest"))
-        Dedup.bloomNewDocs(inBatch, digests, textCol, f)
-      case None => inBatch // no corpus yet — everything is new
+      case Some(f) if Files.exists(Paths.get(docsDir)) =>
+        Dedup.bloomNewDocs(inBatch, corpusDigests(spark, docsDir), textCol, f)
+      case _ => inBatch // no corpus yet — everything is new
     }
     // survivors are consumed three times (filter build, docs append,
     // count) — materialize once; output-sized
     val staged = graft.util.Materialize.eager(
       fresh.withColumn(DigestCol, Dedup.contentKey(col(textCol))))
     val appended = staged.count()
-    if (appended > 0) {
-      // 1. bloom FIRST (superset invariant — see class doc)
-      val batchFilter = Dedup.digestFilter(staged, textCol,
-        expectedItems, Dedup.bloomBits(expectedItems, fpp))
-      val merged = stored.fold(batchFilter)(mergeFilters(_, batchFilter))
-      val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
-      Files.write(tmp, merged)
-      Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      // 2. then the docs (atomic per batch via the commit protocol)
-      staged.write.mode("append").parquet(docsDir)
-    }
+    if (appended > 0)
+      commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
     appended
+  }
+
+  /** The corpus digest column (mergeSchema: exact-mode and near-dup-mode
+    * appends carry different optional columns; a single-footer read
+    * could silently drop one). */
+  private def corpusDigests(spark: SparkSession, docsDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(docsDir)
+      .select(col(DigestCol).as("digest"))
+
+  /** Persist one batch under the superset invariant: merge the batch's
+    * digests into the stored filter FIRST, then append the docs. Shared
+    * by both gate modes, so switching modes on one corpus keeps the
+    * filter a superset and exact-mode probes stay correct. */
+  private def commitBatch(spark: SparkSession, staged: DataFrame, docsDir: String,
+      bloomPath: java.nio.file.Path, stored: Option[Array[Byte]],
+      expectedItems: Long, fpp: Double): Unit = {
+    val bits = Dedup.bloomBits(expectedItems, fpp)
+    def batchFilter = staged.agg(call_function("graft_bloom_agg",
+        xxhash64(col(DigestCol)), lit(expectedItems), lit(bits)).as("f"))
+      .head.getAs[Array[Byte]]("f")
+    val merged = stored match {
+      case None => batchFilter
+      case Some(cur) =>
+        try mergeFilters(cur, batchFilter)
+        catch { case _: Exception =>
+          // declared capacity changed (resize) — the stored filter's bit
+          // size no longer matches. Rebuild it from the corpus' digest
+          // column at the NEW sizing (one column-pruned scan, once per
+          // resize), then merge the batch in. Sizing stays a free knob.
+          val rebuilt = spark.read.option("mergeSchema", "true").parquet(docsDir)
+            .agg(call_function("graft_bloom_agg",
+              xxhash64(col(DigestCol)), lit(expectedItems), lit(bits)).as("f"))
+            .head.getAs[Array[Byte]]("f")
+          mergeFilters(rebuilt, batchFilter)
+        }
+    }
+    val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
+    Files.write(tmp, merged)
+    Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    staged.write.mode("append").parquet(docsDir)
   }
 
   /** NEAR-DUP variant of [[appendNew]]: beyond exact-content drops, a
@@ -147,13 +212,14 @@ object CorpusBuilder {
     * signature and are gated by exact content only. Needs a
     * GraftExtensions session (native shingle/minhash kernels). */
   def appendNearDupNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
-      idCol: String, textCol: String, nd: NearDup): Long = {
+      idCol: String, textCol: String, nd: NearDup,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
     import graft.text.TextFunctions.tokens
     val docsDir = s"$corpusDir/docs"
     Files.createDirectories(Paths.get(corpusDir))
     val minMatches = math.ceil(nd.minAgree * nd.k).toInt
     def agrees(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      size(filter(zip_with(a, b, (x, y) => x === y), v => v)) >= minMatches
+      Dedup.sigMatches(a, b) >= minMatches
     // one projection computes digest + signature; consumed by several
     // gates below — materialize once, batch-sized
     val staged = graft.util.Materialize.eager(
@@ -175,25 +241,44 @@ object CorpusBuilder {
     val corpusDrops =
       if (!Files.exists(Paths.get(docsDir))) Nil
       else {
-        val corpus = spark.read.parquet(docsDir)
+        // mergeSchema: a corpus first built in exact mode has no SigCol
+        // in its older files — a single-footer read could either throw
+        // (all files exact-era) or silently drop the column (mixed);
+        // merged, exact-era rows simply carry a null signature and are
+        // gated by digest alone.
+        val corpus = spark.read.option("mergeSchema", "true").parquet(docsDir)
         val exactDrop = staged
           .join(corpus.select(col(DigestCol).as("__cd")),
             col(DigestCol) === col("__cd"), "left_semi")
           .select(col(idCol).as("__drop"))
-        val corpusBands = Dedup.banded(
-          corpus.filter(col(SigCol).isNotNull).select(col(idCol), col(SigCol)),
-          idCol, SigCol, nd.bands)
-        val nearDrop = Dedup.incrementalCandidates(batchSigs, corpusBands,
-            idCol, SigCol, nd.bands)
-          .filter(agrees(col("nsig"), col("csig")))
-          .select(col("new_id").as("__drop"))
-        Seq(exactDrop, nearDrop)
+        val nearDrop =
+          if (!corpus.columns.contains(SigCol)) Nil
+          else {
+            val corpusBands = Dedup.banded(
+              corpus.filter(col(SigCol).isNotNull).select(col(idCol), col(SigCol)),
+              idCol, SigCol, nd.bands)
+            Seq(Dedup.incrementalCandidates(batchSigs, corpusBands,
+                idCol, SigCol, nd.bands)
+              .filter(agrees(col("nsig"), col("csig")))
+              .select(col("new_id").as("__drop")))
+          }
+        exactDrop +: nearDrop
       }
     val drops = (withinDrop +: corpusDrops).reduce(_ union _).distinct()
     val fresh = graft.util.Materialize.eager(
       staged.join(broadcast(drops), col(idCol) === col("__drop"), "left_anti"))
     val appended = fresh.count()
-    if (appended > 0) fresh.write.mode("append").parquet(docsDir)
+    if (appended > 0) {
+      // same commit path as exact mode: the bloom filter stays a
+      // SUPERSET of corpus digests across gate modes, so a later
+      // exact-mode run on this corpus probes correctly
+      val stored =
+        if (Files.exists(Paths.get(corpusDir, "bloom.bin")))
+          Some(Files.readAllBytes(Paths.get(corpusDir, "bloom.bin")))
+        else None
+      commitBatch(spark, fresh, docsDir, Paths.get(corpusDir, "bloom.bin"),
+        stored, expectedItems, fpp)
+    }
     appended
   }
 

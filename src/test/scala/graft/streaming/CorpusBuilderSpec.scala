@@ -78,6 +78,39 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(CorpusBuilder.appendNearDupNew(spark, b2, corpus, "doc_id", "text", nd) == 0L)
   }
 
+  test("gate modes interoperate on one corpus; filter resize rebuilds instead of crashing") {
+    val nd = CorpusBuilder.NearDup()
+    val corpus = tmpDir("mode-mix-corpus")
+    // exact-mode first: files carry no signature column
+    CorpusBuilder.appendNew(spark,
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 1024L, 0.01)
+    // switch to near-dup on the SAME corpus: must not crash on the
+    // missing __corpus_sig column; exact-content still gates
+    val n2 = CorpusBuilder.appendNearDupNew(spark,
+      Seq((2L, "alpha beta gamma"), (3L, "delta epsilon zeta")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", nd, 1024L, 0.01)
+    assert(n2 == 1L, "exact dup must drop, new doc must land")
+    // switch BACK to exact mode: near-dup-era doc 3's digest must be in
+    // the bloom filter (superset invariant across modes) so its replay
+    // is dropped, not silently re-admitted
+    val n3 = CorpusBuilder.appendNew(spark,
+      Seq((4L, "delta epsilon zeta")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 1024L, 0.01)
+    assert(n3 == 0L, "bloom must be maintained by the near-dup gate too")
+    // resize the declared capacity: stored filter has different bits —
+    // the merge rebuilds from the corpus digest column at the new size
+    val n4 = CorpusBuilder.appendNew(spark,
+      Seq((5L, "entirely new"), (6L, "alpha beta gamma")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 4096L, 0.001)
+    assert(n4 == 1L, "resize must keep dedup exact, not crash the merge")
+    assert(corpusDocs(corpus).count() == 3L)
+    // and the resized filter still gates correctly
+    assert(CorpusBuilder.appendNew(spark,
+      Seq((7L, "entirely new")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 4096L, 0.001) == 0L)
+  }
+
   test("streaming build drains a landing dir exactly-once by content across restarts") {
     val landing = tmpDir("corpus-landing")
     val ckpt = tmpDir("corpus-ckpt")
