@@ -52,6 +52,26 @@ object Sampling {
         floor(lit(budget.toDouble) * col("pw") / col("tot")).cast("long").as("alloc"))
   }
 
+  /** Deterministic dataset split (train/val/test): each row lands in
+    * exactly one split by its id's md5 bucket out of 1000. Pure
+    * map-side projection — identical assignment on any cluster, any
+    * partitioning, any retry, so eval rows can never leak into train
+    * across re-runs (the property decontamination depends on).
+    * `fractions` are per-mille and must sum to 1000; bucket ranges are
+    * cumulative in the given order, so APPENDING a split or shrinking
+    * the last one moves only the affected buckets. */
+  def datasetSplit(df: DataFrame, idCol: Column,
+      fractions: Seq[(String, Int)], splitCol: String = "split"): DataFrame = {
+    require(fractions.map(_._2).sum == 1000, "fractions must sum to 1000 per-mille")
+    val bucket = pmod(md5Long(idCol.cast("string"), 8), lit(1000))
+    val cuts = fractions.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assign = fractions.zip(cuts).init.foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), hi), els) =>
+      when(bucket < hi, lit(name)).otherwise(els)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
   /** At most `cap` rows per stratum, chosen by md5 order of the id
     * (reproducible "random" priority; ties broken by the id itself).
     *

@@ -906,6 +906,33 @@ object CurationQueries {
     FROM (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS token FROM documents)
     GROUP BY token ORDER BY tf DESC, token LIMIT 100"""
 
+  // ---- q68: deterministic dataset split ----
+
+  /** q68: reproducible train/val/test assignment
+    * ([[graft.curation.Sampling.datasetSplit]]) — md5-bucketed, so the
+    * same row lands in the same split on any cluster/retry/re-run (the
+    * property that keeps eval from leaking into train across pipeline
+    * reruns). Output: per-split counts + char totals, plus a
+    * membership checksum (sum of doc_ids) so the oracle hash-checks
+    * WHICH docs landed where, not just how many. */
+  def q68(s: SparkSession, d: String): DataFrame =
+    graft.curation.Sampling.datasetSplit(docs(s, d), col("doc_id"),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("split"))
+
+  val q68Sql: String = {
+    val bucket = s"(${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % 1000)"
+    s"""
+    SELECT CASE WHEN $bucket < 800 THEN 'train'
+                WHEN $bucket < 900 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n, SUM(n_chars) AS chars, SUM(doc_id) AS id_sum
+    FROM documents GROUP BY 1 ORDER BY split"""
+  }
+
   // ---- q66: rarity scoring against a broadcast vocabulary ----
 
   /** q66: per-document rarity score — the mean inverse document
@@ -1036,5 +1063,6 @@ object CurationQueries {
     ("q64_bloom_dedup", q64 _, Some(q64Sql)),
     ("q65_vocab_topk", q65 _, Some(q65Sql)),
     ("q66_rarity_score", q66 _, Some(q66Sql)),
-    ("q67_stream_corpus", q67 _, Some(q67Sql)))
+    ("q67_stream_corpus", q67 _, Some(q67Sql)),
+    ("q68_dataset_split", q68 _, Some(q68Sql)))
 }

@@ -9,6 +9,32 @@ class SamplingSpec extends SparkSpec {
   private def corpus = spark.range(1000)
     .select($"id".as("doc_id"), ($"id" % 4).cast("string").as("src"))
 
+  test("datasetSplit: total partition, deterministic, fractions ~respected, stable under append") {
+    val split = Sampling.datasetSplit(corpus, col("doc_id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    // every row in exactly one split
+    assert(split.count() == 1000L)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 700 && counts("train") < 900, s"$counts")
+    // deterministic: identical assignment on recompute
+    val again = Sampling.datasetSplit(corpus, col("doc_id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(split.exceptAll(again).isEmpty)
+    // appending a split only moves rows out of the LAST range: the
+    // train assignment is bucket-stable
+    val finer = Sampling.datasetSplit(corpus, col("doc_id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 50, "holdout" -> 50))
+    val trainIds = split.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val finerTrain = finer.filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(trainIds == finerTrain)
+    intercept[IllegalArgumentException](
+      Sampling.datasetSplit(corpus, col("doc_id"), Seq("a" -> 500)))
+  }
+
   test("uniformSample: deterministic, rate within tolerance, map-side only") {
     val a = Sampling.uniformSample(corpus, $"doc_id", 200)
       .select("doc_id").as[Long].collect().sorted.toSeq
