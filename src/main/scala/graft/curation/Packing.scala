@@ -46,6 +46,34 @@ object Packing {
     positions.groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_started"))
 
+  /** Sliding-window chunking of each document into overlapping token
+    * windows — the per-doc shape embedding/retrieval pipelines index
+    * (window tokens per chunk, stride-sized steps, plus one tail chunk
+    * so the final tokens are always covered). Pure per-row projection +
+    * one generator: no shuffle, no state — any scale. Deterministic:
+    * chunk starts are `0, stride, 2·stride, …` up to `len-window`, with
+    * the tail start `len-window` appended when the stride doesn't land
+    * on it exactly; a doc no longer than `window` yields one chunk.
+    * Returns one row per chunk: (input cols…, chunk_idx, chunk_start,
+    * chunk_text). */
+  def slidingChunks(docs: DataFrame, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = tokens(col(textCol))
+    val last = greatest(size(toks) - window, lit(0)) // final chunk start
+    val starts = concat(
+      sequence(lit(0), last.cast("int"), lit(stride)),
+      when(pmod(last, lit(stride)) =!= 0, array(last.cast("int")))
+        .otherwise(array().cast("array<int>")))
+    docs.withColumn("__toks", toks)
+      .withColumn("__starts", starts)
+      .select(col("*"),
+        posexplode(col("__starts")).as(Seq("chunk_idx", "chunk_start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), col("chunk_start") + 1, lit(window)), " "))
+      .drop("__toks", "__starts")
+  }
+
   /** One quality rule: `reason` is attached when `bad` holds. */
   final case class QualityRule(reason: String, bad: Column)
 

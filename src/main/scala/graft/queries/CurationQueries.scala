@@ -933,6 +933,37 @@ object CurationQueries {
     FROM documents GROUP BY 1 ORDER BY split"""
   }
 
+  // ---- q69: sliding-window document chunking ----
+
+  /** q69: overlapping token-window chunks per document
+    * ([[graft.curation.Packing.slidingChunks]]) — the per-doc shape an
+    * embedding/retrieval pipeline indexes. Window 64 / stride 48 over
+    * the documents table; the chunk text is md5'd so the oracle
+    * hash-checks the exact chunk CONTENT and boundaries, not just
+    * counts. */
+  def q69(s: SparkSession, d: String): DataFrame =
+    graft.curation.Packing.slidingChunks(docs(s, d), "text", 64, 48)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q69Sql: String = {
+    val toks = toksSql("text")
+    // starts: 0, 48, … ≤ max(len-64, 0), plus the tail start when the
+    // stride doesn't land on it (same rule as slidingChunks)
+    val last = s"greatest(len($toks) - 64, 0)"
+    val starts = s"""list_concat(range(0, $last + 1, 48),
+      CASE WHEN $last % 48 != 0 THEN [$last] ELSE [] END)"""
+    s"""
+    SELECT doc_id,
+           unnest(range(0, len($starts))) AS chunk_idx,
+           unnest($starts) AS chunk_start,
+           unnest(list_transform($starts,
+             st -> md5(array_to_string(list_slice($toks, st + 1, st + 64), ' ')))) AS chunk_md5
+    FROM documents ORDER BY doc_id, chunk_idx"""
+  }
+
   // ---- q66: rarity scoring against a broadcast vocabulary ----
 
   /** q66: per-document rarity score — the mean inverse document
@@ -1064,5 +1095,6 @@ object CurationQueries {
     ("q65_vocab_topk", q65 _, Some(q65Sql)),
     ("q66_rarity_score", q66 _, Some(q66Sql)),
     ("q67_stream_corpus", q67 _, Some(q67Sql)),
-    ("q68_dataset_split", q68 _, Some(q68Sql)))
+    ("q68_dataset_split", q68 _, Some(q68Sql)),
+    ("q69_doc_chunking", q69 _, Some(q69Sql)))
 }

@@ -5,6 +5,36 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class PackingSpec extends SparkSpec {
+
+  test("slidingChunks: stride windows + tail coverage; short and empty docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, w=4 s=3
+      (2L, "a b"),                                    // shorter than window
+      (3L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    val chunks = Packing.slidingChunks(docs, "text", window = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: starts 0,3,6 (=len-window exactly, no extra tail)
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toSeq == Seq(0, 3, 6))
+    assert(d1.head._4 == "t1 t2 t3 t4" && d1.last._4 == "t7 t8 t9 t10")
+    // every token index is covered by some chunk
+    assert(d1.map(c => (c._3, c._3 + 4)).foldLeft(Set.empty[Int]) {
+      case (s, (a, b)) => s ++ (a until b)
+    } == (0 until 10).toSet)
+    // doc 2: one chunk, whole doc; doc 3: one empty chunk
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, "a b")))
+    assert(chunks.filter(_._1 == 3L).toSeq == Seq((3L, 0, 0, "")))
+    // tail start appended when stride overshoots: 11 toks, w=4, s=3 →
+    // starts 0,3,6 then tail 7 (11-4) since 7 % 3 != 0
+    val tail = Packing.slidingChunks(
+      Seq((9L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      "text", 4, 3).select("chunk_start").collect().map(_.getInt(0)).sorted
+    assert(tail.toSeq == Seq(0, 3, 6, 7))
+  }
   import spark.implicits._
 
   test("packPositions: concat-then-chunk within shards, exact offsets") {
