@@ -59,6 +59,13 @@ object Packing {
   def slidingChunks(docs: DataFrame, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    // the input passes through col("*"): pre-existing output/temp names
+    // would become ambiguous duplicates (or be silently overwritten) —
+    // e.g. re-chunking already-chunked output at a different window
+    val clash = docs.columns.toSet
+      .intersect(Set("chunk_idx", "chunk_start", "chunk_text", "__toks", "__starts"))
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename or drop before chunking")
     val toks = tokens(col(textCol))
     val last = greatest(size(toks) - window, lit(0)) // final chunk start
     val starts = concat(

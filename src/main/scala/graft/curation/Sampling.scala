@@ -63,13 +63,22 @@ object Sampling {
   def datasetSplit(df: DataFrame, idCol: Column,
       fractions: Seq[(String, Int)], splitCol: String = "split"): DataFrame = {
     require(fractions.map(_._2).sum == 1000, "fractions must sum to 1000 per-mille")
-    val bucket = pmod(md5Long(idCol.cast("string"), 8), lit(1000))
+    require(fractions.forall(_._2 >= 0), "fractions must be non-negative")
+    // DOMAIN-SEPARATED hash ("split|" prefix): uniformSample/stratifiedCap
+    // bucket the BARE id, and reusing that bucket here would correlate
+    // the operators — a <=800-permille uniform sample would land entirely
+    // in the first split, leaving val/test empty. The prefix makes the
+    // split assignment independent of every other md5-keyed decision.
+    val bucket = pmod(md5Long(concat(lit("split|"), idCol.cast("string")), 8), lit(1000))
     val cuts = fractions.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val assign = fractions.zip(cuts).init.foldRight(
       lit(fractions.last._1): Column) { case (((name, _), hi), els) =>
       when(bucket < hi, lit(name)).otherwise(els)
     }
-    df.withColumn(splitCol, assign)
+    // a null id has no bucket: split is null (caller filters), matching
+    // uniformSample's natural exclusion — never silently dumped into the
+    // last split
+    df.withColumn(splitCol, when(idCol.isNotNull, assign))
   }
 
   /** At most `cap` rows per stratum, chosen by md5 order of the id

@@ -925,7 +925,7 @@ object CurationQueries {
       .orderBy(col("split"))
 
   val q68Sql: String = {
-    val bucket = s"(${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % 1000)"
+    val bucket = s"(${md5LongSql("concat('split|', CAST(doc_id AS VARCHAR))", 8)} % 1000)"
     s"""
     SELECT CASE WHEN $bucket < 800 THEN 'train'
                 WHEN $bucket < 900 THEN 'val' ELSE 'test' END AS split,

@@ -34,6 +34,11 @@ class PackingSpec extends SparkSpec {
       Seq((9L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
       "text", 4, 3).select("chunk_start").collect().map(_.getInt(0)).sorted
     assert(tail.toSeq == Seq(0, 3, 6, 7))
+    // re-chunking chunked output must fail loudly, not produce
+    // ambiguous duplicate columns
+    val once = Packing.slidingChunks(docs, "text", 4, 3)
+    intercept[IllegalArgumentException](
+      Packing.slidingChunks(once, "chunk_text", 2, 1))
   }
   import spark.implicits._
 

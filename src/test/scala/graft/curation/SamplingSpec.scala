@@ -33,6 +33,26 @@ class SamplingSpec extends SparkSpec {
     assert(trainIds == finerTrain)
     intercept[IllegalArgumentException](
       Sampling.datasetSplit(corpus, col("doc_id"), Seq("a" -> 500)))
+    intercept[IllegalArgumentException](
+      Sampling.datasetSplit(corpus, col("doc_id"), Seq("a" -> 1100, "b" -> -100)))
+  }
+
+  test("datasetSplit: independent of uniformSample; null ids get a null split") {
+    // domain-separated hash: a 100-permille uniform sample must still
+    // populate ALL splits (a bare-id bucket would land the whole sample
+    // in train and silently empty the eval sets)
+    val sampled = Sampling.uniformSample(corpus, col("doc_id"), 100)
+    val splits = Sampling.datasetSplit(sampled, col("doc_id"),
+        Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .groupBy("split").count().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"),
+      s"sample composed with split must cover all splits, got $splits")
+    // null ids: no bucket → null split, never dumped into the last split
+    val withNull = corpus.select(
+      when(col("doc_id") < 5, lit(null)).otherwise(col("doc_id")).as("doc_id"))
+    val nulls = Sampling.datasetSplit(withNull, col("doc_id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(nulls.filter(col("doc_id").isNull && col("split").isNotNull).count() == 0L)
   }
 
   test("uniformSample: deterministic, rate within tolerance, map-side only") {
