@@ -96,9 +96,20 @@ final class SchemaRegistry(rootDir: String) extends TableBackend {
     * table's data dir. Per-batch atomicity comes from the Hadoop commit
     * protocol (task outputs stage under `_temporary` and move on job
     * commit); telemetry tables use this same path without a registered
-    * schema — schema-on-read suffices for `_meta.*`. */
+    * schema — schema-on-read suffices for `_meta.*`.
+    *
+    * Serialized per table within this JVM: two concurrent jobs writing
+    * one parquet dir share the committer's `_temporary` staging, and
+    * the first job's cleanup deletes the second's pending task outputs
+    * (concurrent writers to one path are unsupported by the Hadoop
+    * committer). The per-table lock makes same-session concurrency —
+    * two streams appending one table — safe; different tables still
+    * append fully in parallel. Cross-JVM writers need a transactional
+    * table format (the Delta/Iceberg note in the class doc). */
   override def appendPartitioned(dataset: String, table: String, df: DataFrame): Unit =
-    df.write.mode("append").partitionBy("__part").parquet(dataDir(dataset, table))
+    lockFor(s"$dataset.$table#write").synchronized {
+      df.write.mode("append").partitionBy("__part").parquet(dataDir(dataset, table))
+    }
 
   /** [[TableBackend]]: live schema + `__part` surfaced for partition-
     * pruned scans (dedup's anti-join reads only the batch's slices). */

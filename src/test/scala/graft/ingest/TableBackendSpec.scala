@@ -30,9 +30,9 @@ class TableBackendSpec extends SparkSpec {
       { calls += s"read:$ds.$t"; inner.readWithPart(s, ds, t) }
   }
 
-  private def routed(n: Int): DataFrame = {
+  private def routed(n: Int, prefix: String = "id"): DataFrame = {
     import spark.implicits._
-    (0 until n).map(i => (s"id-$i", i))
+    (0 until n).map(i => (s"$prefix-$i", i))
       .toDF("rid", "v")
       .select(col("rid").as("id"), lit("ing").as("ingest_id"),
         expr("timestamp'2024-05-01 00:00:00'").as("timestamp"),
@@ -59,6 +59,27 @@ class TableBackendSpec extends SparkSpec {
     assert(r2.map(_.logCount) == Seq(0L))
     assert(backend.calls.exists(_.startsWith("read:")),
       s"dedup must consult the backend's readWithPart: ${backend.calls}")
+  }
+
+  test("concurrent same-table appends are serialized — no batch lost to shared staging") {
+    // the Hadoop committer does not support concurrent writers on one
+    // path (job A's cleanup deletes job B's pending task outputs); the
+    // registry serializes appends per table, so parallel streams
+    // appending one table must all land
+    val registry = new SchemaRegistry(tmpDir("backend-concurrent"))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 4).map { i =>
+        Future(TableSink.append(spark, registry, routed(50, s"w$i")))
+      }
+      Await.result(Future.sequence(fs), 180.seconds)
+    } finally pool.shutdown()
+    val out = TableSink.read(spark, registry, "d", "t")
+    assert(out.count() == 200L, "every concurrent batch must land")
+    assert(out.select("id").distinct().count() == 200L)
   }
 
   test("schema evolution round-trips through a custom backend") {
