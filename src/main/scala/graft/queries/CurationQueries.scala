@@ -429,6 +429,80 @@ object CurationQueries {
       FROM scored) WHERE rk <= $k ORDER BY query_id, rk"""
   }
 
+  // ---- q70: product-quantization ANN (ADC scan + exact re-rank) ----
+
+  /** q70: PQ-compressed ANN ([[Similarity.pqTopK]]) — per-subvector
+    * codebooks trained with the same md5-seeded decimal-exact Lloyd
+    * step as IVF, corpus encoded to m codes/row, candidates ranked by
+    * driver-built ADC lookup tables (m `element_at`s per row — the
+    * compressed scan), topC exact-reranked to cosine top-k. The oracle
+    * replays the ENTIRE construction per subvector (training, encode,
+    * ADC, re-rank) with the q38-proven deterministic folds, so the
+    * hash check pins codebooks, codes, and both rankings. */
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb, k = 10,
+      m = 4, ksub = 16, topC = 50)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q70Sql: String = {
+    val m = 4; val ksub = 16; val topC = 50; val k = 10
+    def halfS(c: String) =
+      "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($c, x -> x * x)), (acc, x) -> acc + x) / 2.0)"
+    val h = md5LongSql("CAST(vec_id AS VARCHAR)", 15)
+    // subvector j of vector expr v (dims divide evenly by m)
+    def sl(v: String, j: Int) =
+      s"list_slice($v, ($j * len($v)) / $m + 1, ((${j + 1}) * len($v)) / $m)"
+    val subCtes = (0 until m).map { j =>
+      s"""a$j AS (SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, ${sl("e.v", j)} AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql(sl("e.v", j), sl("s.v", j))} - ${halfS(sl("s.v", j))}) DESC, s.c DESC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    m$j AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mn
+            FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a$j)
+            GROUP BY c, pos),
+    r$j AS (SELECT s.c AS c, COALESCE(mm.mv, ${sl("s.v", j)}) AS v
+            FROM seeds s LEFT JOIN
+              (SELECT c, list(mn ORDER BY pos) AS mv FROM m$j GROUP BY c) mm
+              ON s.c = mm.c),
+    code$j AS (SELECT vec_id, c FROM (
+        SELECT e.vec_id, r.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql(sl("e.v", j), "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+        FROM e CROSS JOIN r$j r) WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    val codeJoins = (0 until m).map(j =>
+      s"JOIN code$j c$j ON c$j.vec_id = e.vec_id JOIN r$j ON r$j.c = c$j.c").mkString(" ")
+    // ADC = left-to-right sum of per-subvector table entries (the same
+    // association order as the engine's reduceLeft)
+    val adcTerms = (0 until m).map(j =>
+      s"(${dotSql(sl("q.v", j), s"r$j.v")} - ${halfS(s"r$j.v")})").mkString(" + ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v
+              FROM (SELECT v, $h AS h FROM e) ORDER BY h LIMIT $ksub),
+    $subCtes,
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    adc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   e.v AS cv, q.v AS qv, ($adcTerms) AS adc
+            FROM e $codeJoins CROSS JOIN q
+            WHERE q.vec_id <> e.vec_id),
+    topc AS (SELECT query_id, neighbor_id, cv, qv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc DESC, neighbor_id) AS cr
+        FROM adc) WHERE cr <= $topC),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(${dotSql("qv", "cv")} /
+                        (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS sim
+               FROM topc)
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) WHERE rk <= $k ORDER BY query_id, rk"""
+  }
+
   // ---- q43: PII-style redaction ----
 
   /** The corpus is synthetic word-soup with no PII, so the query first
@@ -1096,5 +1170,6 @@ object CurationQueries {
     ("q66_rarity_score", q66 _, Some(q66Sql)),
     ("q67_stream_corpus", q67 _, Some(q67Sql)),
     ("q68_dataset_split", q68 _, Some(q68Sql)),
-    ("q69_doc_chunking", q69 _, Some(q69Sql)))
+    ("q69_doc_chunking", q69 _, Some(q69Sql)),
+    ("q70_pq_ann", q70 _, Some(q70Sql)))
 }

@@ -283,6 +283,125 @@ object Similarity {
     rerank(cands, k)
   }
 
+  // ---- Product quantization (compressed ADC scan + exact re-rank) ----
+
+  /** PQ codebooks: the vector split into `m` equal subvectors, each
+    * with its own `ksub`-codeword codebook trained exactly like
+    * [[ivfCentroids]] (the same md5-seeded rows, one decimal-exact
+    * Lloyd step — per subvector slice), so codebooks are deterministic
+    * and oracle-replayable. `codebooks(j)(c)` is subvector j's
+    * codeword c.
+    *
+    * 100 TB role: PQ COMPRESSES the ANN scan — a d-dim float column
+    * (4d B/row) becomes m small codes (m B/row; 64× at d=64, m=4), so
+    * the first-pass scan reads codes and does m table lookups per row
+    * instead of streaming full vectors — where IVF
+    * ([[writeIvfStore]]) PRUNES the scan to probed lists. Production
+    * systems compose the two (IVF-PQ); here each is verified
+    * independently and composes through the same cluster column. */
+  def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val d = corpus.select(asDouble(col(vecCol))).head.getSeq[Double](0).length
+    require(d % m == 0, s"dims $d must divide into $m subvectors")
+    val sub = d / m
+    (0 until m).map { j =>
+      ivfCentroids(
+        corpus.select(col(idCol),
+          slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
+        ksub, idCol, vecCol)
+    }.toArray
+  }
+
+  /** Encode each vector as its per-subvector nearest-codeword ids: a
+    * pure projection over ksub·m literal scores (codegen'd; ties →
+    * larger code, the [[assignCluster]] convention). Keeps the staged
+    * vector as `__v` — the store writes codes AND vector; scans read
+    * only the codes column (columnar pruning is what realizes the
+    * compression). */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val staged = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val withSubs = staged.select(col("*") +: (0 until m).map(j =>
+      slice(col("__v"), j * sub + 1, sub).as(s"__sv$j")): _*)
+    val codes = (0 until m).map { j =>
+      val best = codebooks(j).zipWithIndex.map { case (c, i) =>
+        val cLit = array(c.map(lit): _*)
+        val half = c.map(x => x * x).sum / 2.0
+        struct((fastDot(df)(col(s"__sv$j"), cLit) - lit(half)).as("s"), lit(i).as("c"))
+      }
+      greatest(best.toIndexedSeq: _*).getField("c")
+    }
+    withSubs.withColumn("codes", array(codes: _*))
+      .drop((0 until m).map(j => s"__sv$j"): _*)
+  }
+
+  /** ANN via PQ asymmetric distance computation: per query, a lookup
+    * table `table(j)(c) = q_j·c − ‖c‖²/2` (the same inner-product
+    * ranking form as the IVF probe) is computed ON THE DRIVER (m·ksub
+    * doubles — metadata) and baked into the scan as literals; the
+    * corpus scan then costs m `element_at` lookups per row — never a
+    * full-vector dot — to rank candidates. The `topC` best ADC
+    * candidates per query are exact-reranked to cosine top-k: recall
+    * comes from topC ≫ k, precision is exact. With `topC` ≥ corpus
+    * size the result equals [[bruteForceTopK]] exactly (spec-pinned).
+    *
+    * Queries are collected to the driver (their tables become plan
+    * literals) — ANN query batches are driver-bounded by contract,
+    * like the centroid literals everywhere else in this family. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 16, topC: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebooks(corpus, m, ksub, idCol, vecCol)
+    val sub = books(0)(0).length
+    val encoded = pqEncode(corpus, books, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("codes"))
+    // driver-side ADC tables: same fold order as the engine/oracle dot
+    // (left-to-right from 0.0), so the doubles are bit-identical
+    def dotL(a: Seq[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qRows = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
+    require(qRows.nonEmpty, "pqTopK needs at least one query")
+    def adcFor(qv: Seq[Double]): Column =
+      (0 until m).map { j =>
+        val table = books(j).map { c =>
+          val half = c.map(x => x * x).sum / 2.0
+          dotL(qv.slice(j * sub, (j + 1) * sub), c) - half
+        }
+        element_at(array(table.map(lit).toIndexedSeq: _*),
+          element_at(col("codes"), j + 1) + 1)
+      }.reduceLeft(_ + _)
+    // one corpus scan for ALL queries: the per-query literal tables are
+    // selected by a branch on the (broadcast) query id; the id keeps
+    // its original type end-to-end (the string twin only keys the branch)
+    val qFrame = broadcast(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))
+        .withColumn("__qid", col("query_id").cast("string")))
+    val adc = qRows.map { case (qid, qv) => (String.valueOf(qid), adcFor(qv)) }
+      .foldRight(lit(null).cast("double")) { case ((qid, e), els) =>
+        when(col("__qid") === lit(qid), e).otherwise(els)
+      }
+    val cands = encoded.crossJoin(qFrame)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    val top = cands.withColumn("__cr", row_number().over(wC))
+      .filter(col("__cr") <= topC)
+    // exact re-rank only on the topC survivors
+    val scored = top
+      .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) /
+        (col("qn") * sqrt(fastDot(corpus)(col("cv"), col("cv")))), 6))
+    rerank(scored, k)
+  }
+
   /** INCREMENTAL semantic near-dup: a NEW batch of vectors against an
     * EXISTING IVF-partitioned corpus store — the embedding twin of the
     * minhash band-store path ([[graft.dedup.Dedup.incrementalCandidates]],

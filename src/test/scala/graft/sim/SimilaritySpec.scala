@@ -97,6 +97,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(r => !Set(0L, 100L, 101L)(r._1)).forall(r => r._2 == r._1 && r._3))
   }
 
+  test("pqTopK: codes well-formed; topC >= corpus equals brute force exactly; recall finds planted dups") {
+    val corpus = vecs // dim 16
+    val queries = corpus.filter(col("vec_id") === 0L)
+    // encode shape: m codes per row, each within [0, ksub)
+    val books = Similarity.pqCodebooks(corpus, m = 4, ksub = 8)
+    assert(books.length == 4 && books.forall(_.length == 8)
+      && books.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(corpus, books).select("codes")
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // with topC covering the whole corpus the ADC ordering is irrelevant
+    // and the exact re-rank must reproduce brute force EXACTLY
+    val exact = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val viaPq = Similarity.pqTopK(queries, corpus, k = 5, m = 4, ksub = 8, topC = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(viaPq.sortBy(_._4).toSeq == exact.sortBy(_._4).toSeq)
+    // realistic topC: the planted near-dups of vec 0 must survive the
+    // ADC cut and rank first
+    val ann = Similarity.pqTopK(queries, corpus, k = 5, m = 4, ksub = 8, topC = 10)
+      .orderBy("rk").collect().map(_.getLong(1))
+    assert(ann.take(2).toSet == Set(100L, 101L),
+      s"planted near-dups must top the PQ ranking, got ${ann.toSeq}")
+  }
+
   test("srp signature deterministic; lshTopK recall vs brute force is high") {
     val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
       .as[Long].collect()
