@@ -191,16 +191,21 @@ object Similarity {
     * L2 distance). Centroids are literals → pure codegen-able
     * projection, no shuffle. Output keeps the staged vector as `__v`. */
   def assignCluster(df: DataFrame, centroids: Array[Array[Double]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = col("__v")
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("cluster", nearestCluster(df, centroids, col("__v")))
+
+  /** Index of the nearest centroid to `v` (max v·c − ‖c‖²/2; ties →
+    * larger index via the greatest-struct comparison) — shared by the
+    * coarse assignment and the IVF-PQ composition. */
+  private def nearestCluster(df: DataFrame, centroids: Array[Array[Double]],
+      v: Column): Column = {
+    val best = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       val half = c.map(x => x * x).sum / 2.0
-      (fastDot(df)(v, cLit) - lit(half)).as(s"__s$i")
+      struct((fastDot(df)(v, cLit) - lit(half)).as("s"), lit(i).as("c"))
     }
-    val best = scores.zipWithIndex.map { case (s, i) => struct(s.as("s"), lit(i).as("c")) }
-    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .withColumn("cluster", greatest(best.toIndexedSeq: _*).getField("c"))
+    greatest(best.toIndexedSeq: _*).getField("c")
   }
 
   /** Query side of IVF: rank ALL centroids per query, explode the
@@ -354,11 +359,60 @@ object Similarity {
       ksub: Int = 16, topC: Int = 50,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val books = pqCodebooks(corpus, m, ksub, idCol, vecCol)
-    val sub = books(0)(0).length
     val encoded = pqEncode(corpus, books, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("codes"))
-    // driver-side ADC tables: same fold order as the engine/oracle dot
-    // (left-to-right from 0.0), so the doubles are bit-identical
+    // one corpus scan for ALL queries (full scan — IVF-PQ prunes it)
+    adcRerank(encoded.crossJoin(pqQueryFrame(queries, idCol, vecCol)),
+      queries, books, topC, k, idCol, vecCol)
+  }
+
+  /** IVF-PQ: the production ANN composition — the coarse quantizer
+    * PRUNES the scan to each query's `nprobe` inverted lists, PQ
+    * COMPRESSES the surviving rows to m code lookups, and the `topC`
+    * ADC candidates are exact-reranked. With `nprobe = nlist` the
+    * candidate set is the whole corpus and the result equals
+    * [[pqTopK]] exactly (spec-pinned); over a [[writeIvfStore]]-style
+    * cluster-partitioned store of (id, codes, vector), the probe is a
+    * PartitionFilters-pruned scan that reads only the codes column —
+    * prune × compress is what makes billion-vector ANN interactive. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+      topC: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val books = pqCodebooks(corpus, m, ksub, idCol, vecCol)
+    val clustered = pqEncode(corpus, books, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("codes"))
+      .withColumn("cluster", nearestCluster(corpus, cents, col("cv")))
+    val probes = broadcast(probeQueries(queries, cents, nprobe, idCol, vecCol)
+      .withColumn("__qid", col("query_id").cast("string")))
+    // each neighbor lives in exactly ONE cluster, so the probe join
+    // cannot duplicate (query, neighbor) pairs
+    adcRerank(clustered.join(probes, "cluster"),
+      queries, books, topC, k, idCol, vecCol)
+  }
+
+  /** Broadcastable query frame for the ADC scan: original-typed id,
+    * staged vector + norm, and the string twin that keys the per-query
+    * table branch. */
+  private def pqQueryFrame(queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    broadcast(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))
+        .withColumn("__qid", col("query_id").cast("string")))
+
+  /** Shared ADC tail: `withQ` holds candidate rows (neighbor_id, cv,
+    * codes) ⋈ (query_id, qv, qn, __qid); ranks them with the per-query
+    * driver-built lookup tables, keeps `topC` per query, exact-reranks
+    * to cosine top-k. Table entries are computed with the SAME fold
+    * order as the engine/oracle dot (left-to-right from 0.0), so the
+    * doubles are bit-identical to a SQL replay. */
+  private def adcRerank(withQ: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Double]]], topC: Int, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
     def dotL(a: Seq[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < b.length) { acc += a(i) * b(i); i += 1 }
@@ -367,7 +421,7 @@ object Similarity {
     val qRows = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .collect().map(r => (r.get(0), r.getSeq[Double](1)))
-    require(qRows.nonEmpty, "pqTopK needs at least one query")
+    require(qRows.nonEmpty, "ADC ranking needs at least one query")
     def adcFor(qv: Seq[Double]): Column =
       (0 until m).map { j =>
         val table = books(j).map { c =>
@@ -377,18 +431,11 @@ object Similarity {
         element_at(array(table.map(lit).toIndexedSeq: _*),
           element_at(col("codes"), j + 1) + 1)
       }.reduceLeft(_ + _)
-    // one corpus scan for ALL queries: the per-query literal tables are
-    // selected by a branch on the (broadcast) query id; the id keeps
-    // its original type end-to-end (the string twin only keys the branch)
-    val qFrame = broadcast(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-        .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))
-        .withColumn("__qid", col("query_id").cast("string")))
     val adc = qRows.map { case (qid, qv) => (String.valueOf(qid), adcFor(qv)) }
       .foldRight(lit(null).cast("double")) { case ((qid, e), els) =>
         when(col("__qid") === lit(qid), e).otherwise(els)
       }
-    val cands = encoded.crossJoin(qFrame)
+    val cands = withQ
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__adc", adc)
     val wC = Window.partitionBy(col("query_id"))
@@ -397,8 +444,8 @@ object Similarity {
       .filter(col("__cr") <= topC)
     // exact re-rank only on the topC survivors
     val scored = top
-      .withColumn("sim", round(fastDot(corpus)(col("qv"), col("cv")) /
-        (col("qn") * sqrt(fastDot(corpus)(col("cv"), col("cv")))), 6))
+      .withColumn("sim", round(fastDot(withQ)(col("qv"), col("cv")) /
+        (col("qn") * sqrt(fastDot(withQ)(col("cv"), col("cv")))), 6))
     rerank(scored, k)
   }
 

@@ -122,6 +122,26 @@ class SimilaritySpec extends SparkSpec {
       s"planted near-dups must top the PQ ranking, got ${ann.toSeq}")
   }
 
+  test("ivfPqTopK: full probe equals pqTopK exactly; pruned probe keeps planted dups") {
+    val corpus = vecs
+    val queries = corpus.filter(col("vec_id") === 0L)
+    // nprobe = nlist → candidate set is the whole corpus → the
+    // composition must reproduce flat PQ exactly
+    val flat = Similarity.pqTopK(queries, corpus, k = 5, m = 4, ksub = 8, topC = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._3)
+    val full = Similarity.ivfPqTopK(queries, corpus, k = 5,
+        nlist = 8, nprobe = 8, m = 4, ksub = 8, topC = 20)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._3)
+    assert(full.toSeq == flat.toSeq)
+    // realistic pruning: the planted near-dups share vec 0's coarse
+    // cluster, so they survive a 4-of-8 probe and top the ranking
+    val pruned = Similarity.ivfPqTopK(queries, corpus, k = 5,
+        nlist = 8, nprobe = 4, m = 4, ksub = 8, topC = 20)
+      .orderBy("rk").collect().map(_.getLong(1))
+    assert(pruned.take(2).toSet == Set(100L, 101L),
+      s"planted dups must survive prune+compress, got ${pruned.toSeq}")
+  }
+
   test("srp signature deterministic; lshTopK recall vs brute force is high") {
     val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
       .as[Long].collect()
