@@ -306,15 +306,43 @@ object Similarity {
     * independently and composes through the same cluster column. */
   def pqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
-    val d = corpus.select(asDouble(col(vecCol))).head.getSeq[Double](0).length
+    // ONE seed pass (the md5-smallest rows, full vectors — sliced per
+    // subvector on the driver) and ONE combined Lloyd job for all m
+    // codebooks: per-sub training would rescan the corpus m times for
+    // byte-identical seed sorts. Values are identical to m independent
+    // [[ivfCentroids]] runs on the slices (same seed rows, same
+    // assignment expression, decimal sums are order-exact), which is
+    // what the q70 oracle replays.
+    val seedRows = corpus
+      .select(asDouble(col(vecCol)).as("v"),
+        graft.text.TextFunctions.md5Long(col(idCol).cast(StringType), 15).as("h"))
+      .orderBy(col("h")).limit(ksub)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = seedRows.head.length
     require(d % m == 0, s"dims $d must divide into $m subvectors")
     val sub = d / m
-    (0 until m).map { j =>
-      ivfCentroids(
-        corpus.select(col(idCol),
-          slice(asDouble(col(vecCol)), j * sub + 1, sub).as(vecCol)),
-        ksub, idCol, vecCol)
-    }.toArray
+    val seedSubs: Array[Array[Array[Double]]] =
+      (0 until m).map(j => seedRows.map(_.slice(j * sub, (j + 1) * sub))).toArray
+    val staged = corpus.select(asDouble(col(vecCol)).as("__v"))
+    val withSubs = staged.select((0 until m).map(j =>
+      slice(col("__v"), j * sub + 1, sub).as(s"__sv$j")): _*)
+    val perSub = (0 until m).map { j =>
+      struct(lit(j).as("j"),
+        nearestCluster(corpus, seedSubs(j), col(s"__sv$j")).as("c"),
+        col(s"__sv$j").as("v"))
+    }
+    val means = withSubs.select(explode(array(perSub: _*)).as("e"))
+      .select(col("e.j").as("j"), col("e.c").as("c"),
+        posexplode(col("e.v")).as(Seq("pos", "x")))
+      .groupBy(col("j"), col("c"), col("pos"))
+      .agg((sum(col("x").cast(DecimalType(30, 15))).cast(DoubleType) /
+        count(lit(1))).as("mn"))
+      .collect()
+    // empty codeword → seed fallback (rows simply absent for it)
+    val books = seedSubs.map(_.map(_.clone()))
+    means.foreach(r =>
+      books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    books
   }
 
   /** Encode each vector as its per-subvector nearest-codeword ids: a
@@ -330,14 +358,8 @@ object Similarity {
     val staged = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
     val withSubs = staged.select(col("*") +: (0 until m).map(j =>
       slice(col("__v"), j * sub + 1, sub).as(s"__sv$j")): _*)
-    val codes = (0 until m).map { j =>
-      val best = codebooks(j).zipWithIndex.map { case (c, i) =>
-        val cLit = array(c.map(lit): _*)
-        val half = c.map(x => x * x).sum / 2.0
-        struct((fastDot(df)(col(s"__sv$j"), cLit) - lit(half)).as("s"), lit(i).as("c"))
-      }
-      greatest(best.toIndexedSeq: _*).getField("c")
-    }
+    val codes = (0 until m).map(j =>
+      nearestCluster(df, codebooks(j), col(s"__sv$j")))
     withSubs.withColumn("codes", array(codes: _*))
       .drop((0 until m).map(j => s"__sv$j"): _*)
   }
@@ -362,8 +384,8 @@ object Similarity {
     val encoded = pqEncode(corpus, books, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("codes"))
     // one corpus scan for ALL queries (full scan — IVF-PQ prunes it)
-    adcRerank(encoded.crossJoin(pqQueryFrame(queries, idCol, vecCol)),
-      queries, books, topC, k, idCol, vecCol)
+    val qFrame = adcQueryFrame(queries, books, idCol, vecCol, probe = None)
+    adcRerank(encoded.crossJoin(qFrame), books.length, topC, k)
   }
 
   /** IVF-PQ: the production ANN composition — the coarse quantizer
@@ -384,33 +406,30 @@ object Similarity {
     val clustered = pqEncode(corpus, books, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("__v").as("cv"), col("codes"))
       .withColumn("cluster", nearestCluster(corpus, cents, col("cv")))
-    val probes = broadcast(probeQueries(queries, cents, nprobe, idCol, vecCol)
-      .withColumn("__qid", col("query_id").cast("string")))
     // each neighbor lives in exactly ONE cluster, so the probe join
     // cannot duplicate (query, neighbor) pairs
-    adcRerank(clustered.join(probes, "cluster"),
-      queries, books, topC, k, idCol, vecCol)
+    val qFrame = adcQueryFrame(queries, books, idCol, vecCol,
+      probe = Some((cents, nprobe)))
+    adcRerank(clustered.join(qFrame, "cluster"), books.length, topC, k)
   }
 
-  /** Broadcastable query frame for the ADC scan: original-typed id,
-    * staged vector + norm, and the string twin that keys the per-query
-    * table branch. */
-  private def pqQueryFrame(queries: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
-    broadcast(
-      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-        .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))
-        .withColumn("__qid", col("query_id").cast("string")))
-
-  /** Shared ADC tail: `withQ` holds candidate rows (neighbor_id, cv,
-    * codes) ⋈ (query_id, qv, qn, __qid); ranks them with the per-query
-    * driver-built lookup tables, keeps `topC` per query, exact-reranks
-    * to cosine top-k. Table entries are computed with the SAME fold
-    * order as the engine/oracle dot (left-to-right from 0.0), so the
-    * doubles are bit-identical to a SQL replay. */
-  private def adcRerank(withQ: DataFrame, queries: DataFrame,
-      books: Array[Array[Array[Double]]], topC: Int, k: Int,
-      idCol: String, vecCol: String): DataFrame = {
+  /** Broadcastable query frame for the ADC scan, built from ONE
+    * evaluation of `queries` (a nondeterministic query frame — a
+    * sample, an unordered limit — must not yield different rows to the
+    * table builder and the scan): original-typed id, staged vector,
+    * and the per-query ADC lookup table `__qtab(j)(c) = q_j·c −
+    * ‖c‖²/2` as column DATA (m·ksub doubles per query — metadata on
+    * the broadcast side; dropped before any shuffle). Table entries
+    * fold left-to-right from 0.0 — the engine/oracle dot order — so
+    * the doubles are bit-identical to a SQL replay. With
+    * `probe = Some((cents, nprobe))` the frame carries one row per
+    * (query, probed cluster), driver-ranked with the same score and
+    * tie order as [[probeQueries]]. Empty queries → empty frame →
+    * empty result, like every sibling topK. */
+  private def adcQueryFrame(queries: DataFrame,
+      books: Array[Array[Array[Double]]],
+      idCol: String, vecCol: String,
+      probe: Option[(Array[Array[Double]], Int)]): DataFrame = {
     val m = books.length
     val sub = books(0)(0).length
     def dotL(a: Seq[Double], b: Array[Double]): Double = {
@@ -418,26 +437,59 @@ object Similarity {
       while (i < b.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    val qRows = queries.select(col(idCol).as("query_id"),
-        asDouble(col(vecCol)).as("qv"))
-      .collect().map(r => (r.get(0), r.getSeq[Double](1)))
-    require(qRows.nonEmpty, "ADC ranking needs at least one query")
-    def adcFor(qv: Seq[Double]): Column =
-      (0 until m).map { j =>
-        val table = books(j).map { c =>
+    val base = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val idType = base.schema("query_id").dataType
+    val rows = base.collect() // the ONE evaluation of `queries`
+    val out: Seq[org.apache.spark.sql.Row] = rows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Double](1)
+      val tab: Seq[Seq[Double]] = (0 until m).map { j =>
+        books(j).toSeq.map { c =>
           val half = c.map(x => x * x).sum / 2.0
           dotL(qv.slice(j * sub, (j + 1) * sub), c) - half
         }
-        element_at(array(table.map(lit).toIndexedSeq: _*),
-          element_at(col("codes"), j + 1) + 1)
-      }.reduceLeft(_ + _)
-    val adc = qRows.map { case (qid, qv) => (String.valueOf(qid), adcFor(qv)) }
-      .foldRight(lit(null).cast("double")) { case ((qid, e), els) =>
-        when(col("__qid") === lit(qid), e).otherwise(els)
       }
+      probe match {
+        case None => Seq(org.apache.spark.sql.Row(r.get(0), qv, tab, -1))
+        case Some((cents, nprobe)) =>
+          // same score and tie order as probeQueries' stable sort
+          val ranked = cents.zipWithIndex.map { case (c, i) =>
+            (dotL(qv, c) - c.map(x => x * x).sum / 2.0, i)
+          }.sortBy { case (sc, i) => (-sc, i) }.take(nprobe)
+          ranked.map { case (_, cl) =>
+            org.apache.spark.sql.Row(r.get(0), qv, tab, cl)
+          }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", idType),
+      org.apache.spark.sql.types.StructField("qv", ArrayType(DoubleType)),
+      org.apache.spark.sql.types.StructField("__qtab",
+        ArrayType(ArrayType(DoubleType))),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType)))
+    import scala.jdk.CollectionConverters._
+    val df = queries.sparkSession.createDataFrame(out.asJava, schema)
+      .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))
+    broadcast(if (probe.isEmpty) df.drop("cluster") else df)
+  }
+
+  /** Shared ADC tail: `withQ` holds candidate rows (neighbor_id, cv,
+    * codes) ⋈ (query_id, qv, qn, __qtab); ADC is two `element_at`
+    * lookups per subvector into the query's own table column — no
+    * per-query plan branches — summed left-to-right (the oracle's
+    * association order). The table column is dropped before the topC
+    * window so it never rides a shuffle; `topC` survivors are
+    * exact-reranked to cosine top-k. */
+  private def adcRerank(withQ: DataFrame, m: Int, topC: Int, k: Int): DataFrame = {
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__qtab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduceLeft(_ + _)
     val cands = withQ
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__adc", adc)
+      .drop("__qtab")
     val wC = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id"))
     val top = cands.withColumn("__cr", row_number().over(wC))

@@ -49,11 +49,12 @@ final class StreamLog(spark: SparkSession, registry: SchemaRegistry)
     val row = (Option(p.name).getOrElse(""), p.id.toString, p.batchId,
       p.numInputRows, p.durationMs.getOrDefault("triggerExecution", 0L),
       new java.sql.Timestamp(System.currentTimeMillis()))
-    try Seq(row)
+    // through the registry's appendPartitioned so the per-table write
+    // lock covers this path too — a concurrent writer to the same dir
+    // (backfill, compaction) must never race this append's staging
+    try registry.appendPartitioned("_meta", "stream_log", Seq(row)
       .toDF("query", "query_id", "batch_id", "input_rows", "trigger_ms", "logged_at")
-      .withColumn("__part", date_format(col("logged_at"), "yyyy-MM"))
-      .write.mode("append").partitionBy("__part")
-      .parquet(registry.dataDir("_meta", "stream_log"))
+      .withColumn("__part", date_format(col("logged_at"), "yyyy-MM")))
     catch {
       // telemetry must never kill the listener bus; the query goes on
       case e: Exception =>
