@@ -16,12 +16,17 @@ object DumpSink {
   /** Dump a routed DataFrame (Transform output) per destination.
     * Returns the written (dataset, table) pairs.
     *
-    * APPEND semantics, like the reference's dumper (it opens the `.log`
-    * with O_APPEND, `dump/client.go:50`): one dry-run ingest may call
-    * this once per parse chunk (`maxObjectsPerBatch`), and chunk N must
-    * not clobber chunks 1..N-1. Callers wanting a clean dump point
-    * `dryRunDir` at a fresh directory per run. */
-  def dump(routed: DataFrame, outDir: String): Seq[(String, String)] = {
+    * APPEND semantics WITHIN a run, like the reference's dumper (it
+    * opens the `.log` with O_APPEND, `dump/client.go:50`): one dry-run
+    * ingest may call this once per parse chunk (`maxObjectsPerBatch`),
+    * and chunk N must not clobber chunks 1..N-1. Across runs the caller
+    * passes the run's `ingestId` so each invocation dumps under its own
+    * `outDir/<ingestId>/` namespace — a second dry-run at the same
+    * `--output` never doubles the first one's records, and each run's
+    * schema.json reflects that run's final chunk only. */
+  def dump(routed: DataFrame, baseDir: String,
+      ingestId: String): Seq[(String, String)] = {
+    val outDir = s"$baseDir/$ingestId"
     Files.createDirectories(Paths.get(outDir))
     val dests = routed.select("dataset", "table").distinct()
       .collect().map(r => (r.getString(0), r.getString(1)))

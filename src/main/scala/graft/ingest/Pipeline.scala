@@ -118,16 +118,20 @@ object Pipeline {
     val started = System.currentTimeMillis()
     val sourceLogs = Seq.newBuilder[(String, String, Long)] // (rule, path, rows)
     val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
-      // object list is metadata (rows = objects, not records) — driver-side
-      val paths = matched.select("path").collect().map(_.getString(0)).toSeq
       // backfill guard: a 500k-object prefix would otherwise become one
       // driver path list feeding a single mega-batch (one cache holding
       // the whole backfill, one inference over everything). Chunking
       // bounds peak memory per batch; schema evolution absorbs drift
       // across chunks exactly as it does across separate ingests.
-      // (an empty path list yields no chunks — grouped() never emits
-      // an empty group, so every chunk below is non-empty)
-      paths.grouped(cfg.maxObjectsPerBatch.getOrElse(Int.MaxValue).max(1)).toSeq
+      // The listing is consumed LAZILY (`toLocalIterator`: one listing
+      // partition in driver memory at a time), so driver footprint
+      // tracks max(partition, chunk) — NOT the whole backfill; a 5M-path
+      // backfill never materializes as one driver array.
+      // (an empty listing yields no chunks — grouped() never emits an
+      // empty group, so every chunk below is non-empty)
+      import scala.jdk.CollectionConverters._
+      matched.select("path").toLocalIterator().asScala.map(_.getString(0))
+        .grouped(cfg.maxObjectsPerBatch.getOrElse(Int.MaxValue).max(1))
         .flatMap { chunk =>
       {
         val batch = timed("readBatch")(
@@ -151,7 +155,7 @@ object Pipeline {
           val routed = Transform(batch.records, schemaRule, ingestId, invalidObs)
           val res = cfg.dryRunDir match {
             case Some(dir) =>
-              DumpSink.dump(Transform.pruneDataSchema(routed), dir).map { case (ds, tbl) =>
+              DumpSink.dump(Transform.pruneDataSchema(routed), dir, ingestId).map { case (ds, tbl) =>
                 TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
               }
             case None => timed("append")(TableSink.append(spark, cfg.registry, routed,

@@ -1003,7 +1003,8 @@ object CurationQueries {
     s"""
     SELECT CASE WHEN $bucket < 800 THEN 'train'
                 WHEN $bucket < 900 THEN 'val' ELSE 'test' END AS split,
-           COUNT(*) AS n, SUM(n_chars) AS chars, SUM(doc_id) AS id_sum
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM documents GROUP BY 1 ORDER BY split"""
   }
 
@@ -1105,7 +1106,7 @@ object CurationQueries {
 
   val q67Sql: String = """
     SELECT COUNT(*) AS n_kept, COUNT(*) AS distinct_texts,
-           SUM(length(text)) AS total_chars
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
     FROM (SELECT DISTINCT text FROM documents)"""
 
   // ---- q64: bloom-gated incremental exact dedup vs a stored corpus ----

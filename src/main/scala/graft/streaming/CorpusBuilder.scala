@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, ShardedBloom}
 
 /** Continuously build an exact-deduped corpus from a landing stream —
   * the streaming face of the incremental-dedup family (q52 band table,
@@ -30,13 +30,22 @@ import graft.dedup.Dedup
   *
   * Filter capacity (`expectedItems`/`fpp`) is declared per corpus;
   * outgrowing it only raises the false-positive rate — more exact-verify
-  * work per batch, never wrong results. The filter ships to executors
-  * as a plan literal (`might_contain` requires a foldable filter), so
-  * size it for the task-binary budget: the 2^20-item default is ~1.2 MB.
-  * A billion-doc corpus doesn't scale one monolithic filter — shard by
-  * digest prefix (one filter per shard, probe the matching shard) or
-  * rotate per corpus epoch and probe the union; both keep every filter
-  * at the megabyte scale while preserving the superset invariant.
+  * work per batch, never wrong results. The DEFAULT (`numShards = 1`)
+  * filter ships to executors as a plan literal (`might_contain`
+  * requires a foldable filter), so size it for the task-binary budget:
+  * the 2^20-item default is ~1.2 MB. A billion-doc corpus doesn't scale
+  * one monolithic filter — set `numShards > 1` and the store becomes a
+  * digest-prefix-SHARDED directory of megabyte filters probed
+  * executor-side ([[graft.dedup.ShardedBloom]]): nothing rides the
+  * plan, per-task filter memory is a few shards, and resizes rebuild
+  * into a fresh layout with an atomic pointer flip. Pick
+  * `numShards ≈ expectedItems / 2^20`.
+  *
+  * Rows whose `textCol` is NULL are REJECTED up front (both gate
+  * modes): null has no content identity — `contentKey(null)` is null,
+  * which never joins and never bloom-hits, so such a row would evade
+  * every digest gate forever and be re-appended on each replay.
+  * Exactly-once-by-content is defined only over non-null text.
   */
 object CorpusBuilder {
 
@@ -67,7 +76,10 @@ object CorpusBuilder {
       expectedItems: Long = 1L << 20, fpp: Double = 0.01,
       /** Some(params) switches the per-batch gate from exact-content
         * to MinHash near-dup ([[appendNearDupNew]]). */
-      nearDup: Option[NearDup] = None): StreamingQuery = {
+      nearDup: Option[NearDup] = None,
+      /** > 1 switches the digest filter from one plan-literal bloom to
+        * the sharded executor-side store — see class doc. */
+      numShards: Int = 1): StreamingQuery = {
     val schema = landingSchema(spark, landingGlob, corpusDir)
     var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
@@ -80,9 +92,9 @@ object CorpusBuilder {
         nearDup match {
           case Some(nd) =>
             appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd,
-              expectedItems, fpp)
+              expectedItems, fpp, numShards)
           case None => appendNew(spark, batch, corpusDir, idCol, textCol,
-            expectedItems, fpp)
+            expectedItems, fpp, numShards)
         }
         ()
       }
@@ -122,31 +134,96 @@ object CorpusBuilder {
     * corpus maintenance). Returns the number of docs appended. */
   def appendNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String,
-      expectedItems: Long, fpp: Double): Long = {
+      expectedItems: Long, fpp: Double, numShards: Int = 1): Long = {
     val docsDir = s"$corpusDir/docs"
-    val bloomPath = Paths.get(corpusDir, "bloom.bin")
     Files.createDirectories(Paths.get(corpusDir))
-    val inBatch = Dedup.exact(batch, textCol, idCol)
-    // bloom.bin may exist with NO docs dir — the crash window of the
-    // very first batch (filter persists before the doc append). The
-    // superset invariant makes the filter's extra digests harmless, but
-    // only if the replay doesn't fault on the missing table.
-    val stored: Option[Array[Byte]] =
-      if (Files.exists(bloomPath)) Some(Files.readAllBytes(bloomPath)) else None
-    val fresh = stored match {
-      case Some(f) if Files.exists(Paths.get(docsDir)) =>
-        Dedup.bloomNewDocs(inBatch, corpusDigests(spark, docsDir), textCol, f)
-      case _ => inBatch // no corpus yet — everything is new
+    // null text is rejected, not gated — see class doc
+    val inBatch = Dedup.exact(batch.filter(col(textCol).isNotNull), textCol, idCol)
+    val hasDocs = Files.exists(Paths.get(docsDir))
+    if (numShards <= 1) {
+      val bloomPath = Paths.get(corpusDir, "bloom.bin")
+      val stored = storedOrRebuilt(spark, bloomPath, docsDir, hasDocs,
+        expectedItems, fpp)
+      val fresh = stored match {
+        case Some(f) if hasDocs =>
+          Dedup.bloomNewDocs(inBatch, corpusDigests(spark, docsDir), textCol, f)
+        case _ => inBatch // no corpus yet — everything is new
+      }
+      // survivors are consumed three times (filter build, docs append,
+      // count) — materialize once; output-sized
+      val staged = graft.util.Materialize.eager(
+        fresh.withColumn(DigestCol, Dedup.contentKey(col(textCol))))
+      val appended = staged.count()
+      if (appended > 0)
+        commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
+      appended
+    } else {
+      val declared = ShardedBloom.Spec(numShards, expectedItems, fpp)
+      // resolve the ACTIVE store: first sharded run on an existing
+      // corpus (or a lost store) rebuilds from the corpus digest
+      // column; a sizing change rebuilds at the new layout and flips
+      // the pointer atomically. Probe and merge then agree on one spec.
+      val active = ShardedBloom.readMeta(spark, corpusDir) match {
+        case Some(spec) if spec == declared => if (hasDocs) Some(spec) else None
+        case _ if hasDocs =>
+          ShardedBloom.rebuild(corpusHashes(spark, docsDir), "__h",
+            corpusDir, declared)
+          Some(declared)
+        case _ => None // store for never-appended docs (crash window) —
+                       // extra digests are harmless, nothing to probe
+      }
+      val hashed = inBatch.withColumn(DigestCol, Dedup.contentKey(col(textCol)))
+        .withColumn("__h", xxhash64(col(DigestCol)))
+      val fresh = active match {
+        case Some(spec) =>
+          // same probe→verify contract as [[Dedup.bloomNewDocs]], with
+          // the probe executor-side against the sharded store
+          val flagged = ShardedBloom.probeHits(hashed, "__h", corpusDir, spec)
+          val cand = flagged.filter(col("__hit"))
+            .select(col(DigestCol).as("__cand")).distinct()
+          val dup = corpusDigests(spark, docsDir)
+            .join(broadcast(cand), col("digest") === col("__cand"), "left_semi")
+            .select(col("digest").as("__dup"))
+          flagged.join(broadcast(dup), col(DigestCol) === col("__dup"), "left_anti")
+            .drop("__hit")
+        case None => hashed
+      }
+      val staged = graft.util.Materialize.eager(fresh)
+      val appended = staged.count()
+      if (appended > 0) {
+        // superset-first commit order, as in commitBatch: every shard
+        // file absorbs the batch digests BEFORE the docs append
+        ShardedBloom.mergeBatch(staged, "__h", corpusDir, declared)
+        staged.drop("__h").write.mode("append").parquet(docsDir)
+      }
+      appended
     }
-    // survivors are consumed three times (filter build, docs append,
-    // count) — materialize once; output-sized
-    val staged = graft.util.Materialize.eager(
-      fresh.withColumn(DigestCol, Dedup.contentKey(col(textCol))))
-    val appended = staged.count()
-    if (appended > 0)
-      commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
-    appended
   }
+
+  /** The stored monolithic filter; when bloom.bin was lost out-of-band
+    * but the corpus exists, REBUILD it from the corpus digest column
+    * (one column-pruned scan) — treating the batch as all-new would
+    * both re-admit duplicate content and leave the rewritten filter
+    * covering only this batch, permanently breaking the superset
+    * invariant for every pre-existing digest. */
+  private def storedOrRebuilt(spark: SparkSession, bloomPath: java.nio.file.Path,
+      docsDir: String, hasDocs: Boolean,
+      expectedItems: Long, fpp: Double): Option[Array[Byte]] =
+    if (Files.exists(bloomPath)) Some(Files.readAllBytes(bloomPath))
+    else if (hasDocs) Some(filterFromCorpus(spark, docsDir, expectedItems, fpp))
+    else None
+
+  /** Monolithic filter built from the corpus' stored digest column. */
+  private def filterFromCorpus(spark: SparkSession, docsDir: String,
+      expectedItems: Long, fpp: Double): Array[Byte] =
+    corpusDigests(spark, docsDir)
+      .agg(call_function("graft_bloom_agg", xxhash64(col("digest")),
+        lit(expectedItems), lit(Dedup.bloomBits(expectedItems, fpp))).as("f"))
+      .head.getAs[Array[Byte]]("f")
+
+  /** Corpus digest hashes, keyed the way the sharded store hashes them. */
+  private def corpusHashes(spark: SparkSession, docsDir: String): DataFrame =
+    corpusDigests(spark, docsDir).withColumn("__h", xxhash64(col("digest")))
 
   /** The corpus digest column (mergeSchema: exact-mode and near-dup-mode
     * appends carry different optional columns; a single-footer read
@@ -175,11 +252,19 @@ object CorpusBuilder {
           // size no longer matches. Rebuild it from the corpus' digest
           // column at the NEW sizing (one column-pruned scan, once per
           // resize), then merge the batch in. Sizing stays a free knob.
-          val rebuilt = spark.read.option("mergeSchema", "true").parquet(docsDir)
-            .agg(call_function("graft_bloom_agg",
-              xxhash64(col(DigestCol)), lit(expectedItems), lit(bits)).as("f"))
-            .head.getAs[Array[Byte]]("f")
-          mergeFilters(rebuilt, batchFilter)
+          // Resizing inside the first-batch crash window (filter
+          // persisted, docs never appended) has no corpus to rebuild
+          // from — and nothing to preserve: the stale filter's digests
+          // belong to docs that never landed, so the batch filter alone
+          // upholds the superset invariant.
+          if (!Files.exists(Paths.get(docsDir))) batchFilter
+          else {
+            val rebuilt = spark.read.option("mergeSchema", "true").parquet(docsDir)
+              .agg(call_function("graft_bloom_agg",
+                xxhash64(col(DigestCol)), lit(expectedItems), lit(bits)).as("f"))
+              .head.getAs[Array[Byte]]("f")
+            mergeFilters(rebuilt, batchFilter)
+          }
         }
     }
     val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
@@ -213,7 +298,8 @@ object CorpusBuilder {
     * GraftExtensions session (native shingle/minhash kernels). */
   def appendNearDupNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String, nd: NearDup,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      numShards: Int = 1): Long = {
     import graft.text.TextFunctions.tokens
     val docsDir = s"$corpusDir/docs"
     Files.createDirectories(Paths.get(corpusDir))
@@ -222,8 +308,9 @@ object CorpusBuilder {
       Dedup.sigMatches(a, b) >= minMatches
     // one projection computes digest + signature; consumed by several
     // gates below — materialize once, batch-sized
+    // (null text rejected, not gated — see class doc)
     val staged = graft.util.Materialize.eager(
-      Dedup.exact(batch, textCol, idCol)
+      Dedup.exact(batch.filter(col(textCol).isNotNull), textCol, idCol)
         .withColumn(DigestCol, Dedup.contentKey(col(textCol)))
         .withColumn("__t", tokens(col(textCol)))
         .withColumn(SigCol, when(size(col("__t")) >= nd.shingleK,
@@ -269,15 +356,26 @@ object CorpusBuilder {
       staged.join(broadcast(drops), col(idCol) === col("__drop"), "left_anti"))
     val appended = fresh.count()
     if (appended > 0) {
-      // same commit path as exact mode: the bloom filter stays a
+      // same commit path as exact mode: the digest filter stays a
       // SUPERSET of corpus digests across gate modes, so a later
       // exact-mode run on this corpus probes correctly
-      val stored =
-        if (Files.exists(Paths.get(corpusDir, "bloom.bin")))
-          Some(Files.readAllBytes(Paths.get(corpusDir, "bloom.bin")))
-        else None
-      commitBatch(spark, fresh, docsDir, Paths.get(corpusDir, "bloom.bin"),
-        stored, expectedItems, fpp)
+      if (numShards <= 1) {
+        val stored = storedOrRebuilt(spark, Paths.get(corpusDir, "bloom.bin"),
+          docsDir, Files.exists(Paths.get(docsDir)), expectedItems, fpp)
+        commitBatch(spark, fresh, docsDir, Paths.get(corpusDir, "bloom.bin"),
+          stored, expectedItems, fpp)
+      } else {
+        val declared = ShardedBloom.Spec(numShards, expectedItems, fpp)
+        // a sizing change still rebuilds-then-flips before the merge
+        if (Files.exists(Paths.get(docsDir)) &&
+            !ShardedBloom.readMeta(spark, corpusDir).contains(declared))
+          ShardedBloom.rebuild(corpusHashes(spark, docsDir), "__h",
+            corpusDir, declared)
+        ShardedBloom.mergeBatch(
+          fresh.withColumn("__h", xxhash64(col(DigestCol))), "__h",
+          corpusDir, declared)
+        fresh.write.mode("append").parquet(docsDir)
+      }
     }
     appended
   }

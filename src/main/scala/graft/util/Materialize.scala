@@ -30,7 +30,14 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
   def eager(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // cache-before-checkpoint: Dataset.checkpoint() runs TWO jobs (an
+      // eager count, then the ReliableRDDCheckpointData write) — without
+      // a persist the upstream plan would compute twice, breaking the
+      // "runs exactly once" contract the dedup pipelines rely on. The
+      // cache is released as soon as the checkpoint files exist; the
+      // returned frame reads those, not the cache.
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint() finally df.unpersist(blocking = false)
+    } else df.localCheckpoint()
 }

@@ -148,10 +148,10 @@ class OperatorsSpec extends SparkSpec {
       ("a2", "i1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
         java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "v2", "ds", "t2", ""))
       .toDF("id", "ingest_id", "timestamp", "ingested_at", "data", "dataset", "table", "partition")
-    val written = DumpSink.dump(routed, dir).toSet
+    val written = DumpSink.dump(routed, dir, "run1").toSet
     assert(written == Set(("ds", "t1"), ("ds", "t2")))
-    assert(new java.io.File(s"$dir/ds.t1.schema.json").exists())
-    val back = spark.read.json(s"$dir/ds.t1.log")
+    assert(new java.io.File(s"$dir/run1/ds.t1.schema.json").exists())
+    val back = spark.read.json(s"$dir/run1/ds.t1.log")
     assert(back.count() == 1 && back.select("data").as[String].head() == "v1")
   }
 

@@ -247,14 +247,21 @@ class PipelineSpec extends SparkSpec {
     }
     val registry = new SchemaRegistry(tmpDir("tables"))
     val dumpDir = tmpDir("dry-run")
-    Pipeline.ingestPrefix(spark,
-      Pipeline.Config(registry, accessRules(), dryRunDir = Some(dumpDir),
-        maxObjectsPerBatch = Some(1)),
-      s"$landing/*")
+    val cfg = Pipeline.Config(registry, accessRules(), dryRunDir = Some(dumpDir),
+      maxObjectsPerBatch = Some(1))
+    val run1 = Pipeline.ingestPrefix(spark, cfg, s"$landing/*")
     // 4 objects at 1/chunk → 4 dump calls; every record must survive
-    val dumped = spark.read.json(s"$dumpDir/swarm_test.my_log_table.log")
+    val dumped = spark.read.json(s"$dumpDir/${run1.ingestId}/swarm_test.my_log_table.log")
     assert(dumped.count() == 4L,
       "dry-run chunks must append to the dump, not overwrite each other")
+    // a SECOND run at the same --output lands under its own ingest-id
+    // namespace: neither run's dump doubles the other's records
+    val run2 = Pipeline.ingestPrefix(spark, cfg, s"$landing/*")
+    assert(run2.ingestId != run1.ingestId)
+    assert(spark.read.json(s"$dumpDir/${run2.ingestId}/swarm_test.my_log_table.log")
+      .count() == 4L, "each dry-run owns its namespace — no cross-run append")
+    assert(spark.read.json(s"$dumpDir/${run1.ingestId}/swarm_test.my_log_table.log")
+      .count() == 4L, "a later dry-run must not touch an earlier run's dump")
     // dry-run writes no tables and no telemetry → the request rollup on
     // this warehouse is EMPTY, not PATH_NOT_FOUND
     assert(LoadLogView.requestRollup(spark, registry).count() == 0L)

@@ -111,6 +111,98 @@ class CorpusBuilderSpec extends SparkSpec {
       corpus, "doc_id", "text", 4096L, 0.001) == 0L)
   }
 
+  test("null text is rejected up front in both gate modes (no permanent gate evasion)") {
+    val corpus = tmpDir("null-text-corpus")
+    val b = Seq((1L, Some("real doc")), (2L, None), (3L, None))
+      .toDF("doc_id", "text")
+    // nulls never land — contentKey(null) is null and would evade every
+    // digest gate on every replay, accumulating duplicate rows forever
+    assert(CorpusBuilder.appendNew(spark, b, corpus, "doc_id", "text", 1024L, 0.01) == 1L)
+    assert(CorpusBuilder.appendNew(spark, b, corpus, "doc_id", "text", 1024L, 0.01) == 0L)
+    assert(corpusDocs(corpus).count() == 1L)
+    val ndCorpus = tmpDir("null-text-nd-corpus")
+    val nd = CorpusBuilder.NearDup()
+    assert(CorpusBuilder.appendNearDupNew(spark, b, ndCorpus, "doc_id", "text", nd) == 1L)
+    assert(CorpusBuilder.appendNearDupNew(spark, b, ndCorpus, "doc_id", "text", nd) == 0L)
+    assert(corpusDocs(ndCorpus).count() == 1L)
+  }
+
+  test("lost bloom.bin with an existing corpus is REBUILT from the digest column, not bypassed") {
+    val corpus = tmpDir("lost-bloom-corpus")
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    CorpusBuilder.appendNew(spark, b1, corpus, "doc_id", "text", 1024L, 0.01)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(corpus, "bloom.bin"))
+    // replay with the filter lost out-of-band: the gate must rebuild
+    // from the corpus digest column and still drop every duplicate
+    assert(CorpusBuilder.appendNew(spark, b1, corpus, "doc_id", "text", 1024L, 0.01) == 0L)
+    // a mixed batch persists the REBUILT ∪ batch filter (superset
+    // restored on disk, not just for one probe)
+    assert(CorpusBuilder.appendNew(spark,
+      Seq((3L, "gamma"), (4L, "alpha")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 1024L, 0.01) == 1L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "bloom.bin")))
+    assert(CorpusBuilder.appendNew(spark, b1, corpus, "doc_id", "text", 1024L, 0.01) == 0L)
+    assert(corpusDocs(corpus).count() == 3L)
+  }
+
+  test("sharded store: dedup across appends, per-shard byte budget, per-shard superset") {
+    import graft.dedup.ShardedBloom
+    val corpus = tmpDir("sharded-corpus")
+    val spec = ShardedBloom.Spec(numShards = 8, expectedItems = 1024L, fpp = 0.01)
+    def append(rows: Seq[(Long, String)]): Long =
+      CorpusBuilder.appendNew(spark, rows.toDF("doc_id", "text"), corpus,
+        "doc_id", "text", spec.expectedItems, spec.fpp, spec.numShards)
+    val b1 = (1L to 40L).map(i => (i, s"content ${i % 20}"))
+    assert(append(b1) == 20L)
+    assert(append(b1) == 0L, "full replay must drop everything")
+    val b2 = (100L to 119L).map(i => (i, s"content ${i - 90}")) // 10 dup, 10 new
+    assert(append(b2) == 10L)
+    val docs = corpusDocs(corpus)
+    assert(docs.count() == 30L && docs.select("text").distinct().count() == 30L)
+    // every shard file stays inside its declared byte budget across
+    // appends — the whole point of sharding (bits/8 + sketch header)
+    val budget = spec.perShardBits / 8 + 64
+    val maxBytes = ShardedBloom.maxShardBytes(spark, corpus, spec)
+    assert(maxBytes > 0L && maxBytes <= budget,
+      s"shard files must stay <= $budget bytes, got $maxBytes")
+    // superset invariant PER SHARD: every stored corpus digest probes
+    // as a hit in its own shard
+    val hashed = docs.select(col(CorpusBuilder.DigestCol).as("digest"))
+      .withColumn("__h", xxhash64(col("digest")))
+    val misses = ShardedBloom.probeHits(hashed, "__h", corpus, spec)
+      .filter(!col("__hit")).count()
+    assert(misses == 0L, "every corpus digest must hit its shard filter")
+  }
+
+  test("sharded store: resize rebuilds into a fresh layout with an atomic pointer flip") {
+    import graft.dedup.ShardedBloom
+    val corpus = tmpDir("sharded-resize-corpus")
+    val b1 = (1L to 20L).map(i => (i, s"doc $i"))
+    assert(CorpusBuilder.appendNew(spark, b1.toDF("doc_id", "text"), corpus,
+      "doc_id", "text", 1024L, 0.01, numShards = 8) == 20L)
+    val oldLayout = ShardedBloom.Spec(8, 1024L, 0.01).layoutDir
+    // resize: different shard count AND capacity — must rebuild from the
+    // corpus digest column at the new layout and keep gating exactly
+    val resized = ShardedBloom.Spec(4, 4096L, 0.01)
+    assert(CorpusBuilder.appendNew(spark,
+      (b1 ++ Seq((99L, "resize survivor"))).toDF("doc_id", "text"), corpus,
+      "doc_id", "text", resized.expectedItems, resized.fpp, resized.numShards) == 1L)
+    assert(ShardedBloom.readMeta(spark, corpus).contains(resized),
+      "meta pointer must flip to the resized layout")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, oldLayout)),
+      "old layout must be garbage-collected after the flip")
+    // lost store: delete the layout dir + meta — the next append
+    // rebuilds from the corpus and still drops every duplicate
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(corpus, resized.layoutDir))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(corpus, "bloom-meta.json"))
+    assert(CorpusBuilder.appendNew(spark, b1.toDF("doc_id", "text"), corpus,
+      "doc_id", "text", resized.expectedItems, resized.fpp, resized.numShards) == 0L)
+    assert(corpusDocs(corpus).count() == 21L)
+  }
+
   test("streaming build drains a landing dir exactly-once by content across restarts") {
     val landing = tmpDir("corpus-landing")
     val ckpt = tmpDir("corpus-ckpt")
