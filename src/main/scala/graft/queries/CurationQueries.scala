@@ -503,6 +503,212 @@ object CurationQueries {
       FROM scored) WHERE rk <= $k ORDER BY query_id, rk"""
   }
 
+  // ---- q71: IVF-PQ ANN (prune × compress, the production composition) ----
+
+  /** q71: IVF-PQ ([[Similarity.ivfPqTopK]]) with `nprobe < nlist` — the
+    * coarse quantizer actually PRUNES the candidate scan to each
+    * query's 4-of-16 inverted lists before PQ's compressed ADC ranking
+    * and the exact re-rank. The oracle composes the two proven
+    * constructions on their shared md5 seed set (nlist = ksub = 16):
+    * q38's cluster assignment + query probe gate q70's per-subvector
+    * codebooks/codes/ADC, so the hash check pins the pruning, the
+    * compression, and both rankings of the production path — not the
+    * `nprobe = nlist` degenerate case the spec pins against
+    * [[Similarity.pqTopK]]. */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, k = 10,
+      nlist = 16, nprobe = 4, m = 4, ksub = 16, topC = 50)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q71Sql: String = {
+    val nlist = 16; val nprobe = 4; val m = 4; val ksub = 16
+    val topC = 50; val k = 10
+    require(nlist == ksub, "shared seed CTE assumes nlist == ksub")
+    def halfS(c: String) =
+      "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($c, x -> x * x)), (acc, x) -> acc + x) / 2.0)"
+    val h = md5LongSql("CAST(vec_id AS VARCHAR)", 15)
+    def sl(v: String, j: Int) =
+      s"list_slice($v, ($j * len($v)) / $m + 1, ((${j + 1}) * len($v)) / $m)"
+    // q38's coarse quantizer: full-vector Lloyd step, corpus assignment
+    // (ties → larger cluster), query probe (ties → smaller cluster)
+    val ivfCtes = s"""
+    assign0 AS (SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, e.v AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql("e.v", "s.v")} - ${halfS("s.v")}) DESC, s.c DESC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    means AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+              FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign0)
+              GROUP BY c, pos),
+    refined AS (SELECT s.c AS c, COALESCE(m.mv, s.v) AS v
+                FROM seeds s LEFT JOIN
+                  (SELECT c, list(m ORDER BY pos) AS mv FROM means GROUP BY c) m
+                  ON s.c = m.c),
+    cassign AS (SELECT vec_id AS neighbor_id, c AS cluster
+                FROM (SELECT e.vec_id, r.c AS c,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY (${dotSql("e.v", "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+                      FROM e CROSS JOIN refined r) WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, v AS qv, c AS cluster
+               FROM (SELECT e.vec_id, e.v AS v, r.c AS c,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY (${dotSql("e.v", "r.v")} - ${halfS("r.v")}) DESC, r.c ASC) AS rn
+                     FROM e CROSS JOIN refined r WHERE e.vec_id < 5) WHERE rn <= $nprobe)"""
+    // q70's PQ: per-subvector Lloyd step + encode, on the SAME seeds
+    val subCtes = (0 until m).map { j =>
+      s"""a$j AS (SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, ${sl("e.v", j)} AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql(sl("e.v", j), sl("s.v", j))} - ${halfS(sl("s.v", j))}) DESC, s.c DESC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    m$j AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS mn
+            FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM a$j)
+            GROUP BY c, pos),
+    r$j AS (SELECT s.c AS c, COALESCE(mm.mv, ${sl("s.v", j)}) AS v
+            FROM seeds s LEFT JOIN
+              (SELECT c, list(mn ORDER BY pos) AS mv FROM m$j GROUP BY c) mm
+              ON s.c = mm.c),
+    code$j AS (SELECT vec_id, c FROM (
+        SELECT e.vec_id, r.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql(sl("e.v", j), "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+        FROM e CROSS JOIN r$j r) WHERE rn = 1)"""
+    }.mkString(",\n    ")
+    val codeJoins = (0 until m).map(j =>
+      s"JOIN code$j c$j ON c$j.vec_id = e.vec_id JOIN r$j ON r$j.c = c$j.c").mkString(" ")
+    val adcTerms = (0 until m).map(j =>
+      s"(${dotSql(sl("q.qv", j), s"r$j.v")} - ${halfS(s"r$j.v")})").mkString(" + ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v
+              FROM (SELECT v, $h AS h FROM e) ORDER BY h LIMIT $ksub),
+    $ivfCtes,
+    $subCtes,
+    adc AS (SELECT q.query_id AS query_id, e.vec_id AS neighbor_id,
+                   e.v AS cv, q.qv AS qv, ($adcTerms) AS adc
+            FROM e $codeJoins
+            JOIN cassign ca ON ca.neighbor_id = e.vec_id
+            JOIN qprobe q ON q.cluster = ca.cluster
+            WHERE q.query_id <> e.vec_id),
+    topc AS (SELECT query_id, neighbor_id, cv, qv FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc DESC, neighbor_id) AS cr
+        FROM adc) WHERE cr <= $topC),
+    scored AS (SELECT query_id, neighbor_id,
+                      round(${dotSql("qv", "cv")} /
+                        (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})), 6) AS sim
+               FROM topc)
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) WHERE rk <= $k ORDER BY query_id, rk"""
+  }
+
+  // ---- q72: streaming corpus builder's NEAR-DUP gate (planted landing zone) ----
+
+  /** q72: the crawler-dedup production gate
+    * ([[graft.streaming.CorpusBuilder.appendNearDupNew]]) — two batches
+    * of PLANTED docs through the MinHash near-dup corpus builder, then
+    * a hash check of exactly WHICH content survived.
+    *
+    * The landing zone is derived from the documents table's doc_ids
+    * (per decade: a base doc, exact dups, near dups, fresh docs, split
+    * across the two batches) with near-dups built as CYCLIC token
+    * repetitions: `n` cycles of the same 3-token cycle have the SAME
+    * distinct-3-shingle set for every n ≥ 2, so their MinHash
+    * signatures agree on exactly k of k rows — the gate's verdict is
+    * deterministic AND oracle-expressible as shingle-SET equality,
+    * with no signature replay needed. All other planted pairs share no
+    * shingle (per-id vocabularies), so they can neither band-collide
+    * nor reach the 0.8·k agreement bar. The oracle replays the gate's
+    * exact semantics: within-batch exact keep = min id per text;
+    * within-batch near drop = larger id of any set-equal keeper pair;
+    * vs-corpus drops by stored digest or stored set. Batch ORDER is
+    * code-fixed (two sequential batch appends), so survivors are
+    * deterministic — the reason this query drives the gate directly
+    * rather than through a multi-file stream. */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.CorpusBuilder
+    val work = graft.util.Workspace.temp("graft-q72")
+    val r = col("doc_id") % 10
+    val fs = (col("doc_id") - r).cast("string")
+    val id = col("doc_id").cast("string")
+    val cycA = concat(lit("a"), fs, lit(" b"), fs, lit(" c"), fs)
+    val cycB = concat(lit("d"), fs, lit(" e"), fs, lit(" g"), fs)
+    def rep(c: org.apache.spark.sql.Column, n: Int) =
+      rtrim(repeat(concat(c, lit(" ")), n))
+    val planted = docs(s, d).select(col("doc_id"),
+      when(r.isin(0, 1, 4), rep(cycA, 2))
+        .when(r === 2, rep(cycA, 3))
+        .when(r === 5, rep(cycA, 4))
+        .when(r === 3, concat(lit("u"), id, lit(" v"), id, lit(" w"), id, lit(" x"), id))
+        .when(r.isin(6, 8), rep(cycB, 2))
+        .when(r === 7, rep(cycB, 3))
+        .otherwise(concat(lit("z"), id, lit(" y"), id, lit(" q"), id))
+        .as("text"))
+    val nd = CorpusBuilder.NearDup(shingleK = 3, k = 64, bands = 16, minAgree = 0.8)
+    val corpus = s"$work/corpus"
+    CorpusBuilder.appendNearDupNew(s, planted.filter(r <= 3), corpus,
+      "doc_id", "text", nd)
+    CorpusBuilder.appendNearDupNew(s, planted.filter(r >= 4), corpus,
+      "doc_id", "text", nd)
+    s.read.parquet(s"$corpus/docs")
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String = {
+    val toks = toksSql("text")
+    val sh = shinglesSql(toks, 3)
+    s"""
+    WITH plant AS (
+      SELECT doc_id, doc_id % 10 AS r,
+        CASE WHEN doc_id % 10 IN (0, 1, 4)
+               THEN rtrim(repeat(concat('a', f, ' b', f, ' c', f, ' '), 2))
+             WHEN doc_id % 10 = 2
+               THEN rtrim(repeat(concat('a', f, ' b', f, ' c', f, ' '), 3))
+             WHEN doc_id % 10 = 5
+               THEN rtrim(repeat(concat('a', f, ' b', f, ' c', f, ' '), 4))
+             WHEN doc_id % 10 = 3
+               THEN concat('u', i, ' v', i, ' w', i, ' x', i)
+             WHEN doc_id % 10 IN (6, 8)
+               THEN rtrim(repeat(concat('d', f, ' e', f, ' g', f, ' '), 2))
+             WHEN doc_id % 10 = 7
+               THEN rtrim(repeat(concat('d', f, ' e', f, ' g', f, ' '), 3))
+             ELSE concat('z', i, ' y', i, ' q', i) END AS text
+      FROM (SELECT doc_id,
+              CAST(doc_id - (doc_id % 10) AS VARCHAR) AS f,
+              CAST(doc_id AS VARCHAR) AS i
+            FROM documents)),
+    shset AS (SELECT doc_id, r, text,
+                     CAST(to_json(list_sort(list_distinct($sh))) AS VARCHAR) AS shkey
+              FROM plant),
+    b1k AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM shset WHERE r <= 3) WHERE rn = 1),
+    b1drop AS (SELECT DISTINCT y.doc_id AS doc_id
+               FROM b1k x JOIN b1k y ON x.doc_id < y.doc_id AND x.shkey = y.shkey),
+    c1 AS (SELECT doc_id, text, shkey FROM b1k
+           WHERE doc_id NOT IN (SELECT doc_id FROM b1drop)),
+    b2k AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM shset WHERE r >= 4) WHERE rn = 1),
+    b2drop AS (
+      SELECT doc_id FROM b2k WHERE text IN (SELECT text FROM c1)
+      UNION
+      SELECT b.doc_id FROM b2k b JOIN c1 c ON b.shkey = c.shkey
+      UNION
+      SELECT y.doc_id FROM b2k x JOIN b2k y
+        ON x.doc_id < y.doc_id AND x.shkey = y.shkey),
+    final AS (SELECT doc_id, text FROM c1
+              UNION ALL
+              SELECT doc_id, text FROM b2k
+              WHERE doc_id NOT IN (SELECT doc_id FROM b2drop))
+    SELECT doc_id, md5(text) AS content_md5 FROM final ORDER BY doc_id"""
+  }
+
   // ---- q43: PII-style redaction ----
 
   /** The corpus is synthetic word-soup with no PII, so the query first
@@ -1172,5 +1378,7 @@ object CurationQueries {
     ("q67_stream_corpus", q67 _, Some(q67Sql)),
     ("q68_dataset_split", q68 _, Some(q68Sql)),
     ("q69_doc_chunking", q69 _, Some(q69Sql)),
-    ("q70_pq_ann", q70 _, Some(q70Sql)))
+    ("q70_pq_ann", q70 _, Some(q70Sql)),
+    ("q71_ivfpq_ann", q71 _, Some(q71Sql)),
+    ("q72_neardup_gate", q72 _, Some(q72Sql)))
 }
