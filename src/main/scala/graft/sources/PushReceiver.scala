@@ -200,6 +200,61 @@ object PushReceiver {
     }
   }
 
+  /** HMAC-JWT (HS256) bearer validator — the claims-verifying auth
+    * shape the reference documents for real push deployments
+    * (`docs/rule.md:252-283`: an `io.jwt.decode_verify` policy over
+    * `input.header.Authorization`; input model
+    * `pkg/domain/model/policy.go:8-19`). Allows iff some
+    * `Authorization: Bearer <jwt>` header carries a token that:
+    *
+    *   - declares `alg: HS256` in its header (anything else — `none`,
+    *     an RS* downgrade — is rejected outright: this validator only
+    *     ever holds a shared secret, so no other algorithm can be
+    *     legitimate);
+    *   - has a valid HMAC-SHA256 signature over `header.payload`,
+    *     compared constant-time like [[bearerToken]];
+    *   - is within its validity window: `exp` strictly in the future
+    *     and `nbf` not in the future, when present (both NumericDate
+    *     seconds, RFC 7519 §4.1.4-5);
+    *   - carries every claim in `requiredClaims` with exactly the
+    *     given textual value (pin `iss`/`aud` here).
+    *
+    * Failures are indistinguishable to the caller (all 401, like the
+    * reference's opaque policy deny) and never throw — a malformed
+    * token is just unauthorized. */
+  def jwtBearer(secret: String,
+      requiredClaims: Map[String, String] = Map.empty,
+      nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L)
+      : HttpExchange => Boolean = {
+    val mapper = new ObjectMapper
+    val key = new javax.crypto.spec.SecretKeySpec(secret.getBytes(UTF_8), "HmacSHA256")
+    def verify(token: String): Boolean = token.split('.') match {
+      case Array(h, p, s) =>
+        try {
+          val dec = java.util.Base64.getUrlDecoder
+          // Mac instances are not thread-safe — one per request
+          val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+          mac.init(key)
+          val expected = mac.doFinal(s"$h.$p".getBytes(UTF_8))
+          val header = mapper.readTree(dec.decode(h))
+          val claims = mapper.readTree(dec.decode(p))
+          header.path("alg").asText() == "HS256" &&
+            java.security.MessageDigest.isEqual(dec.decode(s), expected) &&
+            (!claims.has("exp") || claims.path("exp").asLong() > nowEpochSeconds()) &&
+            (!claims.has("nbf") || claims.path("nbf").asLong() <= nowEpochSeconds()) &&
+            requiredClaims.forall { case (k, v) =>
+              claims.path(k).isTextual && claims.path(k).asText() == v
+            }
+        } catch { case _: Exception => false }
+      case _ => false
+    }
+    ex => {
+      val vs = ex.getRequestHeaders.get("Authorization")
+      vs != null && vs.stream().anyMatch(v =>
+        v.startsWith("Bearer ") && verify(v.substring("Bearer ".length)))
+    }
+  }
+
   /** HeapAlloc analogue for the 429 guard (`middleware.go:89-108`). */
   def jvmHeapUsed(): Long = {
     val rt = Runtime.getRuntime

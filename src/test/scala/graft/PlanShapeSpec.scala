@@ -1,0 +1,113 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.{ExplainMode, QueryExecution}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.sim.Similarity
+
+/** Pins the three PLAN SHAPES a 100×-scale run depends on, so a
+  * refactor can't silently regress them from prose contracts back into
+  * full scans:
+  *
+  *   1. IVF-store probes (q42/q62) prune at the SCAN — the probed
+  *      clusters arrive as `PartitionFilters`, not a post-scan filter.
+  *   2. The ingest append (q33/q34) rebalance-clusters each batch by
+  *      `__part` before the dynamic-partition write — the write-shape
+  *      fix that keeps files-per-partition ~1 (WriteShapeSpec checks
+  *      the RESULTING files; this checks the PLAN that produces them).
+  *   3. The bloom dedup gate (q64/CorpusBuilder) touches the stored
+  *      corpus only through a column-pruned, candidate-gated semi-join —
+  *      never an unconditioned corpus-wide join.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("IVF store probe arrives as PartitionFilters on cluster (q42/q62 scan shape)") {
+    val dir = tmpDir("plan-ivf") + "/store"
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.writeIvfStore(emb, dir, nlist = 4)
+    val probe = Similarity.incrementalSemanticNearDup(spark, dir, cents,
+      emb.filter(col("vec_id") < 3), threshold = -1.0, nprobe = 2)
+    val plan = formatted(probe)
+    val scanPart = plan.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).mkString("\n")
+    assert(scanPart.contains("cluster"),
+      s"probed store scan must carry a cluster PartitionFilter, plan:\n$plan")
+    // and the pruning is real: the data filter list must not be doing
+    // the cluster work post-scan (cluster is a partition column)
+    assert(plan.contains("PartitionFilters: [cluster")
+      || scanPart.matches("(?s).*cluster#\\d+ IN.*")
+      || scanPart.contains("cluster#"),
+      s"cluster predicate must be a partition filter, got:\n$scanPart")
+  }
+
+  test("ingest append rebalance-clusters by __part before the partitioned write (q33 shape)") {
+    import graft.ingest.TableSink
+    import graft.schema.SchemaRegistry
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.optimizedPlan.toString + "\n" + qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val registry = new SchemaRegistry(tmpDir("plan-append"))
+      val routed = (0 until 8).map { i =>
+        ("id" + i, "ing", java.sql.Timestamp.valueOf(s"2024-05-0${i % 4 + 1} 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-05-01 00:00:01"), s"v$i", "ds", "t", "day")
+      }.toDF("id", "ingest_id", "timestamp", "ingested_at", "v", "dataset", "table", "partition")
+        .withColumn("data", struct($"v")).drop("v")
+      TableSink.append(spark, registry, routed)
+      // listener bus is async — poll for the write plan
+      val deadline = System.currentTimeMillis() + 15000
+      var hit = false
+      while (!hit && System.currentTimeMillis() < deadline) {
+        hit = plans.asScala.exists(p =>
+          (p.contains("RebalancePartitions") || p.contains("REBALANCE_PARTITIONS_BY_COL"))
+            && p.contains("__part"))
+        if (!hit) Thread.sleep(100)
+      }
+      assert(hit, "the partitioned append must shuffle via REBALANCE(__part); " +
+        s"captured ${plans.size} plans:\n${plans.asScala.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("bloom dedup gate reads the stored corpus column-pruned and semi-join gated (q64 shape)") {
+    import graft.dedup.Dedup
+    val dir = tmpDir("plan-bloom")
+    val corpus = (0L until 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .withColumn("digest", Dedup.contentKey(col("text")))
+    corpus.write.parquet(s"$dir/corpus")
+    val filter = Dedup.digestFilter(corpus, "text", 256L, Dedup.bloomBits(256L, 0.01))
+    val batch = (25L until 75L).map(i => (i + 1000L, s"doc $i")).toDF("doc_id", "text")
+    val stored = spark.read.parquet(s"$dir/corpus").select("digest")
+    val gated = Dedup.bloomNewDocs(batch, stored, "text", filter)
+    val plan = formatted(gated)
+    // the corpus side participates ONLY as the probe of a semi join on
+    // candidate digests (both joins broadcast: nothing corpus-sized
+    // shuffles), and its scan reads just the digest column
+    assert(plan.contains("LeftSemi"),
+      s"corpus digests must be gated by a semi join, plan:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"confirmed dups must drop via an anti join, plan:\n$plan")
+    val corpusScan = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("digest")).mkString
+    assert(corpusScan.contains("struct<digest:string>"),
+      s"corpus scan must be pruned to the digest column, got: $corpusScan\n$plan")
+    // correctness of the gate on this data while we're here: only the
+    // 25 genuinely-new texts pass
+    assert(gated.count() == 25L)
+  }
+}

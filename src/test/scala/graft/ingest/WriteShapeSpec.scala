@@ -67,6 +67,35 @@ class WriteShapeSpec extends SparkSpec {
     assert(files.values.max == 1, "hour-partitioned append must also write one file per partition")
   }
 
+  test("events export at hour granularity (~3.4k partitions) holds the shape end-to-end") {
+    // the real ingest path on the real events table (ref supports hour
+    // partitioning, types.go:51-57): sf0.001's events span ~141 days ≈
+    // 3.4k hour-partitions — 2.4× the synthetic hour case, through the
+    // full rule pipeline instead of a hand-built routed frame.
+    import graft.rules._
+    val landing = tmpDir("shape-events-landing")
+    val events = graft.relational.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", unix_timestamp(col("ts")).cast("double"))
+    events.coalesce(8).write.mode("overwrite").json(landing)
+    val expectedParts = events
+      .select(date_format(timestamp_seconds(col("ts")), "yyyy-MM-dd-HH"))
+      .distinct().count()
+    val total = events.count()
+    val registry = new SchemaRegistry(tmpDir("shape-events-tables"))
+    val rules = Rules(
+      event = Seq(EventRule(name = "e", when = "name LIKE '%.json'", schemaRule = "s")),
+      schema = Seq(SchemaRule(name = "s", dataset = "'analytics'", table = "'events'",
+        partition = "hour", id = Some("cast(event_id as string)"), timestamp = "ts")))
+    Pipeline.ingestPrefix(spark,
+      Pipeline.Config(registry, rules), s"$landing/part-*")
+    assert(TableSink.read(spark, registry, "analytics", "events").count() == total)
+    val files = filesPerPartition(registry.dataDir("analytics", "events"))
+    assert(files.size == expectedParts,
+      s"expected $expectedParts hour partitions, got ${files.size}")
+    assert(files.values.max == 1,
+      s"one ingest must write one file per hour partition — worst has ${files.values.max}")
+  }
+
   test("a second batch appends one more file per touched partition (not a rewrite)") {
     val registry = new SchemaRegistry(tmpDir("shape-append"))
     TableSink.append(spark, registry, routedBatch(5000, 30, "day"))

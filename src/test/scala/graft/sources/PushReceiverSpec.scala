@@ -76,6 +76,54 @@ class PushReceiverSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("jwt auth: HS256 validity window + signature + claims; gate order auth before 429") {
+    // ≡ reference docs/rule.md:252-283 (io.jwt.decode_verify policy)
+    def b64(s: String): String =
+      Base64.getUrlEncoder.withoutPadding().encodeToString(s.getBytes(UTF_8))
+    def sign(h: String, p: String, secret: String = "jwt-secret"): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes(UTF_8), "HmacSHA256"))
+      val sig = Base64.getUrlEncoder.withoutPadding()
+        .encodeToString(mac.doFinal(s"${b64(h)}.${b64(p)}".getBytes(UTF_8)))
+      s"${b64(h)}.${b64(p)}.$sig"
+    }
+    val now = System.currentTimeMillis() / 1000L
+    val hs256 = """{"alg":"HS256","typ":"JWT"}"""
+    def claims(exp: Long, iss: String = "notifier") =
+      s"""{"iss":"$iss","exp":$exp,"nbf":${now - 60}}"""
+    val spool = tmpDir("push-jwt")
+    var heap = 0L
+    val rx = new PushReceiver(spool,
+      auth = PushReceiver.jwtBearer("jwt-secret", Map("iss" -> "notifier")),
+      memoryLimitBytes = 100L, heapUsed = () => heap).start()
+    try {
+      val body = envelope("b", "o.log")
+      def code(tok: String) =
+        postAuth(rx.boundPort, body, Some(s"Bearer $tok")).statusCode()
+      val good = sign(hs256, claims(now + 3600), "jwt-secret")
+      // gate order: an OVER-LIMIT heap still answers 401 first for a bad
+      // token (auth → 429 → handler, like the reference middleware chain)
+      heap = 200L
+      assert(code(sign(hs256, claims(now + 3600), "wrong-secret")) == 401,
+        "bad signature must 401 even when the heap gate would 429")
+      assert(code(good) == 429, "valid token proceeds to the memory gate")
+      heap = 50L
+      assert(code(good) == 204)
+      assert(code(sign(hs256, claims(now - 10))) == 401, "expired token")
+      assert(code(sign(hs256, s"""{"iss":"notifier","nbf":${now + 3600}}""")) == 401,
+        "not-yet-valid (nbf in the future)")
+      assert(code(sign(hs256, claims(now + 3600, iss = "intruder"))) == 401,
+        "wrong pinned claim")
+      assert(code(sign("""{"alg":"none"}""", claims(now + 3600))) == 401,
+        "alg downgrade rejected")
+      val Array(h, p, _) = good.split('.')
+      assert(code(s"$h.$p.${b64("forged")}") == 401, "forged signature")
+      assert(code(s"$h.$p") == 401, "truncated token")
+      assert(code("...") == 401, "garbage token never throws")
+      assert(spoolFiles(spool).size == 1) // only the one authorized, under-limit push
+    } finally rx.stop()
+  }
+
   test("memory guard: deliveries over the heap limit nacked with 429 (T6)") {
     // ≡ reference middleware.go:89-108 MemoryLimit; heap probe injected
     val spool = tmpDir("push-mem")
