@@ -709,6 +709,26 @@ object CurationQueries {
     SELECT doc_id, md5(text) AS content_md5 FROM final ORDER BY doc_id"""
   }
 
+  // ---- q73: ANN over an IVF-PQ-PARTITIONED store ----
+
+  /** Same semantics as q71, at-rest physical layout: the corpus is
+    * written once as (id, codes, vector) partitioned by coarse cluster
+    * ([[Similarity.writeIvfPqStore]]); the query prunes to its probed
+    * partitions AND reads only the codes column for the ADC pass, then
+    * fetches just the topC survivors' vectors (plan shape pinned by
+    * SimilaritySpec). Centroids and codebooks are deterministic, so
+    * the q71 oracle is exact for this layout too — the q42:q38
+    * relationship, one level up the composition. */
+  def q73(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q73")
+    val emb = Tables.embeddings(s, d)
+    val (cents, books) = Similarity.writeIvfPqStore(emb, s"$work/ivfpq",
+      nlist = 16, m = 4, ksub = 16)
+    Similarity.ivfPqStoreTopK(s, s"$work/ivfpq", cents, books,
+      emb.filter(col("vec_id") < 5), k = 10, nprobe = 4, topC = 50)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // ---- q43: PII-style redaction ----
 
   /** The corpus is synthetic word-soup with no PII, so the query first
@@ -1380,5 +1400,6 @@ object CurationQueries {
     ("q69_doc_chunking", q69 _, Some(q69Sql)),
     ("q70_pq_ann", q70 _, Some(q70Sql)),
     ("q71_ivfpq_ann", q71 _, Some(q71Sql)),
-    ("q72_neardup_gate", q72 _, Some(q72Sql)))
+    ("q72_neardup_gate", q72 _, Some(q72Sql)),
+    ("q73_ivfpq_store", q73 _, Some(q71Sql)))
 }

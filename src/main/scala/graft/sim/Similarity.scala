@@ -413,6 +413,79 @@ object Similarity {
     adcRerank(clustered.join(qFrame, "cluster"), books.length, topC, k)
   }
 
+  /** IVF-PQ AT REST: write the corpus as (id, codes, vector)
+    * partitioned by coarse cluster — [[writeIvfStore]]'s layout plus
+    * the PQ codes column. The expensive passes (centroid + codebook
+    * training, encoding) run ONCE at ingest; queries then pay a
+    * partition-pruned, codes-only scan ([[ivfPqStoreTopK]]). Returns
+    * (centroids, codebooks) — deterministic, regenerable any time from
+    * the same corpus. */
+  def writeIvfPqStore(corpus: DataFrame, dir: String, nlist: Int = 16,
+      m: Int = 4, ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    val books = pqCodebooks(corpus, m, ksub, idCol, vecCol)
+    pqEncode(corpus, books, idCol, vecCol)
+      .select(col(idCol), col("codes"), col("__v").as(vecCol))
+      .withColumn("cluster", nearestCluster(corpus, cents, col(vecCol)))
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    (cents, books)
+  }
+
+  /** ANN over an IVF-PQ store — the full 100 TB read path: the query's
+    * `nprobe` lists are pruned at the SCAN (PartitionFilters) and the
+    * first pass reads ONLY the codes column (ReadSchema excludes the
+    * vector — PQ's compression realized as columnar pruning, m bytes
+    * per row instead of 4·d). The `topC` ADC survivors per query
+    * (output-sized) broadcast back into a second pruned scan that
+    * fetches just their vectors for the exact re-rank. Same probe,
+    * same candidates, same folds → identical to [[ivfPqTopK]] with the
+    * same centroids/codebooks (spec-pinned), so the q71 oracle is
+    * exact for this layout too. */
+  def ivfPqStoreTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queries: DataFrame, k: Int, nprobe: Int = 4, topC: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val qFrame = adcQueryFrame(queries, books, idCol, vecCol,
+      probe = Some((cents, nprobe)))
+    // probed clusters: metadata-sized (≤ queries × nprobe) driver list
+    val probed = qFrame.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // pass 1: codes-only pruned scan; neither vector column is read
+    val codesScan = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probed: _*)) // → PartitionFilters
+      .select(col(idCol).as("neighbor_id"), col("codes"), col("cluster"))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("__qtab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduceLeft(_ + _)
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id"))
+    // arrays (query table, query vector, codes) are all dropped before
+    // the topC window so nothing wide rides its shuffle
+    val top = codesScan.join(qFrame, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .select(col("query_id"), col("neighbor_id"), col("__adc"))
+      .withColumn("__cr", row_number().over(wC))
+      .filter(col("__cr") <= topC)
+      .select(col("query_id"), col("neighbor_id"))
+    val qVecs = qFrame.select(col("query_id"), col("qv"), col("qn"))
+      .dropDuplicates("query_id")
+    // pass 2: fetch the survivors' vectors — candidate-gated, pruned
+    val fetched = spark.read.parquet(dir)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(top), "neighbor_id")
+      .join(broadcast(qVecs), "query_id")
+    val scored = fetched.withColumn("sim",
+      round(fastDot(queries)(col("qv"), col("cv")) /
+        (col("qn") * sqrt(fastDot(queries)(col("cv"), col("cv")))), 6))
+    rerank(scored, k)
+  }
+
   /** Broadcastable query frame for the ADC scan, built from ONE
     * evaluation of `queries` (a nondeterministic query frame — a
     * sample, an unordered limit — must not yield different rows to the

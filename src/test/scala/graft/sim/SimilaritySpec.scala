@@ -142,6 +142,33 @@ class SimilaritySpec extends SparkSpec {
       s"planted dups must survive prune+compress, got ${pruned.toSeq}")
   }
 
+  test("ivfPqStoreTopK: store layout equals in-memory composition; codes-only pruned first pass") {
+    val corpus = vecs
+    val queries = corpus.filter(col("vec_id") < 2L)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-store").toString + "/store"
+    val (cents, books) = Similarity.writeIvfPqStore(corpus, dir,
+      nlist = 8, m = 4, ksub = 8)
+    val store = Similarity.ivfPqStoreTopK(spark, dir, cents, books,
+      queries, k = 5, nprobe = 4, topC = 20)
+    val mem = Similarity.ivfPqTopK(queries, corpus, k = 5,
+        nlist = 8, nprobe = 4, m = 4, ksub = 8, topC = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(store.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq == mem.sortBy(t => (t._1, t._4)).toSeq,
+      "the at-rest layout must reproduce the in-memory composition exactly")
+    // plan shape: both scans prune to probed clusters; the ADC pass
+    // reads codes WITHOUT the vector column (the compression is real)
+    val plan = store.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(s => s.contains("codes") && !s.contains("embedding")),
+      s"ADC pass must read codes only, scans:\n${scans.mkString("\n")}")
+    assert(plan.contains("PartitionFilters: [cluster")
+      || plan.linesIterator.exists(l =>
+        l.trim.startsWith("PartitionFilters:") && l.contains("cluster")),
+      s"store scans must prune by cluster, plan:\n$plan")
+  }
+
   test("srp signature deterministic; lshTopK recall vs brute force is high") {
     val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
       .as[Long].collect()
