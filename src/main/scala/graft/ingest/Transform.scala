@@ -118,7 +118,11 @@ object Transform {
       case None => records
     }
     val filtered = rule.when.fold(exploded)(w => exploded.filter(expr(w)))
-    val reshaped = rule.transforms.foldLeft(filtered) {
+    // enrichment runs here — after explode/when, before transforms — so
+    // BOTH apply and invalid see the enriched record (the quarantine
+    // agreement this shared head exists for)
+    val enriched = rule.enrich.fold(filtered)(_.transform(filtered))
+    val reshaped = rule.transforms.foldLeft(enriched) {
       case (df, DropField(path)) =>
         if (path.contains(".")) {
           val Array(top, rest @ _*) = path.split("\\."): @unchecked

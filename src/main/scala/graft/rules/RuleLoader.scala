@@ -31,22 +31,28 @@ object RuleLoader {
 
   private val mapper = new ObjectMapper()
 
-  def fromFile(path: String): Rules = fromJson(Files.readString(Paths.get(path)))
+  def fromFile(path: String,
+      enrichments: Map[String, Enrichment] = Map.empty): Rules =
+    fromJson(Files.readString(Paths.get(path)), enrichments)
 
   /** Load and merge every `*.json` under a directory (filename order —
-    * deterministic like the reference's sorted policy-dir walk). */
-  def fromDir(dir: String): Rules = {
+    * deterministic like the reference's sorted policy-dir walk).
+    * `enrichments` is the caller's code registry for rules that name an
+    * `"enrich"` hook (see [[Enrichment]]). */
+  def fromDir(dir: String,
+      enrichments: Map[String, Enrichment] = Map.empty): Rules = {
     val stream = Files.list(Paths.get(dir))
     val files =
       try stream.iterator().asScala
         .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
       finally stream.close()
     require(files.nonEmpty, s"no *.json rule files under $dir")
-    files.map(p => fromJson(Files.readString(p)))
+    files.map(p => fromJson(Files.readString(p), enrichments))
       .reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))
   }
 
-  def fromJson(json: String): Rules = {
+  def fromJson(json: String,
+      enrichments: Map[String, Enrichment] = Map.empty): Rules = {
     val root = mapper.readTree(json)
     val events = arr(root, "event").map { n =>
       EventRule(
@@ -67,7 +73,11 @@ object RuleLoader {
         partition = opt(n, "partition").getOrElse(""),
         id = opt(n, "id"),
         timestamp = req(n, "timestamp"),
-        transforms = arr(n, "transforms").map(parseTransform))
+        transforms = arr(n, "transforms").map(parseTransform),
+        enrich = opt(n, "enrich").map(name => enrichments.getOrElse(name,
+          sys.error(s"rule names enrichment '$name' but the registry has " +
+            s"[${enrichments.keys.toSeq.sorted.mkString(", ")}] — register it " +
+            "when loading (RuleLoader.fromDir(dir, enrichments))"))))
     }
     Rules(events, schemas)
   }

@@ -58,6 +58,29 @@ final case class RenameField(from: String, to: String) extends TransformOp
 /** Add/replace a top-level field from a SQL expr over the record. */
 final case class SetField(name: String, sqlExpr: String) extends TransformOp
 
+/** Programmatic enrichment hook — the extensibility seam for what the
+  * reference does with arbitrary Rego, including mid-rule `http.send`
+  * calls out to enrichment services (`README.md:55-66`; evaluated by
+  * `pkg/infra/policy/client.go:143-174`). A rule that needs more than
+  * SQL exprs names an Enrichment, which rewrites the RECORD frame
+  * (post-explode/filter, pre-transforms) with any DataFrame→DataFrame
+  * logic.
+  *
+  * The Spark-first translation of per-record `http.send` is per-BATCH
+  * fetch + broadcast join: pull the lookup once on the driver (or read
+  * a reference table), then `records.join(broadcast(lookup), ...)` —
+  * same information, O(1) calls per batch instead of O(records), and
+  * the join stays in codegen. The hook is deliberately plan-level
+  * (DataFrame in, DataFrame out, applied before Catalyst optimizes the
+  * whole pipeline) rather than row-level, so an enrichment can never
+  * smuggle in a per-row RPC without it being visible in the plan.
+  *
+  * Enrichments are code, not config — file-loaded rules reference them
+  * by name and [[RuleLoader]] resolves against a caller-supplied
+  * registry, failing loudly on an unknown name (mis-wired rules must
+  * not silently skip a step the quarantine contract depends on). */
+final case class Enrichment(name: String, transform: DataFrame => DataFrame)
+
 /** Per-record transform + routing — the reference's schema rule output
   * `Log{dataset, table, partition, id, timestamp, data}`
   * (`model/policy.go:64-71`). All string fields are Spark SQL exprs over
@@ -82,7 +105,12 @@ final case class SchemaRule(
     /** SQL expr yielding the event time: DOUBLE Unix seconds (like the
       * reference's float64 contract), a timestamp, or an RFC3339 string. */
     timestamp: String,
-    transforms: Seq[TransformOp] = Nil) {
+    transforms: Seq[TransformOp] = Nil,
+    /** Optional [[Enrichment]] applied to the record frame after
+      * explode/when, before transforms — so routing, id, timestamp and
+      * transform exprs all see the enriched columns, and the
+      * quarantine path sees exactly what validation saw. */
+    enrich: Option[Enrichment] = None) {
   require(Set("", "hour", "day", "month", "year")(partition),
     s"bad partition unit '$partition'")
 

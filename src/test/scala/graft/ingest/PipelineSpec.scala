@@ -110,6 +110,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows(0).getString(2).contains("\"log_id\":\"bad1\""))
   }
 
+  test("enrichment hook: broadcast lookup enriches routing + data; quarantine sees the enriched record") {
+    // ≡ the reference's mid-rule http.send enrichment (README.md:55-66),
+    // Spark-first: fetch once per batch, broadcast-join into the records
+    val landing = tmpDir("enrich-landing")
+    writeFile(landing, "a.log",
+      """{"log_id": "e1", "event_time": 1559347200.0, "region": "eu"}
+        |{"log_id": "e2", "event_time": 1559347201.0, "region": "ap"}
+        |{"log_id": "e3", "event_time": 1559347202.0, "region": "zz"}
+        |""".stripMargin)
+    val lookup = { import spark.implicits._
+      Seq(("eu", "europe"), ("ap", "asia")).toDF("region", "geo") }
+    val geo = Enrichment("geo", recs =>
+      recs.join(broadcast(lookup), Seq("region"), "left"))
+    val rules = Rules(
+      event = Seq(EventRule(name = "e", when = "name LIKE '%.log'", schemaRule = "s")),
+      schema = Seq(SchemaRule(name = "s",
+        dataset = "concat('ds_', geo)", table = "'t'", // routed BY the enrichment
+        id = Some("log_id"), timestamp = "event_time", enrich = Some(geo))))
+    val registry = new SchemaRegistry(tmpDir("enrich-tables"))
+    Pipeline.ingestPrefix(spark, Pipeline.Config(registry, rules), s"$landing/*")
+    val eu = TableSink.read(spark, registry, "ds_europe", "t")
+    assert(eu.count() == 1L && eu.select("data.geo").head.getString(0) == "europe",
+      "the enriched column must both route the record and land in data")
+    assert(TableSink.read(spark, registry, "ds_asia", "t").count() == 1L)
+    // the unmatched region got a null dataset → quarantined, and the
+    // quarantined record shows the ENRICHED shape (geo: null present)
+    val q = spark.read.parquet(registry.dataDir("_meta", "quarantine"))
+      .select("reasons", "record").collect()
+    assert(q.length == 1 && q(0).getSeq[String](0) == Seq("dataset_null"))
+    assert(q(0).getString(1).contains("\"log_id\":\"e3\""))
+  }
+
+  test("rule files resolve named enrichments from the registry; unknown names fail loudly") {
+    val dir = tmpDir("enrich-rules")
+    writeFile(dir, "r.json",
+      """{"event": [{"name": "e", "when": "name LIKE '%.log'", "schemaRule": "s"}],
+        |"schema": [{"name": "s", "dataset": "'d'", "table": "'t'",
+        |            "timestamp": "event_time", "enrich": "geo"}]}""".stripMargin)
+    val geo = Enrichment("geo", identity)
+    val loaded = RuleLoader.fromDir(dir, Map("geo" -> geo))
+    assert(loaded.schemaRule("s").enrich.contains(geo))
+    val err = intercept[RuntimeException](RuleLoader.fromDir(dir))
+    assert(err.getMessage.contains("enrichment 'geo'"),
+      s"unknown enrichment must fail loudly, got: ${err.getMessage}")
+  }
+
   test("all-invalid batch: every record quarantined, table ensured empty " +
     "(literal routing), load_log records the zero-count append") {
     val landing = tmpDir("landing")
