@@ -110,12 +110,46 @@ object ShardedBloom {
 
   private def readShard(fs: FileSystem, layout: Path, shard: Long): Option[BloomFilter] = {
     val dst = shardFile(layout, shard)
-    val p = if (fs.exists(dst)) Some(dst)
-      else { val t = dst.suffix(".tmp"); if (fs.exists(t)) Some(t) else None }
-    p.map { path =>
-      val in = fs.open(path)
-      try BloomFilter.readFrom(in) finally in.close()
+    if (fs.exists(dst)) {
+      val in = fs.open(dst)
+      Some(try BloomFilter.readFrom(in) finally in.close())
+    } else {
+      // dst missing: either the shard was never written (no digests —
+      // absent is the truth) or we're inside the delete→rename window
+      // of a rename-over-unsupported FS, where the .tmp is the fully
+      // written merge result. A TORN tmp (crash mid-write) can only
+      // exist when dst was never renamed into place, i.e. before that
+      // batch's docs ever appended (filters commit first) — so treating
+      // an unreadable tmp as absent still upholds the superset
+      // invariant over the docs actually in the corpus.
+      val t = dst.suffix(".tmp")
+      if (!fs.exists(t)) None
+      else try {
+        val in = fs.open(t)
+        Some(try BloomFilter.readFrom(in) finally in.close())
+      } catch { case _: Exception => None }
     }
+  }
+
+  /** Does the ACTIVE layout directory for `spec` exist? A meta pointer
+    * whose layout was deleted out-of-band must trigger a rebuild, not
+    * quietly probe "every shard absent" ≡ "everything new". */
+  def layoutExists(spark: SparkSession, storeDir: String, spec: Spec): Boolean = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(storeDir, spec.layoutDir))
+  }
+
+  /** Remove the sharded store entirely (meta + every layout dir) —
+    * used when the corpus switches back to a monolithic filter, so two
+    * stores can never go stale against each other. */
+  def deleteStore(spark: SparkSession, storeDir: String): Unit = {
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new Path(storeDir, MetaFile)
+    if (fs.exists(meta)) fs.delete(meta, false)
+    if (fs.exists(base))
+      fs.listStatus(base).filter(_.getPath.getName.startsWith("bloom-s"))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Annotate `batch` with a `__hit` boolean: does the row's digest
@@ -197,22 +231,29 @@ object ShardedBloom {
       spec: Spec): Unit = {
     val spark = corpusHashes.sparkSession
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val previous = readMeta(spark, storeDir).map(_.layoutDir)
     val layoutPath = new Path(storeDir, spec.layoutDir)
     // a half-written layout from a crashed rebuild is stale, not a
     // superset candidate — clear it so this rebuild starts clean
     if (fs.exists(layoutPath)) fs.delete(layoutPath, true)
+    // mergeBatch's ensureMeta flips the pointer (after all shards are
+    // written) and garbage-collects the superseded layout
     mergeBatch(corpusHashes, hashCol, storeDir, spec)
-    writeMeta(fs, storeDir, spec)
-    previous.filter(_ != spec.layoutDir)
-      .foreach(old => fs.delete(new Path(storeDir, old), true))
   }
 
-  private def ensureMeta(spark: SparkSession, storeDir: String, spec: Spec): Unit =
-    if (!readMeta(spark, storeDir).contains(spec)) {
+  /** Flip the meta pointer to `spec` if it isn't already there, and
+    * garbage-collect the superseded layout AFTER the flip — every path
+    * that changes the active layout (rebuild, resize-through-the-
+    * crash-window) funnels through here, so no path can orphan a
+    * layout directory. */
+  private def ensureMeta(spark: SparkSession, storeDir: String, spec: Spec): Unit = {
+    val previous = readMeta(spark, storeDir)
+    if (!previous.contains(spec)) {
       val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       writeMeta(fs, storeDir, spec)
+      previous.map(_.layoutDir).filter(_ != spec.layoutDir)
+        .foreach(old => fs.delete(new Path(storeDir, old), true))
     }
+  }
 
   /** Max shard-file size in the active layout — the spec's byte-budget
     * probe (a shard of n items at fpp p serializes to ~n·ln(p)/ln²2/8

@@ -78,7 +78,17 @@ final case class SetField(name: String, sqlExpr: String) extends TransformOp
   * Enrichments are code, not config — file-loaded rules reference them
   * by name and [[RuleLoader]] resolves against a caller-supplied
   * registry, failing loudly on an unknown name (mis-wired rules must
-  * not silently skip a step the quarantine contract depends on). */
+  * not silently skip a step the quarantine contract depends on).
+  *
+  * Enrichments MUST be deterministic for a given batch: the hook is
+  * invoked once for the append and again for the quarantine pass when
+  * validation dropped rows, and Spark itself re-executes plan
+  * fragments (task retries, AQE re-optimization) — a transform whose
+  * output varies between evaluations desynchronizes quarantine from
+  * what validation saw, and can differ even within one action. If the
+  * backing source varies over time, fetch ONCE per batch outside the
+  * hook and close over the result (`val lookup = fetch(); Enrichment(
+  * "geo", _.join(broadcast(lookup), ...))`). */
 final case class Enrichment(name: String, transform: DataFrame => DataFrame)
 
 /** Per-record transform + routing — the reference's schema rule output

@@ -142,7 +142,7 @@ object CorpusBuilder {
     val hasDocs = Files.exists(Paths.get(docsDir))
     if (numShards <= 1) {
       val bloomPath = Paths.get(corpusDir, "bloom.bin")
-      val stored = storedOrRebuilt(spark, bloomPath, docsDir, hasDocs,
+      val stored = monolithicFilter(spark, bloomPath, docsDir, hasDocs,
         expectedItems, fpp)
       val fresh = stored match {
         case Some(f) if hasDocs =>
@@ -154,31 +154,26 @@ object CorpusBuilder {
       val staged = graft.util.Materialize.eager(
         fresh.withColumn(DigestCol, Dedup.contentKey(col(textCol))))
       val appended = staged.count()
-      if (appended > 0)
+      if (appended > 0) {
         commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
+        // one store at a time: this corpus is monolithic-owned now
+        ShardedBloom.deleteStore(spark, corpusDir)
+      }
       appended
     } else {
       val declared = ShardedBloom.Spec(numShards, expectedItems, fpp)
-      // resolve the ACTIVE store: first sharded run on an existing
-      // corpus (or a lost store) rebuilds from the corpus digest
-      // column; a sizing change rebuilds at the new layout and flips
-      // the pointer atomically. Probe and merge then agree on one spec.
-      val active = ShardedBloom.readMeta(spark, corpusDir) match {
-        case Some(spec) if spec == declared => if (hasDocs) Some(spec) else None
-        case _ if hasDocs =>
-          ShardedBloom.rebuild(corpusHashes(spark, docsDir), "__h",
-            corpusDir, declared)
-          Some(declared)
-        case _ => None // store for never-appended docs (crash window) —
-                       // extra digests are harmless, nothing to probe
-      }
+      val active = resolveSharded(spark, corpusDir, docsDir, hasDocs, declared)
       val hashed = inBatch.withColumn(DigestCol, Dedup.contentKey(col(textCol)))
         .withColumn("__h", xxhash64(col(DigestCol)))
       val fresh = active match {
         case Some(spec) =>
           // same probe→verify contract as [[Dedup.bloomNewDocs]], with
-          // the probe executor-side against the sharded store
-          val flagged = ShardedBloom.probeHits(hashed, "__h", corpusDir, spec)
+          // the probe executor-side against the sharded store.
+          // `flagged` feeds BOTH the candidate (broadcast) side and the
+          // anti-join stream side — materialize it once so the shard
+          // files are read once per batch, not once per plan branch.
+          val flagged = graft.util.Materialize.eager(
+            ShardedBloom.probeHits(hashed, "__h", corpusDir, spec))
           val cand = flagged.filter(col("__hit"))
             .select(col(DigestCol).as("__cand")).distinct()
           val dup = corpusDigests(spark, docsDir)
@@ -195,23 +190,57 @@ object CorpusBuilder {
         // file absorbs the batch digests BEFORE the docs append
         ShardedBloom.mergeBatch(staged, "__h", corpusDir, declared)
         staged.drop("__h").write.mode("append").parquet(docsDir)
+        // one store at a time: drop the other mode's filter
+        Files.deleteIfExists(Paths.get(corpusDir, "bloom.bin"))
       }
       appended
     }
   }
 
-  /** The stored monolithic filter; when bloom.bin was lost out-of-band
-    * but the corpus exists, REBUILD it from the corpus digest column
-    * (one column-pruned scan) — treating the batch as all-new would
-    * both re-admit duplicate content and leave the rewritten filter
-    * covering only this batch, permanently breaking the superset
-    * invariant for every pre-existing digest. */
-  private def storedOrRebuilt(spark: SparkSession, bloomPath: java.nio.file.Path,
+  /** Resolve the ACTIVE sharded store, rebuilding from the corpus
+    * digest column whenever the stored filters can't be trusted:
+    * first sharded run on an existing corpus, a sizing change (resize
+    * → new layout + atomic pointer flip), a layout directory lost
+    * out-of-band while the meta pointer survived, or a MODE SWITCH —
+    * monolithic artifacts (bloom.bin) present mean a `numShards = 1`
+    * run may have appended docs this store never saw, so existence of
+    * the declared layout proves nothing about freshness. Commits then
+    * delete the other mode's store, keeping exactly one filter
+    * authority per corpus. Returns None when there are no docs to
+    * probe against. */
+  private def resolveSharded(spark: SparkSession, corpusDir: String,
       docsDir: String, hasDocs: Boolean,
-      expectedItems: Long, fpp: Double): Option[Array[Byte]] =
-    if (Files.exists(bloomPath)) Some(Files.readAllBytes(bloomPath))
-    else if (hasDocs) Some(filterFromCorpus(spark, docsDir, expectedItems, fpp))
+      declared: ShardedBloom.Spec): Option[ShardedBloom.Spec] =
+    if (!hasDocs) None
+    else {
+      val modeSwitch = Files.exists(Paths.get(corpusDir, "bloom.bin"))
+      val fresh = !modeSwitch &&
+        ShardedBloom.readMeta(spark, corpusDir).contains(declared) &&
+        ShardedBloom.layoutExists(spark, corpusDir, declared)
+      if (!fresh)
+        ShardedBloom.rebuild(corpusHashes(spark, docsDir), "__h",
+          corpusDir, declared)
+      Some(declared)
+    }
+
+  /** The monolithic filter to probe/merge against, REBUILT from the
+    * corpus digest column (one column-pruned scan) whenever the stored
+    * bytes can't be trusted: bloom.bin lost out-of-band (trusting "no
+    * filter" would re-admit duplicates AND leave the rewritten filter
+    * covering only this batch — a permanent superset break), or a MODE
+    * SWITCH — a sharded store present means `numShards > 1` runs may
+    * have appended docs bloom.bin never saw. The commit then deletes
+    * the sharded store, keeping one filter authority per corpus. */
+  private def monolithicFilter(spark: SparkSession, bloomPath: java.nio.file.Path,
+      docsDir: String, hasDocs: Boolean,
+      expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
+    val corpusDir = bloomPath.getParent.toString
+    val modeSwitch = ShardedBloom.readMeta(spark, corpusDir).isDefined
+    if (hasDocs && (modeSwitch || !Files.exists(bloomPath)))
+      Some(filterFromCorpus(spark, docsDir, expectedItems, fpp))
+    else if (Files.exists(bloomPath)) Some(Files.readAllBytes(bloomPath))
     else None
+  }
 
   /** Monolithic filter built from the corpus' stored digest column. */
   private def filterFromCorpus(spark: SparkSession, docsDir: String,
@@ -360,21 +389,22 @@ object CorpusBuilder {
       // SUPERSET of corpus digests across gate modes, so a later
       // exact-mode run on this corpus probes correctly
       if (numShards <= 1) {
-        val stored = storedOrRebuilt(spark, Paths.get(corpusDir, "bloom.bin"),
+        val stored = monolithicFilter(spark, Paths.get(corpusDir, "bloom.bin"),
           docsDir, Files.exists(Paths.get(docsDir)), expectedItems, fpp)
         commitBatch(spark, fresh, docsDir, Paths.get(corpusDir, "bloom.bin"),
           stored, expectedItems, fpp)
+        ShardedBloom.deleteStore(spark, corpusDir)
       } else {
         val declared = ShardedBloom.Spec(numShards, expectedItems, fpp)
-        // a sizing change still rebuilds-then-flips before the merge
-        if (Files.exists(Paths.get(docsDir)) &&
-            !ShardedBloom.readMeta(spark, corpusDir).contains(declared))
-          ShardedBloom.rebuild(corpusHashes(spark, docsDir), "__h",
-            corpusDir, declared)
+        // resize / mode switch / lost layout rebuild-then-flip first,
+        // exactly like the exact-mode path
+        resolveSharded(spark, corpusDir, docsDir,
+          Files.exists(Paths.get(docsDir)), declared)
         ShardedBloom.mergeBatch(
           fresh.withColumn("__h", xxhash64(col(DigestCol))), "__h",
           corpusDir, declared)
         fresh.write.mode("append").parquet(docsDir)
+        Files.deleteIfExists(Paths.get(corpusDir, "bloom.bin"))
       }
     }
     appended

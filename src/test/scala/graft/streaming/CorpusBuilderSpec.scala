@@ -203,6 +203,35 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(corpusDocs(corpus).count() == 21L)
   }
 
+  test("numShards mode switches rebuild from the corpus — stale filters are never trusted") {
+    import graft.dedup.ShardedBloom
+    val corpus = tmpDir("mode-switch-corpus")
+    def append(rows: Seq[(Long, String)], shards: Int): Long =
+      CorpusBuilder.appendNew(spark, rows.toDF("doc_id", "text"), corpus,
+        "doc_id", "text", 1024L, 0.01, numShards = shards)
+    val b1 = (1L to 10L).map(i => (i, s"sharded-era doc $i"))
+    assert(append(b1, shards = 4) == 10L)
+    // switch to MONOLITHIC: the shard files don't know about b2, and
+    // bloom.bin doesn't exist — the gate must rebuild from the corpus
+    val b2 = (20L to 29L).map(i => (i, s"mono-era doc $i"))
+    assert(append(b1 ++ b2, shards = 1) == 10L, "b1 replay must drop via rebuild")
+    // the commit claimed single ownership: the sharded store is gone
+    assert(ShardedBloom.readMeta(spark, corpus).isEmpty,
+      "a monolithic commit must delete the sharded store")
+    // switch BACK to sharded: bloom.bin exists but no sharded meta —
+    // full rebuild again; every doc from both eras must be dropped
+    assert(append(b1 ++ b2, shards = 4) == 0L,
+      "mode switches must never re-admit stored content")
+    // sharded saw nothing new → no commit ran → bloom.bin still owns
+    // the corpus; a sharded append WITH new content takes ownership
+    val b3 = Seq((40L, "late sharded doc"))
+    assert(append(b1 ++ b3, shards = 4) == 1L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "bloom.bin")),
+      "a sharded commit must delete the monolithic filter")
+    assert(append(b2 ++ b3, shards = 4) == 0L)
+    assert(corpusDocs(corpus).count() == 21L)
+  }
+
   test("streaming build drains a landing dir exactly-once by content across restarts") {
     val landing = tmpDir("corpus-landing")
     val ckpt = tmpDir("corpus-ckpt")
