@@ -218,6 +218,55 @@ object Dedup {
     } finally allPostings.unpersist()
   }
 
+  /** Cross-document SHARED-SPAN pairs (boilerplate / quotation mining,
+    * the MOSS shape — Schleimer et al., SIGMOD'03): two docs pair when
+    * they share at least `minShared` winnowing fingerprints, i.e. they
+    * contain common k-shingle SPANS — local overlap that whole-doc
+    * similarity (Jaccard q25, MinHash q26, SimHash q27) dilutes away.
+    * A shared license header or quoted paragraph inside two otherwise
+    * unrelated documents pairs here and nowhere else.
+    *
+    * Pipeline: per-doc winnow fingerprint set (native kernel — the
+    * q23-verified sorted-distinct window minima over md5'd shingles,
+    * ~1/w of the shingle density) → inverted index → document-
+    * frequency cut (a fingerprint in more than `maxDocFreq` docs is
+    * corpus boilerplate contributing df² pairs of near-zero signal;
+    * the cut is reported via the `n_shared` count being over PRUNED
+    * fingerprints, never silently) → per-bucket self-join →
+    * pairs with ≥ `minShared` shared fingerprints.
+    *
+    * Scale contract: winnowing thins postings by ~w× versus the q25
+    * shingle index BEFORE the self-join, and the df cut bounds
+    * candidate work at Σdf² over capped buckets — output-proportional
+    * for real corpora where heavy fingerprints are boilerplate. Result
+    * is eagerly materialized (output-sized), postings released. */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= shingleK)
+      .select(col("doc"),
+        call_function("graft_winnow",
+          call_function("graft_shingles", col("t"), lit(shingleK)), lit(w)).as("fps"))
+    val allPostings = docs.select(col("doc"), explode(col("fps")).as("fp")).persist()
+    try {
+      val postings =
+        if (maxDocFreq == Int.MaxValue) allPostings
+        else {
+          val rare = allPostings.groupBy(col("fp"))
+            .agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq)
+            .select(col("fp"))
+          allPostings.join(rare, "fp")
+        }
+      postings.as("x").join(postings.as("y"), col("x.fp") === col("y.fp"))
+        .filter(col("x.doc") < col("y.doc"))
+        .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .transform(graft.util.Materialize.eager)
+    } finally allPostings.unpersist()
+  }
+
   /** LSH-accelerated exact-threshold near-dup pairs — the 100 TB
     * replacement for [[jaccardPairs]]'s inverted-index candidate join.
     *

@@ -158,6 +158,35 @@ object CurationQueries {
     FROM documents ORDER BY doc_id"""
   }
 
+  // ---- q74: cross-document shared-span pairs (winnow collisions) ----
+
+  /** q74: shared-SPAN detection ([[Dedup.sharedSpanPairs]]) — docs
+    * pairing on ≥ 2 common winnowing fingerprints, i.e. common local
+    * k-shingle spans (boilerplate headers, quoted passages) that
+    * whole-doc similarity metrics dilute away. The oracle replays the
+    * q23-proven winnow construction, the document-frequency cut, and
+    * the inverted-index join, so the hash check pins fingerprints,
+    * pruning, and pair counts. */
+  def q74(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedSpanPairs(docs(s, d), "doc_id", "text",
+        shingleK = 3, w = 4, minShared = 2, maxDocFreq = 50)
+      .orderBy(col("a"), col("b"))
+
+  val q74Sql: String = {
+    val toks = toksSql("text")
+    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
+    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
+      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
+      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
+    s"""
+    WITH fps AS (SELECT doc_id, unnest(list_distinct($winnow)) AS fp FROM documents),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+    p AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+    SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+    FROM p x JOIN p y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"""
+  }
+
   // ---- q24: exact dedup ----
 
   def q24(s: SparkSession, d: String): DataFrame = {
@@ -1401,5 +1430,6 @@ object CurationQueries {
     ("q70_pq_ann", q70 _, Some(q70Sql)),
     ("q71_ivfpq_ann", q71 _, Some(q71Sql)),
     ("q72_neardup_gate", q72 _, Some(q72Sql)),
-    ("q73_ivfpq_store", q73 _, Some(q71Sql)))
+    ("q73_ivfpq_store", q73 _, Some(q71Sql)),
+    ("q74_shared_spans", q74 _, Some(q74Sql)))
 }

@@ -117,6 +117,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
   }
 
+  test("sharedSpanPairs: local overlap pairs docs whole-doc similarity misses; df cut prunes boilerplate") {
+    val para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val spanDocs = Seq(
+      (1L, s"one unrelated preamble here $para and a different ending x1 y1 z1"),
+      (2L, s"totally other opening w2 v2 u2 $para closing words q2 r2 s2"),
+      (3L, "no shared content at all just its own words m3 n3 o3 p3 q3 r3 s3 t3 u3 v3"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSpanPairs(spanDocs, "doc_id", "text",
+      shingleK = 3, w = 4, minShared = 2)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)),
+      s"only the docs sharing the planted paragraph may pair, got ${rows.toSeq}")
+    assert(rows.head._3 >= 2, "the shared span must contribute >= minShared fingerprints")
+    // whole-doc contrast: the same pair is BELOW a 0.5 Jaccard (the span
+    // is a minority of each doc) — this operator exists for exactly that
+    val j = Dedup.jaccardPairs(spanDocs, "doc_id", "text", shingleK = 3, threshold = 0.5)
+    assert(j.filter(col("a") === 1L && col("b") === 2L).isEmpty,
+      "whole-doc Jaccard must miss the local overlap sharedSpanPairs catches")
+    // df cut: make the paragraph corpus boilerplate (in EVERY doc) — a
+    // maxDocFreq below the corpus size prunes it and no pairs survive
+    val boiler = Seq(
+      (1L, s"$para ending one e1 f1 g1"),
+      (2L, s"$para ending two e2 f2 g2"),
+      (3L, s"$para ending three e3 f3 g3")).toDF("doc_id", "text")
+    assert(Dedup.sharedSpanPairs(boiler, "doc_id", "text",
+      shingleK = 3, w = 4, minShared = 2, maxDocFreq = 2).isEmpty,
+      "fingerprints above the document-frequency cap must not generate pairs")
+  }
+
   test("jaccardPairs: exact similarity, dup pair scores 1.0") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", shingleK = 2)
       .as[(Long, Long, Double)].collect()
