@@ -31,12 +31,12 @@ object Main {
     """usage: graft [ingest|serve|enqueue|schema|migrate|sql|corpus] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
-      |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-token <t>] [--state <dir>] [--memory-limit <bytes>]
+      |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--state <dir>] [--memory-limit <bytes>]
       |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
       |  sql     --warehouse <dir> <query>
-      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--near-dup] [--min-agree <f>] <glob>""".stripMargin
+      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] <glob>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -110,9 +110,14 @@ object Main {
         val spool = req(flags, "spool")
         val rx = new graft.sources.PushReceiver(spool,
           flags.get("port").map(_.toInt).getOrElse(0),
+          // --jwt-secret <s>: HS256 claims-verifying bearer JWTs
+          // (exp/nbf enforced; pin iss with --jwt-issuer). Else
           // --auth-token <t>: only `Authorization: Bearer <t>` may push
-          auth = flags.get("auth-token")
-            .map(graft.sources.PushReceiver.bearerToken)
+          auth = flags.get("jwt-secret")
+            .map(s => graft.sources.PushReceiver.jwtBearer(s,
+              flags.get("jwt-issuer").map(i => Map("iss" -> i)).getOrElse(Map.empty)))
+            .orElse(flags.get("auth-token")
+              .map(graft.sources.PushReceiver.bearerToken))
             .getOrElse(_ => true),
           // --state <dir>: multi-worker message state machine (shared dir)
           state = flags.get("state").map(new graft.state.StateStore(_)),
@@ -187,7 +192,10 @@ object Main {
           nearDup = if (flags.contains("near-dup"))
             Some(graft.streaming.CorpusBuilder.NearDup(
               minAgree = flags.get("min-agree").map(_.toDouble).getOrElse(0.8)))
-          else None)
+          else None,
+          // --shards <n>: sharded executor-side digest store (use
+          // ~expected-items/2^20 so each filter stays ~1 MB at scale)
+          numShards = flags.get("shards").map(_.toInt).getOrElse(1))
         q.awaitTermination()
         println(s"corpus rows: " +
           spark.read.parquet(s"${req(flags, "corpus")}/docs").count())
