@@ -267,4 +267,28 @@ class CorpusBuilderSpec extends SparkSpec {
     q3.awaitTermination()
     assert(corpusDocs(corpus).count() == 21L)
   }
+
+  test("streaming build with a SHARDED store: same exactly-once-by-content across micro-batches") {
+    import graft.dedup.ShardedBloom
+    val landing = tmpDir("sharded-stream-landing")
+    val corpus = tmpDir("sharded-stream-corpus")
+    (0 until 3).foreach { f =>
+      val lines = (0 until 10).map { i =>
+        s"""{"doc_id": ${f * 10 + i}, "text": "stream content ${(f * 10 + i) % 15}"}"""
+      }.mkString("\n")
+      writeFile(landing, s"f$f.json", lines + "\n")
+    }
+    val q = CorpusBuilder.build(spark, s"$landing/*.json", tmpDir("sharded-stream-ckpt"),
+      corpus, maxFilesPerTrigger = Some(1), numShards = 4)
+    q.awaitTermination()
+    assert(corpusDocs(corpus).count() == 15L)
+    // replay from a fresh checkpoint: the sharded gate drops everything
+    val q2 = CorpusBuilder.build(spark, s"$landing/*.json", tmpDir("sharded-stream-ckpt2"),
+      corpus, numShards = 4)
+    q2.awaitTermination()
+    assert(corpusDocs(corpus).count() == 15L)
+    val spec = ShardedBloom.Spec(4, 1L << 20, 0.01)
+    assert(ShardedBloom.readMeta(spark, corpus).contains(spec))
+    assert(ShardedBloom.maxShardBytes(spark, corpus, spec) > 0L)
+  }
 }
