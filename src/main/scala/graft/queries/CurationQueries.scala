@@ -758,6 +758,54 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---- q75: cluster-balanced deterministic sampling ----
+
+  /** q75: diversity balancing ([[Similarity.clusterBalancedSample]]) —
+    * embeddings capped at 5 per IVF cluster by the md5-ranked
+    * deterministic order, the trim-the-modes step after semantic
+    * dedup. The oracle composes the q38-proven cluster assignment with
+    * the q49-proven cap rank, so assignment, ranking and the kept set
+    * are all hash-checked. */
+  def q75(s: SparkSession, d: String): DataFrame =
+    Similarity.clusterBalancedSample(Tables.embeddings(s, d), nlist = 16, cap = 5)
+      .select(col("vec_id"), col("cluster").cast("int").as("cluster"))
+      .orderBy(col("cluster"), col("vec_id"))
+
+  val q75Sql: String = {
+    val nlist = 16; val cap = 5
+    def halfS(c: String) =
+      "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($c, x -> x * x)), (acc, x) -> acc + x) / 2.0)"
+    val h = md5LongSql("CAST(vec_id AS VARCHAR)", 15)
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v
+              FROM (SELECT v, $h AS h FROM e) ORDER BY h LIMIT $nlist),
+    assign0 AS (SELECT vec_id, v, c FROM (
+        SELECT e.vec_id, e.v AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY (${dotSql("e.v", "s.v")} - ${halfS("s.v")}) DESC, s.c DESC) AS rn
+        FROM e CROSS JOIN seeds s) WHERE rn = 1),
+    means AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+              FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign0)
+              GROUP BY c, pos),
+    refined AS (SELECT s.c AS c, COALESCE(m.mv, s.v) AS v
+                FROM seeds s LEFT JOIN
+                  (SELECT c, list(m ORDER BY pos) AS mv FROM means GROUP BY c) m
+                  ON s.c = m.c),
+    cassign AS (SELECT vec_id, CAST(c AS INT) AS cluster
+                FROM (SELECT e.vec_id, r.c AS c,
+                        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                          ORDER BY (${dotSql("e.v", "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+                      FROM e CROSS JOIN refined r) WHERE rn = 1)
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY $h, vec_id) AS rk
+      FROM cassign) WHERE rk <= $cap
+    ORDER BY cluster, vec_id"""
+  }
+
   // ---- q43: PII-style redaction ----
 
   /** The corpus is synthetic word-soup with no PII, so the query first
@@ -1431,5 +1479,6 @@ object CurationQueries {
     ("q71_ivfpq_ann", q71 _, Some(q71Sql)),
     ("q72_neardup_gate", q72 _, Some(q72Sql)),
     ("q73_ivfpq_store", q73 _, Some(q71Sql)),
-    ("q74_shared_spans", q74 _, Some(q74Sql)))
+    ("q74_shared_spans", q74 _, Some(q74Sql)),
+    ("q75_cluster_sample", q75 _, Some(q75Sql)))
 }

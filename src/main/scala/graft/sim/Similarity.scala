@@ -195,6 +195,25 @@ object Similarity {
     df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
       .withColumn("cluster", nearestCluster(df, centroids, col("__v")))
 
+  /** Cluster-BALANCED deterministic sample — the diversity-balancing
+    * step a curation pipeline runs after semantic dedup: assign every
+    * embedding to its IVF cluster, then keep at most `cap` rows per
+    * cluster by the md5-ranked deterministic order
+    * ([[graft.curation.Sampling.stratifiedCap]]) — over-represented
+    * modes are trimmed, rare modes are kept whole, and the sample is
+    * identical on any cluster, partitioning, or retry. Cost: one
+    * corpus projection for assignment (centroids are metadata
+    * literals — no join) and one window over (id, cluster) rows; the
+    * embedding column never rides the shuffle. */
+  def clusterBalancedSample(corpus: DataFrame, nlist: Int, cap: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nlist, idCol, vecCol)
+    graft.curation.Sampling.stratifiedCap(
+      assignCluster(corpus, cents, idCol, vecCol)
+        .select(col(idCol), col("cluster")),
+      Seq("cluster"), col(idCol), cap)
+  }
+
   /** Index of the nearest centroid to `v` (max v·c − ‖c‖²/2; ties →
     * larger index via the greatest-struct comparison) — shared by the
     * coarse assignment and the IVF-PQ composition. */

@@ -169,6 +169,27 @@ class SimilaritySpec extends SparkSpec {
       s"store scans must prune by cluster, plan:\n$plan")
   }
 
+  test("clusterBalancedSample: at most cap per cluster, deterministic, rare clusters kept whole") {
+    val s1 = Similarity.clusterBalancedSample(vecs, nlist = 8, cap = 2)
+    val perCluster = s1.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCluster.values.forall(_ <= 2L),
+      s"no cluster may exceed the cap, got $perCluster")
+    // clusters with <= cap members are kept whole (trim modes, keep tails)
+    val full = Similarity.assignCluster(vecs, Similarity.ivfCentroids(vecs, 8))
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    full.filter(_._2 <= 2L).foreach { case (c, n) =>
+      assert(perCluster.getOrElse(c, 0L) == n,
+        s"cluster $c has $n <= cap members and must be kept whole")
+    }
+    // md5-keyed: identical output on a re-run (no rand())
+    val ids1 = s1.select("vec_id").as[Long].collect().sorted.toSeq
+    val ids2 = Similarity.clusterBalancedSample(vecs, nlist = 8, cap = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("srp signature deterministic; lshTopK recall vs brute force is high") {
     val sig1 = vecs.select(Similarity.srpSignature($"embedding", 16).as("s"))
       .as[Long].collect()
