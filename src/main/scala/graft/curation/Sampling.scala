@@ -95,4 +95,50 @@ object Sampling {
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap).drop("__rk")
   }
+
+  /** Budget selection: order rows by (`score` DESC, id) and keep the
+    * maximal prefix whose cumulative `weight` fits `budget` (a row is
+    * kept iff the running sum INCLUDING it is ≤ budget) — the final
+    * corpus-selection step: "take the best documents until the token
+    * budget is full". Returns the kept rows with their running total
+    * as `cum_weight`.
+    *
+    * Scale contract: a bare global window (`Window.orderBy` with no
+    * partition) would move the whole corpus to ONE task. This instead
+    * computes the distributed prefix sum: range-partition by the sort
+    * key (parallel range exchange), per-partition running sums (window
+    * PARTITIONED by the physical partition id — parallel), and a
+    * partition-offset table of one row per partition (metadata-sized,
+    * broadcast back). Partition boundaries come from range sampling,
+    * but the running total of an integer weight over a TOTAL order
+    * (score, id tiebreak) is independent of where the boundaries fall
+    * — the result is deterministic on any cluster. The range exchange
+    * is shared by the offset aggregate and the final join via Spark's
+    * exchange reuse. `weight` must be integral (token counts, bytes):
+    * long arithmetic keeps the fold order-exact. */
+  def budgetSelect(df: DataFrame, idCol: Column, score: Column,
+      weight: Column, budget: Long): DataFrame = {
+    val keyed = df.withColumn("__score", score)
+      .withColumn("__w", weight.cast("long"))
+    val ranged = keyed
+      .repartitionByRange(col("__score").desc, idCol)
+      .sortWithinPartitions(col("__score").desc, idCol)
+      .withColumn("__pid", spark_partition_id())
+    val wRun = Window.partitionBy(col("__pid"))
+      .orderBy(col("__score").desc, idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = ranged.withColumn("__pcum", sum(col("__w")).over(wRun))
+    // one row per physical partition; the cross-partition prefix runs
+    // over THIS tiny frame, never the data
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withCum.groupBy(col("__pid"))
+      .agg(max(col("__pcum")).as("__ptot"))
+      .withColumn("__offset", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    withCum.join(broadcast(offsets), "__pid")
+      .withColumn("cum_weight", col("__offset") + col("__pcum"))
+      .filter(col("cum_weight") <= budget)
+      .drop("__pid", "__pcum", "__offset", "__score", "__w")
+  }
 }

@@ -806,6 +806,59 @@ object CurationQueries {
     ORDER BY cluster, vec_id"""
   }
 
+  // ---- q76: quality-ranked token-budget selection ----
+
+  /** q76: budget selection ([[graft.curation.Sampling.budgetSelect]])
+    * — documents ranked by the q21 quality score, kept greedily until
+    * a 20k-token budget is full. The oracle replays the score and a
+    * windowed running sum, hash-checking the ranking, the exact
+    * integer cumulative arithmetic, and the cut point. The engine side
+    * computes the prefix sum DISTRIBUTED (range partitions + offset
+    * broadcast, never a one-task global window). */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("lt", tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        qualityScoreOf(col("text"), col("t"), col("lt")).as("quality"))
+    graft.curation.Sampling.budgetSelect(scored, col("doc_id"),
+        col("quality"), col("n_tokens"), budget = 20000L)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("cum_weight").as("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q76Sql: String = {
+    val nt = s"len(${toksSql("text")})"
+    val allMarkers = LangMarkers.flatMap(_._2)
+    val punct = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val digit = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val upper = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+    val stopHits = markerHitsSql("text", allMarkers)
+    val quality = s"""round(greatest(0.0, least(1.0,
+        0.4 * least(CAST($nt AS DOUBLE) / 64.0, 1.0)
+      + 0.4 * (CASE WHEN $nt = 0 THEN 0.0
+               ELSE least(CAST($stopHits AS DOUBLE) / CAST($nt AS DOUBLE) * 4.0, 1.0) END)
+      + 0.2 * (1.0 - ($punct + $digit + $upper)))), 6)"""
+    s"""
+    WITH scored AS (SELECT doc_id, CAST($nt AS BIGINT) AS n_tokens,
+                           $quality AS quality
+                    FROM documents),
+    cum AS (SELECT doc_id, n_tokens, quality,
+                   CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM scored)
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM cum WHERE cum_tokens <= 20000 ORDER BY doc_id"""
+  }
+
   // ---- q43: PII-style redaction ----
 
   /** The corpus is synthetic word-soup with no PII, so the query first
@@ -1480,5 +1533,6 @@ object CurationQueries {
     ("q72_neardup_gate", q72 _, Some(q72Sql)),
     ("q73_ivfpq_store", q73 _, Some(q71Sql)),
     ("q74_shared_spans", q74 _, Some(q74Sql)),
-    ("q75_cluster_sample", q75 _, Some(q75Sql)))
+    ("q75_cluster_sample", q75 _, Some(q75Sql)),
+    ("q76_budget_select", q76 _, Some(q76Sql)))
 }

@@ -87,6 +87,31 @@ class SamplingSpec extends SparkSpec {
     assert(allocs.sum <= 1000 && allocs.sum >= 998) // floor loses < 1 per stratum
   }
 
+  test("budgetSelect: greedy prefix by (score desc, id); distributed prefix sum in the plan") {
+    // scores force the order 9,8,...,0; weights make the 20-budget cut
+    // fall mid-prefix: 9(w5) 8(w5) 7(w5) 6(w5) = 20 kept, 5(w5) = 25 out
+    val rows = spark.range(10)
+      .select($"id".as("doc_id"), $"id".cast("double").as("q"), lit(5L).as("w"))
+    val kept = Sampling.budgetSelect(rows, $"doc_id", $"q", $"w", budget = 20L)
+    val got = kept.select("doc_id", "cum_weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((6L, 20L), (7L, 15L), (8L, 10L), (9L, 5L)),
+      s"greedy prefix must keep exactly the budget-fitting head, got ${got.toSeq}")
+    // ties broken by id: equal scores keep the LOWER ids first
+    val tied = spark.range(10)
+      .select($"id".as("doc_id"), lit(1.0).as("q"), lit(5L).as("w"))
+    assert(Sampling.budgetSelect(tied, $"doc_id", $"q", $"w", budget = 20L)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // scale shape: the data's running sum is computed per range
+    // partition (windowspec keyed by the partition id) over a range
+    // exchange — never a partition-less window over the corpus
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"budgetSelect must range-partition by the sort key, plan:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"the data window must be partitioned by the physical partition id, plan:\n$plan")
+  }
+
   test("stratifiedCap: cap per stratum, deterministic, small strata intact") {
     val skewed = corpus.filter($"src" =!= "3")
       .union(corpus.filter($"src" === "3").limit(2)) // one tiny stratum
