@@ -96,10 +96,21 @@ object ShardedBloom {
   }
 
   /** tmp → rename; delete-then-rename where rename-over is unsupported.
-    * The `.tmp` is left in place only between its write and the rename,
-    * and probe reads fall back to it — see class doc. */
-  private def atomicWrite(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit = {
-    val tmp = dst.suffix(".tmp")
+    * The tmp name is ATTEMPT-UNIQUE: two writers of one shard
+    * (speculative task attempts, task retries) each write their own tmp
+    * in full, so no commit can ever rename interleaved half-writes into
+    * place — and because any two legitimate writers of one shard merge
+    * the same batch into the same stored filter, whichever rename wins
+    * commits identical bytes. Tmps are left in place only between their
+    * write and the rename (dead attempts can orphan theirs — rare, and
+    * absorbed by the fallback's newest-first scan), and probe reads
+    * fall back to them — see class doc. No post-commit tmp cleanup: a
+    * sweep could delete a CONCURRENT attempt's in-flight tmp between
+    * its write and rename, failing its commit after it already removed
+    * dst — the one interleaving that could leave dst absent. (Shared
+    * with [[BandIndex]]'s meta pointer.) */
+  private[dedup] def atomicWrite(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit = {
+    val tmp = dst.suffix(s".${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     if (!fs.rename(tmp, dst)) {
@@ -116,18 +127,23 @@ object ShardedBloom {
     } else {
       // dst missing: either the shard was never written (no digests —
       // absent is the truth) or we're inside the delete→rename window
-      // of a rename-over-unsupported FS, where the .tmp is the fully
-      // written merge result. A TORN tmp (crash mid-write) can only
-      // exist when dst was never renamed into place, i.e. before that
-      // batch's docs ever appended (filters commit first) — so treating
-      // an unreadable tmp as absent still upholds the superset
+      // of a rename-over-unsupported FS, where a tmp is the fully
+      // written merge result (tmp names are attempt-unique — glob for
+      // them, newest first: an older orphan could predate digests the
+      // in-flight merge carries). A TORN tmp (crash mid-write) can
+      // only exist when dst was never renamed into place, i.e. before
+      // that batch's docs ever appended (filters commit first) — so
+      // treating an unreadable tmp as absent still upholds the superset
       // invariant over the docs actually in the corpus.
-      val t = dst.suffix(".tmp")
-      if (!fs.exists(t)) None
-      else try {
-        val in = fs.open(t)
-        Some(try BloomFilter.readFrom(in) finally in.close())
-      } catch { case _: Exception => None }
+      val tmps = try fs.globStatus(dst.suffix(".*.tmp"))
+        catch { case _: Exception => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      Option(tmps).getOrElse(Array.empty)
+        .sortBy(-_.getModificationTime).iterator.flatMap { st =>
+        try {
+          val in = fs.open(st.getPath)
+          Some(try BloomFilter.readFrom(in) finally in.close())
+        } catch { case _: Exception => None }
+      }.nextOption()
     }
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.dedup.{Dedup, ShardedBloom}
+import graft.dedup.{BandIndex, Dedup, ShardedBloom}
 
 /** Continuously build an exact-deduped corpus from a landing stream —
   * the streaming face of the incremental-dedup family (q52 band table,
@@ -24,9 +24,9 @@ import graft.dedup.{Dedup, ShardedBloom}
   * which would silently re-admit existing content on replay. The digest
   * is stored as a COLUMN of the corpus table itself, so the verify's
   * source of truth rides the same atomic append as the data (no sidecar
-  * split-brain); the per-batch probe reads only that column
-  * (column-pruned parquet scan), and AQE eliminates the scan entirely
-  * for batches with no probe hits.
+  * split-brain); the per-batch verify reads only that column
+  * (column-pruned parquet scan), only for probe-HIT digests, and AQE
+  * eliminates the scan entirely for batches with no probe hits.
   *
   * Filter capacity (`expectedItems`/`fpp`) is declared per corpus;
   * outgrowing it only raises the false-positive rate — more exact-verify
@@ -58,9 +58,11 @@ object CorpusBuilder {
   /** Near-dup gate parameters: word-`shingleK`-gram MinHash signatures
     * of `k` rows in `bands` LSH bands; a doc is dropped when a
     * candidate's signature agrees on ≥ `minAgree` of the k rows (the
-    * MinHash estimate of Jaccard similarity). */
+    * MinHash estimate of Jaccard similarity). `indexBuckets` shapes the
+    * persisted band index's directory layout ([[graft.dedup.BandIndex]])
+    * — more buckets prune the per-batch probe scan harder. */
   final case class NearDup(shingleK: Int = 3, k: Int = 64, bands: Int = 16,
-      minAgree: Double = 0.8)
+      minAgree: Double = 0.8, indexBuckets: Int = 64)
 
   /** Start the streaming build: NDJSON docs under `landingGlob` →
     * exact-deduped corpus under `corpusDir` (docs parquet + bloom
@@ -217,9 +219,15 @@ object CorpusBuilder {
       val fresh = !modeSwitch &&
         ShardedBloom.readMeta(spark, corpusDir).contains(declared) &&
         ShardedBloom.layoutExists(spark, corpusDir, declared)
-      if (!fresh)
+      if (!fresh) {
         ShardedBloom.rebuild(corpusHashes(spark, docsDir), "__h",
           corpusDir, declared)
+        // take single ownership NOW, not at the next commit — leaving
+        // bloom.bin in place keeps modeSwitch true, and a stream of
+        // all-duplicate batches (which never commit) would repeat this
+        // corpus-wide rebuild on every micro-batch
+        Files.deleteIfExists(Paths.get(corpusDir, "bloom.bin"))
+      }
       Some(declared)
     }
 
@@ -236,8 +244,16 @@ object CorpusBuilder {
       expectedItems: Long, fpp: Double): Option[Array[Byte]] = {
     val corpusDir = bloomPath.getParent.toString
     val modeSwitch = ShardedBloom.readMeta(spark, corpusDir).isDefined
-    if (hasDocs && (modeSwitch || !Files.exists(bloomPath)))
-      Some(filterFromCorpus(spark, docsDir, expectedItems, fpp))
+    if (hasDocs && (modeSwitch || !Files.exists(bloomPath))) {
+      val rebuilt = filterFromCorpus(spark, docsDir, expectedItems, fpp)
+      // persist the rebuild and take single ownership NOW, not at the
+      // next commit — a stream of all-duplicate batches (which never
+      // commit) would otherwise repeat this corpus-wide rebuild on
+      // every micro-batch
+      writeFilter(bloomPath, rebuilt)
+      ShardedBloom.deleteStore(spark, corpusDir)
+      Some(rebuilt)
+    }
     else if (Files.exists(bloomPath)) Some(Files.readAllBytes(bloomPath))
     else None
   }
@@ -261,12 +277,31 @@ object CorpusBuilder {
     spark.read.option("mergeSchema", "true").parquet(docsDir)
       .select(col(DigestCol).as("digest"))
 
+  /** Single-writer tmp+rename of the monolithic filter (the driver's
+    * foreachBatch is serial per corpus, so a fixed tmp name is safe
+    * here — unlike the executor-side shard writes). */
+  private def writeFilter(bloomPath: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+    val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Persist one batch under the superset invariant: merge the batch's
     * digests into the stored filter FIRST, then append the docs. Shared
     * by both gate modes, so switching modes on one corpus keeps the
     * filter a superset and exact-mode probes stay correct. */
   private def commitBatch(spark: SparkSession, staged: DataFrame, docsDir: String,
       bloomPath: java.nio.file.Path, stored: Option[Array[Byte]],
+      expectedItems: Long, fpp: Double): Unit = {
+    persistMergedFilter(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
+    staged.write.mode("append").parquet(docsDir)
+  }
+
+  /** The filter half of [[commitBatch]] — the near-dup path interleaves
+    * its band-index append between this and the docs write. */
+  private def persistMergedFilter(spark: SparkSession, staged: DataFrame,
+      docsDir: String, bloomPath: java.nio.file.Path, stored: Option[Array[Byte]],
       expectedItems: Long, fpp: Double): Unit = {
     val bits = Dedup.bloomBits(expectedItems, fpp)
     def batchFilter = staged.agg(call_function("graft_bloom_agg",
@@ -296,11 +331,7 @@ object CorpusBuilder {
           }
         }
     }
-    val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
-    Files.write(tmp, merged)
-    Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    staged.write.mode("append").parquet(docsDir)
+    writeFilter(bloomPath, merged)
   }
 
   /** NEAR-DUP variant of [[appendNew]]: beyond exact-content drops, a
@@ -314,13 +345,29 @@ object CorpusBuilder {
     * and the corpus stays exactly-once by content.
     *
     * Storage model: digest AND signature are COLUMNS of the corpus
-    * table, so the probe's source of truth rides the same atomic append
-    * as the data — no band-table split-brain on a crash. The per-batch
-    * probe re-bands the corpus' (id, sig) projection: a column-pruned
-    * scan, no shingle recompute. At corpus scale, materialize
-    * [[Dedup.banded]] of that projection as a derived index
-    * (rebuildable from the table, like the IVF store) and pass it to
-    * [[Dedup.incrementalCandidates]] directly.
+    * table — the recoverable source of truth rides the same atomic
+    * append as the data. The per-batch PROBE, though, never touches the
+    * corpus table unconditionally; both gates are candidate-routed
+    * derived-store probes whose per-batch cost tracks the BATCH size:
+    *
+    *   - exact: the bloom store (plan-literal or sharded, same as
+    *     [[appendNew]]) routes — only probe-HIT digests (true dups +
+    *     fpp·batch false positives) reach the corpus digest column,
+    *     via a broadcast semi-join AQE eliminates when nothing hit;
+    *   - near-dup: the batch's bands probe the PERSISTED
+    *     [[graft.dedup.BandIndex]] — the batch's touched buckets arrive
+    *     as `PartitionFilters`, the batch side is broadcast, and the
+    *     index (rebuildable from the table's (id, sig) projection any
+    *     time) is appended to on every commit, so the corpus is never
+    *     re-banded.
+    *
+    * Commit order per batch: bloom filter → band index → docs, so both
+    * derived stores are always SUPERSETS of the corpus. A crash between
+    * index and docs leaves GHOST band rows; a replayed batch row is
+    * `(id, sig)`-identical to its ghost and must not be dropped by it —
+    * the probe anti-joins candidates against the batch's own (id, sig)
+    * pairs. (Corpus docs merely sharing an id keep gating: their sig
+    * differs, and same-content collisions are the digest gate's job.)
     *
     * Docs too short to shingle (< shingleK tokens) carry a null
     * signature and are gated by exact content only. Needs a
@@ -332,6 +379,7 @@ object CorpusBuilder {
     import graft.text.TextFunctions.tokens
     val docsDir = s"$corpusDir/docs"
     Files.createDirectories(Paths.get(corpusDir))
+    val hasDocs = Files.exists(Paths.get(docsDir))
     val minMatches = math.ceil(nd.minAgree * nd.k).toInt
     def agrees(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       Dedup.sigMatches(a, b) >= minMatches
@@ -354,28 +402,56 @@ object CorpusBuilder {
     val withinDrop = Dedup.lshCandidatesWithSigs(batchSigs, idCol, SigCol, nd.bands)
       .filter(agrees(col("siga"), col("sigb")))
       .select(col("b").as("__drop"))
-    val corpusDrops =
-      if (!Files.exists(Paths.get(docsDir))) Nil
+    // both derived stores resolve BEFORE the gate (rebuild-then-flip on
+    // resize / mode switch / loss), and the gate and commit share them
+    val bloomPath = Paths.get(corpusDir, "bloom.bin")
+    val monoStored: Option[Array[Byte]] =
+      if (numShards <= 1)
+        monolithicFilter(spark, bloomPath, docsDir, hasDocs, expectedItems, fpp)
+      else None
+    val shardSpec: Option[ShardedBloom.Spec] =
+      if (numShards > 1)
+        resolveSharded(spark, corpusDir, docsDir, hasDocs,
+          ShardedBloom.Spec(numShards, expectedItems, fpp))
+      else None
+    val bandSpec = BandIndex.Spec(nd.bands, nd.indexBuckets)
+    val bandReady = resolveBandIndex(spark, corpusDir, docsDir, hasDocs,
+      idCol, bandSpec)
+    val corpusDrops: Seq[DataFrame] =
+      if (!hasDocs) Nil
       else {
-        // mergeSchema: a corpus first built in exact mode has no SigCol
-        // in its older files — a single-footer read could either throw
-        // (all files exact-era) or silently drop the column (mixed);
-        // merged, exact-era rows simply carry a null signature and are
-        // gated by digest alone.
-        val corpus = spark.read.option("mergeSchema", "true").parquet(docsDir)
+        // EXACT pre-gate: bloom probe routes — only probe-hit digests
+        // (batch-sized) reach the corpus digest column, via a broadcast
+        // semi-join that AQE eliminates when nothing hit (the
+        // [[Dedup.bloomNewDocs]] contract, kept here in drop-id shape)
+        val hits =
+          if (numShards <= 1)
+            staged.filter(call_function("graft_bloom_contains",
+              lit(monoStored.get), xxhash64(col(DigestCol))))
+          else
+            ShardedBloom.probeHits(
+              staged.withColumn("__h", xxhash64(col(DigestCol))), "__h",
+              corpusDir, shardSpec.get)
+              .filter(col("__hit"))
+        val cand = hits.select(col(DigestCol).as("__cand")).distinct()
+        val dup = corpusDigests(spark, docsDir)
+          .join(broadcast(cand), col("digest") === col("__cand"), "left_semi")
+          .select(col("digest").as("__dup"))
         val exactDrop = staged
-          .join(corpus.select(col(DigestCol).as("__cd")),
-            col(DigestCol) === col("__cd"), "left_semi")
+          .join(broadcast(dup), col(DigestCol) === col("__dup"), "left_semi")
           .select(col(idCol).as("__drop"))
         val nearDrop =
-          if (!corpus.columns.contains(SigCol)) Nil
+          if (!bandReady) Nil
           else {
-            val corpusBands = Dedup.banded(
-              corpus.filter(col(SigCol).isNotNull).select(col(idCol), col(SigCol)),
-              idCol, SigCol, nd.bands)
-            Seq(Dedup.incrementalCandidates(batchSigs, corpusBands,
-                idCol, SigCol, nd.bands)
+            val cands = BandIndex.probe(batchSigs, idCol, SigCol, corpusDir, bandSpec)
               .filter(agrees(col("nsig"), col("csig")))
+            // ghost absorb — see scaladoc: a candidate (id, sig)-equal
+            // to a batch row is this batch's own crash-window ghost
+            val ghosts = batchSigs
+              .select(col(idCol).as("__gid"), col(SigCol).as("__gsig"))
+            Seq(cands.join(broadcast(ghosts),
+                col("corpus_id") === col("__gid") && col("csig") === col("__gsig"),
+                "left_anti")
               .select(col("new_id").as("__drop")))
           }
         exactDrop +: nearDrop
@@ -385,30 +461,54 @@ object CorpusBuilder {
       staged.join(broadcast(drops), col(idCol) === col("__drop"), "left_anti"))
     val appended = fresh.count()
     if (appended > 0) {
-      // same commit path as exact mode: the digest filter stays a
-      // SUPERSET of corpus digests across gate modes, so a later
-      // exact-mode run on this corpus probes correctly
+      // commit order: bloom → band index → docs (superset invariant for
+      // both derived stores; the digest filter also stays a superset
+      // across gate modes, so a later exact-mode run probes correctly)
       if (numShards <= 1) {
-        val stored = monolithicFilter(spark, Paths.get(corpusDir, "bloom.bin"),
-          docsDir, Files.exists(Paths.get(docsDir)), expectedItems, fpp)
-        commitBatch(spark, fresh, docsDir, Paths.get(corpusDir, "bloom.bin"),
-          stored, expectedItems, fpp)
+        persistMergedFilter(spark, fresh, docsDir, bloomPath, monoStored,
+          expectedItems, fpp)
         ShardedBloom.deleteStore(spark, corpusDir)
       } else {
-        val declared = ShardedBloom.Spec(numShards, expectedItems, fpp)
-        // resize / mode switch / lost layout rebuild-then-flip first,
-        // exactly like the exact-mode path
-        resolveSharded(spark, corpusDir, docsDir,
-          Files.exists(Paths.get(docsDir)), declared)
         ShardedBloom.mergeBatch(
           fresh.withColumn("__h", xxhash64(col(DigestCol))), "__h",
-          corpusDir, declared)
-        fresh.write.mode("append").parquet(docsDir)
-        Files.deleteIfExists(Paths.get(corpusDir, "bloom.bin"))
+          corpusDir, shardSpec.getOrElse(
+            ShardedBloom.Spec(numShards, expectedItems, fpp)))
+        Files.deleteIfExists(bloomPath)
       }
+      BandIndex.append(fresh.filter(col(SigCol).isNotNull)
+        .select(col(idCol), col(SigCol)), idCol, SigCol, corpusDir, bandSpec)
+      fresh.write.mode("append").parquet(docsDir)
     }
     appended
   }
+
+  /** Resolve the ACTIVE band index against the corpus, rebuilding from
+    * the stored (id, sig) projection whenever the layout can't be
+    * trusted: first near-dup run on a corpus with signature history, a
+    * banding/bucketing param change (fresh layout + atomic pointer
+    * flip), or a layout lost out-of-band. Returns false when the corpus
+    * has no signature column at all (exact-era corpus — nothing to
+    * probe; the first near-dup commit will create the index). */
+  private def resolveBandIndex(spark: SparkSession, corpusDir: String,
+      docsDir: String, hasDocs: Boolean, idCol: String,
+      spec: BandIndex.Spec): Boolean =
+    if (!hasDocs) false
+    else {
+      // mergeSchema: a corpus first built in exact mode has no SigCol
+      // in its older files — a single-footer read could either throw
+      // (all files exact-era) or silently drop the column (mixed)
+      val corpus = spark.read.option("mergeSchema", "true").parquet(docsDir)
+      if (!corpus.columns.contains(SigCol)) false
+      else {
+        val fresh = BandIndex.readMeta(spark, corpusDir).contains(spec) &&
+          BandIndex.layoutExists(spark, corpusDir, spec)
+        if (!fresh)
+          BandIndex.rebuild(
+            corpus.filter(col(SigCol).isNotNull).select(col(idCol), col(SigCol)),
+            idCol, SigCol, corpusDir, spec)
+        true
+      }
+    }
 
   /** Union of two serialized filters (both sides were sized with the
     * same expectedItems/fpp, so the bitsets are compatible). */

@@ -50,6 +50,37 @@ class PlanShapeSpec extends SparkSpec {
       s"cluster predicate must be a partition filter, got:\n$scanPart")
   }
 
+  test("band index probe arrives as PartitionFilters on __bk (streaming near-dup gate shape)") {
+    import graft.dedup.{BandIndex, Dedup}
+    import graft.text.TextFunctions.tokens
+    val dir = tmpDir("plan-bands")
+    val spec = BandIndex.Spec(bands = 8, buckets = 16)
+    def sigged(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("sig", call_function("graft_minhash_mix",
+        array_distinct(call_function("graft_shingles", tokens(col("text")), lit(3))),
+        lit(32)))
+      .select(col("doc_id"), col("sig"))
+    val corpusSigs = sigged((0L until 30L).map(i =>
+      (i, (1 to 40).map(j => s"w${i}_$j").mkString(" "))))
+    BandIndex.rebuild(corpusSigs, "doc_id", "sig", dir, spec)
+    val batchSigs = sigged(Seq((100L, (1 to 40).map(j => s"w5_$j").mkString(" "))))
+    val probe = BandIndex.probe(batchSigs, "doc_id", "sig", dir, spec)
+    val plan = formatted(probe)
+    val scanPart = plan.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).mkString("\n")
+    assert(scanPart.contains("__bk"),
+      s"band index scan must carry a __bk PartitionFilter, plan:\n$plan")
+    // the batch side broadcasts; the index side never shuffles
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"band probe must broadcast the batch side, plan:\n$plan")
+    // and the probe finds the planted near-dup
+    assert(probe.count() >= 1L)
+    assert(Dedup.incrementalCandidates(batchSigs,
+      Dedup.banded(corpusSigs, "doc_id", "sig", spec.bands),
+      "doc_id", "sig", spec.bands).count() == probe.count(),
+      "the persisted-index probe must match the direct re-banding probe")
+  }
+
   test("ingest append rebalance-clusters by __part before the partitioned write (q33 shape)") {
     import graft.ingest.TableSink
     import graft.schema.SchemaRegistry

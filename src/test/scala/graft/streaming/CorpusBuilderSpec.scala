@@ -78,6 +78,68 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(CorpusBuilder.appendNearDupNew(spark, b2, corpus, "doc_id", "text", nd) == 0L)
   }
 
+  test("near-dup gate maintains a persisted band index; loss and param changes rebuild it") {
+    import graft.dedup.BandIndex
+    val nd = CorpusBuilder.NearDup()
+    val corpus = tmpDir("band-index-corpus")
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val other = (1 to 100).map(i => s"v$i").mkString(" ")
+    val b1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNearDupNew(spark, b1, corpus, "doc_id", "text", nd) == 2L)
+    val spec = BandIndex.Spec(nd.bands, nd.indexBuckets)
+    assert(BandIndex.readMeta(spark, corpus).contains(spec),
+      "a near-dup commit must declare the band index")
+    assert(BandIndex.layoutExists(spark, corpus, spec))
+    // near-dup of corpus doc 1: dropped via the index probe
+    val b2 = Seq((10L, base.replace("w100", "changed"))).toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNearDupNew(spark, b2, corpus, "doc_id", "text", nd) == 0L)
+    // lose the index out-of-band: the gate must rebuild it from the
+    // corpus' stored (id, sig) columns and still drop the near-dup
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(corpus, spec.layoutDir))
+      .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    assert(CorpusBuilder.appendNearDupNew(spark, b2, corpus, "doc_id", "text", nd) == 0L)
+    assert(BandIndex.layoutExists(spark, corpus, spec), "lost index must be rebuilt")
+    // banding param change: rebuild into a fresh layout, atomic pointer
+    // flip, superseded layout garbage-collected
+    val nd2 = nd.copy(bands = 8)
+    assert(CorpusBuilder.appendNearDupNew(spark, b2, corpus, "doc_id", "text", nd2) == 0L)
+    val spec2 = BandIndex.Spec(8, nd.indexBuckets)
+    assert(BandIndex.readMeta(spark, corpus).contains(spec2))
+    assert(BandIndex.layoutExists(spark, corpus, spec2))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, spec.layoutDir)),
+      "superseded band layout must be garbage-collected after the flip")
+  }
+
+  test("ghost band rows (crash between index append and docs append) never drop the replay") {
+    import graft.dedup.BandIndex
+    import graft.text.TextFunctions.tokens
+    val nd = CorpusBuilder.NearDup()
+    val corpus = tmpDir("ghost-corpus")
+    val seed = (1 to 60).map(i => s"s$i").mkString(" ")
+    assert(CorpusBuilder.appendNearDupNew(spark,
+      Seq((1L, seed)).toDF("doc_id", "text"), corpus, "doc_id", "text", nd) == 1L)
+    // simulate the crash window: the batch's band rows land in the
+    // index, the docs append never happens
+    val base = (1 to 100).map(i => s"g$i").mkString(" ")
+    val spec = BandIndex.Spec(nd.bands, nd.indexBuckets)
+    val ghostSigs = Seq((7L, base)).toDF("doc_id", "text")
+      .withColumn("__sig", call_function("graft_minhash_mix",
+        array_distinct(call_function("graft_shingles",
+          tokens(col("text")), lit(nd.shingleK))), lit(nd.k)))
+      .select(col("doc_id"), col("__sig"))
+    BandIndex.append(ghostSigs, "doc_id", "__sig", corpus, spec)
+    // replay of that batch: the doc is (id, sig)-identical to its ghost
+    // and must be ADMITTED, not dropped by its own crash artifact
+    assert(CorpusBuilder.appendNearDupNew(spark,
+      Seq((7L, base)).toDF("doc_id", "text"), corpus, "doc_id", "text", nd) == 1L,
+      "a replayed batch must not be dropped by its own ghost band rows")
+    // and now that the doc REALLY landed, its near-dups gate normally
+    assert(CorpusBuilder.appendNearDupNew(spark,
+      Seq((8L, base.replace("g100", "changed"))).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", nd) == 0L)
+  }
+
   test("gate modes interoperate on one corpus; filter resize rebuilds instead of crashing") {
     val nd = CorpusBuilder.NearDup()
     val corpus = tmpDir("mode-mix-corpus")
@@ -219,11 +281,14 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(ShardedBloom.readMeta(spark, corpus).isEmpty,
       "a monolithic commit must delete the sharded store")
     // switch BACK to sharded: bloom.bin exists but no sharded meta —
-    // full rebuild again; every doc from both eras must be dropped
+    // full rebuild again; every doc from both eras must be dropped.
+    // The rebuild itself takes ownership (bloom.bin deleted) even
+    // though this all-duplicate batch never commits — otherwise every
+    // all-dup batch would repeat the corpus-wide rebuild
     assert(append(b1 ++ b2, shards = 4) == 0L,
       "mode switches must never re-admit stored content")
-    // sharded saw nothing new → no commit ran → bloom.bin still owns
-    // the corpus; a sharded append WITH new content takes ownership
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "bloom.bin")),
+      "a sharded rebuild must take single ownership immediately")
     val b3 = Seq((40L, "late sharded doc"))
     assert(append(b1 ++ b3, shards = 4) == 1L)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "bloom.bin")),
