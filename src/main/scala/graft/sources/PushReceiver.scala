@@ -213,9 +213,10 @@ object PushReceiver {
     *     legitimate);
     *   - has a valid HMAC-SHA256 signature over `header.payload`,
     *     compared constant-time like [[bearerToken]];
-    *   - is within its validity window: `exp` strictly in the future
-    *     and `nbf` not in the future, when present (both NumericDate
-    *     seconds, RFC 7519 §4.1.4-5);
+    *   - is within its validity window: `exp` REQUIRED and strictly in
+    *     the future (a token minted without exp would be valid forever
+    *     — every legitimate issuer sets it), `nbf` not in the future
+    *     when present (both NumericDate seconds, RFC 7519 §4.1.4-5);
     *   - carries every claim in `requiredClaims` with exactly the
     *     given textual value (pin `iss`/`aud` here).
     *
@@ -240,7 +241,7 @@ object PushReceiver {
           val claims = mapper.readTree(dec.decode(p))
           header.path("alg").asText() == "HS256" &&
             java.security.MessageDigest.isEqual(dec.decode(s), expected) &&
-            (!claims.has("exp") || claims.path("exp").asLong() > nowEpochSeconds()) &&
+            claims.path("exp").isNumber && claims.path("exp").asLong() > nowEpochSeconds() &&
             (!claims.has("nbf") || claims.path("nbf").asLong() <= nowEpochSeconds()) &&
             requiredClaims.forall { case (k, v) =>
               claims.path(k).isTextual && claims.path(k).asText() == v
@@ -252,6 +253,108 @@ object PushReceiver {
       val vs = ex.getRequestHeaders.get("Authorization")
       vs != null && vs.stream().anyMatch(v =>
         v.startsWith("Bearer ") && verify(v.substring("Bearer ".length)))
+    }
+  }
+
+  /** RS256-over-JWKS bearer validator — the reference's documented
+    * PRODUCTION auth for Pub/Sub push deployments
+    * (`docs/rule.md:252-283`: `io.jwt.verify_rs256` against Google's
+    * JWKS, with pinned `iss` and `email` claims). Google signs push ID
+    * tokens with ITS keys, so a shared-secret validator ([[jwtBearer]])
+    * can never verify them; this one holds only PUBLIC keys.
+    *
+    * `jwks` supplies the JWK Set JSON (`{"keys":[{kty,kid,n,e,…},…]}`)
+    * — in production a fetch of
+    * `https://www.googleapis.com/oauth2/v3/certs`, wrapped in
+    * [[cachedSupplier]] for the reference policy's
+    * `force_cache_duration_seconds: 3600` behavior; in tests, a local
+    * fixture. The supplier is consulted per request (rotation works
+    * without a restart); any supplier/parse failure means "deny all",
+    * never an exception.
+    *
+    * Token checks mirror the reference policy exactly:
+    *
+    *   - header `alg` must be `RS256` (`none`/HS* downgrades rejected);
+    *   - signature: SHA256withRSA over `header.payload`, verified with
+    *     the JWK matching the header's `kid` — or, when the token
+    *     carries no kid, any RSA key in the set (JWKS rotation keeps
+    *     old+new published);
+    *   - `exp` REQUIRED and strictly in the future, `nbf` not in the
+    *     future when present — same window rules as [[jwtBearer]];
+    *   - every `requiredClaims` entry present with exactly the given
+    *     textual value (pin `iss` to `https://accounts.google.com` and
+    *     `email` to the push service account, per the reference doc).
+    *
+    * Failures are indistinguishable to the caller (all 401). */
+  def jwtBearerRs256(jwks: () => String,
+      requiredClaims: Map[String, String] = Map.empty,
+      nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L)
+      : HttpExchange => Boolean = {
+    val mapper = new ObjectMapper
+    def keysFor(kid: Option[String]): Seq[java.security.PublicKey] =
+      try {
+        val dec = java.util.Base64.getUrlDecoder
+        val kf = java.security.KeyFactory.getInstance("RSA")
+        val keys = mapper.readTree(jwks()).path("keys")
+        (0 until keys.size).iterator.map(keys.get)
+          .filter(k => k.path("kty").asText() == "RSA")
+          .filter(k => kid.forall(_ == k.path("kid").asText()))
+          .flatMap { k =>
+            try Some(kf.generatePublic(new java.security.spec.RSAPublicKeySpec(
+              new java.math.BigInteger(1, dec.decode(k.path("n").asText())),
+              new java.math.BigInteger(1, dec.decode(k.path("e").asText())))))
+            catch { case _: Exception => None } // one bad key ≠ deny the set
+          }.toSeq
+      } catch { case _: Exception => Nil } // unreachable/garbled JWKS → deny
+    def verify(token: String): Boolean = token.split('.') match {
+      case Array(h, p, s) =>
+        try {
+          val dec = java.util.Base64.getUrlDecoder
+          val header = mapper.readTree(dec.decode(h))
+          val claims = mapper.readTree(dec.decode(p))
+          val kid = Option(header.path("kid").asText(null)).filter(_.nonEmpty)
+          val sigBytes = dec.decode(s)
+          val signed = s"$h.$p".getBytes(UTF_8)
+          header.path("alg").asText() == "RS256" &&
+            keysFor(kid).exists { key =>
+              // Signature instances are not thread-safe — one per check
+              val sig = java.security.Signature.getInstance("SHA256withRSA")
+              sig.initVerify(key)
+              sig.update(signed)
+              try sig.verify(sigBytes) catch { case _: Exception => false }
+            } &&
+            claims.path("exp").isNumber && claims.path("exp").asLong() > nowEpochSeconds() &&
+            (!claims.has("nbf") || claims.path("nbf").asLong() <= nowEpochSeconds()) &&
+            requiredClaims.forall { case (k, v) =>
+              claims.path(k).isTextual && claims.path(k).asText() == v
+            }
+        } catch { case _: Exception => false }
+      case _ => false
+    }
+    ex => {
+      val vs = ex.getRequestHeaders.get("Authorization")
+      vs != null && vs.stream().anyMatch(v =>
+        v.startsWith("Bearer ") && verify(v.substring("Bearer ".length)))
+    }
+  }
+
+  /** Memoize a JWKS fetch for `ttlSeconds` — the reference policy's
+    * `force_cache`/`force_cache_duration_seconds` knob
+    * (`docs/rule.md:253-258`). Thread-safe; a throwing fetch is not
+    * cached (the next request retries), and [[jwtBearerRs256]] treats
+    * the propagated failure as deny. */
+  def cachedSupplier(ttlSeconds: Long, fetch: () => String,
+      nowMillis: () => Long = () => System.currentTimeMillis()): () => String = {
+    val ref = new java.util.concurrent.atomic.AtomicReference[(Long, String)]()
+    () => {
+      val cur = ref.get()
+      val now = nowMillis()
+      if (cur != null && now - cur._1 < ttlSeconds * 1000L) cur._2
+      else {
+        val v = fetch()
+        ref.set((now, v))
+        v
+      }
     }
   }
 

@@ -110,7 +110,10 @@ class PushReceiverSpec extends SparkSpec {
       heap = 50L
       assert(code(good) == 204)
       assert(code(sign(hs256, claims(now - 10))) == 401, "expired token")
-      assert(code(sign(hs256, s"""{"iss":"notifier","nbf":${now + 3600}}""")) == 401,
+      assert(code(sign(hs256, s"""{"iss":"notifier"}""")) == 401,
+        "missing exp (a forever token) rejected")
+      assert(code(sign(hs256,
+        s"""{"iss":"notifier","exp":${now + 3600},"nbf":${now + 3600}}""")) == 401,
         "not-yet-valid (nbf in the future)")
       assert(code(sign(hs256, claims(now + 3600, iss = "intruder"))) == 401,
         "wrong pinned claim")
@@ -122,6 +125,96 @@ class PushReceiverSpec extends SparkSpec {
       assert(code("...") == 401, "garbage token never throws")
       assert(spoolFiles(spool).size == 1) // only the one authorized, under-limit push
     } finally rx.stop()
+  }
+
+  test("jwt auth: RS256 over a JWKS — kid routing, downgrades, required exp, pinned claims") {
+    // ≡ reference docs/rule.md:252-283 (io.jwt.verify_rs256 against
+    // Google's JWKS with pinned iss/email) — the production push auth
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val kpA = gen.generateKeyPair()
+    val kpB = gen.generateKeyPair()
+    val kpEvil = gen.generateKeyPair() // a keypair NOT in the JWKS
+    def b64(bytes: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding().encodeToString(bytes)
+    def b64s(s: String): String = b64(s.getBytes(UTF_8))
+    def jwk(kid: String, kp: java.security.KeyPair): String = {
+      val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+      def uint(b: java.math.BigInteger) = { // JWK wants unsigned big-endian
+        val raw = b.toByteArray
+        b64(if (raw(0) == 0) raw.tail else raw)
+      }
+      s"""{"kty":"RSA","alg":"RS256","use":"sig","kid":"$kid",""" +
+        s""""n":"${uint(pub.getModulus)}","e":"${uint(pub.getPublicExponent)}"}"""
+    }
+    def sign(header: String, payload: String, kp: java.security.KeyPair): String = {
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
+      sig.initSign(kp.getPrivate)
+      sig.update(s"${b64s(header)}.${b64s(payload)}".getBytes(UTF_8))
+      s"${b64s(header)}.${b64s(payload)}.${b64(sig.sign())}"
+    }
+    val now = System.currentTimeMillis() / 1000L
+    val iss = "https://accounts.google.com"
+    val email = "my-pubsub@my-project.iam.gserviceaccount.com"
+    def claims(exp: String = s""""exp":${now + 3600},""") =
+      s"""{$exp"iss":"$iss","email":"$email"}"""
+    // mutable supplier: the validator re-reads it per request (rotation
+    // / outage behavior testable on one receiver)
+    var jwks = s"""{"keys":[${jwk("a", kpA)},${jwk("b", kpB)}]}"""
+    val spool = tmpDir("push-rs256")
+    val rx = new PushReceiver(spool, auth = PushReceiver.jwtBearerRs256(
+      () => jwks, Map("iss" -> iss, "email" -> email))).start()
+    try {
+      val body = envelope("b", "o.log")
+      def code(tok: String) =
+        postAuth(rx.boundPort, body, Some(s"Bearer $tok")).statusCode()
+      val rs = """{"alg":"RS256"}"""
+      assert(code(sign("""{"alg":"RS256","kid":"b"}""", claims(), kpB)) == 204,
+        "kid-routed Google-style token accepted")
+      assert(code(sign("""{"alg":"RS256","kid":"b"}""", claims(), kpA)) == 401,
+        "kid routes to exactly its key — a cross-signed token fails")
+      assert(code(sign(rs, claims(), kpA)) == 204,
+        "no kid: any published set key may verify (rotation overlap)")
+      assert(code(sign("""{"alg":"RS256","kid":"zzz"}""", claims(), kpA)) == 401,
+        "unknown kid")
+      assert(code(sign(rs, claims(), kpEvil)) == 401, "key outside the set")
+      assert(code(sign("""{"alg":"none"}""", claims(), kpA)) == 401, "alg none")
+      assert(code(sign("""{"alg":"HS256"}""", claims(), kpA)) == 401,
+        "alg-confusion downgrade rejected outright")
+      assert(code(sign(rs, claims(s""""exp":${now - 10},"""), kpA)) == 401, "expired")
+      assert(code(sign(rs, claims(""), kpA)) == 401,
+        "missing exp (a forever token) rejected")
+      assert(code(sign(rs, s"""{"exp":${now + 3600},"nbf":${now + 3600},"iss":"$iss","email":"$email"}""",
+        kpA)) == 401, "not yet valid")
+      assert(code(sign(rs, s"""{"exp":${now + 3600},"iss":"$iss","email":"intruder@evil.example"}""",
+        kpA)) == 401, "wrong pinned email")
+      assert(code(sign(rs, s"""{"exp":${now + 3600},"iss":"evil","email":"$email"}""",
+        kpA)) == 401, "wrong pinned iss")
+      // payload tamper: signature covers header.payload
+      val good = sign(rs, claims(), kpA)
+      val Array(h, _, s) = good.split('.')
+      assert(code(s"$h.${b64s(claims().replace(email, "x@evil"))}.$s") == 401, "tampered payload")
+      assert(code("...") == 401, "garbage token never throws")
+      // JWKS outage / garbage: deny-all, not crash; recovery re-admits
+      jwks = "not json at all"
+      assert(code(sign(rs, claims(), kpA)) == 401, "garbled JWKS denies")
+      jwks = s"""{"keys":[${jwk("a", kpA)}]}"""
+      assert(code(sign(rs, claims(), kpA)) == 204, "recovered JWKS re-admits")
+    } finally rx.stop()
+  }
+
+  test("cachedSupplier memoizes for the TTL and does not cache failures") {
+    var now = 0L
+    var calls = 0
+    val s = PushReceiver.cachedSupplier(10L, () => {
+      calls += 1
+      if (calls == 1) sys.error("net down") else s"v$calls"
+    }, () => now)
+    intercept[RuntimeException](s()) // failure propagates (validator denies)…
+    assert(s() == "v2" && calls == 2) // …and was NOT cached
+    assert(s() == "v2" && calls == 2, "within TTL: served from cache")
+    now = 10001L
+    assert(s() == "v3" && calls == 3, "past TTL: refetched")
   }
 
   test("memory guard: deliveries over the heap limit nacked with 429 (T6)") {
