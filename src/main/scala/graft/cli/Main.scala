@@ -36,7 +36,9 @@ object Main {
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
       |  sql     --warehouse <dir> <query>
-      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] <glob>""".stripMargin
+      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] <glob>
+      |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>]) [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -65,11 +67,29 @@ object Main {
   private def req(flags: Map[String, String], k: String): String =
     flags.getOrElse(k, sys.error(s"missing required flag --$k\n$usage"))
 
+  /** Input frame for the curation verbs: with `--warehouse`, a
+    * registry table named `ds.tbl` (partition scaffolding dropped,
+    * like `sql`); otherwise a parquet directory path. */
+  private def readTable(spark: org.apache.spark.sql.SparkSession,
+      flags: Map[String, String], ref: String) =
+    flags.get("warehouse") match {
+      case Some(w) if ref.contains(".") && !ref.contains("/") =>
+        val Array(ds, tbl) = ref.split("\\.", 2)
+        spark.read.parquet(new SchemaRegistry(w).dataDir(ds, tbl)).drop("__part")
+      case _ => spark.read.parquet(ref)
+    }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
-    val (flags, pos) = parse(args.toSeq.tail)
     val spark = GraftSession.get()
-    try args(0) match {
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The dispatch, session-agnostic — `main` owns the session's
+    * lifecycle; tests drive verbs on a shared session. */
+  def run(spark: org.apache.spark.sql.SparkSession, args: Array[String]): Unit = {
+    val (flags, pos) = parse(args.toSeq.tail)
+    args(0) match {
 
       case "ingest" | "i" =>
         require(pos.nonEmpty, "ingest needs at least one object path/glob")
@@ -216,8 +236,45 @@ object Main {
         println(s"corpus rows: " +
           spark.read.parquet(s"${req(flags, "corpus")}/docs").count())
 
+      case "sample" =>
+        // deterministic corpus sampling (q49/q75 operators as a verb —
+        // the reference's one-usecase-one-verb pattern, cmd/cli.go)
+        require(pos.size == 1, "sample needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.col
+        val df = readTable(spark, flags, pos.head)
+        val id = col(flags.getOrElse("id-col", "doc_id"))
+        val sampled =
+          if (flags.contains("per-mille"))
+            graft.curation.Sampling.uniformSample(df, id, flags("per-mille").toInt)
+          else if (flags.contains("strata"))
+            graft.curation.Sampling.stratifiedCap(df,
+              flags("strata").split(",").toSeq, id, req(flags, "cap").toInt)
+          else if (flags.contains("cluster-cap"))
+            graft.sim.Similarity.clusterBalancedSample(df,
+              flags.getOrElse("nlist", "16").toInt, flags("cluster-cap").toInt,
+              idCol = flags.getOrElse("id-col", "vec_id"),
+              vecCol = flags.getOrElse("vec-col", "embedding"))
+          else sys.error(
+            s"sample needs --per-mille, --strata + --cap, or --cluster-cap\n$usage")
+        sampled.write.mode("overwrite").parquet(req(flags, "output"))
+        println(s"sampled rows: " +
+          spark.read.parquet(req(flags, "output")).count())
+
+      case "select" =>
+        // quality-ranked token-budget selection (q76 operator as a verb)
+        require(pos.size == 1, "select needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.col
+        val df = readTable(spark, flags, pos.head)
+        val kept = graft.curation.Sampling.budgetSelect(df,
+          col(flags.getOrElse("id-col", "doc_id")),
+          col(req(flags, "score")), col(req(flags, "weight")),
+          req(flags, "budget").toLong)
+        kept.write.mode("overwrite").parquet(req(flags, "output"))
+        println(s"selected rows: " +
+          spark.read.parquet(req(flags, "output")).count())
+
       case other =>
         System.err.println(s"unknown command '$other'\n$usage"); sys.exit(2)
-    } finally spark.stop()
+    }
   }
 }

@@ -115,11 +115,21 @@ object Sampling {
     * — the result is deterministic on any cluster. The range exchange
     * is shared by the offset aggregate and the final join via Spark's
     * exchange reuse. `weight` must be integral (token counts, bytes):
-    * long arithmetic keeps the fold order-exact. */
+    * long arithmetic keeps the fold order-exact — and it must be
+    * present and non-negative, ENFORCED below: a null weight would ride
+    * the window sum at zero cost, and a negative one makes the
+    * per-partition total diverge from the running sum, silently
+    * corrupting every later partition's offset. Rows violating the
+    * contract fail the job loudly (a budget over corrupt weights is a
+    * wrong training set, not a recoverable row). */
   def budgetSelect(df: DataFrame, idCol: Column, score: Column,
       weight: Column, budget: Long): DataFrame = {
     val keyed = df.withColumn("__score", score)
-      .withColumn("__w", weight.cast("long"))
+      .withColumn("__w", when(weight.isNull || weight.cast("long") < 0,
+          raise_error(concat(lit("budgetSelect: weight must be a " +
+            "non-negative integer, got "),
+            coalesce(weight.cast("string"), lit("NULL")))))
+        .otherwise(weight.cast("long")))
     val ranged = keyed
       .repartitionByRange(col("__score").desc, idCol)
       .sortWithinPartitions(col("__score").desc, idCol)
@@ -132,8 +142,10 @@ object Sampling {
     // over THIS tiny frame, never the data
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // plain sum of weights, not max(__pcum): equal by construction once
+    // the non-negative contract holds, and immune to it if it ever slips
     val offsets = withCum.groupBy(col("__pid"))
-      .agg(max(col("__pcum")).as("__ptot"))
+      .agg(sum(col("__w")).as("__ptot"))
       .withColumn("__offset", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__offset"))
     withCum.join(broadcast(offsets), "__pid")

@@ -169,20 +169,11 @@ object CorpusBuilder {
         .withColumn("__h", xxhash64(col(DigestCol)))
       val fresh = active match {
         case Some(spec) =>
-          // same probe→verify contract as [[Dedup.bloomNewDocs]], with
-          // the probe executor-side against the sharded store.
-          // `flagged` feeds BOTH the candidate (broadcast) side and the
-          // anti-join stream side — materialize it once so the shard
-          // files are read once per batch, not once per plan branch.
-          val flagged = graft.util.Materialize.eager(
-            ShardedBloom.probeHits(hashed, "__h", corpusDir, spec))
-          val cand = flagged.filter(col("__hit"))
-            .select(col(DigestCol).as("__cand")).distinct()
-          val dup = corpusDigests(spark, docsDir)
-            .join(broadcast(cand), col("digest") === col("__cand"), "left_semi")
-            .select(col("digest").as("__dup"))
-          flagged.join(broadcast(dup), col(DigestCol) === col("__dup"), "left_anti")
-            .drop("__hit")
+          // probe→verify against the sharded store — the shared
+          // [[Dedup.shardedNewRows]] core ([[Dedup.bloomNewDocsSharded]]
+          // is its batch-API face); keeps __h for the commit below
+          Dedup.shardedNewRows(hashed, DigestCol, "__h",
+            corpusDigests(spark, docsDir), corpusDir, spec)
         case None => hashed
       }
       val staged = graft.util.Materialize.eager(fresh)

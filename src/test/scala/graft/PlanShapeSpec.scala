@@ -81,6 +81,35 @@ class PlanShapeSpec extends SparkSpec {
       "the persisted-index probe must match the direct re-banding probe")
   }
 
+  test("IVF-PQ store pass 1 is codes-only + PartitionFilters; pass 2 is broadcast-gated (q73 shape)") {
+    val dir = tmpDir("plan-ivfpq") + "/store"
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (cents, books) = Similarity.writeIvfPqStore(emb, dir, nlist = 4, m = 2, ksub = 4)
+    val top = Similarity.ivfPqStoreTopK(spark, dir, cents, books,
+      emb.filter(col("vec_id") < 3), k = 5, nprobe = 2, topC = 10)
+    val plan = formatted(top)
+    // every store scan is pruned to the probed clusters AT THE SCAN
+    val partLines = plan.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).toSeq
+    assert(partLines.nonEmpty && partLines.forall(_.contains("cluster")),
+      s"every store scan must carry a cluster PartitionFilter, got:\n" +
+        s"${partLines.mkString("\n")}\nplan:\n$plan")
+    // pass 1 (ADC) reads codes and NEVER the vector column — PQ's
+    // compression realized as columnar pruning
+    val schemaLines = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema:")).toSeq
+    assert(schemaLines.exists(l => l.contains("codes") && !l.contains("embedding")),
+      s"the ADC pass must scan codes without the vector column, got:\n" +
+        s"${schemaLines.mkString("\n")}\nplan:\n$plan")
+    // pass 2 fetches vectors only through the broadcast candidate join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vector fetch must be broadcast-candidate-gated, plan:\n$plan")
+    // and the composed read path returns real neighbors
+    assert(top.count() > 0)
+  }
+
   test("ingest append rebalance-clusters by __part before the partitioned write (q33 shape)") {
     import graft.ingest.TableSink
     import graft.schema.SchemaRegistry

@@ -1,0 +1,69 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.curation.Sampling
+
+/** Round-trips the curation CLI verbs (`sample`, `select`) against the
+  * library operators they surface — the reference's
+  * one-usecase-one-verb pattern (`pkg/controller/cmd/cli.go`) extended
+  * to the training-data operators. */
+class CliCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 200L)
+    .map(i => (i, s"src${i % 4}", (i % 7).toDouble, 10L + i % 5))
+    .toDF("doc_id", "src", "q", "w")
+
+  test("sample --per-mille and --strata round-trip the library operators") {
+    val dir = tmpDir("cli-sample")
+    corpus.write.parquet(s"$dir/in")
+
+    Main.run(spark, Array("sample", "--per-mille", "250",
+      "--output", s"$dir/uni", s"$dir/in"))
+    val uni = spark.read.parquet(s"$dir/uni")
+    assert(uni.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Sampling.uniformSample(corpus, col("doc_id"), 250)
+        .select("doc_id").as[Long].collect().sorted.toSeq,
+      "the verb must be byte-equivalent to the operator")
+    assert(uni.count() > 0 && uni.count() < 200)
+
+    Main.run(spark, Array("sample", "--strata", "src", "--cap", "10",
+      "--output", s"$dir/cap", s"$dir/in"))
+    val capped = spark.read.parquet(s"$dir/cap")
+    assert(capped.groupBy("src").count().collect()
+      .forall(_.getLong(1) == 10L), "every stratum capped at 10")
+  }
+
+  test("sample --cluster-cap balances an embedding table by IVF cluster") {
+    val dir = tmpDir("cli-cluster")
+    (0L until 80L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/in")
+    Main.run(spark, Array("sample", "--cluster-cap", "5", "--nlist", "4",
+      "--id-col", "vec_id", "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.groupBy("cluster").count().collect()
+      .forall(_.getLong(1) <= 5L), "every cluster capped")
+    assert(out.count() > 0)
+  }
+
+  test("select --budget keeps the greedy score-ordered prefix, via warehouse table ref") {
+    val dir = tmpDir("cli-select")
+    // warehouse-table input path: ds.tbl resolved through the registry
+    val registry = new graft.schema.SchemaRegistry(s"$dir/wh")
+    corpus.withColumn("__part", lit("2024-01-01"))
+      .write.partitionBy("__part").parquet(registry.dataDir("curated", "docs"))
+    Main.run(spark, Array("select", "--budget", "120", "--score", "q",
+      "--weight", "w", "--warehouse", s"$dir/wh",
+      "--output", s"$dir/out", "curated.docs"))
+    val out = spark.read.parquet(s"$dir/out")
+    val direct = Sampling.budgetSelect(corpus, col("doc_id"), col("q"),
+      col("w"), 120L)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      direct.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(out.agg(max("cum_weight")).head.getLong(0) <= 120L)
+    assert(!out.columns.contains("__part"), "partition scaffolding dropped")
+  }
+}

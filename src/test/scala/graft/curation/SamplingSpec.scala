@@ -112,6 +112,24 @@ class SamplingSpec extends SparkSpec {
       s"the data window must be partitioned by the physical partition id, plan:\n$plan")
   }
 
+  test("budgetSelect: null or negative weights fail loudly, never corrupt the prefix") {
+    // a null weight would ride the window sum at zero cost; a negative
+    // one desyncs the per-partition offsets — both are corrupt inputs
+    // and the contract is enforced, not prose
+    val nulled = spark.range(4).select($"id".as("doc_id"),
+      $"id".cast("double").as("q"),
+      when($"id" === 2, lit(null)).otherwise(lit(5L)).as("w"))
+    val e1 = intercept[Exception](
+      Sampling.budgetSelect(nulled, $"doc_id", $"q", $"w", 20L).collect())
+    assert(e1.getMessage.contains("non-negative"), e1.getMessage)
+    val negative = spark.range(4).select($"id".as("doc_id"),
+      $"id".cast("double").as("q"),
+      when($"id" === 1, lit(-3L)).otherwise(lit(5L)).as("w"))
+    val e2 = intercept[Exception](
+      Sampling.budgetSelect(negative, $"doc_id", $"q", $"w", 20L).collect())
+    assert(e2.getMessage.contains("non-negative"), e2.getMessage)
+  }
+
   test("stratifiedCap: cap per stratum, deterministic, small strata intact") {
     val skewed = corpus.filter($"src" =!= "3")
       .union(corpus.filter($"src" === "3").limit(2)) // one tiny stratum
