@@ -444,6 +444,56 @@ object PipelineQueries {
     s.sql(passthroughSql)
   }
 
+  /** q77: schema-rule FAN-OUT — one landing object set, TWO event rules
+    * both matching every object, routing to two destinations (the
+    * reference's set semantics: N matching rules = N parse directives,
+    * `event.go:11-21` / `load.go:213-216`): `all_events` takes every
+    * record; `purchases` filters to `event_type = 'purchase'` via the
+    * schema rule's `when`. Result = per-destination lossless-ness
+    * aggregates, so the oracle hash-checks that fan-out MULTIPLIES
+    * records into each destination (not splits between them) and that
+    * the rule-level filter applied exactly. */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q77")
+    exportNdjson(s, d, s"$work/landing", nParts = 8)
+    val rules = Rules(
+      event = Seq(
+        EventRule(name = "route-all", when = "name LIKE '%.json'",
+          schemaRule = "all"),
+        EventRule(name = "route-purchases", when = "name LIKE '%.json'",
+          schemaRule = "purchases")),
+      schema = Seq(
+        SchemaRule(name = "all", dataset = "'analytics'",
+          table = "'all_events'", partition = "day", timestamp = "ts",
+          id = Some("cast(event_id as string)")),
+        SchemaRule(name = "purchases", dataset = "'analytics'",
+          table = "'purchases'", when = Some("event_type = 'purchase'"),
+          partition = "day", timestamp = "ts",
+          id = Some("cast(event_id as string)"))))
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    Pipeline.ingestPrefix(s, Pipeline.Config(registry, rules),
+      s"$work/landing/part-*")
+    def destAgg(table: String) =
+      TableSink.read(s, registry, "analytics", table)
+        .groupBy(lit(table).as("dest"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("id")).as("distinct_ids"),
+          graft.relational.RelationalQueries.dsum(col("data.value")).as("total_value"))
+    destAgg("all_events").union(destAgg("purchases")).orderBy(col("dest"))
+  }
+
+  val q77Sql: String = s"""
+    SELECT 'all_events' AS dest, COUNT(*) AS n,
+           COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS distinct_ids,
+           ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value
+    FROM events
+    UNION ALL
+    SELECT 'purchases' AS dest, COUNT(*) AS n,
+           COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS distinct_ids,
+           ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY dest"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -458,5 +508,6 @@ object PipelineQueries {
     ("q53_csv_ingest", q53 _, Some(q53Sql)),
     ("q60_replay_dedup", q60 _, Some(q60Sql)),
     ("q61_audio_decode", q61 _, Some(q61Sql)),
-    ("q63_loadlog_rollup", q63 _, Some(q63Sql)))
+    ("q63_loadlog_rollup", q63 _, Some(q63Sql)),
+    ("q77_rule_fanout", q77 _, Some(q77Sql)))
 }
