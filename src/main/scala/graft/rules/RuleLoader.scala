@@ -33,21 +33,29 @@ object RuleLoader {
 
   def fromFile(path: String,
       enrichments: Map[String, Enrichment] = Map.empty): Rules =
-    fromJson(Files.readString(Paths.get(path)), enrichments)
+    if (path.endsWith(".rego"))
+      graft.rules.rego.RegoRules.compile(Files.readString(Paths.get(path)))
+    else fromJson(Files.readString(Paths.get(path)), enrichments)
 
-  /** Load and merge every `*.json` under a directory (filename order —
-    * deterministic like the reference's sorted policy-dir walk).
-    * `enrichments` is the caller's code registry for rules that name an
-    * `"enrich"` hook (see [[Enrichment]]). */
+  /** Load and merge every `*.json` AND `*.rego` under a directory
+    * (filename order — deterministic like the reference's sorted
+    * policy-dir walk). Rego modules (`package event` / `package
+    * schema.<name>`) compile through [[graft.rules.rego.RegoRules]], so
+    * the reference's shipped policy directories load unmodified; a
+    * `package auth` module in the directory fails loudly (auth is
+    * request-path config — [[graft.rules.rego.RegoAuth]]), never
+    * silently unenforced. `enrichments` is the caller's code registry
+    * for rules that name an `"enrich"` hook (see [[Enrichment]]). */
   def fromDir(dir: String,
       enrichments: Map[String, Enrichment] = Map.empty): Rules = {
     val stream = Files.list(Paths.get(dir))
     val files =
       try stream.iterator().asScala
-        .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+        .filter(p => p.toString.endsWith(".json") || p.toString.endsWith(".rego"))
+        .toSeq.sortBy(_.toString)
       finally stream.close()
-    require(files.nonEmpty, s"no *.json rule files under $dir")
-    files.map(p => fromJson(Files.readString(p), enrichments))
+    require(files.nonEmpty, s"no *.json or *.rego rule files under $dir")
+    files.map(p => fromFile(p.toString, enrichments))
       .reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))
   }
 

@@ -1,0 +1,366 @@
+package graft.rules.rego
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.HttpExchange
+
+import RegoParser.{Module, RefPart, Rule, Stmt, Term}
+
+/** Evaluator for `package auth` Rego policies — the request-path third
+  * of the reference's policy surface (`docs/rule.md:186-283`; evaluated
+  * per HTTP request in `pkg/controller/server/server.go` with the input
+  * model `pkg/domain/model/policy.go:8-19`).
+  *
+  * Unlike event/schema rules ([[RegoRules]]), auth runs per REQUEST on
+  * the receiver, not per record on executors — so an interpreter is the
+  * right shape here (no plan, no codegen concern; request rates are
+  * O(pushes), not O(rows)). The subset covers every construct the
+  * reference's auth docs and fixtures use: `default deny`, `deny :=
+  * false { allow }`, multiple `allow` bodies, header/query/path
+  * matching with `split`/`count`/`lower`, user-defined helper functions,
+  * and the full Google-JWKS idiom — `http.send` (with `force_cache`),
+  * `io.jwt.verify_rs256`, `io.jwt.decode`, `time.now_ns` claim checks.
+  *
+  * Semantics follow Rego where the subset overlaps it: a rule body is a
+  * conjunction; a statement that is false or UNDEFINED (missing key,
+  * out-of-range index, failed builtin) fails the body, never throws; a
+  * `[_]` is existential; `deny` takes the value of the first succeeding
+  * deny rule, else its `default`, else undefined; undefined/false deny
+  * allows (`docs/rule.md:214`). Out-of-subset constructs fail at COMPILE
+  * time — a policy that loads is fully enforced.
+  *
+  * `http.send` and the clock are injectable ([[Config]]): production
+  * uses a TTL-cached `java.net` fetch honoring the policy's
+  * `force_cache_duration_seconds`; tests inject fixtures. Any fetch
+  * failure makes the calling rule undefined → deny, the same fail-closed
+  * default as [[graft.sources.PushReceiver.jwtBearerRs256]].
+  */
+object RegoAuth {
+
+  /** The reference's auth input doc (`pkg/domain/model/policy.go:8-19`). */
+  final case class AuthInput(method: String, path: String, remote: String,
+      query: Map[String, Seq[String]], header: Map[String, Seq[String]],
+      body: String)
+
+  final case class Config(
+      /** url → response body; failures may throw (rule goes undefined). */
+      http: String => String = defaultHttp(),
+      nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
+
+  /** TTL-cached GET, one entry per URL — `http.send`'s `force_cache`
+    * contract. The cache is per-predicate (a receiver builds one policy
+    * at startup), refreshed after `ttlSeconds` so JWKS rotation works
+    * without restart. */
+  def defaultHttp(ttlSeconds: Long = 3600): String => String = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]
+    url => {
+      val now = System.currentTimeMillis() / 1000
+      val hit = cache.get(url)
+      if (hit != null && hit._1 > now) hit._2
+      else {
+        val conn = new java.net.URI(url).toURL.openConnection()
+        conn.setConnectTimeout(5000)
+        conn.setReadTimeout(5000)
+        val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
+        cache.put(url, (now + ttlSeconds, body))
+        body
+      }
+    }
+  }
+
+  /** Compile a `package auth` module to a predicate. Fails loudly on
+    * parse errors or out-of-subset rules. */
+  def compile(src: String, cfg: Config = Config()): AuthInput => Boolean = {
+    val m = RegoParser.parse(src)
+    require(m.pkg == Seq("auth"),
+      s"expected package auth, got '${m.pkg.mkString(".")}'")
+    val eval = new Eval(m, cfg)
+    eval.checkCompilable()
+    input => eval.allows(input)
+  }
+
+  /** Adapt a compiled policy to [[graft.sources.PushReceiver]]'s auth
+    * seam. Only the fields a push carries are populated (method, path,
+    * query, headers, remote, body). */
+  def asHttpAuth(policy: AuthInput => Boolean): HttpExchange => Boolean =
+    ex => {
+      val uri = ex.getRequestURI
+      val query = Option(uri.getRawQuery).getOrElse("").split('&')
+        .filter(_.nonEmpty).toSeq
+        .map { kv =>
+          val i = kv.indexOf('=')
+          if (i < 0) (dec(kv), "") else (dec(kv.take(i)), dec(kv.drop(i + 1)))
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val headers = ex.getRequestHeaders.entrySet().asScala
+        .map(e => e.getKey -> e.getValue.asScala.toSeq).toMap
+      // the push body is consumed downstream by the receiver; auth sees
+      // it empty (no reference auth rule inspects the body)
+      policy(AuthInput(ex.getRequestMethod, uri.getPath,
+        Option(ex.getRemoteAddress).map(_.getAddress.getHostAddress).getOrElse(""),
+        query, headers, ""))
+    }
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  // ---- evaluator ------------------------------------------------------
+
+  /** Evaluation failure = Rego "undefined" — never an exception. */
+  private object Undefined extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private final class Eval(m: Module, cfg: Config) {
+    private val mapper = new ObjectMapper
+    private val rulesByName: Map[String, Seq[Rule]] = m.rules.groupBy(_.name)
+    private val functions: Map[String, Rule] =
+      m.rules.filter(_.params.isDefined).map(r => r.name -> r).toMap
+
+    /** Walk every rule body once at compile time so unsupported builtins
+      * or operators fail at load, not first request. */
+    def checkCompilable(): Unit = {
+      def checkTerm(t: Term): Unit = t match {
+        case Term.Call(fn, args) =>
+          if (!builtinNames(fn) && !functions.contains(fn))
+            sys.error(s"auth policy calls unknown function '$fn' " +
+              s"(builtins: ${builtinNames.toSeq.sorted.mkString(", ")})")
+          args.foreach(checkTerm)
+        case Term.Bin(_, l, r) => checkTerm(l); checkTerm(r)
+        case Term.Sel(b, RefPart.Idx(i)) => checkTerm(b); checkTerm(i)
+        case Term.Sel(b, _) => checkTerm(b)
+        case Term.Obj(es) => es.foreach { case (k, v) => checkTerm(k); checkTerm(v) }
+        case Term.Arr(is) => is.foreach(checkTerm)
+        case _ =>
+      }
+      m.rules.foreach { r =>
+        r.key.foreach(checkTerm)
+        r.value.foreach(checkTerm)
+        r.body.foreach { case Stmt.Assign(_, t) => checkTerm(t); case Stmt.Expr(t) => checkTerm(t) }
+      }
+    }
+
+    private val builtinNames = Set("startswith", "endswith", "contains",
+      "lower", "upper", "trim", "split", "count", "concat", "sprintf",
+      "http.send", "io.jwt.verify_rs256", "io.jwt.decode", "time.now_ns")
+
+    /** deny undefined/false → allow; deny true → deny. */
+    def allows(input: AuthInput): Boolean = {
+      val in: Any = Map(
+        "method" -> input.method, "path" -> input.path,
+        "remote" -> input.remote,
+        "query" -> input.query.map { case (k, v) => k -> v.toVector },
+        "header" -> input.header.map { case (k, v) => k -> v.toVector },
+        "body" -> input.body)
+      evalCompleteRule("deny", in) match {
+        case Some(true) => false
+        case _ => true
+      }
+    }
+
+    /** First succeeding non-default rule's value, else the default. */
+    private def evalCompleteRule(name: String, input: Any): Option[Any] = {
+      val rs = rulesByName.getOrElse(name, Nil).filter(_.params.isEmpty)
+      val live = rs.filterNot(_.isDefault)
+      val hit = live.iterator.flatMap { r =>
+        try {
+          val env = evalBody(r.body, Map("input" -> input), input)
+          Some(r.value.map(v => evalOne(v, env, input)).getOrElse(true))
+        } catch { case Undefined => None }
+      }.nextOption()
+      hit.orElse(rs.find(_.isDefault).map(r =>
+        evalOne(r.value.get, Map.empty, input)))
+    }
+
+    /** Run a body; returns the final env. Throws Undefined on failure. */
+    private def evalBody(body: Seq[Stmt], env0: Map[String, Any], input: Any): Map[String, Any] =
+      body.foldLeft(env0) { (env, s) =>
+        s match {
+          case Stmt.Assign(v, t) => env + (v -> evalOne(t, env, input))
+          case Stmt.Expr(t) =>
+            // existential over [_]: succeed iff SOME expansion is truthy
+            val ok = evalAll(t, env, input).exists {
+              case b: Boolean => b
+              case _ => true // a defined non-boolean statement succeeds (Rego)
+            }
+            if (!ok) throw Undefined
+            env
+        }
+      }
+
+    /** All values a term can take (one per `[_]` expansion); empty =
+      * undefined. */
+    private def evalAll(t: Term, env: Map[String, Any], input: Any): Seq[Any] = t match {
+      case Term.Str(v) => Seq(v)
+      case Term.Num(v) => Seq(v)
+      case Term.Bool(v) => Seq(v)
+      case Term.Obj(es) =>
+        Seq(es.map { case (k, v) => (evalOne(k, env, input), evalOne(v, env, input)) }
+          .map { case (k: String, v) => k -> v
+                 case (k, _) => throw Undefined }.toMap)
+      case Term.Arr(is) => Seq(is.map(evalOne(_, env, input)).toVector)
+      case Term.Ref(n) =>
+        env.get(n).map(Seq(_)).getOrElse {
+          // bare reference to another rule: true iff any body succeeds
+          if (rulesByName.contains(n)) evalCompleteRule(n, input).toSeq
+          else Seq.empty
+        }
+      case Term.Sel(b, part) =>
+        evalAll(b, env, input).flatMap { base =>
+          part match {
+            case RefPart.Dot(name) => sel(base, name).toSeq
+            case RefPart.Idx(i) =>
+              evalOne(i, env, input) match {
+                case n: BigDecimal => base match {
+                  case v: Vector[_] if n.isValidInt && n.toInt >= 0 && n.toInt < v.size =>
+                    Seq(v(n.toInt))
+                  case _ => Seq.empty
+                }
+                case k: String => sel(base, k).toSeq
+                case _ => Seq.empty
+              }
+            case RefPart.Wildcard => base match {
+              case v: Vector[_] => v
+              case mp: Map[_, _] => mp.values.toSeq
+              case _ => Seq.empty
+            }
+          }
+        }
+      case Term.Bin(op, l, r) =>
+        for { lv <- evalAll(l, env, input); rv <- evalAll(r, env, input) }
+          yield binop(op, lv, rv)
+      case Term.Call(fn, args) =>
+        val a = args.map(evalOne(_, env, input))
+        Seq(call(fn, a, input))
+    }
+
+    /** Exactly-one value (first expansion); undefined if none. */
+    private def evalOne(t: Term, env: Map[String, Any], input: Any): Any =
+      evalAll(t, env, input).headOption.getOrElse(throw Undefined)
+
+    private def sel(base: Any, key: String): Option[Any] = base match {
+      case mp: Map[_, _] => mp.asInstanceOf[Map[String, Any]].get(key)
+      case _ => None
+    }
+
+    private def binop(op: String, l: Any, r: Any): Any = (op, l, r) match {
+      case ("==", a, b) => a == b
+      case ("!=", a, b) => a != b
+      case ("<", a: BigDecimal, b: BigDecimal) => a < b
+      case ("<=", a: BigDecimal, b: BigDecimal) => a <= b
+      case (">", a: BigDecimal, b: BigDecimal) => a > b
+      case (">=", a: BigDecimal, b: BigDecimal) => a >= b
+      case ("+", a: BigDecimal, b: BigDecimal) => a + b
+      case ("-", a: BigDecimal, b: BigDecimal) => a - b
+      case ("*", a: BigDecimal, b: BigDecimal) => a * b
+      case ("/", a: BigDecimal, b: BigDecimal) =>
+        if (b.signum == 0) throw Undefined
+        a(java.math.MathContext.DECIMAL128) / b
+      case ("%", a: BigDecimal, b: BigDecimal) =>
+        if (b.signum == 0) throw Undefined
+        a % b
+      case _ => throw Undefined
+    }
+
+    private def call(fn: String, args: Seq[Any], input: Any): Any = (fn, args) match {
+      case ("startswith", Seq(s: String, p: String)) => s.startsWith(p)
+      case ("endswith", Seq(s: String, p: String)) => s.endsWith(p)
+      case ("contains", Seq(s: String, p: String)) => s.contains(p)
+      case ("lower", Seq(s: String)) => s.toLowerCase
+      case ("upper", Seq(s: String)) => s.toUpperCase
+      case ("trim", Seq(s: String, cut: String)) =>
+        s.dropWhile(c => cut.contains(c)).reverse.dropWhile(c => cut.contains(c)).reverse
+      case ("split", Seq(s: String, sep: String)) =>
+        s.split(java.util.regex.Pattern.quote(sep), -1).toVector
+      case ("count", Seq(v: Vector[_])) => BigDecimal(v.size)
+      case ("count", Seq(s: String)) => BigDecimal(s.length)
+      case ("count", Seq(m: Map[_, _])) => BigDecimal(m.size)
+      case ("concat", Seq(sep: String, v: Vector[_])) =>
+        v.map(_.toString).mkString(sep)
+      case ("sprintf", Seq(fmt: String, v: Vector[_])) =>
+        String.format(fmt.replace("%v", "%s"), v.map(_.asInstanceOf[Object]): _*)
+      case ("time.now_ns", Seq()) => BigDecimal(cfg.nowNs())
+      case ("http.send", Seq(req: Map[_, _])) =>
+        val r = req.asInstanceOf[Map[String, Any]]
+        val url = r.getOrElse("url", throw Undefined).toString
+        r.get("method").foreach(m =>
+          if (m.toString.toUpperCase != "GET") throw Undefined)
+        val body = try cfg.http(url) catch { case _: Exception => throw Undefined }
+        Map("status_code" -> BigDecimal(200), "raw_body" -> body)
+      case ("io.jwt.decode", Seq(token: String)) => jwtDecode(token)
+      case ("io.jwt.verify_rs256", Seq(token: String, jwks: String)) =>
+        verifyRs256(token, jwks)
+      case _ =>
+        functions.get(fn) match {
+          case Some(f) =>
+            val params = f.params.get
+            if (params.size != args.size) throw Undefined
+            val env = params.zip(args).toMap[String, Any] + ("input" -> input)
+            val bodyEnv = evalBody(f.body, env, input)
+            evalOne(f.value.get, bodyEnv, input)
+          case None => throw Undefined // unreachable: checkCompilable rejects
+        }
+    }
+
+    /** `io.jwt.decode` → `[header, payload, sig-hex]` (OPA's contract). */
+    private def jwtDecode(token: String): Vector[Any] = token.split('.') match {
+      case Array(h, p, s) =>
+        try {
+          val dec = java.util.Base64.getUrlDecoder
+          Vector(
+            fromJson(mapper.readTree(dec.decode(h))),
+            fromJson(mapper.readTree(dec.decode(p))),
+            dec.decode(s).map("%02x".format(_)).mkString)
+        } catch { case _: Exception => throw Undefined }
+      case _ => throw Undefined
+    }
+
+    /** Signature-only RS256 check against a JWK Set — claim checks are
+      * the POLICY's job (it pins iss/email/exp itself, docs/rule.md:
+      * 271-283), unlike the fused validator in
+      * [[graft.sources.PushReceiver.jwtBearerRs256]]. */
+    private def verifyRs256(token: String, jwksJson: String): Boolean =
+      token.split('.') match {
+        case Array(h, p, s) =>
+          try {
+            val dec = java.util.Base64.getUrlDecoder
+            val header = mapper.readTree(dec.decode(h))
+            if (header.path("alg").asText() != "RS256") false
+            else {
+              val kid = Option(header.path("kid").asText(null)).filter(_.nonEmpty)
+              val kf = java.security.KeyFactory.getInstance("RSA")
+              val keys = mapper.readTree(jwksJson).path("keys")
+              val sigBytes = dec.decode(s)
+              val signed = s"$h.$p".getBytes(UTF_8)
+              (0 until keys.size).iterator.map(keys.get)
+                .filter(k => k.path("kty").asText() == "RSA")
+                .filter(k => kid.forall(_ == k.path("kid").asText()))
+                .exists { k =>
+                  try {
+                    val key = kf.generatePublic(new java.security.spec.RSAPublicKeySpec(
+                      new java.math.BigInteger(1, dec.decode(k.path("n").asText())),
+                      new java.math.BigInteger(1, dec.decode(k.path("e").asText()))))
+                    val sig = java.security.Signature.getInstance("SHA256withRSA")
+                    sig.initVerify(key)
+                    sig.update(signed)
+                    sig.verify(sigBytes)
+                  } catch { case _: Exception => false }
+                }
+            }
+          } catch { case _: Exception => false }
+        case _ => false
+      }
+
+    private def fromJson(n: JsonNode): Any =
+      if (n.isTextual) n.asText()
+      else if (n.isNumber) BigDecimal(n.decimalValue())
+      else if (n.isBoolean) n.asBoolean()
+      else if (n.isArray) n.elements().asScala.map(fromJson).toVector
+      else if (n.isObject) n.properties().asScala
+        .map(e => e.getKey -> fromJson(e.getValue)).toMap
+      else null
+  }
+}

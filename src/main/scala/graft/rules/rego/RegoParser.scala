@@ -1,0 +1,367 @@
+package graft.rules.rego
+
+/** Parser for the Rego SUBSET the reference's policy surface uses
+  * (every construct in its docs and shipped fixtures — grammar examples
+  * `/root/reference/docs/rule.md:21-283`, fixtures under
+  * `examples/readme/policy/` and the per-package `testdata/policy/`):
+  *
+  *   - `package event | schema.<name> | auth`
+  *   - partial-set rules `src[s] { … }` / `src[{…}] { … }` /
+  *     `log[d] { … }`
+  *   - complete rules `default deny = true`, `deny := false { allow }`,
+  *     boolean rules `allow { … }`
+  *   - function rules `jwks_request(url) := http.send({…}).raw_body`
+  *   - bodies of `v := expr` bindings and boolean expressions
+  *   - terms: string/number/bool literals, object/array literals,
+  *     dotted refs with `[index]` / `["key"]` / `[_]`, namespaced calls
+  *     (`time.parse_rfc3339_ns`, `io.jwt.verify_rs256`), arithmetic
+  *     (`+ - * / %`) and comparisons (`== != < <= > >=`, body `=`)
+  *
+  * NOT a full OPA implementation — no `some`/`every`, no `else`, no
+  * comprehensions, no `with`, no multi-value variables unified across
+  * statements (a `[_]` is existential within its own statement). Parse
+  * errors and out-of-subset constructs fail loudly with line/column;
+  * nothing is silently skipped — a policy that parses here means every
+  * one of its rules is enforced.
+  */
+object RegoParser {
+
+  // ---- AST ------------------------------------------------------------
+  sealed trait Term
+  object Term {
+    final case class Str(v: String) extends Term
+    final case class Num(v: BigDecimal) extends Term
+    final case class Bool(v: Boolean) extends Term
+    /** A variable / rule-name reference (`input`, `allow`, `r`). */
+    final case class Ref(name: String) extends Term
+    /** `base.name`, `base[i]`, `base["k"]`, `base[_]`. */
+    final case class Sel(base: Term, part: RefPart) extends Term
+    /** `fn(args)` — `fn` is the full dotted name (`io.jwt.decode`). */
+    final case class Call(fn: String, args: Seq[Term]) extends Term
+    final case class Obj(entries: Seq[(Term, Term)]) extends Term
+    final case class Arr(items: Seq[Term]) extends Term
+    final case class Bin(op: String, l: Term, r: Term) extends Term
+  }
+
+  sealed trait RefPart
+  object RefPart {
+    final case class Dot(name: String) extends RefPart
+    final case class Idx(t: Term) extends RefPart
+    case object Wildcard extends RefPart
+  }
+
+  sealed trait Stmt
+  object Stmt {
+    final case class Assign(name: String, value: Term) extends Stmt
+    final case class Expr(t: Term) extends Stmt
+  }
+
+  /** One rule. `key` = the `[term]` of a partial-set head; `value` = the
+    * `= term` / `:= term` of a complete or function head (None for bare
+    * boolean rules, which are value `true`); `params` = function rule
+    * parameter names. */
+  final case class Rule(name: String, key: Option[Term], value: Option[Term],
+      params: Option[Seq[String]], body: Seq[Stmt], isDefault: Boolean)
+
+  final case class Module(pkg: Seq[String], rules: Seq[Rule])
+
+  final case class RegoError(msg: String, line: Int, col: Int)
+      extends RuntimeException(s"rego parse error at $line:$col: $msg")
+
+  // ---- Tokenizer ------------------------------------------------------
+  private sealed trait Tok { def line: Int; def col: Int }
+  private final case class TIdent(v: String, line: Int, col: Int) extends Tok
+  private final case class TStr(v: String, line: Int, col: Int) extends Tok
+  private final case class TNum(v: BigDecimal, line: Int, col: Int) extends Tok
+  private final case class TPunct(v: String, line: Int, col: Int) extends Tok
+  private final case class TEof(line: Int, col: Int) extends Tok
+
+  private def tokenize(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0; var line = 1; var col = 1
+    def err(m: String) = throw RegoError(m, line, col)
+    def advance(n: Int): Unit = {
+      var k = 0
+      while (k < n) {
+        if (src(i) == '\n') { line += 1; col = 1 } else col += 1
+        i += 1; k += 1
+      }
+    }
+    val puncts = Seq(":=", "==", "!=", "<=", ">=", "{", "}", "[", "]", "(",
+      ")", ",", ":", ".", ";", "<", ">", "=", "+", "-", "*", "/", "%")
+    while (i < src.length) {
+      val c = src(i)
+      if (c == '#') { while (i < src.length && src(i) != '\n') advance(1) }
+      else if (c.isWhitespace) advance(1)
+      else if (c == '"') {
+        val (l0, c0) = (line, col)
+        advance(1)
+        val sb = new StringBuilder
+        while (i < src.length && src(i) != '"') {
+          if (src(i) == '\\') {
+            if (i + 1 >= src.length) err("unterminated escape")
+            advance(1)
+            sb.append(src(i) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case '"' => '"'; case '\\' => '\\'; case '/' => '/'
+              case 'u' =>
+                if (i + 4 >= src.length) err("bad \\u escape")
+                val h = src.substring(i + 1, i + 5); advance(4)
+                Integer.parseInt(h, 16).toChar
+              case other => err(s"unsupported escape \\$other")
+            })
+            advance(1)
+          } else { sb.append(src(i)); advance(1) }
+        }
+        if (i >= src.length) err("unterminated string")
+        advance(1)
+        out += TStr(sb.toString, l0, c0)
+      }
+      else if (c.isDigit) {
+        val (l0, c0) = (line, col)
+        val start = i
+        while (i < src.length && (src(i).isDigit || src(i) == '.') &&
+          // a dot is part of the number only when followed by a digit
+          // (so `1000) * 1000` and ref dots never get swallowed)
+          !(src(i) == '.' && (i + 1 >= src.length || !src(i + 1).isDigit)))
+          advance(1)
+        out += TNum(BigDecimal(src.substring(start, i)), l0, c0)
+      }
+      else if (c.isLetter || c == '_') {
+        val (l0, c0) = (line, col)
+        val start = i
+        while (i < src.length && (src(i).isLetterOrDigit || src(i) == '_'))
+          advance(1)
+        out += TIdent(src.substring(start, i), l0, c0)
+      }
+      else {
+        val (l0, c0) = (line, col)
+        puncts.find(p => src.startsWith(p, i)) match {
+          case Some(p) => advance(p.length); out += TPunct(p, l0, c0)
+          case None => err(s"unexpected character '$c'")
+        }
+      }
+    }
+    out += TEof(line, col)
+    out.result()
+  }
+
+  // ---- Parser ---------------------------------------------------------
+  def parse(src: String): Module = new P(tokenize(src)).module()
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    private def cur: Tok = toks(pos)
+    private def err(m: String): Nothing = throw RegoError(m, cur.line, cur.col)
+    private def isPunct(v: String): Boolean =
+      cur.isInstanceOf[TPunct] && cur.asInstanceOf[TPunct].v == v
+    private def isIdent(v: String): Boolean =
+      cur.isInstanceOf[TIdent] && cur.asInstanceOf[TIdent].v == v
+    private def eatPunct(v: String): Unit =
+      if (isPunct(v)) pos += 1 else err(s"expected '$v'")
+    private def ident(): String = cur match {
+      case TIdent(v, _, _) => pos += 1; v
+      case _ => err("expected identifier")
+    }
+
+    def module(): Module = {
+      if (!isIdent("package")) err("expected 'package'")
+      pos += 1
+      val pkg = Seq.newBuilder[String]
+      pkg += ident()
+      while (isPunct(".")) { pos += 1; pkg += ident() }
+      val rules = Seq.newBuilder[Rule]
+      while (!cur.isInstanceOf[TEof]) rules += rule()
+      Module(pkg.result(), rules.result())
+    }
+
+    private def rule(): Rule = {
+      val isDefault = isIdent("default")
+      if (isDefault) pos += 1
+      val name = ident()
+      if (isDefault) {
+        if (isPunct("=") || isPunct(":=")) pos += 1 else err("expected '='")
+        return Rule(name, None, Some(term()), None, Nil, isDefault = true)
+      }
+      if (isPunct("[")) { // partial set: name[term] { body }
+        pos += 1
+        val key = term()
+        eatPunct("]")
+        val body = if (isPunct("{")) ruleBody() else Nil
+        Rule(name, Some(key), None, None, body, isDefault = false)
+      } else if (isPunct("(")) { // function: name(params) := term { body? }
+        pos += 1
+        val params = Seq.newBuilder[String]
+        if (!isPunct(")")) {
+          params += ident()
+          while (isPunct(",")) { pos += 1; params += ident() }
+        }
+        eatPunct(")")
+        if (isPunct(":=") || isPunct("=")) pos += 1 else err("expected ':='")
+        val value = term()
+        val body = if (isPunct("{")) ruleBody() else Nil
+        Rule(name, None, Some(value), Some(params.result()), body, isDefault = false)
+      } else { // complete / boolean rule
+        val value =
+          if (isPunct(":=") || isPunct("=")) { pos += 1; Some(term()) }
+          else None
+        val body = if (isPunct("{")) ruleBody() else Nil
+        if (value.isEmpty && body.isEmpty) err(s"rule '$name' has neither value nor body")
+        Rule(name, None, value, None, body, isDefault = false)
+      }
+    }
+
+    private def ruleBody(): Seq[Stmt] = {
+      eatPunct("{")
+      val stmts = Seq.newBuilder[Stmt]
+      while (!isPunct("}")) {
+        if (isPunct(";")) { pos += 1 }
+        else stmts += stmt()
+      }
+      eatPunct("}")
+      stmts.result()
+    }
+
+    private def stmt(): Stmt = {
+      // lookahead for `ident :=`
+      (cur, toks(pos + 1)) match {
+        case (TIdent(n, _, _), TPunct(":=", _, _)) =>
+          pos += 2
+          Stmt.Assign(n, term())
+        case _ => Stmt.Expr(term())
+      }
+    }
+
+    // term := addsub (cmpOp addsub)?
+    private def term(): Term = {
+      val l = addsub()
+      val cmps = Seq("==", "!=", "<=", ">=", "<", ">", "=")
+      cmps.find(isPunct) match {
+        case Some(op) =>
+          pos += 1
+          val norm = if (op == "=") "==" else op
+          Term.Bin(norm, l, addsub())
+        case None => l
+      }
+    }
+
+    private def addsub(): Term = {
+      var l = muldiv()
+      while (isPunct("+") || isPunct("-")) {
+        val op = cur.asInstanceOf[TPunct].v; pos += 1
+        l = Term.Bin(op, l, muldiv())
+      }
+      l
+    }
+
+    private def muldiv(): Term = {
+      var l = postfix()
+      while (isPunct("*") || isPunct("/") || isPunct("%")) {
+        val op = cur.asInstanceOf[TPunct].v; pos += 1
+        l = Term.Bin(op, l, postfix())
+      }
+      l
+    }
+
+    /** primary with `.name` / `[...]` / call postfixes. A dotted chain
+      * followed by `(` is a namespaced call (`io.jwt.decode(t)`). */
+    private def postfix(): Term = {
+      var t = primary()
+      var done = false
+      while (!done) {
+        if (isPunct(".")) {
+          pos += 1
+          val n = ident()
+          if (isPunct("(")) {
+            val fn = dottedName(t) match {
+              case Some(base) => s"$base.$n"
+              case None => err("cannot call a computed value")
+            }
+            t = Term.Call(fn, callArgs())
+          } else t = Term.Sel(t, RefPart.Dot(n))
+        } else if (isPunct("[")) {
+          pos += 1
+          val part =
+            if (isIdent("_")) { pos += 1; RefPart.Wildcard }
+            else RefPart.Idx(term())
+          eatPunct("]")
+          t = Term.Sel(t, part)
+        } else if (isPunct("(")) {
+          val fn = dottedName(t).getOrElse(err("cannot call a computed value"))
+          t = Term.Call(fn, callArgs())
+        } else done = true
+      }
+      t
+    }
+
+    /** The dotted name a Ref/Sel chain spells, if it is a pure name. */
+    private def dottedName(t: Term): Option[String] = t match {
+      case Term.Ref(n) => Some(n)
+      case Term.Sel(b, RefPart.Dot(n)) => dottedName(b).map(p => s"$p.$n")
+      case _ => None
+    }
+
+    private def callArgs(): Seq[Term] = {
+      eatPunct("(")
+      val args = Seq.newBuilder[Term]
+      if (!isPunct(")")) {
+        args += term()
+        while (isPunct(",")) {
+          pos += 1
+          if (!isPunct(")")) args += term() // tolerate trailing comma
+        }
+      }
+      eatPunct(")")
+      args.result()
+    }
+
+    private def primary(): Term = cur match {
+      case TStr(v, _, _) => pos += 1; Term.Str(v)
+      case TNum(v, _, _) => pos += 1; Term.Num(v)
+      case TIdent("true", _, _) => pos += 1; Term.Bool(true)
+      case TIdent("false", _, _) => pos += 1; Term.Bool(false)
+      case TIdent(v, _, _) => pos += 1; Term.Ref(v)
+      case TPunct("{", _, _) => objLit()
+      case TPunct("[", _, _) => arrLit()
+      case TPunct("(", _, _) =>
+        pos += 1
+        val t = term()
+        eatPunct(")")
+        t
+      case TPunct("-", _, _) =>
+        pos += 1
+        primary() match {
+          case Term.Num(v) => Term.Num(-v)
+          case t => Term.Bin("-", Term.Num(0), t)
+        }
+      case _ => err("expected a term")
+    }
+
+    private def objLit(): Term = {
+      eatPunct("{")
+      val entries = Seq.newBuilder[(Term, Term)]
+      while (!isPunct("}")) {
+        val k = term()
+        eatPunct(":")
+        val v = term()
+        entries += ((k, v))
+        if (isPunct(",")) pos += 1
+        else if (!isPunct("}")) err("expected ',' or '}' in object")
+      }
+      eatPunct("}")
+      Term.Obj(entries.result())
+    }
+
+    private def arrLit(): Term = {
+      eatPunct("[")
+      val items = Seq.newBuilder[Term]
+      while (!isPunct("]")) {
+        items += term()
+        if (isPunct(",")) pos += 1
+        else if (!isPunct("]")) err("expected ',' or ']' in array")
+      }
+      eatPunct("]")
+      Term.Arr(items.result())
+    }
+  }
+}

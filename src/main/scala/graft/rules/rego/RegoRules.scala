@@ -1,0 +1,293 @@
+package graft.rules.rego
+
+import graft.rules.{EventRule, Rules, SchemaRule}
+import RegoParser.{Module, RefPart, Rule, Stmt, Term}
+
+/** Compile `package event` / `package schema.<name>` Rego modules to the
+  * Spark-native rule DSL ([[graft.rules.EventRule]] /
+  * [[graft.rules.SchemaRule]]), so the reference's shipped policies load
+  * UNMODIFIED — no hand-port step.
+  *
+  * The translation is compile-time, not an interpreter: rule bodies
+  * become Spark SQL expression strings, so compiled rules cost exactly
+  * what hand-written DSL rules cost (whole-stage codegen, pushdown) and
+  * an interpreted policy engine never sits on the per-record hot path.
+  * This is the Spark-first answer to the reference's embedded OPA
+  * (`pkg/infra/policy/client.go:143-174` evaluates Rego per object /
+  * per record at runtime).
+  *
+  * Event rules evaluate over the object-metadata frame
+  * ([[graft.sources.ObjectSource]] columns `bucket, name, size,
+  * created_at, md5`); the reference's richer input doc (an `Object`
+  * wrapping a Cloud Storage event, `pkg/domain/model/usecase.go:30-38`,
+  * `message.go:44-63`) maps onto those columns below — paths with no
+  * local equivalent fail loudly rather than silently never-match.
+  *
+  * Schema rules evaluate over the parsed record; `input.<field>` refs
+  * become column refs, the fixture idiom `r := input.Records[_]` becomes
+  * the rule's `explodePath`, remaining body conditions become the `when`
+  * filter, and `time.parse_rfc3339_ns` becomes
+  * `unix_micros(to_timestamp(…)) * 1000` (nanoseconds, like OPA's).
+  *
+  * Out-of-subset constructs — a second `log` rule in one schema package,
+  * a reshaped `data:` object, an unmapped input path — throw with the
+  * rule name in the message. Silent partial enforcement of an auth or
+  * routing policy is the one failure mode this loader must not have.
+  */
+object RegoRules {
+
+  /** Parse + compile one Rego module source. `package auth` is rejected
+    * here: auth is request-path configuration, not part of [[Rules]] —
+    * load it with [[RegoAuth.compile]] and hand the predicate to
+    * [[graft.sources.PushReceiver]]. */
+  def compile(src: String): Rules = {
+    val m = RegoParser.parse(src)
+    m.pkg match {
+      case Seq("event") => Rules(eventRules(m), Nil)
+      case Seq("schema", name @ _*) if name.nonEmpty =>
+        Rules(Nil, schemaRules(m, name.mkString("_")))
+      case Seq("auth") =>
+        sys.error("package auth is a request-path policy — compile it with " +
+          "RegoAuth.compile and pass the predicate to PushReceiver, not RuleLoader")
+      case other =>
+        sys.error(s"unsupported rego package '${other.mkString(".")}' " +
+          "(expected event | schema.<name> | auth)")
+    }
+  }
+
+  // ---- event rules ----------------------------------------------------
+
+  /** `input.…` paths over object metadata → SQL over the
+    * [[graft.sources.ObjectSource]] columns. `input.data.*` is the raw
+    * Cloud Storage event (string `size`, base64 `md5Hash`, RFC3339
+    * `timeCreated` — `model/message.go:44-63`); `input.cs.*` /
+    * `input.size` / `input.created_at` the normalized `Object`
+    * (`model/usecase.go:30-38`). `input.data.kind` is constant
+    * `storage#object` for every object a listing can produce, so it
+    * compiles to that literal and the predicate folds away. */
+  private val eventPathSql: Map[List[String], String] = Map(
+    List("cs", "bucket") -> "bucket",
+    List("cs", "name") -> "name",
+    List("size") -> "size",
+    List("created_at") -> "unix_timestamp(created_at)",
+    List("data", "kind") -> "'storage#object'",
+    List("data", "bucket") -> "bucket",
+    List("data", "name") -> "name",
+    List("data", "size") -> "cast(size as string)",
+    List("data", "md5Hash") -> "base64(unhex(md5))",
+    List("data", "timeCreated") ->
+      "date_format(created_at, \"yyyy-MM-dd'T'HH:mm:ss.SSS'Z'\")")
+
+  private def eventRules(m: Module): Seq[EventRule] = {
+    val srcRules = m.rules.filter(_.name == "src")
+    require(srcRules.nonEmpty, "package event defines no src[…] rules")
+    m.rules.filterNot(_.name == "src").foreach(r =>
+      sys.error(s"package event: unsupported rule '${r.name}' (only src[…])"))
+    srcRules.zipWithIndex.map { case (r, i) =>
+      val (out, condStmts) = setOutput(r, s"src[$i]")
+      val conds = condStmts.map {
+        case Stmt.Expr(t) => t
+        case a: Stmt.Assign => sys.error(s"src[$i]: variable bindings other " +
+          s"than the head object are unsupported in event rules ($a)")
+      }
+      val directive = objStrings(out, s"src[$i]")
+      directive.keys.find(k => !Set("parser", "schema", "compress")(k)).foreach(k =>
+        sys.error(s"src[$i]: unsupported source key '$k' " +
+          "(parser | schema | compress — model/policy.go:25-30)"))
+      val schema = directive.getOrElse("schema",
+        sys.error(s"src[$i]: source object lacks required 'schema'"))
+      val when =
+        if (conds.isEmpty) "true"
+        else conds.map(c => sqlExpr(c, eventRef)).mkString("(", ") AND (", ")")
+      EventRule(
+        name = s"src$i-$schema",
+        when = when,
+        parser = directive.getOrElse("parser", "json"),
+        compress = directive.getOrElse("compress", ""),
+        schemaRule = schema)
+    }
+  }
+
+  private def eventRef(t: Term): String = t match {
+    case Term.Sel(base, RefPart.Dot(n)) =>
+      def path(x: Term, acc: List[String]): Option[List[String]] = x match {
+        case Term.Ref("input") => Some(acc)
+        case Term.Sel(b, RefPart.Dot(p)) => path(b, p :: acc)
+        case _ => None
+      }
+      path(base, List(n)) match {
+        case Some(p) => eventPathSql.getOrElse(p,
+          sys.error(s"event rule references input.${p.mkString(".")} which has " +
+            "no object-metadata equivalent (bucket/name/size/created_at/md5)"))
+        case None => sys.error(s"event rule: unsupported reference $t")
+      }
+    case other => sys.error(s"event rule: unsupported reference $other")
+  }
+
+  // ---- schema rules ---------------------------------------------------
+
+  private def schemaRules(m: Module, name: String): Seq[SchemaRule] = {
+    val logRules = m.rules.filter(_.name == "log")
+    require(logRules.nonEmpty, s"package schema.$name defines no log[…] rules")
+    m.rules.filterNot(_.name == "log").foreach(r =>
+      sys.error(s"schema.$name: unsupported rule '${r.name}' (only log[…])"))
+    require(logRules.size == 1,
+      s"schema.$name: ${logRules.size} log rules — the engine routes one " +
+        "schema rule per name; merge them or split the schema")
+    val r = logRules.head
+    val (out, body0) = setOutput(r, s"schema.$name")
+
+    // `v := input.<arr>[_]` → explode; other assigns → inline substitution
+    var explodePath: Option[String] = None
+    var recordVar: Option[String] = None
+    var subst = Map.empty[String, String]
+    val conds = Seq.newBuilder[Term]
+    body0.foreach {
+      case Stmt.Assign(v, Term.Sel(arr, RefPart.Wildcard)) =>
+        val path = inputPath(arr).getOrElse(
+          sys.error(s"schema.$name: iteration over non-input path $arr"))
+        require(explodePath.isEmpty, s"schema.$name: two [_] iterations — one explode per rule")
+        explodePath = Some(path.mkString("."))
+        recordVar = Some(v)
+      case Stmt.Assign(v, value) =>
+        subst += v -> sqlExpr(value, recordSql(recordVar, subst, name))
+      case Stmt.Expr(t) => conds += t
+    }
+    val ref: Term => String = recordSql(recordVar, subst, name)
+    val when = {
+      val cs = conds.result()
+      if (cs.isEmpty) None else Some(cs.map(c => sqlExpr(c, ref)).mkString("(", ") AND (", ")"))
+    }
+
+    val keys = objTerms(out, s"schema.$name")
+    keys.keys.find(k => !Set("dataset", "table", "partition", "timeunit",
+      "id", "timestamp", "data")(k)).foreach(k =>
+      sys.error(s"schema.$name: unsupported log key '$k' (model/policy.go:64-71)"))
+    def field(k: String): Option[Term] = keys.get(k)
+    def sqlField(k: String): Option[String] = field(k).map(t => sqlExpr(t, ref))
+
+    // data must be the whole record — the only form the reference's
+    // docs/fixtures ever emit ("data": input / "data": r). A reshaped
+    // object literal has no static column set; express reshapes as DSL
+    // transforms instead.
+    field("data") match {
+      case Some(Term.Ref("input")) if recordVar.isEmpty =>
+      case Some(Term.Ref(v)) if recordVar.contains(v) =>
+      case Some(other) => sys.error(s"schema.$name: 'data' must be the whole " +
+        s"record (input / the [_] binding); got $other — reshape via DSL transforms")
+      case None => sys.error(s"schema.$name: log object lacks required 'data'")
+    }
+    val partition = (field("partition") orElse field("timeunit")) match {
+      case Some(Term.Str(s)) => s
+      case Some(other) => sys.error(s"schema.$name: partition must be a string literal, got $other")
+      case None => ""
+    }
+    Seq(SchemaRule(
+      name = name,
+      explodePath = explodePath,
+      when = when,
+      dataset = sqlField("dataset").getOrElse(
+        sys.error(s"schema.$name: log object lacks required 'dataset'")),
+      table = sqlField("table").getOrElse(
+        sys.error(s"schema.$name: log object lacks required 'table'")),
+      partition = partition,
+      id = sqlField("id"),
+      timestamp = sqlField("timestamp").getOrElse(
+        sys.error(s"schema.$name: log object lacks required 'timestamp'"))))
+  }
+
+  /** Record-scope reference → SQL: `input.a.b` / `<recordVar>.a.b` →
+    * backticked column path; a bound variable → its inlined SQL. */
+  private def recordSql(recordVar: Option[String], subst: Map[String, String],
+      schema: String)(t: Term): String = t match {
+    case Term.Ref(v) if subst.contains(v) => subst(v)
+    case _ =>
+      def path(x: Term, acc: List[String]): Option[List[String]] = x match {
+        case Term.Ref("input") if recordVar.isEmpty => Some(acc)
+        case Term.Ref(v) if recordVar.contains(v) => Some(acc)
+        case Term.Sel(b, RefPart.Dot(p)) => path(b, p :: acc)
+        case _ => None
+      }
+      path(t, Nil) match {
+        case Some(Nil) => sys.error(s"schema.$schema: the whole record is only " +
+          "valid as 'data'")
+        case Some(p) => p.map(f => s"`$f`").mkString(".")
+        case None => sys.error(s"schema.$schema: unsupported reference $t")
+      }
+  }
+
+  /** The `input.a.b` path of a term, if it is one. */
+  private def inputPath(t: Term): Option[List[String]] = t match {
+    case Term.Ref("input") => Some(Nil)
+    case Term.Sel(b, RefPart.Dot(n)) => inputPath(b).map(_ :+ n)
+    case _ => None
+  }
+
+  // ---- shared ---------------------------------------------------------
+
+  /** A partial-set rule's output object + remaining body conditions:
+    * either the head key IS the object (`src[{…}] { conds }`) or the key
+    * is a variable assigned an object in the body (`src[s] { conds;
+    * s := {…} }`). */
+  private def setOutput(r: Rule, what: String): (Term.Obj, Seq[Stmt]) =
+    r.key match {
+      case Some(o: Term.Obj) => (o, r.body)
+      case Some(Term.Ref(v)) =>
+        val (assigns, rest) = r.body.partition {
+          case Stmt.Assign(`v`, _: Term.Obj) => true
+          case _ => false
+        }
+        assigns match {
+          case Seq(Stmt.Assign(_, o: Term.Obj)) => (o, rest)
+          case _ => sys.error(s"$what: head variable '$v' is not assigned " +
+            "exactly one object literal in the body")
+        }
+      case other => sys.error(s"$what: unsupported set key $other")
+    }
+
+  /** Object literal → string-keyed term map. */
+  private def objTerms(o: Term.Obj, what: String): Map[String, Term] =
+    o.entries.map {
+      case (Term.Str(k), v) => k -> v
+      case (k, _) => sys.error(s"$what: non-string object key $k")
+    }.toMap
+
+  /** Object literal whose values must all be string literals (event
+    * source directives are — `model/policy.go:25-30`). */
+  private def objStrings(o: Term.Obj, what: String): Map[String, String] =
+    objTerms(o, what).map {
+      case (k, Term.Str(v)) => k -> v
+      case (k, other) => sys.error(s"$what: value of '$k' must be a string literal, got $other")
+    }
+
+  /** Term → Spark SQL, with `ref` resolving variable/input references
+    * per rule kind. Builtins map to codegen'd Spark functions. */
+  private def sqlExpr(t: Term, ref: Term => String): String = t match {
+    case Term.Str(v) => "'" + v.replace("'", "\\'") + "'"
+    case Term.Num(v) => v.underlying.toPlainString
+    case Term.Bool(v) => v.toString
+    case Term.Bin(op, l, r) =>
+      val sqlOp = op match {
+        case "==" => "=" ; case "!=" => "<>"
+        case o @ ("<" | "<=" | ">" | ">=" | "+" | "-" | "*" | "/" | "%") => o
+        case other => sys.error(s"unsupported operator '$other'")
+      }
+      s"(${sqlExpr(l, ref)} $sqlOp ${sqlExpr(r, ref)})"
+    case Term.Call(fn, args) =>
+      val a = args.map(sqlExpr(_, ref))
+      fn match {
+        case "startswith" | "endswith" | "contains" | "lower" | "upper" |
+             "trim" | "concat" | "split" | "abs" | "round" | "floor" | "ceil" =>
+          s"$fn(${a.mkString(", ")})"
+        case "count" => s"size(${a.head})"
+        case "time.parse_rfc3339_ns" =>
+          // OPA returns nanoseconds; rules then divide back down — keep
+          // the unit so their arithmetic stays correct as written
+          s"(unix_micros(to_timestamp(${a.head})) * 1000)"
+        case "sprintf" => sys.error("sprintf: use concat/format_string in a DSL rule")
+        case other => sys.error(s"unsupported builtin '$other' in a compiled rule " +
+          "(data-plane rules compile to SQL; request-path builtins live in RegoAuth)")
+      }
+    case other => ref(other)
+  }
+}

@@ -1,0 +1,357 @@
+package graft.rules
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import graft.SparkSpec
+import graft.rules.rego.{RegoAuth, RegoParser, RegoRules}
+import graft.rules.rego.RegoAuth.AuthInput
+
+/** The Rego frontend: the reference's policy grammar loading unmodified
+  * onto the Spark-native rule DSL (event/schema → compiled SQL rules)
+  * and the request-path evaluator (auth). Shapes mirror the reference's
+  * docs (`docs/rule.md`) and fixtures (the `.rego` files under
+  * `examples/readme/policy/`, `pkg/usecase/testdata/policy/`, and
+  * `pkg/controller/server/testdata/policy/`). */
+class RegoSpec extends SparkSpec {
+
+  // ---- event rules -----------------------------------------------------
+
+  private val eventRego = """package event
+
+# compressed web access logs
+src[s] {
+	input.cs.bucket == "corp-logs"
+	startswith(input.cs.name, "/web/")
+	endswith(input.cs.name, ".log.gz")
+	s := {
+		"parser": "json",
+		"schema": "web_access",
+		"compress": "gzip",
+	}
+}
+
+# plain ones — head-object form, storage-event input doc
+src[{
+	"parser": "json",
+	"schema": "web_access",
+}] {
+	input.data.kind == "storage#object"
+	input.data.bucket == "corp-logs"
+	endswith(input.cs.name, ".log")
+}
+"""
+
+  test("event module compiles to EventRules whose predicates match like Rego") {
+    import spark.implicits._
+    val rules = RegoRules.compile(eventRego)
+    assert(rules.event.size == 2 && rules.schema.isEmpty)
+    val Seq(gz, plain) = rules.event
+    assert(gz.compress == "gzip" && gz.schemaRule == "web_access")
+    assert(plain.compress == "" && plain.parser == "json")
+
+    val meta = Seq(
+      ("corp-logs", "/web/a.log.gz", 10L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "aa"),
+      ("corp-logs", "/web/b.log", 10L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "bb"),
+      ("other-bkt", "/web/c.log.gz", 10L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "cc"),
+      ("corp-logs", "/img/d.png", 10L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "dd"))
+      .toDF("bucket", "name", "size", "created_at", "md5")
+    val matched = rules.matchObjects(meta).map { case (r, df) =>
+      r.name -> df.select("name").as[String].collect().toSet
+    }.toMap
+    assert(matched(gz.name) == Set("/web/a.log.gz"))
+    assert(matched(plain.name) == Set("/web/b.log"))
+  }
+
+  test("event rules reject unmapped input paths and non-src rules at compile") {
+    val badPath = "package event\nsrc[{\"schema\": \"s\"}] { input.data.generation == \"3\" }"
+    val e = intercept[RuntimeException](RegoRules.compile(badPath))
+    assert(e.getMessage.contains("generation"))
+    val badRule = "package event\nallow { input.cs.bucket == \"b\" }"
+    intercept[RuntimeException](RegoRules.compile(badRule))
+  }
+
+  // ---- schema rules ----------------------------------------------------
+
+  private val schemaRego = """package schema.audit_trail
+
+log[{
+	"dataset": "sec",
+	"table": "audit",
+	"timeunit": "month",
+	"id": r.event_id,
+	"timestamp": time.parse_rfc3339_ns(r.event_time) / 1000000000,
+	"data": r,
+}] {
+	r := input.Records[_]
+}
+"""
+
+  test("schema module: explode binding, rfc3339 arithmetic, routing literals") {
+    val rules = RegoRules.compile(schemaRego)
+    val s = rules.schemaRule("audit_trail")
+    assert(s.explodePath.contains("Records"))
+    assert(s.partition == "month")
+    assert(s.dataset == "'sec'" && s.table == "'audit'")
+    assert(s.id.contains("`event_id`"))
+    // parse_rfc3339_ns is nanos (OPA's unit); the rule divides to seconds
+    assert(s.timestamp == "((unix_micros(to_timestamp(`event_time`)) * 1000) / 1000000000)")
+    assert(s.literalDests.contains(Seq(("sec", "audit", "month"))))
+  }
+
+  test("out-of-subset schema shapes fail loudly") {
+    // reshaped data object — no static column set
+    val reshaped = """package schema.x
+log[d] { d := {"dataset": "d", "table": "t", "timestamp": input.ts,
+  "data": {"a": input.a}} }"""
+    assert(intercept[RuntimeException](RegoRules.compile(reshaped))
+      .getMessage.contains("whole record"))
+    // two log rules under one schema name
+    val two = """package schema.x
+log[d] { d := {"dataset": "d", "table": "t", "timestamp": input.ts, "data": input} }
+log[d] { d := {"dataset": "d", "table": "u", "timestamp": input.ts, "data": input} }"""
+    assert(intercept[RuntimeException](RegoRules.compile(two))
+      .getMessage.contains("log rules"))
+    // package auth routed to the wrong loader
+    assert(intercept[RuntimeException](RegoRules.compile("package auth\nallow { input.path == \"/\" }"))
+      .getMessage.contains("RegoAuth"))
+  }
+
+  test("rego-loaded rules drive a real ingest end-to-end (explode + rfc3339 ts)") {
+    import spark.implicits._
+    import graft.ingest.{Pipeline, TableSink}
+    import graft.schema.SchemaRegistry
+    val work = tmpDir("rego-e2e")
+    writeFile(work, "rules/10_event.rego", """package event
+src[s] {
+	endswith(input.cs.name, ".json")
+	s := {"parser": "json", "schema": "audit_trail"}
+}
+""")
+    writeFile(work, "rules/20_schema.rego", schemaRego)
+    writeFile(work, "landing/a.json",
+      """{"Records":[{"event_id":"e1","event_time":"2024-05-01T10:00:00Z","action":"login"},{"event_id":"e2","event_time":"2024-06-02T11:30:00Z","action":"logout"}]}
+{"Records":[{"event_id":"e3","event_time":"2024-06-03T00:00:00Z","action":"delete"}]}""")
+    val rules = RuleLoader.fromDir(s"$work/rules")
+    assert(rules.event.size == 1 && rules.schema.size == 1)
+    val registry = new SchemaRegistry(s"$work/wh")
+    Pipeline.ingestPaths(spark, Pipeline.Config(registry, rules),
+      Seq(s"$work/landing/a.json"))
+    val rows = TableSink.read(spark, registry, "sec", "audit")
+      .selectExpr("id", "cast(timestamp as string) ts", "data.action")
+      .as[(String, String, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("e1", "e2", "e3"))
+    assert(rows.head._2 == "2024-05-01 10:00:00") // rfc3339 → seconds → timestamp
+    assert(rows.map(_._3).toSeq == Seq("login", "logout", "delete"))
+  }
+
+  // ---- auth policies ---------------------------------------------------
+
+  private def in(path: String = "/", header: Map[String, Seq[String]] = Map.empty,
+      query: Map[String, Seq[String]] = Map.empty): AuthInput =
+    AuthInput("POST", path, "198.51.100.3", query, header, "")
+
+  test("auth: default deny + bearer / path / query allow rules (fixture shape)") {
+    val policy = RegoAuth.compile("""package auth
+
+default deny = true
+
+deny = false {
+	allow
+}
+
+allow {
+	input.header.Authorization[_] == "Bearer sesame"
+}
+
+allow {
+	input.path == "/event/hook-7f3a"
+}
+
+allow {
+	input.query.token[_] == "q-tok"
+}
+""")
+    assert(policy(in(header = Map("Authorization" -> Seq("Bearer sesame")))))
+    assert(policy(in(header = Map("Authorization" -> Seq("Basic xx", "Bearer sesame")))))
+    assert(!policy(in(header = Map("Authorization" -> Seq("Bearer wrong")))))
+    assert(!policy(in()))
+    assert(policy(in(path = "/event/hook-7f3a")))
+    assert(policy(in(query = Map("token" -> Seq("nope", "q-tok")))))
+    assert(!policy(in(query = Map("token" -> Seq("nope")))))
+  }
+
+  test("auth: no deny rule means allow-all; deny without default denies only on match") {
+    val empty = RegoAuth.compile("package auth\n\nallow { input.path == \"/x\" }")
+    assert(empty(in())) // undefined deny → allow (docs/rule.md:214)
+    val health = RegoAuth.compile(
+      "package auth\n\ndeny { input.path == \"/health\" }")
+    assert(!health(in(path = "/health")))
+    assert(health(in(path = "/event")))
+  }
+
+  test("auth: the full Google-JWKS idiom — helper fn, http.send cache, claims") {
+    // keypair + JWKS fixture, as in PushReceiverSpec
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val kp = gen.generateKeyPair()
+    val evil = gen.generateKeyPair()
+    def b64(bytes: Array[Byte]): String =
+      Base64.getUrlEncoder.withoutPadding().encodeToString(bytes)
+    def b64s(s: String): String = b64(s.getBytes(UTF_8))
+    def jwk(kp: java.security.KeyPair): String = {
+      val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+      def uint(b: java.math.BigInteger) = {
+        val raw = b.toByteArray
+        b64(if (raw(0) == 0) raw.tail else raw)
+      }
+      s"""{"kty":"RSA","alg":"RS256","kid":"k1","n":"${uint(pub.getModulus)}","e":"${uint(pub.getPublicExponent)}"}"""
+    }
+    def sign(payload: String, signer: java.security.KeyPair): String = {
+      val h = b64s("""{"alg":"RS256","kid":"k1"}""")
+      val p = b64s(payload)
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
+      sig.initSign(signer.getPrivate)
+      sig.update(s"$h.$p".getBytes(UTF_8))
+      s"$h.$p.${b64(sig.sign())}"
+    }
+    val email = "pusher@proj.iam.gserviceaccount.com"
+    val iss = "https://accounts.google.com"
+    val now = 1700000000L
+    def claims(exp: Long, em: String = email) =
+      s"""{"iss":"$iss","email":"$em","exp":$exp}"""
+
+    var fetches = 0
+    val cfg = RegoAuth.Config(
+      http = url => {
+        assert(url == "https://www.googleapis.com/oauth2/v3/certs")
+        fetches += 1
+        s"""{"keys":[${jwk(kp)}]}"""
+      },
+      nowNs = () => now * 1000000000L)
+
+    // the docs' policy, verbatim shape: helper function + verify + claims
+    val policy = RegoAuth.compile(s"""package auth
+
+default deny = true
+
+deny := false { allow }
+
+jwks_request(url) := http.send({
+	"url": url,
+	"method": "GET",
+	"force_cache": true,
+	"force_cache_duration_seconds": 3600
+}).raw_body
+
+allow {
+	authHdr := input.header["Authorization"]
+	count(authHdr) == 1
+	authHdrValues := split(authHdr[0], " ")
+	count(authHdrValues) == 2
+	lower(authHdrValues[0]) == "bearer"
+	token := authHdrValues[1]
+
+	jwks := jwks_request("https://www.googleapis.com/oauth2/v3/certs")
+
+	io.jwt.verify_rs256(token, jwks)
+	claims := io.jwt.decode(token)
+
+	claims[1]["iss"] == "$iss"
+	claims[1]["email"] == "$email"
+	time.now_ns() / (1000 * 1000 * 1000) < claims[1]["exp"]
+}
+""", cfg)
+
+    def withTok(t: String) = in(header = Map("Authorization" -> Seq(s"Bearer $t")))
+    assert(policy(withTok(sign(claims(now + 3600), kp))), "valid token allows")
+    assert(!policy(withTok(sign(claims(now - 10), kp))), "expired denies")
+    assert(!policy(withTok(sign(claims(now + 3600, "other@x"), kp))), "wrong email denies")
+    assert(!policy(withTok(sign(claims(now + 3600), evil))), "wrong key denies")
+    assert(!policy(in(header = Map("Authorization" ->
+      Seq(s"Bearer ${sign(claims(now + 3600), kp)}", "Bearer second")))),
+      "count(authHdr)==1 enforced like the policy says")
+    assert(!policy(in()), "no header denies")
+    assert(fetches >= 1)
+  }
+
+  test("auth: unknown builtins fail at compile, not first request") {
+    val e = intercept[RuntimeException](RegoAuth.compile(
+      "package auth\nallow { net.cidr_contains(\"10.0.0.0/8\", input.remote) }"))
+    assert(e.getMessage.contains("net.cidr_contains"))
+  }
+
+  // ---- the reference's own shipped policies ----------------------------
+
+  test("the reference's shipped .rego policies load unmodified (when present)") {
+    val ref = java.nio.file.Paths.get("/root/reference")
+    assume(java.nio.file.Files.isDirectory(ref), "reference checkout not present")
+    def read(p: String) = java.nio.file.Files.readString(ref.resolve(p))
+
+    // examples/readme/policy: one src rule, one schema rule
+    val readme = RegoRules.compile(read("examples/readme/policy/event.rego"))
+    assert(readme.event.size == 1)
+    val readmeSchema = RegoRules.compile(read("examples/readme/policy/schema.rego"))
+    assert(readmeSchema.schemaRule("my_log").id.contains("`log_id`"))
+
+    // pkg/usecase/testdata/policy: two src rules (gz + plain), a schema
+    // rule with Records[_] explode and parse_rfc3339_ns arithmetic
+    val ev = RegoRules.compile(read("pkg/usecase/testdata/policy/event.rego"))
+    assert(ev.event.size == 2)
+    assert(ev.event.map(_.compress).toSet == Set("", "gzip"))
+    val ct = RegoRules.compile(read("pkg/usecase/testdata/policy/schema.rego"))
+    val s = ct.schemaRule("cloudtrail")
+    assert(s.explodePath.contains("Records") && s.partition == "month")
+
+    // pkg/controller/server/testdata/policy/auth_token.rego
+    val auth = RegoAuth.compile(read("pkg/controller/server/testdata/policy/auth_token.rego"))
+    assert(auth(in(header = Map("Authorization" -> Seq("Bearer good-token")))))
+    assert(!auth(in(header = Map("Authorization" -> Seq("Bearer bad-token")))))
+  }
+
+  // ---- the PushReceiver seam -------------------------------------------
+
+  test("asHttpAuth wires a compiled policy into the receiver") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val policy = RegoAuth.compile("""package auth
+default deny = true
+deny = false { allow }
+allow { input.header.Authorization[_] == "Bearer spool-key" }
+""")
+    val spool = tmpDir("rego-push")
+    val rx = new graft.sources.PushReceiver(spool,
+      auth = RegoAuth.asHttpAuth(policy)).start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val ev = Base64.getEncoder.encodeToString(
+        """{"kind":"storage#object","bucket":"b","name":"o.log","size":"1","timeCreated":"2024-05-01T10:00:00Z"}""".getBytes(UTF_8))
+      val body = s"""{"message":{"messageId":"m1","data":"$ev"},"subscription":"s"}"""
+      def post(tok: Option[String]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://localhost:${rx.boundPort}/"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        tok.foreach(t => b.header("Authorization", t))
+        http.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(post(Some("Bearer spool-key")) == 204)
+      assert(post(Some("Bearer wrong")) == 401)
+      assert(post(None) == 401)
+    } finally rx.stop()
+  }
+
+  // ---- parser details --------------------------------------------------
+
+  test("parser: numbers vs dotted refs, trailing commas, comments, escapes") {
+    val m = RegoParser.parse("""package event
+# comment with "quotes" and ] brackets
+src[s] {
+	input.size > 1000
+	s := {"schema": "s\"x", "parser": "json",}
+}""")
+    assert(m.pkg == Seq("event"))
+    assert(m.rules.size == 1)
+    // ((1000)) not swallowed into a float by the dot-check
+    val n = RegoParser.parse("package schema.t\nlog[d] { d := {\"dataset\": \"d\", \"table\": \"t\", \"timestamp\": ((input.ts / 1000) * 1000) * 1000, \"data\": input} }")
+    assert(n.rules.size == 1)
+  }
+}
