@@ -31,7 +31,7 @@ object Main {
     """usage: graft [ingest|serve|enqueue|schema|migrate|sql|corpus] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
-      |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
+      |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
       |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
@@ -130,6 +130,10 @@ object Main {
         val spool = req(flags, "spool")
         val rx = new graft.sources.PushReceiver(spool,
           flags.get("port").map(_.toInt).getOrElse(0),
+          // --auth-rego <file>: a `package auth` Rego policy evaluated
+          // per request (the reference's native auth surface — header/
+          // path/query rules, io.jwt over http.send JWKS, see
+          // rules.rego.RegoAuth). Else
           // --jwks <file|url>: RS256 bearer JWTs verified against a JWK
           // Set (the Google-signed-ID-token production shape; pin the
           // service account with --jwt-email, issuer with --jwt-issuer;
@@ -137,7 +141,12 @@ object Main {
           // claims-verifying bearer JWTs (exp/nbf enforced; pin iss with
           // --jwt-issuer). Else --auth-token <t>: only
           // `Authorization: Bearer <t>` may push
-          auth = flags.get("jwks")
+          auth = flags.get("auth-rego")
+            .map { f =>
+              graft.rules.rego.RegoAuth.asHttpAuth(graft.rules.rego.RegoAuth.compile(
+                java.nio.file.Files.readString(java.nio.file.Paths.get(f))))
+            }
+            .orElse(flags.get("jwks")
             .map { src =>
               val fetch: () => String = () =>
                 if (src.startsWith("http://") || src.startsWith("https://"))
@@ -148,7 +157,7 @@ object Main {
                 graft.sources.PushReceiver.cachedSupplier(3600L, fetch),
                 flags.get("jwt-issuer").map(i => Map("iss" -> i)).getOrElse(Map.empty) ++
                   flags.get("jwt-email").map(e => Map("email" -> e)).getOrElse(Map.empty))
-            }
+            })
             .orElse(flags.get("jwt-secret")
               .map(s => graft.sources.PushReceiver.jwtBearer(s,
                 flags.get("jwt-issuer").map(i => Map("iss" -> i)).getOrElse(Map.empty))))
