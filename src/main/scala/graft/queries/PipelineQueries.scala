@@ -494,6 +494,60 @@ object PipelineQueries {
     FROM events WHERE event_type = 'purchase'
     ORDER BY dest"""
 
+  /** q78: the Rego frontend end-to-end — event + schema rules written in
+    * the REFERENCE'S policy grammar (`docs/rule.md`), compiled by
+    * [[graft.rules.rego.RegoRules]] into the same rule DSL the rest of
+    * the pipeline runs, driving a real ingest whose landed table is
+    * aggregated and hash-checked against DuckDB over the original
+    * parquet. Verifies the whole frontend chain: src-rule predicate
+    * (endswith over object metadata), schema-rule body condition
+    * (`input.event_type == "purchase"` → `when`), id/timestamp column
+    * refs, and day partitioning — lossless vs the oracle. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q78")
+    exportNdjson(s, d, s"$work/landing", nParts = 8)
+    val eventRego = """package event
+
+src[s] {
+	endswith(input.cs.name, ".json")
+	s := {"parser": "json", "schema": "purchases"}
+}
+"""
+    val schemaRego = """package schema.purchases
+
+log[d] {
+	input.event_type == "purchase"
+	d := {
+		"dataset": "analytics",
+		"table": "purchases",
+		"partition": "day",
+		"id": input.event_id,
+		"timestamp": input.ts,
+		"data": input,
+	}
+}
+"""
+    val compiled = Seq(eventRego, schemaRego).map(graft.rules.rego.RegoRules.compile)
+      .reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    Pipeline.ingestPrefix(s, Pipeline.Config(registry, compiled),
+      s"$work/landing/part-*")
+    TableSink.read(s, registry, "analytics", "purchases")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("distinct_ids"),
+        graft.relational.RelationalQueries.dsum(col("data.value")).as("total_value"),
+        unix_timestamp(min(col("timestamp"))).as("min_ts"),
+        unix_timestamp(max(col("timestamp"))).as("max_ts"))
+  }
+
+  val q78Sql: String = s"""
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS distinct_ids,
+           ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
+    FROM events WHERE event_type = 'purchase'"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -509,5 +563,6 @@ object PipelineQueries {
     ("q60_replay_dedup", q60 _, Some(q60Sql)),
     ("q61_audio_decode", q61 _, Some(q61Sql)),
     ("q63_loadlog_rollup", q63 _, Some(q63Sql)),
-    ("q77_rule_fanout", q77 _, Some(q77Sql)))
+    ("q77_rule_fanout", q77 _, Some(q77Sql)),
+    ("q78_rego_ingest", q78 _, Some(q78Sql)))
 }
