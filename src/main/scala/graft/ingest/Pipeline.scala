@@ -144,29 +144,33 @@ object Pipeline {
             timed("sourceCounts")(batch.sourceCounts.collect()
               .foreach(r => sourceLogs += ((rule.name, r.getString(0), r.getLong(1)))))
           }
-          val schemaRule = cfg.rules.schemaRule(rule.schemaRule)
-          // invalid-row count rides the append job (observe below the
-          // validity filter) — the all-valid common case costs zero extra
-          // jobs; only a non-zero count triggers the quarantine pass.
-          val invalidObs =
-            if (cfg.telemetry && cfg.dryRunDir.isEmpty)
-              Some(org.apache.spark.sql.Observation())
-            else None
-          val routed = Transform(batch.records, schemaRule, ingestId, invalidObs)
-          val res = cfg.dryRunDir match {
-            case Some(dir) =>
-              DumpSink.dump(Transform.pruneDataSchema(routed), dir, ingestId).map { case (ds, tbl) =>
-                TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
-              }
-            case None => timed("append")(TableSink.append(spark, cfg.registry, routed,
-              cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests))
+          // SET semantics (ref Rego `log[d]`): every same-name schema
+          // rule emits — each costs one pass over the CACHED batch, same
+          // per-rule evaluation the reference does per record.
+          cfg.rules.schemaRulesFor(rule.schemaRule).flatMap { schemaRule =>
+            // invalid-row count rides the append job (observe below the
+            // validity filter) — the all-valid common case costs zero
+            // extra jobs; only a non-zero count triggers quarantine.
+            val invalidObs =
+              if (cfg.telemetry && cfg.dryRunDir.isEmpty)
+                Some(org.apache.spark.sql.Observation())
+              else None
+            val routed = Transform(batch.records, schemaRule, ingestId, invalidObs)
+            val res = cfg.dryRunDir match {
+              case Some(dir) =>
+                DumpSink.dump(Transform.pruneDataSchema(routed), dir, ingestId).map { case (ds, tbl) =>
+                  TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
+                }
+              case None => timed("append")(TableSink.append(spark, cfg.registry, routed,
+                cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests))
+            }
+            invalidObs.foreach { obs =>
+              if (invalidCount(obs) > 0)
+                timed("quarantine")(writeQuarantine(spark, cfg.registry, started,
+                  Transform.invalid(batch.records, schemaRule, ingestId)))
+            }
+            res
           }
-          invalidObs.foreach { obs =>
-            if (invalidCount(obs) > 0)
-              timed("quarantine")(writeQuarantine(spark, cfg.registry, started,
-                Transform.invalid(batch.records, schemaRule, ingestId)))
-          }
-          res
         } finally batch.release()
       }
       }
@@ -345,20 +349,20 @@ object Pipeline {
     * shared by the streaming branches so validation rejects are never
     * silent there either (same contract as the batch path). */
   private def ingestRecords(spark: SparkSession, cfg: Config, rule: EventRule,
-      records: DataFrame, ingestId: String): Seq[TableSink.IngestResult] = {
-    val schemaRule = cfg.rules.schemaRule(rule.schemaRule)
-    val invalidObs =
-      if (cfg.telemetry) Some(org.apache.spark.sql.Observation()) else None
-    val results = TableSink.append(spark, cfg.registry,
-      Transform(records, schemaRule, ingestId, invalidObs),
-      cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests)
-    invalidObs.foreach { obs =>
-      if (invalidCount(obs) > 0)
-        writeQuarantine(spark, cfg.registry, System.currentTimeMillis(),
-          Transform.invalid(records, schemaRule, ingestId))
+      records: DataFrame, ingestId: String): Seq[TableSink.IngestResult] =
+    cfg.rules.schemaRulesFor(rule.schemaRule).flatMap { schemaRule =>
+      val invalidObs =
+        if (cfg.telemetry) Some(org.apache.spark.sql.Observation()) else None
+      val results = TableSink.append(spark, cfg.registry,
+        Transform(records, schemaRule, ingestId, invalidObs),
+        cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests)
+      invalidObs.foreach { obs =>
+        if (invalidCount(obs) > 0)
+          writeQuarantine(spark, cfg.registry, System.currentTimeMillis(),
+            Transform.invalid(records, schemaRule, ingestId))
+      }
+      results
     }
-    results
-  }
 
   /** Observed invalid-row count from the append action (0 on an empty
     * batch — count(when) never yields null). */
@@ -603,10 +607,9 @@ object Pipeline {
       if (ps.isEmpty) Nil
       else {
         val batch = readBatch(spark, rule, ps, cfg.distributedInference)
-        try {
+        try cfg.rules.schemaRulesFor(rule.schemaRule).flatMap { schemaRule =>
           val routed = Transform.pruneDataSchema(
-            Transform(batch.records,
-              cfg.rules.schemaRule(rule.schemaRule), "schema-inspect"))
+            Transform(batch.records, schemaRule, "schema-inspect"))
           val dataSchema = routed.schema("data").dataType
             .asInstanceOf[org.apache.spark.sql.types.StructType]
           routed.select("dataset", "table").distinct().collect()

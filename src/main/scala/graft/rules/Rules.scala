@@ -140,9 +140,25 @@ final case class SchemaRule(
 
 /** A rule set = the reference's policy directory. */
 final case class Rules(event: Seq[EventRule], schema: Seq[SchemaRule]) {
-  private val byName = schema.map(r => r.name -> r).toMap
-  def schemaRule(name: String): SchemaRule =
+  private val byName = schema.groupBy(_.name)
+
+  /** All schema rules under a name, in declaration order — SET semantics
+    * like the reference's Rego `log[d]`: every rule with the name emits
+    * for each record, so N rules multiply the record N ways (each with
+    * its own explode/when/routing; ref `pkg/usecase/load.go:205-245`
+    * iterates the whole output set). The pipeline applies each in turn
+    * over the cached batch. */
+  def schemaRulesFor(name: String): Seq[SchemaRule] =
     byName.getOrElse(name, sys.error(s"no schema rule '$name'"))
+
+  /** The single schema rule under a name; loud when the name is shared
+    * (callers that can only honor one rule must not silently pick one —
+    * the pipeline itself uses [[schemaRulesFor]]). */
+  def schemaRule(name: String): SchemaRule = schemaRulesFor(name) match {
+    case Seq(r) => r
+    case rs => sys.error(s"${rs.size} schema rules named '$name' — set " +
+      "semantics; use schemaRulesFor")
+  }
 
   /** Event-rule evaluation over an object-metadata DataFrame: each rule
     * that matches fans the object out once (set semantics like Rego

@@ -126,15 +126,19 @@ object RegoRules {
 
   // ---- schema rules ---------------------------------------------------
 
+  /** One [[SchemaRule]] per `log` rule, all under the schema's name —
+    * set semantics: the pipeline applies every same-name rule
+    * ([[graft.rules.Rules.schemaRulesFor]]), so N log rules multiply
+    * each record N ways exactly like the reference's Rego set. */
   private def schemaRules(m: Module, name: String): Seq[SchemaRule] = {
     val logRules = m.rules.filter(_.name == "log")
     require(logRules.nonEmpty, s"package schema.$name defines no log[…] rules")
     m.rules.filterNot(_.name == "log").foreach(r =>
       sys.error(s"schema.$name: unsupported rule '${r.name}' (only log[…])"))
-    require(logRules.size == 1,
-      s"schema.$name: ${logRules.size} log rules — the engine routes one " +
-        "schema rule per name; merge them or split the schema")
-    val r = logRules.head
+    logRules.map(r => schemaRule(r, name))
+  }
+
+  private def schemaRule(r: Rule, name: String): SchemaRule = {
     val (out, body0) = setOutput(r, s"schema.$name")
 
     // `v := input.<arr>[_]` → explode; other assigns → inline substitution
@@ -182,7 +186,7 @@ object RegoRules {
       case Some(other) => sys.error(s"schema.$name: partition must be a string literal, got $other")
       case None => ""
     }
-    Seq(SchemaRule(
+    SchemaRule(
       name = name,
       explodePath = explodePath,
       when = when,
@@ -193,7 +197,7 @@ object RegoRules {
       partition = partition,
       id = sqlField("id"),
       timestamp = sqlField("timestamp").getOrElse(
-        sys.error(s"schema.$name: log object lacks required 'timestamp'"))))
+        sys.error(s"schema.$name: log object lacks required 'timestamp'")))
   }
 
   /** Record-scope reference → SQL: `input.a.b` / `<recordVar>.a.b` →

@@ -106,12 +106,6 @@ log[d] { d := {"dataset": "d", "table": "t", "timestamp": input.ts,
   "data": {"a": input.a}} }"""
     assert(intercept[RuntimeException](RegoRules.compile(reshaped))
       .getMessage.contains("whole record"))
-    // two log rules under one schema name
-    val two = """package schema.x
-log[d] { d := {"dataset": "d", "table": "t", "timestamp": input.ts, "data": input} }
-log[d] { d := {"dataset": "d", "table": "u", "timestamp": input.ts, "data": input} }"""
-    assert(intercept[RuntimeException](RegoRules.compile(two))
-      .getMessage.contains("log rules"))
     // package auth routed to the wrong loader
     assert(intercept[RuntimeException](RegoRules.compile("package auth\nallow { input.path == \"/\" }"))
       .getMessage.contains("RegoAuth"))
@@ -143,6 +137,40 @@ src[s] {
     assert(rows.map(_._1).toSeq == Seq("e1", "e2", "e3"))
     assert(rows.head._2 == "2024-05-01 10:00:00") // rfc3339 → seconds → timestamp
     assert(rows.map(_._3).toSeq == Seq("login", "logout", "delete"))
+  }
+
+  test("set semantics: two log rules under one schema each emit (record multiplies)") {
+    import spark.implicits._
+    import graft.ingest.{Pipeline, TableSink}
+    import graft.schema.SchemaRegistry
+    // ≡ ref `log[d]` set accumulation across rules (load.go:205-245)
+    val rules = RegoRules.compile("""package schema.traffic
+log[d] {
+	d := {"dataset": "net", "table": "all_flows", "timestamp": input.ts, "data": input}
+}
+log[d] {
+	input.proto == "tcp"
+	d := {"dataset": "net", "table": "tcp_flows", "timestamp": input.ts, "data": input}
+}
+""")
+    assert(rules.schema.size == 2)
+    assert(rules.schemaRulesFor("traffic").map(_.table) == Seq("'all_flows'", "'tcp_flows'"))
+    intercept[RuntimeException](rules.schemaRule("traffic")) // single-rule accessor stays loud
+
+    val work = tmpDir("rego-set")
+    writeFile(work, "landing/f.json",
+      """{"ts":1700000000.0,"proto":"tcp","bytes":10}
+{"ts":1700000001.0,"proto":"udp","bytes":20}
+{"ts":1700000002.0,"proto":"tcp","bytes":30}""")
+    val all = Rules(
+      Seq(EventRule(name = "flows", when = "name LIKE '%.json'", schemaRule = "traffic")),
+      rules.schema)
+    val registry = new SchemaRegistry(s"$work/wh")
+    Pipeline.ingestPaths(spark, Pipeline.Config(registry, all),
+      Seq(s"$work/landing/f.json"))
+    assert(TableSink.read(spark, registry, "net", "all_flows").count() == 3)
+    assert(TableSink.read(spark, registry, "net", "tcp_flows")
+      .selectExpr("data.bytes").as[Long].collect().sorted.toSeq == Seq(10L, 30L))
   }
 
   // ---- auth policies ---------------------------------------------------
