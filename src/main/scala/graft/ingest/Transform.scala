@@ -37,13 +37,13 @@ object Transform {
     */
   def apply(records: DataFrame, rule: SchemaRule, ingestId: String,
       observeInvalid: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val (reshaped, dataFields) = reshape(records, rule)
+    val (reshaped, dataCols) = reshape(records, rule)
     val withEnvelope = reshaped
       // a missing id field falls back to the content digest, like no id rule
       .withColumn("__graft_id", rule.id.map(exprOrNull(reshaped, _).cast(StringType))
         .getOrElse(lit(null).cast(StringType)))
     val packed0 = withEnvelope.withColumn("__graft_data",
-      struct(dataFields.map(col): _*))
+      struct(dataCols: _*))
     val valid = col("__graft_ds").isNotNull && col("__graft_tbl").isNotNull &&
       col("__graft_ts").isNotNull
     // the metrics node sits BELOW the validity filter, so the dropped
@@ -79,7 +79,7 @@ object Transform {
     * these to a quarantine table instead ([[Pipeline]] `_meta.quarantine`)
     * — dropped data is never silent. */
   def invalid(records: DataFrame, rule: SchemaRule, ingestId: String): DataFrame = {
-    val (checked, dataFields) = reshape(records, rule)
+    val (checked, dataCols) = reshape(records, rule)
     checked
       .filter(col("__graft_ds").isNull || col("__graft_tbl").isNull ||
         col("__graft_ts").isNull)
@@ -90,7 +90,7 @@ object Transform {
           when(col("__graft_ds").isNull, lit("dataset_null")),
           when(col("__graft_tbl").isNull, lit("table_null")),
           when(col("__graft_ts").isNull, lit("timestamp_null")))).as("reasons"),
-        to_json(struct(dataFields.map(col): _*)).as("record"))
+        to_json(struct(dataCols: _*)).as("record"))
   }
 
   /** Shared head of [[apply]] and [[invalid]] — the two MUST agree on
@@ -111,7 +111,7 @@ object Transform {
     *
     * Returns the reshaped frame with `__graft_ds/tbl/ts` appended, plus
     * the record's own column names (the future `data` fields). */
-  private def reshape(records: DataFrame, rule: SchemaRule): (DataFrame, Seq[String]) = {
+  private def reshape(records: DataFrame, rule: SchemaRule): (DataFrame, Seq[Column]) = {
     val exploded = rule.explodePath match {
       case Some(path) =>
         records.select(explode(col(path)).as("__rec")).select("__rec.*")
@@ -131,13 +131,20 @@ object Transform {
       case (df, RenameField(from, to)) => df.withColumnRenamed(from, to)
       case (df, SetField(nm, e)) => df.withColumn(nm, expr(e))
     }
-    val dataFields = reshaped.columns.toSeq
+    // the columns `data` packs: a dataSelect REPLACES the record (the
+    // reference's reshaped `"data": {…}` — new object, not a patch),
+    // evaluated here so routing/id/timestamp below still see the full
+    // record; absent fields degrade per-column to null like rule exprs
+    val dataCols = rule.dataSelect match {
+      case Some(fields) => fields.map { case (n, e) => exprOrNull(reshaped, e).as(n) }
+      case None => reshaped.columns.toSeq.map(col)
+    }
     val checked = reshaped
       .withColumn("__graft_ds", exprOrNull(reshaped, rule.dataset).cast(StringType))
       .withColumn("__graft_tbl", exprOrNull(reshaped, rule.table).cast(StringType))
       .withColumn("__graft_ts",
         toTimestamp(exprOrNull(reshaped, rule.timestamp), reshaped, rule.timestamp))
-    (checked, dataFields)
+    (checked, dataCols)
   }
 
   /** Rule exprs referencing fields ABSENT from the whole batch (a field

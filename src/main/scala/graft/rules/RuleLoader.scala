@@ -24,7 +24,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *                 "transforms": [                  // optional
   *                   { "op": "drop",   "path": "a.b" },
   *                   { "op": "rename", "from": "x", "to": "y" },
-  *                   { "op": "set",    "name": "z", "expr": "x * 2" } ] } ] }
+  *                   { "op": "set",    "name": "z", "expr": "x * 2" } ],
+  *                 "dataSelect": [                  // optional: data is
+  *                   { "name": "kb", "expr": "bytes / 1000" } ] } ] }
+  *                   // REPLACED by exactly these fields (routing/id/
+  *                   // timestamp still see the full record)
   * }}}
   */
 object RuleLoader {
@@ -82,6 +86,9 @@ object RuleLoader {
         id = opt(n, "id"),
         timestamp = req(n, "timestamp"),
         transforms = arr(n, "transforms").map(parseTransform),
+        dataSelect = Option(n.get("dataSelect")).map(ds =>
+          ds.elements().asScala.toSeq.map(f =>
+            (req(f, "name"), req(f, "expr")))),
         enrich = opt(n, "enrich").map(name => enrichments.getOrElse(name,
           sys.error(s"rule names enrichment '$name' but the registry has " +
             s"[${enrichments.keys.toSeq.sorted.mkString(", ")}] — register it " +

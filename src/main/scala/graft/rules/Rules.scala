@@ -120,7 +120,17 @@ final case class SchemaRule(
       * explode/when, before transforms — so routing, id, timestamp and
       * transform exprs all see the enriched columns, and the
       * quarantine path sees exactly what validation saw. */
-    enrich: Option[Enrichment] = None) {
+    enrich: Option[Enrichment] = None,
+    /** Optional FULL REPLACEMENT of the packed `data` struct:
+      * `(name, sqlExpr)` pairs evaluated over the (exploded/enriched/
+      * transformed) record — ≡ the reference's reshaped `"data": {…}`
+      * object (`docs/rule.md:166-168`), where the emitted data is a new
+      * object, NOT a patch. Routing/id/timestamp exprs still see the
+      * full record (they are independent log-object fields in the
+      * reference), so an id can reference a field the reshape drops.
+      * Absent → `data` packs every record column (the `"data": input`
+      * common case). */
+    dataSelect: Option[Seq[(String, String)]] = None) {
   require(Set("", "hour", "day", "month", "year")(partition),
     s"bad partition unit '$partition'")
 

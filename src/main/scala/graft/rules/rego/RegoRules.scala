@@ -170,15 +170,19 @@ object RegoRules {
     def field(k: String): Option[Term] = keys.get(k)
     def sqlField(k: String): Option[String] = field(k).map(t => sqlExpr(t, ref))
 
-    // data must be the whole record — the only form the reference's
-    // docs/fixtures ever emit ("data": input / "data": r). A reshaped
-    // object literal has no static column set; express reshapes as DSL
-    // transforms instead.
-    field("data") match {
-      case Some(Term.Ref("input")) if recordVar.isEmpty =>
-      case Some(Term.Ref(v)) if recordVar.contains(v) =>
+    // data: the whole record ("data": input / "data": r — the common
+    // case) or a reshaped object literal → full replacement of the
+    // packed data struct (docs/rule.md:166-168), compiled field-by-field
+    // to SQL; routing/id/timestamp exprs still see the full record.
+    val dataSelect = field("data") match {
+      case Some(Term.Ref("input")) if recordVar.isEmpty => None
+      case Some(Term.Ref(v)) if recordVar.contains(v) => None
+      case Some(o: Term.Obj) => Some(o.entries.map {
+        case (Term.Str(k), v) => (k, sqlExpr(v, ref))
+        case (k, _) => sys.error(s"schema.$name data: non-string key $k")
+      })
       case Some(other) => sys.error(s"schema.$name: 'data' must be the whole " +
-        s"record (input / the [_] binding); got $other — reshape via DSL transforms")
+        s"record (input / the [_] binding) or an object literal; got $other")
       case None => sys.error(s"schema.$name: log object lacks required 'data'")
     }
     val partition = (field("partition") orElse field("timeunit")) match {
@@ -197,7 +201,8 @@ object RegoRules {
       partition = partition,
       id = sqlField("id"),
       timestamp = sqlField("timestamp").getOrElse(
-        sys.error(s"schema.$name: log object lacks required 'timestamp'")))
+        sys.error(s"schema.$name: log object lacks required 'timestamp'")),
+      dataSelect = dataSelect)
   }
 
   /** Record-scope reference → SQL: `input.a.b` / `<recordVar>.a.b` →

@@ -100,11 +100,11 @@ log[{
   }
 
   test("out-of-subset schema shapes fail loudly") {
-    // reshaped data object — no static column set
-    val reshaped = """package schema.x
+    // data as a computed non-object, non-record term
+    val bad = """package schema.x
 log[d] { d := {"dataset": "d", "table": "t", "timestamp": input.ts,
-  "data": {"a": input.a}} }"""
-    assert(intercept[RuntimeException](RegoRules.compile(reshaped))
+  "data": input.nested} }"""
+    assert(intercept[RuntimeException](RegoRules.compile(bad))
       .getMessage.contains("whole record"))
     // package auth routed to the wrong loader
     assert(intercept[RuntimeException](RegoRules.compile("package auth\nallow { input.path == \"/\" }"))
@@ -171,6 +171,45 @@ log[d] {
     assert(TableSink.read(spark, registry, "net", "all_flows").count() == 3)
     assert(TableSink.read(spark, registry, "net", "tcp_flows")
       .selectExpr("data.bytes").as[Long].collect().sorted.toSeq == Seq(10L, 30L))
+  }
+
+  test("reshaped data object: full replacement; id still sees dropped fields") {
+    import spark.implicits._
+    import graft.ingest.{Pipeline, TableSink}
+    import graft.schema.SchemaRegistry
+    // ≡ docs/rule.md:166-168 — "data" as a new object, not the input
+    val rules = RegoRules.compile("""package schema.flows
+log[d] {
+	d := {
+		"dataset": "net",
+		"table": "slim",
+		"id": input.flow_id,
+		"timestamp": input.ts,
+		"data": {"proto": lower(input.proto), "kb": input.bytes / 1000},
+	}
+}
+""")
+    val s = rules.schemaRule("flows")
+    assert(s.dataSelect.contains(Seq(
+      ("proto", "lower(`proto`)"), ("kb", "(`bytes` / 1000)"))))
+
+    val work = tmpDir("rego-reshape")
+    writeFile(work, "landing/f.json",
+      """{"ts":1700000000.0,"proto":"TCP","bytes":2000,"flow_id":"f1","secret":"x"}""")
+    val all = Rules(
+      Seq(EventRule(name = "flows", when = "name LIKE '%.json'", schemaRule = "flows")),
+      rules.schema)
+    val registry = new SchemaRegistry(s"$work/wh")
+    Pipeline.ingestPaths(spark, Pipeline.Config(registry, all),
+      Seq(s"$work/landing/f.json"))
+    val row = TableSink.read(spark, registry, "net", "slim")
+      .selectExpr("id", "data.proto", "data.kb").as[(String, String, Double)]
+      .collect().toSeq
+    assert(row == Seq(("f1", "tcp", 2.0))) // id from a field data dropped
+    val dataFields = TableSink.read(spark, registry, "net", "slim")
+      .schema("data").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+    assert(dataFields == Seq("proto", "kb")) // replacement, not a patch
   }
 
   // ---- auth policies ---------------------------------------------------
