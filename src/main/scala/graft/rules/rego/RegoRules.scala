@@ -90,10 +90,21 @@ object RegoRules {
         case a: Stmt.Assign => sys.error(s"src[$i]: variable bindings other " +
           s"than the head object are unsupported in event rules ($a)")
       }
-      val directive = objStrings(out, s"src[$i]")
+      // multiDoc is an ENGINE EXTENSION key: the reference's decoder
+      // auto-detects concatenated JSON docs per object (load.go:251-279);
+      // here doc shape is a rule property, so a ported policy for a
+      // concatenated-doc bucket declares it explicitly.
+      val terms = objTerms(out, s"src[$i]")
+      val multiDoc = terms.get("multiDoc") match {
+        case Some(Term.Bool(b)) => b
+        case Some(other) => sys.error(s"src[$i]: multiDoc must be true/false, got $other")
+        case None => false
+      }
+      val directive = objStrings(Term.Obj(out.entries.filterNot(_._1 == Term.Str("multiDoc"))),
+        s"src[$i]")
       directive.keys.find(k => !Set("parser", "schema", "compress")(k)).foreach(k =>
         sys.error(s"src[$i]: unsupported source key '$k' " +
-          "(parser | schema | compress — model/policy.go:25-30)"))
+          "(parser | schema | compress — model/policy.go:25-30 — or engine-extension multiDoc)"))
       val schema = directive.getOrElse("schema",
         sys.error(s"src[$i]: source object lacks required 'schema'"))
       val when =
@@ -104,6 +115,7 @@ object RegoRules {
         when = when,
         parser = directive.getOrElse("parser", "json"),
         compress = directive.getOrElse("compress", ""),
+        multiDoc = multiDoc,
         schemaRule = schema)
     }
   }

@@ -63,6 +63,17 @@ src[{
     assert(matched(plain.name) == Set("/web/b.log"))
   }
 
+  test("event rules: multiDoc extension key; bad values rejected") {
+    val r = RegoRules.compile("""package event
+src[{"parser": "json", "schema": "s", "multiDoc": true}] {
+	endswith(input.cs.name, ".json")
+}""")
+    assert(r.event.head.multiDoc)
+    intercept[RuntimeException](RegoRules.compile(
+      """package event
+src[{"parser": "json", "schema": "s", "multiDoc": "yes"}] { endswith(input.cs.name, ".json") }"""))
+  }
+
   test("event rules reject unmapped input paths and non-src rules at compile") {
     val badPath = "package event\nsrc[{\"schema\": \"s\"}] { input.data.generation == \"3\" }"
     val e = intercept[RuntimeException](RegoRules.compile(badPath))
