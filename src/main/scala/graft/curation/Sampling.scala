@@ -124,12 +124,17 @@ object Sampling {
     * wrong training set, not a recoverable row). */
   def budgetSelect(df: DataFrame, idCol: Column, score: Column,
       weight: Column, budget: Long): DataFrame = {
+    // guard on the POST-cast value: an uncastable weight ('abc' in a
+    // string column) must fail with THIS contract error, not ANSI's
+    // generic cast error (or, with ANSI off, ride the sum as null) —
+    // try_cast turns both modes into a null the guard below owns
+    val w = weight.try_cast("long")
     val keyed = df.withColumn("__score", score)
-      .withColumn("__w", when(weight.isNull || weight.cast("long") < 0,
+      .withColumn("__w", when(w.isNull || w < 0,
           raise_error(concat(lit("budgetSelect: weight must be a " +
             "non-negative integer, got "),
             coalesce(weight.cast("string"), lit("NULL")))))
-        .otherwise(weight.cast("long")))
+        .otherwise(w))
     val ranged = keyed
       .repartitionByRange(col("__score").desc, idCol)
       .sortWithinPartitions(col("__score").desc, idCol)

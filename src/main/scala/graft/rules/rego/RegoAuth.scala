@@ -27,16 +27,23 @@ import RegoParser.{Module, RefPart, Rule, Stmt, Term}
   * Semantics follow Rego where the subset overlaps it: a rule body is a
   * conjunction; a statement that is false or UNDEFINED (missing key,
   * out-of-range index, failed builtin) fails the body, never throws; a
-  * `[_]` is existential; `deny` takes the value of the first succeeding
-  * deny rule, else its `default`, else undefined; undefined/false deny
-  * allows (`docs/rule.md:214`). Out-of-subset constructs fail at COMPILE
-  * time — a policy that loads is fully enforced.
+  * `[_]` is existential — including inside call arguments, and a
+  * `v := arr[_]` binding backtracks over the rest of the body; `not x`
+  * succeeds iff x is undefined or false; `deny` takes the value of the
+  * first succeeding deny rule, else its `default`, else undefined;
+  * undefined/false deny allows (`docs/rule.md:214`). Out-of-subset
+  * constructs — and references to names that exist nowhere (a typo'd
+  * helper rule would otherwise evaluate to undefined and silently
+  * disarm a deny body) — fail at COMPILE time: a policy that loads is
+  * fully enforced.
   *
   * `http.send` and the clock are injectable ([[Config]]): production
-  * uses a TTL-cached `java.net` fetch honoring the policy's
-  * `force_cache_duration_seconds`; tests inject fixtures. Any fetch
-  * failure makes the calling rule undefined → deny, the same fail-closed
-  * default as [[graft.sources.PushReceiver.jwtBearerRs256]].
+  * uses a TTL-cached `java.net` fetch whose per-URL TTL is the
+  * policy's own `force_cache_duration_seconds` (0 — no caching — when
+  * the policy doesn't ask for `force_cache`); tests inject fixtures.
+  * Any fetch failure makes the calling rule undefined → deny, the same
+  * fail-closed default as
+  * [[graft.sources.PushReceiver.jwtBearerRs256]].
   */
 object RegoAuth {
 
@@ -46,17 +53,20 @@ object RegoAuth {
       body: String)
 
   final case class Config(
-      /** url → response body; failures may throw (rule goes undefined). */
-      http: String => String = defaultHttp(),
+      /** (url, cacheSeconds) → response body; `cacheSeconds` is the
+        * policy's `force_cache_duration_seconds` (0 = don't cache).
+        * Failures may throw (rule goes undefined). */
+      http: (String, Long) => String = defaultHttp(),
       nowNs: () => Long = () => System.currentTimeMillis() * 1000000L)
 
   /** TTL-cached GET, one entry per URL — `http.send`'s `force_cache`
-    * contract. The cache is per-predicate (a receiver builds one policy
-    * at startup), refreshed after `ttlSeconds` so JWKS rotation works
-    * without restart. */
-  def defaultHttp(ttlSeconds: Long = 3600): String => String = {
+    * contract, with the TTL supplied PER CALL from the policy's
+    * `force_cache_duration_seconds`. The cache is per-predicate (a
+    * receiver builds one policy at startup), refreshed after the TTL so
+    * JWKS rotation works without restart. */
+  def defaultHttp(): (String, Long) => String = {
     val cache = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]
-    url => {
+    (url, ttlSeconds) => {
       val now = System.currentTimeMillis() / 1000
       val hit = cache.get(url)
       if (hit != null && hit._1 > now) hit._2
@@ -65,7 +75,7 @@ object RegoAuth {
         conn.setConnectTimeout(5000)
         conn.setReadTimeout(5000)
         val body = new String(conn.getInputStream.readAllBytes(), UTF_8)
-        cache.put(url, (now + ttlSeconds, body))
+        if (ttlSeconds > 0) cache.put(url, (now + ttlSeconds, body))
         body
       }
     }
@@ -95,8 +105,12 @@ object RegoAuth {
           if (i < 0) (dec(kv), "") else (dec(kv.take(i)), dec(kv.drop(i + 1)))
         }
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      // sun's Headers normalizes keys to "X-goog-channel-token"; the
+      // reference presents Go net/http canonical keys
+      // ("X-Goog-Channel-Token"), which is what ported policies match —
+      // re-canonicalize so multi-word header lookups work
       val headers = ex.getRequestHeaders.entrySet().asScala
-        .map(e => e.getKey -> e.getValue.asScala.toSeq).toMap
+        .map(e => canonicalHeader(e.getKey) -> e.getValue.asScala.toSeq).toMap
       // the push body is consumed downstream by the receiver; auth sees
       // it empty (no reference auth rule inspects the body)
       policy(AuthInput(ex.getRequestMethod, uri.getPath,
@@ -106,6 +120,14 @@ object RegoAuth {
 
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, UTF_8)
+
+  /** Go's `textproto.CanonicalMIMEHeaderKey`: first letter of each
+    * '-'-separated segment upper, rest lower. */
+  private[rego] def canonicalHeader(k: String): String =
+    k.split("-", -1).map { seg =>
+      if (seg.isEmpty) seg
+      else seg.head.toUpper +: seg.tail.toLowerCase
+    }.mkString("-")
 
   // ---- evaluator ------------------------------------------------------
 
@@ -117,29 +139,45 @@ object RegoAuth {
   private final class Eval(m: Module, cfg: Config) {
     private val mapper = new ObjectMapper
     private val rulesByName: Map[String, Seq[Rule]] = m.rules.groupBy(_.name)
-    private val functions: Map[String, Rule] =
-      m.rules.filter(_.params.isDefined).map(r => r.name -> r).toMap
+    /** Function rules in source order — Rego tries same-name bodies in
+      * order, first defined result wins. */
+    private val functions: Map[String, Seq[Rule]] =
+      m.rules.filter(_.params.isDefined).groupBy(_.name)
 
-    /** Walk every rule body once at compile time so unsupported builtins
-      * or operators fail at load, not first request. */
+    /** Walk every rule once at compile time so unsupported builtins,
+      * operators, and UNKNOWN NAMES fail at load, not first request. A
+      * typo'd helper-rule name in a deny body would otherwise evaluate
+      * to undefined and silently disarm the rule (fail-open). */
     def checkCompilable(): Unit = {
-      def checkTerm(t: Term): Unit = t match {
+      def checkTerm(t: Term, bound: Set[String]): Unit = t match {
+        case Term.Ref(n) =>
+          if (!bound(n) && !rulesByName.contains(n))
+            sys.error(s"auth policy references unknown name '$n' " +
+              "(not a rule, function parameter, or := binding in scope)")
         case Term.Call(fn, args) =>
           if (!builtinNames(fn) && !functions.contains(fn))
             sys.error(s"auth policy calls unknown function '$fn' " +
               s"(builtins: ${builtinNames.toSeq.sorted.mkString(", ")})")
-          args.foreach(checkTerm)
-        case Term.Bin(_, l, r) => checkTerm(l); checkTerm(r)
-        case Term.Sel(b, RefPart.Idx(i)) => checkTerm(b); checkTerm(i)
-        case Term.Sel(b, _) => checkTerm(b)
-        case Term.Obj(es) => es.foreach { case (k, v) => checkTerm(k); checkTerm(v) }
-        case Term.Arr(is) => is.foreach(checkTerm)
+          args.foreach(checkTerm(_, bound))
+        case Term.Bin(_, l, r) => checkTerm(l, bound); checkTerm(r, bound)
+        case Term.Sel(b, RefPart.Idx(i)) => checkTerm(b, bound); checkTerm(i, bound)
+        case Term.Sel(b, _) => checkTerm(b, bound)
+        case Term.Obj(es) => es.foreach { case (k, v) => checkTerm(k, bound); checkTerm(v, bound) }
+        case Term.Arr(is) => is.foreach(checkTerm(_, bound))
         case _ =>
       }
       m.rules.foreach { r =>
-        r.key.foreach(checkTerm)
-        r.value.foreach(checkTerm)
-        r.body.foreach { case Stmt.Assign(_, t) => checkTerm(t); case Stmt.Expr(t) => checkTerm(t) }
+        val bound0 = Set("input") ++ r.params.getOrElse(Nil)
+        val boundAll = r.body.foldLeft(bound0) { (bound, s) =>
+          s match {
+            case Stmt.Assign(v, t) => checkTerm(t, bound); bound + v
+            case Stmt.Expr(t) => checkTerm(t, bound); bound
+            case Stmt.Not(t) => checkTerm(t, bound); bound
+          }
+        }
+        // head terms may use any name the body binds
+        r.key.foreach(checkTerm(_, boundAll))
+        r.value.foreach(checkTerm(_, boundAll))
       }
     }
 
@@ -175,20 +213,37 @@ object RegoAuth {
         evalOne(r.value.get, Map.empty, input)))
     }
 
-    /** Run a body; returns the final env. Throws Undefined on failure. */
+    /** Run a body; returns the final env. Throws Undefined on failure.
+      * An `v := arr[_]` assignment is existential ACROSS the rest of the
+      * body: each candidate binding is tried in order and the first that
+      * makes the remaining statements succeed wins (Rego backtracking,
+      * scoped to this subset's one-directional bindings). */
     private def evalBody(body: Seq[Stmt], env0: Map[String, Any], input: Any): Map[String, Any] =
-      body.foldLeft(env0) { (env, s) =>
-        s match {
-          case Stmt.Assign(v, t) => env + (v -> evalOne(t, env, input))
-          case Stmt.Expr(t) =>
-            // existential over [_]: succeed iff SOME expansion is truthy
-            val ok = evalAll(t, env, input).exists {
+      body match {
+        case Seq() => env0
+        case Stmt.Assign(v, t) +: rest =>
+          val candidates = evalAll(t, env0, input)
+          candidates.iterator.flatMap { x =>
+            try Some(evalBody(rest, env0 + (v -> x), input))
+            catch { case Undefined => None }
+          }.nextOption().getOrElse(throw Undefined)
+        case Stmt.Expr(t) +: rest =>
+          // existential over [_]: succeed iff SOME expansion is truthy
+          val ok = evalAll(t, env0, input).exists {
+            case b: Boolean => b
+            case _ => true // a defined non-boolean statement succeeds (Rego)
+          }
+          if (!ok) throw Undefined
+          evalBody(rest, env0, input)
+        case Stmt.Not(t) +: rest =>
+          // negation as failure: succeed iff NO expansion is truthy
+          val truthy =
+            try evalAll(t, env0, input).exists {
               case b: Boolean => b
-              case _ => true // a defined non-boolean statement succeeds (Rego)
-            }
-            if (!ok) throw Undefined
-            env
-        }
+              case _ => true
+            } catch { case Undefined => false }
+          if (truthy) throw Undefined
+          evalBody(rest, env0, input)
       }
 
     /** All values a term can take (one per `[_]` expansion); empty =
@@ -233,8 +288,16 @@ object RegoAuth {
         for { lv <- evalAll(l, env, input); rv <- evalAll(r, env, input) }
           yield binop(op, lv, rv)
       case Term.Call(fn, args) =>
-        val a = args.map(evalOne(_, env, input))
-        Seq(call(fn, a, input))
+        // [_] keeps its existential meaning inside call arguments:
+        // expand the cartesian product of argument values, skipping
+        // combinations for which the call itself is undefined
+        val combos = args.foldLeft(Seq(Seq.empty[Any])) { (acc, a) =>
+          val vs = evalAll(a, env, input)
+          for { c <- acc; v <- vs } yield c :+ v
+        }
+        combos.flatMap { a =>
+          try Seq(call(fn, a, input)) catch { case Undefined => Seq.empty }
+        }
     }
 
     /** Exactly-one value (first expansion); undefined if none. */
@@ -288,21 +351,34 @@ object RegoAuth {
         val url = r.getOrElse("url", throw Undefined).toString
         r.get("method").foreach(m =>
           if (m.toString.toUpperCase != "GET") throw Undefined)
-        val body = try cfg.http(url) catch { case _: Exception => throw Undefined }
+        // the policy's own cache directive: force_cache_duration_seconds
+        // (default 3600 when force_cache is set bare), else no caching
+        val ttl = r.get("force_cache") match {
+          case Some(true) => r.get("force_cache_duration_seconds") match {
+            case Some(n: BigDecimal) => n.toLong
+            case _ => 3600L
+          }
+          case _ => 0L
+        }
+        val body = try cfg.http(url, ttl) catch { case _: Exception => throw Undefined }
         Map("status_code" -> BigDecimal(200), "raw_body" -> body)
       case ("io.jwt.decode", Seq(token: String)) => jwtDecode(token)
       case ("io.jwt.verify_rs256", Seq(token: String, jwks: String)) =>
         verifyRs256(token, jwks)
       case _ =>
-        functions.get(fn) match {
-          case Some(f) =>
+        // user function: same-name bodies tried in source order, first
+        // defined result wins (Rego's multi-body function semantics)
+        functions.getOrElse(fn, Nil).iterator.flatMap { f =>
+          try {
             val params = f.params.get
-            if (params.size != args.size) throw Undefined
-            val env = params.zip(args).toMap[String, Any] + ("input" -> input)
-            val bodyEnv = evalBody(f.body, env, input)
-            evalOne(f.value.get, bodyEnv, input)
-          case None => throw Undefined // unreachable: checkCompilable rejects
-        }
+            if (params.size != args.size) None
+            else {
+              val env = params.zip(args).toMap[String, Any] + ("input" -> input)
+              val bodyEnv = evalBody(f.body, env, input)
+              Some(evalOne(f.value.get, bodyEnv, input))
+            }
+          } catch { case Undefined => None }
+        }.nextOption().getOrElse(throw Undefined)
     }
 
     /** `io.jwt.decode` → `[header, payload, sig-hex]` (OPA's contract). */
@@ -321,38 +397,10 @@ object RegoAuth {
     /** Signature-only RS256 check against a JWK Set — claim checks are
       * the POLICY's job (it pins iss/email/exp itself, docs/rule.md:
       * 271-283), unlike the fused validator in
-      * [[graft.sources.PushReceiver.jwtBearerRs256]]. */
+      * [[graft.sources.PushReceiver.jwtBearerRs256]]. Shares the
+      * verification core, [[graft.util.Jwks]], with that validator. */
     private def verifyRs256(token: String, jwksJson: String): Boolean =
-      token.split('.') match {
-        case Array(h, p, s) =>
-          try {
-            val dec = java.util.Base64.getUrlDecoder
-            val header = mapper.readTree(dec.decode(h))
-            if (header.path("alg").asText() != "RS256") false
-            else {
-              val kid = Option(header.path("kid").asText(null)).filter(_.nonEmpty)
-              val kf = java.security.KeyFactory.getInstance("RSA")
-              val keys = mapper.readTree(jwksJson).path("keys")
-              val sigBytes = dec.decode(s)
-              val signed = s"$h.$p".getBytes(UTF_8)
-              (0 until keys.size).iterator.map(keys.get)
-                .filter(k => k.path("kty").asText() == "RSA")
-                .filter(k => kid.forall(_ == k.path("kid").asText()))
-                .exists { k =>
-                  try {
-                    val key = kf.generatePublic(new java.security.spec.RSAPublicKeySpec(
-                      new java.math.BigInteger(1, dec.decode(k.path("n").asText())),
-                      new java.math.BigInteger(1, dec.decode(k.path("e").asText()))))
-                    val sig = java.security.Signature.getInstance("SHA256withRSA")
-                    sig.initVerify(key)
-                    sig.update(signed)
-                    sig.verify(sigBytes)
-                  } catch { case _: Exception => false }
-                }
-            }
-          } catch { case _: Exception => false }
-        case _ => false
-      }
+      graft.util.Jwks.signatureValid(token, jwksJson)
 
     private def fromJson(n: JsonNode): Any =
       if (n.isTextual) n.asText()

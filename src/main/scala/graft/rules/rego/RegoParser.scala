@@ -11,7 +11,8 @@ package graft.rules.rego
   *   - complete rules `default deny = true`, `deny := false { allow }`,
   *     boolean rules `allow { … }`
   *   - function rules `jwks_request(url) := http.send({…}).raw_body`
-  *   - bodies of `v := expr` bindings and boolean expressions
+  *   - bodies of `v := expr` bindings, boolean expressions, and
+  *     `not expr` (negation as failure)
   *   - terms: string/number/bool literals, object/array literals,
   *     dotted refs with `[index]` / `["key"]` / `[_]`, namespaced calls
   *     (`time.parse_rfc3339_ns`, `io.jwt.verify_rs256`), arithmetic
@@ -54,6 +55,9 @@ object RegoParser {
   object Stmt {
     final case class Assign(name: String, value: Term) extends Stmt
     final case class Expr(t: Term) extends Stmt
+    /** `not t` — succeeds iff `t` is undefined or false (Rego negation
+      * as failure). */
+    final case class Not(t: Term) extends Stmt
   }
 
   /** One rule. `key` = the `[term]` of a partial-set head; `value` = the
@@ -215,6 +219,7 @@ object RegoParser {
       eatPunct("{")
       val stmts = Seq.newBuilder[Stmt]
       while (!isPunct("}")) {
+        if (cur.isInstanceOf[TEof]) err("expected '}'")
         if (isPunct(";")) { pos += 1 }
         else stmts += stmt()
       }
@@ -223,8 +228,10 @@ object RegoParser {
     }
 
     private def stmt(): Stmt = {
-      // lookahead for `ident :=`
-      (cur, toks(pos + 1)) match {
+      if (isIdent("not")) { pos += 1; return Stmt.Not(term()) }
+      // lookahead for `ident :=`; cur is never TEof here (ruleBody
+      // guards), so pos+1 is always in bounds — but guard anyway
+      (cur, if (pos + 1 < toks.length) toks(pos + 1) else cur) match {
         case (TIdent(n, _, _), TPunct(":=", _, _)) =>
           pos += 2
           Stmt.Assign(n, term())

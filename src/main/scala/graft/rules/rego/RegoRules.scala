@@ -86,7 +86,10 @@ object RegoRules {
     srcRules.zipWithIndex.map { case (r, i) =>
       val (out, condStmts) = setOutput(r, s"src[$i]")
       val conds = condStmts.map {
-        case Stmt.Expr(t) => t
+        case Stmt.Expr(t) => sqlExpr(t, eventRef)
+        // Rego `not`: succeeds on undefined OR false — in SQL a missing/
+        // null operand yields NULL, so coalesce to false before negating
+        case Stmt.Not(t) => s"NOT coalesce((${sqlExpr(t, eventRef)}), false)"
         case a: Stmt.Assign => sys.error(s"src[$i]: variable bindings other " +
           s"than the head object are unsupported in event rules ($a)")
       }
@@ -109,7 +112,7 @@ object RegoRules {
         sys.error(s"src[$i]: source object lacks required 'schema'"))
       val when =
         if (conds.isEmpty) "true"
-        else conds.map(c => sqlExpr(c, eventRef)).mkString("(", ") AND (", ")")
+        else conds.mkString("(", ") AND (", ")")
       EventRule(
         name = s"src$i-$schema",
         when = when,
@@ -157,7 +160,7 @@ object RegoRules {
     var explodePath: Option[String] = None
     var recordVar: Option[String] = None
     var subst = Map.empty[String, String]
-    val conds = Seq.newBuilder[Term]
+    val conds = Seq.newBuilder[(Term, Boolean)] // (condition, negated?)
     body0.foreach {
       case Stmt.Assign(v, Term.Sel(arr, RefPart.Wildcard)) =>
         val path = inputPath(arr).getOrElse(
@@ -167,12 +170,17 @@ object RegoRules {
         recordVar = Some(v)
       case Stmt.Assign(v, value) =>
         subst += v -> sqlExpr(value, recordSql(recordVar, subst, name))
-      case Stmt.Expr(t) => conds += t
+      case Stmt.Expr(t) => conds += ((t, false))
+      case Stmt.Not(t) => conds += ((t, true))
     }
     val ref: Term => String = recordSql(recordVar, subst, name)
     val when = {
       val cs = conds.result()
-      if (cs.isEmpty) None else Some(cs.map(c => sqlExpr(c, ref)).mkString("(", ") AND (", ")"))
+      if (cs.isEmpty) None else Some(cs.map {
+        // Rego `not`: undefined-or-false — null-safe SQL negation
+        case (c, true) => s"NOT coalesce((${sqlExpr(c, ref)}), false)"
+        case (c, false) => sqlExpr(c, ref)
+      }.mkString("(", ") AND (", ")"))
     }
 
     val keys = objTerms(out, s"schema.$name")
@@ -284,7 +292,9 @@ object RegoRules {
   /** Term → Spark SQL, with `ref` resolving variable/input references
     * per rule kind. Builtins map to codegen'd Spark functions. */
   private def sqlExpr(t: Term, ref: Term => String): String = t match {
-    case Term.Str(v) => "'" + v.replace("'", "\\'") + "'"
+    // backslashes first: Spark's literal parser processes \-escapes, so
+    // an unescaped backslash corrupts (or unbalances) the literal
+    case Term.Str(v) => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case Term.Num(v) => v.underlying.toPlainString
     case Term.Bool(v) => v.toString
     case Term.Bin(op, l, r) =>

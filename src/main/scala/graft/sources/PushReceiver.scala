@@ -291,38 +291,11 @@ object PushReceiver {
       nowEpochSeconds: () => Long = () => System.currentTimeMillis() / 1000L)
       : HttpExchange => Boolean = {
     val mapper = new ObjectMapper
-    def keysFor(kid: Option[String]): Seq[java.security.PublicKey] =
-      try {
-        val dec = java.util.Base64.getUrlDecoder
-        val kf = java.security.KeyFactory.getInstance("RSA")
-        val keys = mapper.readTree(jwks()).path("keys")
-        (0 until keys.size).iterator.map(keys.get)
-          .filter(k => k.path("kty").asText() == "RSA")
-          .filter(k => kid.forall(_ == k.path("kid").asText()))
-          .flatMap { k =>
-            try Some(kf.generatePublic(new java.security.spec.RSAPublicKeySpec(
-              new java.math.BigInteger(1, dec.decode(k.path("n").asText())),
-              new java.math.BigInteger(1, dec.decode(k.path("e").asText())))))
-            catch { case _: Exception => None } // one bad key ≠ deny the set
-          }.toSeq
-      } catch { case _: Exception => Nil } // unreachable/garbled JWKS → deny
     def verify(token: String): Boolean = token.split('.') match {
-      case Array(h, p, s) =>
+      case Array(_, p, _) =>
         try {
-          val dec = java.util.Base64.getUrlDecoder
-          val header = mapper.readTree(dec.decode(h))
-          val claims = mapper.readTree(dec.decode(p))
-          val kid = Option(header.path("kid").asText(null)).filter(_.nonEmpty)
-          val sigBytes = dec.decode(s)
-          val signed = s"$h.$p".getBytes(UTF_8)
-          header.path("alg").asText() == "RS256" &&
-            keysFor(kid).exists { key =>
-              // Signature instances are not thread-safe — one per check
-              val sig = java.security.Signature.getInstance("SHA256withRSA")
-              sig.initVerify(key)
-              sig.update(signed)
-              try sig.verify(sigBytes) catch { case _: Exception => false }
-            } &&
+          val claims = mapper.readTree(java.util.Base64.getUrlDecoder.decode(p))
+          graft.util.Jwks.signatureValid(token, jwks()) &&
             claims.path("exp").isNumber && claims.path("exp").asLong() > nowEpochSeconds() &&
             (!claims.has("nbf") || claims.path("nbf").asLong() <= nowEpochSeconds()) &&
             requiredClaims.forall { case (k, v) =>

@@ -484,6 +484,12 @@ object CorpusBuilder {
       docsDir: String, hasDocs: Boolean, idCol: String,
       spec: BandIndex.Spec): Boolean =
     if (!hasDocs) false
+    else if (BandIndex.readMeta(spark, corpusDir).contains(spec) &&
+        BandIndex.layoutExists(spark, corpusDir, spec))
+      // steady state: a fresh index implies near-dup commits (hence
+      // SigCol) exist — skip the corpus-wide footer scan below, which
+      // would otherwise be paid on EVERY micro-batch
+      true
     else {
       // mergeSchema: a corpus first built in exact mode has no SigCol
       // in its older files — a single-footer read could either throw
@@ -491,12 +497,9 @@ object CorpusBuilder {
       val corpus = spark.read.option("mergeSchema", "true").parquet(docsDir)
       if (!corpus.columns.contains(SigCol)) false
       else {
-        val fresh = BandIndex.readMeta(spark, corpusDir).contains(spec) &&
-          BandIndex.layoutExists(spark, corpusDir, spec)
-        if (!fresh)
-          BandIndex.rebuild(
-            corpus.filter(col(SigCol).isNotNull).select(col(idCol), col(SigCol)),
-            idCol, SigCol, corpusDir, spec)
+        BandIndex.rebuild(
+          corpus.filter(col(SigCol).isNotNull).select(col(idCol), col(SigCol)),
+          idCol, SigCol, corpusDir, spec)
         true
       }
     }

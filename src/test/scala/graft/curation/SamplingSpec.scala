@@ -128,6 +128,15 @@ class SamplingSpec extends SparkSpec {
     val e2 = intercept[Exception](
       Sampling.budgetSelect(negative, $"doc_id", $"q", $"w", 20L).collect())
     assert(e2.getMessage.contains("non-negative"), e2.getMessage)
+    // UNCASTABLE weights (string column, non-numeric value) are null
+    // only AFTER the cast — the guard must fire on those too, not let
+    // the row ride the budget for free
+    val uncastable = spark.range(4).select($"id".as("doc_id"),
+      $"id".cast("double").as("q"),
+      when($"id" === 2, lit("abc")).otherwise(lit("5")).as("w"))
+    val e3 = intercept[Exception](
+      Sampling.budgetSelect(uncastable, $"doc_id", $"q", $"w", 20L).collect())
+    assert(e3.getMessage.contains("non-negative"), e3.getMessage)
   }
 
   test("stratifiedCap: cap per stratum, deterministic, small strata intact") {

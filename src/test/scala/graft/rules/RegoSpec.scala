@@ -300,9 +300,11 @@ allow {
       s"""{"iss":"$iss","email":"$em","exp":$exp}"""
 
     var fetches = 0
+    var seenTtl = -1L
     val cfg = RegoAuth.Config(
-      http = url => {
+      http = (url, ttl) => {
         assert(url == "https://www.googleapis.com/oauth2/v3/certs")
+        seenTtl = ttl
         fetches += 1
         s"""{"keys":[${jwk(kp)}]}"""
       },
@@ -351,6 +353,7 @@ allow {
       "count(authHdr)==1 enforced like the policy says")
     assert(!policy(in()), "no header denies")
     assert(fetches >= 1)
+    assert(seenTtl == 3600L, "policy's force_cache_duration_seconds reaches the fetcher")
   }
 
   test("auth: unknown builtins fail at compile, not first request") {
@@ -417,7 +420,132 @@ allow { input.header.Authorization[_] == "Bearer spool-key" }
     } finally rx.stop()
   }
 
+  // ---- negation, existentials, compile-time name checks ----------------
+
+  test("auth: `not` is negation-as-failure") {
+    val policy = RegoAuth.compile("""package auth
+deny { not allow }
+allow { input.path == "/hook" }
+""")
+    assert(policy(in(path = "/hook")))
+    assert(!policy(in(path = "/other"))) // allow undefined → not succeeds → deny
+  }
+
+  test("auth: unknown names fail at compile (a typo'd helper would fail open)") {
+    val e = intercept[RuntimeException](RegoAuth.compile(
+      "package auth\ndeny { not alow }\nallow { input.path == \"/hook\" }"))
+    assert(e.getMessage.contains("alow"))
+  }
+
+  test("auth: [_] stays existential inside call arguments") {
+    val p = RegoAuth.compile("""package auth
+blocked := ["/admin", "/internal"]
+deny { startswith(input.path, blocked[_]) }
+""")
+    assert(!p(in(path = "/admin/x")))
+    assert(!p(in(path = "/internal/x"))) // the SECOND prefix must also deny
+    assert(p(in(path = "/public/x")))
+  }
+
+  test("auth: a := binding over [_] backtracks across the rest of the body") {
+    val p = RegoAuth.compile("""package auth
+default deny = true
+deny = false { allow }
+allow {
+	h := input.header.Authorization[_]
+	startswith(h, "Bearer ")
+	h == "Bearer good"
+}
+""")
+    // the matching value is NOT the first — binding must backtrack
+    assert(p(in(header = Map("Authorization" -> Seq("Basic x", "Bearer good")))))
+    assert(!p(in(header = Map("Authorization" -> Seq("Basic x", "Bearer bad")))))
+  }
+
+  test("auth: multi-body functions are tried in order (Rego semantics)") {
+    val p = RegoAuth.compile("""package auth
+default deny = true
+deny = false { allow }
+ok(p) := true { p == "/a" }
+ok(p) := true { p == "/b" }
+allow { ok(input.path) }
+""")
+    assert(p(in(path = "/a")))
+    assert(p(in(path = "/b"))) // the SECOND body must also be live
+    assert(!p(in(path = "/c")))
+  }
+
+  test("asHttpAuth canonicalizes multi-word header names (Go net/http form)") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val policy = RegoAuth.compile("""package auth
+default deny = true
+deny = false { allow }
+allow { input.header["X-Goog-Channel-Token"][_] == "s3cr3t" }
+""")
+    val spool = tmpDir("rego-push-hdr")
+    val rx = new graft.sources.PushReceiver(spool,
+      auth = RegoAuth.asHttpAuth(policy)).start()
+    try {
+      val http = HttpClient.newHttpClient()
+      val ev = Base64.getEncoder.encodeToString(
+        """{"kind":"storage#object","bucket":"b","name":"o.log","size":"1","timeCreated":"2024-05-01T10:00:00Z"}""".getBytes(UTF_8))
+      val body = s"""{"message":{"messageId":"m1","data":"$ev"},"subscription":"s"}"""
+      def post(hdr: Option[(String, String)]): Int = {
+        val b = HttpRequest.newBuilder(URI.create(s"http://localhost:${rx.boundPort}/"))
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+        hdr.foreach { case (k, v) => b.header(k, v) }
+        http.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      // sun's server lowercases to "X-goog-channel-token"; the policy
+      // matches the Go-canonical name the reference presents
+      assert(post(Some("X-Goog-Channel-Token" -> "s3cr3t")) == 204)
+      assert(post(Some("X-Goog-Channel-Token" -> "wrong")) == 401)
+      assert(post(None) == 401)
+    } finally rx.stop()
+  }
+
+  test("event/schema rules: `not` compiles to null-safe SQL negation") {
+    import spark.implicits._
+    val r = RegoRules.compile("""package event
+src[{"schema": "s"}] {
+	input.cs.bucket == "corp-logs"
+	not endswith(input.cs.name, ".tmp")
+}""")
+    assert(r.event.head.when.contains("NOT coalesce"))
+    val meta = Seq(
+      ("corp-logs", "/a.log", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "aa"),
+      ("corp-logs", "/b.tmp", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "bb"))
+      .toDF("bucket", "name", "size", "created_at", "md5")
+    val matched = r.matchObjects(meta).map { case (er, df) =>
+      er.name -> df.select("name").as[String].collect().toSet
+    }.toMap
+    assert(matched(r.event.head.name) == Set("/a.log"))
+  }
+
+  test("string literals with backslashes survive SQL compilation") {
+    import spark.implicits._
+    // raw triple-quote: the Rego source holds logs\\2024, value logs\2024
+    val r = RegoRules.compile("""package event
+src[{"schema": "s"}] { input.cs.name == "logs\\2024" }""")
+    val meta = Seq(
+      ("b", "logs\\2024", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "aa"),
+      ("b", "logs2024", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "bb"))
+      .toDF("bucket", "name", "size", "created_at", "md5")
+    val matched = r.matchObjects(meta).map { case (er, df) =>
+      er.name -> df.select("name").as[String].collect().toSet
+    }.toMap
+    assert(matched(r.event.head.name) == Set("logs\\2024"))
+  }
+
   // ---- parser details --------------------------------------------------
+
+  test("parser: truncated policy fails with a RegoError, not an index error") {
+    val e = intercept[RegoParser.RegoError](
+      RegoParser.parse("package auth\nallow {"))
+    assert(e.getMessage.contains("expected"))
+  }
+
 
   test("parser: numbers vs dotted refs, trailing commas, comments, escapes") {
     val m = RegoParser.parse("""package event
