@@ -503,6 +503,68 @@ object Dedup {
     } finally grams.unpersist()
   }
 
+  /** Exact substring-span REMOVAL — the "deduplicating training data"
+    * operator (Lee et al. 2022: repeated long spans are memorization
+    * fuel; detection alone — [[graft.queries]] q74 — doesn't fix the
+    * corpus). Every k-token gram occurring in ≥2 documents marks its
+    * token span `[pos, pos+k)` for removal in every document EXCEPT the
+    * minimum-id holder (keep-first, mirroring [[exactByContent]]);
+    * overlapping marks union; the survivors are re-joined in order.
+    * Within-doc-only repetition is deliberately untouched — that is a
+    * quality signal (q44's dup-n-gram ratio), not cross-doc duplication.
+    *
+    * Returns one row per input doc: `idCol`, `clean` (text with flagged
+    * spans cut, single-space joined — possibly empty when a non-keeper
+    * doc is entirely duplicated material), `n_tokens` (pre-strip),
+    * `n_removed`.
+    *
+    * Scale shape (the reference has no such operator; this is
+    * pipeline-beyond-parity): two token-scale shuffles — postings
+    * hash-partitioned by gram (duplicate detection + flag join; the
+    * gram agg is partially aggregated map-side, and AQE's skew join
+    * handles stop-gram keys), and the rebuild grouped by doc id
+    * (per-doc state = that doc's tokens, never corpus-scale). No
+    * suffix array, no global sort, no driver-side text: O(total
+    * tokens) rows at every step, the same asymptotics as the suffix
+    * automaton approach but in three codegen'd relational stages. */
+  def stripDuplicateSpans(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // postings (doc, pos, gram); staged __t keeps the shingle HOF bound
+    // (the *Of contract) and the posexplode input un-reinlined
+    val grams = toks
+      .withColumn("__sh", wordShinglesFastOf(spark, col("__t"), k))
+      .select(col(idCol), posexplode(col("__sh")).as(Seq("pos", "gram")))
+      .persist()
+    try {
+      val dup = grams.groupBy("gram")
+        .agg(min(col(idCol)).as("__keep"), countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= 2)
+        .select(col("gram"), col("__keep"))
+      val flagged = grams.join(dup, "gram")
+        .filter(col(idCol) =!= col("__keep"))
+        .select(col(idCol), col("pos"))
+      // marked token indices: union of [pos, pos+k) per doc
+      val removed = flagged
+        .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__idx"))
+        .distinct()
+      val keptToks = toks
+        .select(col(idCol), posexplode(col("__t")).as(Seq("__idx", "__tok")))
+        .join(removed, Seq(idCol, "__idx"), "left_anti")
+      val rebuilt = keptToks.groupBy(col(idCol)).agg(
+        array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__clean"),
+        count(lit(1)).as("__kept"))
+      toks.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__clean"), lit("")).as("clean"),
+          col("n_tokens"),
+          (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+        .transform(graft.util.Materialize.eager)
+    } finally grams.unpersist()
+  }
+
   /** Bloom filter over a corpus' content digests — the STORED half of
     * [[bloomNewDocs]]. Built in one distributed aggregation (Spark's
     * own codegen'd `BloomFilterAggregate`, surfaced as

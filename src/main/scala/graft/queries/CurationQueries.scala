@@ -187,6 +187,48 @@ object CurationQueries {
     GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"""
   }
 
+  // ---- q79: exact substring-span removal (strip repeated k-grams) ----
+
+  /** q79: span REMOVAL ([[Dedup.stripDuplicateSpans]]) — q74 detects
+    * cross-document spans, this one cuts them: every 13-token gram
+    * occurring in ≥ 2 docs is stripped from all but the min-id holder,
+    * overlapping marks unioned, survivors re-joined in order. The
+    * oracle replays the whole pipeline — postings with positions,
+    * keep-first flagging, interval union, ordered reassembly — so the
+    * hash check pins the cleaned text (via md5) exactly, not just the
+    * removal counts. */
+  def q79(s: SparkSession, d: String): DataFrame =
+    Dedup.stripDuplicateSpans(docs(s, d), k = 13)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val q79Sql: String = s"""
+    WITH t AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+    g AS (SELECT doc_id, ${shinglesSql("t", 13)} AS gs FROM t),
+    pos AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM
+      (SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+        i -> {'pos': i - 1, 'gram': gs[i]})) AS pg FROM g) q),
+    dup AS (SELECT gram, min(doc_id) AS keep_doc FROM pos GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+    flag AS (SELECT pos.doc_id, pos.pos FROM pos JOIN dup USING (gram)
+      WHERE pos.doc_id <> dup.keep_doc),
+    rem AS (SELECT DISTINCT doc_id, pos + o.off AS idx
+      FROM flag CROSS JOIN (SELECT unnest(range(0, 13)) AS off) o),
+    tp AS (SELECT doc_id, it.idx AS idx, it.tok AS tok FROM
+      (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        i -> {'idx': i - 1, 'tok': t[i]})) AS it FROM t) q),
+    kept AS (SELECT tp.doc_id, tp.idx, tp.tok FROM tp
+      WHERE NOT EXISTS (SELECT 1 FROM rem
+        WHERE rem.doc_id = tp.doc_id AND rem.idx = tp.idx)),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean,
+      count(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+      CAST(len(t.t) AS BIGINT) AS n_tokens,
+      CAST(len(t.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      md5(coalesce(agg.clean, '')) AS clean_md5
+    FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
   // ---- q24: exact dedup ----
 
   def q24(s: SparkSession, d: String): DataFrame = {
@@ -1534,5 +1576,6 @@ object CurationQueries {
     ("q73_ivfpq_store", q73 _, Some(q71Sql)),
     ("q74_shared_spans", q74 _, Some(q74Sql)),
     ("q75_cluster_sample", q75 _, Some(q75Sql)),
-    ("q76_budget_select", q76 _, Some(q76Sql)))
+    ("q76_budget_select", q76 _, Some(q76Sql)),
+    ("q79_span_strip", q79 _, Some(q79Sql)))
 }

@@ -218,4 +218,23 @@ class DedupSpec extends SparkSpec {
     assert(closePairs.contains((1L, 2L)))
     assert(closePairs.contains((4L, 5L)))
   }
+
+  test("stripDuplicateSpans: keep-first cross-doc removal; within-doc repeats untouched") {
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val in = Seq(
+      (1L, s"alpha $shared omega"),  // min-id holder keeps the span
+      (2L, s"start $shared end"),    // non-keeper: span cut, rest joined
+      (3L, Seq.fill(14)("self").mkString(" ")), // within-doc dup only
+      (4L, shared))                  // entirely duplicated → empty
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(in, k = 13)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == (1L, s"alpha $shared omega", 15L, 0L))
+    assert(out(1) == (2L, "start end", 15L, 13L))
+    assert(out(2) == (3L, Seq.fill(14)("self").mkString(" "), 14L, 0L))
+    assert(out(3) == (4L, "", 13L, 13L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the postings cache must be released")
+  }
 }
