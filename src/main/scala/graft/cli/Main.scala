@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|enqueue|schema|migrate|sql|corpus] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -38,7 +38,8 @@ object Main {
       |  sql     --warehouse <dir> <query>
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] <glob>
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>]) [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -281,6 +282,22 @@ object Main {
         kept.write.mode("overwrite").parquet(req(flags, "output"))
         println(s"selected rows: " +
           spark.read.parquet(req(flags, "output")).count())
+
+      case "strip" =>
+        // exact substring-span removal (q79 operator as a verb): cut
+        // k-token grams repeated across docs from all but one keeper
+        require(pos.size == 1, "strip needs exactly one <ds.tbl|parquetDir>")
+        val df = readTable(spark, flags, pos.head)
+        val out = graft.dedup.Dedup.stripDuplicateSpans(df,
+          k = flags.getOrElse("k", "13").toInt,
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"))
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        val removed = spark.read.parquet(req(flags, "output"))
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum("n_removed"),
+            org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
+        println(s"stripped tokens: $removed")
 
       case other =>
         System.err.println(s"unknown command '$other'\n$usage"); sys.exit(2)

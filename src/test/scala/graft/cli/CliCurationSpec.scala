@@ -66,4 +66,16 @@ class CliCurationSpec extends SparkSpec {
     assert(out.agg(max("cum_weight")).head.getLong(0) <= 120L)
     assert(!out.columns.contains("__part"), "partition scaffolding dropped")
   }
+
+  test("strip removes cross-doc duplicated spans via the verb") {
+    val dir = tmpDir("cli-strip")
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    Seq((1L, s"alpha $shared omega"), (2L, s"start $shared end"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("strip", "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out").orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0)._2 == s"alpha $shared omega" && out(0)._4 == 0L)
+    assert(out(1)._2 == "start end" && out(1)._4 == 13L)
+  }
 }
