@@ -530,7 +530,11 @@ object Dedup {
   def stripDuplicateSpans(docs: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // both cached: toks feeds three consumers (postings, the rebuild's
+    // posexplode, the final n_tokens select — one source scan +
+    // tokenize instead of three), grams feeds two (duplicate agg, flag
+    // join) and the k-token concat is the expensive part
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t")).persist()
     // postings (doc, pos, gram); staged __t keeps the shingle HOF bound
     // (the *Of contract) and the posexplode input un-reinlined
     val grams = toks
@@ -562,7 +566,7 @@ object Dedup {
           col("n_tokens"),
           (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
         .transform(graft.util.Materialize.eager)
-    } finally grams.unpersist()
+    } finally { grams.unpersist(); toks.unpersist() }
   }
 
   /** Bloom filter over a corpus' content digests — the STORED half of

@@ -68,7 +68,10 @@ object RegoAuth {
     val cache = new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]
     (url, ttlSeconds) => {
       val now = System.currentTimeMillis() / 1000
-      val hit = cache.get(url)
+      // ttl 0 = this CALL didn't ask for force_cache: bypass the cache
+      // on read too (another rule may have cached the same URL, but
+      // this call's contract is a fresh fetch), and store nothing
+      val hit = if (ttlSeconds > 0) cache.get(url) else null
       if (hit != null && hit._1 > now) hit._2
       else {
         val conn = new java.net.URI(url).toURL.openConnection()
@@ -149,35 +152,61 @@ object RegoAuth {
       * typo'd helper-rule name in a deny body would otherwise evaluate
       * to undefined and silently disarm the rule (fail-open). */
     def checkCompilable(): Unit = {
-      def checkTerm(t: Term, bound: Set[String]): Unit = t match {
+      // rule-name dependency edges (bare refs + user-function calls),
+      // collected during the walk for the cycle check below
+      val deps = scala.collection.mutable.Map.empty[String, Set[String]]
+        .withDefaultValue(Set.empty)
+      def checkTerm(from: String, t: Term, bound: Set[String]): Unit = t match {
         case Term.Ref(n) =>
-          if (!bound(n) && !rulesByName.contains(n))
-            sys.error(s"auth policy references unknown name '$n' " +
-              "(not a rule, function parameter, or := binding in scope)")
+          if (!bound(n)) {
+            if (!rulesByName.contains(n))
+              sys.error(s"auth policy references unknown name '$n' " +
+                "(not a rule, function parameter, or := binding in scope)")
+            // a name defined ONLY as a function would evaluate to
+            // undefined when referenced bare — the same silent
+            // fail-open this check exists to close
+            if (!rulesByName(n).exists(_.params.isEmpty))
+              sys.error(s"auth policy references function '$n' without " +
+                "arguments (it has no complete-rule definition)")
+            deps(from) += n
+          }
         case Term.Call(fn, args) =>
           if (!builtinNames(fn) && !functions.contains(fn))
             sys.error(s"auth policy calls unknown function '$fn' " +
               s"(builtins: ${builtinNames.toSeq.sorted.mkString(", ")})")
-          args.foreach(checkTerm(_, bound))
-        case Term.Bin(_, l, r) => checkTerm(l, bound); checkTerm(r, bound)
-        case Term.Sel(b, RefPart.Idx(i)) => checkTerm(b, bound); checkTerm(i, bound)
-        case Term.Sel(b, _) => checkTerm(b, bound)
-        case Term.Obj(es) => es.foreach { case (k, v) => checkTerm(k, bound); checkTerm(v, bound) }
-        case Term.Arr(is) => is.foreach(checkTerm(_, bound))
+          if (functions.contains(fn)) deps(from) += fn
+          args.foreach(checkTerm(from, _, bound))
+        case Term.Bin(_, l, r) => checkTerm(from, l, bound); checkTerm(from, r, bound)
+        case Term.Sel(b, RefPart.Idx(i)) => checkTerm(from, b, bound); checkTerm(from, i, bound)
+        case Term.Sel(b, _) => checkTerm(from, b, bound)
+        case Term.Obj(es) => es.foreach { case (k, v) =>
+          checkTerm(from, k, bound); checkTerm(from, v, bound) }
+        case Term.Arr(is) => is.foreach(checkTerm(from, _, bound))
         case _ =>
       }
       m.rules.foreach { r =>
         val bound0 = Set("input") ++ r.params.getOrElse(Nil)
         val boundAll = r.body.foldLeft(bound0) { (bound, s) =>
           s match {
-            case Stmt.Assign(v, t) => checkTerm(t, bound); bound + v
-            case Stmt.Expr(t) => checkTerm(t, bound); bound
-            case Stmt.Not(t) => checkTerm(t, bound); bound
+            case Stmt.Assign(v, t) => checkTerm(r.name, t, bound); bound + v
+            case Stmt.Expr(t) => checkTerm(r.name, t, bound); bound
+            case Stmt.Not(t) => checkTerm(r.name, t, bound); bound
           }
         }
         // head terms may use any name the body binds
-        r.key.foreach(checkTerm(_, boundAll))
-        r.value.foreach(checkTerm(_, boundAll))
+        r.key.foreach(checkTerm(r.name, _, boundAll))
+        r.value.foreach(checkTerm(r.name, _, boundAll))
+      }
+      // recursion would StackOverflowError at request time — an Error,
+      // not an Exception, so it escapes every fail-closed net; reject
+      // cycles at load (OPA itself forbids recursive rules)
+      def cyclic(n: String, path: Set[String]): Option[String] =
+        if (path(n)) Some(n)
+        else deps(n).view.flatMap(d => cyclic(d, path + n)).headOption
+      deps.keys.foreach { n =>
+        cyclic(n, Set.empty).foreach(c =>
+          sys.error(s"auth policy has recursive rule references (via '$c') — " +
+            "recursion is not allowed in Rego"))
       }
     }
 
@@ -290,8 +319,11 @@ object RegoAuth {
       case Term.Call(fn, args) =>
         // [_] keeps its existential meaning inside call arguments:
         // expand the cartesian product of argument values, skipping
-        // combinations for which the call itself is undefined
-        val combos = args.foldLeft(Seq(Seq.empty[Any])) { (acc, a) =>
+        // combinations for which the call itself is undefined. The
+        // expansion is LAZY so a short-circuiting consumer (a body
+        // statement's `exists`) stops invoking effectful builtins
+        // (http.send) at the first truthy combination
+        val combos = args.foldLeft(LazyList(Seq.empty[Any])) { (acc, a) =>
           val vs = evalAll(a, env, input)
           for { c <- acc; v <- vs } yield c :+ v
         }

@@ -437,6 +437,25 @@ allow { input.path == "/hook" }
     assert(e.getMessage.contains("alow"))
   }
 
+  test("auth: a bare reference to a function-only name fails at compile") {
+    // is_blocked only exists as a function: the bare ref would be
+    // undefined at runtime, silently disarming the deny
+    val e = intercept[RuntimeException](RegoAuth.compile(
+      """package auth
+deny { is_blocked }
+is_blocked(p) := true { startswith(p, "/admin") }"""))
+    assert(e.getMessage.contains("is_blocked"))
+  }
+
+  test("auth: recursive rule references fail at compile, not StackOverflow at request time") {
+    val e = intercept[RuntimeException](RegoAuth.compile(
+      "package auth\ndeny { helper }\nhelper { deny }"))
+    assert(e.getMessage.contains("recursive"))
+    val e2 = intercept[RuntimeException](RegoAuth.compile(
+      "package auth\ndeny { deny }"))
+    assert(e2.getMessage.contains("recursive"))
+  }
+
   test("auth: [_] stays existential inside call arguments") {
     val p = RegoAuth.compile("""package auth
 blocked := ["/admin", "/internal"]
