@@ -37,7 +37,7 @@ object Main {
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
       |  sql     --warehouse <dir> <query>
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] <glob>
-      |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>]) [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s>) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
@@ -264,8 +264,12 @@ object Main {
               flags.getOrElse("nlist", "16").toInt, flags("cluster-cap").toInt,
               idCol = flags.getOrElse("id-col", "vec_id"),
               vecCol = flags.getOrElse("vec-col", "embedding"))
+          else if (flags.contains("shuffle-seed"))
+            // deterministic training-order assignment (q80 operator)
+            graft.curation.Sampling.shuffleOrder(df, id, flags("shuffle-seed"))
           else sys.error(
-            s"sample needs --per-mille, --strata + --cap, or --cluster-cap\n$usage")
+            s"sample needs --per-mille, --strata + --cap, --cluster-cap, " +
+              s"or --shuffle-seed\n$usage")
         sampled.write.mode("overwrite").parquet(req(flags, "output"))
         println(s"sampled rows: " +
           spark.read.parquet(req(flags, "output")).count())

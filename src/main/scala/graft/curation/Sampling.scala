@@ -135,27 +135,62 @@ object Sampling {
             "non-negative integer, got "),
             coalesce(weight.cast("string"), lit("NULL")))))
         .otherwise(w))
-    val ranged = keyed
-      .repartitionByRange(col("__score").desc, idCol)
-      .sortWithinPartitions(col("__score").desc, idCol)
+    runningSum(keyed, Seq(col("__score").desc, idCol), col("__w"), "cum_weight")
+      .filter(col("cum_weight") <= budget)
+      .drop("__score", "__w")
+  }
+
+  /** Deterministic global shuffle order — the training-order step: a
+    * reproducible "random" permutation of the corpus, assigned as a
+    * 1-based `posCol` by rank of the domain-separated md5 of
+    * `"shuffle|seed|id"`. Identical on any cluster / partitioning /
+    * retry; a new `seed` gives an independent permutation (epoch
+    * reshuffles), and the domain prefix decorrelates it from every
+    * other md5-keyed decision (sampling, splits).
+    *
+    * Scale shape: the [[budgetSelect]] distributed prefix sum with
+    * weight 1 — never a single-partition global window. */
+  def shuffleOrder(df: DataFrame, idCol: Column, seed: String,
+      posCol: String = "ord_pos"): DataFrame = {
+    val key = md5(concat(lit(s"shuffle|$seed|"), idCol.cast("string")))
+    runningSum(df.withColumn("__k", key), Seq(col("__k"), idCol), lit(1L), posCol)
+      .drop("__k")
+  }
+
+  /** Distributed global running sum of `w` over the TOTAL order `sort`:
+    * range-partition on the sort key (parallel range exchange),
+    * per-partition running sums (window PARTITIONED by the physical
+    * partition id — parallel), and a partition-offset table of one row
+    * per partition (metadata-sized, broadcast back). A bare global
+    * window (`Window.orderBy` with no partition) would move the whole
+    * corpus to ONE task; this never does. Partition boundaries come
+    * from range sampling, but the running total of an integral `w`
+    * over a total order is independent of where they fall — the
+    * result is deterministic on any cluster. The range exchange is
+    * shared by the offset aggregate and the final join via Spark's
+    * exchange reuse. */
+  private def runningSum(df: DataFrame, sort: Seq[Column], w: Column,
+      out: String): DataFrame = {
+    val ranged = df
+      .repartitionByRange(sort: _*)
+      .sortWithinPartitions(sort: _*)
       .withColumn("__pid", spark_partition_id())
     val wRun = Window.partitionBy(col("__pid"))
-      .orderBy(col("__score").desc, idCol)
+      .orderBy(sort: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = ranged.withColumn("__pcum", sum(col("__w")).over(wRun))
+    val withCum = ranged.withColumn("__pcum", sum(w).over(wRun))
     // one row per physical partition; the cross-partition prefix runs
     // over THIS tiny frame, never the data
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // plain sum of weights, not max(__pcum): equal by construction once
-    // the non-negative contract holds, and immune to it if it ever slips
+    // plain sum of w, not max(__pcum): equal by construction once the
+    // caller's non-negative contract holds, and immune to it slipping
     val offsets = withCum.groupBy(col("__pid"))
-      .agg(sum(col("__w")).as("__ptot"))
+      .agg(sum(w).as("__ptot"))
       .withColumn("__offset", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
       .select(col("__pid"), col("__offset"))
     withCum.join(broadcast(offsets), "__pid")
-      .withColumn("cum_weight", col("__offset") + col("__pcum"))
-      .filter(col("cum_weight") <= budget)
-      .drop("__pid", "__pcum", "__offset", "__score", "__w")
+      .withColumn(out, col("__offset") + col("__pcum"))
+      .drop("__pid", "__pcum", "__offset")
   }
 }

@@ -848,6 +848,28 @@ object CurationQueries {
     ORDER BY cluster, vec_id"""
   }
 
+  // ---- q80: deterministic global shuffle order ----
+
+  /** q80: training-order shuffle ([[graft.curation.Sampling
+    * .shuffleOrder]]) — every doc gets a 1-based global position by
+    * rank of its seeded md5, computed with the distributed prefix-sum
+    * (range exchange + per-partition windows + one offsets frame),
+    * never a single-partition global window. The oracle replays the
+    * permutation with a plain `row_number()` so the hash check pins
+    * every position, proving the distributed rank equals the sequential
+    * one. */
+  def q80(s: SparkSession, d: String): DataFrame =
+    graft.curation.Sampling.shuffleOrder(docs(s, d), col("doc_id"), seed = "42")
+      .select(col("doc_id"), col("ord_pos"))
+      .orderBy(col("doc_id"))
+
+  val q80Sql: String = """
+    SELECT doc_id,
+      CAST(row_number() OVER (
+        ORDER BY md5('shuffle|42|' || CAST(doc_id AS VARCHAR)), doc_id)
+        AS BIGINT) AS ord_pos
+    FROM documents ORDER BY doc_id"""
+
   // ---- q76: quality-ranked token-budget selection ----
 
   /** q76: budget selection ([[graft.curation.Sampling.budgetSelect]])
@@ -1577,5 +1599,6 @@ object CurationQueries {
     ("q74_shared_spans", q74 _, Some(q74Sql)),
     ("q75_cluster_sample", q75 _, Some(q75Sql)),
     ("q76_budget_select", q76 _, Some(q76Sql)),
-    ("q79_span_strip", q79 _, Some(q79Sql)))
+    ("q79_span_strip", q79 _, Some(q79Sql)),
+    ("q80_shuffle_order", q80 _, Some(q80Sql)))
 }

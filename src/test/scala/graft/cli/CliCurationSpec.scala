@@ -67,6 +67,20 @@ class CliCurationSpec extends SparkSpec {
     assert(!out.columns.contains("__part"), "partition scaffolding dropped")
   }
 
+  test("sample --shuffle-seed assigns the deterministic training order") {
+    val dir = tmpDir("cli-shuffle")
+    corpus.write.parquet(s"$dir/in")
+    Main.run(spark, Array("sample", "--shuffle-seed", "e0",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("ord_pos").as[Long].collect().sorted.toSeq ==
+      (1L to 200L).toSeq, "a complete 1..N permutation")
+    val direct = graft.curation.Sampling.shuffleOrder(corpus, col("doc_id"), "e0")
+      .select("doc_id", "ord_pos").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.select("doc_id", "ord_pos").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq == direct, "verb byte-equivalent to the operator")
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")

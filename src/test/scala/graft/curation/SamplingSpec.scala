@@ -139,6 +139,32 @@ class SamplingSpec extends SparkSpec {
     assert(e3.getMessage.contains("non-negative"), e3.getMessage)
   }
 
+  test("shuffleOrder: a permutation, deterministic across partitionings, distributed plan") {
+    val rows = spark.range(500).select($"id".as("doc_id"))
+    val ordered = Sampling.shuffleOrder(rows, $"doc_id", seed = "s1")
+    val got = ordered.select("doc_id", "ord_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 1..N, each position exactly once
+    assert(got.map(_._2).sorted.toSeq == (1L to 500L).toSeq)
+    // not the identity order (it's a shuffle)
+    assert(got.sortBy(_._1).map(_._2).toSeq != (1L to 500L).toSeq)
+    // identical assignment under a different physical partitioning
+    val again = Sampling.shuffleOrder(rows.repartition(7), $"doc_id", "s1")
+      .select("doc_id", "ord_pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // a different seed is a different permutation
+    val other = Sampling.shuffleOrder(rows, $"doc_id", "s2")
+      .select("doc_id", "ord_pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(other.sortBy(_._1).map(_._2).toSeq != got.sortBy(_._1).map(_._2).toSeq)
+    // scale shape: range exchange + partition-id windows, never a
+    // partition-less window over the data
+    val plan = ordered.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"shuffleOrder must range-partition by the hash key, plan:\n$plan")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"the data window must be partitioned by the physical partition id, plan:\n$plan")
+  }
+
   test("stratifiedCap: cap per stratum, deterministic, small strata intact") {
     val skewed = corpus.filter($"src" =!= "3")
       .union(corpus.filter($"src" === "3").limit(2)) // one tiny stratum
