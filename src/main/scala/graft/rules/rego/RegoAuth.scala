@@ -184,15 +184,21 @@ object RegoAuth {
         case Term.Arr(is) => is.foreach(checkTerm(from, _, bound))
         case _ =>
       }
-      m.rules.foreach { r =>
-        val bound0 = Set("input") ++ r.params.getOrElse(Nil)
-        val boundAll = r.body.foldLeft(bound0) { (bound, s) =>
+      def checkBody(from: String, body: Seq[Stmt], bound0: Set[String]): Set[String] =
+        body.foldLeft(bound0) { (bound, s) =>
           s match {
-            case Stmt.Assign(v, t) => checkTerm(r.name, t, bound); bound + v
-            case Stmt.Expr(t) => checkTerm(r.name, t, bound); bound
-            case Stmt.Not(t) => checkTerm(r.name, t, bound); bound
+            case Stmt.Assign(v, t) => checkTerm(from, t, bound); bound + v
+            case Stmt.Expr(t) => checkTerm(from, t, bound); bound
+            case Stmt.Not(t) => checkTerm(from, t, bound); bound
+            case Stmt.Every(v, xs, inner) =>
+              checkTerm(from, xs, bound)
+              checkBody(from, inner, bound + v) // inner bindings don't leak
+              bound
           }
         }
+      m.rules.foreach { r =>
+        val boundAll = checkBody(r.name, r.body,
+          Set("input") ++ r.params.getOrElse(Nil))
         // head terms may use any name the body binds
         r.key.foreach(checkTerm(r.name, _, boundAll))
         r.value.foreach(checkTerm(r.name, _, boundAll))
@@ -273,6 +279,16 @@ object RegoAuth {
             } catch { case Undefined => false }
           if (truthy) throw Undefined
           evalBody(rest, env0, input)
+        case Stmt.Every(v, xs, inner) +: rest =>
+          // universal: the inner body must succeed for EVERY value
+          // (vacuously true on empty); a non-collection is undefined
+          val vals: Seq[Any] = evalOne(xs, env0, input) match {
+            case vec: Vector[_] => vec
+            case mp: Map[_, _] => mp.values.toSeq
+            case _ => throw Undefined
+          }
+          vals.foreach(x => evalBody(inner, env0 + (v -> x), input))
+          evalBody(rest, env0, input)
       }
 
     /** All values a term can take (one per `[_]` expansion); empty =
@@ -344,6 +360,10 @@ object RegoAuth {
     private def binop(op: String, l: Any, r: Any): Any = (op, l, r) match {
       case ("==", a, b) => a == b
       case ("!=", a, b) => a != b
+      // OPA v1 membership: arrays by element, objects by VALUE
+      case ("in", a, v: Vector[_]) => v.contains(a)
+      case ("in", a, mp: Map[_, _]) =>
+        mp.asInstanceOf[Map[String, Any]].values.exists(_ == a)
       case ("<", a: BigDecimal, b: BigDecimal) => a < b
       case ("<=", a: BigDecimal, b: BigDecimal) => a <= b
       case (">", a: BigDecimal, b: BigDecimal) => a > b

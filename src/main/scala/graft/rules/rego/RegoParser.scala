@@ -11,14 +11,19 @@ package graft.rules.rego
   *   - complete rules `default deny = true`, `deny := false { allow }`,
   *     boolean rules `allow { … }`
   *   - function rules `jwks_request(url) := http.send({…}).raw_body`
-  *   - bodies of `v := expr` bindings, boolean expressions, and
-  *     `not expr` (negation as failure)
+  *   - bodies of `v := expr` bindings, boolean expressions,
+  *     `not expr` (negation as failure), OPA-v1 `some v in xs`
+  *     (desugared to the backtracking `v := xs[_]` binding), and
+  *     `every v in xs { … }` (universal quantification)
+  *   - `else` chains on complete and function rules (desugared to
+  *     ordered same-name rules — first match wins)
   *   - terms: string/number/bool literals, object/array literals,
   *     dotted refs with `[index]` / `["key"]` / `[_]`, namespaced calls
   *     (`time.parse_rfc3339_ns`, `io.jwt.verify_rs256`), arithmetic
-  *     (`+ - * / %`) and comparisons (`== != < <= > >=`, body `=`)
+  *     (`+ - * / %`), comparisons (`== != < <= > >=`, body `=`), and
+  *     `x in collection` membership
   *
-  * NOT a full OPA implementation — no `some`/`every`, no `else`, no
+  * NOT a full OPA implementation — no `some i` index form, no
   * comprehensions, no `with`, no multi-value variables unified across
   * statements (a `[_]` is existential within its own statement). Parse
   * errors and out-of-subset constructs fail loudly with line/column;
@@ -58,6 +63,9 @@ object RegoParser {
     /** `not t` — succeeds iff `t` is undefined or false (Rego negation
       * as failure). */
     final case class Not(t: Term) extends Stmt
+    /** `every v in xs { body }` — succeeds iff `body` succeeds for
+      * EVERY value of `xs` (vacuously true when empty). */
+    final case class Every(v: String, xs: Term, body: Seq[Stmt]) extends Stmt
   }
 
   /** One rule. `key` = the `[term]` of a partial-set head; `value` = the
@@ -175,24 +183,24 @@ object RegoParser {
       pkg += ident()
       while (isPunct(".")) { pos += 1; pkg += ident() }
       val rules = Seq.newBuilder[Rule]
-      while (!cur.isInstanceOf[TEof]) rules += rule()
+      while (!cur.isInstanceOf[TEof]) rules ++= rule()
       Module(pkg.result(), rules.result())
     }
 
-    private def rule(): Rule = {
+    private def rule(): Seq[Rule] = {
       val isDefault = isIdent("default")
       if (isDefault) pos += 1
       val name = ident()
       if (isDefault) {
         if (isPunct("=") || isPunct(":=")) pos += 1 else err("expected '='")
-        return Rule(name, None, Some(term()), None, Nil, isDefault = true)
+        return Seq(Rule(name, None, Some(term()), None, Nil, isDefault = true))
       }
       if (isPunct("[")) { // partial set: name[term] { body }
         pos += 1
         val key = term()
         eatPunct("]")
         val body = if (isPunct("{")) ruleBody() else Nil
-        Rule(name, Some(key), None, None, body, isDefault = false)
+        Seq(Rule(name, Some(key), None, None, body, isDefault = false))
       } else if (isPunct("(")) { // function: name(params) := term { body? }
         pos += 1
         val params = Seq.newBuilder[String]
@@ -204,15 +212,38 @@ object RegoParser {
         if (isPunct(":=") || isPunct("=")) pos += 1 else err("expected ':='")
         val value = term()
         val body = if (isPunct("{")) ruleBody() else Nil
-        Rule(name, None, Some(value), Some(params.result()), body, isDefault = false)
+        elseChain(Rule(name, None, Some(value), Some(params.result()), body,
+          isDefault = false))
       } else { // complete / boolean rule
         val value =
           if (isPunct(":=") || isPunct("=")) { pos += 1; Some(term()) }
           else None
         val body = if (isPunct("{")) ruleBody() else Nil
         if (value.isEmpty && body.isEmpty) err(s"rule '$name' has neither value nor body")
-        Rule(name, None, value, None, body, isDefault = false)
+        elseChain(Rule(name, None, value, None, body, isDefault = false))
       }
+    }
+
+    /** `else (:= term)? ({ body })?` chain after a complete or function
+      * rule: desugared to additional same-name rules in source order —
+      * the evaluator takes the first succeeding one, which IS Rego's
+      * else semantics (strict ordering, first match wins). An else with
+      * a value and no body is the unconditional tail; one with a body
+      * and no value is boolean `true` like any bare rule. */
+    private def elseChain(first: Rule): Seq[Rule] = {
+      val out = Seq.newBuilder[Rule]
+      out += first
+      while (isIdent("else")) {
+        pos += 1
+        val value =
+          if (isPunct(":=") || isPunct("=")) { pos += 1; Some(term()) }
+          else None
+        val body = if (isPunct("{")) ruleBody() else Nil
+        if (value.isEmpty && body.isEmpty) err("'else' needs a value or a body")
+        if (first.params.isDefined && value.isEmpty) err("a function 'else' needs a value")
+        out += Rule(first.name, None, value, first.params, body, isDefault = false)
+      }
+      out.result()
     }
 
     private def ruleBody(): Seq[Stmt] = {
@@ -229,6 +260,28 @@ object RegoParser {
 
     private def stmt(): Stmt = {
       if (isIdent("not")) { pos += 1; return Stmt.Not(term()) }
+      if (isIdent("some")) {
+        // OPA v1 `some v in xs`: iterate xs' VALUES with v bound —
+        // exactly `v := xs[_]` (the binding backtracks over the rest
+        // of the body). The index form (`some i` alone) and the
+        // two-variable form are out of subset and fail loudly.
+        pos += 1
+        val v = ident()
+        if (!isIdent("in")) err("'some' supports only the 'some v in xs' form")
+        pos += 1
+        return Stmt.Assign(v, Term.Sel(term(), RefPart.Wildcard))
+      }
+      if (isIdent("every")) {
+        // OPA v1 `every v in xs { body }`: universal quantification
+        // over xs' VALUES (vacuously true on empty)
+        pos += 1
+        val v = ident()
+        if (!isIdent("in")) err("'every' supports only the 'every v in xs { … }' form")
+        pos += 1
+        val xs = term()
+        if (!isPunct("{")) err("'every' needs a { body }")
+        return Stmt.Every(v, xs, ruleBody())
+      }
       // lookahead for `ident :=`; cur is never TEof here (ruleBody
       // guards), so pos+1 is always in bounds — but guard anyway
       (cur, if (pos + 1 < toks.length) toks(pos + 1) else cur) match {
@@ -239,9 +292,13 @@ object RegoParser {
       }
     }
 
-    // term := addsub (cmpOp addsub)?
+    // term := addsub ((cmpOp | 'in') addsub)?
     private def term(): Term = {
       val l = addsub()
+      if (isIdent("in")) { // OPA v1 membership: `x in collection`
+        pos += 1
+        return Term.Bin("in", l, addsub())
+      }
       val cmps = Seq("==", "!=", "<=", ">=", "<", ">", "=")
       cmps.find(isPunct) match {
         case Some(op) =>

@@ -92,6 +92,8 @@ object RegoRules {
         case Stmt.Not(t) => s"NOT coalesce((${sqlExpr(t, eventRef)}), false)"
         case a: Stmt.Assign => sys.error(s"src[$i]: variable bindings other " +
           s"than the head object are unsupported in event rules ($a)")
+        case _: Stmt.Every => sys.error(s"src[$i]: 'every' is request-path " +
+          "(auth) only — object metadata has no array columns to quantify")
       }
       // multiDoc is an ENGINE EXTENSION key: the reference's decoder
       // auto-detects concatenated JSON docs per object (load.go:251-279);
@@ -172,6 +174,8 @@ object RegoRules {
         subst += v -> sqlExpr(value, recordSql(recordVar, subst, name))
       case Stmt.Expr(t) => conds += ((t, false))
       case Stmt.Not(t) => conds += ((t, true))
+      case _: Stmt.Every => sys.error(s"schema.$name: 'every' is not in the " +
+        "data-plane subset (use a when condition with forall semantics by hand)")
     }
     val ref: Term => String = recordSql(recordVar, subst, name)
     val when = {
@@ -297,6 +301,14 @@ object RegoRules {
     case Term.Str(v) => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case Term.Num(v) => v.underlying.toPlainString
     case Term.Bool(v) => v.toString
+    case Term.Bin("in", l, r) => r match {
+      // membership: literal list → codegen'd IN; anything else (an
+      // input array path) → array_contains
+      case Term.Arr(items) =>
+        s"(${sqlExpr(l, ref)} IN (${items.map(sqlExpr(_, ref)).mkString(", ")}))"
+      case other =>
+        s"array_contains(${sqlExpr(other, ref)}, ${sqlExpr(l, ref)})"
+    }
     case Term.Bin(op, l, r) =>
       val sqlOp = op match {
         case "==" => "=" ; case "!=" => "<>"

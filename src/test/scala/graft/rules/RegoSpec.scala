@@ -557,6 +557,77 @@ src[{"schema": "s"}] { input.cs.name == "logs\\2024" }""")
     assert(matched(r.event.head.name) == Set("logs\\2024"))
   }
 
+  test("auth: else chains evaluate in order, first match wins") {
+    val p = RegoAuth.compile("""package auth
+level := "admin" { startswith(input.path, "/admin") }
+  else := "user" { startswith(input.path, "/u") }
+  else := "anon"
+deny { level == "anon" }
+""")
+    assert(p(in(path = "/admin/x")))
+    assert(p(in(path = "/u/1")))
+    assert(!p(in(path = "/other"))) // unconditional else tail → anon → deny
+  }
+
+  test("auth: `some v in xs` iterates with backtracking; `in` is membership") {
+    val p = RegoAuth.compile("""package auth
+default deny = true
+deny = false { allow }
+allow {
+	some h in input.header.Authorization
+	h == "Bearer good"
+}
+""")
+    assert(p(in(header = Map("Authorization" -> Seq("Basic x", "Bearer good")))))
+    assert(!p(in(header = Map("Authorization" -> Seq("Basic x")))))
+    val m = RegoAuth.compile("""package auth
+deny { input.path in ["/admin", "/internal"] }
+""")
+    assert(!m(in(path = "/internal")))
+    assert(m(in(path = "/public")))
+    // out-of-subset `some i` index form fails at parse
+    intercept[RegoParser.RegoError](RegoAuth.compile(
+      "package auth\nallow { some i; input.q[i] == 1 }"))
+  }
+
+  test("auth: `every v in xs { … }` quantifies universally, vacuously true on empty") {
+    val p = RegoAuth.compile("""package auth
+default deny = true
+deny = false { allow }
+allow {
+	every h in input.header.Authorization { startswith(h, "Bearer ") }
+	count(input.header.Authorization) >= 1
+}
+""")
+    assert(p(in(header = Map("Authorization" -> Seq("Bearer a", "Bearer b")))))
+    assert(!p(in(header = Map("Authorization" -> Seq("Bearer a", "Basic x")))))
+    assert(!p(in())) // no header: the collection is undefined → deny
+  }
+
+  test("schema rules: `some r in input.Records` is the explode binding") {
+    val rules = RegoRules.compile("""package schema.ct
+log[{"dataset": "d", "table": "t", "timestamp": r.ts, "data": r}] {
+	some r in input.Records
+}""")
+    assert(rules.schemaRule("ct").explodePath.contains("Records"))
+  }
+
+  test("event rules: `in` membership compiles to a codegen'd IN list") {
+    import spark.implicits._
+    val r = RegoRules.compile("""package event
+src[{"schema": "s"}] { input.cs.bucket in ["corp-logs", "corp-audit"] }""")
+    assert(r.event.head.when.contains(" IN ("))
+    val meta = Seq(
+      ("corp-logs", "/a.log", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "aa"),
+      ("corp-audit", "/b.log", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "bb"),
+      ("other", "/c.log", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "cc"))
+      .toDF("bucket", "name", "size", "created_at", "md5")
+    val matched = r.matchObjects(meta).map { case (er, df) =>
+      er.name -> df.select("name").as[String].collect().toSet
+    }.toMap
+    assert(matched(r.event.head.name) == Set("/a.log", "/b.log"))
+  }
+
   // ---- parser details --------------------------------------------------
 
   test("parser: truncated policy fails with a RegoError, not an index error") {
