@@ -1559,6 +1559,49 @@ object CurationQueries {
                       WHERE c.doc_id % 2 = 0 AND c.text = b.text)
     ORDER BY doc_id"""
 
+  // ---- q81: bigram-LM perplexity scoring (CCNet-style) ----
+
+  /** q81: per-document cross-entropy under an add-one-smoothed bigram
+    * LM trained on the corpus itself ([[graft.curation.LangModel]]) —
+    * the CCNet quality signal that buckets documents by how improbable
+    * their token stream is under a model of the corpus. Rounded to 6
+    * decimals per the fold-determinism contract (all ln arguments are
+    * integers; see LangModel's scaladoc for the measured ulp bound). */
+  def q81(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val scored = graft.curation.LangModel.bigramCrossEntropy(
+        base, col("doc_id"), tokens(lower(col("text"))))
+      .withColumnRenamed("__id", "doc_id")
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("xent"), 6).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q81Sql: String = s"""
+    WITH docs AS (SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+    big AS (SELECT doc_id,
+                   unnest(range(1, len(toks))) AS pos,
+                   unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                   unnest(list_slice(toks, 2, len(toks))) AS w2
+            FROM docs WHERE len(toks) >= 2),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM docs)),
+    folded AS (
+      SELECT b.doc_id,
+             list(ln(CAST(c1.c1 + v.v AS DOUBLE)) - ln(CAST(c12.c12 + 1 AS DOUBLE))
+                  ORDER BY b.pos) AS xs
+      FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(len(f.xs), 0) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f.xs),
+             (a, b) -> a + b) / len(f.xs), 6) AS xent
+    FROM documents d LEFT JOIN folded f USING (doc_id) ORDER BY d.doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -1600,5 +1643,6 @@ object CurationQueries {
     ("q75_cluster_sample", q75 _, Some(q75Sql)),
     ("q76_budget_select", q76 _, Some(q76Sql)),
     ("q79_span_strip", q79 _, Some(q79Sql)),
-    ("q80_shuffle_order", q80 _, Some(q80Sql)))
+    ("q80_shuffle_order", q80 _, Some(q80Sql)),
+    ("q81_bigram_perplexity", q81 _, Some(q81Sql)))
 }

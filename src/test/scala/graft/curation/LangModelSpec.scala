@@ -1,0 +1,50 @@
+package graft.curation
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.text.TextFunctions.tokens
+
+class LangModelSpec extends SparkSpec {
+
+  test("bigram cross-entropy matches a hand-computed add-one LM") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b b"),
+      (3L, "c"), // single token: no bigrams, absent from output
+      (4L, "")   // empty: absent from output
+    ).toDF("doc_id", "text")
+
+    val out = LangModel
+      .bigramCrossEntropy(docs, col("doc_id"), tokens(col("text")))
+      .orderBy(col("__id"))
+      .collect()
+
+    // corpus bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b),(b,b)
+    // c12: (a,b)->3, (b,a)->1, (b,b)->1 ; c1: a->3, b->2 ; V = {a,b,c} = 3
+    val V = 3L
+    def lp(c1: Long, c12: Long): Double =
+      math.log((c1 + V).toDouble) - math.log((c12 + 1).toDouble)
+    // in token order, folded left from 0.0 exactly as the operator does
+    val d1 = Seq(lp(3, 3), lp(2, 1), lp(3, 3)).foldLeft(0.0)(_ + _) / 3
+    val d2 = Seq(lp(3, 3), lp(2, 1)).foldLeft(0.0)(_ + _) / 2
+
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assert(out(0).getDouble(2) == d1)
+    assert(out(1).getDouble(2) == d2)
+    // doc 1 repeats its dominant bigram; doc 2 has a singleton -> rarer
+    assert(out(0).getDouble(2) < out(1).getDouble(2))
+  }
+
+  test("q81 covers every document, null xent below two tokens") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.CurationQueries.q81(s, sf)
+    val total = s.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == total)
+    val short = out.filter(col("n_bigrams") === 0)
+    assert(short.filter(col("xent").isNotNull).count() == 0)
+  }
+}
