@@ -1602,6 +1602,69 @@ object CurationQueries {
              (a, b) -> a + b) / len(f.xs), 6) AS xent
     FROM documents d LEFT JOIN folded f USING (doc_id) ORDER BY d.doc_id"""
 
+  // ---- q82: BM25 keyword top-k retrieval ----
+
+  /** Probe queries for q82: common terms, the corpus's one rare term
+    * (dup, df≈5% — high idf), and a term absent from the corpus (which
+    * must contribute nothing on either engine). */
+  val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "t1" -> Seq("hash", "join", "batch"),
+    "t2" -> Seq("dup", "merge", "window"),
+    "t3" -> Seq("customer", "data", "quorum"))
+
+  /** q82: exact BM25 top-10 per probe query
+    * ([[graft.text.Retrieval.bm25TopK]]) — retrieval over the corpus
+    * without an external index: eval-set mining and targeted
+    * decontamination both reduce to "which documents score highest for
+    * these terms". Postings are pruned to the query vocabulary at the
+    * generator, stats/df frames are broadcast, and top-k is two-stage
+    * (per-partition prune, then global rank) so no full per-query sort
+    * happens anywhere. */
+  def q82(s: SparkSession, d: String): DataFrame =
+    graft.text.Retrieval.bm25TopK(docs(s, d), col("doc_id"),
+        tokens(lower(col("text"))), Bm25Queries, k = 10)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(col("query_id"), col("rank"))
+
+  val q82Sql: String = {
+    // every float constant rendered as a string-cast so DuckDB parses
+    // the exact double Spark computes (bare 2.2 would be DECIMAL, and
+    // k1 + 1.0 is NOT the double nearest to 2.2)
+    def dbl(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val k1 = 1.2; val b = 0.75
+    val qvals = Bm25Queries
+      .flatMap { case (qid, ts) => ts.map(t => s"('$qid', '$t')") }
+      .mkString(", ")
+    val terms = Bm25Queries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH docs AS (SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+    d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM docs),
+    stats AS (SELECT COUNT(*) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d2),
+    q(query_id, term) AS (VALUES $qvals),
+    tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2)
+           WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    comp AS (SELECT t.doc_id, t.term,
+        ln((CAST(s.n - d.df AS DOUBLE) + ${dbl(0.5)})
+             / (CAST(d.df AS DOUBLE) + ${dbl(0.5)}) + ${dbl(1.0)})
+        * (CAST(t.tf AS DOUBLE) * ${dbl(k1 + 1.0)})
+        / (CAST(t.tf AS DOUBLE)
+             + ${dbl(k1)} * (${dbl(1.0 - b)}
+                 + ${dbl(b)} * (CAST(t.dl AS DOUBLE) / s.avgdl))) AS sc
+      FROM tf t JOIN dfs d USING (term) CROSS JOIN stats s),
+    scored AS (SELECT q.query_id, c.doc_id,
+        round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(c.sc ORDER BY c.term)), (a, x) -> a + x), 6) AS score
+      FROM comp c JOIN q USING (term) GROUP BY q.query_id, c.doc_id),
+    ranked AS (SELECT query_id, doc_id, score,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rank FROM scored)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -1644,5 +1707,6 @@ object CurationQueries {
     ("q76_budget_select", q76 _, Some(q76Sql)),
     ("q79_span_strip", q79 _, Some(q79Sql)),
     ("q80_shuffle_order", q80 _, Some(q80Sql)),
-    ("q81_bigram_perplexity", q81 _, Some(q81Sql)))
+    ("q81_bigram_perplexity", q81 _, Some(q81Sql)),
+    ("q82_bm25_topk", q82 _, Some(q82Sql)))
 }

@@ -47,6 +47,14 @@ object RegoParser {
     final case class Obj(entries: Seq[(Term, Term)]) extends Term
     final case class Arr(items: Seq[Term]) extends Term
     final case class Bin(op: String, l: Term, r: Term) extends Term
+    /** `[head | body]` — one element per solution of `body`, in
+      * enumeration order. */
+    final case class ArrCompr(head: Term, body: Seq[Stmt]) extends Term
+    /** `{head | body}` — distinct elements (a Rego set). */
+    final case class SetCompr(head: Term, body: Seq[Stmt]) extends Term
+    /** `{k: v | body}` — a key bound to two different values across
+      * solutions is a conflict (undefined), as in OPA. */
+    final case class ObjCompr(key: Term, value: Term, body: Seq[Stmt]) extends Term
   }
 
   sealed trait RefPart
@@ -100,7 +108,7 @@ object RegoParser {
       }
     }
     val puncts = Seq(":=", "==", "!=", "<=", ">=", "{", "}", "[", "]", "(",
-      ")", ",", ":", ".", ";", "<", ">", "=", "+", "-", "*", "/", "%")
+      ")", ",", ":", ".", ";", "<", ">", "=", "+", "-", "*", "/", "%", "|")
     while (i < src.length) {
       val c = src(i)
       if (c == '#') { while (i < src.length && src(i) != '\n') advance(1) }
