@@ -641,6 +641,64 @@ object Dedup {
       .drop("__digest", "__h")
   }
 
+  /** INDEX-VERIFIED twin of [[bloomNewDocs]] — same probe→verify
+    * contract, with the verify pointed at a persisted
+    * [[DigestIndex]] instead of the full corpus digest column. The
+    * bloom probe routes exactly as before; the confirm step reads only
+    * the bucket directories the candidate digests hash to
+    * (`PartitionFilters`), so per-batch verify I/O tracks the batch.
+    * `corpusDigests` is consulted ONLY to disambiguate same-id matches
+    * (replay/crash windows — see [[indexedDupDigests]]); pass the
+    * corpus table's column-pruned digest projection. */
+  def bloomNewDocsIndexed(batch: DataFrame, idCol: String, textCol: String,
+      filter: Array[Byte], storeDir: String, spec: DigestIndex.Spec,
+      corpusDigests: => DataFrame): DataFrame = {
+    val keyed = batch.withColumn("__digest", contentKey(col(textCol)))
+    val isHit = call_function("graft_bloom_contains",
+      lit(filter), xxhash64(col("__digest")))
+    val cand = keyed.filter(isHit).select(col(idCol), col("__digest"))
+    val dup = indexedDupDigests(cand, idCol, "__digest", storeDir, spec,
+      corpusDigests)
+    keyed.join(broadcast(dup), col("__digest") === col("__dup"), "left_anti")
+      .drop("__digest")
+  }
+
+  /** Classify [[DigestIndex.probe]] matches into confirmed-duplicate
+    * digests (returned as one broadcast-sized column `__dup`):
+    *
+    *   - a DIFFERENT-id match is a true duplicate — same content
+    *     already admitted under another id. Dropped with no corpus
+    *     read (sound under the index's recovery contract: a crashed
+    *     batch replays before later batches, so a ghost can only ever
+    *     collide with its OWN replay, which is a same-id match);
+    *   - a SAME-id match is ambiguous: a replay after a successful
+    *     commit (drop) and a replay after a crash between the index
+    *     append and the docs append (admit — the content never landed)
+    *     are `(id, digest)`-identical in the index. Only the corpus
+    *     itself can tell them apart, so exactly this digest set — empty
+    *     in the steady state, batch-sized on a replay — falls back to a
+    *     semi-join against `corpusDigests`.
+    *
+    * The result: zero corpus-table reads on the hot path, one
+    * candidate-gated read on replay — versus the corpus-wide verify
+    * scan [[bloomNewDocs]] pays on every batch with a probe hit. */
+  private[graft] def indexedDupDigests(candidates: DataFrame, idCol: String,
+      digestCol: String, storeDir: String, spec: DigestIndex.Spec,
+      corpusDigests: => DataFrame): DataFrame = {
+    // output-sized (≤ candidate digests); consumed by two branches +
+    // an isEmpty — materialize once
+    val m = graft.util.Materialize.eager(
+      DigestIndex.probe(candidates, idCol, digestCol, storeDir, spec))
+    val trueDups = m.filter(!(col("corpus_id") <=> col("new_id")))
+      .select(col("digest"))
+    val self = m.filter(col("corpus_id") <=> col("new_id"))
+      .select(col("digest")).distinct()
+    val resolved =
+      if (self.isEmpty) self // steady state: no corpus read at all
+      else corpusDigests.join(broadcast(self), Seq("digest"), "left_semi")
+    trueDups.union(resolved).distinct().select(col("digest").as("__dup"))
+  }
+
   /** Probe→verify core over a sharded store, shared with the streaming
     * corpus builder: annotate via [[ShardedBloom.probeHits]]
     * (materialized once, so the shard files are read once per batch,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.dedup.{BandIndex, Dedup, ShardedBloom}
+import graft.dedup.{BandIndex, Dedup, DigestIndex, ShardedBloom}
 
 /** Continuously build an exact-deduped corpus from a landing stream —
   * the streaming face of the incremental-dedup family (q52 band table,
@@ -22,11 +22,16 @@ import graft.dedup.{BandIndex, Dedup, ShardedBloom}
   * doc append, so a crash between the two steps leaves only false
   * positives (absorbed by the exact verify), never false negatives —
   * which would silently re-admit existing content on replay. The digest
-  * is stored as a COLUMN of the corpus table itself, so the verify's
+  * is stored as a COLUMN of the corpus table itself, so the RECOVERABLE
   * source of truth rides the same atomic append as the data (no sidecar
-  * split-brain); the per-batch verify reads only that column
-  * (column-pruned parquet scan), only for probe-HIT digests, and AQE
-  * eliminates the scan entirely for batches with no probe hits.
+  * split-brain). The per-batch verify, though, never scans that column:
+  * probe-HIT digests confirm against a persisted digest-bucketed index
+  * ([[graft.dedup.DigestIndex]], maintained by every commit in both
+  * gate modes, rebuildable from the corpus column any time) whose scan
+  * prunes to the buckets the candidates hash to — per-batch verify I/O
+  * tracks the batch, not the corpus. Same-id matches (replay/crash
+  * windows only) fall back to the corpus column for exactly that digest
+  * set — see [[graft.dedup.Dedup.indexedDupDigests]].
   *
   * Filter capacity (`expectedItems`/`fpp`) is declared per corpus;
   * outgrowing it only raises the false-positive rate — more exact-verify
@@ -55,6 +60,10 @@ object CorpusBuilder {
   /** Reserved MinHash signature column (near-dup mode). */
   val SigCol = "__corpus_sig"
 
+  /** Default directory-bucket count of the persisted exact-verify
+    * digest index ([[graft.dedup.DigestIndex]]). */
+  val DefaultDigestBuckets = 64
+
   /** Near-dup gate parameters: word-`shingleK`-gram MinHash signatures
     * of `k` rows in `bands` LSH bands; a doc is dropped when a
     * candidate's signature agrees on ≥ `minAgree` of the k rows (the
@@ -81,7 +90,11 @@ object CorpusBuilder {
       nearDup: Option[NearDup] = None,
       /** > 1 switches the digest filter from one plan-literal bloom to
         * the sharded executor-side store — see class doc. */
-      numShards: Int = 1): StreamingQuery = {
+      numShards: Int = 1,
+      /** Directory-bucket count of the persisted exact-verify index
+        * ([[graft.dedup.DigestIndex]]) — more buckets prune the
+        * per-batch verify scan harder. */
+      digestBuckets: Int = DefaultDigestBuckets): StreamingQuery = {
     val schema = landingSchema(spark, landingGlob, corpusDir)
     var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
@@ -94,9 +107,9 @@ object CorpusBuilder {
         nearDup match {
           case Some(nd) =>
             appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd,
-              expectedItems, fpp, numShards)
+              expectedItems, fpp, numShards, digestBuckets)
           case None => appendNew(spark, batch, corpusDir, idCol, textCol,
-            expectedItems, fpp, numShards)
+            expectedItems, fpp, numShards, digestBuckets)
         }
         ()
       }
@@ -136,28 +149,43 @@ object CorpusBuilder {
     * corpus maintenance). Returns the number of docs appended. */
   def appendNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String,
-      expectedItems: Long, fpp: Double, numShards: Int = 1): Long = {
+      expectedItems: Long, fpp: Double, numShards: Int = 1,
+      digestBuckets: Int = DefaultDigestBuckets): Long = {
     val docsDir = s"$corpusDir/docs"
     Files.createDirectories(Paths.get(corpusDir))
     // null text is rejected, not gated — see class doc
     val inBatch = Dedup.exact(batch.filter(col(textCol).isNotNull), textCol, idCol)
     val hasDocs = Files.exists(Paths.get(docsDir))
+    val keyed = inBatch.withColumn(DigestCol, Dedup.contentKey(col(textCol)))
+    val idxSpec = DigestIndex.Spec(digestBuckets)
+    val idxReady = resolveDigestIndex(spark, corpusDir, docsDir, hasDocs,
+      idCol, idxSpec)
+    // verify probe-hit candidates against the digest INDEX (bucket-
+    // pruned, batch-sized I/O), not the corpus-wide digest column; the
+    // corpus itself is consulted only for same-id matches — see
+    // [[Dedup.indexedDupDigests]]
+    def indexVerified(hits: DataFrame): DataFrame = {
+      val dup = Dedup.indexedDupDigests(hits.select(col(idCol), col(DigestCol)),
+        idCol, DigestCol, corpusDir, idxSpec, corpusDigests(spark, docsDir))
+      keyed.join(broadcast(dup), col(DigestCol) === col("__dup"), "left_anti")
+    }
     if (numShards <= 1) {
       val bloomPath = Paths.get(corpusDir, "bloom.bin")
       val stored = monolithicFilter(spark, bloomPath, docsDir, hasDocs,
         expectedItems, fpp)
       val fresh = stored match {
-        case Some(f) if hasDocs =>
-          Dedup.bloomNewDocs(inBatch, corpusDigests(spark, docsDir), textCol, f)
-        case _ => inBatch // no corpus yet — everything is new
+        case Some(f) if idxReady =>
+          indexVerified(keyed.filter(call_function("graft_bloom_contains",
+            lit(f), xxhash64(col(DigestCol)))))
+        case _ => keyed // no corpus yet — everything is new
       }
-      // survivors are consumed three times (filter build, docs append,
-      // count) — materialize once; output-sized
-      val staged = graft.util.Materialize.eager(
-        fresh.withColumn(DigestCol, Dedup.contentKey(col(textCol))))
+      // survivors are consumed by filter build, index append, docs
+      // append and count — materialize once; output-sized
+      val staged = graft.util.Materialize.eager(fresh)
       val appended = staged.count()
       if (appended > 0) {
-        commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
+        commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems,
+          fpp, corpusDir, idCol, idxSpec)
         // one store at a time: this corpus is monolithic-owned now
         ShardedBloom.deleteStore(spark, corpusDir)
       }
@@ -165,23 +193,28 @@ object CorpusBuilder {
     } else {
       val declared = ShardedBloom.Spec(numShards, expectedItems, fpp)
       val active = resolveSharded(spark, corpusDir, docsDir, hasDocs, declared)
-      val hashed = inBatch.withColumn(DigestCol, Dedup.contentKey(col(textCol)))
-        .withColumn("__h", xxhash64(col(DigestCol)))
+      val hashed = keyed.withColumn("__h", xxhash64(col(DigestCol)))
       val fresh = active match {
-        case Some(spec) =>
-          // probe→verify against the sharded store — the shared
-          // [[Dedup.shardedNewRows]] core ([[Dedup.bloomNewDocsSharded]]
-          // is its batch-API face); keeps __h for the commit below
-          Dedup.shardedNewRows(hashed, DigestCol, "__h",
-            corpusDigests(spark, docsDir), corpusDir, spec)
-        case None => hashed
+        case Some(spec) if idxReady =>
+          // shard files are read once per batch, not once per plan
+          // branch — materialize the annotated probe
+          val flagged = graft.util.Materialize.eager(
+            ShardedBloom.probeHits(hashed, "__h", corpusDir, spec))
+          val dup = Dedup.indexedDupDigests(
+            flagged.filter(col("__hit")).select(col(idCol), col(DigestCol)),
+            idCol, DigestCol, corpusDir, idxSpec, corpusDigests(spark, docsDir))
+          flagged.join(broadcast(dup), col(DigestCol) === col("__dup"), "left_anti")
+            .drop("__hit")
+        case _ => hashed
       }
       val staged = graft.util.Materialize.eager(fresh)
       val appended = staged.count()
       if (appended > 0) {
-        // superset-first commit order, as in commitBatch: every shard
-        // file absorbs the batch digests BEFORE the docs append
+        // superset-first commit order, as in commitBatch: every derived
+        // store absorbs the batch digests BEFORE the docs append
         ShardedBloom.mergeBatch(staged, "__h", corpusDir, declared)
+        DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
+          idCol, DigestCol, corpusDir, idxSpec)
         staged.drop("__h").write.mode("append").parquet(docsDir)
         // one store at a time: drop the other mode's filter
         Files.deleteIfExists(Paths.get(corpusDir, "bloom.bin"))
@@ -189,6 +222,29 @@ object CorpusBuilder {
       appended
     }
   }
+
+  /** Resolve the ACTIVE digest index against the corpus, rebuilding
+    * from the stored `(id, digest)` projection whenever the layout
+    * can't be trusted: first run on a corpus predating the index, a
+    * bucketing change (fresh layout + atomic pointer flip), or a
+    * layout lost out-of-band. Unlike the bloom stores the index is
+    * mode-independent — BOTH gate modes append to it on every commit —
+    * so a declared, present layout is fresh by construction. Returns
+    * false only when there are no docs to verify against (the first
+    * commit creates the index). */
+  private def resolveDigestIndex(spark: SparkSession, corpusDir: String,
+      docsDir: String, hasDocs: Boolean, idCol: String,
+      spec: DigestIndex.Spec): Boolean =
+    if (!hasDocs) false
+    else {
+      if (!(DigestIndex.readMeta(spark, corpusDir).contains(spec) &&
+          DigestIndex.layoutExists(spark, corpusDir, spec)))
+        DigestIndex.rebuild(
+          spark.read.option("mergeSchema", "true").parquet(docsDir)
+            .select(col(idCol), col(DigestCol)),
+          idCol, DigestCol, corpusDir, spec)
+      true
+    }
 
   /** Resolve the ACTIVE sharded store, rebuilding from the corpus
     * digest column whenever the stored filters can't be trusted:
@@ -279,13 +335,18 @@ object CorpusBuilder {
   }
 
   /** Persist one batch under the superset invariant: merge the batch's
-    * digests into the stored filter FIRST, then append the docs. Shared
-    * by both gate modes, so switching modes on one corpus keeps the
-    * filter a superset and exact-mode probes stay correct. */
+    * digests into the stored filter FIRST, then append to the digest
+    * index, then append the docs — both derived stores stay supersets
+    * of the corpus. Shared by both gate modes, so switching modes on
+    * one corpus keeps the filter a superset and exact-mode probes stay
+    * correct. */
   private def commitBatch(spark: SparkSession, staged: DataFrame, docsDir: String,
       bloomPath: java.nio.file.Path, stored: Option[Array[Byte]],
-      expectedItems: Long, fpp: Double): Unit = {
+      expectedItems: Long, fpp: Double, corpusDir: String, idCol: String,
+      idxSpec: DigestIndex.Spec): Unit = {
     persistMergedFilter(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
+    DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
+      idCol, DigestCol, corpusDir, idxSpec)
     staged.write.mode("append").parquet(docsDir)
   }
 
@@ -343,8 +404,10 @@ object CorpusBuilder {
     *
     *   - exact: the bloom store (plan-literal or sharded, same as
     *     [[appendNew]]) routes — only probe-HIT digests (true dups +
-    *     fpp·batch false positives) reach the corpus digest column,
-    *     via a broadcast semi-join AQE eliminates when nothing hit;
+    *     fpp·batch false positives) reach the verify, which reads the
+    *     bucket-pruned [[graft.dedup.DigestIndex]], not the corpus
+    *     digest column (same-id matches fall back to the corpus —
+    *     replay/crash windows only);
     *   - near-dup: the batch's bands probe the PERSISTED
     *     [[graft.dedup.BandIndex]] — the batch's touched buckets arrive
     *     as `PartitionFilters`, the batch side is broadcast, and the
@@ -366,7 +429,7 @@ object CorpusBuilder {
   def appendNearDupNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String, nd: NearDup,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01,
-      numShards: Int = 1): Long = {
+      numShards: Int = 1, digestBuckets: Int = DefaultDigestBuckets): Long = {
     import graft.text.TextFunctions.tokens
     val docsDir = s"$corpusDir/docs"
     Files.createDirectories(Paths.get(corpusDir))
@@ -408,13 +471,19 @@ object CorpusBuilder {
     val bandSpec = BandIndex.Spec(nd.bands, nd.indexBuckets)
     val bandReady = resolveBandIndex(spark, corpusDir, docsDir, hasDocs,
       idCol, bandSpec)
+    val idxSpec = DigestIndex.Spec(digestBuckets)
+    // side effect: rebuild-or-trust; with docs present the index is
+    // guaranteed probe-ready below
+    resolveDigestIndex(spark, corpusDir, docsDir, hasDocs, idCol, idxSpec)
     val corpusDrops: Seq[DataFrame] =
       if (!hasDocs) Nil
       else {
         // EXACT pre-gate: bloom probe routes — only probe-hit digests
-        // (batch-sized) reach the corpus digest column, via a broadcast
-        // semi-join that AQE eliminates when nothing hit (the
-        // [[Dedup.bloomNewDocs]] contract, kept here in drop-id shape)
+        // (batch-sized) reach the verify step, and the verify reads the
+        // bucket-pruned digest INDEX, not the corpus digest column
+        // (the [[Dedup.bloomNewDocsIndexed]] contract, kept here in
+        // drop-id shape; same-id matches fall back to the corpus —
+        // see [[Dedup.indexedDupDigests]])
         val hits =
           if (numShards <= 1)
             staged.filter(call_function("graft_bloom_contains",
@@ -424,10 +493,9 @@ object CorpusBuilder {
               staged.withColumn("__h", xxhash64(col(DigestCol))), "__h",
               corpusDir, shardSpec.get)
               .filter(col("__hit"))
-        val cand = hits.select(col(DigestCol).as("__cand")).distinct()
-        val dup = corpusDigests(spark, docsDir)
-          .join(broadcast(cand), col("digest") === col("__cand"), "left_semi")
-          .select(col("digest").as("__dup"))
+        val dup = Dedup.indexedDupDigests(
+          hits.select(col(idCol), col(DigestCol)), idCol, DigestCol,
+          corpusDir, idxSpec, corpusDigests(spark, docsDir))
         val exactDrop = staged
           .join(broadcast(dup), col(DigestCol) === col("__dup"), "left_semi")
           .select(col(idCol).as("__drop"))
@@ -452,9 +520,10 @@ object CorpusBuilder {
       staged.join(broadcast(drops), col(idCol) === col("__drop"), "left_anti"))
     val appended = fresh.count()
     if (appended > 0) {
-      // commit order: bloom → band index → docs (superset invariant for
-      // both derived stores; the digest filter also stays a superset
-      // across gate modes, so a later exact-mode run probes correctly)
+      // commit order: bloom → digest index → band index → docs
+      // (superset invariant for every derived store; the digest stores
+      // also stay supersets across gate modes, so a later exact-mode
+      // run probes correctly)
       if (numShards <= 1) {
         persistMergedFilter(spark, fresh, docsDir, bloomPath, monoStored,
           expectedItems, fpp)
@@ -466,6 +535,8 @@ object CorpusBuilder {
             ShardedBloom.Spec(numShards, expectedItems, fpp)))
         Files.deleteIfExists(bloomPath)
       }
+      DigestIndex.append(fresh.select(col(idCol), col(DigestCol)),
+        idCol, DigestCol, corpusDir, idxSpec)
       BandIndex.append(fresh.filter(col(SigCol).isNotNull)
         .select(col(idCol), col(SigCol)), idCol, SigCol, corpusDir, bandSpec)
       fresh.write.mode("append").parquet(docsDir)

@@ -144,6 +144,29 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("digest index probe arrives as PartitionFilters on __dk (exact-verify store shape)") {
+    import graft.dedup.{Dedup, DigestIndex}
+    val dir = tmpDir("plan-digests")
+    val spec = DigestIndex.Spec(16)
+    def digested(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("digest", Dedup.contentKey(col("text")))
+      .select(col("doc_id"), col("digest"))
+    DigestIndex.rebuild(digested((0L until 40L).map(i => (i, s"doc $i"))),
+      "doc_id", "digest", dir, spec)
+    val probe = DigestIndex.probe(digested(Seq((100L, "doc 7"), (101L, "doc 9"))),
+      "doc_id", "digest", dir, spec)
+    val plan = formatted(probe)
+    val scanPart = plan.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).mkString("\n")
+    assert(scanPart.contains(DigestIndex.BucketCol),
+      s"digest index scan must carry a ${DigestIndex.BucketCol} PartitionFilter, plan:\n$plan")
+    // the candidate side broadcasts; the stored side never shuffles
+    assert(plan.contains("BroadcastHashJoin"),
+      s"digest probe must broadcast the candidate side, plan:\n$plan")
+    // and the probe finds exactly the planted dups
+    assert(probe.select("corpus_id").as[Long].collect().toSet == Set(7L, 9L))
+  }
+
   test("bloom dedup gate reads the stored corpus column-pruned and semi-join gated (q64 shape)") {
     import graft.dedup.Dedup
     val dir = tmpDir("plan-bloom")

@@ -1,0 +1,117 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted exact-verify digest store and its classification
+  * contract ([[Dedup.indexedDupDigests]]): different-id matches drop
+  * with ZERO corpus reads, same-id matches (replay/crash windows)
+  * disambiguate against the corpus for exactly that digest set.
+  */
+class DigestIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = DigestIndex.Spec(8)
+
+  private def digested(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("digest", Dedup.contentKey(col("text")))
+      .select($"doc_id", $"digest")
+
+  /** A corpusDigests thunk that fails the test if evaluated — the
+    * steady-state contract is "no corpus read at all". */
+  private def corpusMustNotBeRead: DataFrame =
+    sys.error("steady-state verify must not read the corpus")
+
+  test("probe returns matches only from touched buckets; misses return empty") {
+    val dir = tmpDir("dix-probe")
+    val corpus = digested((0L until 50L).map(i => (i, s"doc $i")))
+    DigestIndex.rebuild(corpus, "doc_id", "digest", dir, spec)
+    assert(DigestIndex.readMeta(spark, dir).contains(spec))
+    val batch = digested(Seq((100L, "doc 7"), (101L, "novel content")))
+    val m = DigestIndex.probe(batch, "doc_id", "digest", dir, spec)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(m == Set((100L, 7L)))
+    // a batch with no candidates probes to empty without error
+    assert(DigestIndex.probe(batch.filter($"doc_id" < 0L),
+      "doc_id", "digest", dir, spec).count() == 0L)
+  }
+
+  test("probe against an EMPTY rebuilt layout reads as empty, not lost") {
+    val dir = tmpDir("dix-empty")
+    DigestIndex.rebuild(digested(Nil), "doc_id", "digest", dir, spec)
+    assert(DigestIndex.layoutExists(spark, dir, spec))
+    val batch = digested(Seq((1L, "anything")))
+    assert(DigestIndex.probe(batch, "doc_id", "digest", dir, spec).count() == 0L)
+  }
+
+  test("bucketing change rebuilds into a fresh layout with an atomic pointer flip") {
+    val dir = tmpDir("dix-resize")
+    val corpus = digested((0L until 20L).map(i => (i, s"d$i")))
+    DigestIndex.rebuild(corpus, "doc_id", "digest", dir, spec)
+    val spec2 = DigestIndex.Spec(16)
+    DigestIndex.rebuild(corpus, "doc_id", "digest", dir, spec2)
+    assert(DigestIndex.readMeta(spark, dir).contains(spec2))
+    assert(DigestIndex.layoutExists(spark, dir, spec2))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, spec.layoutDir)),
+      "superseded digest layout must be garbage-collected after the flip")
+    // and the rebuilt layout still answers probes
+    val m = DigestIndex.probe(digested(Seq((90L, "d3"))), "doc_id", "digest",
+      dir, spec2).select("corpus_id").as[Long].collect().toSeq
+    assert(m == Seq(3L))
+  }
+
+  test("indexedDupDigests: different-id dups drop with ZERO corpus reads (steady state)") {
+    val dir = tmpDir("dix-steady")
+    val corpus = digested((0L until 10L).map(i => (i, s"c$i")))
+    DigestIndex.rebuild(corpus, "doc_id", "digest", dir, spec)
+    // batch ids are disjoint from corpus ids — every match is
+    // different-id, so the corpus thunk must never evaluate
+    val cand = digested(Seq((100L, "c3"), (101L, "c7"), (102L, "new stuff")))
+    val dup = Dedup.indexedDupDigests(cand, "doc_id", "digest", dir, spec,
+      corpusMustNotBeRead)
+    val dups = dup.as[String].collect().toSet
+    val want = digested(Seq((0L, "c3"), (1L, "c7")))
+      .select("digest").as[String].collect().toSet
+    assert(dups == want)
+  }
+
+  test("indexedDupDigests: same-id matches disambiguate via the corpus (replay vs ghost)") {
+    val dir = tmpDir("dix-replay")
+    // index holds TWO same-id rows: one whose docs append happened
+    // (committed — replay must DROP) and one ghost whose docs append
+    // crashed (replay must ADMIT)
+    val committed = digested(Seq((1L, "landed")))
+    val ghost = digested(Seq((2L, "never landed")))
+    DigestIndex.rebuild(committed.union(ghost), "doc_id", "digest", dir, spec)
+    val corpusDigests = committed.select($"digest") // only "landed" is real
+    val replay = committed.union(ghost) // the at-least-once replay
+    val dup = Dedup.indexedDupDigests(replay, "doc_id", "digest", dir, spec,
+      corpusDigests)
+    val dups = dup.as[String].collect().toSeq
+    assert(dups == committed.select("digest").as[String].collect().toSeq,
+      "a committed digest must drop; a ghost's own replay must be admitted")
+  }
+
+  test("bloomNewDocsIndexed matches bloomNewDocs and never reads the corpus steady-state") {
+    val dir = tmpDir("dix-bloom")
+    val corpusRows = (0L until 40L).map(i => (i, s"doc $i"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+      .withColumn("digest", Dedup.contentKey(col("text")))
+    DigestIndex.rebuild(corpus.select($"doc_id", $"digest"),
+      "doc_id", "digest", dir, spec)
+    val filter = Dedup.digestFilter(corpus, "text", 256L, Dedup.bloomBits(256L, 0.01))
+    val batch = (20L until 60L).map(i => (i + 1000L, s"doc $i")).toDF("doc_id", "text")
+    val gated = Dedup.bloomNewDocsIndexed(batch, "doc_id", "text", filter,
+      dir, spec, corpusMustNotBeRead)
+    assert(gated.count() == 20L)
+    assert(gated.columns.toSeq == Seq("doc_id", "text"))
+    // same answer as the corpus-scanning twin
+    val twin = Dedup.bloomNewDocs(batch, corpus.select("digest"), "text", filter)
+    assert(gated.select("doc_id").as[Long].collect().sorted.toSeq ==
+      twin.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}

@@ -189,6 +189,75 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(corpusDocs(ndCorpus).count() == 1L)
   }
 
+  test("exact gate maintains a persisted digest index; loss and bucket changes rebuild it") {
+    import graft.dedup.DigestIndex
+    val corpus = tmpDir("digest-index-corpus")
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNew(spark, b1, corpus, "doc_id", "text", 1024L, 0.01) == 2L)
+    val spec = DigestIndex.Spec(CorpusBuilder.DefaultDigestBuckets)
+    assert(DigestIndex.readMeta(spark, corpus).contains(spec),
+      "an exact-mode commit must declare the digest index")
+    assert(DigestIndex.layoutExists(spark, corpus, spec))
+    // different-id replay of corpus content: dropped via the index probe
+    val b2 = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNew(spark, b2, corpus, "doc_id", "text", 1024L, 0.01) == 1L)
+    // lose the layout out-of-band: the gate must rebuild it from the
+    // corpus' stored (id, digest) columns and still drop duplicates
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(corpus, spec.layoutDir))
+      .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    assert(CorpusBuilder.appendNew(spark, b2, corpus, "doc_id", "text", 1024L, 0.01) == 0L)
+    assert(DigestIndex.layoutExists(spark, corpus, spec), "lost index must be rebuilt")
+    // bucketing change: rebuild into a fresh layout, atomic pointer
+    // flip, superseded layout garbage-collected
+    assert(CorpusBuilder.appendNew(spark, b2, corpus, "doc_id", "text", 1024L, 0.01,
+      digestBuckets = 16) == 0L)
+    val spec2 = DigestIndex.Spec(16)
+    assert(DigestIndex.readMeta(spark, corpus).contains(spec2))
+    assert(DigestIndex.layoutExists(spark, corpus, spec2))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, spec.layoutDir)),
+      "superseded digest layout must be garbage-collected after the flip")
+    assert(corpusDocs(corpus).count() == 3L)
+  }
+
+  test("ghost digest rows (crash between index append and docs append) never drop the replay") {
+    import graft.dedup.{Dedup, DigestIndex}
+    val corpus = tmpDir("digest-ghost-corpus")
+    assert(CorpusBuilder.appendNew(spark,
+      Seq((1L, "seed")).toDF("doc_id", "text"), corpus, "doc_id", "text", 1024L, 0.01) == 1L)
+    // simulate the crash window: the batch's digests land in the bloom
+    // AND the index, the docs append never happens
+    val ghost = Seq((7L, "ghost content")).toDF("doc_id", "text")
+    val spec = DigestIndex.Spec(CorpusBuilder.DefaultDigestBuckets)
+    DigestIndex.append(ghost.withColumn("__d", Dedup.contentKey(col("text")))
+      .select(col("doc_id"), col("__d")), "doc_id", "__d", corpus, spec)
+    val bloomPath = java.nio.file.Paths.get(corpus, "bloom.bin")
+    val merged = {
+      val cur = java.nio.file.Files.readAllBytes(bloomPath)
+      val f = graft.dedup.Dedup.digestFilter(ghost, "text", 1024L,
+        graft.dedup.Dedup.bloomBits(1024L, 0.01))
+      val m = classOf[CorpusBuilder.type].getDeclaredMethods
+        .find(_.getName == "mergeFilters").get
+      m.setAccessible(true)
+      m.invoke(CorpusBuilder, cur, f).asInstanceOf[Array[Byte]]
+    }
+    java.nio.file.Files.write(bloomPath, merged)
+    // replay of that batch: (id, digest)-identical to its ghost row —
+    // the same-id fallback consults the corpus, finds nothing, ADMITS
+    assert(CorpusBuilder.appendNew(spark, ghost, corpus,
+      "doc_id", "text", 1024L, 0.01) == 1L,
+      "a replayed batch must not be dropped by its own ghost digest rows")
+    // now that the doc REALLY landed, a replay of the committed batch
+    // is (id, digest)-identical to its COMMITTED row and must DROP
+    assert(CorpusBuilder.appendNew(spark, ghost, corpus,
+      "doc_id", "text", 1024L, 0.01) == 0L)
+    // and a different-id carrier of the same content drops too
+    assert(CorpusBuilder.appendNew(spark,
+      Seq((8L, "ghost content")).toDF("doc_id", "text"), corpus,
+      "doc_id", "text", 1024L, 0.01) == 0L)
+    assert(corpusDocs(corpus).count() == 2L)
+  }
+
   test("lost bloom.bin with an existing corpus is REBUILT from the digest column, not bypassed") {
     val corpus = tmpDir("lost-bloom-corpus")
     val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
