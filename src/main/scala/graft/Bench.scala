@@ -13,16 +13,42 @@ package graft
   * at start and end) so a loaded-box run is identifiable after the fact.
   * A single session-wide JVM/codegen warm-up precedes the first query,
   * mirroring cold-cache single-node operation otherwise.
+  *
+  * The r5 lesson is mechanized, not just documented: a capture that
+  * STARTS on a loaded box (1-min loadavg ≥ [[QuietThreshold]]) waits —
+  * bounded by [[MaxQuietWaitSec]] so a permanently-busy box still
+  * produces numbers — and the JSON carries `quiet_wait_sec` plus the
+  * start/end loadavg, so "was this run adjudicable?" is answered by the
+  * artifact itself instead of by whoever remembered to run `uptime`.
   */
 object Bench {
+  /** 1-min loadavg below which a capture is considered quiet. */
+  val QuietThreshold = 1.0
+  /** Upper bound on the pre-capture wait for a quiet box. */
+  val MaxQuietWaitSec = 300
+
   private def loadavg(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.getLines().next().split(" ")(0).toDouble finally src.close()
     } catch { case _: Exception => -1.0 }
 
+  /** Block until the box is quiet or the bound expires; returns the
+    * seconds waited. Skipped when /proc/loadavg is unreadable. */
+  private def awaitQuiet(): Long = {
+    val t0 = System.nanoTime()
+    var l = loadavg()
+    while (l >= QuietThreshold && (System.nanoTime() - t0) / 1e9 < MaxQuietWaitSec) {
+      System.err.println(f"[bench] loadavg $l%.2f >= $QuietThreshold%.1f - waiting for a quiet box")
+      Thread.sleep(10000)
+      l = loadavg()
+    }
+    ((System.nanoTime() - t0) / 1e9).toLong
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val quietWait = awaitQuiet()
     val spark = GraftSession.get()
     val loadStart = loadavg()
     // JVM/codegen warm-up so q01 doesn't pay one-time session costs
@@ -62,7 +88,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","loadavg":[$loadStart%.2f,$loadEnd%.2f]}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","loadavg":[$loadStart%.2f,$loadEnd%.2f],"quiet_wait_sec":$quietWait}""")
     System.out.flush() // the driver greps stdout for this one line
     spark.stop()
   }
