@@ -1665,6 +1665,43 @@ object CurationQueries {
     FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  // ---- q83: indexed incremental exact dedup (DigestIndex verify) ----
+
+  /** q83: [[q64]]'s probe→verify gate with the verify re-pointed at
+    * the persisted digest-bucketed store ([[graft.dedup.DigestIndex]])
+    * — the shape every steady-state batch takes at 100 TB: the bloom
+    * filter routes, the bucket-pruned index confirms
+    * (`PartitionFilters`, candidate side broadcast — pinned by
+    * PlanShapeSpec), and the corpus table is NEVER read. The corpus
+    * argument here is a thunk that THROWS if evaluated, so the green
+    * oracle hash doubles as proof of the zero-corpus-read contract
+    * (batch and corpus ids are disjoint, so no same-id replay fallback
+    * can trigger). Same oracle as q64: the two gates must agree row
+    * for row. */
+  def q83(s: SparkSession, d: String): DataFrame = {
+    import graft.dedup.DigestIndex
+    val all = docs(s, d)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    val batch = all.filter(col("doc_id") % 2 === 1)
+    val store = graft.util.Workspace.temp("graft-q83")
+    val spec = DigestIndex.Spec(16)
+    DigestIndex.rebuild(
+      corpus.select(col("doc_id"), Dedup.contentKey(col("text")).as("digest")),
+      "doc_id", "digest", store, spec)
+    val filter = Dedup.digestFilter(corpus, "text",
+      expectedItems = 256L, numBits = Dedup.bloomBits(256L, 0.01))
+    Dedup.bloomNewDocsIndexed(batch, "doc_id", "text", filter, store, spec,
+      sys.error("q83: steady-state verify must not read the corpus"))
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
+  val q83Sql: String = """
+    SELECT doc_id FROM documents b
+    WHERE doc_id % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id % 2 = 0 AND c.text = b.text)
+    ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -1708,5 +1745,6 @@ object CurationQueries {
     ("q79_span_strip", q79 _, Some(q79Sql)),
     ("q80_shuffle_order", q80 _, Some(q80Sql)),
     ("q81_bigram_perplexity", q81 _, Some(q81Sql)),
-    ("q82_bm25_topk", q82 _, Some(q82Sql)))
+    ("q82_bm25_topk", q82 _, Some(q82Sql)),
+    ("q83_indexed_dedup", q83 _, Some(q83Sql)))
 }
