@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))
     // Spark ships codegen'd bloom-filter expressions for its runtime
     // join filters but does NOT register them for users — surface them
     // (same classes, zero custom code) for the incremental-dedup

@@ -251,6 +251,16 @@ object Kernels {
     }
     acc
   }
+
+  /** Unicode NFC kernel. Fast path: `Normalizer.isNormalized` is a
+    * cheap scan that is true for pure-ASCII and most already-composed
+    * text, so the common case never allocates the String round-trip. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** `graft_minhash(shingles, k)`: MinHash signature over a string array.
@@ -375,6 +385,34 @@ case class SimhashExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_nfc(text)`: Unicode NFC normalization — the canonical-form
+  * step of text cleanup (decomposed accents, compatibility variants of
+  * the same glyph sequence hash differently and so evade every
+  * digest-based dedup gate until composed). Spark has no built-in;
+  * this stays inside whole-stage codegen via a JDK `Normalizer`
+  * kernel with an `isNormalized` fast path (no allocation on ASCII). */
+case class NfcNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc needs string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(s: Any): Any =
+    Kernels.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.Kernels.nfc($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_nfc"
 }
 
 /** `graft_winnow(shingles, w)`: winnowing fingerprint set of a string

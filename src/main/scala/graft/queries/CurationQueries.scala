@@ -1702,6 +1702,35 @@ object CurationQueries {
                       WHERE c.doc_id % 2 = 0 AND c.text = b.text)
     ORDER BY doc_id"""
 
+  // ---- q84: canonical text cleanup (NFC + invisible strip + collapse) ----
+
+  /** Deterministic "dirty" suffix appended to every document so the
+    * cleanup does real work on the ASCII test corpus: a DECOMPOSED
+    * résumé (e + U+0301 twice — NFC must compose), a zero-width space,
+    * a tab, a soft hyphen inside a word, a BOM, stray spaces. */
+  private val DirtySuffix =
+    "  re\u0301sume\u0301\u200B\tA\u00ADB\uFEFF "
+
+  /** q84: [[graft.text.TextFunctions.cleanText]] — the normalize-first
+    * pass of every corpus pipeline (NFC via the native
+    * [[graft.plans.NfcNormalizeExpr]] kernel, zero-width/soft-hyphen
+    * strip, whitespace collapse, trim), hash-checked against DuckDB's
+    * independent `nfc_normalize` + RE2 regexes. A decomposed accent
+    * sequence hashes differently from its composed form, so without
+    * this pass representation variants evade every digest-dedup gate. */
+  def q84(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        cleanText(concat(col("text"), lit(DirtySuffix))).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  val q84Sql: String = s"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || '$DirtySuffix'),
+             '[\\x{200B}\\x{FEFF}\\x{00AD}]', '', 'g'),
+             '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
+    FROM documents ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -1746,5 +1775,6 @@ object CurationQueries {
     ("q80_shuffle_order", q80 _, Some(q80Sql)),
     ("q81_bigram_perplexity", q81 _, Some(q81Sql)),
     ("q82_bm25_topk", q82 _, Some(q82Sql)),
-    ("q83_indexed_dedup", q83 _, Some(q83Sql)))
+    ("q83_indexed_dedup", q83 _, Some(q83Sql)),
+    ("q84_text_clean", q84 _, Some(q84Sql)))
 }

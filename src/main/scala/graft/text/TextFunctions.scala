@@ -17,6 +17,23 @@ import org.apache.spark.sql.types._
   */
 object TextFunctions {
 
+  /** Unicode NFC normalization (native codegen kernel — see
+    * [[graft.plans.NfcNormalizeExpr]]): decomposed accent sequences
+    * compose to the canonical form, so byte-identical content can't
+    * evade digest-based dedup gates via representation. */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
+
+  /** Canonical text cleanup — the normalize-first step every corpus
+    * pass shares: NFC compose, strip zero-width/soft-hyphen code
+    * points (ZWSP, BOM/ZWNBSP, soft hyphen), collapse whitespace runs
+    * to one space, trim. Character classes are spelled as explicit
+    * code-point lists so the Java-regex (Spark) and RE2 (DuckDB
+    * oracle) semantics coincide. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text), "[\\u200B\\uFEFF\\u00AD]", ""),
+      "[ \t\r\n]+", " "))
+
   /** Whitespace tokens of trimmed text; empty text → empty array. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))

@@ -71,6 +71,31 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(native == 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.0)
   }
 
+  test("graft_nfc composes decomposed sequences; cleanText strips invisibles and collapses") {
+    val dirty = Seq(
+      (1L, "re\u0301sume\u0301"),              // decomposed -> composed
+      (2L, "r\u00e9sum\u00e9"),                // already composed -> unchanged
+      (3L, "a\u200Bb\u00ADc\uFEFFd"),         // invisibles stripped by cleanText
+      (4L, "  x \t y \r\n z  "),            // whitespace collapse + trim
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = dirty.select($"doc_id", nfc($"text").as("n"), cleanText($"text").as("c"))
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out(1L)._1.get == "r\u00e9sum\u00e9", "NFC must compose e+combining acute")
+    assert(out(1L)._1.get == out(2L)._1.get)
+    assert(out(3L)._2.get == "abcd")
+    assert(out(4L)._2.get == "x y z")
+    assert(out(5L)._1.isEmpty && out(5L)._2.isEmpty, "null rides through")
+    // the digest-gate motivation: decomposed and composed content must
+    // key identically AFTER the cleanup, differently before
+    val keys = dirty.filter($"doc_id" <= 2)
+      .select(Dedup.contentKey($"text").as("raw"),
+        Dedup.contentKey(cleanText($"text")).as("clean"))
+      .as[(String, String)].collect()
+    assert(keys.map(_._1).distinct.length == 2, "raw digests differ")
+    assert(keys.map(_._2).distinct.length == 1, "cleaned digests agree")
+  }
+
   test("native expressions are callable from SQL and survive codegen") {
     docs.withColumn("t", tokens($"text"))
       .withColumn("sh", wordShinglesOf($"t", 3))
