@@ -30,18 +30,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright; with `spark.sql.legacy.parquet.nanosAsLong
-    * =true` (set in [[graft.GraftSession]]) it arrives as LONG
-    * nanoseconds and we restore a native µs TIMESTAMP here (truncation
-    * to micros matches Spark's own timestamp precision).
+  /** `events.ts` normalized to a session-TZ (UTC) µs TIMESTAMP whatever
+    * physical type the generator wrote:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *     [[graft.GraftSession]]) it arrives as LONG nanoseconds and we
+    *     restore a native µs TIMESTAMP (truncation to micros matches
+    *     Spark's own precision). Integer `div`, NOT `/`: long/long in
+    *     Spark is DOUBLE division, and nano-epoch values exceed double
+    *     precision (ulp 256ns) — the lossy round-then-truncate
+    *     corrupted ~1.6% of timestamps by 1µs.
+    *   - timestamp[us] not adjusted to UTC: arrives TIMESTAMP_NTZ; the
+    *     session TZ is pinned to UTC so the NTZ→LTZ cast is
+    *     value-preserving (same micros, same rendering as the
+    *     DuckDB-side naive read).
+    *   - timestamp[us] UTC-adjusted: already TimestampType, no-op.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div`, NOT `/`: long/long in Spark is DOUBLE division, and
-    // nano-epoch values exceed double precision (ulp 256ns) — the lossy
-    // round-then-truncate corrupted ~1.6% of timestamps by 1µs
-    read(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }
