@@ -548,6 +548,70 @@ log[d] {
            CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
     FROM events WHERE event_type = 'purchase'"""
 
+  /** q85: watermarked event-time windowed aggregation (SURVEY T4),
+    * oracle-checked — the events table is drained as a FILE STREAM
+    * through [[graft.streaming.StreamOps.windowedAgg]] (1-hour tumbling
+    * windows, 30-minute watermark, append mode), so only windows the
+    * watermark has closed ever reach the sink. Append mode emits
+    * nothing for windows still open at end-of-stream, so the query
+    * drains twice: the first run emits every window the real data's
+    * watermark passed, then a single sentinel event 4 hours past max
+    * ts arrives as a new landing file and the second run (same
+    * checkpoint) advances the watermark past every real window,
+    * closing the tail. The oracle is the same hourly aggregate in
+    * DuckDB over the source parquet — the hash check proves the
+    * watermark closed EVERY window exactly once with nothing dropped
+    * or duplicated, i.e. T4's bounded-state design loses no data when
+    * the stream is drained to quiescence.
+    *
+    * Scale: the windowed agg is a keyed shuffle with map-side partial
+    * aggregation; state is ∝ open windows × keys and evicted by the
+    * watermark, so an unbounded stream holds ~2 hours × |keys| of
+    * state regardless of history length. */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val work = graft.util.Workspace.temp("graft-q85")
+    val landing = s"$work/landing"
+    // decimal value → exact sums; cast back to double for the compare
+    val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+      col("value").cast(DecimalType(18, 6)).as("value"))
+    ev.repartition(8).write.mode("overwrite").parquet(landing)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def drain(): Unit = {
+      val in = s.readStream.schema(ev.schema).parquet(landing)
+      val agg = graft.streaming.StreamOps.windowedAgg(in, "ts", "event_type",
+        "value", "1 hour", watermark = "30 minutes")
+      agg.writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    drain()
+    // sentinel: one event far past max ts, landed as a NEW file so the
+    // second drain's watermark closes every real window. Its own
+    // window never closes (nothing later arrives), so it stays in
+    // state — the filter below is belt-and-braces.
+    s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000),
+        "__sentinel", new java.math.BigDecimal(0))),
+      ev.schema).write.mode("append").parquet(landing)
+    drain()
+    s.read.parquet(s"$work/sink")
+      .filter(col("event_type") =!= "__sentinel")
+      .select(col("window_start"), col("window_end"), col("event_type"),
+        col("n"), col("total").cast("double").as("total"))
+  }
+
+  val q85Sql: String = """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2, 3"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -564,5 +628,6 @@ log[d] {
     ("q61_audio_decode", q61 _, Some(q61Sql)),
     ("q63_loadlog_rollup", q63 _, Some(q63Sql)),
     ("q77_rule_fanout", q77 _, Some(q77Sql)),
-    ("q78_rego_ingest", q78 _, Some(q78Sql)))
+    ("q78_rego_ingest", q78 _, Some(q78Sql)),
+    ("q85_windowed_agg", q85 _, Some(q85Sql)))
 }
