@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowExpr(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
+      (args: Seq[Expression]) => BpeEncodeExpr(args(0), args(1), args(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))

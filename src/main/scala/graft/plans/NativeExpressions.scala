@@ -261,6 +261,112 @@ object Kernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Compiled BPE merge table: pair → rank, plus a per-thread LRU of
+    * encoded pieces (hot words dominate natural-language corpora, so
+    * the steady-state cost of a piece is one map probe). */
+  final class BpeRanks(lefts: Array[String], rights: Array[String]) {
+    val rank = new java.util.HashMap[(String, String), Integer](lefts.length * 2)
+    for (i <- lefts.indices)
+      // first occurrence wins, matching trainer output (no dup pairs)
+      rank.putIfAbsent((lefts(i), rights(i)), Integer.valueOf(i))
+
+    private val cache =
+      new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+        override def initialValue() =
+          new java.util.LinkedHashMap[String, Array[String]](1024, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Array[String]]): Boolean =
+              size() > 8192
+          }
+      }
+
+    /** Greedy lowest-rank merge of one pre-tokenized piece. */
+    def encodePiece(piece: String): Array[String] = {
+      val hit = cache.get().get(piece)
+      if (hit != null) return hit
+      var syms = codepoints(piece)
+      var done = false
+      while (!done && syms.length > 1) {
+        // lowest-rank adjacent pair present in the table
+        var best = -1
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get((syms(i), syms(i + 1)))
+          if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); best = i }
+          i += 1
+        }
+        if (best < 0) done = true
+        else {
+          // fuse every left-to-right occurrence of the winning pair
+          val l = syms(best); val rr = syms(best + 1)
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == rr) {
+              out += l + rr; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.toArray
+        }
+      }
+      cache.get().put(piece, syms)
+      syms
+    }
+  }
+
+  /** Surrogate-safe code-point split (each element one code point). */
+  def codepoints(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  // The merge table arrives as a plan LITERAL (foldable arrays), so one
+  // instance flows to every row of a task — memoize the compiled ranks
+  // on it. Weak keys: the entry dies with the plan.
+  private val bpeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[ArrayData, BpeRanks])
+
+  def bpeRanks(lefts: ArrayData, rights: ArrayData): BpeRanks = {
+    val hit = bpeCache.get(lefts)
+    if (hit != null) hit
+    else {
+      val n = lefts.numElements()
+      val la = new Array[String](n); val ra = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        la(i) = lefts.getUTF8String(i).toString
+        ra(i) = rights.getUTF8String(i).toString
+        i += 1
+      }
+      val built = new BpeRanks(la, ra)
+      bpeCache.put(lefts, built)
+      built
+    }
+  }
+
+  /** BPE-encode kernel: pre-tokenize with [[graft.text.Bpe.PiecePattern]]
+    * (a partition of the string — lossless), then merge each piece. */
+  def bpeEncode(text: UTF8String, lefts: ArrayData, rights: ArrayData): ArrayData = {
+    val ranks = bpeRanks(lefts, rights)
+    val s = text.toString
+    val m = graft.text.Bpe.CompiledPiecePattern.matcher(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](s.length / 3 + 4)
+    while (m.find()) {
+      val toks = ranks.encodePiece(m.group())
+      var i = 0
+      while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_minhash(shingles, k)`: MinHash signature over a string array.
@@ -477,4 +583,64 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_dot"
+}
+
+/** `graft_bpe_encode(text, lefts, rights)`: byte-pair-encoding tokens of
+  * `text` under the merge table `(lefts(i), rights(i)) = rank-i merge`
+  * (both must be FOLDABLE array<string> — the trained merges arrive as
+  * plan literals, exactly like the bloom-filter bytes and PQ codebooks).
+  *
+  * Tokenization is the standard two-level scheme: the text is first
+  * pre-tokenized into pieces by [[graft.text.Bpe.PiecePattern]] (a
+  * partition of the string — concatenating the pieces reproduces the
+  * text, so encode∘decode is the identity), then each piece is merged
+  * greedily by rank: repeatedly find the LOWEST-rank adjacent symbol
+  * pair and fuse every left-to-right occurrence, until no adjacent pair
+  * is in the table. Per-row work only — the operator is shuffle-free
+  * and stays inside whole-stage codegen at any corpus size.
+  *
+  * The compiled rank map is memoized on the literal array instance
+  * (weak-keyed — dropped with the plan), and each thread keeps an LRU
+  * of encoded pieces: natural-language corpora re-encode the same hot
+  * words constantly, so the amortized cost per piece is a map probe.
+  */
+case class BpeEncodeExpr(text: Expression, leftsExpr: Expression,
+    rightsExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = leftsExpr
+  override def third: Expression = rightsExpr
+
+  private def isStrArr(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (text.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_encode needs a string text, got ${text.dataType.simpleString}")
+    else if (!isStrArr(leftsExpr.dataType) || !isStrArr(rightsExpr.dataType) ||
+        !leftsExpr.foldable || !rightsExpr.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_encode needs two FOLDABLE array<string> merge columns")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = text.nullable
+
+  override def nullSafeEval(t: Any, l: Any, r: Any): Any =
+    Kernels.bpeEncode(t.asInstanceOf[UTF8String],
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, l, r) =>
+      s"${ev.value} = graft.plans.Kernels.bpeEncode($t, $l, $r);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeEncodeExpr =
+    copy(text = newFirst, leftsExpr = newSecond, rightsExpr = newThird)
+
+  override def prettyName: String = "graft_bpe_encode"
 }

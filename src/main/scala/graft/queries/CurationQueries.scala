@@ -1731,6 +1731,42 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q86: BPE tokenizer — distributed train, native-kernel encode ----
+
+  /** q86: [[graft.text.Bpe]] end-to-end — train a 200-merge BPE table
+    * over the corpus (distributed piece counting; driver-side induction
+    * over the vocabulary-sized model, centroids/codebooks precedent),
+    * then encode every document with the native
+    * [[graft.plans.BpeEncodeExpr]] kernel and verify IN-PLAN the two
+    * invariants a correct tokenizer must satisfy on every row: the
+    * token stream concatenates back to the exact text (lossless — no
+    * unk, no dropped bytes), and the token count lies in
+    * [pieces, codepoints] (merges only ever fuse within a piece). The
+    * oracle pins those verdicts plus the char counts; the exact merge
+    * semantics are hand-verified in BpeSpec (training is not
+    * SQL-expressible — an iterative argmax loop).
+    *
+    * Scale: train's only corpus pass is a map-side-combined piece
+    * count capped to a top-K model; encode is shuffle-free per-row
+    * codegen with the merge table as a plan literal. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    import graft.text.Bpe
+    val documents = docs(s, d)
+    val merges = Bpe.train(documents, "text", numMerges = 200)
+    val toks = Bpe.encode(col("text"), merges)
+    documents.select(col("doc_id"),
+        (Bpe.decode(toks) === col("text")).as("round_trip"),
+        (size(toks) >= size(Bpe.pieces(col("text"))) &&
+          size(toks) <= length(col("text"))).as("token_bounds"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q86Sql: String = """
+    SELECT doc_id, true AS round_trip, true AS token_bounds,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -1776,5 +1812,6 @@ object CurationQueries {
     ("q81_bigram_perplexity", q81 _, Some(q81Sql)),
     ("q82_bm25_topk", q82 _, Some(q82Sql)),
     ("q83_indexed_dedup", q83 _, Some(q83Sql)),
-    ("q84_text_clean", q84 _, Some(q84Sql)))
+    ("q84_text_clean", q84 _, Some(q84Sql)),
+    ("q86_bpe_tokenize", q86 _, Some(q86Sql)))
 }
