@@ -1731,6 +1731,59 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q87: ANN recall@k eval (LSH vs exact baseline) ----
+
+  /** q87: [[Similarity.recallAtK]] — the eval harness that closes the
+    * ANN tuning loop: brute-force cosine top-10 (the exact baseline,
+    * q28's operator) vs SRP-LSH top-10 (q30's operator) on the same
+    * query sample, reduced to per-query recall. Both pipelines are
+    * md5-deterministic, so "approximate recall" is itself a
+    * deterministic, hash-checkable number — the oracle replays both
+    * sides in DuckDB and intersects. This is how a 100 TB deployment
+    * picks planes/bandBits (or nlist/nprobe) before committing a full
+    * corpus pass: exact baseline on a sample, recall read, parameters
+    * frozen. */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 10)
+    val ann = Similarity.lshTopK(queries, emb, k = 10)
+    Similarity.recallAtK(exact, ann, k = 10).orderBy(col("query_id"))
+  }
+
+  val q87Sql: String = {
+    val dqc = dotSql("q.v", "c.v")
+    val dqq = dotSql("q.v", "q.v")
+    val dcc = dotSql("c.v", "c.v")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            round($dqc / (sqrt($dqq) * sqrt($dcc)), 6) AS sim
+                     FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        FROM exact_scored) WHERE rk <= 10),
+    sigs AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm,
+                    ${srpSigSql()} AS sig FROM e),
+    banded AS (SELECT vec_id, unnest(${srpBandListSql()}) AS band FROM sigs),
+    cands AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM banded q JOIN banded c ON q.band = c.band
+              WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    ann_scored AS (SELECT query_id, neighbor_id,
+                          round(${dotSql("sq.v", "sc.v")} / (sq.nrm * sc.nrm), 6) AS sim
+                   FROM cands
+                   JOIN sigs sq ON sq.vec_id = query_id
+                   JOIN sigs sc ON sc.vec_id = neighbor_id),
+    ann AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        FROM ann_scored) WHERE rk <= 10)
+    SELECT x.query_id AS query_id,
+           CAST(count(a.neighbor_id) AS DOUBLE) / 10 AS recall
+    FROM exact x LEFT JOIN ann a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id ORDER BY x.query_id"""
+  }
+
   // ---- q86: BPE tokenizer — distributed train, native-kernel encode ----
 
   /** q86: [[graft.text.Bpe]] end-to-end — train a 200-merge BPE table
@@ -1753,11 +1806,13 @@ object CurationQueries {
     import graft.text.Bpe
     val documents = docs(s, d)
     val merges = Bpe.train(documents, "text", numMerges = 200)
-    val toks = Bpe.encode(col("text"), merges)
-    documents.select(col("doc_id"),
-        (Bpe.decode(toks) === col("text")).as("round_trip"),
-        (size(toks) >= size(Bpe.pieces(col("text"))) &&
-          size(toks) <= length(col("text"))).as("token_bounds"),
+    // stage the token array ONCE between projections (the *Of contract:
+    // three downstream uses must not re-run the encode kernel)
+    documents.withColumn("__toks", Bpe.encode(col("text"), merges))
+      .select(col("doc_id"),
+        (Bpe.decode(col("__toks")) === col("text")).as("round_trip"),
+        (size(col("__toks")) >= size(Bpe.pieces(col("text"))) &&
+          size(col("__toks")) <= length(col("text"))).as("token_bounds"),
         length(col("text")).as("n_chars"))
       .orderBy(col("doc_id"))
   }
@@ -1813,5 +1868,6 @@ object CurationQueries {
     ("q82_bm25_topk", q82 _, Some(q82Sql)),
     ("q83_indexed_dedup", q83 _, Some(q83Sql)),
     ("q84_text_clean", q84 _, Some(q84Sql)),
-    ("q86_bpe_tokenize", q86 _, Some(q86Sql)))
+    ("q86_bpe_tokenize", q86 _, Some(q86Sql)),
+    ("q87_ann_recall", q87 _, Some(q87Sql)))
 }

@@ -144,6 +144,31 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
   }
 
+  /** recall@k of an approximate top-k result against the exact one —
+    * the eval harness every ANN deployment needs before trusting a
+    * parameter choice (planes/bandBits, nlist/nprobe, PQ m×bits) at
+    * scale: run both on a SAMPLE of queries, read the recall, then
+    * point the tuned operator at the full corpus.
+    *
+    * Both inputs are `(query_id, neighbor_id)`-shaped frames (extra
+    * columns ignored). Per query: |approx ∩ exact| / k — counted over
+    * the exact side, so recall is against the true top-k even when the
+    * approximate side returned fewer than k rows. Queries with zero
+    * hits still appear (left join), recall 0.
+    *
+    * Scale: both sides are query-sample-sized (k rows per sampled
+    * query), so the join and the per-query count are driver-trivial
+    * regardless of corpus size — the expensive part is producing the
+    * exact baseline, which is precisely why it runs on a sample. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("__hit")).cast(DoubleType) / k).as("recall"))
+  }
+
   /** IVF (inverted-file) coarse quantizer: `nlist` centroids taken
     * deterministically from the corpus (rows with the smallest
     * md5(vec_id) — an unbiased pseudo-random sample reproducible on any

@@ -207,4 +207,22 @@ class SimilaritySpec extends SparkSpec {
     // the planted near-dup must survive LSH bucketing for query 0
     assert(approx.contains((0L, 100L)))
   }
+
+  test("recallAtK: per-query intersection over the exact baseline") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
+      (3L, 20L), (3L, 21L), (3L, 22L), (3L, 23L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), // all 4
+      (2L, 10L), (2L, 99L), // 1 of 4 (99 is a miss, not in exact)
+      (3L, 50L)) // 0 of 4
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, k = 4)
+      .orderBy($"query_id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, 0.25), (3L, 0.0)))
+    // duplicate approx rows must not double-count
+    val got2 = Similarity.recallAtK(exact, approx.union(approx), k = 4)
+      .orderBy($"query_id").as[(Long, Double)].collect().toSeq
+    assert(got2 == got)
+  }
 }
