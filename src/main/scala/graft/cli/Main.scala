@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -39,7 +39,8 @@ object Main {
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] <glob>
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s>) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -302,6 +303,35 @@ object Main {
             org.apache.spark.sql.functions.sum("n_removed"),
             org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
         println(s"stripped tokens: $removed")
+
+      case "tokenize" =>
+        // BPE tokenize (q86 operator as a verb): train a merge table
+        // over the input (or load a saved one), encode every doc. The
+        // train/encode split is the production shape — train once on a
+        // sample, ship the small merges file with every encode job.
+        require(pos.size == 1, "tokenize needs exactly one <ds.tbl|parquetDir>")
+        import graft.text.Bpe
+        val df = readTable(spark, flags, pos.head)
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val merges = flags.get("load-merges") match {
+          case Some(f) => Bpe.loadMerges(f)
+          case None => Bpe.train(df, textCol,
+            numMerges = flags.getOrElse("merges", "1000").toInt,
+            minFreq = flags.getOrElse("min-freq", "1").toLong)
+        }
+        flags.get("save-merges").foreach(Bpe.saveMerges(_, merges))
+        df.select(org.apache.spark.sql.functions.col(idCol),
+            Bpe.encode(org.apache.spark.sql.functions.col(textCol), merges)
+              .as("tokens"))
+          .write.mode("overwrite").parquet(req(flags, "output"))
+        val n = spark.read.parquet(req(flags, "output"))
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.size(
+                org.apache.spark.sql.functions.col("tokens"))),
+            org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
+        println(s"merges: ${merges.size}, tokens: $n")
 
       case other =>
         System.err.println(s"unknown command '$other'\n$usage"); sys.exit(2)

@@ -178,4 +178,32 @@ object Bpe {
   def vocab(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
     docs.select(explode(encode(col(textCol), merges)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+
+  /** Persist a merge table, one `left<TAB>right` line per rank (the
+    * train-once / encode-many seam: the model is a small driver-local
+    * file, like the reference's rule files). TSV is unambiguous here
+    * by construction: [[PiecePattern]] makes every whitespace char its
+    * own single-codepoint piece, so no merge symbol can contain one —
+    * asserted anyway so a future pre-tokenizer change fails loudly. */
+  def saveMerges(path: String, merges: Seq[Merge]): Unit = {
+    merges.foreach { m =>
+      require(!(m.left + m.right).exists(_.isWhitespace),
+        s"merge symbols must be whitespace-free for TSV: ${m.left}|${m.right}")
+    }
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      merges.map(m => s"${m.left}\t${m.right}").mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+  }
+
+  /** Load a merge table written by [[saveMerges]]. */
+  def loadMerges(path: String): Seq[Merge] =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8").split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t", 2) match {
+        case Array(l, r) => Merge(l, r)
+        case _ => sys.error(s"bad merge line in $path: '$line'")
+      }
+    }
 }

@@ -81,6 +81,34 @@ class CliCurationSpec extends SparkSpec {
       .sortBy(_._1).toSeq == direct, "verb byte-equivalent to the operator")
   }
 
+  test("tokenize trains, saves, reloads, and encodes losslessly via the verb") {
+    val dir = tmpDir("cli-tokenize")
+    Seq((1L, "the cat sat on the mat"), (2L, "the mat sat on the cat"),
+      (3L, "cats and mats")).toDF("doc_id", "text").write.parquet(s"$dir/in")
+
+    Main.run(spark, Array("tokenize", "--merges", "20",
+      "--save-merges", s"$dir/merges.tsv",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3)
+    // lossless: concat(tokens) reproduces the text
+    val joined = out.join(spark.read.parquet(s"$dir/in"), "doc_id")
+    assert(joined.filter(
+      graft.text.Bpe.decode(col("tokens")) =!= col("text")).count() == 0)
+
+    // saved merges reload to the identical table, and --load-merges
+    // (encode-only, no training pass) gives the identical encoding
+    val merges = graft.text.Bpe.loadMerges(s"$dir/merges.tsv")
+    assert(merges.nonEmpty && merges.size <= 20)
+    Main.run(spark, Array("tokenize", "--load-merges", s"$dir/merges.tsv",
+      "--output", s"$dir/out2", s"$dir/in"))
+    val a = spark.read.parquet(s"$dir/out").orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    val b = spark.read.parquet(s"$dir/out2").orderBy("doc_id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(a == b)
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
