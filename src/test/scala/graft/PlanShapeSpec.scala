@@ -193,4 +193,50 @@ class PlanShapeSpec extends SparkSpec {
     // 25 genuinely-new texts pass
     assert(gated.count() == 25L)
   }
+
+  test("BPE encode runs ONCE per row under multi-consumer projection (q86 shape)") {
+    import graft.text.Bpe
+    val dir = tmpDir("plan-bpe")
+    (0L until 10L).map(i => (i, s"doc number $i text"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val docsDf = spark.read.parquet(s"$dir/docs")
+    val merges = Seq(Bpe.Merge("d", "o"), Bpe.Merge("do", "c"))
+    // the q86 shape: stage once, consume three times
+    val out = docsDf.withColumn("__toks", Bpe.encode(col("text"), merges))
+      .select(col("doc_id"),
+        (Bpe.decode(col("__toks")) === col("text")).as("rt"),
+        size(col("__toks")).as("n"),
+        (size(col("__toks")) <= length(col("text"))).as("b"))
+    val plan = out.queryExecution.optimizedPlan.toString
+    val n = "graft_bpe_encode".r.findAllIn(plan).size
+    assert(n == 1,
+      s"CollapseProject must keep the staged token array (non-cheap, " +
+        s"multi-referenced) — found $n encode calls in:\n$plan")
+    // and the staged shape still computes the right thing
+    assert(out.filter(!col("rt")).count() == 0)
+  }
+
+  test("ANN recall eval broadcasts the query sample on both pipelines (q87 shape)") {
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 5 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+    val ann = Similarity.lshTopK(q, emb, k = 5)
+    val recall = Similarity.recallAtK(exact, ann, k = 5)
+    // exact side: corpus × broadcast(queries) — never a shuffled cross
+    val exactPlan = formatted(exact)
+    assert(exactPlan.contains("BroadcastNestedLoopJoin"),
+      s"brute-force baseline must broadcast the query sample:\n$exactPlan")
+    assert(!exactPlan.contains("CartesianProduct"),
+      s"corpus-side cartesian would shuffle corpus-sized data:\n$exactPlan")
+    // LSH side: band-key equi-join against the broadcast query bands
+    val annPlan = formatted(ann)
+    assert(annPlan.contains("BroadcastHashJoin"),
+      s"LSH candidate join must broadcast the query bands:\n$annPlan")
+    // end-to-end recall still computes (per-query rows, values in [0,1])
+    val rows = recall.collect()
+    assert(rows.length == 3 &&
+      rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
 }
