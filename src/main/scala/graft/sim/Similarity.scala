@@ -182,32 +182,45 @@ object Similarity {
     * corpus — the same join pattern as the LSH path but with
     * data-adaptive buckets. */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydSteps: Int = 1): Array[Array[Double]] = {
+    require(lloydSteps >= 0, s"lloydSteps must be >= 0, got $lloydSteps")
     val seeds = corpus
       .select(asDouble(col(vecCol)).as("v"),
         md5Long(col(idCol).cast(StringType), 15).as("h"))
       .orderBy(col("h")).limit(nlist)
       .collect().map(_.getSeq[Double](0).toArray)
-    // one Lloyd step, DISTRIBUTED: per-(cluster, dim) means via
-    // groupBy — only nlist×dims aggregate rows reach the driver, never
-    // the corpus vectors (collecting them would cap corpus size at
-    // driver memory). Decimal-exact sums keep centroids deterministic
-    // across partitionings (double partial-avg is order-dependent).
-    val dims = seeds.head.length
-    val means = assignCluster(corpus, seeds, idCol, vecCol)
+    // Lloyd steps, DISTRIBUTED: per-(cluster, dim) means via groupBy —
+    // only nlist×dims aggregate rows reach the driver, never the
+    // corpus vectors (collecting them would cap corpus size at driver
+    // memory). Decimal-exact sums keep centroids deterministic across
+    // partitionings (double partial-avg is order-dependent), so the
+    // result is a pure function of (corpus, nlist, lloydSteps) and the
+    // default steps=1 stays bit-identical to what every oracle
+    // replays. More steps = k-means proper (each is one corpus pass;
+    // distortion is non-increasing — see SimilaritySpec).
+    (0 until lloydSteps).foldLeft(seeds)((cents, _) =>
+      lloydStep(corpus, cents, idCol, vecCol))
+  }
+
+  /** One distributed Lloyd iteration: assign, then per-(cluster, dim)
+    * decimal-exact means. An emptied cluster keeps its centroid. */
+  private def lloydStep(corpus: DataFrame, cents: Array[Array[Double]],
+      idCol: String, vecCol: String): Array[Array[Double]] = {
+    val means = assignCluster(corpus, cents, idCol, vecCol)
       .select(col("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
       .groupBy(col("cluster"), col("pos"))
       .agg((sum(col("x").cast(DecimalType(30, 15))).cast(DoubleType) /
         count(lit(1))).as("m"))
       .collect()
     val byCluster = means.groupBy(_.getInt(0))
-    seeds.indices.map { c =>
+    cents.indices.map { c =>
       byCluster.get(c) match {
         case Some(rows) =>
-          val mean = seeds(c).clone()
+          val mean = cents(c).clone()
           rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2))
           mean
-        case None => seeds(c)
+        case None => cents(c)
       }
     }.toArray
   }

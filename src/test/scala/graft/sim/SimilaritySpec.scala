@@ -208,6 +208,30 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.contains((0L, 100L)))
   }
 
+  test("ivfCentroids: Lloyd steps reduce distortion, stay partition-invariant") {
+    val emb = vecs
+    def distortion(cents: Array[Array[Double]]): Double =
+      Similarity.assignCluster(emb, cents)
+        .select(posexplode($"__v").as(Seq("pos", "x")), $"cluster")
+        .collect().groupBy(r => (r.getInt(2), r.getInt(0)))
+        .map { case ((c, pos), rows) =>
+          rows.map(r => math.pow(r.getDouble(1) - cents(c)(pos), 2)).sum }
+        .sum
+    val c0 = Similarity.ivfCentroids(emb, nlist = 4, lloydSteps = 0)
+    val c1 = Similarity.ivfCentroids(emb, nlist = 4, lloydSteps = 1)
+    val c3 = Similarity.ivfCentroids(emb, nlist = 4, lloydSteps = 3)
+    // k-means monotonicity: each step's means minimize within-cluster
+    // SSE for the previous assignment
+    val (d0, d1, d3) = (distortion(c0), distortion(c1), distortion(c3))
+    assert(d1 <= d0 + 1e-9 && d3 <= d1 + 1e-9, s"distortion rose: $d0 $d1 $d3")
+    // default is one step — the oracle contract
+    assert(Similarity.ivfCentroids(emb, nlist = 4).map(_.toSeq).toSeq ==
+      c1.map(_.toSeq).toSeq)
+    // decimal-exact sums ⇒ identical centroids under any partitioning
+    val c3b = Similarity.ivfCentroids(emb.repartition(7), nlist = 4, lloydSteps = 3)
+    assert(c3b.map(_.toSeq).toSeq == c3.map(_.toSeq).toSeq)
+  }
+
   test("recallAtK: per-query intersection over the exact baseline") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
       (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
