@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeEncodeExpr].getName, "graft_bpe_encode"),
       (args: Seq[Expression]) => BpeEncodeExpr(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode_ids"),
+      new ExpressionInfo(classOf[BpeEncodeIdsExpr].getName, "graft_bpe_encode_ids"),
+      (args: Seq[Expression]) =>
+        BpeEncodeIdsExpr(args(0), args(1), args(2), args(3))))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))

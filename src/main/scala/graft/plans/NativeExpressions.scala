@@ -367,6 +367,50 @@ object Kernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  // vocab literal → token→id map, memoized like the merge ranks
+  private val vocabCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[ArrayData, java.util.HashMap[String, Integer]])
+
+  private def vocabIds(vocab: ArrayData): java.util.HashMap[String, Integer] = {
+    val hit = vocabCache.get(vocab)
+    if (hit != null) hit
+    else {
+      val n = vocab.numElements()
+      val m = new java.util.HashMap[String, Integer](n * 2)
+      var i = 0
+      while (i < n) {
+        // first occurrence wins — ids are positions in the vocab table
+        m.putIfAbsent(vocab.getUTF8String(i).toString, Integer.valueOf(i))
+        i += 1
+      }
+      vocabCache.put(vocab, m)
+      m
+    }
+  }
+
+  /** BPE-encode to int ids: [[bpeEncode]] then a vocab lookup per
+    * token. A token outside the vocab maps to -1 (the caller's unk
+    * policy — a vocab built from the training corpus' own merges
+    * covers everything except base codepoints unseen at train time). */
+  def bpeEncodeIds(text: UTF8String, lefts: ArrayData, rights: ArrayData,
+      vocab: ArrayData): ArrayData = {
+    val ranks = bpeRanks(lefts, rights)
+    val ids = vocabIds(vocab)
+    val s = text.toString
+    val m = graft.text.Bpe.CompiledPiecePattern.matcher(s)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](s.length / 3 + 4)
+    while (m.find()) {
+      val toks = ranks.encodePiece(m.group())
+      var i = 0
+      while (i < toks.length) {
+        val id = ids.get(toks(i))
+        out += (if (id == null) -1 else id.intValue())
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_minhash(shingles, k)`: MinHash signature over a string array.
@@ -643,4 +687,54 @@ case class BpeEncodeExpr(text: Expression, leftsExpr: Expression,
     copy(text = newFirst, leftsExpr = newSecond, rightsExpr = newThird)
 
   override def prettyName: String = "graft_bpe_encode"
+}
+
+/** `graft_bpe_encode_ids(text, lefts, rights, vocab)`: BPE tokens as
+  * INT ids — position in the foldable `vocab` array, -1 for a token
+  * outside it. Same kernel and memoization as [[BpeEncodeExpr]], one
+  * extra map probe per token; the id stream is what packing and a
+  * training loader consume, and at ~4 bytes/token it shuffles an
+  * order of magnitude lighter than the string tokens. */
+case class BpeEncodeIdsExpr(text: Expression, leftsExpr: Expression,
+    rightsExpr: Expression, vocabExpr: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = leftsExpr
+  override def third: Expression = rightsExpr
+  override def fourth: Expression = vocabExpr
+
+  private def isStrArr(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (text.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_encode_ids needs a string text, got ${text.dataType.simpleString}")
+    else if (Seq(leftsExpr, rightsExpr, vocabExpr).exists(e =>
+        !isStrArr(e.dataType) || !e.foldable))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_encode_ids needs three FOLDABLE array<string> columns (lefts, rights, vocab)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = text.nullable
+
+  override def nullSafeEval(t: Any, l: Any, r: Any, v: Any): Any =
+    Kernels.bpeEncodeIds(t.asInstanceOf[UTF8String], l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, l, r, v) =>
+      s"${ev.value} = graft.plans.Kernels.bpeEncodeIds($t, $l, $r, $v);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): BpeEncodeIdsExpr =
+    copy(text = newFirst, leftsExpr = newSecond, rightsExpr = newThird,
+      vocabExpr = newFourth)
+
+  override def prettyName: String = "graft_bpe_encode_ids"
 }

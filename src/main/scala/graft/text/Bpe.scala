@@ -179,6 +179,33 @@ object Bpe {
     docs.select(explode(encode(col(textCol), merges)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
 
+  /** Deterministic vocab-id order over the corpus: frequency desc,
+    * token asc — a pure function of the encoded corpus, identical on
+    * any partitioning. Driver-sized like the merge table (ids ARE
+    * positions in this list; ship it with the merges). */
+  def vocabList(docs: DataFrame, textCol: String, merges: Seq[Merge]): Seq[String] =
+    vocab(docs, textCol, merges)
+      .orderBy(col("freq").desc, col("token").asc)
+      .select("token").collect().map(_.getString(0)).toSeq
+
+  /** Encode `text` into INT token ids — position in `vocabToks`, -1
+    * for out-of-vocab (base codepoints unseen when the vocab was
+    * built). The id stream is what packing and a training loader
+    * consume: ~4 bytes/token instead of a string, with the vocab as a
+    * plan literal like the merges ([[graft.plans.BpeEncodeIdsExpr]]). */
+  def encodeIds(text: Column, merges: Seq[Merge], vocabToks: Seq[String]): Column =
+    call_function("graft_bpe_encode_ids", text,
+      typedLit(merges.map(_.left)), typedLit(merges.map(_.right)),
+      typedLit(vocabToks))
+
+  /** Decode an id stream through the same vocab list (−1 → empty). */
+  def decodeIds(ids: Column, vocabToks: Seq[String]): Column = {
+    val v = typedLit(vocabToks)
+    array_join(transform(ids, i =>
+      when(i >= 0 && i < vocabToks.size, element_at(v, i + 1))
+        .otherwise(lit(""))), "")
+  }
+
   /** Persist a merge table, one `left<TAB>right` line per rank (the
     * train-once / encode-many seam: the model is a small driver-local
     * file, like the reference's rule files). TSV is unambiguous here

@@ -85,6 +85,35 @@ class BpeSpec extends SparkSpec {
     assert(v == Map("aa" -> 3L, " " -> 1L))
   }
 
+  test("encodeIds maps tokens to deterministic vocab positions, -1 for oov") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq.fill(10)("the cat sat").toDF("text")
+    val merges = train(docs, "text", numMerges = 6)
+    val v = vocabList(docs, "text", merges)
+    // id order: freq desc, token asc — " " is the most frequent token
+    assert(v.head == " ")
+    val withIds = docs.limit(1).select(
+      Bpe.encode(col("text"), merges).as("toks"),
+      Bpe.encodeIds(col("text"), merges, v).as("ids"))
+    val row = withIds.head
+    val toks = row.getSeq[String](0)
+    val ids = row.getSeq[Int](1)
+    // ids are exactly the vocab positions of the string tokens
+    assert(ids == toks.map(t => v.indexOf(t)))
+    assert(ids.forall(_ >= 0))
+    // ids decode back to the text through the same vocab
+    val bad = docs.select(
+      (Bpe.decodeIds(Bpe.encodeIds(col("text"), merges, v), v) === col("text"))
+        .as("ok")).filter(!col("ok")).count()
+    assert(bad == 0)
+    // out-of-vocab text (chars never seen at train time) → -1, not a crash
+    val oov = Seq("zzz 😀").toDF("text")
+      .select(Bpe.encodeIds(col("text"), merges, v).as("ids"))
+      .head.getSeq[Int](0)
+    assert(oov.contains(-1))
+  }
+
   test("null text encodes to null, merge table may be empty") {
     val spark2 = spark
     import spark2.implicits._
