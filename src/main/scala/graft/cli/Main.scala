@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -40,7 +40,8 @@ object Main {
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s>) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  pack    --output <dir> [--seq-len <n>] [--shards <n>] [--id-col <c>] [--count-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -303,6 +304,21 @@ object Main {
             org.apache.spark.sql.functions.sum("n_removed"),
             org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
         println(s"stripped tokens: $removed")
+
+      case "pack" =>
+        // sequence packing (q57 operator as a verb): place docs into
+        // fixed-length training sequences, sharded, no global sort
+        require(pos.size == 1, "pack needs exactly one <ds.tbl|parquetDir>")
+        val df = readTable(spark, flags, pos.head)
+        val positions = graft.curation.Packing.packPositions(df,
+          org.apache.spark.sql.functions.col(flags.getOrElse("id-col", "doc_id")),
+          org.apache.spark.sql.functions.col(flags.getOrElse("count-col", "n_tokens")),
+          seqLen = flags.getOrElse("seq-len", "2048").toInt,
+          nShards = flags.getOrElse("shards", "1").toInt)
+        positions.write.mode("overwrite").parquet(req(flags, "output"))
+        val packs = spark.read.parquet(req(flags, "output"))
+          .select("shard", "pack_id").distinct().count()
+        println(s"packs: $packs")
 
       case "tokenize" =>
         // BPE tokenize (q86 operator as a verb): train a merge table

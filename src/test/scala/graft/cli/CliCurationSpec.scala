@@ -109,6 +109,20 @@ class CliCurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pack places token-counted docs into fixed sequences via the verb") {
+    val dir = tmpDir("cli-pack")
+    (0L until 30L).map(i => (i, 10L + i % 3))
+      .toDF("doc_id", "n_tokens").write.parquet(s"$dir/in")
+    Main.run(spark, Array("pack", "--seq-len", "64", "--shards", "2",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    // token mass conserved, offsets inside the sequence, both shards used
+    assert(out.agg(sum("n_tokens")).head.getLong(0) ==
+      (0L until 30L).map(i => 10L + i % 3).sum)
+    assert(out.filter(col("offset") < 0 || col("offset") >= 64).count() == 0)
+    assert(out.select("shard").distinct().count() == 2)
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
