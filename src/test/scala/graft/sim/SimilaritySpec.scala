@@ -232,6 +232,22 @@ class SimilaritySpec extends SparkSpec {
     assert(c3b.map(_.toSeq).toSeq == c3.map(_.toSeq).toSeq)
   }
 
+  test("recallAtK: exhaustive IVF probe (nprobe = nlist) recalls exactly 1.0") {
+    val emb = vecs
+    val q = emb.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+    val full = Similarity.ivfTopK(q, emb, k = 5, nlist = 4, nprobe = 4)
+    val r = Similarity.recallAtK(exact, full, k = 5)
+      .select("recall").as[Double].collect()
+    assert(r.length == 4 && r.forall(_ == 1.0),
+      s"probing every list must equal the exact baseline, got ${r.toSeq}")
+    // and a partial probe can only lose, never gain
+    val part = Similarity.ivfTopK(q, emb, k = 5, nlist = 4, nprobe = 1)
+    val rp = Similarity.recallAtK(exact, part, k = 5)
+      .select("recall").as[Double].collect()
+    assert(rp.forall(_ <= 1.0))
+  }
+
   test("recallAtK: per-query intersection over the exact baseline") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
       (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
