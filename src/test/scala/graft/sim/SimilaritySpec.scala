@@ -248,6 +248,19 @@ class SimilaritySpec extends SparkSpec {
     assert(rp.forall(_ <= 1.0))
   }
 
+  test("recallAtK: PQ with corpus-wide re-rank recalls exactly 1.0") {
+    // topC >= corpus: ADC only ORDERS candidates, the exact re-rank
+    // sees every row — compression cannot lose a true neighbor
+    val emb = vecs
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+    val pq = Similarity.pqTopK(q, emb, k = 5, topC = 1000)
+    val r = Similarity.recallAtK(exact, pq, k = 5)
+      .select("recall").as[Double].collect()
+    assert(r.length == 3 && r.forall(_ == 1.0),
+      s"corpus-wide re-rank must equal the exact baseline, got ${r.toSeq}")
+  }
+
   test("recallAtK: per-query intersection over the exact baseline") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
       (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
