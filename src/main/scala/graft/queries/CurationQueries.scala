@@ -1731,6 +1731,41 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q88: markup strip (web-corpus text extraction) ----
+
+  /** Deterministic HTML wrapper planted around every document so the
+    * extraction does real work on the plain-text test corpus: head
+    * boilerplate that must vanish WITH its contents (style rules,
+    * script code, a comment), tags that must become word-safe spaces,
+    * and entities that must decode — including the &amp;lt; trap that
+    * catches double-decoding. */
+  private val HtmlPrefix = "<html><head><title>t</title>" +
+    "<style type=\"text/css\">p { color: red }</style>" +
+    "<script>var x = 1 && 2;</script><!-- hidden --></head>" +
+    "<body><div id=\"main\"><p>"
+  private val HtmlSuffix = "</p><br/>fish &amp; chips &lt;tag&gt; " +
+    "&amp;lt;literal&amp;gt;&nbsp;end</div></body></html>"
+
+  /** q88: [[graft.text.TextFunctions.stripMarkup]] — the extract-text
+    * pass a web-scraped corpus runs first: script/style/comment blocks
+    * drop with their contents, tags become spaces (no word gluing),
+    * core entities decode in standard order. Hash-checked against the
+    * same RE2 pipeline in DuckDB; shuffle-free per-row work. */
+  def q88(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+        stripMarkup(concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)))
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  val q88Sql: String = {
+    val p = HtmlPrefix.replace("'", "''")
+    val sfx = HtmlSuffix.replace("'", "''")
+    s"""
+    SELECT doc_id,
+           ${graft.text.TextFunctions.stripMarkupSql(s"('$p' || text || '$sfx')")} AS clean_text
+    FROM documents ORDER BY doc_id"""
+  }
+
   // ---- q87: ANN recall@k eval (LSH vs exact baseline) ----
 
   /** q87: [[Similarity.recallAtK]] — the eval harness that closes the
@@ -1869,5 +1904,6 @@ object CurationQueries {
     ("q83_indexed_dedup", q83 _, Some(q83Sql)),
     ("q84_text_clean", q84 _, Some(q84Sql)),
     ("q86_bpe_tokenize", q86 _, Some(q86Sql)),
-    ("q87_ann_recall", q87 _, Some(q87Sql)))
+    ("q87_ann_recall", q87 _, Some(q87Sql)),
+    ("q88_markup_strip", q88 _, Some(q88Sql)))
 }

@@ -34,6 +34,42 @@ object TextFunctions {
       regexp_replace(nfc(text), "[\\u200B\\uFEFF\\u00AD]", ""),
       "[ \t\r\n]+", " "))
 
+  /** Markup/boilerplate strip — the extract-text step a web-scraped
+    * corpus runs before any other pass: drop <script>/<style> blocks
+    * WITH their contents (code is not prose), replace every remaining
+    * tag with a space (block boundaries must not glue words), decode
+    * the five core entities plus &nbsp;, collapse whitespace, trim.
+    * Regex-only on purpose: portable to the DuckDB oracle (RE2 — so
+    * script/style are spelled without backreferences), shuffle-free,
+    * codegen'd. `&amp;` decodes LAST (standard order: a literal
+    * "&amp;lt;" yields "&lt;", not "<"). */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)</?[A-Za-z!][^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, "[ \t\r\n]+", " "))
+  }
+
+  /** SQL spelling of [[stripMarkup]] over a text expression, same
+    * regexes under RE2. */
+  def stripMarkupSql(textE: String): String = {
+    val steps = Seq(
+      ("(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      ("(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+      ("(?s)<!--.*?-->", " "),
+      ("(?s)</?[A-Za-z!][^>]*>", " "),
+      ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+      ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"))
+    val inner = steps.foldLeft(textE) { case (e, (p, v)) =>
+      s"regexp_replace($e, '${p.replace("'", "''")}', '${v.replace("'", "''")}', 'g')"
+    }
+    s"trim(regexp_replace($inner, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
   /** Whitespace tokens of trimmed text; empty text → empty array. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))

@@ -85,6 +85,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(dup2("") == 0.0)
   }
 
+  test("stripMarkup: blocks drop with contents, tags space-separate, entities decode") {
+    def strip(s: String) = one[String](stripMarkup($"t"), s)
+    // script/style/comment contents are code, not prose — gone entirely
+    assert(strip("a<script>var x = 'b';</script>c") == "a c")
+    assert(strip("a<style>p{color:red}</style>c") == "a c")
+    assert(strip("a<!-- b -->c") == "a c")
+    // case-insensitive, attribute-bearing, multiline
+    assert(strip("a<SCRIPT type=\"x\">\nb\n</SCRIPT >c") == "a c")
+    // tags become spaces so block boundaries never glue words
+    assert(strip("<p>one</p><p>two</p>") == "one two")
+    // entity decode, &amp; last: the &amp;lt; trap must NOT double-decode
+    assert(strip("fish &amp; chips &lt;b&gt; &amp;lt;x&amp;gt;&nbsp;end") ==
+      "fish & chips <b> &lt;x&gt; end")
+    // non-markup < > pass through untouched when not tag-shaped
+    assert(strip("3 < 5 > 2") == "3 < 5 > 2")
+    assert(strip("") == "")
+  }
+
   test("qualityScore in [0,1], rewards stopword-rich text") {
     val hi = one[java.lang.Double](qualityScore($"t"),
       "the cat and the dog is a friend of the house and it is warm")
