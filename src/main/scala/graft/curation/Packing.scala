@@ -46,6 +46,44 @@ object Packing {
     positions.groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_started"))
 
+  /** MATERIALIZE the packed training sequences: one row per
+    * (shard, pack_id) holding exactly `seqLen` token ids (last pack of
+    * each shard padded with `padId`), documents concatenated in doc-id
+    * order with every token in place — the parquet a training loader
+    * memory-maps, produced without ever assembling a shard's stream in
+    * one task.
+    *
+    * `docs` must carry an `ids` array column (e.g.
+    * [[graft.text.Bpe.encodeIds]]) whose length is the token count
+    * used for [[packPositions]].
+    *
+    * Scale shape: the ONE token-sized stage is inherent — the output
+    * IS the token stream — and it is a single shuffle: posexplode
+    * tokens with their doc's absolute position (`pack_id·seqLen +
+    * offset + i`, all per-row arithmetic), then one groupBy
+    * (shard, pack) assembling each 4·seqLen-byte row via a sorted
+    * collect. No window over the token stream, no driver collection;
+    * pack rows are KBs regardless of corpus size. */
+  def packTokens(docs: DataFrame, idCol: Column, idsCol: Column,
+      seqLen: Int, nShards: Int, padId: Int = -1): DataFrame = {
+    // packPositions projects the ids away, so join them back on doc_id
+    // (docs-sized on both sides — a broadcast would be wrong here)
+    val pos = packPositions(docs, idCol, size(idsCol), seqLen, nShards)
+      .join(docs.select(idCol.as("doc_id"), idsCol.as("__ids")), "doc_id")
+    val toks = pos.select(col("shard"),
+        (col("pack_id") * seqLen + col("offset")).as("__start"),
+        posexplode(col("__ids")).as(Seq("__i", "id")))
+      .select(col("shard"), col("id"),
+        floor((col("__start") + col("__i")) / seqLen).as("pack_id"),
+        ((col("__start") + col("__i")) % seqLen).cast("int").as("slot"))
+    toks.groupBy(col("shard"), col("pack_id"))
+      .agg(transform(array_sort(collect_list(struct(col("slot"), col("id")))),
+        s => s.getField("id")).as("__ids"))
+      .select(col("shard"), col("pack_id"),
+        concat(col("__ids"), array_repeat(lit(padId),
+          lit(seqLen) - size(col("__ids")))).as("input_ids"))
+  }
+
   /** Sliding-window chunking of each document into overlapping token
     * windows — the per-doc shape embedding/retrieval pipelines index
     * (window tokens per chunk, stride-sized steps, plus one tail chunk

@@ -81,4 +81,40 @@ class PackingSpec extends SparkSpec {
     assert(!out(2)._2 && out(2)._3.contains("mean_word_len")
       && out(2)._3.contains("no_stopwords"))
   }
+
+  test("packTokens: every token lands once, in doc order, padded tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one shard (nShards = 1) so the whole stream is checkable in order:
+    // doc ids 0..4 with 3,5,7,2,4 tokens = 21 tokens → packs of 8: 8+8+5
+    val lens = Seq(3, 5, 7, 2, 4)
+    val docs = lens.zipWithIndex.map { case (n, d) =>
+      (d.toLong, (0 until n).map(i => d * 100 + i).toArray)
+    }.toDF("doc_id", "ids")
+    val packed = Packing.packTokens(docs, col("doc_id"), col("ids"),
+      seqLen = 8, nShards = 1, padId = -1)
+      .orderBy("shard", "pack_id").collect()
+    assert(packed.length == 3)
+    assert(packed.forall(_.getSeq[Int](2).length == 8), "every pack full-length")
+    val stream = packed.flatMap(_.getSeq[Int](2))
+    val expected = lens.zipWithIndex
+      .flatMap { case (n, d) => (0 until n).map(i => d * 100 + i) } ++
+      Seq(-1, -1, -1)
+    assert(stream.toSeq == expected,
+      "concatenated packs must be the doc-ordered token stream + padding")
+
+    // multi-shard: conservation and per-shard stream integrity
+    val sharded = Packing.packTokens(docs, col("doc_id"), col("ids"),
+      seqLen = 4, nShards = 2, padId = -1)
+    val all = sharded.select(explode(col("input_ids")).as("id"))
+      .filter(col("id") =!= -1).as[Int].collect().sorted.toSeq
+    assert(all == lens.zipWithIndex
+      .flatMap { case (n, d) => (0 until n).map(i => d * 100 + i) }.sorted)
+    // consistency with the positions table: same pack count per shard
+    val pos = Packing.packPositions(docs, col("doc_id"), size(col("ids")), 4, 2)
+    val expPacks = pos.groupBy("shard")
+      .agg(ceil(sum("n_tokens") / 4.0).as("n")).as[(Int, Long)].collect().toMap
+    val gotPacks = sharded.groupBy("shard").count().as[(Int, Long)].collect().toMap
+    assert(gotPacks == expPacks)
+  }
 }
