@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -40,14 +40,15 @@ object Main {
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s>) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  pack    --output <dir> [--seq-len <n>] [--shards <n>] [--id-col <c>] [--count-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--ids] [--save-vocab <file>] [--load-vocab <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  pack    --output <dir> [--seq-len <n>] [--shards <n>] [--id-col <c>] [--count-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
-    val boolFlags = Set("--dry-run", "--dedup", "--near-dup")
+    val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -305,6 +306,32 @@ object Main {
             org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
         println(s"stripped tokens: $removed")
 
+      case "recall" =>
+        // ANN recall eval (q87 operator as a verb): exact baseline on a
+        // query sample vs an approximate method — the tuning loop run
+        // before committing parameters to a full corpus pass
+        require(pos.size == 1, "recall needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c}
+        import graft.sim.Similarity
+        val df = readTable(spark, flags, pos.head)
+        val idCol = flags.getOrElse("id-col", "vec_id")
+        val vecCol = flags.getOrElse("vec-col", "embedding")
+        val nQ = flags.getOrElse("queries", "10").toInt
+        val k = flags.getOrElse("k", "10").toInt
+        val queries = df.orderBy(c(idCol)).limit(nQ)
+        val exact = Similarity.bruteForceTopK(queries, df, k, idCol, vecCol)
+        val approx = flags.getOrElse("method", "lsh") match {
+          case "lsh" => Similarity.lshTopK(queries, df, k, idCol = idCol, vecCol = vecCol)
+          case "ivf" => Similarity.ivfTopK(queries, df, k, idCol = idCol, vecCol = vecCol)
+          case "pq" => Similarity.pqTopK(queries, df, k, idCol = idCol, vecCol = vecCol)
+          case m => sys.error(s"unknown --method $m (lsh|ivf|pq)")
+        }
+        val recall = Similarity.recallAtK(exact, approx, k)
+        recall.write.mode("overwrite").parquet(req(flags, "output"))
+        val mean = spark.read.parquet(req(flags, "output"))
+          .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+        println(f"mean recall@$k: $mean%.4f over $nQ queries")
+
       case "pack" =>
         // sequence packing (q57 operator as a verb): place docs into
         // fixed-length training sequences, sharded, no global sort
@@ -337,9 +364,21 @@ object Main {
             minFreq = flags.getOrElse("min-freq", "1").toLong)
         }
         flags.get("save-merges").foreach(Bpe.saveMerges(_, merges))
-        df.select(org.apache.spark.sql.functions.col(idCol),
-            Bpe.encode(org.apache.spark.sql.functions.col(textCol), merges)
-              .as("tokens"))
+        // --ids: emit int token ids against a vocab (loaded, or built
+        // from this input and optionally saved) instead of strings
+        val encoded =
+          if (flags.contains("ids") || flags.contains("load-vocab") ||
+              flags.contains("save-vocab")) {
+            val vocab = flags.get("load-vocab") match {
+              case Some(f) => Bpe.loadVocab(f)
+              case None => Bpe.vocabList(df, textCol, merges)
+            }
+            flags.get("save-vocab").foreach(Bpe.saveVocab(_, vocab))
+            Bpe.encodeIds(org.apache.spark.sql.functions.col(textCol),
+              merges, vocab).as("tokens")
+          } else Bpe.encode(org.apache.spark.sql.functions.col(textCol),
+            merges).as("tokens")
+        df.select(org.apache.spark.sql.functions.col(idCol), encoded)
           .write.mode("overwrite").parquet(req(flags, "output"))
         val n = spark.read.parquet(req(flags, "output"))
           .agg(org.apache.spark.sql.functions.coalesce(

@@ -233,4 +233,53 @@ object Bpe {
         case _ => sys.error(s"bad merge line in $path: '$line'")
       }
     }
+
+  // Vocab tokens can BE whitespace (" " is usually the most frequent
+  // token), so the vocab file JSON-escapes each token, one per line —
+  // unambiguous for any unicode token, greppable, position = id.
+  private def jsonEscape(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jsonUnescape(s: String): String = {
+    require(s.length >= 2 && s.head == '"' && s.last == '"',
+      s"bad vocab line: $s")
+    val b = new StringBuilder
+    var i = 1
+    while (i < s.length - 1) {
+      s(i) match {
+        case '\\' =>
+          s(i + 1) match {
+            case 'n' => b += '\n'; i += 2
+            case 'r' => b += '\r'; i += 2
+            case 't' => b += '\t'; i += 2
+            case 'u' =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case c => b += c; i += 2
+          }
+        case c => b += c; i += 1
+      }
+    }
+    b.toString
+  }
+
+  /** Persist a vocab-id table (line N = token with id N). */
+  def saveVocab(path: String, toks: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      toks.map(jsonEscape).mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  /** Load a vocab table written by [[saveVocab]]. */
+  def loadVocab(path: String): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8").split("\n").toSeq.filter(_.nonEmpty).map(jsonUnescape)
 }

@@ -109,6 +109,45 @@ class CliCurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("tokenize --ids emits vocab positions; vocab file round-trips") {
+    val dir = tmpDir("cli-ids")
+    Seq((1L, "aa ab aa"), (2L, "ab aa"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("tokenize", "--merges", "4", "--ids",
+      "--save-merges", s"$dir/m.tsv", "--save-vocab", s"$dir/v.txt",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    // parquet reads list elements back nullable — check the element type
+    assert(out.schema("tokens").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.IntegerType)
+    // the saved vocab decodes the ids back to the exact text
+    val v = graft.text.Bpe.loadVocab(s"$dir/v.txt")
+    assert(v.contains(" "), "whitespace tokens must survive the vocab file")
+    val m = graft.text.Bpe.loadMerges(s"$dir/m.tsv")
+    val joined = out.join(spark.read.parquet(s"$dir/in"), "doc_id")
+    assert(joined.filter(
+      graft.text.Bpe.decodeIds(col("tokens"), v) =!= col("text")).count() == 0)
+    // encode-only path with both model files loaded gives identical ids
+    Main.run(spark, Array("tokenize", "--load-merges", s"$dir/m.tsv",
+      "--load-vocab", s"$dir/v.txt", "--output", s"$dir/out2", s"$dir/in"))
+    assert(spark.read.parquet(s"$dir/out2").orderBy("doc_id")
+      .as[(Long, Seq[Int])].collect().toSeq ==
+      out.orderBy("doc_id").as[(Long, Seq[Int])].collect().toSeq)
+  }
+
+  test("recall verb scores an ANN method against the exact baseline") {
+    val dir = tmpDir("cli-recall")
+    (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/in")
+    Main.run(spark, Array("recall", "--queries", "3", "--k", "5",
+      "--method", "ivf", "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3)
+    assert(out.filter(col("recall") < 0 || col("recall") > 1).count() == 0)
+  }
+
   test("pack places token-counted docs into fixed sequences via the verb") {
     val dir = tmpDir("cli-pack")
     (0L until 30L).map(i => (i, 10L + i % 3))
