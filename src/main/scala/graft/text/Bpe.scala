@@ -126,12 +126,20 @@ object Bpe {
       if (pairCount.get((l, r)).contains(c)) {
         merges += Merge(l, r)
         val affected = pairWords.getOrElse((l, r), mutable.BitSet.empty).toArray
+        // every pair whose count an affected word can move — BOTH the
+        // pre-rewrite pairs (a destroyed neighbor pair may survive in
+        // other words at a LOWER count, which must reach the heap or
+        // the lazy-deletion check would discard it forever) and the
+        // post-rewrite pairs (new fused neighbors)
         val touched = mutable.HashSet.empty[(String, String)]
         affected.foreach { wi =>
+          val before = words(wi)
+          var i = 0
+          while (i < before.length - 1) { touched += ((before(i), before(i + 1))); i += 1 }
           scanPairs(wi, -1L)
           words(wi) = fuse(words(wi), l, r)
           val w = words(wi)
-          var i = 0
+          i = 0
           while (i < w.length - 1) { touched += ((w(i), w(i + 1))); i += 1 }
           scanPairs(wi, 1L)
         }
