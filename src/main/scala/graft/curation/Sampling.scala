@@ -81,6 +81,32 @@ object Sampling {
     df.withColumn(splitCol, when(idCol.isNotNull, assign))
   }
 
+  /** [[datasetSplit]] that keeps near-duplicate CLUSTERS intact: every
+    * doc is assigned the split of its duplicate-cluster REPRESENTATIVE
+    * (the component's min id; singletons represent themselves), so a
+    * train/test boundary can never separate two near-dups — the
+    * leakage channel a per-doc split leaves open (a test doc whose
+    * near-copy sits in train is contamination no decontamination pass
+    * downstream will see, because the split itself planted it).
+    *
+    * `pairs` is any near-dup edge set — [[graft.dedup.Dedup]]'s LSH /
+    * SimHash / semantic pair generators all produce the (a, b) shape.
+    *
+    * Scale: the component labels are pair-vertex-sized (only docs that
+    * HAVE a near-dup carry a label — a tiny fraction of a deduped
+    * corpus), so the label join is small-side; everything else is
+    * [[datasetSplit]]'s map-side bucketing. */
+  def clusterAwareSplit(df: DataFrame, idCol: Column, pairs: DataFrame,
+      fractions: Seq[(String, Int)], splitCol: String = "split",
+      repCol: String = "rep"): DataFrame = {
+    val labels = graft.dedup.Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cid"), col("comp").as("__comp"))
+    val withRep = df.join(labels, idCol === col("__cid"), "left")
+      .withColumn(repCol, coalesce(col("__comp"), idCol))
+      .drop("__cid", "__comp")
+    datasetSplit(withRep, col(repCol), fractions, splitCol)
+  }
+
   /** At most `cap` rows per stratum, chosen by md5 order of the id
     * (reproducible "random" priority; ties broken by the id itself).
     *

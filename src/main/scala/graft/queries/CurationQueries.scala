@@ -1731,6 +1731,51 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q89: cluster-aware dataset split (leakage-proof boundaries) ----
+
+  /** q89: [[graft.curation.Sampling.clusterAwareSplit]] — the split
+    * that cannot leak: near-dup clusters (q51's exact-Jaccard ≥ 0.8
+    * components) are assigned whole, every doc taking the split of its
+    * cluster representative. The oracle replays the full composition —
+    * shingle Jaccard pairs, recursive-CTE component closure, md5
+    * bucket of the representative — so the hash check proves both the
+    * clustering and the boundary discipline doc by doc. */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.lshJaccardPairs(docs(s, d), "doc_id", "text",
+      shingleK = 3, threshold = 0.8)
+    graft.curation.Sampling.clusterAwareSplit(docs(s, d), col("doc_id"),
+        pairs, Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      .select(col("doc_id"), col("rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Sql: String = {
+    val toks = toksSql("text")
+    val bucket = s"(${md5LongSql("concat('split|', CAST(rep AS VARCHAR))", 8)} % 1000)"
+    s"""
+    WITH RECURSIVE
+    sh_docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
+    pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+              FROM sh_docs x JOIN sh_docs y ON x.doc_id < y.doc_id
+              WHERE len(x.sh) > 0 AND len(y.sh) > 0
+                AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    >= 0.8),
+    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
+             FROM reach GROUP BY src),
+    withrep AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+                FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, rep,
+           CASE WHEN $bucket < 800 THEN 'train'
+                WHEN $bucket < 900 THEN 'val' ELSE 'test' END AS split
+    FROM withrep ORDER BY doc_id"""
+  }
+
   // ---- q88: markup strip (web-corpus text extraction) ----
 
   /** Deterministic HTML wrapper planted around every document so the
@@ -1905,5 +1950,6 @@ object CurationQueries {
     ("q84_text_clean", q84 _, Some(q84Sql)),
     ("q86_bpe_tokenize", q86 _, Some(q86Sql)),
     ("q87_ann_recall", q87 _, Some(q87Sql)),
-    ("q88_markup_strip", q88 _, Some(q88Sql)))
+    ("q88_markup_strip", q88 _, Some(q88Sql)),
+    ("q89_cluster_split", q89 _, Some(q89Sql)))
 }

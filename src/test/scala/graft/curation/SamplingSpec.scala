@@ -181,4 +181,35 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
   }
+
+  test("clusterAwareSplit: no near-dup pair ever straddles a split boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 docs; edges chain {0,1,2} and pair {10,11}; rest singletons
+    val docsDf = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val out = Sampling.clusterAwareSplit(docsDf, col("doc_id"), pairs,
+      Seq("train" -> 600, "val" -> 200, "test" -> 200))
+    val bySplit = out.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    // every edge stays within one split — the leakage property
+    Seq((0L, 1L), (1L, 2L), (10L, 11L)).foreach { case (a, b) =>
+      assert(bySplit(a) == bySplit(b), s"pair ($a,$b) straddles splits")
+    }
+    // cluster members inherit the REPRESENTATIVE's assignment
+    val repSplit = Sampling.datasetSplit(
+      Seq(0L, 10L).toDF("doc_id"), col("doc_id"),
+      Seq("train" -> 600, "val" -> 200, "test" -> 200))
+      .as[(Long, String)].collect().toMap
+    assert(bySplit(2L) == repSplit(0L) && bySplit(11L) == repSplit(10L))
+    // singletons match the plain per-doc split exactly
+    val plain = Sampling.datasetSplit(docsDf, col("doc_id"),
+      Seq("train" -> 600, "val" -> 200, "test" -> 200))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (0L until 60L).filterNot(Set(0L, 1L, 2L, 10L, 11L)).foreach { i =>
+      assert(bySplit(i) == plain(i))
+    }
+    // all three splits actually populated on 60 docs
+    assert(out.select("split").distinct().count() == 3)
+  }
 }
