@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -42,7 +42,8 @@ object Main {
       |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--ids] [--save-vocab <file>] [--load-vocab <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  pack    --output <dir> [--seq-len <n>] [--shards <n>] [--id-col <c>] [--count-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -305,6 +306,31 @@ object Main {
             org.apache.spark.sql.functions.sum("n_removed"),
             org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
         println(s"stripped tokens: $removed")
+
+      case "split" =>
+        // deterministic train/val/test split (q68/q89 operators as a
+        // verb): per-mille fractions over the md5 id bucket; with
+        // --pairs, near-dup clusters move whole (cluster-aware, q89)
+        require(pos.size == 1, "split needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c}
+        val df = readTable(spark, flags, pos.head)
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val fractions = flags.getOrElse("fractions", "train:800,val:100,test:100")
+          .split(",").toSeq.map { part =>
+            part.split(":", 2) match {
+              case Array(n, p) => n -> p.toInt
+              case _ => sys.error(s"bad --fractions entry '$part' (name:permille)")
+            }
+          }
+        val out = flags.get("pairs") match {
+          case Some(p) => graft.curation.Sampling.clusterAwareSplit(
+            df, c(idCol), spark.read.parquet(p), fractions)
+          case None => graft.curation.Sampling.datasetSplit(df, c(idCol), fractions)
+        }
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        spark.read.parquet(req(flags, "output")).groupBy("split").count()
+          .orderBy("split").collect()
+          .foreach(r => println(s"${r.getString(0)}: ${r.getLong(1)}"))
 
       case "recall" =>
         // ANN recall eval (q87 operator as a verb): exact baseline on a

@@ -162,6 +162,23 @@ class CliCurationSpec extends SparkSpec {
     assert(out.select("shard").distinct().count() == 2)
   }
 
+  test("split assigns per-mille fractions; --pairs keeps clusters whole") {
+    val dir = tmpDir("cli-split")
+    (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in")
+    Seq((0L, 1L), (1L, 2L)).toDF("a", "b").write.parquet(s"$dir/pairs")
+    Main.run(spark, Array("split", "--fractions", "train:700,test:300",
+      "--output", s"$dir/plain", s"$dir/in"))
+    val plain = spark.read.parquet(s"$dir/plain")
+    assert(plain.count() == 100 &&
+      plain.select("split").distinct().count() == 2)
+    Main.run(spark, Array("split", "--fractions", "train:700,test:300",
+      "--pairs", s"$dir/pairs", "--output", s"$dir/ca", s"$dir/in"))
+    val ca = spark.read.parquet(s"$dir/ca").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(ca(0L) == ca(1L) && ca(1L) == ca(2L), "cluster must move whole")
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
