@@ -1352,7 +1352,10 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val q58Sql: String = {
+  /** DuckDB spelling of the Gopher rule REASONS list over a column
+    * named `text` — shared by q58 (raw docs) and q90 (the composed
+    * web-pipeline output). */
+  private def gopherReasonsSql(minTokens: Int): String = {
     val nt = s"len(${toksSql("text")})"
     val mtl = s"""(CASE WHEN $nt = 0 THEN 0.0 ELSE
       CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST($nt AS DOUBLE) END)"""
@@ -1363,14 +1366,18 @@ object CurationQueries {
       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
         / CAST(length(text) AS DOUBLE) END)"""
     val stopHits = markerHitsSql("text", LangMarkers.flatMap(_._2))
-    val reasons = Seq(
-      s"CASE WHEN $nt < 30 THEN 'too_few_tokens' ELSE NULL END",
+    Seq(
+      s"CASE WHEN $nt < $minTokens THEN 'too_few_tokens' ELSE NULL END",
       s"CASE WHEN $nt > 100000 THEN 'too_many_tokens' ELSE NULL END",
       s"CASE WHEN $mtl < 3.0 OR $mtl > 10.0 THEN 'mean_word_len' ELSE NULL END",
       s"CASE WHEN $punct > 0.1 THEN 'punct_heavy' ELSE NULL END",
       s"CASE WHEN $digit > 0.2 THEN 'digit_heavy' ELSE NULL END",
       s"CASE WHEN $stopHits = 0 THEN 'no_stopwords' ELSE NULL END")
       .mkString("list_filter([", ", ", "], x -> x IS NOT NULL)")
+  }
+
+  val q58Sql: String = {
+    val reasons = gopherReasonsSql(minTokens = 30)
     s"""
     SELECT doc_id, len($reasons) = 0 AS keep,
            COALESCE(array_to_string($reasons, ','), '') AS reasons
@@ -1731,6 +1738,61 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q90: composed web-corpus pipeline, oracle-checked end to end ----
+
+  /** q90: the COMPOSED web-corpus pipeline as one hash-checked query —
+    * the integration the CurationPipelineSpec drives, now proven in the
+    * oracle: every doc is wrapped in q88's HTML boilerplate and planted
+    * with an exact duplicate under a shifted id, then the pipeline runs
+    * markup strip → canonical cleanup → exact dedup (min-id keeper
+    * must beat its planted copy) → Gopher quality flags. The DuckDB
+    * twin replays all four stages in one statement, so the hash check
+    * catches any drift in how the stages COMPOSE (column threading,
+    * dedup keying on the post-clean text, rule thresholds) — not just
+    * each stage alone. Every stage is a map pass or one groupBy on the
+    * cleaned text; no stage widens data beyond the corpus. */
+  def q90(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"),
+      concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)).as("raw"))
+    val corpus = base.union(base.withColumn("doc_id", col("doc_id") + 10000))
+    val cleaned = corpus
+      .withColumn("text", cleanText(stripMarkup(col("raw")))).drop("raw")
+    val deduped = Dedup.exact(cleaned, "text", "doc_id")
+    val staged = deduped
+      .withColumn("t", tokens(col("text")))
+      .withColumn("lt", tokens(lower(col("text"))))
+    graft.curation.Packing.qualityFilter(staged,
+        graft.curation.Packing.gopherRules(col("text"), col("t"), col("lt"),
+          minTokens = 10))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        col("keep"), array_join(col("reasons"), ",").as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val q90Sql: String = {
+    val p = HtmlPrefix.replace("'", "''")
+    val sfx = HtmlSuffix.replace("'", "''")
+    val strip = graft.text.TextFunctions.stripMarkupSql(s"('$p' || text || '$sfx')")
+    val clean = s"""trim(regexp_replace(regexp_replace(
+             nfc_normalize($strip),
+             '[\\x{200B}\\x{FEFF}\\x{00AD}]', '', 'g'),
+             '[ \\t\\r\\n]+', ' ', 'g'))"""
+    val reasons = gopherReasonsSql(minTokens = 10)
+    s"""
+    WITH corpus AS (
+      SELECT doc_id, $clean AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, $clean FROM documents),
+    deduped AS (
+      SELECT doc_id, text FROM corpus c
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c2
+                        WHERE c2.text = c.text AND c2.doc_id < c.doc_id))
+    SELECT doc_id, CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+           len($reasons) = 0 AS keep,
+           COALESCE(array_to_string($reasons, ','), '') AS reasons
+    FROM deduped ORDER BY doc_id"""
+  }
+
   // ---- q89: cluster-aware dataset split (leakage-proof boundaries) ----
 
   /** q89: [[graft.curation.Sampling.clusterAwareSplit]] — the split
@@ -1951,5 +2013,6 @@ object CurationQueries {
     ("q86_bpe_tokenize", q86 _, Some(q86Sql)),
     ("q87_ann_recall", q87 _, Some(q87Sql)),
     ("q88_markup_strip", q88 _, Some(q88Sql)),
-    ("q89_cluster_split", q89 _, Some(q89Sql)))
+    ("q89_cluster_split", q89 _, Some(q89Sql)),
+    ("q90_web_pipeline", q90 _, Some(q90Sql)))
 }
