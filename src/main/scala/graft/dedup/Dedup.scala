@@ -398,6 +398,33 @@ object Dedup {
       .filter(col("dist") <= maxHamming)
   }
 
+  /** Incremental SimHash near-dup: batch signatures probed against a
+    * STORED corpus signature table — the SimHash member of the
+    * incremental family (MinHash bands = [[incrementalCandidates]],
+    * embeddings = the IVF store probe, exact = the digest index). The
+    * same byte-block discipline as [[simhashNearDup]], but one-sided:
+    * only pairs (new, corpus) are generated, never corpus × corpus, so
+    * per-batch work is batch-blocks × per-block corpus bucket — the
+    * batch side broadcasts when small and the stored side is a plain
+    * column-pruned scan of `(id, sig)`. Persist the corpus table
+    * partitioned by a block prefix for PartitionFilters pruning, as
+    * [[BandIndex]] does for MinHash.
+    *
+    * Returns (new_id, corpus_id, dist) with dist ≤ maxHamming. */
+  def incrementalSimhash(batch: DataFrame, corpusSigs: DataFrame,
+      idCol: String, sigCol: String, maxHamming: Int = 3): DataFrame = {
+    def blocked(df: DataFrame, id: String, sig: String) =
+      df.select(col(idCol).as(id), col(sigCol).as(sig))
+        .withColumn("blk", explode(array((0 until 4).map(i =>
+          concat_ws(":", lit(i), shiftright(col(sig), i * 8).bitwiseAND(lit(255L)))): _*)))
+    blocked(batch, "new_id", "nsig")
+      .join(blocked(corpusSigs, "corpus_id", "csig"), "blk")
+      .select(col("new_id"), col("corpus_id"),
+        hamming(col("nsig"), col("csig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+
   /** Connected components over near-dup PAIRS → duplicate CLUSTERS.
     *
     * Pair output (q25/q26/q27/q29) is not what a dedup pipeline

@@ -1738,6 +1738,47 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q91: incremental SimHash near-dup vs a stored signature table ----
+
+  /** q91: [[Dedup.incrementalSimhash]] — the SimHash member of the
+    * incremental family (MinHash q52, semantic q62, exact q64/q83):
+    * docs < 400 are the STORED corpus signature table (written once,
+    * at ingest), docs ≥ 400 arrive as the batch and probe it through
+    * the byte-block join — one-sided, so per-batch work scales with
+    * the batch's block buckets, never corpus × corpus. Oracle replays
+    * signatures and blocking for both sides in DuckDB. */
+  def q91(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q91")
+    def sigged(df: DataFrame) = df
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), Dedup.simhashNative(col("t")).as("sh"))
+    val all = docs(s, d)
+    sigged(all.filter(col("doc_id") < 400))
+      .write.mode("overwrite").parquet(s"$work/sigs")
+    Dedup.incrementalSimhash(sigged(all.filter(col("doc_id") >= 400)),
+        s.read.parquet(s"$work/sigs"), "doc_id", "sh",
+        maxHamming = SimhashMaxHamming)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  val q91Sql: String = s"""
+    WITH sigs AS (
+      SELECT doc_id, ${Dedup.simhashFromHsSql("hs")} AS sh
+      FROM (SELECT doc_id, ${Dedup.simhashHsSql("text")} AS hs FROM documents)),
+    blocked AS (
+      SELECT doc_id, sh, unnest([
+        ${(0 until 4).map(i => s"concat('$i', ':', CAST((sh // ${1L << (i * 8)}) % 256 AS VARCHAR))").mkString(",")}
+      ]) AS blk FROM sigs),
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             n.sh AS nsh, c.sh AS csh
+      FROM blocked n JOIN blocked c ON n.blk = c.blk
+      WHERE n.doc_id >= 400 AND c.doc_id < 400)
+    SELECT new_id, corpus_id,
+           CAST(bit_count(xor(nsh, csh)) AS INT) AS dist
+    FROM cands WHERE bit_count(xor(nsh, csh)) <= $SimhashMaxHamming
+    ORDER BY new_id, corpus_id"""
+
   // ---- q90: composed web-corpus pipeline, oracle-checked end to end ----
 
   /** q90: the COMPOSED web-corpus pipeline as one hash-checked query —
@@ -2014,5 +2055,6 @@ object CurationQueries {
     ("q87_ann_recall", q87 _, Some(q87Sql)),
     ("q88_markup_strip", q88 _, Some(q88Sql)),
     ("q89_cluster_split", q89 _, Some(q89Sql)),
-    ("q90_web_pipeline", q90 _, Some(q90Sql)))
+    ("q90_web_pipeline", q90 _, Some(q90Sql)),
+    ("q91_incremental_simhash", q91 _, Some(q91Sql)))
 }

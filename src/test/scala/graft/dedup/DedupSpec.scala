@@ -219,6 +219,23 @@ class DedupSpec extends SparkSpec {
     assert(closePairs.contains((4L, 5L)))
   }
 
+  test("incrementalSimhash: batch probes the stored sigs one-sided") {
+    val sigged = docs.filter(length($"text") > 0)
+      .select($"doc_id", Dedup.simhash($"text").as("sh"))
+    val corpus = sigged.filter($"doc_id" <= 3)
+    val batch = sigged.filter($"doc_id" > 3)
+    val hits = Dedup.incrementalSimhash(batch, corpus, "doc_id", "sh",
+      maxHamming = 8).as[(Long, Long, Int)].collect()
+    // one-sided: every pair is (new, corpus) — never corpus × corpus
+    assert(hits.forall(h => h._1 > 3L && h._2 <= 3L))
+    // symmetric with the batch-mode operator on the same boundary
+    val all = Dedup.simhashNearDup(sigged, "doc_id", "sh", maxHamming = 8)
+      .as[(Long, Long, Int)].collect()
+      .filter(p => (p._1 <= 3L) != (p._2 <= 3L))
+      .map(p => if (p._1 > 3L) (p._1, p._2, p._3) else (p._2, p._1, p._3)).toSet
+    assert(hits.toSet == all)
+  }
+
   test("stripDuplicateSpans: keep-first cross-doc removal; within-doc repeats untouched") {
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
     val in = Seq(
