@@ -140,6 +140,30 @@ object Packing {
     QualityRule("no_stopwords",
       markerHitsOf(ltoks, LangMarkers.flatMap(_._2)) === 0))
 
+  /** ADAPTIVE quality bounds: flag rows whose `valueCol` falls outside
+    * the corpus' own [loQ, hiQ] percentile band — the statistics-driven
+    * filter (outlier lengths, token counts, scores) that needs no
+    * hand-tuned threshold and tracks the corpus as it shifts. Returns
+    * the input plus `lo`/`hi` (the computed bounds, constant columns —
+    * auditable in the output) and `within`.
+    *
+    * The bounds come from ONE exact-percentile aggregate whose result
+    * is two doubles (model-sized; the filter itself is a map pass). The
+    * exact percentile buffers the group's values, which is fine for the
+    * single two-number aggregate here at test scale; at 100 TB swap in
+    * `approx_percentile(col, q, accuracy)` — same two-double output,
+    * bounded-memory sketch — and keep the filter unchanged. */
+  def percentileFilter(df: DataFrame, valueCol: String,
+      loQ: Double, hiQ: Double): DataFrame = {
+    require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, s"bad quantiles [$loQ, $hiQ]")
+    val r = df.agg(
+      expr(s"percentile($valueCol, array(${loQ}D, ${hiQ}D))").as("p")).head
+    val bounds = r.getSeq[Double](0)
+    df.withColumn("lo", lit(bounds(0))).withColumn("hi", lit(bounds(1)))
+      .withColumn("within",
+        col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+  }
+
   /** Apply a rule set: every row keeps/drops with machine-readable
     * reasons (dropped data is never silent — same contract as the
     * ingest quarantine). Pure projection: scales as a map pass. */

@@ -1738,6 +1738,25 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q92: adaptive percentile-band quality filter ----
+
+  /** q92: [[graft.curation.Packing.percentileFilter]] — thresholds
+    * derived from the corpus itself (the [p05, p95] band of n_chars)
+    * instead of hand-tuned constants, the statistics-driven filter
+    * shape. The computed bounds ride every output row, so the oracle
+    * hash-checks the quantiles AND each doc's verdict in one pass. */
+  def q92(s: SparkSession, d: String): DataFrame =
+    graft.curation.Packing.percentileFilter(docs(s, d), "n_chars", 0.05, 0.95)
+      .select(col("doc_id"), col("n_chars"), col("lo"), col("hi"), col("within"))
+      .orderBy(col("doc_id"))
+
+  val q92Sql: String = """
+    WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi FROM documents)
+    SELECT doc_id, n_chars, b.lo AS lo, b.hi AS hi,
+           (n_chars >= b.lo AND n_chars <= b.hi) AS within
+    FROM documents, b ORDER BY doc_id"""
+
   // ---- q91: incremental SimHash near-dup vs a stored signature table ----
 
   /** q91: [[Dedup.incrementalSimhash]] — the SimHash member of the
@@ -2056,5 +2075,6 @@ object CurationQueries {
     ("q88_markup_strip", q88 _, Some(q88Sql)),
     ("q89_cluster_split", q89 _, Some(q89Sql)),
     ("q90_web_pipeline", q90 _, Some(q90Sql)),
-    ("q91_incremental_simhash", q91 _, Some(q91Sql)))
+    ("q91_incremental_simhash", q91 _, Some(q91Sql)),
+    ("q92_adaptive_filter", q92 _, Some(q92Sql)))
 }
