@@ -1738,6 +1738,49 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q93: int8 embedding quantization at rest ----
+
+  /** q93: [[Similarity.quantizeInt8]] — the embeddings-at-rest format
+    * between full precision and PQ (per-vector scale + int8 codes, 4×
+    * smaller than float32). The output pins the scale, the code mass,
+    * and the reconstruction cosine per vector, all replayed exactly in
+    * DuckDB (same round-half-away, same fold order), so the hash check
+    * covers quantize AND dequantize. Shuffle-free map pass. */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val q = Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .withColumn("__v", col("embedding").cast(ArrayType(DoubleType)))
+      .withColumn("__d", Similarity.dequantizeInt8(col("codes"), col("scale")))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    q.select(col("vec_id"),
+        round(col("scale"), 9).as("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        when(col("scale") > 0,
+            round(dot(col("__v"), col("__d")) /
+              (sqrt(dot(col("__v"), col("__v"))) * sqrt(dot(col("__d"), col("__d")))), 6))
+          .otherwise(lit(1.0)).as("recon_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q93Sql: String = {
+    val v = "(embedding::DOUBLE[])"
+    val scale = s"(list_max(list_transform($v, x -> abs(x))) / 127)"
+    val codes = s"list_transform($v, x -> CAST(round(x / $scale) AS INT))"
+    val deq = s"list_transform($codes, c -> CAST(c AS DOUBLE) * $scale)"
+    s"""
+    WITH q AS (SELECT vec_id, $scale AS scale, $codes AS codes, $v AS v,
+                      $deq AS d FROM embeddings)
+    SELECT vec_id, round(scale, 9) AS scale,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                (a, c) -> a + c) AS BIGINT) AS code_sum,
+           CASE WHEN scale > 0 THEN
+             round(${dotSql("v", "d")} /
+               (sqrt(${dotSql("v", "v")}) * sqrt(${dotSql("d", "d")})), 6)
+           ELSE 1.0 END AS recon_sim
+    FROM q ORDER BY vec_id"""
+  }
+
   // ---- q92: adaptive percentile-band quality filter ----
 
   /** q92: [[graft.curation.Packing.percentileFilter]] — thresholds
@@ -2076,5 +2119,6 @@ object CurationQueries {
     ("q89_cluster_split", q89 _, Some(q89Sql)),
     ("q90_web_pipeline", q90 _, Some(q90Sql)),
     ("q91_incremental_simhash", q91 _, Some(q91Sql)),
-    ("q92_adaptive_filter", q92 _, Some(q92Sql)))
+    ("q92_adaptive_filter", q92 _, Some(q92Sql)),
+    ("q93_int8_quantize", q93 _, Some(q93Sql)))
 }

@@ -169,6 +169,32 @@ object Similarity {
       .agg((count(col("__hit")).cast(DoubleType) / k).as("recall"))
   }
 
+  /** Per-vector int8 quantization — the standard embeddings-at-rest
+    * format between full precision and PQ: one float scale plus an
+    * int8 per dimension (4× smaller than float32, 8× than float64,
+    * exactly invertible bookkeeping). `scale = max|v_i| / 127`,
+    * `code_i = round(v_i / scale)` — so every |code| ≤ 127 and the
+    * reconstruction error per dimension is ≤ scale/2 by construction.
+    * A zero vector gets scale 0 and zero codes.
+    *
+    * Shuffle-free map pass; dequantization is `code_i · scale`.
+    * Downstream ANN can score int8 directly (integer dot ×
+    * scale_a·scale_b ≈ float dot) or dequantize for exact re-rank. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+      scaleCol: String = "scale", codesCol: String = "codes"): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = when(maxAbs > 0, maxAbs / 127).otherwise(lit(0.0))
+    df.withColumn(scaleCol, scale)
+      .withColumn(codesCol, when(col(scaleCol) > 0,
+          transform(v, x => round(x / col(scaleCol)).cast("int")))
+        .otherwise(transform(v, _ => lit(0))))
+  }
+
+  /** Dequantized vector from [[quantizeInt8]] output. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast(DoubleType) * scale)
+
   /** IVF (inverted-file) coarse quantizer: `nlist` centroids taken
     * deterministically from the corpus (rows with the smallest
     * md5(vec_id) — an unbiased pseudo-random sample reproducible on any
