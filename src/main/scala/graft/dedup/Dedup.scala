@@ -218,6 +218,47 @@ object Dedup {
     } finally allPostings.unpersist()
   }
 
+  /** ASYMMETRIC containment pairs: how much of doc `a`'s shingle set
+    * lives inside doc `b` (|A∩B| / |A|) — the subset/quotation
+    * detector symmetric Jaccard structurally misses: a tweet quoted
+    * whole inside an article has containment ≈ 1 while Jaccard ≈
+    * |tweet|/|article| ≈ 0. Emits DIRECTIONAL rows (a, b,
+    * containment-of-a-in-b) for both orientations of each candidate
+    * pair, thresholded independently — dedup policy then drops the
+    * contained side (keep the superset document).
+    *
+    * Same inverted-index + df-cut machinery and scale contract as
+    * [[jaccardPairs]]: candidate work is Σdf² over capped buckets, and
+    * containment is computed over the PRUNED shingle sets so it stays
+    * a true ratio of what was indexed. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.9,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val docs = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      .select(col("doc"),
+        array_distinct(wordShinglesFastOf(df.sparkSession, col("t"), shingleK)).as("sh"))
+    val allPostings = docs.select(col("doc"), explode(col("sh")).as("s")).persist()
+    try {
+      val postings =
+        if (maxDocFreq == Int.MaxValue) allPostings
+        else allPostings.join(
+          allPostings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxDocFreq).select(col("s")), "s")
+      val shared = postings.as("x").join(postings.as("y"), col("x.s") === col("y.s"))
+        .filter(col("x.doc") =!= col("y.doc"))
+        .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      val sizes = postings.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      shared
+        .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n", "na"), "a")
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / col("na").cast(DoubleType))
+        .filter(col("containment") >= threshold)
+        .select(col("a"), col("b"), col("containment"))
+        .transform(graft.util.Materialize.eager)
+    } finally allPostings.unpersist()
+  }
+
   /** Cross-document SHARED-SPAN pairs (boilerplate / quotation mining,
     * the MOSS shape — Schleimer et al., SIGMOD'03): two docs pair when
     * they share at least `minShared` winnowing fingerprints, i.e. they

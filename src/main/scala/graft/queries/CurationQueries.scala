@@ -1738,6 +1738,33 @@ object CurationQueries {
              '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text
     FROM documents ORDER BY doc_id"""
 
+  // ---- q94: asymmetric containment pairs (subset/quotation dedup) ----
+
+  /** q94: [[Dedup.containmentPairs]] — |A∩B| / |A| ≥ 0.9 directional
+    * pairs, the subset/quotation detector whole-doc Jaccard misses
+    * (containment of a quoted doc is ~1 while its Jaccard against the
+    * quoting doc is ~0). The oracle replays shingle sets and the
+    * directional ratio for every candidate pair in DuckDB. */
+  def q94(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+        shingleK = 3, threshold = 0.9)
+      .orderBy(col("a"), col("b"))
+
+  val q94Sql: String = {
+    val toks = toksSql("text")
+    s"""
+    WITH sh_docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh
+                     FROM documents),
+    cands AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                     len(list_intersect(x.sh, y.sh)) AS inter, len(x.sh) AS na
+              FROM sh_docs x JOIN sh_docs y ON x.doc_id <> y.doc_id
+              WHERE len(x.sh) > 0 AND len(list_intersect(x.sh, y.sh)) > 0)
+    SELECT a, b, CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+    FROM cands
+    WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
+    ORDER BY a, b"""
+  }
+
   // ---- q93: int8 embedding quantization at rest ----
 
   /** q93: [[Similarity.quantizeInt8]] — the embeddings-at-rest format
@@ -2120,5 +2147,6 @@ object CurationQueries {
     ("q90_web_pipeline", q90 _, Some(q90Sql)),
     ("q91_incremental_simhash", q91 _, Some(q91Sql)),
     ("q92_adaptive_filter", q92 _, Some(q92Sql)),
-    ("q93_int8_quantize", q93 _, Some(q93Sql)))
+    ("q93_int8_quantize", q93 _, Some(q93Sql)),
+    ("q94_containment", q94 _, Some(q94Sql)))
 }

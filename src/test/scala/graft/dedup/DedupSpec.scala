@@ -236,6 +236,25 @@ class DedupSpec extends SparkSpec {
     assert(hits.toSet == all)
   }
 
+  test("containmentPairs: a quoted doc is contained, not jaccard-similar") {
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val article = s"intro words here $quote and a long tail " +
+      (1 to 30).map(i => s"t$i").mkString(" ")
+    val in = Seq((1L, quote), (2L, article), (3L, "unrelated other text entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(in, "doc_id", "text",
+      shingleK = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the quote's shingles all appear in the article → containment 1.0
+    // in that direction ONLY (the article is not contained in the quote)
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+    // symmetric jaccard on the same pair stays far below the threshold
+    val jac = Dedup.jaccardPairs(in, "doc_id", "text", shingleK = 3)
+      .filter($"a" === 1L && $"b" === 2L).select("sim").as[Double].head()
+    assert(jac < 0.3, s"jaccard $jac should miss what containment catches")
+  }
+
   test("stripDuplicateSpans: keep-first cross-doc removal; within-doc repeats untouched") {
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
     val in = Seq(
