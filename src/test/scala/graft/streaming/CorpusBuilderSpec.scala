@@ -26,6 +26,27 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(docs.filter(col(CorpusBuilder.DigestCol) =!= md5(col("text"))).count() == 0L)
   }
 
+  test("out-of-band filter loss rebuilds ONCE, even when the batch appends nothing") {
+    val corpus = tmpDir("corpus-rebuild-once")
+    CorpusBuilder.appendNew(spark,
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 1024L, 0.01)
+    val bloom = java.nio.file.Paths.get(corpus, "bloom.bin")
+    java.nio.file.Files.delete(bloom)
+    // an ALL-DUPLICATE batch (appends 0, so commitBatch never runs):
+    // the rebuilt filter must still be persisted — otherwise every
+    // such batch repeats the corpus-wide rebuild
+    assert(CorpusBuilder.appendNew(spark,
+      Seq((3L, "one")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 1024L, 0.01) == 0L)
+    assert(java.nio.file.Files.exists(bloom),
+      "rebuild must persist even when nothing is appended")
+    // and the persisted bytes actually gate: the duplicate still drops
+    assert(CorpusBuilder.appendNew(spark,
+      Seq((4L, "two")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 1024L, 0.01) == 0L)
+  }
+
   test("bloom superset invariant: a stale-ahead filter (crash between bloom and append) is safe") {
     val corpus = tmpDir("corpus-crash")
     CorpusBuilder.appendNew(spark,
