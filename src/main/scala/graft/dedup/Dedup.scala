@@ -230,7 +230,11 @@ object Dedup {
     * Same inverted-index + df-cut machinery and scale contract as
     * [[jaccardPairs]]: candidate work is Σdf² over capped buckets, and
     * containment is computed over the PRUNED shingle sets so it stays
-    * a true ratio of what was indexed. */
+    * a true ratio of what was indexed. Like q25's exact Jaccard, this
+    * is the exact verifier; the corpus-scale path for
+    * contained-SPAN discovery is the winnowed shared-span index
+    * ([[sharedSpanPairs]], q74), whose fingerprint postings are ~w×
+    * thinner before the self-join. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.9,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
