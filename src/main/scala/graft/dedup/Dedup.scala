@@ -425,16 +425,44 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: block on each of the 4 signature
-    * bytes (docs agreeing on ANY byte collide — catches all pairs with
-    * Hamming distance ≤ 3 by pigeonhole, probabilistically more), then
-    * verify with exact Hamming ≤ `maxHamming`. Same output-proportional
-    * LSH shape as [[lshCandidates]]. */
+  /** Disjoint block boundaries `(lo, width)` covering the 32-bit
+    * signature, `maxHamming + 1` of them: any pair within distance
+    * `maxHamming` flips at most `maxHamming` bits, so by pigeonhole at
+    * least one block is untouched and the pair collides — FULL recall
+    * by construction for any `maxHamming ≤ 31` (the blocking is
+    * derived from the radius instead of a fixed 4-byte split that
+    * silently loses recall past distance 3). Shared by the Column and
+    * SQL-oracle builders so both sides block identically. */
+  private[graft] def simhashBlockBounds(maxHamming: Int): Seq[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"32-bit SimHash blocking needs 0 <= maxHamming <= 31, got $maxHamming")
+    val b = maxHamming + 1
+    (0 until b).map { i => val lo = i * 32 / b; (lo, (i + 1) * 32 / b - lo) }
+  }
+
+  private def simhashBlockCol(sig: Column, maxHamming: Int): Column =
+    explode(array(simhashBlockBounds(maxHamming).zipWithIndex.map {
+      case ((lo, w), i) =>
+        concat_ws(":", lit(i),
+          shiftright(sig, lo).bitwiseAND(lit((1L << w) - 1)))
+    }: _*))
+
+  /** DuckDB twin of [[simhashBlockCol]]: the `unnest([...])` element
+    * list over signature column `sh` — same bounds, same labels. */
+  def simhashBlockSqlList(sh: String, maxHamming: Int): String =
+    simhashBlockBounds(maxHamming).zipWithIndex.map { case ((lo, w), i) =>
+      s"concat('$i', ':', CAST(($sh // ${1L << lo}) % ${1L << w} AS VARCHAR))"
+    }.mkString(",\n        ")
+
+  /** SimHash near-dup candidates: block on `maxHamming + 1` disjoint
+    * signature slices (docs agreeing on ANY slice collide — pigeonhole
+    * catches ALL pairs within the radius), then verify with exact
+    * Hamming ≤ `maxHamming`. Same output-proportional LSH shape as
+    * [[lshCandidates]]. */
   def simhashNearDup(df: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3): DataFrame = {
     val blocked = df.select(col(idCol).as("doc"), col(sigCol).as("sig"))
-      .withColumn("blk", explode(array((0 until 4).map(i =>
-        concat_ws(":", lit(i), shiftright(col("sig"), i * 8).bitwiseAND(lit(255L)))): _*)))
+      .withColumn("blk", simhashBlockCol(col("sig"), maxHamming))
     val l = blocked.select(col("doc").as("a"), col("sig").as("siga"), col("blk"))
     val r = blocked.select(col("doc").as("b"), col("sig").as("sigb"), col("blk"))
     l.join(r, "blk").filter(col("a") < col("b"))
@@ -460,8 +488,7 @@ object Dedup {
       idCol: String, sigCol: String, maxHamming: Int = 3): DataFrame = {
     def blocked(df: DataFrame, id: String, sig: String) =
       df.select(col(idCol).as(id), col(sigCol).as(sig))
-        .withColumn("blk", explode(array((0 until 4).map(i =>
-          concat_ws(":", lit(i), shiftright(col(sig), i * 8).bitwiseAND(lit(255L)))): _*)))
+        .withColumn("blk", simhashBlockCol(col(sig), maxHamming))
     blocked(batch, "new_id", "nsig")
       .join(blocked(corpusSigs, "corpus_id", "csig"), "blk")
       .select(col("new_id"), col("corpus_id"),

@@ -331,12 +331,20 @@ object Kernels {
 
   // The merge table arrives as a plan LITERAL (foldable arrays), so one
   // instance flows to every row of a task — memoize the compiled ranks
-  // on it. Weak keys: the entry dies with the plan.
+  // on it. Weak keys: the entry dies with the plan. ArrayData equality is
+  // value-based, so the cache MUST be keyed on BOTH halves of the merge
+  // table: two models can share a lefts sequence with different rights.
   private val bpeCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[ArrayData, BpeRanks])
+    new java.util.WeakHashMap[ArrayData, java.util.Map[ArrayData, BpeRanks]])
 
   def bpeRanks(lefts: ArrayData, rights: ArrayData): BpeRanks = {
-    val hit = bpeCache.get(lefts)
+    var byRights = bpeCache.get(lefts)
+    if (byRights == null) {
+      byRights = java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[ArrayData, BpeRanks])
+      bpeCache.put(lefts, byRights)
+    }
+    val hit = byRights.get(rights)
     if (hit != null) hit
     else {
       val n = lefts.numElements()
@@ -348,7 +356,7 @@ object Kernels {
         i += 1
       }
       val built = new BpeRanks(la, ra)
-      bpeCache.put(lefts, built)
+      byRights.put(rights, built)
       built
     }
   }

@@ -437,7 +437,7 @@ object CurationQueries {
       FROM (SELECT doc_id, ${Dedup.simhashHsSql("text")} AS hs FROM documents)),
     blocked AS (
       SELECT doc_id, sh, unnest([
-        ${(0 until 4).map(i => s"concat('$i', ':', CAST((sh // ${1L << (i * 8)}) % 256 AS VARCHAR))").mkString(",")}
+        ${Dedup.simhashBlockSqlList("sh", SimhashMaxHamming)}
       ]) AS blk FROM sigs)
     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
            CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS dist
@@ -1793,7 +1793,10 @@ object CurationQueries {
   val q93Sql: String = {
     val v = "(embedding::DOUBLE[])"
     val scale = s"(list_max(list_transform($v, x -> abs(x))) / 127)"
-    val codes = s"list_transform($v, x -> CAST(round(x / $scale) AS INT))"
+    // zero-vector guard mirrors Similarity.quantizeInt8: scale 0 → zero
+    // codes, not NaN division (a zero embedding would otherwise crash the
+    // DuckDB cast of round(nan)).
+    val codes = s"CASE WHEN $scale > 0 THEN list_transform($v, x -> CAST(round(x / $scale) AS INT)) ELSE list_transform($v, x -> 0) END"
     val deq = s"list_transform($codes, c -> CAST(c AS DOUBLE) * $scale)"
     s"""
     WITH q AS (SELECT vec_id, $scale AS scale, $codes AS codes, $v AS v,
@@ -1856,7 +1859,7 @@ object CurationQueries {
       FROM (SELECT doc_id, ${Dedup.simhashHsSql("text")} AS hs FROM documents)),
     blocked AS (
       SELECT doc_id, sh, unnest([
-        ${(0 until 4).map(i => s"concat('$i', ':', CAST((sh // ${1L << (i * 8)}) % 256 AS VARCHAR))").mkString(",")}
+        ${Dedup.simhashBlockSqlList("sh", SimhashMaxHamming)}
       ]) AS blk FROM sigs),
     cands AS (
       SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,

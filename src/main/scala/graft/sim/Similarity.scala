@@ -163,10 +163,12 @@ object Similarity {
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
       .withColumn("__hit", lit(1))
-    exact.select(col("query_id"), col("neighbor_id"))
+    // distinct BOTH sides: duplicate (query_id, neighbor_id) rows on the
+    // exact side would each count as a hit and push recall past 1.0.
+    exact.select(col("query_id"), col("neighbor_id")).distinct()
       .join(a, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      .agg((count(col("__hit")).cast(DoubleType) / k).as("recall"))
+      .agg(least(count(col("__hit")).cast(DoubleType) / k, lit(1.0)).as("recall"))
   }
 
   /** Per-vector int8 quantization — the standard embeddings-at-rest
