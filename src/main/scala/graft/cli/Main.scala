@@ -36,7 +36,8 @@ object Main {
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
       |  sql     --warehouse <dir> <query>
-      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] <glob>
+      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
+      |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s>) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -223,6 +224,22 @@ object Main {
         val df = Migrate.sql(spark, registry, registry.listTables(), pos.head)
         df.toJSON.collect().foreach(println)
 
+      case "corpus" | "c" if pos == Seq("compact") =>
+        // bounded-growth maintenance for the corpus stores (docs dir +
+        // digest/band index layouts): small-file bin packing, serialized
+        // against concurrent compactions via the maintenance lock
+        val reports = graft.streaming.CorpusBuilder.compactStores(
+          spark, req(flags, "corpus"),
+          targetBytes = flags.get("target-bytes").map(_.toLong).getOrElse(256L << 20),
+          smallBytes = flags.get("small-bytes").map(_.toLong).getOrElse(64L << 20),
+          minFiles = flags.get("min-files").map(_.toInt).getOrElse(16))
+        if (reports.isEmpty) println("compact: nothing to do (or lock held)")
+        else reports.foreach { case (store, rs) =>
+          if (rs.isEmpty) println(s"$store: already compact")
+          else rs.foreach(r => println(s"$store ${r.partition}: " +
+            s"${r.filesBefore} -> ${r.filesAfter} files (${r.bytes} bytes)"))
+        }
+
       case "corpus" | "c" =>
         // streaming exact-deduped corpus builder (CorpusBuilder):
         // exactly-once by content under any replay
@@ -245,7 +262,9 @@ object Main {
           else None,
           // --shards <n>: sharded executor-side digest store (use
           // ~expected-items/2^20 so each filter stays ~1 MB at scale)
-          numShards = flags.get("shards").map(_.toInt).getOrElse(1))
+          numShards = flags.get("shards").map(_.toInt).getOrElse(1),
+          compactEvery = flags.get("compact-every").map(_.toInt)
+            .getOrElse(graft.streaming.CorpusBuilder.DefaultCompactEvery))
         q.awaitTermination()
         println(s"corpus rows: " +
           spark.read.parquet(s"${req(flags, "corpus")}/docs").count())

@@ -133,14 +133,30 @@ object BandIndex {
     }
   }
 
+  /** Default band-row count above which [[probe]] stops broadcasting
+    * the batch side (a 1M-band-row frame of 64-hash signatures is
+    * ~0.5 GB serialized — past any sane broadcast budget). */
+  val DefaultMaxBroadcastRows: Long = 1L << 20
+
   /** Candidate pairs between a batch's `(id, sig)` rows and the stored
     * index: one row per colliding (new, corpus) pair with both
     * signatures for agreement scoring — [[Dedup.incrementalCandidates]]
     * over the persisted store. The batch's touched buckets arrive as
-    * `PartitionFilters` (the scan reads only those directories) and the
-    * batch side is broadcast, so the corpus side never shuffles. */
+    * `PartitionFilters` (the scan reads only those directories) and,
+    * while the batch stays under `maxBroadcastRows` band rows
+    * (trigger-bounded micro-batches always do), the batch side is
+    * broadcast so the corpus side never shuffles. A LARGER batch — a
+    * cap-less `AvailableNow` backfill over a big landing prefix —
+    * would OOM the driver as an unconditional broadcast, so past the
+    * threshold the join falls back to a shuffle on `band_key` (the
+    * backfill already pays batch-sized I/O; one shuffle of the pruned
+    * store side is the scale-correct shape, and AQE may still choose a
+    * broadcast from ACTUAL sizes, which is exactly the safe version of
+    * the hint). The band-row count is read from the already-
+    * materialized probe frame — no extra computation. */
   def probe(batchSigs: DataFrame, idCol: String, sigCol: String,
-      storeDir: String, spec: Spec): DataFrame = {
+      storeDir: String, spec: Spec,
+      maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val spark = batchSigs.sparkSession
     // consumed twice (bucket list + join side) — materialize once
     val n = graft.util.Materialize.eager(
@@ -159,9 +175,12 @@ object BandIndex {
     val store = spark.read.schema(schema)
       .parquet(new Path(storeDir, spec.layoutDir).toString)
       .filter(col(BucketCol).isin(touched: _*))
+    val batchSide = n.select(col("doc").as("new_id"), col("sig").as("nsig"),
+      col("band_key"))
+    val guarded =
+      if (n.count() <= maxBroadcastRows) broadcast(batchSide) else batchSide
     store.select(col("doc").as("corpus_id"), col("sig").as("csig"), col("band_key"))
-      .join(broadcast(n.select(col("doc").as("new_id"), col("sig").as("nsig"),
-        col("band_key"))), "band_key")
+      .join(guarded, "band_key")
       .select(col("new_id"), col("corpus_id"), col("nsig"), col("csig"))
       .distinct()
   }

@@ -158,7 +158,14 @@ object DigestIndex {
     * touching few buckets, is mostly never read. Callers classify
     * matches via [[Dedup.indexedDupDigests]]. */
   def probe(candidates: DataFrame, idCol: String, digestCol: String,
-      storeDir: String, spec: Spec): DataFrame = {
+      storeDir: String, spec: Spec,
+      /** Candidate-row guard on the broadcast, as [[BandIndex.probe]]:
+        * bloom-hit candidates are batch-bounded in steady state, but a
+        * cap-less backfill whose content is mostly duplicates can make
+        * this frame batch-SIZED — past the threshold the join falls
+        * back to a shuffle on `digest` (AQE may still pick a broadcast
+        * from actual sizes — the safe version of the hint). */
+      maxBroadcastRows: Long = BandIndex.DefaultMaxBroadcastRows): DataFrame = {
     val spark = candidates.sparkSession
     // consumed twice (bucket list + join side) — materialize once;
     // candidates are bloom probe hits, batch-sized at most
@@ -177,8 +184,11 @@ object DigestIndex {
     val store = spark.read.schema(schema)
       .parquet(new Path(storeDir, spec.layoutDir).toString)
       .filter(col(BucketCol).isin(touched: _*))
+    val batchSide = n.drop(BucketCol)
+    val guarded =
+      if (n.count() <= maxBroadcastRows) broadcast(batchSide) else batchSide
     store.select(col("doc").as("corpus_id"), col("digest"))
-      .join(broadcast(n.drop(BucketCol)), "digest")
+      .join(guarded, "digest")
       .select(col("digest"), col("new_id"), col("corpus_id"))
       .distinct()
   }

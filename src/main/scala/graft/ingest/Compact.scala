@@ -53,6 +53,42 @@ object Compact {
       .flatMap(compactLeaf(spark, fs, _, targetBytes))
   }
 
+  /** Small-file-only compaction — the MAINTENANCE variant for stores
+    * that receive a trickle of per-micro-batch appends forever
+    * (streaming corpus docs, [[graft.dedup.DigestIndex]] /
+    * [[graft.dedup.BandIndex]] bucket layouts): per leaf, merge ONLY
+    * files under `smallBytes`, and only once at least `minFiles` of
+    * them have accumulated. Files that have graduated past the
+    * threshold are never rewritten again, so one maintenance run costs
+    * at most `leaves × (minFiles-1) × smallBytes + new-small-mass` of
+    * I/O — bounded by the layout's bucket count and the append rate,
+    * NOT by corpus size (a full [[compactDir]] pays O(corpus) per run
+    * and would dominate every maintenance cycle on a large store).
+    * Write amplification per row is `≤ smallBytes / merged-run-size`
+    * rewrites before graduating; pick `minFiles` ≈ the file-count level
+    * where footer reads start to hurt (default 16).
+    *
+    * `mergeSchema = true` reads the small set with schema merging —
+    * required for corpus docs dirs whose older files carry fewer
+    * optional columns (exact-era appends lack the signature column); a
+    * single-footer read could silently drop a column from the rewrite.
+    *
+    * Same swap + crash-recovery discipline as [[compactDir]]; a file
+    * appended concurrently is neither rewritten nor removed. */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+      targetBytes: Long = 256L << 20, smallBytes: Long = 64L << 20,
+      minFiles: Int = 16, mergeSchema: Boolean = false): Seq[Report] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    leavesOf(fs, root).sortBy(_.toString).flatMap { leaf =>
+      recover(fs, leaf)
+      val small = fs.listStatus(leaf).toSeq
+        .filter(s => s.isFile && visible(s.getPath) && s.getLen < smallBytes)
+      if (small.size < math.max(minFiles, 2)) None
+      else rewriteFiles(spark, fs, leaf, small, targetBytes, mergeSchema)
+    }
+  }
+
   /** Deepest partition dirs: recurse while `col=value` subdirs exist. */
   private def leavesOf(fs: FileSystem, dir: Path): Seq[Path] = {
     val parts = fs.listStatus(dir).toSeq
@@ -88,6 +124,14 @@ object Compact {
       targetBytes: Long): Option[Report] = {
     recover(fs, leaf)
     val files = fs.listStatus(leaf).toSeq.filter(s => s.isFile && visible(s.getPath))
+    rewriteFiles(spark, fs, leaf, files, targetBytes, mergeSchema = false)
+  }
+
+  /** The swap core: rewrite EXACTLY `files` into ~`targetBytes` files
+    * under `leaf`, leaving any other file in the leaf untouched. */
+  private def rewriteFiles(spark: SparkSession, fs: FileSystem, leaf: Path,
+      files: Seq[org.apache.hadoop.fs.FileStatus], targetBytes: Long,
+      mergeSchema: Boolean): Option[Report] = {
     val bytes = files.map(_.getLen).sum
     val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (files.size <= want) return None
@@ -95,10 +139,11 @@ object Compact {
     val runId = UUID.randomUUID().toString.take(8)
     val tmpNew = new Path(leaf, s".compact-$runId-new")
     val tmpOld = new Path(leaf, s".compact-$runId-old")
-    // 1. rewrite EXACTLY the files listed above (not a fresh directory
-    //    listing — a concurrent append between the two would be
-    //    rewritten AND kept, duplicating its rows)
-    spark.read.parquet(files.map(_.getPath.toString): _*).coalesce(want)
+    // 1. rewrite EXACTLY the files listed by the caller (not a fresh
+    //    directory listing — a concurrent append between the two would
+    //    be rewritten AND kept, duplicating its rows)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(_.getPath.toString): _*).coalesce(want)
       .write.mode("overwrite").parquet(tmpNew.toString)
     val produced = fs.listStatus(tmpNew).toSeq.filter(s => s.isFile && visible(s.getPath))
     // 2. move originals aside (renames — metadata ops)

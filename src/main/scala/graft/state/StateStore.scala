@@ -100,6 +100,20 @@ final class StateStore(rootDir: String,
     } finally Files.deleteIfExists(lock)
   }
 
+  /** Run `f` while holding the exclusive lock `id`, or return None
+    * without running it when another holder is live — the
+    * MAINTENANCE mutex (store compaction, index rebuilds): unlike
+    * [[acquire]] there is no completed/failed lifecycle, just mutual
+    * exclusion with the same CREATE_NEW primitive and stale-break
+    * discipline (a lock whose holder crashed is broken after
+    * `lockTimeoutMillis`; the breaker does NOT self-grant — the next
+    * attempt wins, exactly the [[tryLock]] contract). */
+  def withLock[T](id: String)(f: => T): Option[T] = {
+    val lock = Paths.get(rootDir, s"$id.lock")
+    if (!tryLock(lock, clock())) None
+    else try Some(f) finally Files.deleteIfExists(lock)
+  }
+
   private val lockTimeoutMillis = 60000L
 
   private def tryLock(lock: Path, now: Long): Boolean =

@@ -64,6 +64,57 @@ object CorpusBuilder {
     * digest index ([[graft.dedup.DigestIndex]]). */
   val DefaultDigestBuckets = 64
 
+  /** Default micro-batch period of the in-stream store compaction
+    * ([[compactStores]] every N committed batches). */
+  val DefaultCompactEvery = 64
+
+  /** Bounded-growth maintenance for a corpus' on-disk stores.
+    *
+    * Every commit appends ~one parquet file per touched bucket to the
+    * digest index and (near-dup mode) the band index, plus one-or-more
+    * files to the docs dir — after 10⁴ micro-batches a bucket directory
+    * holds 10⁴ tiny files and the "pruned" probe drowns in per-file
+    * open + footer reads. This runs [[graft.ingest.Compact.compactSmallFiles]]
+    * over the docs dir (schema-merged: exact-era and near-dup-era files
+    * carry different optional columns) and the ACTIVE index layouts
+    * (resolved via each store's meta pointer): only sub-`smallBytes`
+    * files merge, and only once `minFiles` of them accumulate, so one
+    * run's I/O is bounded by buckets × small-file mass — never O(corpus).
+    * Row content is preserved exactly, so every derived-store invariant
+    * (bloom superset, index superset, PartitionFilters pruning) holds
+    * across a compaction; bloom shards never fragment (merges rewrite
+    * shard files in place) and need no maintenance.
+    *
+    * Concurrency: compact-vs-append is safe by [[graft.ingest.Compact]]'s
+    * swap discipline (exactly-the-listed-files rewrite; concurrent
+    * appends stay). Compact-vs-compact is serialized through a
+    * [[graft.state.StateStore]] lock under `corpusDir/maintenance` —
+    * a second caller (CLI verb racing the in-stream hook) skips the run
+    * and returns Nil rather than double-rewriting a leaf. A holder that
+    * crashes leaves a lock that breaks after the store's stale timeout;
+    * a half-done swap is recovered by the next run's recovery pass. */
+  def compactStores(spark: SparkSession, corpusDir: String,
+      targetBytes: Long = 256L << 20, smallBytes: Long = 64L << 20,
+      minFiles: Int = 16): Seq[(String, Seq[graft.ingest.Compact.Report])] = {
+    val lock = new graft.state.StateStore(s"$corpusDir/maintenance")
+    lock.withLock("compact") {
+      val docsDir = s"$corpusDir/docs"
+      val targets =
+        (if (Files.exists(Paths.get(docsDir))) Seq("docs" -> (docsDir, true))
+         else Nil) ++
+        DigestIndex.readMeta(spark, corpusDir)
+          .filter(DigestIndex.layoutExists(spark, corpusDir, _))
+          .map(s => "digest-index" -> (s"$corpusDir/${s.layoutDir}", false)) ++
+        BandIndex.readMeta(spark, corpusDir)
+          .filter(BandIndex.layoutExists(spark, corpusDir, _))
+          .map(s => "band-index" -> (s"$corpusDir/${s.layoutDir}", false))
+      targets.map { case (name, (dir, mergeSchema)) =>
+        name -> graft.ingest.Compact.compactSmallFiles(spark, dir,
+          targetBytes, smallBytes, minFiles, mergeSchema)
+      }
+    }.getOrElse(Nil)
+  }
+
   /** Near-dup gate parameters: word-`shingleK`-gram MinHash signatures
     * of `k` rows in `bands` LSH bands; a doc is dropped when a
     * candidate's signature agrees on ≥ `minAgree` of the k rows (the
@@ -94,7 +145,14 @@ object CorpusBuilder {
       /** Directory-bucket count of the persisted exact-verify index
         * ([[graft.dedup.DigestIndex]]) — more buckets prune the
         * per-batch verify scan harder. */
-      digestBuckets: Int = DefaultDigestBuckets): StreamingQuery = {
+      digestBuckets: Int = DefaultDigestBuckets,
+      /** Run [[compactStores]] every N micro-batches (0 disables) —
+        * without it the per-batch index/docs appends accumulate one
+        * tiny file per bucket per batch FOREVER and the bucket-pruned
+        * probes drown in footer reads. In-loop placement makes the
+        * maintenance run serial with this stream's own appends; the
+        * StateStore lock inside compactStores covers external racers. */
+      compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
     val schema = landingSchema(spark, landingGlob, corpusDir)
     var reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
@@ -103,7 +161,7 @@ object CorpusBuilder {
       .queryName("graft-corpus-builder")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nearDup match {
           case Some(nd) =>
             appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd,
@@ -111,6 +169,10 @@ object CorpusBuilder {
           case None => appendNew(spark, batch, corpusDir, idCol, textCol,
             expectedItems, fpp, numShards, digestBuckets)
         }
+        // batchId is monotonic across restarts (checkpointed), so the
+        // cadence survives stop/start without extra state
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactStores(spark, corpusDir)
         ()
       }
       .start()

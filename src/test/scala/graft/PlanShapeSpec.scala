@@ -79,6 +79,26 @@ class PlanShapeSpec extends SparkSpec {
       Dedup.banded(corpusSigs, "doc_id", "sig", spec.bands),
       "doc_id", "sig", spec.bands).count() == probe.count(),
       "the persisted-index probe must match the direct re-banding probe")
+
+    // backfill guard: past maxBroadcastRows the batch side must NOT be
+    // hint-broadcast — a cap-less AvailableNow backfill would otherwise
+    // broadcast an unbounded frame. autoBroadcast is disabled for the
+    // assert so only the HINT could produce a BroadcastExchange (AQE
+    // re-choosing broadcast from ACTUAL sizes at runtime remains the
+    // safe, size-checked version).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val guarded = BandIndex.probe(batchSigs, "doc_id", "sig", dir, spec,
+        maxBroadcastRows = 0L)
+      assert(!formatted(guarded).contains("BroadcastExchange"),
+        s"past the row threshold the probe must not hint-broadcast:\n${formatted(guarded)}")
+      assert(guarded.count() == probe.count(),
+        "the shuffle fallback must produce identical candidates")
+      val hinted = BandIndex.probe(batchSigs, "doc_id", "sig", dir, spec)
+      assert(formatted(hinted).contains("BroadcastExchange"),
+        "under the threshold the batch side still broadcasts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("IVF-PQ store pass 1 is codes-only + PartitionFilters; pass 2 is broadcast-gated (q73 shape)") {

@@ -446,4 +446,87 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(ShardedBloom.readMeta(spark, corpus).contains(spec))
     assert(ShardedBloom.maxShardBytes(spark, corpus, spec) > 0L)
   }
+
+  /** Visible data files per leaf directory (recursing into `col=value`
+    * partition dirs), the quantity compaction bounds. */
+  private def leafFileCounts(root: String): Map[String, Int] = {
+    def walk(d: java.io.File): Seq[(String, Int)] = {
+      val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      val parts = kids.filter(k => k.isDirectory && k.getName.contains("="))
+      if (parts.nonEmpty) parts.flatMap(walk)
+      else Seq(d.getPath -> kids.count(k => k.isFile &&
+        !k.getName.startsWith(".") && !k.getName.startsWith("_")))
+    }
+    walk(new java.io.File(root)).toMap
+  }
+
+  test("50 micro-batches + periodic compaction keep exact-gate store file counts bounded") {
+    val corpus = tmpDir("cb-compact")
+    var total = 0L
+    (0 until 50).foreach { b =>
+      val batch = Seq((b * 10L, s"compact doc $b alpha"),
+        (b * 10L + 1, s"compact doc $b beta")).toDF("doc_id", "text")
+      total += CorpusBuilder.appendNew(spark, batch, corpus, "doc_id", "text",
+        1024L, 0.01, digestBuckets = 4)
+      // the build() hook's cadence, driven directly (appendNew is the
+      // batch body foreachBatch runs)
+      if (b % 10 == 9) CorpusBuilder.compactStores(spark, corpus, minFiles = 4)
+    }
+    assert(total == 100L)
+    // UNBOUNDED growth would put ~25 files in each __dk bucket and ~50
+    // in docs; the compaction cadence keeps every leaf under
+    // minFiles + one cadence worth of fresh appends
+    val docsCounts = leafFileCounts(s"$corpus/docs")
+    val idxCounts = leafFileCounts(
+      s"$corpus/${graft.dedup.DigestIndex.Spec(4).layoutDir}")
+    assert(docsCounts.values.max <= 15,
+      s"docs dir not bounded: $docsCounts")
+    assert(idxCounts.values.max <= 15,
+      s"digest index buckets not bounded: $idxCounts")
+    // compaction preserved every row and the gate still drops replays
+    assert(corpusDocs(corpus).count() == 100L)
+    assert(corpusDocs(corpus).select("doc_id").distinct().count() == 100L)
+    val replay = Seq((30L, "compact doc 3 alpha"), (31L, "compact doc 3 beta"))
+      .toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNew(spark, replay, corpus, "doc_id", "text",
+      1024L, 0.01, digestBuckets = 4) == 0L)
+  }
+
+  test("near-dup store compaction bounds band-index buckets and keeps mixed-era docs intact") {
+    val corpus = tmpDir("cb-compact-nd")
+    val nd = CorpusBuilder.NearDup(shingleK = 2, k = 16, bands = 4,
+      minAgree = 0.9, indexBuckets = 4)
+    // exact-era first: docs files without the signature column, so the
+    // docs compaction MUST schema-merge or it would drop SigCol
+    assert(CorpusBuilder.appendNew(spark,
+      Seq((1L, "exact era doc one"), (2L, "exact era doc two")).toDF("doc_id", "text"),
+      corpus, "doc_id", "text", 1024L, 0.01, digestBuckets = 4) == 2L)
+    (0 until 12).foreach { b =>
+      val text = (1 to 12).map(j => s"ndword${b}_$j").mkString(" ")
+      val batch = Seq((100L + b, text)).toDF("doc_id", "text")
+      assert(CorpusBuilder.appendNearDupNew(spark, batch, corpus, "doc_id",
+        "text", nd, 1024L, 0.01, digestBuckets = 4) == 1L)
+      if (b % 4 == 3) CorpusBuilder.compactStores(spark, corpus, minFiles = 3)
+    }
+    val bandCounts = leafFileCounts(
+      s"$corpus/${graft.dedup.BandIndex.Spec(4, 4).layoutDir}")
+    assert(bandCounts.values.max <= 8,
+      s"band index buckets not bounded: $bandCounts")
+    // mixed-era docs survived the schema-merged compaction: exact-era
+    // rows have null sig, near-dup rows kept theirs
+    val docs = spark.read.option("mergeSchema", "true").parquet(s"$corpus/docs")
+    assert(docs.count() == 14L)
+    assert(docs.filter(col(CorpusBuilder.SigCol).isNotNull).count() == 12L)
+    // the compacted band index still gates: a near-dup of batch 5 drops
+    val neard = Seq((999L, (1 to 12).map(j => s"ndword5_$j").mkString(" ") + " tail"))
+      .toDF("doc_id", "text")
+    assert(CorpusBuilder.appendNearDupNew(spark, neard, corpus, "doc_id",
+      "text", nd, 1024L, 0.01, digestBuckets = 4) == 0L)
+    // second compactor skips while the lock is held (no double rewrite)
+    val lock = new graft.state.StateStore(s"$corpus/maintenance")
+    val held = lock.withLock("compact") {
+      CorpusBuilder.compactStores(spark, corpus)
+    }
+    assert(held.contains(Nil), "locked compactStores must skip, not run")
+  }
 }
