@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.rules.{EventRule, Rules}
-import graft.schema.SchemaRegistry
+import graft.schema.TableBackend
 import graft.sources.{ConcatJsonReader, ObjectSource}
 
 /** End-to-end ingest: objects → event rules → parse/infer → schema rules
@@ -29,7 +29,7 @@ import graft.sources.{ConcatJsonReader, ObjectSource}
 object Pipeline {
 
   final case class Config(
-      registry: SchemaRegistry,
+      registry: TableBackend,
       rules: Rules,
       /** Write telemetry to `_meta.load_log` (one row per destination,
         * with LogCount) and `_meta.source_log` (one row per source
@@ -548,7 +548,7 @@ object Pipeline {
   /** Telemetry row per destination append → `_meta.load_log`,
     * month-partitioned like the reference's meta table
     * (`pkg/usecase/bigquery.go:64-89`); `log_count` ≡ IngestLog.LogCount. */
-  private def writeLoadLog(spark: SparkSession, registry: SchemaRegistry,
+  private def writeLoadLog(spark: SparkSession, registry: TableBackend,
       ingestId: String, startedMs: Long,
       results: Seq[TableSink.IngestResult]): Unit = {
     import spark.implicits._
@@ -574,7 +574,7 @@ object Pipeline {
     * Callers gate on the invalid count observed during the append job
     * ([[invalidCount]]), so this runs ONLY when there is something to
     * write — the all-valid common case never pays a probe or write job. */
-  private def writeQuarantine(spark: SparkSession, registry: SchemaRegistry,
+  private def writeQuarantine(spark: SparkSession, registry: TableBackend,
       startedMs: Long, bad: DataFrame): Unit =
     registry.appendPartitioned("_meta", "quarantine", bad
       .withColumn("rejected_at", lit(new java.sql.Timestamp(startedMs)))
@@ -582,7 +582,7 @@ object Pipeline {
 
   /** Per-source telemetry → `_meta.source_log` (ref SourceLog:
     * one row per ingested object with its decoded row count). */
-  private def writeSourceLog(spark: SparkSession, registry: SchemaRegistry,
+  private def writeSourceLog(spark: SparkSession, registry: TableBackend,
       ingestId: String, startedMs: Long,
       sources: Seq[(String, String, Long)]): Unit = {
     import spark.implicits._

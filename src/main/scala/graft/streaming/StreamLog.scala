@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
-import graft.schema.SchemaRegistry
+import graft.schema.TableBackend
 
 /** Streaming telemetry → `_meta.stream_log`: one row per completed
   * micro-batch (query name, batch id, input rows, trigger duration).
@@ -17,7 +17,7 @@ import graft.schema.SchemaRegistry
   * query's hot path); each row is a single metadata-sized append. The
   * small files this accumulates are exactly what [[graft.ingest.Compact]]
   * exists for. */
-final class StreamLog(spark: SparkSession, registry: SchemaRegistry)
+final class StreamLog(spark: SparkSession, registry: TableBackend)
     extends StreamingQueryListener {
 
   // progress events are delivered async on the listener bus; a one-shot
@@ -65,7 +65,7 @@ final class StreamLog(spark: SparkSession, registry: SchemaRegistry)
 
 object StreamLog {
   /** Attach a stream logger to the session; returns it for removal. */
-  def attach(spark: SparkSession, registry: SchemaRegistry): StreamLog = {
+  def attach(spark: SparkSession, registry: TableBackend): StreamLog = {
     val l = new StreamLog(spark, registry)
     spark.streams.addListener(l)
     l

@@ -5,18 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.SparkSpec
-import graft.schema.{SchemaRegistry, TableBackend}
+import graft.schema.{SchemaRegistry, TableBackend, TxLogBackend}
 
 /** Contract test for the storage seam: the engine (TableSink) must be
   * drivable through ANY [[TableBackend]] — the deployment story is "swap
   * the backend, never edit the engine" (ref: usecase-vs-infra split,
-  * `pkg/infra/bq/client.go`). A delegating backend records every call so
-  * the spec can assert the engine touches ONLY the trait surface and in
-  * the right order (DDL before data). */
+  * `pkg/infra/bq/client.go`). The whole suite runs against BOTH shipped
+  * backends — the parquet-dir [[SchemaRegistry]] and the transaction-log
+  * [[TxLogBackend]] — so the contract is demonstrated, not asserted: a
+  * backend with different commit machinery (CAS DDL, manifest appends)
+  * passes the same suite the lock-based one does. A delegating backend
+  * records every call so the spec can assert the engine touches ONLY the
+  * trait surface and in the right order (DDL before data). */
 class TableBackendSpec extends SparkSpec {
 
-  /** Wraps the parquet registry, recording the call sequence. */
-  private final class Recording(inner: SchemaRegistry) extends TableBackend {
+  /** Wraps any backend, recording the call sequence. */
+  private final class Recording(inner: TableBackend) extends TableBackend {
     val calls = scala.collection.mutable.ArrayBuffer[String]()
     def exists(ds: String, t: String): Boolean =
       { calls += s"exists:$ds.$t"; inner.exists(ds, t) }
@@ -30,6 +34,10 @@ class TableBackendSpec extends SparkSpec {
       { calls += s"read:$ds.$t"; inner.readWithPart(s, ds, t) }
   }
 
+  private val backends: Seq[(String, String => TableBackend)] = Seq(
+    "parquet-registry" -> (dir => new SchemaRegistry(dir)),
+    "tx-log" -> (dir => new TxLogBackend(dir)))
+
   private def routed(n: Int, prefix: String = "id"): DataFrame = {
     import spark.implicits._
     (0 until n).map(i => (s"$prefix-$i", i))
@@ -41,65 +49,125 @@ class TableBackendSpec extends SparkSpec {
         lit("d").as("dataset"), lit("t").as("table"), lit("day").as("partition"))
   }
 
-  test("append drives only the trait: DDL before data, dedup reads via the trait") {
-    val backend = new Recording(new SchemaRegistry(tmpDir("backend-rec")))
-    val r1 = TableSink.append(spark, backend, routed(10), dedup = true)
-    assert(r1.map(_.logCount) == Seq(10L))
-    // first append: table absent → exists (dedup probe), then create,
-    // then the data append — never data before DDL
-    val first = backend.calls.toList
-    assert(first.indexWhere(_.startsWith("ddl:")) <
-      first.indexWhere(_.startsWith("append:")), s"DDL must precede data: $first")
-    assert(first.count(_.startsWith("append:")) == 1)
+  for ((name, mk) <- backends) {
 
-    backend.calls.clear()
-    // replay: dedup path must read existing ids THROUGH the trait and
-    // append zero rows
-    val r2 = TableSink.append(spark, backend, routed(10), dedup = true)
-    assert(r2.map(_.logCount) == Seq(0L))
-    assert(backend.calls.exists(_.startsWith("read:")),
-      s"dedup must consult the backend's readWithPart: ${backend.calls}")
+    test(s"[$name] append drives only the trait: DDL before data, dedup reads via the trait") {
+      val backend = new Recording(mk(tmpDir(s"backend-rec-$name")))
+      val r1 = TableSink.append(spark, backend, routed(10), dedup = true)
+      assert(r1.map(_.logCount) == Seq(10L))
+      // first append: table absent → exists (dedup probe), then create,
+      // then the data append — never data before DDL
+      val first = backend.calls.toList
+      assert(first.indexWhere(_.startsWith("ddl:")) <
+        first.indexWhere(_.startsWith("append:")), s"DDL must precede data: $first")
+      assert(first.count(_.startsWith("append:")) == 1)
+
+      backend.calls.clear()
+      // replay: dedup path must read existing ids THROUGH the trait and
+      // append zero rows
+      val r2 = TableSink.append(spark, backend, routed(10), dedup = true)
+      assert(r2.map(_.logCount) == Seq(0L))
+      assert(backend.calls.exists(_.startsWith("read:")),
+        s"dedup must consult the backend's readWithPart: ${backend.calls}")
+    }
+
+    test(s"[$name] concurrent same-table appends all land — no batch lost") {
+      // the registry serializes appends per table (shared Hadoop-committer
+      // staging); the tx-log needs no lock (unique batch dirs + manifest
+      // commits). Both must land every batch.
+      val backend = mk(tmpDir(s"backend-concurrent-$name"))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fs = (0 until 4).map { i =>
+          Future(TableSink.append(spark, backend, routed(50, s"w$i")))
+        }
+        Await.result(Future.sequence(fs), 180.seconds)
+      } finally pool.shutdown()
+      val out = TableSink.read(spark, backend, "d", "t")
+      assert(out.count() == 200L, "every concurrent batch must land")
+      assert(out.select("id").distinct().count() == 200L)
+    }
+
+    test(s"[$name] schema evolution round-trips through the backend") {
+      import spark.implicits._
+      val backend = new Recording(mk(tmpDir(s"backend-evolve-$name")))
+      def batch(withExtra: Boolean): DataFrame = {
+        val base = Seq(("a", 1)).toDF("rid", "v")
+        val data = if (withExtra) struct(col("v"), lit("x").as("extra"))
+          else struct(col("v"))
+        base.select(col("rid").as("id"), lit("i").as("ingest_id"),
+          expr("timestamp'2024-05-02 00:00:00'").as("timestamp"),
+          current_timestamp().as("ingested_at"), data.as("data"),
+          lit("d").as("dataset"), lit("e").as("table"), lit("day").as("partition"))
+      }
+      TableSink.append(spark, backend, batch(withExtra = false))
+      val r2 = TableSink.append(spark, backend, batch(withExtra = true))
+      assert(r2.head.schemaVersion == 2, s"evolution must bump the version: $r2")
+      val out = TableSink.read(spark, backend, "d", "e")
+      assert(out.count() == 2)
+      // old rows surface the evolved column as null
+      assert(out.filter(col("data.extra").isNull).count() == 1)
+    }
+
+    test(s"[$name] full ingest pipeline (q33 path) lands identically") {
+      import graft.rules._
+      val landing = tmpDir(s"backend-pipe-$name")
+      writeFile(landing, "access.log",
+        """{"log_id": "a1", "event_time": 1559347200.25, "user": "u1", "ok": true}
+          |{"log_id": "a2", "event_time": 1559347201.5, "user": "u2", "ok": false}
+          |""".stripMargin)
+      val backend = mk(tmpDir(s"backend-pipe-tables-$name"))
+      val rules = Rules(
+        event = Seq(EventRule(name = "access", when = "name LIKE '%.log'",
+          schemaRule = "access")),
+        schema = Seq(SchemaRule(name = "access",
+          dataset = "'ds'", table = "'t'",
+          id = Some("log_id"), timestamp = "event_time")))
+      val res = Pipeline.ingestPrefix(spark,
+        Pipeline.Config(backend, rules), s"$landing/*")
+      assert(res.results.map(_.logCount) == Seq(2L))
+      val out = TableSink.read(spark, backend, "ds", "t").orderBy("id")
+      assert(out.collect().map(_.getString(0)).toSeq == Seq("a1", "a2"))
+      assert(out.select("data.user").orderBy("data.user").collect()
+        .map(_.getString(0)).toSeq == Seq("u1", "u2"))
+    }
   }
 
-  test("concurrent same-table appends are serialized — no batch lost to shared staging") {
-    // the Hadoop committer does not support concurrent writers on one
-    // path (job A's cleanup deletes job B's pending task outputs); the
-    // registry serializes appends per table, so parallel streams
-    // appending one table must all land
-    val registry = new SchemaRegistry(tmpDir("backend-concurrent"))
+  test("tx-log DDL is optimistic CAS: racing writers converge on the union schema") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val backend = new TxLogBackend(tmpDir("txlog-cas"))
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val fs = (0 until 4).map { i =>
-        Future(TableSink.append(spark, registry, routed(50, s"w$i")))
+      val fs = (0 until 8).map { i =>
+        Future(backend.createOrUpdate("d", "cas",
+          StructType(Seq(StructField(s"c$i", StringType)))))
       }
-      Await.result(Future.sequence(fs), 180.seconds)
+      Await.result(Future.sequence(fs), 60.seconds)
     } finally pool.shutdown()
-    val out = TableSink.read(spark, registry, "d", "t")
-    assert(out.count() == 200L, "every concurrent batch must land")
-    assert(out.select("id").distinct().count() == 200L)
+    val Some((version, live)) = backend.currentSchema("d", "cas")
+    // every writer's column survived every race (no lost update — the
+    // CAS loser re-reads the winner's schema and re-merges)
+    assert((0 until 8).forall(i => live.fieldNames.contains(s"c$i")),
+      s"lost update: v$version $live")
+    assert(version <= 8, "each CAS win bumps the version at most once")
   }
 
-  test("schema evolution round-trips through a custom backend") {
+  test("tx-log staged-but-uncommitted batch is invisible (manifest IS the commit point)") {
     import spark.implicits._
-    val backend = new Recording(new SchemaRegistry(tmpDir("backend-evolve")))
-    def batch(withExtra: Boolean): DataFrame = {
-      val base = Seq(("a", 1)).toDF("rid", "v")
-      val data = if (withExtra) struct(col("v"), lit("x").as("extra"))
-        else struct(col("v"))
-      base.select(col("rid").as("id"), lit("i").as("ingest_id"),
-        expr("timestamp'2024-05-02 00:00:00'").as("timestamp"),
-        current_timestamp().as("ingested_at"), data.as("data"),
-        lit("d").as("dataset"), lit("e").as("table"), lit("day").as("partition"))
-    }
-    TableSink.append(spark, backend, batch(withExtra = false))
-    val r2 = TableSink.append(spark, backend, batch(withExtra = true))
-    assert(r2.head.schemaVersion == 2, s"evolution must bump the version: $r2")
-    val out = TableSink.read(spark, backend, "d", "e")
-    assert(out.count() == 2)
-    // old rows surface the evolved column as null
-    assert(out.filter(col("data.extra").isNull).count() == 1)
+    val root = tmpDir("txlog-orphan")
+    val backend = new TxLogBackend(root)
+    TableSink.append(spark, backend, routed(3))
+    // fake a crash between stage and publish: a batch dir with no manifest
+    val orphan = java.nio.file.Paths.get(root, "d", "t", "data", "batch-orphan")
+    Seq(("zz", 9)).toDF("id", "v").withColumn("__part", lit("2024-05-01"))
+      .write.partitionBy("__part").parquet(orphan.toString)
+    assert(TableSink.read(spark, backend, "d", "t").count() == 3L,
+      "unpublished batch dirs must be invisible to readers")
   }
 }
