@@ -1744,7 +1744,13 @@ object CurationQueries {
     * pairs, the subset/quotation detector whole-doc Jaccard misses
     * (containment of a quoted doc is ~1 while its Jaccard against the
     * quoting doc is ~0). The oracle replays shingle sets and the
-    * directional ratio for every candidate pair in DuckDB. */
+    * directional ratio for every candidate pair in DuckDB.
+    *
+    * EXACT VERIFIER, quadratic by construction (cap off): a corpus-
+    * boilerplate shingle contributes df² candidate pairs. The
+    * corpus-scale twin is [[q95]], which runs the SAME operator with
+    * the df cap on — at 100 TB map q95's shape, keep q94 for
+    * sample-sized exact verification (the q25/q26 relationship). */
   def q94(s: SparkSession, d: String): DataFrame =
     Dedup.containmentPairs(docs(s, d), "doc_id", "text",
         shingleK = 3, threshold = 0.9)
@@ -1762,6 +1768,46 @@ object CurationQueries {
     SELECT a, b, CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
     FROM cands
     WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
+    ORDER BY a, b"""
+  }
+
+  // ---- q95: df-capped containment (the corpus-scale containment path) ----
+
+  /** q95: [[Dedup.containmentPairs]] WITH the document-frequency cap —
+    * the containment path that survives 100 TB, mapped as q94's scale
+    * twin. Uncapped (q94), a corpus-boilerplate shingle contributes df²
+    * candidate pairs to the posting self-join; the cap drops shingles
+    * appearing in more than `maxDocFreq` docs BEFORE the join, bounding
+    * candidate work at Σdf² over capped buckets — output-proportional
+    * for real corpora, where heavy shingles are boilerplate with
+    * near-zero containment signal. Both the intersection AND the
+    * denominator |A| are counted over the PRUNED posting set (the
+    * capped containment estimate, not a biased mix), and the oracle
+    * replays the identical cap, so the trade is hash-checked, not
+    * asserted: at this SF the cap of 3 keeps 49 of q94's 50 pairs —
+    * the one lost pair is carried entirely by shingles shared by >3
+    * docs, exactly the signal class the cap defines away. */
+  def q95(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+        shingleK = 3, threshold = 0.9, maxDocFreq = 3)
+      .orderBy(col("a"), col("b"))
+
+  val q95Sql: String = {
+    val toks = toksSql("text")
+    s"""
+    WITH sh_docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh
+                     FROM documents),
+    post AS (SELECT doc_id, unnest(sh) AS s FROM sh_docs),
+    kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM post GROUP BY s)
+             WHERE df <= 3),
+    p AS (SELECT doc_id, post.s FROM post JOIN kept USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+    shared AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+               FROM p x JOIN p y ON x.s = y.s AND x.doc_id <> y.doc_id
+               GROUP BY 1, 2)
+    SELECT a, b, CAST(inter AS DOUBLE) / CAST(n AS DOUBLE) AS containment
+    FROM shared JOIN sizes ON a = sizes.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(n AS DOUBLE) >= 0.9
     ORDER BY a, b"""
   }
 
@@ -2151,5 +2197,6 @@ object CurationQueries {
     ("q91_incremental_simhash", q91 _, Some(q91Sql)),
     ("q92_adaptive_filter", q92 _, Some(q92Sql)),
     ("q93_int8_quantize", q93 _, Some(q93Sql)),
-    ("q94_containment", q94 _, Some(q94Sql)))
+    ("q94_containment", q94 _, Some(q94Sql)),
+    ("q95_containment_capped", q95 _, Some(q95Sql)))
 }
