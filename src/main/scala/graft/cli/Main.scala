@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -44,7 +44,9 @@ object Main {
       |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--ids] [--save-vocab <file>] [--load-vocab <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  pack    --output <dir> [--seq-len <n>] [--shards <n>] [--id-col <c>] [--count-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  score   --output <dir> [--band <loQ,hiQ> --value-col <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -432,6 +434,72 @@ object Main {
                 org.apache.spark.sql.functions.col("tokens"))),
             org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
         println(s"merges: ${merges.size}, tokens: $n")
+
+      case "rank" =>
+        // BM25 keyword retrieval (q82 operator as a verb): exact top-k
+        // per probe query — eval-set mining / targeted decontamination
+        // without an external index. --query takes `id:terms` entries
+        // separated by `;` (a bare term list gets query id "q").
+        require(pos.size == 1, "rank needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, lower}
+        val df = readTable(spark, flags, pos.head)
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val queries = req(flags, "query").split(";").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { entry =>
+            entry.split(":", 2) match {
+              case Array(qid, terms) =>
+                qid.trim -> terms.trim.split("\\s+").toSeq
+              case _ => "q" -> entry.split("\\s+").toSeq
+            }
+          }
+        val ranked = graft.text.Retrieval.bm25TopK(df, c(idCol),
+          graft.text.TextFunctions.tokens(
+            lower(c(flags.getOrElse("text-col", "text")))),
+          queries, k = flags.getOrElse("k", "10").toInt,
+          k1 = flags.getOrElse("k1", "1.2").toDouble,
+          b = flags.getOrElse("b", "0.75").toDouble)
+          .withColumnRenamed("__id", idCol)
+        ranked.write.mode("overwrite").parquet(req(flags, "output"))
+        spark.read.parquet(req(flags, "output"))
+          .orderBy(c("query_id"), c("rank")).collect()
+          .foreach(r => println(s"${r.get(0)} #${r.get(1)}: ${r.get(2)} " +
+            f"(${r.getDouble(3)}%.4f)"))
+
+      case "score" =>
+        // corpus-statistics document scoring: by default the bigram-LM
+        // cross-entropy (q81, the CCNet-style quality signal); with
+        // --band loQ,hiQ --value-col <c>, the adaptive percentile-band
+        // filter (q92 — thresholds from the corpus, not constants)
+        require(pos.size == 1, "score needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, coalesce, lit, lower, round, avg, sum => fsum}
+        val df = readTable(spark, flags, pos.head)
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        flags.get("band") match {
+          case Some(band) =>
+            val Array(loQ, hiQ) = band.split(",", 2).map(_.trim.toDouble)
+            val out = graft.curation.Packing.percentileFilter(df,
+              req(flags, "value-col"), loQ, hiQ)
+            out.write.mode("overwrite").parquet(req(flags, "output"))
+            val got = spark.read.parquet(req(flags, "output"))
+            val kept = got.where(c("within")).count()
+            val b0 = got.select("lo", "hi").head
+            println(f"band [${b0.getDouble(0)}%.2f, ${b0.getDouble(1)}%.2f]: " +
+              s"$kept/${got.count()} within")
+          case None =>
+            val scored = graft.curation.LangModel.bigramCrossEntropy(df,
+                c(idCol),
+                graft.text.TextFunctions.tokens(
+                  lower(c(flags.getOrElse("text-col", "text")))))
+              .withColumnRenamed("__id", idCol)
+            val out = df.select(c(idCol)).join(scored, Seq(idCol), "left")
+              .select(c(idCol),
+                coalesce(c("n_bigrams"), lit(0L)).as("n_bigrams"),
+                round(c("xent"), 6).as("xent"))
+            out.write.mode("overwrite").parquet(req(flags, "output"))
+            val m = spark.read.parquet(req(flags, "output"))
+              .agg(avg("xent"), fsum("n_bigrams")).head
+            println(f"mean xent: ${m.getDouble(0)}%.4f over ${m.getLong(1)} bigrams")
+        }
 
       case other =>
         System.err.println(s"unknown command '$other'\n$usage"); sys.exit(2)

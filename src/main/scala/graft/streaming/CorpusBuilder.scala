@@ -54,6 +54,19 @@ import graft.dedup.{BandIndex, Dedup, DigestIndex, ShardedBloom}
   */
 object CorpusBuilder {
 
+  /** Fault-injection seam for crash-recovery specs: invoked after each
+    * derived-store persist step of a commit, BEFORE the docs append,
+    * with the step just completed (`"bloom"`, `"digest-index"`,
+    * `"band-index"`) and the corpus dir (so a hook can target ONE
+    * corpus — suites share the JVM). A test installs a throwing hook to
+    * kill the stream inside the exact window the superset invariant
+    * protects (derived stores ahead of the corpus), then restarts from
+    * the same checkpoint and asserts exactly-once-by-content held.
+    * Production never sets this; the default is free (a no-op call per
+    * store per commit). */
+  @volatile private[streaming] var commitFault: (String, String) => Unit =
+    (_, _) => ()
+
   /** Reserved digest column appended to the corpus table. */
   val DigestCol = "__corpus_digest"
 
@@ -275,8 +288,10 @@ object CorpusBuilder {
         // superset-first commit order, as in commitBatch: every derived
         // store absorbs the batch digests BEFORE the docs append
         ShardedBloom.mergeBatch(staged, "__h", corpusDir, declared)
+        commitFault("bloom", corpusDir)
         DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
           idCol, DigestCol, corpusDir, idxSpec)
+        commitFault("digest-index", corpusDir)
         staged.drop("__h").write.mode("append").parquet(docsDir)
         // one store at a time: drop the other mode's filter
         Files.deleteIfExists(Paths.get(corpusDir, "bloom.bin"))
@@ -407,8 +422,10 @@ object CorpusBuilder {
       expectedItems: Long, fpp: Double, corpusDir: String, idCol: String,
       idxSpec: DigestIndex.Spec): Unit = {
     persistMergedFilter(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
+    commitFault("bloom", corpusDir)
     DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
       idCol, DigestCol, corpusDir, idxSpec)
+    commitFault("digest-index", corpusDir)
     staged.write.mode("append").parquet(docsDir)
   }
 
@@ -597,10 +614,13 @@ object CorpusBuilder {
             ShardedBloom.Spec(numShards, expectedItems, fpp)))
         Files.deleteIfExists(bloomPath)
       }
+      commitFault("bloom", corpusDir)
       DigestIndex.append(fresh.select(col(idCol), col(DigestCol)),
         idCol, DigestCol, corpusDir, idxSpec)
+      commitFault("digest-index", corpusDir)
       BandIndex.append(fresh.filter(col(SigCol).isNotNull)
         .select(col(idCol), col(SigCol)), idCol, SigCol, corpusDir, bandSpec)
+      commitFault("band-index", corpusDir)
       fresh.write.mode("append").parquet(docsDir)
     }
     appended

@@ -130,6 +130,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(top.count() > 0)
   }
 
+  test("int8 store read prunes the float vector and batch-scans (q93 at-rest shape)") {
+    val dir = tmpDir("plan-int8")
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 5 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    // the at-rest store keeps the float column for exact re-rank; the
+    // 4× saving is realized at SCAN time by columnar pruning
+    Similarity.quantizeInt8(emb).write.parquet(s"$dir/store")
+    // downstream int8 scoring touches only (vec_id, scale, codes):
+    // integer dot × scale_a·scale_b approximates the float dot
+    val probeCodes = (0 until 8).map(j => math.round(math.sin(j) / 0.01).toInt)
+    val scored = spark.read.parquet(s"$dir/store")
+      .select(col("vec_id"),
+        (aggregate(zip_with(col("codes"),
+            lit(probeCodes.toArray), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double")
+          * col("scale") * lit(0.01)).as("score"))
+      .orderBy(col("score").desc).limit(5)
+    val plan = formatted(scored)
+    val schemaLines = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema:")).toSeq
+    assert(schemaLines.nonEmpty && schemaLines.forall(l =>
+        !l.contains("embedding") && l.contains("codes") && l.contains("scale")),
+      s"int8 scoring must scan codes+scale WITHOUT the float vector " +
+        s"(the 4× at-rest saving as a scan shape), got:\n" +
+        s"${schemaLines.mkString("\n")}\nplan:\n$plan")
+    // and the pruned scan is the vectorized parquet batch reader —
+    // nested-column vectorization must not silently fall back to row
+    // reads for the codes array
+    val scanBlock = plan.linesIterator
+      .filter(l => l.contains("Batched:")).mkString("\n")
+    assert(scanBlock.contains("Batched: true"),
+      s"the codes scan must be a vectorized batch scan, got:\n$scanBlock\nplan:\n$plan")
+    assert(scored.count() == 5)
+  }
+
   test("ingest append rebalance-clusters by __part before the partitioned write (q33 shape)") {
     import graft.ingest.TableSink
     import graft.schema.SchemaRegistry

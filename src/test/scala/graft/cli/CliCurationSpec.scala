@@ -179,6 +179,57 @@ class CliCurationSpec extends SparkSpec {
     assert(ca(0L) == ca(1L) && ca(1L) == ca(2L), "cluster must move whole")
   }
 
+  test("rank retrieves BM25 top-k per probe query via the verb") {
+    val dir = tmpDir("cli-rank")
+    (0L until 40L).map { i =>
+      val topic = if (i % 4 == 0) "apple orchard harvest" else "quarterly revenue report"
+      (i, s"doc $i about $topic " + ("filler " * (i % 3).toInt))
+    }.toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("rank", "--query", "t1:apple harvest;t2:revenue",
+      "--k", "3", "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("query_id").distinct().count() == 2)
+    assert(out.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 3L), "exactly k rows per query")
+    // byte-equivalence with the library operator
+    val direct = graft.text.Retrieval.bm25TopK(
+        spark.read.parquet(s"$dir/in"), col("doc_id"),
+        graft.text.TextFunctions.tokens(lower(col("text"))),
+        Seq("t1" -> Seq("apple", "harvest"), "t2" -> Seq("revenue")), k = 3)
+      .withColumnRenamed("__id", "doc_id")
+    assert(out.orderBy("query_id", "rank")
+      .as[(String, Long, Long, Double)].collect().toSeq ==
+      direct.orderBy("query_id", "rank")
+        .as[(String, Long, Long, Double)].collect().toSeq)
+    // every t1 hit is an apple doc
+    assert(out.filter(col("query_id") === "t1")
+      .select("doc_id").as[Long].collect().forall(_ % 4 == 0))
+  }
+
+  test("score computes bigram cross-entropy; --band the percentile filter") {
+    val dir = tmpDir("cli-score")
+    (0L until 60L).map(i => (i, s"the cat sat on mat ${i % 5}", 100L + i))
+      .toDF("doc_id", "text", "n_chars").write.parquet(s"$dir/in")
+    Main.run(spark, Array("score", "--output", s"$dir/xent", s"$dir/in"))
+    val xent = spark.read.parquet(s"$dir/xent")
+    assert(xent.count() == 60, "one row per document")
+    assert(xent.filter(col("n_bigrams") === 5L).count() == 60)
+    val direct = graft.curation.LangModel.bigramCrossEntropy(
+        spark.read.parquet(s"$dir/in"), col("doc_id"),
+        graft.text.TextFunctions.tokens(lower(col("text"))))
+      .select(col("__id"), round(col("xent"), 6).as("xent"))
+      .as[(Long, Double)].collect().toMap
+    assert(xent.select("doc_id", "xent").as[(Long, Double)].collect()
+      .forall { case (id, x) => direct(id) == x })
+
+    Main.run(spark, Array("score", "--band", "0.1,0.9",
+      "--value-col", "n_chars", "--output", s"$dir/band", s"$dir/in"))
+    val band = spark.read.parquet(s"$dir/band")
+    assert(band.count() == 60)
+    val within = band.filter(col("within")).count()
+    assert(within > 0 && within < 60, "band must cut both tails")
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")

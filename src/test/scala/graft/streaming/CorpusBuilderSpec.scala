@@ -447,6 +447,112 @@ class CorpusBuilderSpec extends SparkSpec {
     assert(ShardedBloom.maxShardBytes(spark, corpus, spec) > 0L)
   }
 
+  test("stream killed between derived-store persist and docs append recovers exactly-once (exact gate)") {
+    // the real crash path, not a hand-built state: the fault seam kills
+    // the QUERY inside foreachBatch after each derived store persists,
+    // the batch never reaches the checkpoint, and the restart replays it
+    Seq("bloom", "digest-index").foreach { point =>
+      val landing = tmpDir(s"crash-landing-$point")
+      val ckpt = tmpDir(s"crash-ckpt-$point")
+      val corpus = tmpDir(s"crash-corpus-$point")
+      writeFile(landing, "f0.json",
+        """{"doc_id": 1, "text": "seed one"}""" + "\n" +
+          """{"doc_id": 2, "text": "seed two"}""" + "\n")
+      CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus)
+        .awaitTermination()
+      assert(corpusDocs(corpus).count() == 2L)
+
+      // batch 1: one dup of stored content + two new docs; crash lands
+      // AFTER `point` persists, BEFORE the docs append
+      writeFile(landing, "f1.json",
+        """{"doc_id": 10, "text": "seed one"}""" + "\n" +
+          """{"doc_id": 11, "text": "fresh alpha"}""" + "\n" +
+          """{"doc_id": 12, "text": "fresh beta"}""" + "\n")
+      CorpusBuilder.commitFault = (step, dir) =>
+        if (step == point && dir == corpus)
+          throw new RuntimeException(s"injected crash after $step")
+      try {
+        val q = CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus)
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination()
+        }
+        assert(e.getMessage.contains("injected crash") ||
+          Option(e.getCause).exists(_.getMessage.contains("injected crash")))
+      } finally CorpusBuilder.commitFault = (_, _) => ()
+      // the crash window on disk: derived stores ran ahead, docs did not
+      assert(corpusDocs(corpus).count() == 2L,
+        s"docs must not contain the crashed batch (point=$point)")
+
+      // restart from the SAME checkpoint: the failed batch replays; its
+      // own ghost digests must not drop it, the stored dup must drop
+      CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus)
+        .awaitTermination()
+      val docs = corpusDocs(corpus)
+      assert(docs.count() == 4L, s"no lost docs after recovery (point=$point)")
+      assert(docs.select(CorpusBuilder.DigestCol).distinct().count() == 4L,
+        s"no duplicate digests after recovery (point=$point)")
+      assert(docs.select("text").as[String].collect().sorted.toSeq ==
+        Seq("fresh alpha", "fresh beta", "seed one", "seed two"))
+      // and the recovered corpus still gates a replay of everything
+      val replayAll = Seq((20L, "seed one"), (21L, "fresh alpha"),
+        (22L, "fresh beta")).toDF("doc_id", "text")
+      assert(CorpusBuilder.appendNew(spark, replayAll, corpus,
+        "doc_id", "text", 1L << 20, 0.01) == 0L)
+    }
+  }
+
+  test("stream killed mid-commit recovers exactly-once in NEAR-DUP mode (all three stores)") {
+    val nd = CorpusBuilder.NearDup()
+    val seed = (1 to 80).map(i => s"nd$i").mkString(" ")
+    val freshText = (1 to 80).map(i => s"fr$i").mkString(" ")
+    Seq("bloom", "digest-index", "band-index").foreach { point =>
+      val landing = tmpDir(s"ndcrash-landing-$point")
+      val ckpt = tmpDir(s"ndcrash-ckpt-$point")
+      val corpus = tmpDir(s"ndcrash-corpus-$point")
+      writeFile(landing, "f0.json",
+        s"""{"doc_id": 1, "text": "$seed"}""" + "\n")
+      CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus,
+        nearDup = Some(nd)).awaitTermination()
+      assert(corpusDocs(corpus).count() == 1L)
+
+      // batch 1: a near-dup of the seed (must drop), an exact dup (must
+      // drop), and a genuinely new doc (must land exactly once)
+      writeFile(landing, "f1.json",
+        s"""{"doc_id": 10, "text": "${seed.replace("nd80", "changed")}"}""" + "\n" +
+          s"""{"doc_id": 11, "text": "$seed"}""" + "\n" +
+          s"""{"doc_id": 12, "text": "$freshText"}""" + "\n")
+      CorpusBuilder.commitFault = (step, dir) =>
+        if (step == point && dir == corpus)
+          throw new RuntimeException(s"injected crash after $step")
+      try {
+        val q = CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus,
+          nearDup = Some(nd))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination()
+        }
+      } finally CorpusBuilder.commitFault = (_, _) => ()
+      assert(corpusDocs(corpus).count() == 1L,
+        s"docs must not contain the crashed batch (point=$point)")
+
+      // restart: the replayed new doc must survive its own ghost rows in
+      // whichever stores persisted before the kill (bloom / digest
+      // index / band index), and both dup shapes must still drop
+      CorpusBuilder.build(spark, s"$landing/*.json", ckpt, corpus,
+        nearDup = Some(nd)).awaitTermination()
+      val docs = corpusDocs(corpus)
+      assert(docs.count() == 2L, s"no lost docs after recovery (point=$point)")
+      assert(docs.select(CorpusBuilder.DigestCol).distinct().count() == 2L,
+        s"no duplicate digests after recovery (point=$point)")
+      assert(docs.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 12L), s"near-dup and exact dup must stay dropped (point=$point)")
+      // the recovered stores still gate: full replay appends nothing
+      val replay = Seq((20L, seed), (21L, freshText),
+        (22L, seed.replace("nd80", "changed"))).toDF("doc_id", "text")
+      assert(CorpusBuilder.appendNearDupNew(spark, replay, corpus,
+        "doc_id", "text", nd) == 0L)
+    }
+  }
+
   /** Visible data files per leaf directory (recursing into `col=value`
     * partition dirs), the quantity compaction bounds. */
   private def leafFileCounts(root: String): Map[String, Int] = {
