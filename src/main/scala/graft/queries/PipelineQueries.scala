@@ -548,6 +548,85 @@ log[d] {
            CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
     FROM events WHERE event_type = 'purchase'"""
 
+  /** q96: the Rego frontend's FULL-GENERALITY pass, end-to-end — a
+    * policy DIRECTORY ([[graft.rules.RuleLoader.fromDir]], the
+    * reference's sorted policy-tree walk) whose schema rule uses every
+    * construct round 7 added: a cross-package `data.<pkg>` constant
+    * module (set + scalar), set-literal membership (→ codegen'd IN),
+    * `every` (→ native `forall`), and an array comprehension under
+    * `count` (→ `size(filter(...))`). The landing docs carry a derived
+    * `codes` array so the quantifiers have something to quantify; the
+    * oracle replays the identical policy logic in DuckDB
+    * (`list_filter`), so the hash check proves the COMPILED SQL
+    * implements the Rego semantics — not merely that it parses. */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q96")
+    // events + a deterministic int array per record (the policy's
+    // quantification target), landed as NDJSON objects
+    Tables.events(s, d)
+      .withColumn("ts", unix_timestamp(col("ts")).cast("double"))
+      .withColumn("codes", array(
+        (col("event_id") % 7 * 100).cast("int"),
+        (col("user_id") % 11 * 50).cast("int")))
+      .repartition(8).write.mode("overwrite").json(s"$work/landing")
+    val policyDir = s"$work/policy"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(policyDir))
+    def policy(name: String, src: String): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(policyDir, name), src.getBytes("UTF-8"))
+    policy("00_consts.rego", """package consts
+kinds := {"purchase", "view"}
+max_hot := 1
+""")
+    policy("10_event.rego", """package event
+src[s] {
+	endswith(input.cs.name, ".json")
+	s := {"parser": "json", "schema": "filtered"}
+}
+""")
+    policy("20_schema.rego", """package schema.filtered
+log[d] {
+	input.event_type in data.consts.kinds
+	every c in input.codes { c < 600 }
+	count([c | c := input.codes[_]; c >= 300]) <= data.consts.max_hot
+	d := {
+		"dataset": "analytics",
+		"table": "filtered",
+		"partition": "day",
+		"id": input.event_id,
+		"timestamp": input.ts,
+		"data": input,
+	}
+}
+""")
+    val registry = new SchemaRegistry(s"$work/warehouse")
+    Pipeline.ingestPrefix(s,
+      Pipeline.Config(registry, graft.rules.RuleLoader.fromDir(policyDir)),
+      s"$work/landing/part-*")
+    TableSink.read(s, registry, "analytics", "filtered")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("distinct_ids"),
+        graft.relational.RelationalQueries.dsum(col("data.value")).as("total_value"),
+        unix_timestamp(min(col("timestamp"))).as("min_ts"),
+        unix_timestamp(max(col("timestamp"))).as("max_ts"))
+  }
+
+  val q96Sql: String = s"""
+    WITH coded AS (
+      SELECT *, [CAST(event_id % 7 * 100 AS INT),
+                 CAST(user_id % 11 * 50 AS INT)] AS codes
+      FROM events),
+    kept AS (
+      SELECT * FROM coded
+      WHERE event_type IN ('purchase', 'view')
+        AND len(list_filter(codes, c -> c >= 600)) = 0
+        AND len(list_filter(codes, c -> c >= 300)) <= 1)
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS distinct_ids,
+           ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts
+    FROM kept"""
+
   /** q85: watermarked event-time windowed aggregation (SURVEY T4),
     * oracle-checked — the events table is drained as a FILE STREAM
     * through [[graft.streaming.StreamOps.windowedAgg]] (1-hour tumbling
@@ -629,5 +708,6 @@ log[d] {
     ("q63_loadlog_rollup", q63 _, Some(q63Sql)),
     ("q77_rule_fanout", q77 _, Some(q77Sql)),
     ("q78_rego_ingest", q78 _, Some(q78Sql)),
-    ("q85_windowed_agg", q85 _, Some(q85Sql)))
+    ("q85_windowed_agg", q85 _, Some(q85Sql)),
+    ("q96_rego_general", q96 _, Some(q96Sql)))
 }

@@ -44,10 +44,12 @@ object RuleLoader {
   /** Load and merge every `*.json` AND `*.rego` under a directory
     * (filename order — deterministic like the reference's sorted
     * policy-dir walk). Rego modules (`package event` / `package
-    * schema.<name>`) compile through [[graft.rules.rego.RegoRules]], so
-    * the reference's shipped policy directories load unmodified; a
-    * `package auth` module in the directory fails loudly (auth is
-    * request-path config — [[graft.rules.rego.RegoAuth]]), never
+    * schema.<name>`) compile through [[graft.rules.rego.RegoRules]] —
+    * TOGETHER, so cross-package `data.<pkg>.<name>` references resolve
+    * against sibling data modules in the same directory (OPA's shared
+    * `data` document; the reference loads its policy tree the same
+    * way). A `package auth` module in the directory fails loudly (auth
+    * is request-path config — [[graft.rules.rego.RegoAuth]]), never
     * silently unenforced. `enrichments` is the caller's code registry
     * for rules that name an `"enrich"` hook (see [[Enrichment]]). */
   def fromDir(dir: String,
@@ -59,7 +61,13 @@ object RuleLoader {
         .toSeq.sortBy(_.toString)
       finally stream.close()
     require(files.nonEmpty, s"no *.json or *.rego rule files under $dir")
-    files.map(p => fromFile(p.toString, enrichments))
+    val (rego, json) = files.partition(_.toString.endsWith(".rego"))
+    val regoRules =
+      if (rego.isEmpty) Nil
+      else Seq(graft.rules.rego.RegoRules.compileAll(
+        rego.map(p => Files.readString(p))))
+    val jsonRules = json.map(p => fromFile(p.toString, enrichments))
+    (regoRules ++ jsonRules)
       .reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))
   }
 

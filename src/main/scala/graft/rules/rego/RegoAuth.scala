@@ -85,14 +85,51 @@ object RegoAuth {
   }
 
   /** Compile a `package auth` module to a predicate. Fails loudly on
-    * parse errors or out-of-subset rules. */
-  def compile(src: String, cfg: Config = Config()): AuthInput => Boolean = {
+    * parse errors or out-of-subset rules. `data` is additional module
+    * sources forming OPA's shared `data` document: their parameterless
+    * constant rules resolve `data.<pkg>.<name>` references in the
+    * policy (allowed-token tables, issuer lists — config separated
+    * from logic, the way the reference loads a policy tree). */
+  def compile(src: String, cfg: Config = Config(),
+      data: Seq[String] = Nil): AuthInput => Boolean = {
     val m = RegoParser.parse(src)
     require(m.pkg == Seq("auth"),
       s"expected package auth, got '${m.pkg.mkString(".")}'")
-    val eval = new Eval(m, cfg)
+    val eval = new Eval(m, cfg, dataConstants(data))
     eval.checkCompilable()
     input => eval.allows(input)
+  }
+
+  /** Parse data modules to their constant tables: every rule must be a
+    * parameterless literal constant (`name := <literal>`); values are
+    * plain Scala (String/BigDecimal/Boolean/Vector/Set/Map). */
+  private def dataConstants(srcs: Seq[String]): Map[List[String], Any] =
+    srcs.flatMap { src =>
+      val m = RegoParser.parse(src)
+      require(m.pkg != Seq("auth"),
+        "a data module cannot be 'package auth' (pass the policy as src)")
+      m.rules.map { r =>
+        require(r.params.isEmpty && r.body.isEmpty && r.key.isEmpty,
+          s"data module ${m.pkg.mkString(".")}: rule '${r.name}' must be a " +
+            "parameterless constant (name := <literal>)")
+        (m.pkg.toList :+ r.name) -> literal(
+          r.value.getOrElse(sys.error(
+            s"data module ${m.pkg.mkString(".")}: rule '${r.name}' has no value")),
+          s"${m.pkg.mkString(".")}.${r.name}")
+      }
+    }.toMap
+
+  private def literal(t: Term, what: String): Any = t match {
+    case Term.Str(v) => v
+    case Term.Num(v) => v
+    case Term.Bool(v) => v
+    case Term.Arr(is) => is.map(literal(_, what)).toVector
+    case Term.SetLit(is) => is.map(literal(_, what)).toSet
+    case Term.Obj(es) => es.map {
+      case (Term.Str(k), v) => k -> literal(v, what)
+      case (k, _) => sys.error(s"data constant $what: non-string object key $k")
+    }.toMap
+    case other => sys.error(s"data constant $what must be a literal, got $other")
   }
 
   /** Adapt a compiled policy to [[graft.sources.PushReceiver]]'s auth
@@ -139,7 +176,8 @@ object RegoAuth {
     override def fillInStackTrace(): Throwable = this
   }
 
-  private final class Eval(m: Module, cfg: Config) {
+  private final class Eval(m: Module, cfg: Config,
+      dataConsts: Map[List[String], Any] = Map.empty) {
     private val mapper = new ObjectMapper
     private val rulesByName: Map[String, Seq[Rule]] = m.rules.groupBy(_.name)
     /** Function rules in source order — Rego tries same-name bodies in
@@ -157,6 +195,9 @@ object RegoAuth {
       val deps = scala.collection.mutable.Map.empty[String, Set[String]]
         .withDefaultValue(Set.empty)
       def checkTerm(from: String, t: Term, bound: Set[String]): Unit = t match {
+        case Term.Ref("data") => sys.error(
+          "auth policy uses a bare 'data' reference — only full " +
+            "data.<pkg>.<name> paths resolve (against loaded data modules)")
         case Term.Ref(n) =>
           if (!bound(n)) {
             if (!rulesByName.contains(n))
@@ -176,12 +217,32 @@ object RegoAuth {
               s"(builtins: ${builtinNames.toSeq.sorted.mkString(", ")})")
           if (functions.contains(fn)) deps(from) += fn
           args.foreach(checkTerm(from, _, bound))
+        // a data-rooted path must resolve to a loaded constant — a
+        // typo'd data path (or a field absent from the constant's
+        // value) would otherwise be undefined and silently disarm its
+        // rule (the same fail-open every check here closes). Constants
+        // are static, so the FULL path is checkable at compile time.
+        case _: Term.Sel if dataPath(t).isDefined =>
+          val p = dataPath(t).get
+          if (dataResolve(p).isEmpty)
+            sys.error(s"auth policy references data.${p.mkString(".")} which " +
+              "no loaded data module defines")
         case Term.Bin(_, l, r) => checkTerm(from, l, bound); checkTerm(from, r, bound)
         case Term.Sel(b, RefPart.Idx(i)) => checkTerm(from, b, bound); checkTerm(from, i, bound)
         case Term.Sel(b, _) => checkTerm(from, b, bound)
         case Term.Obj(es) => es.foreach { case (k, v) =>
           checkTerm(from, k, bound); checkTerm(from, v, bound) }
         case Term.Arr(is) => is.foreach(checkTerm(from, _, bound))
+        case Term.SetLit(is) => is.foreach(checkTerm(from, _, bound))
+        // comprehension bodies bind like rule bodies; inner bindings
+        // don't leak past the comprehension
+        case Term.ArrCompr(h, b) =>
+          checkTerm(from, h, checkBody(from, b, bound))
+        case Term.SetCompr(h, b) =>
+          checkTerm(from, h, checkBody(from, b, bound))
+        case Term.ObjCompr(k, v, b) =>
+          val inner = checkBody(from, b, bound)
+          checkTerm(from, k, inner); checkTerm(from, v, inner)
         case _ =>
       }
       def checkBody(from: String, body: Seq[Stmt], bound0: Set[String]): Set[String] =
@@ -285,11 +346,64 @@ object RegoAuth {
           val vals: Seq[Any] = evalOne(xs, env0, input) match {
             case vec: Vector[_] => vec
             case mp: Map[_, _] => mp.values.toSeq
+            case st: Set[_] => st.toSeq
             case _ => throw Undefined
           }
           vals.foreach(x => evalBody(inner, env0 + (v -> x), input))
           evalBody(rest, env0, input)
       }
+
+    /** ALL solutions of a body (comprehension semantics). Total: a
+      * failing candidate binding contributes nothing rather than
+      * aborting the enumeration — [[evalBody]] stays the lazy
+      * first-solution path for rule bodies (it stops invoking effectful
+      * builtins at the first success); comprehensions need the full
+      * solution set anyway. `[_]` in a bare condition stays existential
+      * within its statement, as documented for rule bodies. */
+    private def solveAll(body: Seq[Stmt], env0: Map[String, Any],
+        input: Any): Seq[Map[String, Any]] = body match {
+      case Seq() => Seq(env0)
+      case Stmt.Assign(v, t) +: rest =>
+        val candidates =
+          try evalAll(t, env0, input) catch { case Undefined => Seq.empty }
+        candidates.flatMap(x => solveAll(rest, env0 + (v -> x), input))
+      case Stmt.Expr(t) +: rest =>
+        val ok =
+          try evalAll(t, env0, input).exists {
+            case b: Boolean => b
+            case _ => true
+          } catch { case Undefined => false }
+        if (ok) solveAll(rest, env0, input) else Seq.empty
+      case Stmt.Not(t) +: rest =>
+        val truthy =
+          try evalAll(t, env0, input).exists {
+            case b: Boolean => b
+            case _ => true
+          } catch { case Undefined => false }
+        if (truthy) Seq.empty else solveAll(rest, env0, input)
+      case (e: Stmt.Every) +: rest =>
+        val holds =
+          try { evalBody(Seq(e), env0, input); true }
+          catch { case Undefined => false }
+        if (holds) solveAll(rest, env0, input) else Seq.empty
+    }
+
+    /** The `data.a.b…` path of a term, if it is one. */
+    private def dataPath(t: Term): Option[List[String]] = t match {
+      case Term.Ref("data") => Some(Nil)
+      case Term.Sel(b, RefPart.Dot(n)) => dataPath(b).map(_ :+ n)
+      case _ => None
+    }
+
+    /** Resolve a data path: the longest prefix naming a loaded
+      * constant, remaining segments selected INTO that constant's value
+      * (object fields). None = nothing resolves. */
+    private def dataResolve(p: List[String]): Option[Any] =
+      (p.length to 1 by -1).view.flatMap { k =>
+        dataConsts.get(p.take(k)).map { base =>
+          p.drop(k).foldLeft(Option[Any](base))((b, key) => b.flatMap(sel(_, key)))
+        }
+      }.headOption.flatten
 
     /** All values a term can take (one per `[_]` expansion); empty =
       * undefined. */
@@ -302,12 +416,38 @@ object RegoAuth {
           .map { case (k: String, v) => k -> v
                  case (k, _) => throw Undefined }.toMap)
       case Term.Arr(is) => Seq(is.map(evalOne(_, env, input)).toVector)
+      case Term.SetLit(is) => Seq(is.map(evalOne(_, env, input)).toSet)
+      // comprehensions: one value per SOLUTION of the body, head
+      // evaluated under each solution's bindings (a solution whose head
+      // is undefined contributes nothing, as in OPA)
+      case Term.ArrCompr(h, b) =>
+        Seq(solveAll(b, env, input).flatMap(e =>
+          try Seq(evalOne(h, e, input)) catch { case Undefined => Seq.empty })
+          .toVector)
+      case Term.SetCompr(h, b) =>
+        Seq(solveAll(b, env, input).flatMap(e =>
+          try Seq(evalOne(h, e, input)) catch { case Undefined => Seq.empty })
+          .toSet)
+      case Term.ObjCompr(k, v, b) =>
+        val pairs = solveAll(b, env, input).flatMap { e =>
+          try Seq((evalOne(k, e, input), evalOne(v, e, input)))
+          catch { case Undefined => Seq.empty }
+        }
+        // OPA: one key bound to two different values is a CONFLICT —
+        // the whole comprehension is undefined, never a silent pick
+        val grouped = pairs.groupBy(_._1)
+        if (grouped.values.exists(_.map(_._2).distinct.size > 1)) throw Undefined
+        Seq(grouped.map { case (key, vs) =>
+          (key match { case s: String => s; case _ => throw Undefined }) -> vs.head._2
+        })
       case Term.Ref(n) =>
         env.get(n).map(Seq(_)).getOrElse {
           // bare reference to another rule: true iff any body succeeds
           if (rulesByName.contains(n)) evalCompleteRule(n, input).toSeq
           else Seq.empty
         }
+      case _: Term.Sel if dataPath(t).isDefined =>
+        dataResolve(dataPath(t).get).toSeq
       case Term.Sel(b, part) =>
         evalAll(b, env, input).flatMap { base =>
           part match {
@@ -325,6 +465,7 @@ object RegoAuth {
             case RefPart.Wildcard => base match {
               case v: Vector[_] => v
               case mp: Map[_, _] => mp.values.toSeq
+              case st: Set[_] => st.toSeq
               case _ => Seq.empty
             }
           }
@@ -360,8 +501,9 @@ object RegoAuth {
     private def binop(op: String, l: Any, r: Any): Any = (op, l, r) match {
       case ("==", a, b) => a == b
       case ("!=", a, b) => a != b
-      // OPA v1 membership: arrays by element, objects by VALUE
+      // OPA v1 membership: arrays/sets by element, objects by VALUE
       case ("in", a, v: Vector[_]) => v.contains(a)
+      case ("in", a, st: Set[_]) => st.asInstanceOf[Set[Any]].contains(a)
       case ("in", a, mp: Map[_, _]) =>
         mp.asInstanceOf[Map[String, Any]].values.exists(_ == a)
       case ("<", a: BigDecimal, b: BigDecimal) => a < b
@@ -391,6 +533,7 @@ object RegoAuth {
       case ("split", Seq(s: String, sep: String)) =>
         s.split(java.util.regex.Pattern.quote(sep), -1).toVector
       case ("count", Seq(v: Vector[_])) => BigDecimal(v.size)
+      case ("count", Seq(st: Set[_])) => BigDecimal(st.size)
       case ("count", Seq(s: String)) => BigDecimal(s.length)
       case ("count", Seq(m: Map[_, _])) => BigDecimal(m.size)
       case ("concat", Seq(sep: String, v: Vector[_])) =>

@@ -17,18 +17,22 @@ package graft.rules.rego
   *     `every v in xs { … }` (universal quantification)
   *   - `else` chains on complete and function rules (desugared to
   *     ordered same-name rules — first match wins)
-  *   - terms: string/number/bool literals, object/array literals,
-  *     dotted refs with `[index]` / `["key"]` / `[_]`, namespaced calls
-  *     (`time.parse_rfc3339_ns`, `io.jwt.verify_rs256`), arithmetic
-  *     (`+ - * / %`), comparisons (`== != < <= > >=`, body `=`), and
-  *     `x in collection` membership
+  *   - terms: string/number/bool literals, object/array/set literals
+  *     (`{a, b}`), array/set/object comprehensions (`[h | body]`,
+  *     `{h | body}`, `{k: v | body}`), dotted refs with `[index]` /
+  *     `["key"]` / `[_]`, namespaced calls (`time.parse_rfc3339_ns`,
+  *     `io.jwt.verify_rs256`), arithmetic (`+ - * / %`), comparisons
+  *     (`== != < <= > >=`, body `=`), and `x in collection` membership
+  *   - cross-package `data.<pkg>.<name>` references (resolved by the
+  *     compiler/evaluator against sibling modules — see
+  *     [[RegoRules.compileAll]] / [[RegoAuth.compile]])
   *
-  * NOT a full OPA implementation — no `some i` index form, no
-  * comprehensions, no `with`, no multi-value variables unified across
-  * statements (a `[_]` is existential within its own statement). Parse
-  * errors and out-of-subset constructs fail loudly with line/column;
-  * nothing is silently skipped — a policy that parses here means every
-  * one of its rules is enforced.
+  * NOT a full OPA implementation — no `some i` index form, no `with`,
+  * no multi-value variables unified across statements (a `[_]` is
+  * existential within its own statement). Parse errors and
+  * out-of-subset constructs fail loudly with line/column; nothing is
+  * silently skipped — a policy that parses here means every one of its
+  * rules is enforced.
   */
 object RegoParser {
 
@@ -46,6 +50,9 @@ object RegoParser {
     final case class Call(fn: String, args: Seq[Term]) extends Term
     final case class Obj(entries: Seq[(Term, Term)]) extends Term
     final case class Arr(items: Seq[Term]) extends Term
+    /** `{a, b, c}` — a Rego set literal (distinct, unordered; `{}` is
+      * the empty OBJECT as in OPA — the empty set has no literal). */
+    final case class SetLit(items: Seq[Term]) extends Term
     final case class Bin(op: String, l: Term, r: Term) extends Term
     /** `[head | body]` — one element per solution of `body`, in
       * enumeration order. */
@@ -409,31 +416,81 @@ object RegoParser {
       case _ => err("expected a term")
     }
 
+    /** `{…}` disambiguates on the first entry: `k: v` continues as an
+      * object (or `{k: v | body}` — object comprehension), a bare term
+      * followed by `|` is a set comprehension, and a bare term followed
+      * by `,`/`}` starts a set literal. `{}` is the empty OBJECT (OPA:
+      * the empty set has no literal). */
     private def objLit(): Term = {
       eatPunct("{")
-      val entries = Seq.newBuilder[(Term, Term)]
-      while (!isPunct("}")) {
-        val k = term()
-        eatPunct(":")
+      if (isPunct("}")) { pos += 1; return Term.Obj(Nil) }
+      val first = term()
+      if (isPunct(":")) {
+        pos += 1
         val v = term()
-        entries += ((k, v))
-        if (isPunct(",")) pos += 1
-        else if (!isPunct("}")) err("expected ',' or '}' in object")
+        if (isPunct("|")) { // {k: v | body}
+          pos += 1
+          return Term.ObjCompr(first, v, comprBody("}"))
+        }
+        val entries = Seq.newBuilder[(Term, Term)]
+        entries += ((first, v))
+        while (!isPunct("}")) {
+          if (isPunct(",")) pos += 1
+          else err("expected ',' or '}' in object")
+          if (!isPunct("}")) {
+            val k = term()
+            eatPunct(":")
+            entries += ((k, term()))
+          }
+        }
+        eatPunct("}")
+        Term.Obj(entries.result())
+      } else if (isPunct("|")) { // {head | body}
+        pos += 1
+        Term.SetCompr(first, comprBody("}"))
+      } else { // {a, b, c} — set literal
+        val items = Seq.newBuilder[Term]
+        items += first
+        while (!isPunct("}")) {
+          if (isPunct(",")) pos += 1
+          else err("expected ',' or '}' in set literal")
+          if (!isPunct("}")) items += term()
+        }
+        eatPunct("}")
+        Term.SetLit(items.result())
       }
-      eatPunct("}")
-      Term.Obj(entries.result())
     }
 
     private def arrLit(): Term = {
       eatPunct("[")
+      if (isPunct("]")) { pos += 1; return Term.Arr(Nil) }
+      val first = term()
+      if (isPunct("|")) { // [head | body]
+        pos += 1
+        return Term.ArrCompr(first, comprBody("]"))
+      }
       val items = Seq.newBuilder[Term]
+      items += first
       while (!isPunct("]")) {
-        items += term()
         if (isPunct(",")) pos += 1
-        else if (!isPunct("]")) err("expected ',' or ']' in array")
+        else err("expected ',' or ']' in array")
+        if (!isPunct("]")) items += term()
       }
       eatPunct("]")
       Term.Arr(items.result())
+    }
+
+    /** Statements of a comprehension body, up to (not eating past) the
+      * closing bracket. Same statement grammar as rule bodies. */
+    private def comprBody(close: String): Seq[Stmt] = {
+      val stmts = Seq.newBuilder[Stmt]
+      while (!isPunct(close)) {
+        if (cur.isInstanceOf[TEof]) err(s"expected '$close'")
+        if (isPunct(";")) { pos += 1 }
+        else stmts += stmt()
+      }
+      eatPunct(close)
+      stmts.result()
     }
   }
 }

@@ -40,19 +40,99 @@ object RegoRules {
     * here: auth is request-path configuration, not part of [[Rules]] —
     * load it with [[RegoAuth.compile]] and hand the predicate to
     * [[graft.sources.PushReceiver]]. */
-  def compile(src: String): Rules = {
-    val m = RegoParser.parse(src)
-    m.pkg match {
-      case Seq("event") => Rules(eventRules(m), Nil)
-      case Seq("schema", name @ _*) if name.nonEmpty =>
-        Rules(Nil, schemaRules(m, name.mkString("_")))
-      case Seq("auth") =>
-        sys.error("package auth is a request-path policy — compile it with " +
-          "RegoAuth.compile and pass the predicate to PushReceiver, not RuleLoader")
-      case other =>
-        sys.error(s"unsupported rego package '${other.mkString(".")}' " +
-          "(expected event | schema.<name> | auth)")
+  def compile(src: String): Rules = compileAll(Seq(src))
+
+  /** Compile a SET of Rego modules together, resolving cross-package
+    * `data.<pkg>.<name>` references: modules whose package is neither
+    * `event`, `schema.*`, nor `auth` are DATA modules — shared constant
+    * tables (OPA's `data` document, loaded from a policy dir the way
+    * the reference loads its whole policy tree) whose rules must be
+    * parameterless literal constants (`allowed := {"a", "b"}`). Every
+    * `data.` reference in an event/schema rule substitutes its constant
+    * at COMPILE time, so cross-package structure costs nothing on the
+    * record path. An unresolved `data.` path fails loudly. */
+  def compileAll(srcs: Seq[String]): Rules = {
+    val modules = srcs.map(RegoParser.parse)
+    val dataConsts: Map[List[String], Term] = modules
+      .filter(m => m.pkg != Seq("event") && m.pkg != Seq("auth") &&
+        m.pkg.headOption != Some("schema"))
+      .flatMap { m =>
+        m.rules.map { r =>
+          require(r.params.isEmpty && r.body.isEmpty && r.key.isEmpty,
+            s"data module ${m.pkg.mkString(".")}: rule '${r.name}' must be a " +
+              "parameterless constant (name := <literal>)")
+          val v = r.value.getOrElse(sys.error(
+            s"data module ${m.pkg.mkString(".")}: rule '${r.name}' has no value"))
+          requireLiteral(v, s"${m.pkg.mkString(".")}.${r.name}")
+          (m.pkg.toList :+ r.name) -> v
+        }
+      }.toMap
+    val compiled = modules.flatMap { m =>
+      m.pkg match {
+        case Seq("event") =>
+          Some(Rules(eventRules(substData(m, dataConsts)), Nil))
+        case Seq("schema", name @ _*) if name.nonEmpty =>
+          Some(Rules(Nil, schemaRules(substData(m, dataConsts), name.mkString("_"))))
+        case Seq("auth") =>
+          sys.error("package auth is a request-path policy — compile it with " +
+            "RegoAuth.compile and pass the predicate to PushReceiver, not RuleLoader")
+        case _ => None // data module — constants only
+      }
     }
+    require(compiled.nonEmpty,
+      "no event/schema modules among the loaded rego sources (only data modules)")
+    compiled.reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))
+  }
+
+  /** Literal check for data-module constants: strings, numbers, bools,
+    * and arrays/sets/objects thereof. */
+  private def requireLiteral(t: Term, what: String): Unit = t match {
+    case _: Term.Str | _: Term.Num | _: Term.Bool =>
+    case Term.Arr(is) => is.foreach(requireLiteral(_, what))
+    case Term.SetLit(is) => is.foreach(requireLiteral(_, what))
+    case Term.Obj(es) => es.foreach { case (k, v) =>
+      requireLiteral(k, what); requireLiteral(v, what) }
+    case other => sys.error(s"data constant $what must be a literal, got $other")
+  }
+
+  /** The `data.a.b…` path of a term, if it is one. */
+  private def dataPath(t: Term): Option[List[String]] = t match {
+    case Term.Ref("data") => Some(Nil)
+    case Term.Sel(b, RefPart.Dot(n)) => dataPath(b).map(_ :+ n)
+    case _ => None
+  }
+
+  /** Substitute every `data.<pkg>.<name>` reference in a module with
+    * its constant term. A data-rooted path that resolves to nothing
+    * fails loudly (a typo'd constant must not silently never-match). */
+  private def substData(m: Module, consts: Map[List[String], Term]): Module = {
+    def term(t: Term): Term = dataPath(t) match {
+      case Some(p) if consts.contains(p) => consts(p)
+      case Some(p) if p.nonEmpty => sys.error(
+        s"${m.pkg.mkString(".")}: data.${p.mkString(".")} resolves to no " +
+          "loaded data-module constant")
+      case _ => t match {
+        case Term.Sel(b, RefPart.Idx(i)) => Term.Sel(term(b), RefPart.Idx(term(i)))
+        case Term.Sel(b, part) => Term.Sel(term(b), part)
+        case Term.Call(fn, args) => Term.Call(fn, args.map(term))
+        case Term.Obj(es) => Term.Obj(es.map { case (k, v) => (term(k), term(v)) })
+        case Term.Arr(is) => Term.Arr(is.map(term))
+        case Term.SetLit(is) => Term.SetLit(is.map(term))
+        case Term.Bin(op, l, r) => Term.Bin(op, term(l), term(r))
+        case Term.ArrCompr(h, b) => Term.ArrCompr(term(h), b.map(stmt))
+        case Term.SetCompr(h, b) => Term.SetCompr(term(h), b.map(stmt))
+        case Term.ObjCompr(k, v, b) => Term.ObjCompr(term(k), term(v), b.map(stmt))
+        case other => other
+      }
+    }
+    def stmt(s: Stmt): Stmt = s match {
+      case Stmt.Assign(n, v) => Stmt.Assign(n, term(v))
+      case Stmt.Expr(t) => Stmt.Expr(term(t))
+      case Stmt.Not(t) => Stmt.Not(term(t))
+      case Stmt.Every(v, xs, b) => Stmt.Every(v, term(xs), b.map(stmt))
+    }
+    Module(m.pkg, m.rules.map(r => r.copy(
+      key = r.key.map(term), value = r.value.map(term), body = r.body.map(stmt))))
   }
 
   // ---- event rules ----------------------------------------------------
@@ -158,11 +238,13 @@ object RegoRules {
   private def schemaRule(r: Rule, name: String): SchemaRule = {
     val (out, body0) = setOutput(r, s"schema.$name")
 
-    // `v := input.<arr>[_]` → explode; other assigns → inline substitution
+    // `v := input.<arr>[_]` → explode; other assigns → inline
+    // substitution. Conditions compile AFTER the loop (closures over
+    // the final ref resolver), so late assigns still reach early conds.
     var explodePath: Option[String] = None
     var recordVar: Option[String] = None
     var subst = Map.empty[String, String]
-    val conds = Seq.newBuilder[(Term, Boolean)] // (condition, negated?)
+    val conds = Seq.newBuilder[(Term => String) => String]
     body0.foreach {
       case Stmt.Assign(v, Term.Sel(arr, RefPart.Wildcard)) =>
         val path = inputPath(arr).getOrElse(
@@ -172,19 +254,22 @@ object RegoRules {
         recordVar = Some(v)
       case Stmt.Assign(v, value) =>
         subst += v -> sqlExpr(value, recordSql(recordVar, subst, name))
-      case Stmt.Expr(t) => conds += ((t, false))
-      case Stmt.Not(t) => conds += ((t, true))
-      case _: Stmt.Every => sys.error(s"schema.$name: 'every' is not in the " +
-        "data-plane subset (use a when condition with forall semantics by hand)")
+      case Stmt.Expr(t) => conds += (ref => sqlExpr(t, ref))
+      // Rego `not`: undefined-or-false — null-safe SQL negation
+      case Stmt.Not(t) => conds += (ref => s"NOT coalesce((${sqlExpr(t, ref)}), false)")
+      // `every v in xs { conds }` → forall(xs, v -> conds): universal
+      // quantification compiled to the native higher-order function.
+      // Rego's vacuous-truth on empty matches forall([]); an undefined
+      // xs (missing path → NULL array) makes forall NULL, which the
+      // when-filter treats as false — Rego's undefined-fails-the-body.
+      case Stmt.Every(v, xs, inner) =>
+        conds += (ref => everySql(v, xs, inner, ref, s"schema.$name"))
     }
     val ref: Term => String = recordSql(recordVar, subst, name)
     val when = {
       val cs = conds.result()
-      if (cs.isEmpty) None else Some(cs.map {
-        // Rego `not`: undefined-or-false — null-safe SQL negation
-        case (c, true) => s"NOT coalesce((${sqlExpr(c, ref)}), false)"
-        case (c, false) => sqlExpr(c, ref)
-      }.mkString("(", ") AND (", ")"))
+      if (cs.isEmpty) None
+      else Some(cs.map(_(ref)).mkString("(", ") AND (", ")"))
     }
 
     val keys = objTerms(out, s"schema.$name")
@@ -293,6 +378,65 @@ object RegoRules {
       case (k, other) => sys.error(s"$what: value of '$k' must be a string literal, got $other")
     }
 
+  /** Lambda-scoped reference resolution: `v` / `v.a.b` → the SQL
+    * lambda variable; anything else falls through to the enclosing
+    * resolver (correlated references to the record are legal inside a
+    * Spark SQL lambda). Rego variables are identifier-safe, so the
+    * Rego name IS the lambda name. */
+  private def lambdaRef(v: String, outer: Term => String)(t: Term): String = {
+    def path(x: Term, acc: List[String]): Option[List[String]] = x match {
+      case Term.Ref(`v`) => Some(acc)
+      case Term.Sel(b, RefPart.Dot(p)) => path(b, p :: acc)
+      case _ => None
+    }
+    path(t, Nil) match {
+      case Some(Nil) => v
+      case Some(p) => (v +: p.map(f => s"`$f`")).mkString(".")
+      case None => outer(t)
+    }
+  }
+
+  /** `every v in xs { body }` → `forall(<xs>, v -> <conjunction>)`. */
+  private def everySql(v: String, xs: Term, body: Seq[Stmt],
+      ref: Term => String, what: String): String = {
+    val inner = lambdaRef(v, ref) _
+    val cs = body.map {
+      case Stmt.Expr(t) => sqlExpr(t, inner)
+      case Stmt.Not(t) => s"NOT coalesce((${sqlExpr(t, inner)}), false)"
+      case other => sys.error(s"$what: a data-plane 'every' body supports " +
+        s"only conditions over the bound variable (got $other)")
+    }
+    val conj = if (cs.isEmpty) "true" else cs.mkString("(", ") AND (", ")")
+    s"forall(${sqlExpr(xs, ref)}, $v -> $conj)"
+  }
+
+  /** Array/set comprehension → `transform(filter(xs, v -> conds), v ->
+    * head)`: the data-plane subset is exactly one `v := xs[_]` binding
+    * (or `some v in xs`) followed by conditions — the
+    * enumerate-filter-map shape, which IS what Spark's higher-order
+    * functions express. Sets add `array_distinct`. */
+  private def comprSql(head: Term, body: Seq[Stmt], ref: Term => String,
+      distinct: Boolean, what: String): String = body match {
+    case Stmt.Assign(v, Term.Sel(src, RefPart.Wildcard)) +: conds =>
+      val inner = lambdaRef(v, ref) _
+      val cs = conds.map {
+        case Stmt.Expr(t) => sqlExpr(t, inner)
+        case Stmt.Not(t) => s"NOT coalesce((${sqlExpr(t, inner)}), false)"
+        case other => sys.error(s"$what: a data-plane comprehension body is " +
+          s"one 'v := xs[_]' binding followed by conditions (got $other)")
+      }
+      val filtered =
+        if (cs.isEmpty) sqlExpr(src, ref)
+        else s"filter(${sqlExpr(src, ref)}, $v -> ${cs.mkString("(", ") AND (", ")")})"
+      val mapped = head match {
+        case Term.Ref(`v`) => filtered // identity head — no transform pass
+        case _ => s"transform($filtered, $v -> ${sqlExpr(head, inner)})"
+      }
+      if (distinct) s"array_distinct($mapped)" else mapped
+    case _ => sys.error(s"$what: a data-plane comprehension body must START " +
+      "with its 'v := xs[_]' (or 'some v in xs') binding")
+  }
+
   /** Term → Spark SQL, with `ref` resolving variable/input references
     * per rule kind. Builtins map to codegen'd Spark functions. */
   private def sqlExpr(t: Term, ref: Term => String): String = t match {
@@ -302,13 +446,23 @@ object RegoRules {
     case Term.Num(v) => v.underlying.toPlainString
     case Term.Bool(v) => v.toString
     case Term.Bin("in", l, r) => r match {
-      // membership: literal list → codegen'd IN; anything else (an
-      // input array path) → array_contains
+      // membership: literal list/set → codegen'd IN; anything else (an
+      // input array path, a comprehension) → array_contains
       case Term.Arr(items) =>
+        s"(${sqlExpr(l, ref)} IN (${items.map(sqlExpr(_, ref)).mkString(", ")}))"
+      case Term.SetLit(items) =>
         s"(${sqlExpr(l, ref)} IN (${items.map(sqlExpr(_, ref)).mkString(", ")}))"
       case other =>
         s"array_contains(${sqlExpr(other, ref)}, ${sqlExpr(l, ref)})"
     }
+    case Term.ArrCompr(h, b) => comprSql(h, b, ref, distinct = false, "comprehension")
+    case Term.SetCompr(h, b) => comprSql(h, b, ref, distinct = true, "comprehension")
+    case _: Term.ObjCompr => sys.error(
+      "object comprehensions are request-path (auth) only — data-plane rules " +
+        "compile to columnar SQL, which has no dynamic-key map build")
+    case _: Term.SetLit => sys.error(
+      "a set literal in a data-plane rule is only supported as the right side " +
+        "of 'in' (membership compiles to a codegen'd IN list)")
     case Term.Bin(op, l, r) =>
       val sqlOp = op match {
         case "==" => "=" ; case "!=" => "<>"

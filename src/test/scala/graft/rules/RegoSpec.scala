@@ -628,6 +628,187 @@ src[{"schema": "s"}] { input.cs.bucket in ["corp-logs", "corp-audit"] }""")
     assert(matched(r.event.head.name) == Set("/a.log", "/b.log"))
   }
 
+  // ---- sets, comprehensions, every, data.-refs (full-generality pass) --
+
+  test("auth: set literals — membership, count, iteration") {
+    val allow = RegoAuth.compile("""package auth
+default deny = true
+deny := false {
+	input.method in {"GET", "HEAD"}
+	count({"a", "b", "a"}) == 2
+}""")
+    assert(allow(AuthInput("GET", "/", "", Map.empty, Map.empty, "")))
+    assert(allow(AuthInput("HEAD", "/", "", Map.empty, Map.empty, "")))
+    assert(!allow(AuthInput("POST", "/", "", Map.empty, Map.empty, "")))
+  }
+
+  test("auth: array/set/object comprehensions enumerate body solutions") {
+    val allow = RegoAuth.compile("""package auth
+default deny = true
+scopes := [s | s := split(input.header["X-Scopes"][0], ",")[_]; s != ""]
+uniq := {s | s := split(input.header["X-Scopes"][0], ",")[_]; s != ""}
+lens := {s: count(s) | s := split(input.header["X-Scopes"][0], ",")[_]; s != ""}
+deny := false {
+	count(scopes) == 3
+	count(uniq) == 2
+	"read" in uniq
+	lens["write"] == 5
+}""")
+    def in(h: String) = AuthInput("GET", "/", "",
+      Map.empty, Map("X-Scopes" -> Seq(h)), "")
+    // duplicates: the ARRAY keeps them (3), the SET collapses (2); the
+    // object maps each scope to its length
+    assert(allow(in("read,write,read")))
+    assert(!allow(in("read,write")), "array count must see 3 elements")
+    assert(!allow(in("read,read,read")), "set must collapse to 1, not 2")
+  }
+
+  test("auth: object comprehension key conflict is undefined (rule fails closed)") {
+    val allow = RegoAuth.compile("""package auth
+default deny = true
+m := {k: v | p := split(input.header["X-P"][0], ",")[_]; k := split(p, "=")[0]; v := split(p, "=")[1]}
+deny := false { m["a"] == "1" }""")
+    def in(h: String) = AuthInput("GET", "/", "",
+      Map.empty, Map("X-P" -> Seq(h)), "")
+    assert(allow(in("a=1,b=2")))
+    // same key bound to two values: the comprehension is UNDEFINED
+    // (OPA conflict), so the deny-false rule fails and default denies
+    assert(!allow(in("a=1,a=2")))
+    // same key, same value: no conflict
+    assert(allow(in("a=1,a=1")))
+  }
+
+  test("auth: data.<pkg> constants resolve from sibling modules; typos fail at compile") {
+    val data = Seq("""package tokens
+allowed := {"tok-a", "tok-b"}
+limits := {"max_scopes": 2}
+""")
+    val allow = RegoAuth.compile("""package auth
+default deny = true
+deny := false {
+	split(input.header["Authorization"][0], " ")[1] in data.tokens.allowed
+	count(split(input.header["X-Scopes"][0], ",")) <= data.tokens.limits.max_scopes
+}""", RegoAuth.Config(), data)
+    def in(tok: String, scopes: String) = AuthInput("GET", "/", "", Map.empty,
+      Map("Authorization" -> Seq(s"Bearer $tok"), "X-Scopes" -> Seq(scopes)), "")
+    assert(allow(in("tok-a", "read,write")))
+    assert(!allow(in("tok-c", "read")), "token outside the data set must deny")
+    assert(!allow(in("tok-a", "a,b,c")), "scope count over the data limit must deny")
+    // a typo'd data path fails at COMPILE (it would silently fail open
+    // a deny body, or fail closed an allow — either way, silently)
+    val e = intercept[RuntimeException](RegoAuth.compile(
+      "package auth\ndeny { data.tokens.missing == 1 }", RegoAuth.Config(), data))
+    assert(e.getMessage.contains("data.tokens.missing"))
+    // same for a field absent from an object constant
+    val e2 = intercept[RuntimeException](RegoAuth.compile(
+      "package auth\ndeny { data.tokens.limits.nope == 1 }", RegoAuth.Config(), data))
+    assert(e2.getMessage.contains("data.tokens.limits.nope"))
+  }
+
+  test("event rules: membership against a data-module constant (set + scalar)") {
+    import spark.implicits._
+    val rules = RegoRules.compileAll(Seq(
+      """package buckets
+logs := {"corp-logs", "corp-audit"}
+max_size := 5""",
+      """package event
+src[{"schema": "s"}] {
+	input.cs.bucket in data.buckets.logs
+	input.size <= data.buckets.max_size
+}"""))
+    assert(rules.event.head.when.contains(" IN ("))
+    assert(rules.event.head.when.contains("5"))
+    val meta = Seq(
+      ("corp-logs", "/a.log", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "aa"),
+      ("corp-audit", "/b.log", 9L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "bb"),
+      ("other", "/c.log", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "cc"))
+      .toDF("bucket", "name", "size", "created_at", "md5")
+    val matched = rules.matchObjects(meta).map { case (er, df) =>
+      er.name -> df.select("name").as[String].collect().toSet
+    }.toMap
+    assert(matched(rules.event.head.name) == Set("/a.log"))
+    // an unresolved data path fails at compile, not silently-never-match
+    val e = intercept[RuntimeException](RegoRules.compileAll(Seq(
+      "package buckets\nlogs := [\"x\"]",
+      "package event\nsrc[{\"schema\": \"s\"}] { input.cs.bucket in data.buckets.nope }")))
+    assert(e.getMessage.contains("data.buckets.nope"))
+  }
+
+  test("schema rules: `every` compiles to forall; vacuous on empty, null fails") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    val rules = RegoRules.compile("""package schema.ev
+log[{"dataset": "d", "table": "t", "timestamp": input.ts, "data": input}] {
+	every c in input.codes { c < 400 }
+}""")
+    val when = rules.schemaRule("ev").when.get
+    assert(when.contains("forall("))
+    val df = Seq(
+      (1L, Some(Seq(200, 301))),
+      (2L, Some(Seq(200, 500))),
+      (3L, Some(Seq.empty[Int])),
+      (4L, Option.empty[Seq[Int]]))
+      .toDF("ts", "codes")
+    val kept = df.filter(expr(when)).select("ts").as[Long].collect().toSet
+    // 500 fails the forall; the empty array is vacuously true; the
+    // NULL array is Rego-undefined → body fails → row drops
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("schema rules: comprehensions compile to filter/transform higher-order SQL") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    // array comprehension + count ≡ "no error codes"; set comprehension
+    // counts DISTINCT codes
+    val rules = RegoRules.compile("""package schema.cp
+log[{"dataset": "d", "table": "t", "timestamp": input.ts, "data": input}] {
+	count([c | c := input.codes[_]; c >= 400]) == 0
+	count({c | c := input.codes[_]}) == 2
+}""")
+    val when = rules.schemaRule("cp").when.get
+    assert(when.contains("filter(") && when.contains("size(") &&
+      when.contains("array_distinct("))
+    val df = Seq(
+      (1L, Seq(200, 301)),       // no errors, 2 distinct → kept
+      (2L, Seq(200, 500)),       // a 500 → dropped
+      (3L, Seq(200, 200)))       // 1 distinct → dropped
+      .toDF("ts", "codes")
+    val kept = df.filter(expr(when)).select("ts").as[Long].collect().toSet
+    assert(kept == Set(1L))
+    // a transform pass appears only for a non-identity head
+    val r2 = RegoRules.compile("""package schema.tf
+log[{"dataset": "d", "table": "t", "timestamp": input.ts, "data": input}] {
+	1000 in [c * 2 | c := input.codes[_]]
+}""")
+    val w2 = r2.schemaRule("tf").when.get
+    assert(w2.contains("transform("))
+    val kept2 = df.filter(expr(w2)).select("ts").as[Long].collect().toSet
+    assert(kept2 == Set(2L)) // 500 * 2
+  }
+
+  test("RuleLoader.fromDir resolves data.-references across sibling .rego files") {
+    val dir = tmpDir("rego-dir")
+    writeFile(dir, "00_data.rego", """package consts
+buckets := ["corp-logs"]
+max := 100
+""")
+    writeFile(dir, "10_event.rego", """package event
+src[{"schema": "s"}] {
+	input.cs.bucket in data.consts.buckets
+	input.size <= data.consts.max
+}
+""")
+    writeFile(dir, "20_schema.rego", """package schema.s
+log[{"dataset": "d", "table": "t", "timestamp": input.ts, "data": input}] {
+	input.n <= data.consts.max
+}
+""")
+    val rules = RuleLoader.fromDir(dir)
+    assert(rules.event.size == 1 && rules.schema.size == 1)
+    assert(rules.event.head.when.contains("100"))
+    assert(rules.schemaRule("s").when.get.contains("100"))
+  }
+
   // ---- parser details --------------------------------------------------
 
   test("parser: truncated policy fails with a RegoError, not an index error") {
