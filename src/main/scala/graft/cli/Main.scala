@@ -46,7 +46,7 @@ object Main {
       |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  score   --output <dir> [--band <loQ,hiQ> --value-col <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -469,12 +469,25 @@ object Main {
         // corpus-statistics document scoring: by default the bigram-LM
         // cross-entropy (q81, the CCNet-style quality signal); with
         // --band loQ,hiQ --value-col <c>, the adaptive percentile-band
-        // filter (q92 — thresholds from the corpus, not constants)
+        // filter (q92 — thresholds from the corpus, not constants);
+        // with --label <c>, the closed-form Naive Bayes classifier
+        // (q97 — self-classification: label ≠ predicted rows are the
+        // mislabel/contamination audit surface)
         require(pos.size == 1, "score needs exactly one <ds.tbl|parquetDir>")
         import org.apache.spark.sql.functions.{col => c, coalesce, lit, lower, round, avg, sum => fsum}
         val df = readTable(spark, flags, pos.head)
         val idCol = flags.getOrElse("id-col", "doc_id")
-        flags.get("band") match {
+        if (flags.contains("label")) {
+          val out = graft.curation.Classifier.naiveBayes(df, c(idCol),
+              graft.text.TextFunctions.tokens(
+                lower(c(flags.getOrElse("text-col", "text")))),
+              c(flags("label")))
+            .withColumnRenamed("__id", idCol)
+          out.write.mode("overwrite").parquet(req(flags, "output"))
+          val got = spark.read.parquet(req(flags, "output"))
+          val agree = got.where(c("label") === c("predicted")).count()
+          println(s"self-agreement: $agree/${got.count()}")
+        } else flags.get("band") match {
           case Some(band) =>
             val Array(loQ, hiQ) = band.split(",", 2).map(_.trim.toDouble)
             val out = graft.curation.Packing.percentileFilter(df,

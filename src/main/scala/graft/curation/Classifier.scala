@@ -1,0 +1,96 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Corpus-trained document classification — the fasttext/CCNet-style
+  * pipeline classifier (domain routing, quality bucketing, source
+  * attribution) as a closed-form model the engine trains AND applies
+  * in one pass, with no external model artifact.
+  *
+  * The model is multinomial Naive Bayes with add-one smoothing:
+  * `score(d, c) = ln P(c) + Σ_w ln P(w | c)` with
+  * `P(w|c) = (count(w,c) + 1) / (tokens_c + V)` over the joint
+  * vocabulary. Closed-form counts — not SGD — because every quantity
+  * is an integer aggregate: training is two hash aggregations, and the
+  * scores are exactly reproducible in any engine (the DuckDB oracle
+  * replays them bit-for-bit), which no iteratively-trained model gives.
+  *
+  * Scale shape (100 TB): training collapses to vocabulary-bounded
+  * tables — per-(token, class) counts (one shuffle, map-side partial
+  * agg), per-class token totals and doc counts (tiny), vocabulary size
+  * (one row). Scoring re-joins the token stream to the count table on
+  * the token key (AQE broadcasts it when small; Heaps' law keeps it
+  * far below corpus size) and folds per (doc, class) — one shuffle,
+  * state bounded by documents × classes. No driver-side collect.
+  *
+  * Determinism contract (the [[LangModel]] discipline): every log
+  * argument is an exact integer (`count + 1`, `tokens_c + V`,
+  * `docs_c`, `N`), the per-(doc, class) fold runs in token order from
+  * an explicit 0.0, and the final score rounds to 6 decimals before
+  * the argmax; class ties break lexicographically.
+  */
+object Classifier {
+
+  /** Train on `docs` (each row labeled `label`) and score every doc
+    * against every class, keeping the argmax.
+    *
+    * Output: `(__id, label, predicted, score)` — one row per input
+    * document; `score` is the winning class's rounded log-posterior
+    * (up to the constant evidence term). Documents with no tokens get
+    * the prior-only argmax. Self-classification (train = score corpus)
+    * is the pipeline shape: confidently-misrouted documents — label ≠
+    * predicted with a large margin — are the mislabel/contamination
+    * audit surface.
+    */
+  def naiveBayes(docs: DataFrame, id: Column, toks: Column,
+      label: Column): DataFrame = {
+    val base = docs.select(id.as("__id"), label.as("label"), toks.as("__t"))
+    val tok = base.where(size(col("__t")) > 0)
+      .select(col("__id"), col("label"),
+        posexplode(col("__t")).as(Seq("pos", "w")))
+
+    // class-level aggregates: all vocabulary/class-bounded (tiny)
+    val cls = base.groupBy(col("label").as("cls"))
+      .agg(count(lit(1)).as("docs_c"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val tokc = tok.groupBy(col("label").as("cls")).agg(count(lit(1)).as("tok_c"))
+    val v = tok.agg(countDistinct(col("w")).as("v"))
+    val cwc = tok.groupBy(col("w"), col("label").as("cls"))
+      .agg(count(lit(1)).as("cwc"))
+
+    // dense (doc token × class) log-likelihoods: a zero count smooths
+    // to ln(1/(tok_c + V)), so the left join's null IS the model
+    val lp = log((coalesce(col("cwc"), lit(0L)) + 1L).cast(DoubleType)) -
+      log((col("tok_c") + col("v")).cast(DoubleType))
+    val pairs = tok.select(col("__id"), col("pos"), col("w"))
+      .crossJoin(broadcast(tokc))
+      .crossJoin(broadcast(v))
+      .join(broadcast(cwc), Seq("w", "cls"), "left")
+      .select(col("__id"), col("cls"), col("pos"), lp.as("lp"))
+
+    // in-order fold per (doc, class) — the determinism contract
+    val sums = pairs
+      .groupBy(col("__id"), col("cls"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("xs"))
+      .select(col("__id"), col("cls"),
+        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("lp")).as("s"))
+
+    val prior = log(col("docs_c").cast(DoubleType)) - log(col("n").cast(DoubleType))
+    val scored = base.select(col("__id"), col("label"))
+      .crossJoin(broadcast(cls))
+      .crossJoin(broadcast(n))
+      .join(sums, Seq("__id", "cls"), "left")
+      .select(col("__id"), col("label"), col("cls"),
+        round(prior + coalesce(col("s"), lit(0.0)), 6).as("score"))
+
+    val rank = Window.partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("cls"))
+    scored
+      .withColumn("__rn", row_number().over(rank))
+      .where(col("__rn") === 1)
+      .select(col("__id"), col("label"), col("cls").as("predicted"), col("score"))
+  }
+}

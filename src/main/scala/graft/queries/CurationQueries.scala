@@ -2143,6 +2143,61 @@ object CurationQueries {
            length(text) AS n_chars
     FROM documents ORDER BY doc_id"""
 
+  // ---- q97: Naive Bayes document classifier ----
+
+  /** q97: [[graft.curation.Classifier.naiveBayes]] — the
+    * fasttext/CCNet-style pipeline classifier (domain routing, source
+    * attribution, mislabel auditing) as closed-form multinomial NB:
+    * trained distributed on two count aggregations and applied in the
+    * same pass, self-classifying every document against its `source`
+    * label. Closed-form counts make every score an exact
+    * integer-ln fold, so DuckDB replays training AND inference
+    * bit-for-bit — an iteratively-trained model could never be
+    * hash-checked like this. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    graft.curation.Classifier.naiveBayes(docs(s, d), col("doc_id"),
+        tokens(lower(col("text"))), col("source"))
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  val q97Sql: String = s"""
+    WITH docs AS (SELECT doc_id, source AS y, ${toksSql("lower(text)")} AS toks
+                  FROM documents),
+    tok AS (SELECT doc_id, y,
+                   unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM docs WHERE len(toks) > 0),
+    cls AS (SELECT y AS cls, COUNT(*) AS docs_c FROM docs GROUP BY y),
+    n AS (SELECT COUNT(*) AS n FROM docs),
+    tokc AS (SELECT y AS cls, COUNT(*) AS tok_c FROM tok GROUP BY y),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    cwc AS (SELECT w, y AS cls, COUNT(*) AS cwc FROM tok GROUP BY w, y),
+    pairs AS (
+      SELECT t.doc_id, c.cls, t.pos,
+             ln(CAST(COALESCE(cw.cwc, 0) + 1 AS DOUBLE)) -
+               ln(CAST(tc.tok_c + v.v AS DOUBLE)) AS lp
+      FROM tok t
+      CROSS JOIN cls c
+      JOIN tokc tc ON tc.cls = c.cls
+      CROSS JOIN v
+      LEFT JOIN cwc cw ON cw.w = t.w AND cw.cls = c.cls),
+    sums AS (
+      SELECT doc_id, cls,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(lp ORDER BY pos)), (a, b) -> a + b) AS s
+      FROM pairs GROUP BY doc_id, cls),
+    scored AS (
+      SELECT d.doc_id, d.y AS label, c.cls,
+             round(ln(CAST(c.docs_c AS DOUBLE)) - ln(CAST(n.n AS DOUBLE))
+                   + COALESCE(s.s, 0.0), 6) AS score
+      FROM docs d CROSS JOIN cls c CROSS JOIN n
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.cls = c.cls),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+               FROM scored)
+    SELECT doc_id, label, cls AS predicted, score
+    FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2198,5 +2253,6 @@ object CurationQueries {
     ("q92_adaptive_filter", q92 _, Some(q92Sql)),
     ("q93_int8_quantize", q93 _, Some(q93Sql)),
     ("q94_containment", q94 _, Some(q94Sql)),
-    ("q95_containment_capped", q95 _, Some(q95Sql)))
+    ("q95_containment_capped", q95 _, Some(q95Sql)),
+    ("q97_nb_classifier", q97 _, Some(q97Sql)))
 }

@@ -230,6 +230,20 @@ class CliCurationSpec extends SparkSpec {
     assert(within > 0 && within < 60, "band must cut both tails")
   }
 
+  test("score --label runs the Naive Bayes classifier via the verb") {
+    val dir = tmpDir("cli-classify")
+    (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "apple banana cherry", "fruit")
+      else (i, "bolt wrench gear", "tool")
+    }.toDF("doc_id", "text", "src").write.parquet(s"$dir/in")
+    Main.run(spark, Array("score", "--label", "src",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 40)
+    assert(out.filter(col("label") =!= col("predicted")).count() == 0,
+      "vocab-disjoint classes must self-classify through the verb")
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")

@@ -1,0 +1,68 @@
+package graft.curation
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextFunctions.tokens
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("naiveBayes separates vocab-disjoint classes and stays deterministic") {
+    val docs = Seq(
+      (1L, "apple banana cherry apple", "fruit"),
+      (2L, "banana cherry banana", "fruit"),
+      (3L, "bolt wrench gear bolt", "tool"),
+      (4L, "gear wrench gear wrench", "tool"),
+      (5L, "apple banana gear", "fruit")) // mixed, fruit-leaning
+      .toDF("doc_id", "text", "y")
+    val out = Classifier.naiveBayes(docs, col("doc_id"),
+      tokens(col("text")), col("y"))
+      .orderBy("__id")
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(out.size == 5, "one row per document")
+    assert(out.forall { case (_, label, pred, _) => label == pred },
+      s"vocab-disjoint classes must self-classify, got $out")
+    // deterministic: a re-run is bit-identical
+    val again = Classifier.naiveBayes(docs, col("doc_id"),
+      tokens(col("text")), col("y"))
+      .orderBy("__id").as[(Long, String, String, Double)].collect().toSeq
+    assert(out == again)
+  }
+
+  test("add-one smoothing scores unseen-per-class tokens; empty docs take the prior argmax") {
+    val docs = Seq(
+      (1L, "alpha alpha", "a"),
+      (2L, "alpha beta", "a"),
+      (3L, "gamma", "b"),
+      (4L, "", "b"),
+      (5L, "   ", "a")) // whitespace-only → no tokens
+      .toDF("doc_id", "text", "y")
+    val out = Classifier.naiveBayes(docs, col("doc_id"),
+      tokens(col("text")), col("y"))
+      .orderBy("__id")
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(out.size == 5)
+    // token-less docs score prior-only: class 'a' has 3 docs vs 2 —
+    // both empty docs predict 'a' regardless of their own label
+    assert(out.filter(r => r._1 == 4L || r._1 == 5L)
+      .forall(_._3 == "a"), s"prior argmax for token-less docs, got $out")
+    // doc 3's 'gamma' is unseen in class a (count 0 → smoothed), seen
+    // in b — b must win despite a's larger prior
+    assert(out.find(_._1 == 3L).get._3 == "b")
+    // scores are finite (smoothing leaves no -inf anywhere)
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+  }
+
+  test("class tie-break is lexicographic at equal rounded scores") {
+    // two classes, symmetric corpora: every doc scores identically for
+    // both classes, so the argmax must fall to the class name
+    val docs = Seq(
+      (1L, "x", "a"), (2L, "x", "b"))
+      .toDF("doc_id", "text", "y")
+    val out = Classifier.naiveBayes(docs, col("doc_id"),
+      tokens(col("text")), col("y"))
+      .orderBy("__id").as[(Long, String, String, Double)].collect().toSeq
+    assert(out.forall(_._3 == "a"), s"lexicographic tie-break, got $out")
+  }
+}
