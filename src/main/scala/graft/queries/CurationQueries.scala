@@ -2198,6 +2198,53 @@ object CurationQueries {
     SELECT doc_id, label, cls AS predicted, score
     FROM ranked WHERE rn = 1 ORDER BY doc_id"""
 
+  // ---- q98: int8-scored ANN (coarse codes rank + exact re-rank) ----
+
+  /** q98: [[Similarity.int8TopK]] — the int8 at-rest format (q93) as a
+    * SCORING path, not just storage: pass 1 ranks on the integer codes
+    * alone (scales cancel in the cosine; codes-only scan = the 4×
+    * saving as scan I/O), pass 2 re-ranks the topC survivors with the
+    * exact float cosine. The oracle replays quantization, the coarse
+    * integer rank, the candidate cut, and the exact re-rank — so the
+    * hash check pins the whole two-pass contract, including WHICH
+    * candidates survive the coarse cut. */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    val emb = Similarity.quantizeInt8(Tables.embeddings(s, d))
+    Similarity.int8TopK(emb.filter(col("vec_id") < 5), emb, k = 10, topC = 30)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q98Sql: String = {
+    val v = "(embedding::DOUBLE[])"
+    val scale = s"(list_max(list_transform($v, x -> abs(x))) / 127)"
+    val codes = s"CASE WHEN $scale > 0 THEN list_transform($v, x -> CAST(round(x / $scale) AS INT)) ELSE list_transform($v, x -> 0) END"
+    s"""
+    WITH e AS (SELECT vec_id, $v AS v, $codes AS codes FROM embeddings),
+    st AS (SELECT vec_id, v,
+                  list_transform(codes, c -> CAST(c AS DOUBLE)) AS cd FROM e),
+    n AS (SELECT vec_id, v, cd, ${dotSql("cd", "cd")} AS cc,
+                 sqrt(${dotSql("v", "v")}) AS nrm FROM st),
+    coarse AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      CASE WHEN q.cc > 0 AND c.cc > 0 THEN
+                        round(${dotSql("q.cd", "c.cd")} / sqrt(q.cc * c.cc), 6)
+                      ELSE 0.0 END AS iscore
+               FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+    cands AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS crk
+                FROM coarse) WHERE crk <= 30),
+    exact AS (SELECT t.query_id, t.neighbor_id,
+                     round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS sim
+              FROM cands t
+              JOIN n q ON q.vec_id = t.query_id
+              JOIN n c ON c.vec_id = t.neighbor_id)
+    SELECT query_id, neighbor_id, sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM exact) WHERE rk <= 10
+    ORDER BY query_id, rk"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2254,5 +2301,6 @@ object CurationQueries {
     ("q93_int8_quantize", q93 _, Some(q93Sql)),
     ("q94_containment", q94 _, Some(q94Sql)),
     ("q95_containment_capped", q95 _, Some(q95Sql)),
-    ("q97_nb_classifier", q97 _, Some(q97Sql)))
+    ("q97_nb_classifier", q97 _, Some(q97Sql)),
+    ("q98_int8_ann", q98 _, Some(q98Sql)))
 }

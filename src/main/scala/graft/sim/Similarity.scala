@@ -197,6 +197,69 @@ object Similarity {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast(DoubleType) * scale)
 
+  /** ANN over the int8 at-rest format ([[quantizeInt8]]): pass 1 ranks
+    * every candidate on the integer CODES alone — the per-vector
+    * scales cancel in the cosine, so the coarse score is
+    * `intdot / sqrt(qq·cc)`, pure integer arithmetic off a codes-only
+    * columnar scan (the 4× at-rest saving becoming 4× less scan I/O;
+    * plan-asserted in PlanShapeSpec for the store read) — keeping
+    * `topC` per query; pass 2 re-ranks only those survivors with the
+    * exact float cosine. Coarse-rank error is bounded by the
+    * quantization error (≤ scale/2 per dimension), so `topC > k`
+    * absorbs it; the exact scores of the returned rows are identical
+    * to [[bruteForceTopK]]'s for the same pairs.
+    *
+    * Determinism: all code dots are exact integers represented in
+    * doubles (|dot| ≤ dims·127² ≪ 2⁵³), so the coarse scores replay
+    * bit-for-bit in any engine; both ranks round to 6 decimals and
+    * break ties by id.
+    *
+    * `queries`/`corpus` carry codes + the float vector (a
+    * [[quantizeInt8]] frame or its store read back). At 100 TB pass 1
+    * composes with IVF: cluster-partition the codes store and this
+    * scan prunes to probed clusters as well. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int, topC: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      codesCol: String = "codes"): DataFrame = {
+    require(topC >= k, s"topC ($topC) must be >= k ($k)")
+    def codesStage(df: DataFrame, idAs: String, cAs: String, nAs: String,
+        spread: Boolean) = {
+      val src = if (spread) graft.util.Spread(df) else df
+      src.select(col(idCol).as(idAs), asDouble(col(codesCol)).as(cAs))
+        .withColumn(nAs, fastDot(df)(col(cAs), col(cAs)))
+    }
+    val q = broadcast(codesStage(queries, "query_id", "qc", "qq", spread = false))
+    val c = codesStage(corpus, "neighbor_id", "cc", "ccn", spread = true)
+    // zero-code vectors (scale 0) have no direction — score 0, same
+    // guard as the quantizer's
+    val coarse = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("iscore", when(col("qq") > 0 && col("ccn") > 0,
+          round(fastDot(corpus)(col("qc"), col("cc")) /
+            sqrt(col("qq") * col("ccn")), 6))
+        .otherwise(lit(0.0)))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("neighbor_id"))
+    val cands = coarse.withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= topC)
+      .select(col("query_id"), col("neighbor_id"))
+    // pass 2: the float vectors are touched only through the broadcast
+    // candidate join — nq·topC rows, never the corpus
+    val qf = broadcast(withVecNorm(queries, idCol, vecCol, "query_id", "qv", "qn",
+      spread = false))
+    val cf = withVecNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cnrm")
+    val exact = broadcast(cands)
+      .join(cf, "neighbor_id")
+      .join(qf, "query_id")
+      .withColumn("sim",
+        round(fastDot(corpus)(col("qv"), col("cv")) / (col("qn") * col("cnrm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+  }
+
   /** IVF (inverted-file) coarse quantizer: `nlist` centroids taken
     * deterministically from the corpus (rows with the smallest
     * md5(vec_id) — an unbiased pseudo-random sample reproducible on any

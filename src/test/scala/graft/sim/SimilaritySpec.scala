@@ -261,6 +261,32 @@ class SimilaritySpec extends SparkSpec {
       s"corpus-wide re-rank must equal the exact baseline, got ${r.toSeq}")
   }
 
+  test("int8TopK: corpus-wide topC equals brute force; tight topC keeps high recall") {
+    val emb = Similarity.quantizeInt8(vecs)
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(q, vecs, k = 5)
+    // topC >= corpus: the coarse pass only ORDERS candidates — the
+    // exact re-rank sees every row, so quantization cannot lose a
+    // true neighbor and the result is the brute-force result
+    val wide = Similarity.int8TopK(q, emb, k = 5, topC = 1000)
+    val r = Similarity.recallAtK(exact, wide, k = 5)
+      .select("recall").as[Double].collect()
+    assert(r.length == 3 && r.forall(_ == 1.0),
+      s"corpus-wide int8 re-rank must equal the exact baseline, got ${r.toSeq}")
+    // returned sims are the EXACT float cosines, not quantized ones
+    val exactSims = exact.select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    wide.select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (qid, nid, s) => assert(exactSims((qid, nid)) == s) }
+    // a tight coarse cut still recalls well (int8 error ≤ scale/2/dim)
+    val tight = Similarity.int8TopK(q, emb, k = 5, topC = 8)
+    val rt = Similarity.recallAtK(exact, tight, k = 5)
+      .select("recall").as[Double].collect()
+    assert(rt.forall(_ >= 0.8), s"tight topC recall too low: ${rt.toSeq}")
+  }
+
   test("recallAtK: per-query intersection over the exact baseline") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
       (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
