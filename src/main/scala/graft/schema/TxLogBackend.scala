@@ -33,15 +33,26 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   *
   * Appends are STAGE-THEN-COMMIT: each batch writes its parquet under a
   * fresh `data/batch-<uuid>/` directory (partitioned by `__part`), then
-  * publishes it by atomically creating one manifest file. Readers list
-  * manifests and read ONLY published batch dirs, so a half-written batch
-  * is invisible — stronger per-batch atomicity than the Hadoop
+  * publishes it by atomically creating one VERSIONED manifest
+  * (`commit-v{N}.json`, assigned by the same CAS loop as the schema —
+  * losing a version race re-reads and retries, so commits form a TOTAL
+  * ORDER like a log-structured table format's version log). Readers
+  * list manifests and read ONLY published batch dirs, so a half-written
+  * batch is invisible — stronger per-batch atomicity than the Hadoop
   * committer's visible-directory append, and concurrent same-table
-  * appends from DIFFERENT JVMs are safe with no lock at all (unique
-  * dirs, unique manifests — the [[SchemaRegistry]] needs a per-JVM lock
-  * here). A crash between stage and publish strands an orphan batch dir:
-  * invisible to every reader, reclaimable by a vacuum that deletes
-  * `data/batch-*` dirs older than a horizon with no manifest.
+  * appends from DIFFERENT JVMs are safe with no lock (unique dirs; the
+  * manifest CAS serializes only the version assignment — the
+  * [[SchemaRegistry]] needs a per-JVM lock here). A crash between stage
+  * and publish strands an orphan batch dir: invisible to every reader,
+  * reclaimable by [[vacuum]].
+  *
+  * The total order buys SNAPSHOT READS ([[readAt]]): "the table as of
+  * commit N" is the manifest-list prefix ≤ N — immutable once written,
+  * so a training run that records its snapshot version is exactly
+  * reproducible no matter how much lands afterwards (the
+  * training-data-lineage contract manifests give for free; the
+  * directory-partitioned registry cannot offer it because appends merge
+  * into shared partition dirs).
   *
   * Scale notes: manifest listing is a driver-side metadata op, O(number
   * of commits) names — the production analogue checkpoints the manifest
@@ -116,40 +127,94 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
         else createOrUpdate(dataset, table, incoming) // lost the CAS — re-merge
     }
 
+  private val CommitV = """commit-v(\d{5})\.json""".r
+  private val DirField = """"dir"\s*:\s*"([^"]+)"""".r
+
+  /** Published commits in version order: (version, batch dir name). */
+  private def commits(ds: String, t: String): Seq[(Int, String)] = {
+    val log = logDir(ds, t)
+    if (!Files.exists(log)) Nil
+    else Files.list(log).iterator.asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case CommitV(v) =>
+          val content = new String(Files.readAllBytes(p), "UTF-8")
+          DirField.findFirstMatchIn(content).map(m => v.toInt -> m.group(1))
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
   override def appendPartitioned(dataset: String, table: String, df: DataFrame): Unit = {
     val batchId = UUID.randomUUID().toString
     val dir = dataDir(dataset, table).resolve(s"batch-$batchId")
     // __part stays a data column (class doc) — pre-clustered input makes
     // the files partition-homogeneous, so its parquet stats prune reads
     df.write.mode("overwrite").parquet(dir.toString)
-    // publish: the manifest names the batch dir; its atomic creation IS
-    // the commit point (unique name — it cannot collide or half-exist)
-    val ok = casCreate(logDir(dataset, table).resolve(s"commit-$batchId.json"),
-      s"""{"dir":"batch-$batchId"}""".getBytes("UTF-8"))
-    assert(ok, s"commit manifest collision for batch $batchId")
+    // publish: CAS the next version slot; the manifest's atomic creation
+    // IS the commit point and its version the table's total order. A
+    // lost race re-reads the new tip and retries — the staged data
+    // never moves, only the version number.
+    @tailrec def publish(): Int = {
+      val next = commits(dataset, table).lastOption.map(_._1).getOrElse(0) + 1
+      if (casCreate(logDir(dataset, table).resolve(f"commit-v$next%05d.json"),
+          s"""{"dir":"batch-$batchId"}""".getBytes("UTF-8"))) next
+      else publish()
+    }
+    publish()
   }
 
-  private def committedDirs(ds: String, t: String): Seq[String] = {
-    val log = logDir(ds, t)
-    if (!Files.exists(log)) Nil
-    else Files.list(log).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("commit-") && n.endsWith(".json"))
-      .map(n => dataDir(ds, t)
-        .resolve("batch-" + n.stripPrefix("commit-").stripSuffix(".json"))
-        .toString)
-      .toSeq.sorted
-  }
+  private def committedDirs(ds: String, t: String): Seq[String] =
+    commits(ds, t).map { case (_, d) => dataDir(ds, t).resolve(d).toString }
 
   override def readWithPart(spark: SparkSession, dataset: String,
-      table: String): DataFrame = {
+      table: String): DataFrame =
+    readDirs(spark, dataset, table, committedDirs(dataset, table))
+
+  /** Published snapshot versions, ascending (empty = no commits yet). */
+  def snapshotVersions(dataset: String, table: String): Seq[Int] =
+    commits(dataset, table).map(_._1)
+
+  /** SNAPSHOT READ: the table as of commit `version` — exactly the
+    * batches with manifest version ≤ `version`, under the CURRENT
+    * schema (evolution is additive, so older batches null-fill newer
+    * columns; the data a snapshot returns never changes once its
+    * version is published). The reproducible-training-run contract:
+    * record the version, re-read identical bytes forever. */
+  def readAt(spark: SparkSession, dataset: String, table: String,
+      version: Int): DataFrame =
+    readDirs(spark, dataset, table,
+      commits(dataset, table).takeWhile(_._1 <= version)
+        .map { case (_, d) => dataDir(dataset, table).resolve(d).toString })
+
+  private def readDirs(spark: SparkSession, dataset: String, table: String,
+      dirs: Seq[String]): DataFrame = {
     val (_, schema) = currentSchema(dataset, table)
       .getOrElse(sys.error(s"no such table $dataset.$table"))
     val withPart = schema.add("__part", StringType)
-    val dirs = committedDirs(dataset, table)
     if (dirs.isEmpty) // created-but-never-appended: empty, not an error
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         withPart)
     else spark.read.schema(withPart).parquet(dirs: _*)
+  }
+
+  /** Reclaim ORPHAN batch dirs — staged by a writer that crashed before
+    * its manifest CAS (invisible to every reader). Only dirs older than
+    * `olderThanMs` are touched, so an in-flight append's stage window
+    * is never raced; manifested dirs are never candidates. Returns the
+    * deleted dir names. */
+  def vacuum(dataset: String, table: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val data = dataDir(dataset, table)
+    if (!Files.exists(data)) return Nil
+    val live = commits(dataset, table).map(_._2).toSet
+    val horizon = System.currentTimeMillis() - olderThanMs
+    Files.list(data).iterator.asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("batch-") &&
+        !live(p.getFileName.toString) &&
+        Files.getLastModifiedTime(p).toMillis < horizon)
+      .map { p =>
+        Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+        p.getFileName.toString
+      }
   }
 }

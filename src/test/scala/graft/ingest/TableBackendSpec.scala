@@ -169,5 +169,73 @@ class TableBackendSpec extends SparkSpec {
       .write.partitionBy("__part").parquet(orphan.toString)
     assert(TableSink.read(spark, backend, "d", "t").count() == 3L,
       "unpublished batch dirs must be invisible to readers")
+    // vacuum reclaims the orphan (it is older than a zero horizon) but
+    // never a manifested dir — and the table reads the same after
+    val deleted = backend.vacuum("d", "t", olderThanMs = 0L)
+    assert(deleted == Seq("batch-orphan"), s"vacuum must take only orphans: $deleted")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(TableSink.read(spark, backend, "d", "t").count() == 3L)
+    // a FRESH orphan (inside the horizon — an in-flight append's stage
+    // window) is left alone
+    val fresh = java.nio.file.Paths.get(root, "d", "t", "data", "batch-fresh")
+    Seq(("yy", 8)).toDF("id", "v").withColumn("__part", lit("2024-05-01"))
+      .write.partitionBy("__part").parquet(fresh.toString)
+    assert(backend.vacuum("d", "t").isEmpty, "inside the horizon: untouched")
+    assert(java.nio.file.Files.exists(fresh))
+  }
+
+  test("tx-log snapshot reads: versioned manifests, immutable prefixes, evolution null-fill") {
+    import spark.implicits._
+    val root = tmpDir("txlog-snapshot")
+    val backend = new TxLogBackend(root)
+    TableSink.append(spark, backend, routed(2, "b1"))
+    TableSink.append(spark, backend, routed(3, "b2"))
+    TableSink.append(spark, backend, routed(4, "b3"))
+    assert(backend.snapshotVersions("d", "t") == Seq(1, 2, 3),
+      "commits must form a dense total order")
+    // each snapshot is exactly the manifest prefix
+    assert(backend.readAt(spark, "d", "t", 1).count() == 2L)
+    assert(backend.readAt(spark, "d", "t", 2).count() == 5L)
+    assert(backend.readAt(spark, "d", "t", 3).count() == 9L)
+    val v2ids = backend.readAt(spark, "d", "t", 2)
+      .select("id").as[String].collect().sorted.toSeq
+    // later appends — including a SCHEMA EVOLUTION — must not change
+    // what an already-published snapshot returns
+    val evolved = routed(2, "b4").withColumn("data",
+      struct(col("data.v"), lit("x").as("extra")))
+    TableSink.append(spark, backend, evolved)
+    assert(backend.snapshotVersions("d", "t") == Seq(1, 2, 3, 4))
+    assert(backend.readAt(spark, "d", "t", 2)
+      .select("id").as[String].collect().sorted.toSeq == v2ids,
+      "a published snapshot is immutable")
+    // old snapshots read under the CURRENT (superset) schema: the new
+    // column exists and is null for pre-evolution batches
+    val v2 = backend.readAt(spark, "d", "t", 2)
+    assert(v2.select("data.extra").distinct().collect().map(_.isNullAt(0)).toSeq == Seq(true))
+    val v4 = backend.readAt(spark, "d", "t", 4)
+    assert(v4.filter(col("data.extra").isNotNull).count() == 2L)
+    assert(v4.count() == 11L)
+    // readAt at the tip ≡ the live read
+    assert(TableSink.read(spark, backend, "d", "t").count() == 11L)
+  }
+
+  test("tx-log concurrent appends CAS distinct manifest versions — none lost, dense order") {
+    val root = tmpDir("txlog-cas-commits")
+    val backend = new TxLogBackend(root)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 4).map { i =>
+        Future(TableSink.append(spark, backend, routed(10, s"c$i")))
+      }
+      Await.result(Future.sequence(fs), 180.seconds)
+    } finally pool.shutdown()
+    // the version CAS must have linearized all four: dense 1..4, and
+    // every batch readable at the tip
+    assert(backend.snapshotVersions("d", "t") == Seq(1, 2, 3, 4),
+      s"racing commits must CAS distinct versions: ${backend.snapshotVersions("d", "t")}")
+    assert(backend.readAt(spark, "d", "t", 4).count() == 40L)
   }
 }
