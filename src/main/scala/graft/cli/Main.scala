@@ -29,8 +29,8 @@ object Main {
 
   private val usage: String =
     """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score] <flags> <args>
-      |  ingest  --rules <file|dir> --warehouse <dir> [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
-      |  serve   --rules <file|dir> --warehouse <dir> --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
+      |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
+      |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
       |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
       |  schema  --rules <file|dir> <glob>...
@@ -75,6 +75,18 @@ object Main {
   private def req(flags: Map[String, String], k: String): String =
     flags.getOrElse(k, sys.error(s"missing required flag --$k\n$usage"))
 
+  /** Storage backend for the write-path verbs: the directory-partitioned
+    * parquet registry (default) or the transaction-log backend
+    * ([[graft.schema.TxLogBackend]] — versioned manifest commits,
+    * snapshot reads, lock-free cross-JVM appends). `migrate`/`sql` read
+    * through registry-specific layout and stay registry-only. */
+  private def backendFor(flags: Map[String, String]): graft.schema.TableBackend =
+    flags.getOrElse("backend", "registry") match {
+      case "registry" => new SchemaRegistry(req(flags, "warehouse"))
+      case "txlog" => new graft.schema.TxLogBackend(req(flags, "warehouse"))
+      case other => sys.error(s"unknown --backend '$other' (registry | txlog)")
+    }
+
   /** Input frame for the curation verbs: with `--warehouse`, a
     * registry table named `ds.tbl` (partition scaffolding dropped,
     * like `sql`); otherwise a parquet directory path. */
@@ -102,7 +114,7 @@ object Main {
       case "ingest" | "i" =>
         require(pos.nonEmpty, "ingest needs at least one object path/glob")
         val cfg = Pipeline.Config(
-          new SchemaRegistry(req(flags, "warehouse")),
+          backendFor(flags),
           loadRules(req(flags, "rules")),
           dedup = if (flags.contains("dedup")) Some(true) else None,
           dryRunDir = if (flags.contains("dry-run"))
@@ -115,7 +127,7 @@ object Main {
       case "serve" | "s" =>
         require(pos.size == 1, "serve needs exactly one landing glob")
         val cfg = Pipeline.Config(
-          new SchemaRegistry(req(flags, "warehouse")),
+          backendFor(flags),
           loadRules(req(flags, "rules")),
           dedup = if (flags.contains("dedup")) Some(true) else None)
         val sl = graft.streaming.StreamLog.attach(spark, cfg.registry)
@@ -131,7 +143,7 @@ object Main {
         // HTTP Pub/Sub push endpoint (S6): receiver spools notifications,
         // the continuous query ingests the referenced objects
         val cfg = Pipeline.Config(
-          new SchemaRegistry(req(flags, "warehouse")),
+          backendFor(flags),
           loadRules(req(flags, "rules")),
           dedup = if (flags.contains("dedup")) Some(true) else None)
         val sl = graft.streaming.StreamLog.attach(spark, cfg.registry)

@@ -244,6 +244,30 @@ class CliCurationSpec extends SparkSpec {
       "vocab-disjoint classes must self-classify through the verb")
   }
 
+  test("ingest --backend txlog lands through the transaction-log backend") {
+    val dir = tmpDir("cli-txlog")
+    writeFile(dir, "landing/a.json",
+      """{"event_id": 1, "ts": 1714557600.0, "v": 10}""" + "\n" +
+        """{"event_id": 2, "ts": 1714557601.0, "v": 20}""" + "\n")
+    writeFile(dir, "rules.json", """{
+      "event": [{"name": "all", "when": "name LIKE '%.json'", "schemaRule": "ev"}],
+      "schema": [{"name": "ev", "dataset": "'d'", "table": "'t'",
+                  "partition": "day", "timestamp": "ts",
+                  "id": "cast(event_id as string)"}]
+    }""")
+    Main.run(spark, Array("ingest", "--rules", s"$dir/rules.json",
+      "--warehouse", s"$dir/wh", "--backend", "txlog", s"$dir/landing/*.json"))
+    val backend = new graft.schema.TxLogBackend(s"$dir/wh")
+    // the table exists ONLY in tx-log form: versioned manifest, no
+    // registry layout — and reads back through the trait
+    assert(backend.snapshotVersions("d", "t").nonEmpty)
+    assert(graft.ingest.TableSink.read(spark, backend, "d", "t").count() == 2L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/wh/d/t/data=parquet")) ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/wh/d/t/_log")),
+      "the tx-log layout must own the table")
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
