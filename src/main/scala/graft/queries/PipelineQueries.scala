@@ -691,6 +691,75 @@ log[d] {
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2, 3"""
 
+  /** q99: STREAMING sessionization (SURVEY T5 — the stateful
+    * transform), oracle-checked: the events table drains as a file
+    * stream through [[graft.streaming.StreamOps.sessionize]]
+    * (flatMapGroupsWithState, event-time timeouts, 30-min gap), the
+    * q85 sentinel pattern closes every idle session on a second drain,
+    * and the emitted sessions hash-match the batch gaps-and-islands
+    * replay in DuckDB (q56's lag + cumulative-flag SQL). This pins the
+    * state machine's THREE close paths — in-batch gap, cross-batch
+    * gap, watermark timeout — against the closed-form answer: no
+    * session lost, split, or double-emitted on the way to quiescence.
+    *
+    * Determinism: (user_id, ts) is unique in the table, so the state
+    * machine's in-order double fold replays exactly as DuckDB's
+    * `list_reduce` over `value ORDER BY us`; rounded to 6 decimals.
+    *
+    * Scale: state is one small struct per ACTIVE (user, session),
+    * evicted by the event-time timeout — unbounded history holds
+    * ~|active users| state regardless of stream length. */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamOps
+    import s.implicits._
+    val work = graft.util.Workspace.temp("graft-q99")
+    val landing = s"$work/landing"
+    val ev = Tables.events(s, d).filter(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("value"))
+    ev.repartition(8).write.mode("overwrite").parquet(landing)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def drain(): Unit = {
+      val in = s.readStream.schema(ev.schema).parquet(landing)
+        .as[StreamOps.Event]
+      StreamOps.sessionize(in, gapMillis = 1800L * 1000, watermark = "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    drain()
+    // sentinel user far past max ts: the second drain's watermark passes
+    // every real lastSeen+gap, firing the event-time timeouts; the
+    // sentinel's own session never closes and is filtered
+    Seq(StreamOps.Event(999999L,
+        new java.sql.Timestamp(maxTs.getTime + 8L * 3600 * 1000), 0.0))
+      .toDS().toDF().write.mode("append").parquet(landing)
+    drain()
+    s.read.parquet(s"$work/sink")
+      .filter(col("user_id") =!= 999999L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events").cast("long").as("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q99Sql: String = """
+    WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us
+               FROM events WHERE user_id < 50),
+    f AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                           OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+          FROM f)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(value ORDER BY us)), (a, b) -> a + b), 6) AS total_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -709,5 +778,6 @@ log[d] {
     ("q77_rule_fanout", q77 _, Some(q77Sql)),
     ("q78_rego_ingest", q78 _, Some(q78Sql)),
     ("q85_windowed_agg", q85 _, Some(q85Sql)),
-    ("q96_rego_general", q96 _, Some(q96Sql)))
+    ("q96_rego_general", q96 _, Some(q96Sql)),
+    ("q99_stream_sessionize", q99 _, Some(q99Sql)))
 }

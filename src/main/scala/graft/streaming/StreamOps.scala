@@ -92,9 +92,23 @@ object StreamOps {
   }
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** Times in MICROSECONDS — `Timestamp.getTime` (millis) would drop
+    * the microsecond precision event timestamps carry, shifting every
+    * emitted session boundary by up to a millisecond. */
   final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Full-precision epoch micros of a Timestamp (getTime truncates to
+    * millis; the nanos field carries the rest). */
+  private def usOf(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsOf(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Gap-based sessionization via flatMapGroupsWithState with
     * EVENT-time timeouts: a session closes when a later event crosses
@@ -115,20 +129,21 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.lastSeen),
+            Iterator(Session(user, tsOf(s.start), tsOf(s.lastSeen),
               s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val gapUs = gapMillis * 1000L
+            val sorted = it.toSeq.sortBy(e => usOf(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(s) if t - s.lastSeen <= gapMillis =>
+                case Some(s) if t - s.lastSeen <= gapUs =>
                   cur = Some(s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed ::= Session(user, new Timestamp(s.start),
-                    new Timestamp(s.lastSeen), s.n, s.total)
+                  closed ::= Session(user, tsOf(s.start), tsOf(s.lastSeen),
+                    s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -136,10 +151,13 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // must be strictly above the current watermark or Spark
-              // rejects it; the max() keeps long-idle sessions closable
+              // timeout API is MILLIS — round UP so the timeout never
+              // fires before lastSeen+gap in event time; must be strictly
+              // above the current watermark or Spark rejects it; the
+              // max() keeps long-idle sessions closable
               state.setTimeoutTimestamp(
-                math.max(s.lastSeen + gapMillis, state.getCurrentWatermarkMs + 1))
+                math.max(math.floorDiv(s.lastSeen, 1000L) + gapMillis + 1,
+                  state.getCurrentWatermarkMs + 1))
             }
             closed.reverseIterator
           }
