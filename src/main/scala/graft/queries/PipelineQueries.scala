@@ -760,6 +760,55 @@ log[d] {
              list(value ORDER BY us)), (a, b) -> a + b), 6) AS total_value
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** q100: watermarked STREAM-STREAM interval join
+    * ([[graft.streaming.StreamOps.intervalJoin]]), oracle-checked —
+    * click→purchase attribution: every click pairs with the same
+    * user's purchases inside the following 6 hours. Both sides drain
+    * as file streams; the inner join emits each match as both rows
+    * arrive (append mode needs no close for INNER joins — the
+    * watermark's job here is STATE EVICTION: a buffered row dies once
+    * the other side's watermark passes its window, so state tracks the
+    * in-flight 6-hour window, never stream history). The oracle is the
+    * identical range join in DuckDB — row-exact, no folds. */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamOps
+    val work = graft.util.Workspace.temp("graft-q100")
+    val landing = s"$work/landing"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    ev.repartition(8).write.mode("overwrite").parquet(landing)
+    def side(t: String, idAs: String, tsAs: String) =
+      s.readStream.schema(ev.schema).parquet(landing)
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    StreamOps.intervalJoin(
+        side("click", "click_id", "click_ts"),
+        side("purchase", "purchase_id", "purchase_ts"),
+        "user_id", "click_ts", "purchase_ts",
+        withinSecs = 21600, watermark = "1 hour")
+      .select(col("l.user_id").as("user_id"),
+        col("l.click_id").as("click_id"), col("l.click_ts").as("click_ts"),
+        col("r.purchase_id").as("purchase_id"),
+        col("r.purchase_ts").as("purchase_ts"))
+      .writeStream.format("parquet")
+      .option("path", s"$work/sink")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.read.parquet(s"$work/sink")
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  val q100Sql: String = """
+    SELECT l.user_id AS user_id, l.event_id AS click_id, l.ts AS click_ts,
+           r.event_id AS purchase_id, r.ts AS purchase_ts
+    FROM events l JOIN events r ON l.user_id = r.user_id
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 21600 SECONDS
+    ORDER BY click_id, purchase_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -779,5 +828,6 @@ log[d] {
     ("q78_rego_ingest", q78 _, Some(q78Sql)),
     ("q85_windowed_agg", q85 _, Some(q85Sql)),
     ("q96_rego_general", q96 _, Some(q96Sql)),
-    ("q99_stream_sessionize", q99 _, Some(q99Sql)))
+    ("q99_stream_sessionize", q99 _, Some(q99Sql)),
+    ("q100_stream_interval_join", q100 _, Some(q100Sql)))
 }
