@@ -217,6 +217,10 @@ object Main {
         }
 
       case "migrate" | "m" =>
+        // registry-layout reads only — silently constructing a registry
+        // over a txlog warehouse would find no tables, with no hint why
+        flags.get("backend").filter(_ != "registry").foreach(b =>
+          sys.error(s"--backend $b is not supported by 'migrate' (registry layout only)"))
         require(pos.size == 2, "migrate needs <srcDs.srcTbl> <dstDs.dstTbl>")
         val Array(sds, stbl) = pos(0).split("\\.", 2)
         val Array(dds, dtbl) = pos(1).split("\\.", 2)
@@ -225,6 +229,8 @@ object Main {
         println(s"migrated $sds.$stbl -> $dds.$dtbl rows=$n")
 
       case "sql" =>
+        flags.get("backend").filter(_ != "registry").foreach(b =>
+          sys.error(s"--backend $b is not supported by 'sql' (registry layout only)"))
         require(pos.size == 1, "sql needs exactly one query string")
         val registry = new SchemaRegistry(req(flags, "warehouse"))
         // telemetry tables are plain parquet (no registry schema entry) —

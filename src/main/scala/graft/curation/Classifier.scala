@@ -61,12 +61,18 @@ object Classifier {
     val cwc = tok.groupBy(col("w"), col("label").as("cls"))
       .agg(count(lit(1)).as("cwc"))
 
-    // dense (doc token × class) log-likelihoods: a zero count smooths
-    // to ln(1/(tok_c + V)), so the left join's null IS the model
+    // dense (doc token × class) log-likelihoods: zero counts smooth to
+    // ln((0+1)/(tok_c + V)), so the left joins' nulls ARE the model.
+    // Classes come from the DOC-level frame (`cls`), not the token
+    // stream — a class trained only on token-less docs has no tokc row
+    // but must still pay ln(1/V) per scored token; deriving classes
+    // from tokc would silently give it prior-only scores, which win
+    // the argmax over every real (negative-likelihood) class.
     val lp = log((coalesce(col("cwc"), lit(0L)) + 1L).cast(DoubleType)) -
-      log((col("tok_c") + col("v")).cast(DoubleType))
+      log((coalesce(col("tok_c"), lit(0L)) + col("v")).cast(DoubleType))
     val pairs = tok.select(col("__id"), col("pos"), col("w"))
-      .crossJoin(broadcast(tokc))
+      .crossJoin(broadcast(cls.select(col("cls"))))
+      .join(broadcast(tokc), Seq("cls"), "left")
       .crossJoin(broadcast(v))
       .join(broadcast(cwc), Seq("w", "cls"), "left")
       .select(col("__id"), col("cls"), col("pos"), lp.as("lp"))

@@ -2175,10 +2175,10 @@ object CurationQueries {
     pairs AS (
       SELECT t.doc_id, c.cls, t.pos,
              ln(CAST(COALESCE(cw.cwc, 0) + 1 AS DOUBLE)) -
-               ln(CAST(tc.tok_c + v.v AS DOUBLE)) AS lp
+               ln(CAST(COALESCE(tc.tok_c, 0) + v.v AS DOUBLE)) AS lp
       FROM tok t
       CROSS JOIN cls c
-      JOIN tokc tc ON tc.cls = c.cls
+      LEFT JOIN tokc tc ON tc.cls = c.cls
       CROSS JOIN v
       LEFT JOIN cwc cw ON cw.w = t.w AND cw.cls = c.cls),
     sums AS (

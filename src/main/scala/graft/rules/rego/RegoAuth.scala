@@ -100,37 +100,17 @@ object RegoAuth {
     input => eval.allows(input)
   }
 
-  /** Parse data modules to their constant tables: every rule must be a
-    * parameterless literal constant (`name := <literal>`); values are
-    * plain Scala (String/BigDecimal/Boolean/Vector/Set/Map). */
-  private def dataConstants(srcs: Seq[String]): Map[List[String], Any] =
+  /** Parse data modules to their constant tables (the shared
+    * [[RegoData]] contract, so auth and data-plane policies accept the
+    * same trees). Kept as TERMS; [[RegoData.toValue]] converts at
+    * resolution. */
+  private def dataConstants(srcs: Seq[String]): Map[List[String], Term] =
     srcs.flatMap { src =>
       val m = RegoParser.parse(src)
       require(m.pkg != Seq("auth"),
         "a data module cannot be 'package auth' (pass the policy as src)")
-      m.rules.map { r =>
-        require(r.params.isEmpty && r.body.isEmpty && r.key.isEmpty,
-          s"data module ${m.pkg.mkString(".")}: rule '${r.name}' must be a " +
-            "parameterless constant (name := <literal>)")
-        (m.pkg.toList :+ r.name) -> literal(
-          r.value.getOrElse(sys.error(
-            s"data module ${m.pkg.mkString(".")}: rule '${r.name}' has no value")),
-          s"${m.pkg.mkString(".")}.${r.name}")
-      }
+      RegoData.moduleConstants(m)
     }.toMap
-
-  private def literal(t: Term, what: String): Any = t match {
-    case Term.Str(v) => v
-    case Term.Num(v) => v
-    case Term.Bool(v) => v
-    case Term.Arr(is) => is.map(literal(_, what)).toVector
-    case Term.SetLit(is) => is.map(literal(_, what)).toSet
-    case Term.Obj(es) => es.map {
-      case (Term.Str(k), v) => k -> literal(v, what)
-      case (k, _) => sys.error(s"data constant $what: non-string object key $k")
-    }.toMap
-    case other => sys.error(s"data constant $what must be a literal, got $other")
-  }
 
   /** Adapt a compiled policy to [[graft.sources.PushReceiver]]'s auth
     * seam. Only the fields a push carries are populated (method, path,
@@ -177,7 +157,7 @@ object RegoAuth {
   }
 
   private final class Eval(m: Module, cfg: Config,
-      dataConsts: Map[List[String], Any] = Map.empty) {
+      dataConsts: Map[List[String], Term] = Map.empty) {
     private val mapper = new ObjectMapper
     private val rulesByName: Map[String, Seq[Rule]] = m.rules.groupBy(_.name)
     /** Function rules in source order — Rego tries same-name bodies in
@@ -388,22 +368,12 @@ object RegoAuth {
         if (holds) solveAll(rest, env0, input) else Seq.empty
     }
 
-    /** The `data.a.b…` path of a term, if it is one. */
-    private def dataPath(t: Term): Option[List[String]] = t match {
-      case Term.Ref("data") => Some(Nil)
-      case Term.Sel(b, RefPart.Dot(n)) => dataPath(b).map(_ :+ n)
-      case _ => None
-    }
+    /** The shared-contract path/resolution ([[RegoData]]): the same
+      * trees the data-plane compiler accepts. */
+    private def dataPath(t: Term): Option[List[String]] = RegoData.dataPath(t)
 
-    /** Resolve a data path: the longest prefix naming a loaded
-      * constant, remaining segments selected INTO that constant's value
-      * (object fields). None = nothing resolves. */
     private def dataResolve(p: List[String]): Option[Any] =
-      (p.length to 1 by -1).view.flatMap { k =>
-        dataConsts.get(p.take(k)).map { base =>
-          p.drop(k).foldLeft(Option[Any](base))((b, key) => b.flatMap(sel(_, key)))
-        }
-      }.headOption.flatten
+      RegoData.resolve(p, dataConsts).map(RegoData.toValue)
 
     /** All values a term can take (one per `[_]` expansion); empty =
       * undefined. */

@@ -56,17 +56,7 @@ object RegoRules {
     val dataConsts: Map[List[String], Term] = modules
       .filter(m => m.pkg != Seq("event") && m.pkg != Seq("auth") &&
         m.pkg.headOption != Some("schema"))
-      .flatMap { m =>
-        m.rules.map { r =>
-          require(r.params.isEmpty && r.body.isEmpty && r.key.isEmpty,
-            s"data module ${m.pkg.mkString(".")}: rule '${r.name}' must be a " +
-              "parameterless constant (name := <literal>)")
-          val v = r.value.getOrElse(sys.error(
-            s"data module ${m.pkg.mkString(".")}: rule '${r.name}' has no value"))
-          requireLiteral(v, s"${m.pkg.mkString(".")}.${r.name}")
-          (m.pkg.toList :+ r.name) -> v
-        }
-      }.toMap
+      .flatMap(RegoData.moduleConstants).toMap
     val compiled = modules.flatMap { m =>
       m.pkg match {
         case Seq("event") =>
@@ -84,33 +74,18 @@ object RegoRules {
     compiled.reduce((a, b) => Rules(a.event ++ b.event, a.schema ++ b.schema))
   }
 
-  /** Literal check for data-module constants: strings, numbers, bools,
-    * and arrays/sets/objects thereof. */
-  private def requireLiteral(t: Term, what: String): Unit = t match {
-    case _: Term.Str | _: Term.Num | _: Term.Bool =>
-    case Term.Arr(is) => is.foreach(requireLiteral(_, what))
-    case Term.SetLit(is) => is.foreach(requireLiteral(_, what))
-    case Term.Obj(es) => es.foreach { case (k, v) =>
-      requireLiteral(k, what); requireLiteral(v, what) }
-    case other => sys.error(s"data constant $what must be a literal, got $other")
-  }
-
-  /** The `data.a.b…` path of a term, if it is one. */
-  private def dataPath(t: Term): Option[List[String]] = t match {
-    case Term.Ref("data") => Some(Nil)
-    case Term.Sel(b, RefPart.Dot(n)) => dataPath(b).map(_ :+ n)
-    case _ => None
-  }
-
   /** Substitute every `data.<pkg>.<name>` reference in a module with
-    * its constant term. A data-rooted path that resolves to nothing
-    * fails loudly (a typo'd constant must not silently never-match). */
+    * its constant term ([[RegoData.resolve]]: longest-prefix constant
+    * + field selections into object literals, so `data.c.limits.hot`
+    * and `data.c.limits["hot"]` both compile). A data-rooted path that
+    * resolves to nothing fails loudly (a typo'd constant must not
+    * silently never-match). */
   private def substData(m: Module, consts: Map[List[String], Term]): Module = {
-    def term(t: Term): Term = dataPath(t) match {
-      case Some(p) if consts.contains(p) => consts(p)
-      case Some(p) if p.nonEmpty => sys.error(
-        s"${m.pkg.mkString(".")}: data.${p.mkString(".")} resolves to no " +
-          "loaded data-module constant")
+    def term(t: Term): Term = RegoData.dataPath(t) match {
+      case Some(p) if p.nonEmpty =>
+        RegoData.resolve(p, consts).getOrElse(sys.error(
+          s"${m.pkg.mkString(".")}: data.${p.mkString(".")} resolves to no " +
+            "loaded data-module constant"))
       case _ => t match {
         case Term.Sel(b, RefPart.Idx(i)) => Term.Sel(term(b), RefPart.Idx(term(i)))
         case Term.Sel(b, part) => Term.Sel(term(b), part)

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * Layout under `root/<dataset>/<table>/`:
   * {{{
   *   _log/schema-v00001.json   // immutable schema versions (CAS-created)
-  *   _log/commit-<uuid>.json   // one manifest per committed batch
+  *   _log/commit-v00001.json   // one VERSIONED manifest per committed batch
   *   data/batch-<uuid>/part-*.parquet   // __part kept as a DATA column
   * }}}
+  * Version numbers are zero-padded to five digits but UNBOUNDED — the
+  * listing regexes accept any width, so version 100000 lists, sorts
+  * (numerically), and CASes like any other.
   *
   * DDL is LOCK-FREE optimistic concurrency: a writer reads the max
   * schema version N, merges, and tries to create `schema-v{N+1}` with an
@@ -76,17 +79,28 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
   private def dataDir(dataset: String, table: String): Path =
     tableDir(dataset, table).resolve("data")
 
-  private val SchemaV = """schema-v(\d{5})\.json""".r
+  // \d{5,}: five-digit zero-padding for readability, but the match is
+  // open-ended — a {5} cap would make version 100000 invisible to the
+  // listing while casCreate still succeeds, wedging the CAS loop forever
+  private val SchemaV = """schema-v(\d{5,})\.json""".r
+
+  /** List a directory through the Stream API, CLOSING it — an
+    * unclosed `Files.list` holds its directory FD until finalization,
+    * and these listings run per batch on the append hot path. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator.asScala) finally s.close()
+  }
 
   private def schemaVersions(ds: String, t: String): Seq[(Int, Path)] = {
     val log = logDir(ds, t)
     if (!Files.exists(log)) Nil
-    else Files.list(log).iterator.asScala.flatMap { p =>
+    else listDir(log)(_.flatMap { p =>
       p.getFileName.toString match {
         case SchemaV(v) => Some(v.toInt -> p)
         case _ => None
       }
-    }.toSeq.sortBy(_._1)
+    }.toSeq).sortBy(_._1)
   }
 
   override def exists(dataset: String, table: String): Boolean =
@@ -127,21 +141,21 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
         else createOrUpdate(dataset, table, incoming) // lost the CAS — re-merge
     }
 
-  private val CommitV = """commit-v(\d{5})\.json""".r
+  private val CommitV = """commit-v(\d{5,})\.json""".r
   private val DirField = """"dir"\s*:\s*"([^"]+)"""".r
 
   /** Published commits in version order: (version, batch dir name). */
   private def commits(ds: String, t: String): Seq[(Int, String)] = {
     val log = logDir(ds, t)
     if (!Files.exists(log)) Nil
-    else Files.list(log).iterator.asScala.flatMap { p =>
+    else listDir(log)(_.flatMap { p =>
       p.getFileName.toString match {
         case CommitV(v) =>
           val content = new String(Files.readAllBytes(p), "UTF-8")
           DirField.findFirstMatchIn(content).map(m => v.toInt -> m.group(1))
         case _ => None
       }
-    }.toSeq.sortBy(_._1)
+    }.toSeq).sortBy(_._1)
   }
 
   override def appendPartitioned(dataset: String, table: String, df: DataFrame): Unit = {
@@ -208,12 +222,14 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
     if (!Files.exists(data)) return Nil
     val live = commits(dataset, table).map(_._2).toSet
     val horizon = System.currentTimeMillis() - olderThanMs
-    Files.list(data).iterator.asScala.toSeq
+    listDir(data)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("batch-") &&
         !live(p.getFileName.toString) &&
         Files.getLastModifiedTime(p).toMillis < horizon)
       .map { p =>
-        Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+        val walk = Files.walk(p)
+        try walk.iterator.asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
         p.getFileName.toString
       }
   }

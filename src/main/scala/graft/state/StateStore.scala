@@ -28,7 +28,12 @@ final class StateStore(rootDir: String,
     timeoutMillis: Long = 30L * 60 * 1000,
     ttlMillis: Long = 7L * 24 * 3600 * 1000,
     clock: () => Long = () => System.currentTimeMillis(),
-    sleeper: Long => Unit = Thread.sleep(_)) {
+    sleeper: Long => Unit = Thread.sleep(_),
+    /** Age past which an un-renewed lock file counts as crashed-holder
+      * stale. [[withLock]] heartbeats at a third of this, so only a
+      * holder stalled longer than the full timeout can lose a LIVE
+      * lock (the standard lease caveat). Short values are for specs. */
+    lockTimeoutMillis: Long = 60000L) {
 
   sealed trait State { def name: String }
   case object Running extends State { val name = "running" }
@@ -107,25 +112,69 @@ final class StateStore(rootDir: String,
     * exclusion with the same CREATE_NEW primitive and stale-break
     * discipline (a lock whose holder crashed is broken after
     * `lockTimeoutMillis`; the breaker does NOT self-grant — the next
-    * attempt wins, exactly the [[tryLock]] contract). */
+    * attempt wins, exactly the [[tryLock]] contract).
+    *
+    * `f` can legitimately outlive `lockTimeoutMillis` (a whole-store
+    * compaction is minutes on a large corpus), so the lock is a LEASE:
+    * a daemon heartbeat rewrites the timestamp at a third of the
+    * timeout while `f` runs, and the lock carries an ownership token so
+    * (a) the heartbeat never resurrects a lock a breaker legitimately
+    * took (token checked before each renewal) and (b) the final release
+    * deletes only THIS holder's lock, never a successor's. Only a
+    * holder whose JVM stalls past the full timeout between heartbeats
+    * can lose a live lock — the standard lease caveat. */
   def withLock[T](id: String)(f: => T): Option[T] = {
     val lock = Paths.get(rootDir, s"$id.lock")
-    if (!tryLock(lock, clock())) None
-    else try Some(f) finally Files.deleteIfExists(lock)
+    val token = java.util.UUID.randomUUID().toString
+    if (!tryLock(lock, clock(), token)) None
+    else {
+      @volatile var renewing = true
+      val hb = new Thread(new Runnable {
+        override def run(): Unit = {
+          var live = true
+          while (live && renewing) {
+            try Thread.sleep(math.max(lockTimeoutMillis / 3, 1L))
+            catch { case _: InterruptedException => live = false }
+            if (live && renewing && owns(lock, token)) {
+              val tmp = lock.resolveSibling(lock.getFileName.toString + s".hb-$token")
+              try {
+                Files.write(tmp, s"${clock()} $token".getBytes("UTF-8"))
+                Files.move(tmp, lock, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              } catch { case _: Exception => Files.deleteIfExists(tmp) }
+            }
+          }
+        }
+      }, s"graft-lock-heartbeat")
+      hb.setDaemon(true)
+      hb.start()
+      try Some(f)
+      finally {
+        renewing = false
+        hb.interrupt()
+        if (owns(lock, token)) Files.deleteIfExists(lock)
+      }
+    }
   }
 
-  private val lockTimeoutMillis = 60000L
+  /** Does `lock` still carry `token`? (False on missing/foreign lock.) */
+  private def owns(lock: Path, token: String): Boolean =
+    try new String(Files.readAllBytes(lock), "UTF-8").trim
+      .split("\\s+").lift(1).contains(token)
+    catch { case _: Throwable => false }
 
-  private def tryLock(lock: Path, now: Long): Boolean =
+  private def tryLock(lock: Path, now: Long, token: String = "-"): Boolean =
     try {
-      Files.write(lock, now.toString.getBytes("UTF-8"),
+      Files.write(lock, s"$now $token".getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val content = try Some(new String(Files.readAllBytes(lock), "UTF-8").trim)
           catch { case _: Throwable => None }
-        val age = content.flatMap(_.toLongOption).map(now - _).getOrElse(0L)
+        // content is "<millis> <token>"; age from the first field
+        val age = content.flatMap(_.split("\\s+").headOption)
+          .flatMap(_.toLongOption).map(now - _).getOrElse(0L)
         if (age > lockTimeoutMillis) breakStaleLock(lock, content)
         false // breaker also retries via redelivery, never self-grants
     }

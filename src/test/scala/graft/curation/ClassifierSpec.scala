@@ -54,6 +54,33 @@ class ClassifierSpec extends SparkSpec {
     assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
   }
 
+  test("a class trained only on token-less docs cannot hijack the argmax") {
+    // 'junk' has the LARGEST prior (3 of 6 docs) but zero token mass —
+    // its per-token likelihood must be the smoothed ln(1/V), not a
+    // silently-dropped term (which would make prior-only 'junk' beat
+    // every real class's negative likelihood sum)
+    // repeated tokens: classes with real token mass concentrate their
+    // likelihood ((c+1)/(tok_c+V) ≫ 1/V), so they must beat junk's
+    // smoothed floor despite its prior edge. (A class of all-unique
+    // singletons scores ≈ the smoothed floor and junk's prior CAN
+    // legitimately win it — that is correct NB, not the bug.)
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha", "a"),
+      (2L, "alpha alpha beta beta", "a"),
+      (3L, "t1 t1 t1 t1 t2 t2 t2 t2", "b"),
+      (4L, "", "junk"), (5L, "  ", "junk"), (6L, "", "junk"))
+      .toDF("doc_id", "text", "y")
+    val out = Classifier.naiveBayes(docs, col("doc_id"),
+      tokens(col("text")), col("y"))
+      .orderBy("__id").as[(Long, String, String, Double)].collect().toSeq
+    assert(out.find(_._1 == 1L).get._3 == "a",
+      s"an alpha-heavy doc must stay with the class that owns alpha: $out")
+    assert(out.find(_._1 == 2L).get._3 == "a")
+    assert(out.find(_._1 == 3L).get._3 == "b")
+    // junk still wins the token-LESS docs (prior argmax — correct)
+    assert(out.filter(r => r._1 >= 4L).forall(_._3 == "junk"))
+  }
+
   test("class tie-break is lexicographic at equal rounded scores") {
     // two classes, symmetric corpora: every doc scores identically for
     // both classes, so the argmax must fall to the class name

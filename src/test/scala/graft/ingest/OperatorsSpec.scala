@@ -105,6 +105,37 @@ class OperatorsSpec extends SparkSpec {
     assert(st.acquire("m3"))
   }
 
+  test("StateStore.withLock is a lease: a live long holder is never broken; release is owner-only") {
+    val dir = tmpDir("lock-lease")
+    val st = new StateStore(dir, lockTimeoutMillis = 1000)
+    val contended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t = new Thread(() => {
+      // hold FAR past lockTimeoutMillis: the heartbeat (timeout/3) must
+      // keep the lock live the whole time
+      st.withLock("compact") { Thread.sleep(2500) }
+      ()
+    })
+    t.start()
+    Thread.sleep(300)
+    (0 until 5).foreach { _ =>
+      st.withLock("compact") { contended.incrementAndGet() }
+      Thread.sleep(400)
+    }
+    t.join()
+    assert(contended.get() == 0,
+      "a heartbeating holder past the stale timeout must not lose the lock")
+    // after release the lock is re-acquirable
+    assert(st.withLock("compact") { 42 }.contains(42))
+    // ownership token: release must not delete a lock it no longer owns
+    val lock = java.nio.file.Paths.get(dir, "own.lock")
+    st.withLock("own") {
+      java.nio.file.Files.write(lock, "9999999999999 foreign".getBytes("UTF-8"))
+    }
+    assert(java.nio.file.Files.exists(lock),
+      "release must leave a successor's (foreign-token) lock in place")
+    java.nio.file.Files.delete(lock)
+  }
+
   test("StateStore.waitState: defer-poll-decide (ref state.go:45-66, server_test.go:149+)") {
     var now = 1000L
     var polls = 0

@@ -219,6 +219,25 @@ class TableBackendSpec extends SparkSpec {
     assert(TableSink.read(spark, backend, "d", "t").count() == 11L)
   }
 
+  test("tx-log version listing is not digit-capped (commit 100000 stays visible, CAS moves past it)") {
+    val root = tmpDir("txlog-bigv")
+    val backend = new TxLogBackend(root)
+    TableSink.append(spark, backend, routed(2))
+    // fabricate a six-digit version pointing at the existing batch dir —
+    // a digit-capped listing regex would make it invisible while its
+    // casCreate succeeded, wedging every later publish() forever
+    val dataDir = java.nio.file.Paths.get(root, "d", "t", "data")
+    val s = java.nio.file.Files.list(dataDir)
+    val batch = try s.iterator().next().getFileName.toString finally s.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "d", "t", "_log", "commit-v100000.json"),
+      s"""{"dir":"$batch"}""".getBytes("UTF-8"))
+    assert(backend.snapshotVersions("d", "t") == Seq(1, 100000))
+    TableSink.append(spark, backend, routed(2, "late"))
+    assert(backend.snapshotVersions("d", "t") == Seq(1, 100000, 100001),
+      "the CAS loop must advance past a six-digit tip")
+  }
+
   test("tx-log concurrent appends CAS distinct manifest versions — none lost, dense order") {
     val root = tmpDir("txlog-cas-commits")
     val backend = new TxLogBackend(root)

@@ -734,6 +734,34 @@ src[{"schema": "s"}] {
     assert(e.getMessage.contains("data.buckets.nope"))
   }
 
+  test("data refs select INTO object constants — dot and bracket spellings alike") {
+    val rules = RegoRules.compileAll(Seq(
+      """package consts
+limits := {"hot": 300, "cold": 5}""",
+      """package schema.lim
+log[{"dataset": "d", "table": "t", "timestamp": input.ts, "data": input}] {
+	input.n <= data.consts.limits.hot
+	input.m >= data.consts.limits["cold"]
+}"""))
+    val when = rules.schemaRule("lim").when.get
+    assert(when.contains("300") && when.contains("5"),
+      s"both field selections must inline their constants: $when")
+    // a field absent from the object constant fails at LOAD
+    val e = intercept[RuntimeException](RegoRules.compileAll(Seq(
+      "package consts\nlimits := {\"hot\": 300}",
+      "package schema.x\nlog[{\"dataset\": \"d\", \"table\": \"t\", " +
+        "\"timestamp\": input.ts, \"data\": input}] " +
+        "{ input.n <= data.consts.limits.nope }")))
+    assert(e.getMessage.contains("limits.nope"))
+    // the SAME selection works in auth (one shared data contract)
+    val allow = RegoAuth.compile("""package auth
+default deny = true
+deny := false { count(input.path) <= data.consts.limits["cold"] }""",
+      RegoAuth.Config(), Seq("package consts\nlimits := {\"hot\": 300, \"cold\": 5}"))
+    assert(allow(AuthInput("GET", "/ab", "", Map.empty, Map.empty, "")))
+    assert(!allow(AuthInput("GET", "/abcdef", "", Map.empty, Map.empty, "")))
+  }
+
   test("schema rules: `every` compiles to forall; vacuous on empty, null fails") {
     import org.apache.spark.sql.functions.expr
     import spark.implicits._
