@@ -46,7 +46,10 @@ object Main {
       |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>""".stripMargin
+      |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  txlog versions --warehouse <dir> <ds.tbl>
+      |  txlog snapshot --warehouse <dir> --output <dir> [--version <n>] <ds.tbl>
+      |  txlog vacuum   --warehouse <dir> [--older-than-ms <n>] <ds.tbl>""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
@@ -530,6 +533,39 @@ object Main {
             val m = spark.read.parquet(req(flags, "output"))
               .agg(avg("xent"), fsum("n_bigrams")).head
             println(f"mean xent: ${m.getDouble(0)}%.4f over ${m.getLong(1)} bigrams")
+        }
+
+      case "txlog" =>
+        // maintenance/lineage verbs for the transaction-log backend:
+        // `versions` lists the manifest total order, `snapshot` exports
+        // an immutable readAt(version) (the reproducible-training-run
+        // contract: record the number, re-read identical bytes
+        // forever), `vacuum` reclaims crash-stranded batch dirs
+        require(pos.size == 2 &&
+          Set("versions", "snapshot", "vacuum")(pos.head),
+          s"txlog needs versions|snapshot|vacuum + one <ds.tbl>\n$usage")
+        val Array(ds, tbl) = pos(1).split("\\.", 2)
+        val backend = new graft.schema.TxLogBackend(req(flags, "warehouse"))
+        pos.head match {
+          case "versions" =>
+            val vs = backend.snapshotVersions(ds, tbl)
+            if (vs.isEmpty) println("no commits")
+            else vs.foreach(v => println(s"v$v"))
+          case "snapshot" =>
+            val vs = backend.snapshotVersions(ds, tbl)
+            require(vs.nonEmpty, s"$ds.$tbl has no commits to snapshot")
+            val v = flags.get("version").map(_.toInt).getOrElse(vs.max)
+            require(vs.contains(v),
+              s"version $v is not a published commit (have: ${vs.mkString(", ")})")
+            backend.readAt(spark, ds, tbl, v).drop("__part")
+              .write.mode("overwrite").parquet(req(flags, "output"))
+            println(s"snapshot $ds.$tbl@v$v rows=" +
+              spark.read.parquet(req(flags, "output")).count())
+          case "vacuum" =>
+            val gone = backend.vacuum(ds, tbl,
+              flags.get("older-than-ms").map(_.toLong).getOrElse(24L * 3600 * 1000))
+            if (gone.isEmpty) println("vacuum: nothing to reclaim")
+            else gone.foreach(d => println(s"reclaimed $d"))
         }
 
       case other =>

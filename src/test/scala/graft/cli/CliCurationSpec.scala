@@ -268,6 +268,45 @@ class CliCurationSpec extends SparkSpec {
       "the tx-log layout must own the table")
   }
 
+  test("txlog verbs: versions list, snapshot export is immutable, vacuum reclaims orphans") {
+    val dir = tmpDir("cli-txlog-verbs")
+    writeFile(dir, "landing/a.json",
+      """{"event_id": 1, "ts": 1714557600.0, "v": 10}""" + "\n")
+    writeFile(dir, "landing/b.json",
+      """{"event_id": 2, "ts": 1714557601.0, "v": 20}""" + "\n")
+    writeFile(dir, "rules.json", """{
+      "event": [{"name": "all", "when": "name LIKE '%.json'", "schemaRule": "ev"}],
+      "schema": [{"name": "ev", "dataset": "'d'", "table": "'t'",
+                  "partition": "day", "timestamp": "ts",
+                  "id": "cast(event_id as string)"}]
+    }""")
+    // two separate ingests → two commits
+    Main.run(spark, Array("ingest", "--rules", s"$dir/rules.json",
+      "--warehouse", s"$dir/wh", "--backend", "txlog", s"$dir/landing/a.json"))
+    Main.run(spark, Array("ingest", "--rules", s"$dir/rules.json",
+      "--warehouse", s"$dir/wh", "--backend", "txlog", s"$dir/landing/b.json"))
+    val backend = new graft.schema.TxLogBackend(s"$dir/wh")
+    val vs = backend.snapshotVersions("d", "t")
+    assert(vs.size >= 2, s"two ingests must publish two commits: $vs")
+    Main.run(spark, Array("txlog", "versions", "--warehouse", s"$dir/wh", "d.t"))
+    // snapshot at the FIRST version sees only the first ingest's row
+    Main.run(spark, Array("txlog", "snapshot", "--warehouse", s"$dir/wh",
+      "--version", vs.head.toString, "--output", s"$dir/snap1", "d.t"))
+    assert(spark.read.parquet(s"$dir/snap1").count() == 1L)
+    // tip snapshot (no --version) sees both
+    Main.run(spark, Array("txlog", "snapshot", "--warehouse", s"$dir/wh",
+      "--output", s"$dir/snapTip", "d.t"))
+    assert(spark.read.parquet(s"$dir/snapTip").count() == 2L)
+    // vacuum: a stranded batch dir goes, committed data stays
+    val orphan = java.nio.file.Paths.get(s"$dir/wh", "d", "t", "data", "batch-orphan")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2))
+    Main.run(spark, Array("txlog", "vacuum", "--warehouse", s"$dir/wh",
+      "--older-than-ms", "0", "d.t"))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(graft.ingest.TableSink.read(spark, backend, "d", "t").count() == 2L)
+  }
+
   test("strip removes cross-doc duplicated spans via the verb") {
     val dir = tmpDir("cli-strip")
     val shared = (1 to 13).map(i => s"w$i").mkString(" ")
