@@ -2245,6 +2245,35 @@ object CurationQueries {
     ORDER BY query_id, rk"""
   }
 
+  // ---- q101: per-document tf-idf keyword extraction ----
+
+  /** q101: [[graft.text.Retrieval.tfIdfKeywords]] — each document's
+    * top-5 terms by tf·idf (topic tagging / probe mining without a
+    * topic model). Integer-ln determinism contract; rank ties on the
+    * term string, replayed identically in DuckDB. */
+  def q101(s: SparkSession, d: String): DataFrame =
+    graft.text.Retrieval.tfIdfKeywords(docs(s, d), col("doc_id"),
+        tokens(lower(col("text"))), k = 5)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(col("doc_id"), col("rank"))
+
+  val q101Sql: String = s"""
+    WITH tok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (SELECT t.doc_id, t.term,
+                      round(CAST(t.tf AS DOUBLE) *
+                        (ln(CAST(n.n + 1 AS DOUBLE)) -
+                         ln(CAST(d.df + 1 AS DOUBLE))), 6) AS score
+               FROM tf t JOIN dfs d USING (term) CROSS JOIN n)
+    SELECT doc_id, rank, term, score FROM (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY doc_id, rank"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2302,5 +2331,6 @@ object CurationQueries {
     ("q94_containment", q94 _, Some(q94Sql)),
     ("q95_containment_capped", q95 _, Some(q95Sql)),
     ("q97_nb_classifier", q97 _, Some(q97Sql)),
-    ("q98_int8_ann", q98 _, Some(q98Sql)))
+    ("q98_int8_ann", q98 _, Some(q98Sql)),
+    ("q101_tfidf_keywords", q101 _, Some(q101Sql)))
 }

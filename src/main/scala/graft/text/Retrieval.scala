@@ -94,4 +94,39 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("__id"), col("score"))
   }
+
+  /** Per-document tf-idf keyword extraction: the top-`k` terms of each
+    * document by `tf · ln((N+1)/(df+1))` — topic tagging, eval-set
+    * probe mining, and corpus auditing without a topic model.
+    *
+    * Scale shape (100 TB): per-(doc, term) counts are one shuffle with
+    * map-side partial agg; document frequencies collapse to a
+    * vocabulary-bounded table re-joined on its own key (left to AQE —
+    * unlike [[bm25TopK]]'s query-vocab frames, a corpus-wide df table
+    * can be too big for a broadcast HINT); the final rank partitions
+    * by document, so no executor holds more than one document's
+    * distinct terms.
+    *
+    * Determinism: both ln arguments are exact integers (the
+    * [[graft.curation.LangModel]] contract), the product rounds to 6
+    * decimals, and rank ties break on the term string. */
+  def tfIdfKeywords(docs: DataFrame, id: Column, toks: Column,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val tok = docs.select(id.as("__id"), explode(toks).as("term"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = tok.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = round(col("tf").cast(DoubleType) *
+      (log((col("n") + 1L).cast(DoubleType)) -
+        log((col("df") + 1L).cast(DoubleType))), 6)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfs, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("__id"), col("rank"), col("term"), col("score"))
+  }
 }

@@ -80,6 +80,28 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("tfIdfKeywords ranks distinctive terms over corpus-wide ones") {
+    val s = spark
+    import s.implicits._
+    // 'common' is in every doc (df=N → idf ln((N+1)/(N+1)) = 0); each
+    // doc's unique term must outrank it despite lower tf
+    val docs = Seq(
+      (1L, "common common common cats"),
+      (2L, "common common dogs"),
+      (3L, "common birds birds")).toDF("doc_id", "text")
+    val out = Retrieval.tfIdfKeywords(docs, col("doc_id"),
+        tokens(col("text")), k = 2)
+      .orderBy(col("__id"), col("rank"))
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(out.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap ==
+      Map(1L -> "cats", 2L -> "dogs", 3L -> "birds"),
+      s"each doc's unique term must rank first: $out")
+    // the everywhere-term scores exactly 0 (idf of df=N is ln(1))
+    assert(out.filter(_._3 == "common").forall(_._4 == 0.0))
+    // k bounds per doc
+    assert(out.groupBy(_._1).forall(_._2.size <= 2))
+  }
+
   test("a query of only absent terms returns no rows for that query") {
     val s = spark
     import s.implicits._
