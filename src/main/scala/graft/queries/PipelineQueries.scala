@@ -782,7 +782,7 @@ log[d] {
       s.readStream.schema(ev.schema).parquet(landing)
         .filter(col("event_type") === t)
         .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
-    StreamOps.intervalJoin(
+    val joined = StreamOps.intervalJoin(
         side("click", "click_id", "click_ts"),
         side("purchase", "purchase_id", "purchase_ts"),
         "user_id", "click_ts", "purchase_ts",
@@ -791,13 +791,16 @@ log[d] {
         col("l.click_id").as("click_id"), col("l.click_ts").as("click_ts"),
         col("r.purchase_id").as("purchase_id"),
         col("r.purchase_ts").as("purchase_ts"))
-      .writeStream.format("parquet")
+    joined.writeStream.format("parquet")
       .option("path", s"$work/sink")
       .option("checkpointLocation", s"$work/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start().awaitTermination()
-    s.read.parquet(s"$work/sink")
+    // explicit schema: a selective join can legitimately emit NOTHING
+    // (no click→purchase inside the window), leaving a data-file-less
+    // sink that schema inference would refuse to read
+    s.read.schema(joined.schema).parquet(s"$work/sink")
       .orderBy(col("click_id"), col("purchase_id"))
   }
 

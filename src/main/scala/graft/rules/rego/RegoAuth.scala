@@ -369,11 +369,16 @@ object RegoAuth {
     }
 
     /** The shared-contract path/resolution ([[RegoData]]): the same
-      * trees the data-plane compiler accepts. */
+      * trees the data-plane compiler accepts. Constants convert to
+      * plain values ONCE here — per-reference conversion would rebuild
+      * a large allowlist collection on every request. */
+    private val dataValues: Map[List[String], Any] =
+      dataConsts.map { case (k, t) => k -> RegoData.toValue(t) }
+
     private def dataPath(t: Term): Option[List[String]] = RegoData.dataPath(t)
 
     private def dataResolve(p: List[String]): Option[Any] =
-      RegoData.resolve(p, dataConsts).map(RegoData.toValue)
+      RegoData.resolveValue(p, dataValues)
 
     /** All values a term can take (one per `[_]` expansion); empty =
       * undefined. */

@@ -64,6 +64,21 @@ object RegoData {
       }
     }.headOption.flatten
 
+  /** Value-level twin of [[resolve]] for constants ALREADY converted
+    * with [[toValue]] (the auth evaluator pre-converts once at load —
+    * converting per reference would rebuild a large allowlist on every
+    * request of the auth hot path). */
+  def resolveValue(p: List[String], consts: Map[List[String], Any]): Option[Any] =
+    (p.length to 1 by -1).view.flatMap { k =>
+      consts.get(p.take(k)).map { base =>
+        p.drop(k).foldLeft(Option[Any](base)) {
+          case (Some(m: Map[_, _]), key) =>
+            m.asInstanceOf[Map[String, Any]].get(key)
+          case _ => None
+        }
+      }
+    }.headOption.flatten
+
   /** Literal term → the auth evaluator's plain-Scala value universe. */
   def toValue(t: Term): Any = t match {
     case Term.Str(v) => v

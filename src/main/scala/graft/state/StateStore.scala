@@ -135,14 +135,7 @@ final class StateStore(rootDir: String,
           while (live && renewing) {
             try Thread.sleep(math.max(lockTimeoutMillis / 3, 1L))
             catch { case _: InterruptedException => live = false }
-            if (live && renewing && owns(lock, token)) {
-              val tmp = lock.resolveSibling(lock.getFileName.toString + s".hb-$token")
-              try {
-                Files.write(tmp, s"${clock()} $token".getBytes("UTF-8"))
-                Files.move(tmp, lock, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              } catch { case _: Exception => Files.deleteIfExists(tmp) }
-            }
+            if (live && renewing) renew(lock, token)
           }
         }
       }, s"graft-lock-heartbeat")
@@ -152,10 +145,34 @@ final class StateStore(rootDir: String,
       finally {
         renewing = false
         hb.interrupt()
+        // quiesce the heartbeat BEFORE the owner-delete: a renewal's
+        // move landing after the delete would recreate a holderless
+        // ghost lock that blocks every caller until stale-broken
+        hb.join(5000)
         if (owns(lock, token)) Files.deleteIfExists(lock)
       }
     }
   }
+
+  /** One lease renewal by ATOMIC IN-PLACE REPLACE — the lock file is
+    * never absent for even an instant (a move-aside renewal was
+    * measured letting contenders' CREATE_NEW acquire mid-hold). The
+    * token re-check immediately before the replace shrinks the
+    * clobber window — a holder stalled past the full stale timeout
+    * BETWEEN check and move overwriting a successor's lock — to
+    * microseconds; a filesystem offers no content-CAS to close it
+    * entirely, which is the documented lease caveat. */
+  private def renew(lock: Path, token: String): Unit =
+    if (owns(lock, token)) {
+      val tmp = lock.resolveSibling(lock.getFileName.toString + s".hb-$token")
+      try {
+        Files.write(tmp, s"${clock()} $token".getBytes("UTF-8"))
+        if (owns(lock, token))
+          Files.move(tmp, lock, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else Files.deleteIfExists(tmp)
+      } catch { case _: Exception => Files.deleteIfExists(tmp) }
+    }
 
   /** Does `lock` still carry `token`? (False on missing/foreign lock.) */
   private def owns(lock: Path, token: String): Boolean =

@@ -107,20 +107,24 @@ class OperatorsSpec extends SparkSpec {
 
   test("StateStore.withLock is a lease: a live long holder is never broken; release is owner-only") {
     val dir = tmpDir("lock-lease")
-    val st = new StateStore(dir, lockTimeoutMillis = 1000)
+    val st = new StateStore(dir, lockTimeoutMillis = 1500)
     val contended = new java.util.concurrent.atomic.AtomicInteger(0)
+    val release = new java.util.concurrent.CountDownLatch(1)
     val t = new Thread(() => {
       // hold FAR past lockTimeoutMillis: the heartbeat (timeout/3) must
-      // keep the lock live the whole time
-      st.withLock("compact") { Thread.sleep(2500) }
+      // keep the lock live the whole time. Released by LATCH, not a
+      // timer, so contender-loop overhead can never outlive the hold
+      // and acquire legitimately (the flaky shape of a timed hold).
+      st.withLock("compact") { release.await() }
       ()
     })
     t.start()
-    Thread.sleep(300)
-    (0 until 5).foreach { _ =>
+    Thread.sleep(400)
+    (0 until 4).foreach { _ =>
       st.withLock("compact") { contended.incrementAndGet() }
-      Thread.sleep(400)
+      Thread.sleep(600)
     }
+    release.countDown()
     t.join()
     assert(contended.get() == 0,
       "a heartbeating holder past the stale timeout must not lose the lock")
