@@ -1,0 +1,96 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.relational.RelationalQueries.dsum
+import graft.text.Collocations.bigramsOf
+import graft.text.TextFunctions.md5Long
+
+/** DSIR-style data selection: importance weights from hashed n-gram
+  * bag models (Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", 2023 — public algorithm). A small trusted
+  * slice of the corpus defines the TARGET distribution; every document
+  * is scored by how much more likely its hashed features are under the
+  * target model than under the raw-corpus model, and the top-scoring
+  * documents are selected. This is the standard way to tilt a web-scale
+  * crawl toward a quality domain without training a classifier.
+  *
+  * Scale shape (100 TB): features hash into `numBuckets` (default 2¹⁰)
+  * buckets, so both "language models" are fixed-size tables no matter
+  * the corpus — built with one map-side-combined groupBy each, joined
+  * back by broadcast. Per-document scoring is one more partial-agg
+  * groupBy over (doc, bucket) pairs; nothing driver-side, nothing
+  * proportional to vocabulary. Top-n is the two-stage exact rank.
+  *
+  * Determinism contract: the per-bucket log ratio is a ± combination
+  * of `ln` over exact integers (Laplace-smoothed counts), rounded to 6
+  * decimals; per-document accumulation multiplies it by an integer
+  * bucket count and sums in DECIMAL(18,6) (commutative — order-free),
+  * so the score is bit-identical in DuckDB.
+  */
+object Dsir {
+
+  /** Hashed unigram+bigram features of a token array, as bucket ids in
+    * `[0, numBuckets)`. md5-based so the DuckDB oracle replays it. */
+  def featureBuckets(toks: Column, numBuckets: Int): Column =
+    transform(concat(toks, bigramsOf(toks)), f => md5Long(f) % numBuckets)
+
+  /** Importance score per document: mean over the document's hashed
+    * features of `ln p_target(b) − ln p_raw(b)`, both models Laplace-
+    * smoothed over the bucket space. Documents with no tokens are
+    * dropped (no features → no rows). Higher = more target-like.
+    *
+    * @param isTarget predicate over `docs` rows choosing the trusted
+    *                 slice that defines the target distribution
+    * @return (doc_id-named by `id`, n_feats, score)
+    */
+  def importanceScores(docs: DataFrame, id: Column, toks: Column,
+      isTarget: Column, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0)
+    val b = docs.select(id.as("__id"), isTarget.as("__tgt"),
+        explode(featureBuckets(toks, numBuckets)).as("bucket"))
+    val raw = b.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
+    val tgt = b.where(col("__tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+    val totals = b.agg(
+      count(lit(1)).as("n_raw"),
+      sum(col("__tgt").cast("long")).as("n_tgt"))
+
+    // fixed-size model table: numBuckets rows, broadcast back
+    val lr = raw.join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), round(
+        log((col("c_tgt") + 1L).cast(DoubleType)) -
+          log((col("n_tgt") + numBuckets).cast(DoubleType)) -
+          log((col("c_raw") + 1L).cast(DoubleType)) +
+          log((col("n_raw") + numBuckets).cast(DoubleType)), 6).as("lr"))
+
+    b.groupBy(col("__id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("__id"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(dsum(col("c").cast(DoubleType) * col("lr")) /
+          sum(col("c")).cast(DoubleType), 6).as("score"))
+  }
+
+  /** Top-`n` target-like documents by [[importanceScores]], ranked
+    * (score desc, id) with the two-stage exact top-n. */
+  def select(docs: DataFrame, id: Column, toks: Column, isTarget: Column,
+      n: Int, numBuckets: Int = 1024): DataFrame = {
+    require(n > 0)
+    val scored = importanceScores(docs, id, toks, isTarget, numBuckets)
+    val order = Seq(col("score").desc, col("__id"))
+    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val global = Window.partitionBy().orderBy(order: _*)
+    scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(local))
+      .where(col("__lr") <= n).drop("__pid", "__lr")
+      .withColumn("rank", row_number().over(global).cast("long"))
+      .where(col("rank") <= n)
+      .select(col("rank"), col("__id"), col("n_feats"), col("score"))
+  }
+}

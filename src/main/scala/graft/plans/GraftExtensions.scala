@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "graft_nfc"),
       (args: Seq[Expression]) => NfcNormalizeExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
+      (args: Seq[Expression]) => MisraGriesAgg(args(0), args(1))))
     // Spark ships codegen'd bloom-filter expressions for its runtime
     // join filters but does NOT register them for users — surface them
     // (same classes, zero custom code) for the incremental-dedup

@@ -2274,6 +2274,106 @@ object CurationQueries {
       FROM scored)
     WHERE rank <= 5 ORDER BY doc_id, rank"""
 
+  // ---- q102: PMI collocations (top adjacent pairs by mutual information) ----
+
+  /** q102: [[graft.text.Collocations.pmiTopK]] — corpus-wide top-50
+    * adjacent token pairs by PMI at support ≥ 5. Multi-word-expression
+    * mining / boilerplate discovery. Integer-ln determinism contract;
+    * rank ties break on the pair text, replayed identically in DuckDB. */
+  def q102(s: SparkSession, d: String): DataFrame =
+    graft.text.Collocations.pmiTopK(docs(s, d),
+      tokens(lower(col("text"))), minCount = 5, k = 50)
+      .orderBy(col("rank"))
+
+  val q102Sql: String = {
+    val bi = "(CASE WHEN len(t) < 2 THEN []::VARCHAR[] ELSE " +
+      "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) END)"
+    s"""
+    WITH tok AS (SELECT ${toksSql("lower(text)")} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS term FROM tok),
+    uc AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY 1),
+    nu AS (SELECT COUNT(*) AS n_uni FROM uni),
+    bi AS (SELECT unnest($bi) AS pair FROM tok),
+    bc AS (SELECT pair, COUNT(*) AS pair_count FROM bi GROUP BY 1),
+    nb AS (SELECT COUNT(*) AS n_bi FROM bi),
+    scored AS (SELECT string_split(pair, ' ')[1] AS x,
+                      string_split(pair, ' ')[2] AS y, pair_count,
+                      round(ln(CAST(pair_count AS DOUBLE))
+                        + 2.0 * ln(CAST(n_uni AS DOUBLE))
+                        - ln(CAST(n_bi AS DOUBLE))
+                        - ln(CAST(cx.c AS DOUBLE))
+                        - ln(CAST(cy.c AS DOUBLE)), 6) AS pmi
+               FROM bc CROSS JOIN nu CROSS JOIN nb
+               JOIN uc cx ON cx.term = string_split(pair, ' ')[1]
+               JOIN uc cy ON cy.term = string_split(pair, ' ')[2]
+               WHERE pair_count >= 5)
+    SELECT rank, x, y, pair_count, pmi FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, x, y) AS rank
+      FROM scored)
+    WHERE rank <= 50 ORDER BY rank"""
+  }
+
+  // ---- q103: DSIR importance-resampling selection ----
+
+  /** q103: [[graft.curation.Dsir.select]] — hashed-n-gram importance
+    * weights (target = the English slice) over 256 md5 buckets, top-100
+    * most-target-like documents. The decimal-sum determinism contract
+    * makes the per-document score order-free and DuckDB-replayable. */
+  def q103(s: SparkSession, d: String): DataFrame =
+    graft.curation.Dsir.select(docs(s, d), col("doc_id"),
+        tokens(lower(col("text"))), col("lang") === "en",
+        n = 100, numBuckets = 256)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(col("rank"))
+
+  val q103Sql: String = {
+    val bi = "(CASE WHEN len(t) < 2 THEN []::VARCHAR[] ELSE " +
+      "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) END)"
+    s"""
+    WITH tok AS (SELECT doc_id, lang, ${toksSql("lower(text)")} AS t FROM documents),
+    feats AS (SELECT doc_id, lang, unnest(list_concat(t, $bi)) AS f FROM tok),
+    bf AS (SELECT doc_id, lang, ${md5LongSql("f", 8)} % 256 AS bucket FROM feats),
+    raw AS (SELECT bucket, COUNT(*) AS c_raw FROM bf GROUP BY 1),
+    tgt AS (SELECT bucket, COUNT(*) AS c_tgt FROM bf WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_raw,
+                   COUNT(*) FILTER (WHERE lang = 'en') AS n_tgt FROM bf),
+    lr AS (SELECT bucket,
+                  round(ln(CAST(COALESCE(c_tgt, 0) + 1 AS DOUBLE))
+                    - ln(CAST(n_tgt + 256 AS DOUBLE))
+                    - ln(CAST(c_raw + 1 AS DOUBLE))
+                    + ln(CAST(n_raw + 256 AS DOUBLE)), 6) AS lr
+           FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot),
+    db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2),
+    sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+                  round(CAST(SUM(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(18,6))) AS DOUBLE)
+                    / CAST(SUM(c) AS DOUBLE), 6) AS score
+           FROM db JOIN lr USING (bucket) GROUP BY 1)
+    SELECT rank, doc_id, n_feats, score FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM sc)
+    WHERE rank <= 100 ORDER BY rank"""
+  }
+
+  // ---- q104: exact frequent tokens via a Misra-Gries candidate pass ----
+
+  /** q104: [[graft.text.HeavyHitters.frequentTokens]] — tokens at
+    * support ≥ 1/50 of the corpus token stream, found by the native
+    * [[graft.plans.MisraGriesAgg]] sketch then re-counted exactly. The
+    * oracle is the direct full groupBy — identical output because the
+    * sketch is only a candidate-superset prune (see HeavyHitters doc). */
+  def q104(s: SparkSession, d: String): DataFrame =
+    graft.text.HeavyHitters.frequentTokens(docs(s, d),
+      tokens(lower(col("text"))), num = 1, den = 50)
+
+  val q104Sql: String = s"""
+    WITH tok AS (SELECT unnest(${toksSql("lower(text)")}) AS term FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM tok CROSS JOIN n
+    GROUP BY term, n.n
+    HAVING COUNT(*) * 50 >= n.n
+    ORDER BY freq DESC, term"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2332,5 +2432,8 @@ object CurationQueries {
     ("q95_containment_capped", q95 _, Some(q95Sql)),
     ("q97_nb_classifier", q97 _, Some(q97Sql)),
     ("q98_int8_ann", q98 _, Some(q98Sql)),
-    ("q101_tfidf_keywords", q101 _, Some(q101Sql)))
+    ("q101_tfidf_keywords", q101 _, Some(q101Sql)),
+    ("q102_pmi_collocations", q102 _, Some(q102Sql)),
+    ("q103_dsir_select", q103 _, Some(q103Sql)),
+    ("q104_heavy_hitters", q104 _, Some(q104Sql)))
 }

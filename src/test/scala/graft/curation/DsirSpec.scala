@@ -1,0 +1,60 @@
+package graft.curation
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextFunctions.tokens
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two vocab-disjoint domains: target-slice docs speak "science",
+    * the rest speak "spam"; two unlabeled probes, one per domain. */
+  private def docs = Seq(
+    (1L, "atoms orbit nuclei and electrons bond", true),
+    (2L, "cells divide and proteins fold", true),
+    (3L, "buy cheap pills now click here", false),
+    (4L, "win cash prizes click now", false),
+    (5L, "electrons bond and proteins fold", false), // science-y probe
+    (6L, "cheap prizes click here now", false)) // spam probe
+    .toDF("doc_id", "text", "is_tgt")
+
+  test("importance scores rank target-like probes above anti-target probes") {
+    val scores = Dsir.importanceScores(docs, col("doc_id"),
+      tokens(lower(col("text"))), col("is_tgt"), numBuckets = 4096)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(5) > scores(6),
+      s"science probe must out-score spam probe: $scores")
+    assert(scores(1) > scores(3) && scores(2) > scores(4),
+      s"target docs must out-score anti-target docs: $scores")
+  }
+
+  test("select: exact top-n, rank order, and partitioning invariance") {
+    val a = Dsir.select(docs.repartition(1), col("doc_id"),
+      tokens(lower(col("text"))), col("is_tgt"), n = 3, numBuckets = 512)
+      .collect().toSeq
+    val b = Dsir.select(docs.repartition(7), col("doc_id"),
+      tokens(lower(col("text"))), col("is_tgt"), n = 3, numBuckets = 512)
+      .collect().toSeq
+    assert(a == b, "two-stage top-n must be partitioning-invariant")
+    assert(a.size == 3 && a.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+  }
+
+  test("featureBuckets: unigrams + bigrams, all in [0, B)") {
+    val out = Seq("a b c").toDF("text")
+      .select(Dsir.featureBuckets(tokens(col("text")), 16).as("b"))
+      .as[Seq[Long]].collect().head
+    assert(out.size == 5, "3 unigrams + 2 bigrams")
+    assert(out.forall(x => x >= 0 && x < 16))
+  }
+
+  test("whitespace-only documents drop out (no features, no NaN rows)") {
+    val d = Seq((1L, "alpha beta", true), (2L, "   ", false))
+      .toDF("doc_id", "text", "is_tgt")
+    val out = Dsir.importanceScores(d, col("doc_id"),
+      tokens(lower(col("text"))), col("is_tgt"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L))
+    assert(!out.head._3.isNaN)
+  }
+}
