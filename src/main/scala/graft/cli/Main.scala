@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|txlog] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|txlog] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -534,6 +534,60 @@ object Main {
               .agg(avg("xent"), fsum("n_bigrams")).head
             println(f"mean xent: ${m.getDouble(0)}%.4f over ${m.getLong(1)} bigrams")
         }
+
+      case "phrases" =>
+        // PMI collocation mining (q102 operator as a verb): top-k
+        // adjacent token pairs by pointwise mutual information —
+        // multi-word-expression discovery / boilerplate audit
+        require(pos.size == 1, "phrases needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, lower}
+        val df = readTable(spark, flags, pos.head)
+        val out = graft.text.Collocations.pmiTopK(df,
+          graft.text.TextFunctions.tokens(
+            lower(c(flags.getOrElse("text-col", "text")))),
+          minCount = flags.getOrElse("min-count", "5").toLong,
+          k = flags.getOrElse("k", "50").toInt)
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        spark.read.parquet(req(flags, "output")).orderBy(c("rank")).collect()
+          .foreach(r => println(f"#${r.getLong(0)} ${r.getString(1)} " +
+            f"${r.getString(2)} (n=${r.getLong(3)}, pmi=${r.getDouble(4)}%.4f)"))
+
+      case "dsir" =>
+        // DSIR importance-resampling selection (q103 operator as a
+        // verb): --target is a SQL predicate naming the trusted slice;
+        // the top --n most-target-like documents are selected
+        require(pos.size == 1, "dsir needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, expr, lower}
+        val df = readTable(spark, flags, pos.head)
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val out = graft.curation.Dsir.select(df, c(idCol),
+            graft.text.TextFunctions.tokens(
+              lower(c(flags.getOrElse("text-col", "text")))),
+            expr(req(flags, "target")),
+            n = flags.getOrElse("n", "100").toInt,
+            numBuckets = flags.getOrElse("buckets", "1024").toInt)
+          .withColumnRenamed("__id", idCol)
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        val got = spark.read.parquet(req(flags, "output"))
+        println(s"selected: ${got.count()} docs (target: ${req(flags, "target")})")
+
+      case "freq" =>
+        // exact frequent-token mining (q104 operator as a verb): terms
+        // at support ≥ num/den of the token stream via the Misra-Gries
+        // candidate pass + exact re-count — stop-list / boilerplate
+        // token discovery without shuffling the vocabulary tail
+        require(pos.size == 1, "freq needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, lower}
+        val df = readTable(spark, flags, pos.head)
+        val Array(num, den) = flags.getOrElse("support", "1/100")
+          .split("/", 2).map(_.trim.toLong)
+        val out = graft.text.HeavyHitters.frequentTokens(df,
+          graft.text.TextFunctions.tokens(
+            lower(c(flags.getOrElse("text-col", "text")))), num, den)
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        spark.read.parquet(req(flags, "output"))
+          .orderBy(c("freq").desc, c("term")).collect()
+          .foreach(r => println(s"${r.getString(0)}: ${r.getLong(1)}"))
 
       case "txlog" =>
         // maintenance/lineage verbs for the transaction-log backend:

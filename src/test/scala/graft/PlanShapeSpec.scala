@@ -295,4 +295,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.length == 3 &&
       rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
+
+  test("frequent-token mining: k-bounded sketch agg + broadcast candidates (q104 shape)") {
+    import graft.text.HeavyHitters
+    import graft.text.TextFunctions.tokens
+    val docs = (1 to 40).map(i => s"hot hot w$i x$i").toDF("text")
+    val out = HeavyHitters.frequentTokens(docs, tokens(col("text")), 1, 10)
+    val plan = formatted(out)
+    // pass 1: the MG sketch aggregates as an object agg with a map-side
+    // partial (k-bounded states move, never the token stream)
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(plan).size >= 2,
+      s"MG sketch must run as partial+final object aggregate:\n$plan")
+    assert(plan.contains("graft_misra_gries"), s"sketch missing from plan:\n$plan")
+    // pass 2: candidates reach the token stream via broadcast — the
+    // vocabulary tail must not shuffle to a sort-merge join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate re-count must broadcast the ≤k candidate terms:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"full-vocabulary shuffle join defeats the sketch prune:\n$plan")
+  }
 }

@@ -318,4 +318,42 @@ class CliCurationSpec extends SparkSpec {
     assert(out(0)._2 == s"alpha $shared omega" && out(0)._4 == 0L)
     assert(out(1)._2 == "start end" && out(1)._4 == 13L)
   }
+
+  test("phrases mines top-PMI collocations via the verb") {
+    val dir = tmpDir("cli-phrases")
+    (Seq.fill(6)("new york") ++ Seq.fill(6)("the cat the dog"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("phrases", "--min-count", "2", "--k", "3",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out").orderBy("rank")
+      .as[(Long, String, String, Long, Double)].collect()
+    assert(out.nonEmpty && out.head._2 == "new" && out.head._3 == "york")
+  }
+
+  test("dsir selects target-like docs via the verb with a SQL predicate") {
+    val dir = tmpDir("cli-dsir")
+    Seq((1L, "atoms orbit nuclei", "sci"), (2L, "cells divide fast", "sci"),
+      (3L, "buy pills now", "spam"), (4L, "atoms divide fast", "unk"),
+      (5L, "buy now click", "unk"))
+      .toDF("doc_id", "text", "src").write.parquet(s"$dir/in")
+    Main.run(spark, Array("dsir", "--target", "src = 'sci'", "--n", "3",
+      "--buckets", "512", "--output", s"$dir/out", s"$dir/in"))
+    val got = spark.read.parquet(s"$dir/out").orderBy("rank")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got.size == 3 && got.contains(4L) && !got.contains(5L),
+      s"science-leaning probe must beat the spam probe: $got")
+  }
+
+  test("freq mines exact frequent tokens via the verb") {
+    val dir = tmpDir("cli-freq")
+    ((Seq.fill(30)("hot") ++ (1 to 70).map(i => s"t$i")).grouped(4)
+      .map(_.mkString(" ")).toSeq.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("freq", "--support", "1/5",
+      "--output", s"$dir/out", s"$dir/in"))
+    val got = spark.read.parquet(s"$dir/out").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 30L)), s"exact answer is {hot:30}: $got")
+  }
 }
