@@ -2374,6 +2374,93 @@ object CurationQueries {
     HAVING COUNT(*) * 50 >= n.n
     ORDER BY freq DESC, term"""
 
+  // ---- q105: per-source KL drift from the corpus token distribution ----
+
+  /** q105: [[graft.text.CorpusStats.klDrift]] — each source's unigram
+    * KL divergence from the whole corpus, the standard drift alarm for
+    * a training-data feed. Integer-ln + decimal-sum determinism. */
+  def q105(s: SparkSession, d: String): DataFrame =
+    graft.text.CorpusStats.klDrift(docs(s, d), col("source"),
+        tokens(lower(col("text"))))
+      .withColumnRenamed("group", "source")
+
+  val q105Sql: String = s"""
+    WITH tok AS (SELECT source AS grp, unnest(${toksSql("lower(text)")}) AS term
+                 FROM documents),
+    gt AS (SELECT grp, term, COUNT(*) AS c_gt FROM tok GROUP BY 1, 2),
+    g AS (SELECT grp, CAST(SUM(c_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+    t AS (SELECT term, CAST(SUM(c_gt) AS BIGINT) AS c_t FROM gt GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM g)
+    SELECT grp AS source, n_g AS n_tokens,
+           round(CAST(SUM(CAST(CAST(c_gt AS DOUBLE) *
+                   round(ln(CAST(c_gt AS DOUBLE)) - ln(CAST(n_g AS DOUBLE))
+                     - ln(CAST(c_t AS DOUBLE)) + ln(CAST(n AS DOUBLE)), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) / CAST(n_g AS DOUBLE), 6) AS kl
+    FROM gt JOIN t USING (term) JOIN g USING (grp) CROSS JOIN n
+    GROUP BY 1, 2 ORDER BY source"""
+
+  // ---- q106: per-dimension Fisher separability of the embeddings ----
+
+  /** q106: [[graft.sim.EmbeddingStats.fisherRatio]] — between/within
+    * class scatter per embedding dimension from one-pass sufficient
+    * statistics; the embedding-quality gate before semantic dedup or
+    * ANN trusts the vectors. Decimal-sum determinism throughout. */
+  def q106(s: SparkSession, d: String): DataFrame =
+    graft.sim.EmbeddingStats.fisherRatio(
+      Tables.embeddings(s, d), col("embedding"), col("label"))
+
+  val q106Sql: String = s"""
+    WITH e AS (SELECT label, unnest(range(0, len(embedding))) AS dim,
+                      CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+    cs AS (SELECT label, dim, COUNT(*) AS n_c,
+                  ${dsumSql("x")} AS s, ${dsumSql("x * x")} AS sxx
+           FROM e GROUP BY 1, 2),
+    ds AS (SELECT dim, CAST(SUM(n_c) AS BIGINT) AS n_d, ${dsumSql("s")} AS s_d
+           FROM cs GROUP BY 1),
+    bw AS (SELECT cs.dim,
+                  CAST(n_c AS DOUBLE) *
+                    ((s / CAST(n_c AS DOUBLE) - s_d / CAST(n_d AS DOUBLE)) *
+                     (s / CAST(n_c AS DOUBLE) - s_d / CAST(n_d AS DOUBLE))) AS b,
+                  (sxx - s * s / CAST(n_c AS DOUBLE)) AS w
+           FROM cs JOIN ds USING (dim)),
+    agg AS (SELECT dim, round(${dsumSql("b")}, 6) AS scatter_between,
+                   round(${dsumSql("w")}, 6) AS scatter_within
+            FROM bw GROUP BY 1)
+    SELECT dim, scatter_between, scatter_within,
+           CASE WHEN scatter_within > 0.0
+             THEN round(scatter_between / scatter_within, 6) ELSE NULL END AS fisher
+    FROM agg ORDER BY dim"""
+
+  // ---- q107: per-source Zipf exponent (does it still look like language?) ----
+
+  /** q107: [[graft.text.CorpusStats.zipfSlope]] — OLS slope of ln freq
+    * on ln rank per source; natural language ≈ −1, boilerplate flattens
+    * toward 0. Closed-form decimal-sum regression, DuckDB-replayed. */
+  def q107(s: SparkSession, d: String): DataFrame =
+    graft.text.CorpusStats.zipfSlope(docs(s, d), col("source"),
+        tokens(lower(col("text"))))
+      .withColumnRenamed("group", "source")
+
+  val q107Sql: String = s"""
+    WITH tok AS (SELECT source AS grp, unnest(${toksSql("lower(text)")}) AS term
+                 FROM documents),
+    freq AS (SELECT grp, term, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+    xy AS (SELECT grp,
+             round(ln(CAST(ROW_NUMBER() OVER
+               (PARTITION BY grp ORDER BY freq DESC, term) AS DOUBLE)), 6) AS x,
+             round(ln(CAST(freq AS DOUBLE)), 6) AS y
+           FROM freq),
+    a AS (SELECT grp, COUNT(*) AS n_terms, ${dsumSql("x")} AS sx,
+                 ${dsumSql("y")} AS sy, ${dsumSql("x * y")} AS sxy,
+                 ${dsumSql("x * x")} AS sxx
+          FROM xy GROUP BY 1)
+    SELECT grp AS source, n_terms,
+           CASE WHEN n_terms < 2
+                  OR CAST(n_terms AS DOUBLE) * sxx - sx * sx = 0.0 THEN NULL
+             ELSE round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) END AS zipf_slope
+    FROM a ORDER BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2435,5 +2522,8 @@ object CurationQueries {
     ("q101_tfidf_keywords", q101 _, Some(q101Sql)),
     ("q102_pmi_collocations", q102 _, Some(q102Sql)),
     ("q103_dsir_select", q103 _, Some(q103Sql)),
-    ("q104_heavy_hitters", q104 _, Some(q104Sql)))
+    ("q104_heavy_hitters", q104 _, Some(q104Sql)),
+    ("q105_source_kl_drift", q105 _, Some(q105Sql)),
+    ("q106_fisher_ratio", q106 _, Some(q106Sql)),
+    ("q107_zipf_slope", q107 _, Some(q107Sql)))
 }

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.relational.RelationalQueries.dsum
+
+/** Corpus-health statistics over grouped document slices — the audit
+  * surface a mixing pipeline reads before retuning source weights:
+  * which sources drifted away from the corpus distribution, and which
+  * stopped looking like natural language at all.
+  *
+  * Scale shape (100 TB): everything reduces through (group, term)
+  * counts — one map-side-combined shuffle — then joins against a
+  * vocabulary-bounded term table (left to AQE) and broadcast one-row
+  * totals. Per-group outputs are group-cardinality-sized. Nothing
+  * driver-side, nothing proportional to tokens.
+  *
+  * Determinism contract: `ln` only ever sees exact integer counts
+  * (the [[graft.curation.LangModel]] contract), each ln-combination is
+  * rounded to 6 decimals, and per-group accumulation happens in
+  * DECIMAL(18,6) ([[graft.relational.RelationalQueries.dsum]]) — a
+  * commutative, order-free sum that DuckDB replays bit-identically.
+  */
+object CorpusStats {
+
+  /** Per-group KL divergence from the corpus unigram distribution:
+    * `KL(p_g ‖ p) = Σ_t p_g(t) · ln(p_g(t) / p(t))` — how far each
+    * slice's token mix has drifted from the whole. 0 = identical mix;
+    * monitoring this per source/day is the standard drift alarm for a
+    * training-data feed.
+    *
+    * Expansion used (all-integer ln arguments):
+    * `Σ_t c_gt · round(ln c_gt − ln n_g − ln c_t + ln N, 6) / n_g`.
+    *
+    * @return (group, n_tokens, kl) — kl ≥ 0 up to rounding, rounded
+    *         to 6 decimals, ordered by group
+    */
+  def klDrift(docs: DataFrame, group: Column, toks: Column): DataFrame = {
+    val tok = docs.select(group.as("group"), explode(toks).as("term"))
+    val gt = tok.groupBy(col("group"), col("term")).agg(count(lit(1)).as("c_gt"))
+    val g = gt.groupBy(col("group")).agg(sum(col("c_gt")).as("n_g"))
+    val t = gt.groupBy(col("term")).agg(sum(col("c_gt")).as("c_t"))
+    val n = g.agg(sum(col("n_g")).as("n"))
+    val lnTerm = round(
+      log(col("c_gt").cast(DoubleType)) - log(col("n_g").cast(DoubleType)) -
+        log(col("c_t").cast(DoubleType)) + log(col("n").cast(DoubleType)), 6)
+    gt.join(t, Seq("term"))
+      .join(broadcast(g), Seq("group"))
+      .crossJoin(broadcast(n))
+      .select(col("group"), col("n_g"),
+        (col("c_gt").cast(DoubleType) * lnTerm).as("contrib"))
+      .groupBy(col("group"), col("n_g"))
+      .agg(round(dsum(col("contrib")) / col("n_g").cast(DoubleType), 6).as("kl"))
+      .select(col("group"), col("n_g").as("n_tokens"), col("kl"))
+      .orderBy(col("group"))
+  }
+
+  /** Per-group Zipf exponent: the OLS slope of `ln freq` on `ln rank`
+    * over the group's token frequency spectrum (ranked by freq desc,
+    * then term). Natural language sits near −1; template/boilerplate
+    * slices flatten toward 0 and near-random token streams fall off a
+    * cliff — a one-number "does this source still look like language"
+    * check.
+    *
+    * Closed form, decimal sums: slope =
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` with x = round(ln rank, 6),
+    * y = round(ln freq, 6), every Σ a [[dsum]]. Groups with < 2
+    * distinct terms (or a degenerate all-equal spectrum) return null.
+    *
+    * @return (group, n_terms, zipf_slope) ordered by group
+    */
+  def zipfSlope(docs: DataFrame, group: Column, toks: Column): DataFrame = {
+    val tok = docs.select(group.as("group"), explode(toks).as("term"))
+    val freq = tok.groupBy(col("group"), col("term")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("freq").desc, col("term"))
+    val xy = freq
+      .withColumn("rank", row_number().over(w))
+      .select(col("group"),
+        round(log(col("rank").cast(DoubleType)), 6).as("x"),
+        round(log(col("freq").cast(DoubleType)), 6).as("y"))
+    xy.groupBy(col("group"))
+      .agg(count(lit(1)).as("n_terms"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"))
+      .select(col("group"), col("n_terms"),
+        when(col("n_terms") < 2 ||
+            col("n_terms").cast(DoubleType) * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(null).cast(DoubleType))
+          .otherwise(round(
+            (col("n_terms").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
+              (col("n_terms").cast(DoubleType) * col("sxx") - col("sx") * col("sx")), 6))
+          .as("zipf_slope"))
+      .orderBy(col("group"))
+  }
+}

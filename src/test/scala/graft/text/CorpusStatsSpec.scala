@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextFunctions.tokens
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("klDrift: identical mixes sit at ~0, a divergent slice scores higher") {
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "x y z x"), // same mix, shuffled order
+      ("b", "x x y z"), ("b", "z x y x"),
+      ("c", "q q q q"), ("c", "q q q r")) // disjoint vocabulary
+      .toDF("src", "text")
+    val out = CorpusStats.klDrift(docs, col("src"), tokens(col("text")))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out("a") == out("b"), "identical distributions must tie exactly")
+    assert(out("c") > out("a"), s"disjoint-vocab slice must drift most: $out")
+    assert(out.values.forall(_ >= -1e-6), s"KL is non-negative: $out")
+  }
+
+  test("klDrift is partitioning-invariant (decimal-sum contract)") {
+    val docs = (1 to 60).map(i => (s"s${i % 3}", s"w${i % 7} w${i % 5} common"))
+      .toDF("src", "text")
+    val a = CorpusStats.klDrift(docs.repartition(1), col("src"), tokens(col("text"))).collect().toSeq
+    val b = CorpusStats.klDrift(docs.repartition(11), col("src"), tokens(col("text"))).collect().toSeq
+    assert(a == b)
+  }
+
+  test("zipfSlope: an exact 1/r spectrum regresses to -1; singletons go null") {
+    // freqs 12/r for ranks 1..4 → ln f = ln 12 − ln r, slope exactly −1
+    val zipfTokens = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = (zipfTokens.grouped(5).map(_.mkString(" ")).map("z" -> _).toSeq
+      :+ ("solo" -> "only"))
+      .toDF("src", "text")
+    val out = CorpusStats.zipfSlope(docs, col("src"), tokens(col("text")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val (nZ, slopeZ) = out("z")
+    assert(nZ == 4L && slopeZ.isDefined)
+    assert(math.abs(slopeZ.get - (-1.0)) < 1e-3,
+      s"12/r spectrum must slope to -1, got $slopeZ")
+    assert(out("solo") == ((1L, None)),
+      s"single-term group must return null slope: $out")
+  }
+}
