@@ -812,6 +812,55 @@ log[d] {
       AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 21600 SECONDS
     ORDER BY click_id, purchase_id"""
 
+  /** q108: STREAMING frequent-token mining — the q104 operator run as
+    * a drift monitor on a live feed. The corpus token stream drains as
+    * a FILE STREAM (one file per micro-batch) through a complete-mode
+    * global aggregation holding a [[graft.plans.MisraGriesAgg]] sketch,
+    * so the sketch state round-trips the state store (serialize /
+    * deserialize / merge) on every trigger. The final sketch's
+    * candidates are then re-counted exactly against the same landed
+    * data, and the result hash-matches q104's plain-batch oracle — a
+    * proof that the mergeable-MG combine preserves the superset
+    * guarantee across micro-batch state persistence, not just across
+    * in-memory partials.
+    *
+    * Scale: streaming state is ONE row of ≤ k (term, count) entries no
+    * matter the feed size; each micro-batch contributes k-bounded
+    * partials. The exact re-count is the q104 broadcast shape. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val work = graft.util.Workspace.temp("graft-q108")
+    val landing = s"$work/landing"
+    Tables.documents(s, d)
+      .select(explode(tokens(lower(col("text")))).as("term"))
+      .repartition(6).write.mode("overwrite").parquet(landing)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType)))
+    // unique memory-sink name: q108 may run more than once per session
+    val sinkName = "q108sk_" + java.lang.Long.toHexString(
+      java.nio.file.Paths.get(work).getFileName.toString.hashCode.toLong & 0xffffffffL)
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    in.groupBy()
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_misra_gries", col("term"), lit(100)).as("sk"))
+      .writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val cands = s.table(sinkName)
+      .select(explode(col("sk")).as("c"), col("n"))
+      .select(col("c.term").as("term"), col("n"))
+    s.read.parquet(landing)
+      .join(broadcast(cands), Seq("term"))
+      .groupBy(col("term"), col("n"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") * 50 >= col("n") * 1)
+      .select(col("term"), col("freq"))
+      .orderBy(col("freq").desc, col("term"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -832,5 +881,7 @@ log[d] {
     ("q85_windowed_agg", q85 _, Some(q85Sql)),
     ("q96_rego_general", q96 _, Some(q96Sql)),
     ("q99_stream_sessionize", q99 _, Some(q99Sql)),
-    ("q100_stream_interval_join", q100 _, Some(q100Sql)))
+    ("q100_stream_interval_join", q100 _, Some(q100Sql)),
+    ("q108_stream_heavy_hitters", q108 _,
+      Some(graft.queries.CurationQueries.q104Sql)))
 }
