@@ -2461,6 +2461,43 @@ object CurationQueries {
                / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) END AS zipf_slope
     FROM a ORDER BY source"""
 
+  // ---- q109: cross-source content-overlap matrix (provenance audit) ----
+
+  /** q109: [[graft.text.CorpusStats.groupOverlap]] — shared winnowed
+    * span fingerprints per source pair plus the overlap coefficient:
+    * the mirror-feed detector behind source weighting. Runs WITH the
+    * group-frequency cap on (fingerprints in > 15 of the 20 sources
+    * drop out), so the CORRECTNESS-mapped path is the one whose
+    * self-join stays bounded at corpus scale; the oracle replays the
+    * q74-proven winnow construction, the cap, and both joins. */
+  def q109(s: SparkSession, d: String): DataFrame =
+    graft.text.CorpusStats.groupOverlap(docs(s, d), col("source"),
+      col("text"), shingleK = 3, w = 4, maxGroupFreq = 15)
+
+  val q109Sql: String = {
+    val toks = toksSql("text")
+    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
+    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
+      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
+      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
+    s"""
+    WITH raw AS (SELECT source AS grp, unnest(list_distinct($winnow)) AS fp
+                 FROM documents),
+    fps AS (SELECT DISTINCT grp, fp FROM raw),
+    sizes AS (SELECT grp, COUNT(*) AS n_fp FROM fps GROUP BY 1),
+    joinable AS (SELECT grp, fp FROM fps JOIN
+      (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 15) r USING (fp)),
+    pairs AS (SELECT x.grp AS grp_a, y.grp AS grp_b, COUNT(*) AS n_shared
+              FROM joinable x JOIN joinable y
+                ON x.fp = y.fp AND x.grp < y.grp
+              GROUP BY 1, 2)
+    SELECT grp_a, grp_b, n_shared,
+           round(CAST(n_shared AS DOUBLE)
+             / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS overlap
+    FROM pairs JOIN sizes sa ON sa.grp = grp_a JOIN sizes sb ON sb.grp = grp_b
+    ORDER BY grp_a, grp_b"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2525,5 +2562,6 @@ object CurationQueries {
     ("q104_heavy_hitters", q104 _, Some(q104Sql)),
     ("q105_source_kl_drift", q105 _, Some(q105Sql)),
     ("q106_fisher_ratio", q106 _, Some(q106Sql)),
-    ("q107_zipf_slope", q107 _, Some(q107Sql)))
+    ("q107_zipf_slope", q107 _, Some(q107Sql)),
+    ("q109_source_overlap", q109 _, Some(q109Sql)))
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.relational.RelationalQueries.dsum
+import graft.text.TextFunctions.tokens
 
 /** Corpus-health statistics over grouped document slices — the audit
   * surface a mixing pipeline reads before retuning source weights:
@@ -56,6 +57,53 @@ object CorpusStats {
       .agg(round(dsum(col("contrib")) / col("n_g").cast(DoubleType), 6).as("kl"))
       .select(col("group"), col("n_g").as("n_tokens"), col("kl"))
       .orderBy(col("group"))
+  }
+
+  /** Cross-group content-overlap matrix: for every pair of groups
+    * (sources, crawls, snapshots), how many winnowed span fingerprints
+    * they share, and the overlap coefficient
+    * `shared / min(|A|, |B|)`. The provenance audit behind source
+    * weighting: two "independent" feeds sharing 40% of their local
+    * spans are mirrors, and a mixing plan that counts them twice
+    * double-weights their content.
+    *
+    * Scale shape (100 TB): fingerprints are the winnowing selection
+    * over k-shingle hashes (the q74-proven construction, native
+    * kernels), collapsed to DISTINCT (group, fp) — so the join key
+    * space is span-vocabulary-sized, not token-sized. A fingerprint
+    * present in g groups contributes g² pair rows; `maxGroupFreq`
+    * drops fingerprints shared by more than that many groups
+    * (ubiquitous template spans — already known-shared, and the blowup
+    * term), bounding the self-join at |postings|·maxGroupFreq rows.
+    * Per-group sizes are a group-cardinality frame joined back by
+    * broadcast.
+    *
+    * @return (grp_a, grp_b, n_shared, overlap) with grp_a < grp_b,
+    *         overlap rounded to 6 decimals, ordered by (grp_a, grp_b)
+    */
+  def groupOverlap(docs: DataFrame, group: Column, text: Column,
+      shingleK: Int = 3, w: Int = 4,
+      maxGroupFreq: Int = Int.MaxValue): DataFrame = {
+    val fps = docs.select(group.as("grp"), tokens(text).as("t"))
+      .select(col("grp"), explode(call_function("graft_winnow",
+        call_function("graft_shingles", col("t"), lit(shingleK)), lit(w))).as("fp"))
+      .distinct()
+    val sizes = fps.groupBy(col("grp")).agg(count(lit(1)).as("n_fp"))
+    val joinable =
+      if (maxGroupFreq == Int.MaxValue) fps
+      else fps.join(
+        fps.groupBy(col("fp")).agg(count(lit(1)).as("gf"))
+          .filter(col("gf") <= maxGroupFreq).select(col("fp")), "fp")
+    joinable.as("x").join(joinable.as("y"), col("x.fp") === col("y.fp"))
+      .filter(col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("grp_a"), col("y.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n_fp").as("n_a"))), Seq("grp_a"))
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n_fp").as("n_b"))), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType), 6).as("overlap"))
+      .orderBy(col("grp_a"), col("grp_b"))
   }
 
   /** Per-group Zipf exponent: the OLS slope of `ln freq` on `ln rank`

@@ -29,6 +29,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("groupOverlap: mirrors hit 1.0, disjoint feeds pair nothing, the cap drops ubiquitous spans") {
+    val mirrorText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      ("m1", mirrorText), ("m2", mirrorText), // exact mirrors
+      ("solo", "one two three four five six")) // disjoint vocabulary
+      .toDF("src", "text")
+    val out = CorpusStats.groupOverlap(docs, col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(("m1", "m2")),
+      s"only the mirror pair shares spans: ${out.keySet}")
+    assert(out(("m1", "m2"))._2 == 1.0, s"mirrors overlap fully: $out")
+
+    // a span in EVERY group is dropped by the cap; the rare span still pairs
+    val shared = "w1 w2 w3 w4 w5 w6 w7"
+    val capped = Seq(("a", shared), ("b", shared), ("c", shared),
+      ("a", "p q r s t u"), ("b", "p q r s t u"))
+      .toDF("src", "text")
+    val withCap = CorpusStats.groupOverlap(capped, col("src"), col("text"),
+      maxGroupFreq = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(withCap.keySet == Set(("a", "b")),
+      s"3-group spans must drop at cap 2, leaving only the rare pair: $withCap")
+    val noCap = CorpusStats.groupOverlap(capped, col("src"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(noCap == Set(("a", "b"), ("a", "c"), ("b", "c")),
+      s"uncapped, the ubiquitous span pairs all three: $noCap")
+  }
+
   test("zipfSlope: an exact 1/r spectrum regresses to -1; singletons go null") {
     // freqs 12/r for ranks 1..4 → ln f = ln 12 − ln r, slope exactly −1
     val zipfTokens = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
