@@ -2498,6 +2498,32 @@ object CurationQueries {
     ORDER BY grp_a, grp_b"""
   }
 
+  // ---- q110: embedding anisotropy (mean pairwise cosine, closed form) ----
+
+  /** q110: [[graft.sim.EmbeddingStats.anisotropy]] — the cone-collapse
+    * diagnostic: mean cosine over all n·(n−1) vector pairs without the
+    * pair join, via ‖Σx̂‖². Pairs with q106 as the embedding-health
+    * gate. Decimal-sum determinism; the oracle replays the identical
+    * closed form. */
+  def q110(s: SparkSession, d: String): DataFrame =
+    graft.sim.EmbeddingStats.anisotropy(Tables.embeddings(s, d),
+      col("embedding"))
+
+  val q110Sql: String = s"""
+    WITH v0 AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    vn AS (SELECT v, sqrt(${dotSql("v", "v")}) AS nrm FROM v0),
+    vv AS (SELECT v, nrm FROM vn WHERE nrm > 0.0),
+    e AS (SELECT unnest(range(0, len(v))) AS dim,
+                 unnest(list_transform(v, x -> x / nrm)) AS e FROM vv),
+    sd AS (SELECT dim, ${dsumSql("e")} AS s FROM e GROUP BY 1),
+    s2 AS (SELECT ${dsumSql("s * s")} AS s2 FROM sd),
+    ss AS (SELECT ${dsumSql("e * e")} AS ss FROM e),
+    n AS (SELECT COUNT(*) AS n FROM vv)
+    SELECT n, CASE WHEN n < 2 THEN NULL
+      ELSE round((s2 - ss)
+        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) END AS mean_cos
+    FROM n CROSS JOIN s2 CROSS JOIN ss"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2563,5 +2589,6 @@ object CurationQueries {
     ("q105_source_kl_drift", q105 _, Some(q105Sql)),
     ("q106_fisher_ratio", q106 _, Some(q106Sql)),
     ("q107_zipf_slope", q107 _, Some(q107Sql)),
-    ("q109_source_overlap", q109 _, Some(q109Sql)))
+    ("q109_source_overlap", q109 _, Some(q109Sql)),
+    ("q110_anisotropy", q110 _, Some(q110Sql)))
 }

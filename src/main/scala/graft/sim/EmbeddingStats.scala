@@ -2,7 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 import graft.relational.RelationalQueries.dsum
 
@@ -42,6 +42,37 @@ object EmbeddingStats {
     * @return (dim, scatter_between, scatter_within, fisher) — one row
     *         per dimension, ordered by dim, rounded to 6 decimals
     */
+  /** Anisotropy: the mean pairwise cosine over all vector pairs, in
+    * closed form — `(‖Σx̂‖² − Σ‖x̂‖²) / (n·(n−1))` over the normalized
+    * vectors x̂, so the O(n²) pair space collapses to one pass plus a
+    * dimension-sized reduction. Well-conditioned embedding spaces sit
+    * near 0; a high value means vectors crowd a narrow cone (the
+    * classic LM-embedding pathology) and every cosine-based operator
+    * downstream — semantic dedup, ANN, SemDeDup clustering — loses
+    * discrimination. Zero-norm vectors are excluded; n < 2 returns a
+    * null mean.
+    *
+    * @return one row: (n, mean_cos) rounded to 6 decimals
+    */
+  def anisotropy(emb: DataFrame, vec: Column): DataFrame = {
+    val base = emb.select(vec.cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      .filter(col("nrm") > 0.0)
+    val e = base
+      .select(col("nrm"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim"), (col("x") / col("nrm")).as("e"))
+    val s2 = e.groupBy(col("dim")).agg(dsum(col("e")).as("s"))
+      .agg(dsum(col("s") * col("s")).as("s2"))
+    val ss = e.agg(dsum(col("e") * col("e")).as("ss"))
+    val n = base.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(s2)).crossJoin(broadcast(ss))
+      .select(col("n"),
+        when(col("n") < 2, lit(null).cast(DoubleType))
+          .otherwise(round((col("s2") - col("ss")) /
+            (col("n").cast(DoubleType) * (col("n") - lit(1L)).cast(DoubleType)), 6))
+          .as("mean_cos"))
+  }
+
   def fisherRatio(emb: DataFrame, vec: Column, label: Column): DataFrame = {
     val e = emb.select(label.as("label"), posexplode(vec).as(Seq("dim", "xf")))
       .select(col("label"), col("dim").cast(LongType).as("dim"),

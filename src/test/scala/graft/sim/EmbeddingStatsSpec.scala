@@ -41,6 +41,42 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(r.getDouble(3) == 2.5, s"fisher: $r")
   }
 
+  test("anisotropy matches hand-computed pair means; degenerate inputs flag") {
+    def mc(vecs: Seq[Array[Float]]): Option[Double] = {
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val r = EmbeddingStats.anisotropy(df, col("embedding")).collect().head
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    // identical unit vectors: every pairwise cosine is 1
+    assert(mc(Seq(Array(1f, 0f), Array(1f, 0f), Array(1f, 0f))).get == 1.0)
+    // orthogonal pair: mean cosine 0
+    assert(math.abs(mc(Seq(Array(1f, 0f), Array(0f, 1f))).get) < 1e-9)
+    // antipodal pair: mean cosine -1
+    assert(mc(Seq(Array(1f, 0f), Array(-1f, 0f))).get == -1.0)
+    // a zero vector is excluded, leaving one usable vector → null
+    assert(mc(Seq(Array(1f, 0f), Array(0f, 0f))).isEmpty)
+  }
+
+  test("anisotropy closed form equals the explicit O(n²) pair mean") {
+    val vecs = (0 until 25).map(i =>
+      Array.tabulate(6)(j => (math.sin(i * 3 + j) + 0.4).toFloat))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = EmbeddingStats.anisotropy(df, col("embedding"))
+      .collect().head.getDouble(1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val pairs = for (i <- vecs.indices; j <- vecs.indices if i != j)
+      yield cos(vecs(i), vecs(j))
+    val want = pairs.sum / pairs.size
+    assert(math.abs(got - want) < 1e-4,
+      s"closed form $got vs explicit pair mean $want")
+  }
+
   test("fisherRatio is partitioning-invariant (decimal-sum contract)") {
     val a = EmbeddingStats.fisherRatio(emb.repartition(1),
       col("embedding"), col("label")).collect().toSeq
