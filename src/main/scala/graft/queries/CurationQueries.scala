@@ -2524,6 +2524,68 @@ object CurationQueries {
         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) END AS mean_cos
     FROM n CROSS JOIN s2 CROSS JOIN ss"""
 
+  // ---- q111: hard-negative mining (contrastive training pairs) ----
+
+  /** q111: [[graft.sim.Mining.hardNegatives]] — per probe vector, the
+    * top-10 most-similar vectors with a DIFFERENT label: the
+    * contrastive-training fuel. Broadcast-query exact shape (q28) with
+    * the label filter applied before any ranking. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.Mining.hardNegatives(emb.filter(col("vec_id") < 5), emb, k = 10)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q111Sql: String = {
+    val dqc = dotSql("q.v", "c.v")
+    val dqq = dotSql("q.v", "q.v")
+    val dcc = dotSql("c.v", "c.v")
+    s"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+                      c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                      round($dqc / (sqrt($dqq) * sqrt($dcc)), 6) AS sim
+               FROM e q JOIN e c ON q.vec_id < 5 AND q.label <> c.label)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored)
+    WHERE rk <= 10 ORDER BY query_id, rk"""
+  }
+
+  // ---- q112: kNN label agreement (geometric mislabel audit) ----
+
+  /** q112: [[graft.sim.Mining.knnLabelAgreement]] — fraction of each
+    * probe's 10 nearest neighbors sharing its label; low agreement is
+    * the mislabel/contamination queue. Same exact-kNN shape. */
+  def q112(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.Mining.knnLabelAgreement(emb.filter(col("vec_id") < 50),
+        emb, k = 10)
+      .orderBy(col("query_id"))
+  }
+
+  val q112Sql: String = {
+    val dqc = dotSql("q.v", "c.v")
+    val dqq = dotSql("q.v", "q.v")
+    val dcc = dotSql("c.v", "c.v")
+    s"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+                      c.label AS neighbor_label,
+                      round($dqc / (sqrt($dqq) * sqrt($dcc)), 6) AS sim,
+                      c.vec_id AS neighbor_id
+               FROM e q JOIN e c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+    ranked AS (SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored) WHERE rk <= 10)
+    SELECT query_id, query_label,
+           CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           round(CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS agreement
+    FROM ranked GROUP BY 1, 2 ORDER BY query_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2590,5 +2652,7 @@ object CurationQueries {
     ("q106_fisher_ratio", q106 _, Some(q106Sql)),
     ("q107_zipf_slope", q107 _, Some(q107Sql)),
     ("q109_source_overlap", q109 _, Some(q109Sql)),
-    ("q110_anisotropy", q110 _, Some(q110Sql)))
+    ("q110_anisotropy", q110 _, Some(q110Sql)),
+    ("q111_hard_negatives", q111 _, Some(q111Sql)),
+    ("q112_knn_agreement", q112 _, Some(q112Sql)))
 }

@@ -1,0 +1,101 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Label-aware neighbor mining over an embedding table — the two
+  * pipeline stages that sit between "embeddings exist" and "a model
+  * trains on them":
+  *
+  *   - hard-NEGATIVE mining: for each query, the most-similar vectors
+  *     with a DIFFERENT label — the contrastive-training fuel that
+  *     actually moves retrieval/classifier quality (easy negatives
+  *     teach nothing).
+  *   - kNN label agreement: the fraction of each vector's nearest
+  *     neighbors sharing its label — vectors whose neighborhoods
+  *     disagree are the mislabel/contamination audit queue (the
+  *     confident-learning signal, computed geometrically).
+  *
+  * Scale shape (100 TB): the query side is broadcast (norms staged
+  * once per row, never per pair); the corpus side streams through the
+  * scoring projection with no shuffle until the per-query top-k — the
+  * exact [[Similarity.bruteForceTopK]] shape, with the label either
+  * filtering pairs before any ranking (negatives) or riding along to
+  * the aggregation (agreement). For corpus-scale query sides, run the
+  * same composition per IVF cluster ([[Similarity.ivfTopK]] semantics)
+  * — the label plumbing is identical.
+  *
+  * Determinism: cosine via the portable left-fold dot, rounded to 6
+  * decimals BEFORE ranking; ties break on neighbor id; agreement is an
+  * exact rational rounded at the output.
+  */
+object Mining {
+
+  private def fastDot(df: DataFrame)(x: Column, y: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_dot"))
+      call_function("graft_dot", x, y)
+    else Similarity.dot(x, y)
+
+  private def staged(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, pre: String, spread: Boolean): DataFrame = {
+    val src = if (spread) graft.util.Spread(df) else df
+    src.select(col(idCol).as(s"${pre}_id"), col(labelCol).as(s"${pre}_label"),
+        col(vecCol).cast(ArrayType(DoubleType)).as(s"${pre}v"))
+      .withColumn(s"${pre}n", sqrt(fastDot(df)(col(s"${pre}v"), col(s"${pre}v"))))
+  }
+
+  /** Top-`k` most-similar corpus vectors with a label DIFFERENT from
+    * the query's. `queries` must be broadcast-small.
+    *
+    * @return (query_id, query_label, neighbor_id, neighbor_label, sim,
+    *         rk) — rk 1..k by (sim desc, neighbor_id)
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0)
+    val q = broadcast(staged(queries, idCol, vecCol, labelCol, "query", spread = false))
+    val c = staged(corpus, idCol, vecCol, labelCol, "neighbor", spread = true)
+    val scored = c.crossJoin(q)
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .withColumn("sim",
+        round(fastDot(corpus)(col("queryv"), col("neighborv")) /
+          (col("queryn") * col("neighborn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("sim"), col("rk"))
+  }
+
+  /** For each query vector: its `k` nearest neighbors' label agreement
+    * — `n_same / k` over the top-`k` (excluding self by id). Low
+    * agreement = the geometric mislabel signal.
+    *
+    * @return (query_id, query_label, n_same, agreement) — agreement
+    *         rounded to 6 decimals, one row per query
+    */
+  def knnLabelAgreement(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0)
+    val q = broadcast(staged(queries, idCol, vecCol, labelCol, "query", spread = false))
+    val c = staged(corpus, idCol, vecCol, labelCol, "neighbor", spread = true)
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        round(fastDot(corpus)(col("queryv"), col("neighborv")) /
+          (col("queryn") * col("neighborn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(sum((col("neighbor_label") === col("query_label")).cast("long")).as("n_same"))
+      .select(col("query_id"), col("query_label"), col("n_same"),
+        round(col("n_same").cast(DoubleType) / lit(k.toDouble), 6).as("agreement"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two tight clusters: label 0 around (1,0), label 1 around (0,1);
+    * vec 99 is a label-0 vector planted INSIDE the label-1 cluster. */
+  private def emb = ((0 until 10).map(i =>
+    (i.toLong, 0, Array(1f, 0.01f * i))) ++
+    (10 until 20).map(i => (i.toLong, 1, Array(0.01f * i, 1f))) :+
+    ((99L, 0, Array(0.02f, 1f))))
+    .toDF("vec_id", "label", "embedding")
+
+  test("hardNegatives returns only cross-label neighbors, nearest first") {
+    val out = Mining.hardNegatives(emb.filter(col("vec_id") === 0L), emb, k = 5)
+      .orderBy("rk").collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getInt(3) != out.head.getInt(1)),
+      "every mined negative carries a different label")
+    // sims are non-increasing and the top negative is the planted
+    // label-1-side vector most aligned with (1, ~0)'s cluster boundary
+    val sims = out.map(_.getDouble(4))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("knnLabelAgreement flags the planted mislabel and trusts cluster cores") {
+    val out = Mining.knnLabelAgreement(emb, emb, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(99L) == 0.0,
+      s"label-0 vector living in the label-1 cluster must disagree fully: $out")
+    assert(out(5L) >= 0.8, s"cluster-core vector must agree: ${out(5L)}")
+    assert(out.keySet.size == 21, "one row per query vector")
+  }
+
+  test("mining is partitioning-invariant") {
+    val a = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(1), 4).collect().toSeq
+    val b = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(7), 4).collect().toSeq
+    assert(a.sortBy(r => (r.getLong(0), r.getLong(5))) ==
+      b.sortBy(r => (r.getLong(0), r.getLong(5))))
+  }
+}
