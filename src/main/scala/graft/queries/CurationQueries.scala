@@ -2586,6 +2586,19 @@ object CurationQueries {
     FROM ranked GROUP BY 1, 2 ORDER BY query_id"""
   }
 
+  // ---- q113: hard negatives through the IVF scale path ----
+
+  /** q113: [[graft.sim.Mining.hardNegativesIvf]] at `nprobe = nlist` —
+    * the exhaustive-probe recall identity: the IVF composition (the
+    * corpus-scale path, no cross join) must reproduce q111's exact
+    * answer bit-for-bit, so it shares q111's oracle. */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.sim.Mining.hardNegativesIvf(emb.filter(col("vec_id") < 5), emb,
+        k = 10, nlist = 8, nprobe = 8)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2654,5 +2667,6 @@ object CurationQueries {
     ("q109_source_overlap", q109 _, Some(q109Sql)),
     ("q110_anisotropy", q110 _, Some(q110Sql)),
     ("q111_hard_negatives", q111 _, Some(q111Sql)),
-    ("q112_knn_agreement", q112 _, Some(q112Sql)))
+    ("q112_knn_agreement", q112 _, Some(q112Sql)),
+    ("q113_hard_negatives_ivf", q113 _, Some(q111Sql)))
 }

@@ -71,6 +71,45 @@ object Mining {
         col("neighbor_label"), col("sim"), col("rk"))
   }
 
+  /** The corpus-scale path for [[hardNegatives]]: IVF-pruned candidate
+    * generation ([[Similarity.ivfTopK]] shape) with the label filter
+    * applied inside the probed lists — the corpus never cross-joins,
+    * only the `nprobe` nearest inverted lists per query are scored.
+    * With `nprobe = nlist` the probe is exhaustive and the output is
+    * IDENTICAL to [[hardNegatives]] (the recall identity MiningSpec
+    * pins); lower `nprobe` trades recall for a bounded candidate set,
+    * exactly like every other IVF composition here.
+    */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k > 0 && nprobe >= 1 && nprobe <= nlist)
+    val cents = Similarity.ivfCentroids(corpus, nlist, idCol, vecCol)
+    val c = graft.util.Spread(corpus)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
+      .withColumn("cluster", Similarity.nearestCluster(corpus, cents, col("cv")))
+      .withColumn("cn", sqrt(fastDot(corpus)(col("cv"), col("cv"))))
+    // queries are broadcast-small by contract; label rides in via a
+    // second broadcast keyed on query_id (probeQueries stages id/vec/norm)
+    val ql = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label")))
+    val cands = c
+      .join(broadcast(Similarity.probeQueries(queries, cents, nprobe, idCol, vecCol)), "cluster")
+      .join(ql, "query_id")
+      .filter(col("query_label") =!= col("neighbor_label"))
+      .withColumn("sim",
+        round(fastDot(corpus)(col("qv"), col("cv")) /
+          (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("sim"), col("rk"))
+  }
+
   /** For each query vector: its `k` nearest neighbors' label agreement
     * — `n_same / k` over the top-`k` (excluding self by id). Low
     * agreement = the geometric mislabel signal.

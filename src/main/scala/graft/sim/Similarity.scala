@@ -346,7 +346,7 @@ object Similarity {
   /** Index of the nearest centroid to `v` (max v·c − ‖c‖²/2; ties →
     * larger index via the greatest-struct comparison) — shared by the
     * coarse assignment and the IVF-PQ composition. */
-  private def nearestCluster(df: DataFrame, centroids: Array[Array[Double]],
+  private[sim] def nearestCluster(df: DataFrame, centroids: Array[Array[Double]],
       v: Column): Column = {
     val best = centroids.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
@@ -358,7 +358,7 @@ object Similarity {
 
   /** Query side of IVF: rank ALL centroids per query, explode the
     * `nprobe` nearest as (query_id, qv, qn, cluster) probe rows. */
-  private def probeQueries(queries: DataFrame, cents: Array[Array[Double]],
+  private[sim] def probeQueries(queries: DataFrame, cents: Array[Array[Double]],
       nprobe: Int, idCol: String, vecCol: String): DataFrame =
     queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", sqrt(fastDot(queries)(col("qv"), col("qv"))))

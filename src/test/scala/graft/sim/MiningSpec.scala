@@ -36,6 +36,33 @@ class MiningSpec extends SparkSpec {
     assert(out.keySet.size == 21, "one row per query vector")
   }
 
+  test("hardNegativesIvf: exhaustive probe reproduces the exact answer; pruned probe is a subset") {
+    val qs = emb.filter(col("vec_id") < 3)
+    val exact = Mining.hardNegatives(qs, emb, k = 4).collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getLong(5)))
+    val exhaustive = Mining.hardNegativesIvf(qs, emb, k = 4,
+      nlist = 4, nprobe = 4).collect().toSeq
+      .sortBy(r => (r.getLong(0), r.getLong(5)))
+    assert(exhaustive == exact,
+      "nprobe = nlist must be the recall identity (bit-for-bit)")
+    // pruned probes may legitimately return fewer rows (a query whose
+    // probed lists are all same-label finds nothing — correct, since
+    // hard negatives live in OTHER clusters by construction); what is
+    // guaranteed: every returned pair is cross-label and appears in the
+    // exact answer's candidate space (same scored pairs, never invented)
+    val exactAll = Mining.hardNegatives(qs, emb, k = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+    for (np <- 1 to 3) {
+      val pruned = Mining.hardNegativesIvf(qs, emb, k = 4, nlist = 4, nprobe = np)
+        .collect().toSeq
+      assert(pruned.forall(r => r.getInt(1) != r.getInt(3)),
+        s"nprobe=$np returned a same-label pair")
+      assert(pruned.forall(r =>
+        exactAll.contains((r.getLong(0), r.getLong(2), r.getDouble(4)))),
+        s"nprobe=$np invented a pair/score outside the exact space")
+    }
+  }
+
   test("mining is partitioning-invariant") {
     val a = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(1), 4).collect().toSeq
     val b = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(7), 4).collect().toSeq
