@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|txlog] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|txlog] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -55,7 +55,7 @@ object Main {
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
-    val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids")
+    val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids", "--overlap")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -588,6 +588,95 @@ object Main {
         spark.read.parquet(req(flags, "output"))
           .orderBy(c("freq").desc, c("term")).collect()
           .foreach(r => println(s"${r.getString(0)}: ${r.getLong(1)}"))
+
+      case "health" =>
+        // corpus-health report (q105/q107/q109/q110/q106 as one verb):
+        // per-group KL drift + Zipf slope over a text table; with
+        // --overlap also the top shared-span source pairs; with
+        // --embeddings/--label, the embedding-space diagnostics
+        // (anisotropy + the weakest/strongest Fisher dimensions)
+        require(pos.size == 1, "health needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, lower}
+        val df = readTable(spark, flags, pos.head)
+        val groupCol = flags.getOrElse("group-col", "source")
+        val toks = graft.text.TextFunctions.tokens(
+          lower(c(flags.getOrElse("text-col", "text"))))
+        val kl = graft.text.CorpusStats.klDrift(df, c(groupCol), toks)
+        val zipf = graft.text.CorpusStats.zipfSlope(df, c(groupCol), toks)
+        val rep = kl.join(zipf.select(c("group"), c("zipf_slope")), Seq("group"))
+        rep.write.mode("overwrite").parquet(req(flags, "output") + "/drift")
+        spark.read.parquet(req(flags, "output") + "/drift")
+          .orderBy(c("kl").desc).collect().foreach(r =>
+          println(f"${r.getString(0)}%-12s kl=${r.getDouble(2)}%.4f " +
+            (if (r.isNullAt(3)) "zipf=n/a" else f"zipf=${r.getDouble(3)}%.3f")))
+        if (flags.contains("overlap")) {
+          val ov = graft.text.CorpusStats.groupOverlap(df, c(groupCol),
+            c(flags.getOrElse("text-col", "text")),
+            maxGroupFreq = flags.getOrElse("max-group-freq", "64").toInt)
+          ov.write.mode("overwrite").parquet(req(flags, "output") + "/overlap")
+          spark.read.parquet(req(flags, "output") + "/overlap")
+            .orderBy(c("overlap").desc).limit(10).collect().foreach(r =>
+            println(f"overlap ${r.getString(0)} ~ ${r.getString(1)}: " +
+              f"${r.getDouble(3)}%.4f (${r.getLong(2)} spans)"))
+        }
+        flags.get("embeddings").foreach { embTbl =>
+          val emb = readTable(spark, flags, embTbl)
+          val vecCol = flags.getOrElse("vec-col", "embedding")
+          val an = graft.sim.EmbeddingStats.anisotropy(emb, c(vecCol))
+            .collect().head
+          println(if (an.isNullAt(1)) s"anisotropy: n/a (n=${an.getLong(0)})"
+            else f"anisotropy: ${an.getDouble(1)}%.4f over ${an.getLong(0)} vectors")
+          flags.get("label").foreach { lbl =>
+            val fr = graft.sim.EmbeddingStats.fisherRatio(emb, c(vecCol), c(lbl))
+            fr.write.mode("overwrite").parquet(req(flags, "output") + "/fisher")
+            val rows = spark.read.parquet(req(flags, "output") + "/fisher")
+              .orderBy(c("fisher").desc_nulls_last).collect()
+            val shown = rows.take(3) ++ rows.reverse.take(3)
+            shown.foreach(r => println(f"fisher dim ${r.getLong(0)}: " +
+              (if (r.isNullAt(3)) "n/a" else f"${r.getDouble(3)}%.5f")))
+          }
+        }
+
+      case "negatives" =>
+        // hard-negative mining (q111/q113 as a verb): --queries is a
+        // SQL predicate choosing the probe rows; --nlist/--nprobe
+        // switch to the IVF scale path
+        require(pos.size == 1, "negatives needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, expr}
+        val df = readTable(spark, flags, pos.head)
+        val qs = df.filter(expr(req(flags, "queries")))
+        val k = flags.getOrElse("k", "10").toInt
+        val idCol = flags.getOrElse("id-col", "vec_id")
+        val vecCol = flags.getOrElse("vec-col", "embedding")
+        val lblCol = flags.getOrElse("label-col", "label")
+        val out = (flags.get("nlist"), flags.get("nprobe")) match {
+          case (Some(nl), np) => graft.sim.Mining.hardNegativesIvf(qs, df, k,
+            nl.toInt, np.map(_.toInt).getOrElse(math.max(1, nl.toInt / 4)),
+            idCol, vecCol, lblCol)
+          case _ => graft.sim.Mining.hardNegatives(qs, df, k, idCol, vecCol, lblCol)
+        }
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        val got = spark.read.parquet(req(flags, "output"))
+        println(s"mined: ${got.count()} negatives for " +
+          s"${got.select("query_id").distinct().count()} queries")
+
+      case "agree" =>
+        // kNN label agreement (q112 as a verb): the geometric mislabel
+        // audit — low-agreement rows are the review queue
+        require(pos.size == 1, "agree needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, expr}
+        val df = readTable(spark, flags, pos.head)
+        val qs = flags.get("queries").map(p => df.filter(expr(p))).getOrElse(df)
+        val out = graft.sim.Mining.knnLabelAgreement(qs, df,
+          flags.getOrElse("k", "10").toInt,
+          flags.getOrElse("id-col", "vec_id"),
+          flags.getOrElse("vec-col", "embedding"),
+          flags.getOrElse("label-col", "label"))
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        spark.read.parquet(req(flags, "output"))
+          .orderBy(c("agreement"), c("query_id")).limit(10).collect()
+          .foreach(r => println(f"vec ${r.getLong(0)} label ${r.get(1)}: " +
+            f"agreement ${r.getDouble(3)}%.2f"))
 
       case "txlog" =>
         // maintenance/lineage verbs for the transaction-log backend:

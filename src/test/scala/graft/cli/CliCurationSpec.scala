@@ -345,6 +345,57 @@ class CliCurationSpec extends SparkSpec {
       s"science-leaning probe must beat the spam probe: $got")
   }
 
+  test("health reports drift + overlap + embedding diagnostics via the verb") {
+    val dir = tmpDir("cli-health")
+    Seq(("a", "x x y z"), ("a", "x y z x"), ("b", "x x y z"),
+      ("c", "q q q r"), ("c", "q r q q"))
+      .toDF("source", "text").write.parquet(s"$dir/docs")
+    (0 until 12).map(i => (i.toLong, i % 2,
+      Array((i % 2) * 5f + 0.3f * (i % 3), 1f)))
+      .toDF("vec_id", "label", "embedding").write.parquet(s"$dir/emb")
+    Main.run(spark, Array("health", "--overlap",
+      "--embeddings", s"$dir/emb", "--label", "label",
+      "--output", s"$dir/out", s"$dir/docs"))
+    val drift = spark.read.parquet(s"$dir/out/drift")
+    assert(drift.count() == 3 &&
+      drift.columns.toSet == Set("group", "n_tokens", "kl", "zipf_slope"))
+    assert(spark.read.parquet(s"$dir/out/overlap").count() >= 1,
+      "a/b share every span, so at least one overlap row")
+    assert(spark.read.parquet(s"$dir/out/fisher").count() == 2)
+  }
+
+  test("negatives mines cross-label pairs via the verb, exact and IVF") {
+    val dir = tmpDir("cli-neg")
+    (0 until 20).map(i => (i.toLong, i % 2,
+      Array((i % 2) * 4f + 0.1f * i, 1f)))
+      .toDF("vec_id", "label", "embedding").write.parquet(s"$dir/in")
+    Main.run(spark, Array("negatives", "--queries", "vec_id < 3", "--k", "4",
+      "--output", s"$dir/exact", s"$dir/in"))
+    val exact = spark.read.parquet(s"$dir/exact")
+    assert(exact.count() == 12 &&
+      exact.where(col("query_label") === col("neighbor_label")).count() == 0)
+    Main.run(spark, Array("negatives", "--queries", "vec_id < 3", "--k", "4",
+      "--nlist", "4", "--nprobe", "4", "--output", s"$dir/ivf", s"$dir/in"))
+    assert(spark.read.parquet(s"$dir/ivf").orderBy("query_id", "rk")
+      .collect().toSeq ==
+      exact.orderBy("query_id", "rk").collect().toSeq,
+      "exhaustive IVF probe must equal the exact verb output")
+  }
+
+  test("agree scores kNN label agreement via the verb") {
+    val dir = tmpDir("cli-agree")
+    ((0 until 8).map(i => (i.toLong, 0, Array(1f, 0.01f * i))) ++
+      (8 until 16).map(i => (i.toLong, 1, Array(0.01f * i, 1f))) :+
+      ((99L, 0, Array(0.01f, 1f))))
+      .toDF("vec_id", "label", "embedding").write.parquet(s"$dir/in")
+    Main.run(spark, Array("agree", "--k", "5",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(99L) == 0.0, s"planted mislabel must flag: $out")
+    assert(out.size == 17)
+  }
+
   test("freq mines exact frequent tokens via the verb") {
     val dir = tmpDir("cli-freq")
     ((Seq.fill(30)("hot") ++ (1 to 70).map(i => s"t$i")).grouped(4)
