@@ -129,6 +129,56 @@ object Multimodal {
       }
   }
 
+  /** Image signature for perceptual dedup: the aHash construction
+    * (bit j set iff feature j exceeds the feature mean — the standard
+    * average-hash over a decoded thumbnail's cells) computed inline in
+    * the decode pass, plus the full feature vector for exact verify. */
+  final case class ImageSig(media_id: Long, phash: Long, features: Array[Double])
+
+  /** Decode + signature in one narrow pass: payloads never shuffle,
+    * only (id, 64-bit hash, small feature vector) rows flow onward. */
+  def imageSignatures(media: DataFrame, batchSize: Int = 64): Dataset[ImageSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeImages(media, batchSize).map { d =>
+      val mean = d.features.sum / d.features.length
+      var h = 0L
+      var j = 0
+      while (j < d.features.length) {
+        if (d.features(j) > mean) h |= (1L << j)
+        j += 1
+      }
+      ImageSig(d.media_id, h, d.features)
+    }
+  }
+
+  /** Perceptual-hash image dedup: bucket by aHash, verify candidates
+    * by exact feature equality — the image-side twin of the text
+    * digest-dedup shape (hash buckets prune the pair space; the
+    * verify step makes the answer exact, so hash collisions cost work,
+    * never correctness).
+    *
+    * Scale shape: the self-join keys on the 64-bit hash, so only
+    * same-bucket images ever pair (shuffle ∝ bucket sizes, not n²);
+    * payload bytes stay where they were decoded. A Hamming-radius
+    * variant would block the hash bits into radius+1 disjoint bands
+    * ([[graft.dedup.Dedup]]'s SimHash blocking, pigeonhole-exact) —
+    * with the stub codec's digest-derived features, radius 0 is the
+    * semantically meaningful setting.
+    *
+    * @return (a, b, phash) — duplicate image pairs, a < b, ordered
+    */
+  def imageNearDupPairs(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val sigs = imageSignatures(media, batchSize).toDF()
+    sigs.as("x").join(sigs.as("y"),
+        col("x.phash") === col("y.phash") &&
+          col("x.media_id") < col("y.media_id"))
+      .filter(col("x.features") === col("y.features"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        col("x.phash").as("phash"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Decode audio payloads — same batched partition-local shape as
     * [[decodeImages]]; only the small (rate, duration, channels, MFCC)
     * rows flow onward, never the waveform. */

@@ -861,6 +861,54 @@ log[d] {
       .orderBy(col("freq").desc, col("term"))
   }
 
+  /** q114: perceptual-hash image dedup
+    * ([[Multimodal.imageNearDupPairs]]) — decode-inline aHash
+    * signatures, hash-bucket self-join, exact feature verify: the
+    * image-side twin of text digest dedup. The corpus carries no
+    * duplicate payloads at this SF, so the landing zone is planted:
+    * every 25th image re-enters under id+100000 (a re-crawled mirror),
+    * and exactly those pairs must come back — the ~490 same-phash
+    * birthday collisions among the 8-bit hashes of distinct images
+    * must all die at the feature verify. The oracle replays the
+    * md5-derived stub decode, the planted union, the mean-threshold
+    * bit construction, and both join predicates. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val planted = docs.filter(col("doc_id") % 25 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    Multimodal.imageNearDupPairs(Multimodal.repartitionBySize(
+      Multimodal.mediaFromDocuments(docs.unionByName(planted)), 8))
+  }
+
+  val q114Sql: String = {
+    def hexLong8(src: String) =
+      s"""list_reduce(list_transform(range(1, 9), i ->
+        CAST(strpos('0123456789abcdef', substring($src, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        (a, x) -> a * 16 + x)"""
+    val fList = s"""list_transform(range(0, 8), j ->
+      CAST(${hexLong8("md5(md5(text) || '/' || CAST(j AS VARCHAR))")} % 1000 AS DOUBLE) / 1000.0)"""
+    s"""
+    WITH media AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 100000, text FROM documents
+                   WHERE doc_id % 25 = 0),
+    sig AS (SELECT doc_id AS media_id, $fList AS f FROM media),
+    m AS (SELECT media_id, f,
+            list_reduce(list_prepend(0.0, f), (a, x) -> a + x)
+              / CAST(len(f) AS DOUBLE) AS mean FROM sig),
+    h AS (SELECT media_id, f,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, 8), j ->
+                CASE WHEN f[CAST(j + 1 AS INT)] > mean
+                  THEN CAST(round(pow(2, CAST(j AS INT))) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END)),
+              (a, x) -> a + x) AS BIGINT) AS phash FROM m)
+    SELECT x.media_id AS a, y.media_id AS b, x.phash AS phash
+    FROM h x JOIN h y
+      ON x.phash = y.phash AND x.media_id < y.media_id AND x.f = y.f
+    ORDER BY a, b"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -883,5 +931,6 @@ log[d] {
     ("q99_stream_sessionize", q99 _, Some(q99Sql)),
     ("q100_stream_interval_join", q100 _, Some(q100Sql)),
     ("q108_stream_heavy_hitters", q108 _,
-      Some(graft.queries.CurationQueries.q104Sql)))
+      Some(graft.queries.CurationQueries.q104Sql)),
+    ("q114_image_dedup", q114 _, Some(q114Sql)))
 }

@@ -67,6 +67,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_md5).distinct.length == 4)
   }
 
+  test("imageNearDupPairs: identical payloads pair, distinct ones never do") {
+    val m = Multimodal.mediaFromDocuments(Seq(
+      (1L, "the same picture bytes"), (2L, "the same picture bytes"),
+      (7L, "the same picture bytes"), // triple → 3 pairs
+      (3L, "something else entirely"), (4L, "yet another image"))
+      .toDF("doc_id", "text"))
+    val pairs = Multimodal.imageNearDupPairs(m)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 7L), (2L, 7L)),
+      s"exactly the payload-identical pairs, ordered: $pairs")
+  }
+
+  test("imageSignatures: every aHash bit follows the mean threshold") {
+    val sigs = Multimodal.imageSignatures(media).collect()
+    assert(sigs.length == 3)
+    sigs.foreach { s =>
+      val mean = s.features.sum / s.features.length
+      s.features.zipWithIndex.foreach { case (f, j) =>
+        assert(((s.phash >> j) & 1L) == (if (f > mean) 1L else 0L),
+          s"bit $j of ${s.media_id} disagrees with its feature/mean")
+      }
+    }
+  }
+
   test("repartitionBySize balances byte volume") {
     val parts = Multimodal.repartitionBySize(media, 2)
     assert(parts.rdd.getNumPartitions == 2)
