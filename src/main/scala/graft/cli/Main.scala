@@ -520,19 +520,25 @@ object Main {
             println(f"band [${b0.getDouble(0)}%.2f, ${b0.getDouble(1)}%.2f]: " +
               s"$kept/${got.count()} within")
           case None =>
-            val scored = graft.curation.LangModel.bigramCrossEntropy(df,
-                c(idCol),
-                graft.text.TextFunctions.tokens(
-                  lower(c(flags.getOrElse("text-col", "text")))))
-              .withColumnRenamed("__id", idCol)
-            val out = df.select(c(idCol)).join(scored, Seq(idCol), "left")
+            // default: bigram LM; --ngram 3 switches to the
+            // Jelinek-Mercer-interpolated trigram model (q115)
+            val toks = graft.text.TextFunctions.tokens(
+              lower(c(flags.getOrElse("text-col", "text"))))
+            val trigram = flags.getOrElse("ngram", "2") == "3"
+            val (scored, nCol, unit) =
+              if (trigram) (graft.curation.LangModel.trigramCrossEntropy(
+                df, c(idCol), toks), "n_trigrams", "trigrams")
+              else (graft.curation.LangModel.bigramCrossEntropy(
+                df, c(idCol), toks), "n_bigrams", "bigrams")
+            val out = df.select(c(idCol))
+              .join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
               .select(c(idCol),
-                coalesce(c("n_bigrams"), lit(0L)).as("n_bigrams"),
+                coalesce(c(nCol), lit(0L)).as(nCol),
                 round(c("xent"), 6).as("xent"))
             out.write.mode("overwrite").parquet(req(flags, "output"))
             val m = spark.read.parquet(req(flags, "output"))
-              .agg(avg("xent"), fsum("n_bigrams")).head
-            println(f"mean xent: ${m.getDouble(0)}%.4f over ${m.getLong(1)} bigrams")
+              .agg(avg("xent"), fsum(nCol)).head
+            println(f"mean xent: ${m.getDouble(0)}%.4f over ${m.getLong(1)} $unit")
         }
 
       case "phrases" =>

@@ -73,4 +73,68 @@ object LangModel {
         (aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("lp"))
           / size(col("xs"))).as("xent"))
   }
+
+  /** Per-document cross-entropy under a Jelinek-Mercer-interpolated
+    * trigram LM trained on `docs` itself — the sharper CCNet-style
+    * signal once the corpus is big enough to support trigram counts:
+    *
+    *   P(w3 | w1 w2) = λ3·(c123+1)/(c12+V) + λ2·(c23+1)/(c2+V)
+    *                   + λ1·(c3+1)/(N+V)
+    *
+    * with every count taken over the trigram stream, V the corpus
+    * distinct-token count, and N the trigram total. The default
+    * weights (.5/.25/.25) are exact binary fractions, every division
+    * has exact-integer operands, and the three terms add in fixed
+    * order — so P is the identical double in any IEEE engine and ln's
+    * last-ulp wobble is absorbed exactly as in
+    * [[bigramCrossEntropy]]'s contract.
+    *
+    * Scale shape: five count tables, all vocabulary-bounded, all
+    * built with map-side partial aggregation; the widest (distinct
+    * trigrams) is still far below corpus size by Heaps' law. Scoring
+    * re-joins the trigram stream on the count tables' own keys (AQE
+    * broadcasts the small ones); totals and V are one-row broadcasts.
+    *
+    * Output: `(__id, n_trigrams, xent)`, documents with < 3 tokens
+    * absent (callers left-join and decide). */
+  def trigramCrossEntropy(docs: DataFrame, id: Column, toks: Column,
+      l3: Double = 0.5, l2: Double = 0.25, l1: Double = 0.25): DataFrame = {
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-12, "weights must sum to 1")
+    val tok = docs.select(id.as("__id"), toks.as("__t"))
+    val tri = tok.where(size(col("__t")) >= 3)
+      .select(col("__id"),
+        slice(col("__t"), lit(1), size(col("__t")) - 2).as("a"),
+        slice(col("__t"), lit(2), size(col("__t")) - 2).as("b"),
+        slice(col("__t"), lit(3), size(col("__t")) - 2).as("c"))
+      .select(col("__id"),
+        posexplode(arrays_zip(col("a"), col("b"), col("c"))).as(Seq("pos", "z")))
+      .select(col("__id"), col("pos"),
+        col("z.a").as("w1"), col("z.b").as("w2"), col("z.c").as("w3"))
+    val c123 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
+    val c12 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
+    val c2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val c3 = tri.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
+    val n = tri.agg(count(lit(1)).as("n"))
+    val vocab = tok.select(explode(col("__t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val p =
+      lit(l3) * ((col("c123") + lit(1L)).cast(DoubleType) / (col("c12") + col("v")).cast(DoubleType)) +
+        lit(l2) * ((col("c23") + lit(1L)).cast(DoubleType) / (col("c2") + col("v")).cast(DoubleType)) +
+        lit(l1) * ((col("c3") + lit(1L)).cast(DoubleType) / (col("n") + col("v")).cast(DoubleType))
+    val lp = -log(p)
+    tri.join(c123, Seq("w1", "w2", "w3"))
+      .join(c12, Seq("w1", "w2"))
+      .join(c23, Seq("w2", "w3"))
+      .join(c2, Seq("w2"))
+      .join(c3, Seq("w3"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("pos"), lp.as("lp")))).as("xs"))
+      .select(col("__id"),
+        size(col("xs")).cast("long").as("n_trigrams"),
+        (aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("lp"))
+          / size(col("xs"))).as("xent"))
+  }
 }

@@ -2599,6 +2599,57 @@ object CurationQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---- q115: interpolated trigram-LM perplexity ----
+
+  /** q115: [[graft.curation.LangModel.trigramCrossEntropy]] — the
+    * Jelinek-Mercer trigram upgrade of q81's bigram signal (.5/.25/.25
+    * exact-binary weights, all-integer division operands). Same
+    * presentation contract as q81: every document, zero-filled when it
+    * has no trigrams, xent rounded to 6. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val scored = graft.curation.LangModel.trigramCrossEntropy(
+        base, col("doc_id"), tokens(lower(col("text"))))
+      .withColumnRenamed("__id", "doc_id")
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        round(col("xent"), 6).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q115Sql: String = s"""
+    WITH docs AS (SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+    tri AS (SELECT doc_id,
+                   unnest(range(1, len(toks) - 1)) AS pos,
+                   unnest(list_slice(toks, 1, len(toks) - 2)) AS w1,
+                   unnest(list_slice(toks, 2, len(toks) - 1)) AS w2,
+                   unnest(list_slice(toks, 3, len(toks))) AS w3
+            FROM docs WHERE len(toks) >= 3),
+    c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM tri GROUP BY 1, 2),
+    c23 AS (SELECT w2, w3, COUNT(*) AS c23 FROM tri GROUP BY 1, 2),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM tri GROUP BY 1),
+    c3 AS (SELECT w3, COUNT(*) AS c3 FROM tri GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM tri),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(toks) AS w FROM docs)),
+    folded AS (
+      SELECT t.doc_id,
+             list(-ln(0.5 * (CAST(c123 + 1 AS DOUBLE) / CAST(c12 + v AS DOUBLE))
+                  + 0.25 * (CAST(c23 + 1 AS DOUBLE) / CAST(c2 + v AS DOUBLE))
+                  + 0.25 * (CAST(c3 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)))
+                  ORDER BY t.pos) AS xs
+      FROM tri t JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
+           JOIN c23 USING (w2, w3) JOIN c2 USING (w2) JOIN c3 USING (w3)
+           CROSS JOIN n CROSS JOIN v
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(len(f.xs), 0) AS BIGINT) AS n_trigrams,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f.xs),
+             (a, b) -> a + b) / len(f.xs), 6) AS xent
+    FROM documents d LEFT JOIN folded f USING (doc_id) ORDER BY d.doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2668,5 +2719,6 @@ object CurationQueries {
     ("q110_anisotropy", q110 _, Some(q110Sql)),
     ("q111_hard_negatives", q111 _, Some(q111Sql)),
     ("q112_knn_agreement", q112 _, Some(q112Sql)),
-    ("q113_hard_negatives_ivf", q113 _, Some(q111Sql)))
+    ("q113_hard_negatives_ivf", q113 _, Some(q111Sql)),
+    ("q115_trigram_perplexity", q115 _, Some(q115Sql)))
 }

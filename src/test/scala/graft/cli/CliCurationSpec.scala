@@ -230,6 +230,19 @@ class CliCurationSpec extends SparkSpec {
     assert(within > 0 && within < 60, "band must cut both tails")
   }
 
+  test("score --ngram 3 runs the interpolated trigram LM via the verb") {
+    val dir = tmpDir("cli-tri")
+    Seq((1L, "a b c d e a b c d e"), (2L, "q r s t u v"), (3L, "xy"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("score", "--ngram", "3",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.columns.toSet == Set("doc_id", "n_trigrams", "xent"))
+    assert(out.count() == 3)
+    assert(out.where(col("doc_id") === 3L).head.getLong(1) == 0L,
+      "two-token doc has zero trigrams via the verb too")
+  }
+
   test("score --label runs the Naive Bayes classifier via the verb") {
     val dir = tmpDir("cli-classify")
     (0L until 40L).map { i =>

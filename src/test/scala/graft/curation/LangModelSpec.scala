@@ -47,4 +47,25 @@ class LangModelSpec extends SparkSpec {
     val short = out.filter(col("n_bigrams") === 0)
     assert(short.filter(col("xent").isNotNull).count() == 0)
   }
+
+  test("trigram LM: predictable text scores below out-of-distribution text") {
+    import spark.implicits._
+    import graft.text.TextFunctions.tokens
+    // doc 1 repeats the corpus's dominant phrase; doc 2 is unique noise
+    val phrase = "the quick brown fox jumps"
+    val docs = ((1L to 8L).map(i => (i, phrase)) :+
+      ((9L, "zx qv wk jm pl")) :+ ((10L, "hi"))) // 2 tokens → absent
+      .toDF("doc_id", "text")
+    val out = LangModel.trigramCrossEntropy(docs, col("doc_id"),
+      tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(10L), "sub-trigram docs are absent")
+    assert(out(1L) < out(9L),
+      s"in-distribution phrase must score lower xent: $out")
+    // deterministic across partitionings
+    val again = LangModel.trigramCrossEntropy(docs.repartition(5),
+      col("doc_id"), tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == again)
+  }
 }
