@@ -524,7 +524,11 @@ object Main {
             // Jelinek-Mercer-interpolated trigram model (q115)
             val toks = graft.text.TextFunctions.tokens(
               lower(c(flags.getOrElse("text-col", "text"))))
-            val trigram = flags.getOrElse("ngram", "2") == "3"
+            val trigram = flags.getOrElse("ngram", "2") match {
+              case "2" => false
+              case "3" => true
+              case other => sys.error(s"--ngram must be 2 or 3, got '$other'")
+            }
             val (scored, nCol, unit) =
               if (trigram) (graft.curation.LangModel.trigramCrossEntropy(
                 df, c(idCol), toks), "n_trigrams", "trigrams")
@@ -585,8 +589,13 @@ object Main {
         require(pos.size == 1, "freq needs exactly one <ds.tbl|parquetDir>")
         import org.apache.spark.sql.functions.{col => c, lower}
         val df = readTable(spark, flags, pos.head)
-        val Array(num, den) = flags.getOrElse("support", "1/100")
-          .split("/", 2).map(_.trim.toLong)
+        val (num, den) = flags.getOrElse("support", "1/100")
+          .split("/", 2).map(_.trim) match {
+          case Array(n, d) if n.forall(_.isDigit) && d.forall(_.isDigit)
+              && n.nonEmpty && d.nonEmpty => (n.toLong, d.toLong)
+          case other => sys.error(
+            s"--support must be num/den (e.g. 1/100), got '${other.mkString("/")}'")
+        }
         val out = graft.text.HeavyHitters.frequentTokens(df,
           graft.text.TextFunctions.tokens(
             lower(c(flags.getOrElse("text-col", "text")))), num, den)
@@ -659,6 +668,9 @@ object Main {
           case (Some(nl), np) => graft.sim.Mining.hardNegativesIvf(qs, df, k,
             nl.toInt, np.map(_.toInt).getOrElse(math.max(1, nl.toInt / 4)),
             idCol, vecCol, lblCol)
+          case (None, Some(_)) => sys.error(
+            "--nprobe without --nlist: the IVF path needs both (or neither " +
+              "for the exact cross join)")
           case _ => graft.sim.Mining.hardNegatives(qs, df, k, idCol, vecCol, lblCol)
         }
         out.write.mode("overwrite").parquet(req(flags, "output"))

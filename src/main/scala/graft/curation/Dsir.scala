@@ -1,7 +1,6 @@
 package graft.curation
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -50,8 +49,13 @@ object Dsir {
   def importanceScores(docs: DataFrame, id: Column, toks: Column,
       isTarget: Column, numBuckets: Int = 1024): DataFrame = {
     require(numBuckets > 0)
-    val b = docs.select(id.as("__id"), isTarget.as("__tgt"),
-        explode(featureBuckets(toks, numBuckets)).as("bucket"))
+    // stage the token array as a bound column FIRST (the TextFunctions
+    // *Of contract): featureBuckets references its input ~6× inside
+    // interpreted HOFs, so an unstaged expression would re-tokenize
+    // every document once per reference
+    val b = docs.select(id.as("__id"), isTarget.as("__tgt"), toks.as("__t"))
+      .select(col("__id"), col("__tgt"),
+        explode(featureBuckets(col("__t"), numBuckets)).as("bucket"))
     val raw = b.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
     val tgt = b.where(col("__tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
     val totals = b.agg(
@@ -82,15 +86,8 @@ object Dsir {
       n: Int, numBuckets: Int = 1024): DataFrame = {
     require(n > 0)
     val scored = importanceScores(docs, id, toks, isTarget, numBuckets)
-    val order = Seq(col("score").desc, col("__id"))
-    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val global = Window.partitionBy().orderBy(order: _*)
-    scored
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number().over(local))
-      .where(col("__lr") <= n).drop("__pid", "__lr")
-      .withColumn("rank", row_number().over(global).cast("long"))
-      .where(col("rank") <= n)
+    graft.util.TopN.exact(scored, Seq.empty,
+        Seq(col("score").desc, col("__id")), n)
       .select(col("rank"), col("__id"), col("n_feats"), col("score"))
   }
 }

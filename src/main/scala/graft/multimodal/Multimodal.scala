@@ -141,6 +141,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     decodeImages(media, batchSize).map { d =>
+      // 64-bit hash ⇒ at most 64 cells (JVM shifts wrap mod 64, which
+      // would alias unrelated features into one bit and flood the
+      // buckets with spurious candidates); a >64-cell codec must fold
+      // cells down first
+      require(d.features.length <= 64,
+        s"aHash packs at most 64 feature cells, got ${d.features.length}")
       val mean = d.features.sum / d.features.length
       var h = 0L
       var j = 0
@@ -169,14 +175,19 @@ object Multimodal {
     * @return (a, b, phash) — duplicate image pairs, a < b, ordered
     */
   def imageNearDupPairs(media: DataFrame, batchSize: Int = 64): DataFrame = {
-    val sigs = imageSignatures(media, batchSize).toDF()
-    sigs.as("x").join(sigs.as("y"),
-        col("x.phash") === col("y.phash") &&
-          col("x.media_id") < col("y.media_id"))
-      .filter(col("x.features") === col("y.features"))
-      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
-        col("x.phash").as("phash"))
-      .orderBy(col("a"), col("b"))
+    // persist: the signature frame feeds BOTH sides of the self-join,
+    // and without it the decode pass (the dominant cost) runs twice
+    val sigs = imageSignatures(media, batchSize).toDF().persist()
+    try {
+      sigs.as("x").join(sigs.as("y"),
+          col("x.phash") === col("y.phash") &&
+            col("x.media_id") < col("y.media_id"))
+        .filter(col("x.features") === col("y.features"))
+        .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+          col("x.phash").as("phash"))
+        .orderBy(col("a"), col("b"))
+        .transform(graft.util.Materialize.eager)
+    } finally sigs.unpersist()
   }
 
   /** Decode audio payloads — same batched partition-local shape as

@@ -2582,7 +2582,8 @@ object CurationQueries {
       FROM scored) WHERE rk <= 10)
     SELECT query_id, query_label,
            CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
-           round(CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS agreement
+           round(CAST(SUM(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS agreement
     FROM ranked GROUP BY 1, 2 ORDER BY query_id"""
   }
 

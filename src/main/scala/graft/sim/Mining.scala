@@ -133,8 +133,13 @@ object Mining {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .groupBy(col("query_id"), col("query_label"))
-      .agg(sum((col("neighbor_label") === col("query_label")).cast("long")).as("n_same"))
+      .agg(sum((col("neighbor_label") === col("query_label")).cast("long")).as("n_same"),
+        count(lit(1)).as("__ranked"))
+      // divide by the neighbors actually RANKED, not the requested k —
+      // on a corpus with < k+1 rows a perfectly-labeled query would
+      // otherwise report < 1.0 and land atop the mislabel queue
       .select(col("query_id"), col("query_label"), col("n_same"),
-        round(col("n_same").cast(DoubleType) / lit(k.toDouble), 6).as("agreement"))
+        round(col("n_same").cast(DoubleType) / col("__ranked").cast(DoubleType), 6)
+          .as("agreement"))
   }
 }

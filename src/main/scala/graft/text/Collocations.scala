@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
@@ -83,15 +82,8 @@ object Collocations {
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .select(col("x"), col("y"), col("pair_count"), pmi.as("pmi"))
 
-    val order = Seq(col("pmi").desc, col("x"), col("y"))
-    val local = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val global = Window.partitionBy().orderBy(order: _*)
-    scored
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number().over(local))
-      .where(col("__lr") <= k).drop("__pid", "__lr")
-      .withColumn("rank", row_number().over(global).cast("long"))
-      .where(col("rank") <= k)
+    graft.util.TopN.exact(scored, Seq.empty,
+        Seq(col("pmi").desc, col("x"), col("y")), k)
       .select(col("rank"), col("x"), col("y"), col("pair_count"), col("pmi"))
   }
 }

@@ -30,6 +30,13 @@ object HeavyHitters {
     * doubled for slack so the candidate set stays small but safe). */
   def mgSketch(docs: DataFrame, toks: Column, num: Long, den: Long): DataFrame = {
     require(num >= 1 && den > num, s"support num/den must be in (0,1), got $num/$den")
+    // exactness needs k ≥ den/num (then k+1 > den/num and the MG bound
+    // covers the requested support); the 100k ceiling bounds sketch
+    // state, so supports finer than 1/100000 must FAIL, not silently
+    // lose the guarantee
+    require(den / num <= 100000L,
+      s"support $num/$den needs ${den / num} sketch counters (cap 100000); " +
+        "use a coarser support or raise the cap")
     val k = (2L * den / num).min(100000L).toInt
     docs.select(explode(toks).as("term"))
       .agg(count(lit(1)).as("n"),

@@ -81,17 +81,10 @@ object Retrieval {
         round(aggregate(col("xs"), lit(0.0),
           (acc, x) => acc + x.getField("sc")), 6).as("score"))
 
-    // two-stage exact top-k: prune per (query, input partition), then
-    // rank globally per query over the ≤ k·P survivors
-    val order = Seq(col("score").desc, col("__id"))
-    val local = Window.partitionBy(col("query_id"), col("__pid")).orderBy(order: _*)
-    val global = Window.partitionBy(col("query_id")).orderBy(order: _*)
-    scored
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number().over(local))
-      .where(col("__lr") <= k).drop("__pid", "__lr")
-      .withColumn("rank", row_number().over(global).cast("long"))
-      .where(col("rank") <= k)
+    // two-stage exact top-k (graft.util.TopN): prune per (query, input
+    // partition), then rank globally per query over the ≤ k·P survivors
+    graft.util.TopN.exact(scored, Seq(col("query_id")),
+        Seq(col("score").desc, col("__id")), k)
       .select(col("query_id"), col("rank"), col("__id"), col("score"))
   }
 

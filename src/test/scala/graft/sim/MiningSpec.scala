@@ -63,6 +63,17 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("agreement divides by neighbors actually ranked, not requested k") {
+    // 3 vectors, k=10: each query ranks only 2 neighbors; all share the
+    // label, so agreement must be 1.0 (not 0.2)
+    val tiny = Seq((1L, 0, Array(1f, 0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(0.8f, 0.2f))).toDF("vec_id", "label", "embedding")
+    val out = Mining.knnLabelAgreement(tiny, tiny, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.values.forall(_ == 1.0),
+      s"perfectly-labeled tiny corpus must agree fully: $out")
+  }
+
   test("mining is partitioning-invariant") {
     val a = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(1), 4).collect().toSeq
     val b = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(7), 4).collect().toSeq
