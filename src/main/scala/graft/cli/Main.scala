@@ -55,7 +55,8 @@ object Main {
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
-    val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids", "--overlap")
+    val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids",
+      "--overlap", "--intra")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -335,13 +336,20 @@ object Main {
 
       case "strip" =>
         // exact substring-span removal (q79 operator as a verb): cut
-        // k-token grams repeated across docs from all but one keeper
+        // k-token grams repeated across docs from all but one keeper;
+        // --intra instead cuts grams repeated WITHIN one document
+        // (q116 — the crawl-loop / template-stutter cleaner)
         require(pos.size == 1, "strip needs exactly one <ds.tbl|parquetDir>")
         val df = readTable(spark, flags, pos.head)
-        val out = graft.dedup.Dedup.stripDuplicateSpans(df,
-          k = flags.getOrElse("k", "13").toInt,
-          idCol = flags.getOrElse("id-col", "doc_id"),
-          textCol = flags.getOrElse("text-col", "text"))
+        val stripK = flags.getOrElse("k", "13").toInt
+        val out =
+          if (flags.contains("intra"))
+            graft.dedup.Dedup.stripIntraDocRepeats(df, k = stripK,
+              idCol = flags.getOrElse("id-col", "doc_id"),
+              textCol = flags.getOrElse("text-col", "text"))
+          else graft.dedup.Dedup.stripDuplicateSpans(df, k = stripK,
+            idCol = flags.getOrElse("id-col", "doc_id"),
+            textCol = flags.getOrElse("text-col", "text"))
         out.write.mode("overwrite").parquet(req(flags, "output"))
         val removed = spark.read.parquet(req(flags, "output"))
           .agg(org.apache.spark.sql.functions.coalesce(

@@ -648,23 +648,62 @@ object Dedup {
       val flagged = grams.join(dup, "gram")
         .filter(col(idCol) =!= col("__keep"))
         .select(col(idCol), col("pos"))
-      // marked token indices: union of [pos, pos+k) per doc
-      val removed = flagged
-        .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__idx"))
-        .distinct()
-      val keptToks = toks
-        .select(col(idCol), posexplode(col("__t")).as(Seq("__idx", "__tok")))
-        .join(removed, Seq(idCol, "__idx"), "left_anti")
-      val rebuilt = keptToks.groupBy(col(idCol)).agg(
-        array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__tok")))),
-          x => x.getField("__tok")), " ").as("__clean"),
-        count(lit(1)).as("__kept"))
-      toks.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
-        .join(rebuilt, Seq(idCol), "left")
-        .select(col(idCol), coalesce(col("__clean"), lit("")).as("clean"),
-          col("n_tokens"),
-          (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
-        .transform(graft.util.Materialize.eager)
+      rebuildWithoutSpans(toks, flagged, k, idCol)
+    } finally { grams.unpersist(); toks.unpersist() }
+  }
+
+  /** Shared tail of the span strippers: union the flagged [pos, pos+k)
+    * intervals per doc, anti-join the token positions, reassemble the
+    * survivors in order, report (clean, n_tokens, n_removed). */
+  private def rebuildWithoutSpans(toks: DataFrame, flagged: DataFrame,
+      k: Int, idCol: String): DataFrame = {
+    val removed = flagged
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__idx"))
+      .distinct()
+    val keptToks = toks
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__idx", "__tok")))
+      .join(removed, Seq(idCol, "__idx"), "left_anti")
+    val rebuilt = keptToks.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(collect_list(struct(col("__idx"), col("__tok")))),
+        x => x.getField("__tok")), " ").as("__clean"),
+      count(lit(1)).as("__kept"))
+    toks.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__clean"), lit("")).as("clean"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+      .transform(graft.util.Materialize.eager)
+  }
+
+  /** WITHIN-document repeated-span removal — the self-boilerplate
+    * cleaner ([[stripDuplicateSpans]] cuts spans shared ACROSS docs;
+    * this cuts a span repeated inside ONE document, the crawl-loop /
+    * template-stutter pathology): every k-gram occurrence after the
+    * first in its own document is stripped, overlapping marks unioned,
+    * survivors re-joined in order.
+    *
+    * Scale shape: the duplicate test groups on (doc, gram) — keys are
+    * document-local, so the shuffle partitions by document content and
+    * no corpus-wide gram table exists at all (unlike the cross-doc
+    * variant, this one cannot meet a ubiquitous-gram hot key: a gram's
+    * group is bounded by its own document's length). */
+  def stripIntraDocRepeats(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t")).persist()
+    val grams = toks
+      .withColumn("__sh", wordShinglesFastOf(spark, col("__t"), k))
+      .select(col(idCol), posexplode(col("__sh")).as(Seq("pos", "gram")))
+      .persist()
+    try {
+      val dup = grams.groupBy(col(idCol), col("gram"))
+        .agg(min(col("pos")).as("__first"), count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+        .select(col(idCol), col("gram"), col("__first"))
+      val flagged = grams.join(dup, Seq(idCol, "gram"))
+        .filter(col("pos") > col("__first"))
+        .select(col(idCol), col("pos"))
+      rebuildWithoutSpans(toks, flagged, k, idCol)
     } finally { grams.unpersist(); toks.unpersist() }
   }
 

@@ -2651,6 +2651,46 @@ object CurationQueries {
              (a, b) -> a + b) / len(f.xs), 6) AS xent
     FROM documents d LEFT JOIN folded f USING (doc_id) ORDER BY d.doc_id"""
 
+  // ---- q116: WITHIN-document repeated-span removal ----
+
+  /** q116: [[Dedup.stripIntraDocRepeats]] — q79 cuts spans shared
+    * across documents; this cuts the crawl-loop pathology, a span
+    * repeating INSIDE one document: every 10-gram occurrence after its
+    * document's first is stripped. The oracle replays postings,
+    * per-document first-occurrence flagging, interval union, and the
+    * ordered reassembly, pinning the cleaned text by md5. */
+  def q116(s: SparkSession, d: String): DataFrame =
+    Dedup.stripIntraDocRepeats(docs(s, d), k = 10)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  val q116Sql: String = s"""
+    WITH t AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+    g AS (SELECT doc_id, ${shinglesSql("t", 10)} AS gs FROM t),
+    pos AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM
+      (SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+        i -> {'pos': i - 1, 'gram': gs[i]})) AS pg FROM g) q),
+    dup AS (SELECT doc_id, gram, min(pos) AS first FROM pos
+      GROUP BY doc_id, gram HAVING count(*) >= 2),
+    flag AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d
+      ON p.doc_id = d.doc_id AND p.gram = d.gram WHERE p.pos > d.first),
+    rem AS (SELECT DISTINCT doc_id, pos + o.off AS idx
+      FROM flag CROSS JOIN (SELECT unnest(range(0, 10)) AS off) o),
+    tp AS (SELECT doc_id, it.idx AS idx, it.tok AS tok FROM
+      (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        i -> {'idx': i - 1, 'tok': t[i]})) AS it FROM t) q),
+    kept AS (SELECT tp.doc_id, tp.idx, tp.tok FROM tp
+      WHERE NOT EXISTS (SELECT 1 FROM rem
+        WHERE rem.doc_id = tp.doc_id AND rem.idx = tp.idx)),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean,
+      count(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+      CAST(len(t.t) AS BIGINT) AS n_tokens,
+      CAST(len(t.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      md5(coalesce(agg.clean, '')) AS clean_md5
+    FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2721,5 +2761,6 @@ object CurationQueries {
     ("q111_hard_negatives", q111 _, Some(q111Sql)),
     ("q112_knn_agreement", q112 _, Some(q112Sql)),
     ("q113_hard_negatives_ivf", q113 _, Some(q111Sql)),
-    ("q115_trigram_perplexity", q115 _, Some(q115Sql)))
+    ("q115_trigram_perplexity", q115 _, Some(q115Sql)),
+    ("q116_intradoc_strip", q116 _, Some(q116Sql)))
 }

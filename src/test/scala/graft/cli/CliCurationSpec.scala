@@ -332,6 +332,18 @@ class CliCurationSpec extends SparkSpec {
     assert(out(1)._2 == "start end" && out(1)._4 == 13L)
   }
 
+  test("strip --intra cuts within-doc stutter via the verb") {
+    val dir = tmpDir("cli-intra")
+    val span = (1 to 13).map(i => s"w$i").mkString(" ")
+    Seq((1L, s"$span mid $span"), (2L, "clean text with no repeats here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("strip", "--intra", "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out").orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0)._2 == s"$span mid" && out(0)._4 == 13L)
+    assert(out(1)._4 == 0L)
+  }
+
   test("phrases mines top-PMI collocations via the verb") {
     val dir = tmpDir("cli-phrases")
     (Seq.fill(6)("new york") ++ Seq.fill(6)("the cat the dog"))

@@ -273,4 +273,25 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "the postings cache must be released")
   }
+
+  test("stripIntraDocRepeats: the dual — within-doc stutter cut, cross-doc shares kept") {
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val stutter = Seq.fill(14)("self").mkString(" ")
+    val in = Seq(
+      (1L, s"alpha $shared omega"), // cross-doc share only → untouched
+      (2L, s"start $shared end"),   // ditto (intra mode ignores doc 1)
+      (3L, stutter),                // "self"×14: gram at pos 0 kept, pos 1 on cut
+      (4L, s"$shared mid $shared")) // same span twice in ONE doc → second cut
+      .toDF("doc_id", "text")
+    val out = Dedup.stripIntraDocRepeats(in, k = 13)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == (1L, s"alpha $shared omega", 15L, 0L))
+    assert(out(1) == (2L, s"start $shared end", 15L, 0L))
+    // "self"×14 has two 13-gram positions; pos 1's span covers idx 1..13
+    assert(out(2) == (3L, "self", 14L, 13L))
+    assert(out(3) == (4L, s"$shared mid", 27L, 13L))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the postings cache must be released")
+  }
 }
