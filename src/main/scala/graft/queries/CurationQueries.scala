@@ -2691,6 +2691,39 @@ object CurationQueries {
       md5(coalesce(agg.clean, '')) AS clean_md5
     FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
 
+  // ---- q117: per-document n-gram novelty ----
+
+  /** q117: [[graft.text.CorpusStats.docNovelty]] — fraction of each
+    * document's distinct 8-shingles unseen anywhere else: the
+    * contribution signal dual to dedup (assembled-from-boilerplate
+    * docs score near 0 without being near-dups of anything). All
+    * documents present, zero-filled below 8 tokens. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val scored = graft.text.CorpusStats.docNovelty(base, col("doc_id"),
+        tokens(lower(col("text"))), k = 8)
+      .withColumnRenamed("__id", "doc_id")
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        col("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q117Sql: String = s"""
+    WITH t AS (SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
+    s AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("toks", 8)})) AS g
+          FROM t),
+    d AS (SELECT g, COUNT(*) AS df FROM s GROUP BY 1),
+    per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+                   SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS uniq
+            FROM s JOIN d USING (g) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+           round(CAST(per.uniq AS DOUBLE) / CAST(per.n_shingles AS DOUBLE), 6)
+             AS novelty
+    FROM t LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2762,5 +2795,6 @@ object CurationQueries {
     ("q112_knn_agreement", q112 _, Some(q112Sql)),
     ("q113_hard_negatives_ivf", q113 _, Some(q111Sql)),
     ("q115_trigram_perplexity", q115 _, Some(q115Sql)),
-    ("q116_intradoc_strip", q116 _, Some(q116Sql)))
+    ("q116_intradoc_strip", q116 _, Some(q116Sql)),
+    ("q117_doc_novelty", q117 _, Some(q117Sql)))
 }

@@ -59,6 +59,36 @@ object CorpusStats {
       .orderBy(col("group"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's
+    * DISTINCT k-shingles that appear in no other document — the
+    * diversity/contribution signal dual to the dedup family (a doc can
+    * be far from every single other doc yet still be assembled
+    * entirely from corpus-common spans; low novelty catches that).
+    *
+    * Scale shape: distinct (doc, shingle) postings → one
+    * map-side-combined df count → join back on the shingle key (AQE
+    * sizes it) → per-doc ratio. Shingles stay strings here (the df
+    * join needs exact identity, and the oracle replays strings); at
+    * petabyte vocabularies hash them first — same plan, narrower key.
+    *
+    * @return (id-named column, n_shingles, novelty) — docs with < k
+    *         tokens absent (callers left-join); novelty rounded to 6
+    */
+  def docNovelty(docs: DataFrame, id: Column, toks: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    val sh = docs.select(id.as("__id"), toks.as("__t"))
+      .select(col("__id"), explode(array_distinct(
+        call_function("graft_shingles", col("__t"), lit(k)))).as("g"))
+    val dfs = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    sh.join(dfs, Seq("g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") === 1).cast("long")).as("__uniq"))
+      .select(col("__id"), col("n_shingles"),
+        round(col("__uniq").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType), 6).as("novelty"))
+  }
+
   /** Cross-group content-overlap matrix: for every pair of groups
     * (sources, crawls, snapshots), how many winnowed span fingerprints
     * they share, and the overlap coefficient

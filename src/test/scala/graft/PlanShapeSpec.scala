@@ -296,6 +296,39 @@ class PlanShapeSpec extends SparkSpec {
       rows.forall(r => r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
 
+  test("DSIR scoring: fixed-size model tables come back as broadcasts (q103 shape)") {
+    import graft.curation.Dsir
+    import graft.text.TextFunctions.tokens
+    val docs = (1 to 60).map(i => (i.toLong, s"w${i % 9} w${i % 5} w${i % 3}", i % 2 == 0))
+      .toDF("doc_id", "text", "tgt")
+    val scored = Dsir.importanceScores(docs, col("doc_id"),
+      tokens(col("text")), col("tgt"), numBuckets = 64)
+    val plan = formatted(scored)
+    // the bucket log-ratio table (numBuckets rows) must rejoin the
+    // per-doc counts by broadcast — a shuffled join here would move
+    // the (doc, bucket) stream for a fixed-size model
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model table must broadcast back onto per-doc counts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fixed-size model tables must never sort-merge:\n$plan")
+  }
+
+  test("label-aware mining: broadcast-query kNN, never a shuffled cartesian (q111/q112 shape)") {
+    import graft.sim.Mining
+    val emb = (0L until 50L).map(i =>
+      (i, (i % 3).toInt, Array.tabulate(4)(j => math.sin(i * 7 + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    for (df <- Seq(
+      Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb, 5),
+      Mining.knnLabelAgreement(emb.filter(col("vec_id") < 3), emb, 5))) {
+      val plan = formatted(df)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"query side must broadcast against the streamed corpus:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"a corpus-side cartesian would shuffle corpus-sized data:\n$plan")
+    }
+  }
+
   test("frequent-token mining: k-bounded sketch agg + broadcast candidates (q104 shape)") {
     import graft.text.HeavyHitters
     import graft.text.TextFunctions.tokens

@@ -58,6 +58,24 @@ class CorpusStatsSpec extends SparkSpec {
       s"uncapped, the ubiquitous span pairs all three: $noCap")
   }
 
+  test("docNovelty: boilerplate-assembled docs score 0, unique docs 1, mixes between") {
+    val span = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, span),                       // every 3-shingle shared with doc 2
+      (2L, span),
+      (3L, "u1 u2 u3 u4 u5 u6"),        // fully unique
+      (4L, s"$span u7 u8 u9"),          // mix: shared prefix + unique tail
+      (5L, "a b"))                      // < k tokens → absent
+      .toDF("doc_id", "text")
+    val out = CorpusStats.docNovelty(docs, col("doc_id"),
+      graft.text.TextFunctions.tokens(col("text")), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0, s"mirrored docs contribute nothing: $out")
+    assert(out(3L) == 1.0, s"fully-unique doc is all-novel: $out")
+    assert(out(4L) > 0.0 && out(4L) < 1.0, s"mix lands strictly between: $out")
+    assert(!out.contains(5L), "sub-shingle docs are absent")
+  }
+
   test("zipfSlope: an exact 1/r spectrum regresses to -1; singletons go null") {
     // freqs 12/r for ranks 1..4 → ln f = ln 12 − ln r, slope exactly −1
     val zipfTokens = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
