@@ -571,20 +571,24 @@ object Main {
             f"${r.getString(2)} (n=${r.getLong(3)}, pmi=${r.getDouble(4)}%.4f)"))
 
       case "dsir" =>
-        // DSIR importance-resampling selection (q103 operator as a
-        // verb): --target is a SQL predicate naming the trusted slice;
-        // the top --n most-target-like documents are selected
+        // DSIR selection (q103/q118 as a verb): --target is a SQL
+        // predicate naming the trusted slice. Default keeps the
+        // deterministic top --n head; --temperature T switches to the
+        // paper's Gumbel importance RESAMPLING (md5-deterministic)
         require(pos.size == 1, "dsir needs exactly one <ds.tbl|parquetDir>")
         import org.apache.spark.sql.functions.{col => c, expr, lower}
         val df = readTable(spark, flags, pos.head)
         val idCol = flags.getOrElse("id-col", "doc_id")
-        val out = graft.curation.Dsir.select(df, c(idCol),
-            graft.text.TextFunctions.tokens(
-              lower(c(flags.getOrElse("text-col", "text")))),
-            expr(req(flags, "target")),
-            n = flags.getOrElse("n", "100").toInt,
-            numBuckets = flags.getOrElse("buckets", "1024").toInt)
-          .withColumnRenamed("__id", idCol)
+        val toks = graft.text.TextFunctions.tokens(
+          lower(c(flags.getOrElse("text-col", "text"))))
+        val n = flags.getOrElse("n", "100").toInt
+        val buckets = flags.getOrElse("buckets", "1024").toInt
+        val out = (flags.get("temperature") match {
+          case Some(t) => graft.curation.Dsir.resample(df, c(idCol), toks,
+            expr(req(flags, "target")), n, buckets, t.toDouble)
+          case None => graft.curation.Dsir.select(df, c(idCol), toks,
+            expr(req(flags, "target")), n, buckets)
+        }).withColumnRenamed("__id", idCol)
         out.write.mode("overwrite").parquet(req(flags, "output"))
         val got = spark.read.parquet(req(flags, "output"))
         println(s"selected: ${got.count()} docs (target: ${req(flags, "target")})")

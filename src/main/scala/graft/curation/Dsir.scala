@@ -90,4 +90,30 @@ object Dsir {
         Seq(col("score").desc, col("__id")), n)
       .select(col("rank"), col("__id"), col("n_feats"), col("score"))
   }
+
+  /** Importance RESAMPLING — the paper's actual sampling step, not the
+    * deterministic head: draw `n` documents without replacement with
+    * probability ∝ exp(score/T) via the Gumbel-top-n trick
+    * (Gumbel-max: argmax(logw_i + G_i) is a draw ∝ w; taking the top n
+    * keys is a without-replacement sample — one pass, no sequential
+    * draw, so it distributes as a plain top-n). The Gumbel noise is
+    * DETERMINISTIC: u = md5(id)/2³² and G = −ln(−ln u), so the sample
+    * is reproducible and the DuckDB oracle replays it exactly —
+    * "random" here means md5-equidistributed, the same contract as
+    * every deterministic sampler in [[Sampling]].
+    *
+    * @param temperature flattens (>1) or sharpens (<1) the tilt
+    * @return (rank, __id, score, key) — rank 1..n by (key desc, id)
+    */
+  def resample(docs: DataFrame, id: Column, toks: Column, isTarget: Column,
+      n: Int, numBuckets: Int = 1024, temperature: Double = 1.0): DataFrame = {
+    require(n > 0 && temperature > 0)
+    val scored = importanceScores(docs, id, toks, isTarget, numBuckets)
+    val u = md5Long(col("__id").cast(org.apache.spark.sql.types.StringType)) /
+      lit(4294967296.0)
+    val key = round(col("score") / lit(temperature) - log(-log(u)), 6)
+    graft.util.TopN.exact(scored.withColumn("key", key), Seq.empty,
+        Seq(col("key").desc, col("__id")), n)
+      .select(col("rank"), col("__id"), col("score"), col("key"))
+  }
 }

@@ -2326,7 +2326,10 @@ object CurationQueries {
       .withColumnRenamed("__id", "doc_id")
       .orderBy(col("rank"))
 
-  val q103Sql: String = {
+  /** Shared DuckDB CTE chain for the DSIR family (q103/q118): hashed
+    * features → bucket models → per-doc score, ending at `sc`
+    * (doc_id, n_feats, score). */
+  private val dsirScoreCte: String = {
     val bi = "(CASE WHEN len(t) < 2 THEN []::VARCHAR[] ELSE " +
       "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) END)"
     s"""
@@ -2347,12 +2350,38 @@ object CurationQueries {
     sc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
                   round(CAST(SUM(CAST(CAST(c AS DOUBLE) * lr AS DECIMAL(18,6))) AS DOUBLE)
                     / CAST(SUM(c) AS DOUBLE), 6) AS score
-           FROM db JOIN lr USING (bucket) GROUP BY 1)
+           FROM db JOIN lr USING (bucket) GROUP BY 1)"""
+  }
+
+  val q103Sql: String = s"""$dsirScoreCte
     SELECT rank, doc_id, n_feats, score FROM (
       SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
       FROM sc)
     WHERE rank <= 100 ORDER BY rank"""
-  }
+
+  // ---- q118: DSIR importance RESAMPLING (deterministic Gumbel top-n) ----
+
+  /** q118: [[graft.curation.Dsir.resample]] — the paper's sampling
+    * step: 100 docs without replacement ∝ exp(score), drawn by the
+    * Gumbel-top-n trick with md5-deterministic noise. The oracle
+    * replays score, uniform, Gumbel transform, and rank. */
+  def q118(s: SparkSession, d: String): DataFrame =
+    graft.curation.Dsir.resample(docs(s, d), col("doc_id"),
+        tokens(lower(col("text"))), col("lang") === "en",
+        n = 100, numBuckets = 256)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(col("rank"))
+
+  val q118Sql: String = s"""$dsirScoreCte,
+    keyed AS (SELECT doc_id, score,
+                round(score / 1.0 - ln(-ln(
+                  ${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} / 4294967296.0)), 6)
+                  AS key
+              FROM sc)
+    SELECT rank, doc_id, score, key FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank
+      FROM keyed)
+    WHERE rank <= 100 ORDER BY rank"""
 
   // ---- q104: exact frequent tokens via a Misra-Gries candidate pass ----
 
@@ -2796,5 +2825,6 @@ object CurationQueries {
     ("q113_hard_negatives_ivf", q113 _, Some(q111Sql)),
     ("q115_trigram_perplexity", q115 _, Some(q115Sql)),
     ("q116_intradoc_strip", q116 _, Some(q116Sql)),
-    ("q117_doc_novelty", q117 _, Some(q117Sql)))
+    ("q117_doc_novelty", q117 _, Some(q117Sql)),
+    ("q118_dsir_resample", q118 _, Some(q118Sql)))
 }

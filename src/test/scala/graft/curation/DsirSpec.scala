@@ -40,6 +40,26 @@ class DsirSpec extends SparkSpec {
     assert(a.size == 3 && a.map(_.getLong(0)) == Seq(1L, 2L, 3L))
   }
 
+  test("resample: deterministic Gumbel draw; T→0 collapses to the exact head") {
+    val a = Dsir.resample(docs.repartition(1), col("doc_id"),
+      tokens(lower(col("text"))), col("is_tgt"), n = 4, numBuckets = 512)
+      .collect().toSeq
+    val b = Dsir.resample(docs.repartition(7), col("doc_id"),
+      tokens(lower(col("text"))), col("is_tgt"), n = 4, numBuckets = 512)
+      .collect().toSeq
+    assert(a == b, "md5-Gumbel sampling must be partitioning-invariant")
+    assert(a.size == 4 && a.map(_.getLong(0)) == Seq(1L, 2L, 3L, 4L))
+    // temperature → 0: score/T dwarfs the bounded Gumbel noise, so the
+    // draw must coincide with the deterministic top-n head
+    val frozen = Dsir.resample(docs, col("doc_id"), tokens(lower(col("text"))),
+      col("is_tgt"), n = 3, numBuckets = 512, temperature = 1e-9)
+      .collect().map(_.getLong(1)).toSet
+    val head = Dsir.select(docs, col("doc_id"), tokens(lower(col("text"))),
+      col("is_tgt"), n = 3, numBuckets = 512)
+      .collect().map(_.getLong(1)).toSet
+    assert(frozen == head, s"T→0 resample $frozen must equal the head $head")
+  }
+
   test("featureBuckets: unigrams + bigrams, all in [0, B)") {
     val out = Seq("a b c").toDF("text")
       .select(Dsir.featureBuckets(tokens(col("text")), 16).as("b"))
