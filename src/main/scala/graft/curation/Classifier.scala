@@ -28,9 +28,11 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Determinism contract (the [[LangModel]] discipline): every log
   * argument is an exact integer (`count + 1`, `tokens_c + V`,
-  * `docs_c`, `N`), the per-(doc, class) fold runs in token order from
-  * an explicit 0.0, and the final score rounds to 6 decimals before
-  * the argmax; class ties break lexicographically.
+  * `docs_c`, `N`), each token's log-likelihood rounds to 6 decimals
+  * at the term and the per-(doc, class) sum runs in DECIMAL(18,6) —
+  * commutative and exact, so partitioning/order-free with O(1)
+  * aggregation state per (doc, class) — and the final score rounds to
+  * 6 decimals before the argmax; class ties break lexicographically.
   */
 object Classifier {
 
@@ -49,8 +51,7 @@ object Classifier {
       label: Column): DataFrame = {
     val base = docs.select(id.as("__id"), label.as("label"), toks.as("__t"))
     val tok = base.where(size(col("__t")) > 0)
-      .select(col("__id"), col("label"),
-        posexplode(col("__t")).as(Seq("pos", "w")))
+      .select(col("__id"), col("label"), explode(col("__t")).as("w"))
 
     // class-level aggregates: all vocabulary/class-bounded (tiny)
     val cls = base.groupBy(col("label").as("cls"))
@@ -68,21 +69,20 @@ object Classifier {
     // but must still pay ln(1/V) per scored token; deriving classes
     // from tokc would silently give it prior-only scores, which win
     // the argmax over every real (negative-likelihood) class.
-    val lp = log((coalesce(col("cwc"), lit(0L)) + 1L).cast(DoubleType)) -
-      log((coalesce(col("tok_c"), lit(0L)) + col("v")).cast(DoubleType))
-    val pairs = tok.select(col("__id"), col("pos"), col("w"))
+    val lp = round(log((coalesce(col("cwc"), lit(0L)) + 1L).cast(DoubleType)) -
+      log((coalesce(col("tok_c"), lit(0L)) + col("v")).cast(DoubleType)), 6)
+    val pairs = tok.select(col("__id"), col("w"))
       .crossJoin(broadcast(cls.select(col("cls"))))
       .join(broadcast(tokc), Seq("cls"), "left")
       .crossJoin(broadcast(v))
       .join(broadcast(cwc), Seq("w", "cls"), "left")
-      .select(col("__id"), col("cls"), col("pos"), lp.as("lp"))
+      .select(col("__id"), col("cls"), lp.as("lp"))
 
-    // in-order fold per (doc, class) — the determinism contract
+    // commutative decimal sum per (doc, class) — the determinism
+    // contract, with O(1) aggregation state (no buffered token list)
     val sums = pairs
       .groupBy(col("__id"), col("cls"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("xs"))
-      .select(col("__id"), col("cls"),
-        aggregate(col("xs"), lit(0.0), (a, x) => a + x.getField("lp")).as("s"))
+      .agg(graft.relational.RelationalQueries.dsum(col("lp")).as("s"))
 
     val prior = log(col("docs_c").cast(DoubleType)) - log(col("n").cast(DoubleType))
     val scored = base.select(col("__id"), col("label"))

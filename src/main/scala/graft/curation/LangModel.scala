@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
+import graft.relational.RelationalQueries.dsum
+
 /** Corpus-trained n-gram language-model scoring — the CCNet-style
   * quality signal: documents whose token sequences are improbable under
   * a language model of the corpus itself score a high cross-entropy and
@@ -21,17 +23,22 @@ import org.apache.spark.sql.types.DoubleType
   * tables (Heaps' law keeps distinct bigrams far below corpus size).
   * Scoring re-joins the bigram stream to those count tables on their
   * own keys (AQE broadcasts them when small); the vocabulary size is a
-  * one-row broadcast. The per-document fold is bounded by document
-  * length. No driver-side collect anywhere.
+  * one-row broadcast. Per-document aggregation state is O(1) — one
+  * decimal accumulator and one count. No driver-side collect anywhere.
   *
   * Determinism contract: with add-one smoothing every log argument is
-  * an exact integer (c1 + V and c12 + 1), and each document's terms are
-  * folded in token order from an explicit 0.0 (the
-  * [[graft.queries.CurationQueries]] dotSql contract), so the only
-  * engine divergence is the last ulp of ln itself on integer inputs
+  * an exact integer (c1 + V and c12 + 1), so the only engine
+  * divergence is the last ulp of ln itself on integer inputs
   * (measured: ~2.4e-5 of integers in [1, 2e7] differ by 1 ulp between
-  * Java's Math.log and DuckDB's ln). Rounding the final per-document
-  * value to 6 decimals makes a boundary collision ~1e-9 per document.
+  * Java's Math.log and DuckDB's ln). Each per-term log-probability is
+  * rounded to 6 decimals AT THE TERM, then the per-document sum runs
+  * in DECIMAL(18,6) ([[graft.relational.RelationalQueries.dsum]]) — a
+  * commutative, exact sum, so the result is identical under ANY
+  * partitioning/ordering and per-document aggregation state is one
+  * decimal + one count, not a buffered token list (a 10M-token
+  * document costs the same aggregation state as a tweet). A rounded
+  * term straddling an ln ulp-wobble boundary is ~4e-14 likely per
+  * term — absorbed by the same final 6-decimal round as before.
   */
 object LangModel {
 
@@ -48,30 +55,27 @@ object LangModel {
     */
   def bigramCrossEntropy(docs: DataFrame, id: Column, toks: Column): DataFrame = {
     val tok = docs.select(id.as("__id"), toks.as("__t"))
-    // adjacent pairs with their position, for the in-order fold later
     val big = tok.where(size(col("__t")) >= 2)
       .select(col("__id"),
         slice(col("__t"), lit(1), size(col("__t")) - 1).as("a"),
         slice(col("__t"), lit(2), size(col("__t")) - 1).as("b"))
-      .select(col("__id"),
-        posexplode(arrays_zip(col("a"), col("b"))).as(Seq("pos", "z")))
-      .select(col("__id"), col("pos"),
-        col("z.a").as("w1"), col("z.b").as("w2"))
+      .select(col("__id"), explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("__id"), col("z.a").as("w1"), col("z.b").as("w2"))
     val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = tok.select(explode(col("__t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val lp = log((col("c1") + col("v")).cast(DoubleType)) -
-      log((col("c12") + lit(1L)).cast(DoubleType))
+    // per-term round, then a commutative decimal sum: O(1) aggregation
+    // state per document, order-free by construction
+    val lp = round(log((col("c1") + col("v")).cast(DoubleType)) -
+      log((col("c12") + lit(1L)).cast(DoubleType)), 6)
     big.join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("pos"), lp.as("lp")))).as("xs"))
-      .select(col("__id"),
-        size(col("xs")).cast("long").as("n_bigrams"),
-        (aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("lp"))
-          / size(col("xs"))).as("xent"))
+      .agg(count(lit(1)).as("n_bigrams"), dsum(lp).as("s"))
+      .select(col("__id"), col("n_bigrams"),
+        (col("s") / col("n_bigrams").cast(DoubleType)).as("xent"))
   }
 
   /** Per-document cross-entropy under a Jelinek-Mercer-interpolated
@@ -106,9 +110,8 @@ object LangModel {
         slice(col("__t"), lit(1), size(col("__t")) - 2).as("a"),
         slice(col("__t"), lit(2), size(col("__t")) - 2).as("b"),
         slice(col("__t"), lit(3), size(col("__t")) - 2).as("c"))
+      .select(col("__id"), explode(arrays_zip(col("a"), col("b"), col("c"))).as("z"))
       .select(col("__id"),
-        posexplode(arrays_zip(col("a"), col("b"), col("c"))).as(Seq("pos", "z")))
-      .select(col("__id"), col("pos"),
         col("z.a").as("w1"), col("z.b").as("w2"), col("z.c").as("w3"))
     val c123 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
     val c12 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -122,7 +125,7 @@ object LangModel {
       lit(l3) * ((col("c123") + lit(1L)).cast(DoubleType) / (col("c12") + col("v")).cast(DoubleType)) +
         lit(l2) * ((col("c23") + lit(1L)).cast(DoubleType) / (col("c2") + col("v")).cast(DoubleType)) +
         lit(l1) * ((col("c3") + lit(1L)).cast(DoubleType) / (col("n") + col("v")).cast(DoubleType))
-    val lp = -log(p)
+    val lp = round(-log(p), 6)
     tri.join(c123, Seq("w1", "w2", "w3"))
       .join(c12, Seq("w1", "w2"))
       .join(c23, Seq("w2", "w3"))
@@ -131,10 +134,8 @@ object LangModel {
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(vocab))
       .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("pos"), lp.as("lp")))).as("xs"))
-      .select(col("__id"),
-        size(col("xs")).cast("long").as("n_trigrams"),
-        (aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("lp"))
-          / size(col("xs"))).as("xent"))
+      .agg(count(lit(1)).as("n_trigrams"), dsum(lp).as("s"))
+      .select(col("__id"), col("n_trigrams"),
+        (col("s") / col("n_trigrams").cast(DoubleType)).as("xent"))
   }
 }

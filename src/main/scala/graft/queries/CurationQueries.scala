@@ -1589,7 +1589,6 @@ object CurationQueries {
   val q81Sql: String = s"""
     WITH docs AS (SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
     big AS (SELECT doc_id,
-                   unnest(range(1, len(toks))) AS pos,
                    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
                    unnest(list_slice(toks, 2, len(toks))) AS w2
             FROM docs WHERE len(toks) >= 2),
@@ -1598,15 +1597,13 @@ object CurationQueries {
     v AS (SELECT COUNT(DISTINCT w) AS v
           FROM (SELECT unnest(toks) AS w FROM docs)),
     folded AS (
-      SELECT b.doc_id,
-             list(ln(CAST(c1.c1 + v.v AS DOUBLE)) - ln(CAST(c12.c12 + 1 AS DOUBLE))
-                  ORDER BY b.pos) AS xs
+      SELECT b.doc_id, COUNT(*) AS nb,
+             ${dsumSql("round(ln(CAST(c1.c1 + v.v AS DOUBLE)) - ln(CAST(c12.c12 + 1 AS DOUBLE)), 6)")} AS s
       FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
       GROUP BY b.doc_id)
     SELECT d.doc_id,
-           CAST(COALESCE(len(f.xs), 0) AS BIGINT) AS n_bigrams,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f.xs),
-             (a, b) -> a + b) / len(f.xs), 6) AS xent
+           CAST(COALESCE(f.nb, 0) AS BIGINT) AS n_bigrams,
+           round(f.s / f.nb, 6) AS xent
     FROM documents d LEFT JOIN folded f USING (doc_id) ORDER BY d.doc_id"""
 
   // ---- q82: BM25 keyword top-k retrieval ----
@@ -2163,9 +2160,7 @@ object CurationQueries {
   val q97Sql: String = s"""
     WITH docs AS (SELECT doc_id, source AS y, ${toksSql("lower(text)")} AS toks
                   FROM documents),
-    tok AS (SELECT doc_id, y,
-                   unnest(toks) AS w,
-                   unnest(range(1, len(toks) + 1)) AS pos
+    tok AS (SELECT doc_id, y, unnest(toks) AS w
             FROM docs WHERE len(toks) > 0),
     cls AS (SELECT y AS cls, COUNT(*) AS docs_c FROM docs GROUP BY y),
     n AS (SELECT COUNT(*) AS n FROM docs),
@@ -2173,18 +2168,16 @@ object CurationQueries {
     v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
     cwc AS (SELECT w, y AS cls, COUNT(*) AS cwc FROM tok GROUP BY w, y),
     pairs AS (
-      SELECT t.doc_id, c.cls, t.pos,
-             ln(CAST(COALESCE(cw.cwc, 0) + 1 AS DOUBLE)) -
-               ln(CAST(COALESCE(tc.tok_c, 0) + v.v AS DOUBLE)) AS lp
+      SELECT t.doc_id, c.cls,
+             round(ln(CAST(COALESCE(cw.cwc, 0) + 1 AS DOUBLE)) -
+               ln(CAST(COALESCE(tc.tok_c, 0) + v.v AS DOUBLE)), 6) AS lp
       FROM tok t
       CROSS JOIN cls c
       LEFT JOIN tokc tc ON tc.cls = c.cls
       CROSS JOIN v
       LEFT JOIN cwc cw ON cw.w = t.w AND cw.cls = c.cls),
     sums AS (
-      SELECT doc_id, cls,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(lp ORDER BY pos)), (a, b) -> a + b) AS s
+      SELECT doc_id, cls, ${dsumSql("lp")} AS s
       FROM pairs GROUP BY doc_id, cls),
     scored AS (
       SELECT d.doc_id, d.y AS label, c.cls,
@@ -2651,7 +2644,6 @@ object CurationQueries {
   val q115Sql: String = s"""
     WITH docs AS (SELECT doc_id, ${toksSql("lower(text)")} AS toks FROM documents),
     tri AS (SELECT doc_id,
-                   unnest(range(1, len(toks) - 1)) AS pos,
                    unnest(list_slice(toks, 1, len(toks) - 2)) AS w1,
                    unnest(list_slice(toks, 2, len(toks) - 1)) AS w2,
                    unnest(list_slice(toks, 3, len(toks))) AS w3
@@ -2665,19 +2657,17 @@ object CurationQueries {
     v AS (SELECT COUNT(DISTINCT w) AS v
           FROM (SELECT unnest(toks) AS w FROM docs)),
     folded AS (
-      SELECT t.doc_id,
-             list(-ln(0.5 * (CAST(c123 + 1 AS DOUBLE) / CAST(c12 + v AS DOUBLE))
+      SELECT t.doc_id, COUNT(*) AS nt,
+             ${dsumSql("""round(-ln(0.5 * (CAST(c123 + 1 AS DOUBLE) / CAST(c12 + v AS DOUBLE))
                   + 0.25 * (CAST(c23 + 1 AS DOUBLE) / CAST(c2 + v AS DOUBLE))
-                  + 0.25 * (CAST(c3 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)))
-                  ORDER BY t.pos) AS xs
+                  + 0.25 * (CAST(c3 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))), 6)""")} AS s
       FROM tri t JOIN c123 USING (w1, w2, w3) JOIN c12 USING (w1, w2)
            JOIN c23 USING (w2, w3) JOIN c2 USING (w2) JOIN c3 USING (w3)
            CROSS JOIN n CROSS JOIN v
       GROUP BY t.doc_id)
     SELECT d.doc_id,
-           CAST(COALESCE(len(f.xs), 0) AS BIGINT) AS n_trigrams,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), f.xs),
-             (a, b) -> a + b) / len(f.xs), 6) AS xent
+           CAST(COALESCE(f.nt, 0) AS BIGINT) AS n_trigrams,
+           round(f.s / f.nt, 6) AS xent
     FROM documents d LEFT JOIN folded f USING (doc_id) ORDER BY d.doc_id"""
 
   // ---- q116: WITHIN-document repeated-span removal ----

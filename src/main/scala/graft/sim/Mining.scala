@@ -33,6 +33,29 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object Mining {
 
+  /** Query-row count above which the exact entry points REFUSE to
+    * broadcast: 64k rows of ~768-dim double vectors is ~400 MB
+    * serialized — the edge of any sane broadcast budget. Past it the
+    * exact shape is the wrong plan no matter how it's joined (the
+    * cross join itself is |Q|·|C|), so rather than silently falling
+    * back to a cartesian shuffle the guard fails loudly and names the
+    * scale path ([[hardNegativesIvf]] / a per-cluster composition),
+    * mirroring [[graft.dedup.BandIndex.probe]]'s broadcast guard. */
+  val MaxBroadcastQueryRows: Long = 1L << 16
+
+  /** Count-once guard shared by the exact entry points: returns the
+    * query frame's row count so callers already holding it can reuse
+    * it; one cheap count job against the (small by contract) side. */
+  private def guardQueries(queries: DataFrame, maxQueryRows: Long,
+      op: String, scalePath: String): Unit = {
+    val qn = queries.count()
+    require(qn <= maxQueryRows,
+      s"$op: query side has $qn rows > maxQueryRows=$maxQueryRows — the " +
+        s"exact all-pairs shape would broadcast ~$qn vectors and score " +
+        s"|Q|x|C| pairs. Use $scalePath for corpus-scale query sides, " +
+        "or raise maxQueryRows explicitly for a bounded exact audit.")
+  }
+
   private def fastDot(df: DataFrame)(x: Column, y: Column): Column =
     if (df.sparkSession.catalog.functionExists("graft_dot"))
       call_function("graft_dot", x, y)
@@ -47,15 +70,20 @@ object Mining {
   }
 
   /** Top-`k` most-similar corpus vectors with a label DIFFERENT from
-    * the query's. `queries` must be broadcast-small.
+    * the query's. `queries` must be broadcast-small — ENFORCED: the
+    * query side is counted once and the call fails loudly past
+    * `maxQueryRows` ([[MaxBroadcastQueryRows]]) instead of OOMing the
+    * driver on an unbounded broadcast.
     *
     * @return (query_id, query_label, neighbor_id, neighbor_label, sim,
     *         rk) — rk 1..k by (sim desc, neighbor_id)
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame = {
     require(k > 0)
+    guardQueries(queries, maxQueryRows, "hardNegatives", "hardNegativesIvf")
     val q = broadcast(staged(queries, idCol, vecCol, labelCol, "query", spread = false))
     val c = staged(corpus, idCol, vecCol, labelCol, "neighbor", spread = true)
     val scored = c.crossJoin(q)
@@ -79,11 +107,18 @@ object Mining {
     * IDENTICAL to [[hardNegatives]] (the recall identity MiningSpec
     * pins); lower `nprobe` trades recall for a bounded candidate set,
     * exactly like every other IVF composition here.
+    *
+    * The query side is broadcast only while it stays under
+    * `maxBroadcastQueryRows`; past the cap both query-side joins fall
+    * back to shuffles — safe, because both are equi-joins (cluster /
+    * query_id). For a corpus-scale query side size `nlist` up so the
+    * cluster key carries enough parallelism for the shuffle.
     */
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      maxBroadcastQueryRows: Long = MaxBroadcastQueryRows): DataFrame = {
     require(k > 0 && nprobe >= 1 && nprobe <= nlist)
     val cents = Similarity.ivfCentroids(corpus, nlist, idCol, vecCol)
     val c = graft.util.Spread(corpus)
@@ -91,12 +126,16 @@ object Mining {
         col(vecCol).cast(ArrayType(DoubleType)).as("cv"))
       .withColumn("cluster", Similarity.nearestCluster(corpus, cents, col("cv")))
       .withColumn("cn", sqrt(fastDot(corpus)(col("cv"), col("cv"))))
-    // queries are broadcast-small by contract; label rides in via a
-    // second broadcast keyed on query_id (probeQueries stages id/vec/norm)
-    val ql = broadcast(queries.select(col(idCol).as("query_id"),
+    // both query-side joins are EQUI-joins (cluster / query_id), so a
+    // corpus-scale query side degrades safely to a shuffle: broadcast
+    // is only a hint applied under the row cap, never a requirement
+    // (the BandIndex.probe guard shape)
+    val hint: DataFrame => DataFrame =
+      if (queries.count() <= maxBroadcastQueryRows) broadcast(_) else identity
+    val ql = hint(queries.select(col(idCol).as("query_id"),
       col(labelCol).as("query_label")))
     val cands = c
-      .join(broadcast(Similarity.probeQueries(queries, cents, nprobe, idCol, vecCol)), "cluster")
+      .join(hint(Similarity.probeQueries(queries, cents, nprobe, idCol, vecCol)), "cluster")
       .join(ql, "query_id")
       .filter(col("query_label") =!= col("neighbor_label"))
       .withColumn("sim",
@@ -119,8 +158,11 @@ object Mining {
     */
   def knnLabelAgreement(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      labelCol: String = "label"): DataFrame = {
+      labelCol: String = "label",
+      maxQueryRows: Long = MaxBroadcastQueryRows): DataFrame = {
     require(k > 0)
+    guardQueries(queries, maxQueryRows, "knnLabelAgreement",
+      "a per-IVF-cluster composition (Similarity.ivfTopK semantics)")
     val q = broadcast(staged(queries, idCol, vecCol, labelCol, "query", spread = false))
     val c = staged(corpus, idCol, vecCol, labelCol, "neighbor", spread = true)
     val scored = c.crossJoin(q)

@@ -105,15 +105,22 @@ object CorpusStats {
     * drops fingerprints shared by more than that many groups
     * (ubiquitous template spans — already known-shared, and the blowup
     * term), bounding the self-join at |postings|·maxGroupFreq rows.
-    * Per-group sizes are a group-cardinality frame joined back by
-    * broadcast.
+    * The DEFAULT is the scale-safe finite cap (the q25/q74/q95
+    * discipline: the library default must be the 100 TB configuration);
+    * pass `maxGroupFreq = Int.MaxValue` explicitly for an exact audit
+    * over every fingerprint. Per-group sizes are a group-cardinality
+    * frame joined back by broadcast.
     *
     * @return (grp_a, grp_b, n_shared, overlap) with grp_a < grp_b,
     *         overlap rounded to 6 decimals, ordered by (grp_a, grp_b)
     */
+  /** Default [[groupOverlap]] cap: fingerprints shared across more
+    * than this many groups are dropped from the pair join. */
+  val DefaultMaxGroupFreq: Int = 15
+
   def groupOverlap(docs: DataFrame, group: Column, text: Column,
       shingleK: Int = 3, w: Int = 4,
-      maxGroupFreq: Int = Int.MaxValue): DataFrame = {
+      maxGroupFreq: Int = DefaultMaxGroupFreq): DataFrame = {
     val fps = docs.select(group.as("grp"), tokens(text).as("t"))
       .select(col("grp"), explode(call_function("graft_winnow",
         call_function("graft_shingles", col("t"), lit(shingleK)), lit(w))).as("fp"))

@@ -30,6 +30,20 @@ class ClassifierSpec extends SparkSpec {
     assert(out == again)
   }
 
+  test("scores are partitioning-invariant with O(1) aggregation state (no collect_list)") {
+    val docs = (1L to 40L).map(i =>
+      (i, Seq.tabulate(30)(j => s"w${(i * 7 + j * 13) % 11}").mkString(" "),
+        s"c${i % 3}")).toDF("doc_id", "text", "y")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Classifier.naiveBayes(df, col("doc_id"), tokens(col("text")), col("y"))
+        .orderBy("__id").as[(Long, String, String, Double)].collect().toSeq
+    // commutative decimal sum => identical under any partitioning
+    assert(run(docs.repartition(1)) == run(docs.repartition(13)))
+    val plan = Classifier.naiveBayes(docs, col("doc_id"),
+      tokens(col("text")), col("y")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), s"buffered-list agg crept back:\n$plan")
+  }
+
   test("add-one smoothing scores unseen-per-class tokens; empty docs take the prior argmax") {
     val docs = Seq(
       (1L, "alpha alpha", "a"),

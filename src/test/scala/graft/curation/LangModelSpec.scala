@@ -24,11 +24,13 @@ class LangModelSpec extends SparkSpec {
     // corpus bigrams: d1 = (a,b),(b,a),(a,b); d2 = (a,b),(b,b)
     // c12: (a,b)->3, (b,a)->1, (b,b)->1 ; c1: a->3, b->2 ; V = {a,b,c} = 3
     val V = 3L
-    def lp(c1: Long, c12: Long): Double =
-      math.log((c1 + V).toDouble) - math.log((c12 + 1).toDouble)
-    // in token order, folded left from 0.0 exactly as the operator does
-    val d1 = Seq(lp(3, 3), lp(2, 1), lp(3, 3)).foldLeft(0.0)(_ + _) / 3
-    val d2 = Seq(lp(3, 3), lp(2, 1)).foldLeft(0.0)(_ + _) / 2
+    // each term rounds to 6 decimals, then sums exactly in decimal —
+    // the operator's commutative contract, replayed literally
+    def lp(c1: Long, c12: Long): BigDecimal =
+      BigDecimal(math.log((c1 + V).toDouble) - math.log((c12 + 1).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val d1 = Seq(lp(3, 3), lp(2, 1), lp(3, 3)).sum.toDouble / 3
+    val d2 = Seq(lp(3, 3), lp(2, 1)).sum.toDouble / 2
 
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
@@ -36,6 +38,12 @@ class LangModelSpec extends SparkSpec {
     assert(out(1).getDouble(2) == d2)
     // doc 1 repeats its dominant bigram; doc 2 has a singleton -> rarer
     assert(out(0).getDouble(2) < out(1).getDouble(2))
+
+    // the de-quadratic contract: no buffered token list anywhere in the
+    // aggregation — per-document state is one decimal + one count
+    val plan = LangModel.bigramCrossEntropy(docs, col("doc_id"),
+      tokens(col("text"))).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"), s"buffered-list agg crept back:\n$plan")
   }
 
   test("q81 covers every document, null xent below two tokens") {

@@ -74,6 +74,41 @@ class MiningSpec extends SparkSpec {
       s"perfectly-labeled tiny corpus must agree fully: $out")
   }
 
+  test("exact entry points refuse a query side past the broadcast cap") {
+    val qs = emb.filter(col("vec_id") < 3)
+    // a cap below the query-row count must fail loudly, naming the scale path
+    val e1 = intercept[IllegalArgumentException](
+      Mining.hardNegatives(qs, emb, k = 2, maxQueryRows = 2))
+    assert(e1.getMessage.contains("hardNegativesIvf"),
+      s"the failure must name the scale path: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException](
+      Mining.knnLabelAgreement(qs, emb, k = 2, maxQueryRows = 2))
+    assert(e2.getMessage.contains("maxQueryRows"), e2.getMessage)
+    // an explicit raised cap is the documented exact-audit opt-in
+    assert(Mining.hardNegatives(qs, emb, k = 2, maxQueryRows = 3).count() > 0)
+  }
+
+  test("IVF path degrades to shuffle (no query-side broadcast) past the cap") {
+    val qs = emb.filter(col("vec_id") < 3)
+    // size-based auto-broadcast off, so any BroadcastExchange in the
+    // plan can only come from the row-cap hint under test
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val over = Mining.hardNegativesIvf(qs, emb, k = 4, nlist = 4, nprobe = 4,
+        maxBroadcastQueryRows = 2)
+      val plan = over.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"past the cap the query side must not be hint-broadcast:\n$plan")
+      val under = Mining.hardNegativesIvf(qs, emb, k = 4, nlist = 4, nprobe = 4)
+      assert(under.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "under the cap the query side is hint-broadcast")
+      // and the shuffle shape is the same answer as the broadcast shape
+      assert(over.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(5))) ==
+        under.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(5))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mining is partitioning-invariant") {
     val a = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(1), 4).collect().toSeq
     val b = Mining.hardNegatives(emb.filter(col("vec_id") < 3), emb.repartition(7), 4).collect().toSeq

@@ -52,10 +52,19 @@ class CorpusStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(withCap.keySet == Set(("a", "b")),
       s"3-group spans must drop at cap 2, leaving only the rare pair: $withCap")
-    val noCap = CorpusStats.groupOverlap(capped, col("src"), col("text"))
+    // exact audit is OPT-IN: the library default is the finite cap
+    assert(CorpusStats.DefaultMaxGroupFreq < Int.MaxValue)
+    val noCap = CorpusStats.groupOverlap(capped, col("src"), col("text"),
+        maxGroupFreq = Int.MaxValue)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(noCap == Set(("a", "b"), ("a", "c"), ("b", "c")),
       s"uncapped, the ubiquitous span pairs all three: $noCap")
+
+    // the default cap itself drops spans past DefaultMaxGroupFreq groups
+    val wide = (0 until CorpusStats.DefaultMaxGroupFreq + 1)
+      .map(i => (s"g$i", shared)).toDF("src", "text")
+    assert(CorpusStats.groupOverlap(wide, col("src"), col("text")).count() == 0,
+      "a span in DefaultMaxGroupFreq+1 groups must drop under the default")
   }
 
   test("docNovelty: boilerplate-assembled docs score 0, unique docs 1, mixes between") {
