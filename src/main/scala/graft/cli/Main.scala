@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|txlog] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|imagedup|txlog] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -47,6 +47,7 @@ object Main {
       |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  txlog versions --warehouse <dir> <ds.tbl>
       |  txlog snapshot --warehouse <dir> --output <dir> [--version <n>] <ds.tbl>
       |  txlog vacuum   --warehouse <dir> [--older-than-ms <n>] <ds.tbl>""".stripMargin
@@ -707,6 +708,21 @@ object Main {
           .orderBy(c("agreement"), c("query_id")).limit(10).collect()
           .foreach(r => println(f"vec ${r.getLong(0)} label ${r.get(1)}: " +
             f"agreement ${r.getDouble(3)}%.2f"))
+
+      case "imagedup" =>
+        // perceptual-hash image dedup (q114/q119 as a verb): radius 0 =
+        // aHash bucket join + exact feature verify; --radius > 0 blocks
+        // the hash into radius+1 bit slices (pigeonhole-total recall)
+        require(pos.size == 1, "imagedup needs exactly one <ds.tbl|parquetDir>")
+        val df = readTable(spark, flags, pos.head)
+        val radius = flags.getOrElse("radius", "0").toInt
+        val out =
+          if (radius == 0) graft.multimodal.Multimodal.imageNearDupPairs(df)
+          else graft.multimodal.Multimodal.imageNearDupPairsRadius(df, radius,
+            flags.getOrElse("hash-bits", "64").toInt)
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        println(s"image near-dup pairs: " +
+          s"${spark.read.parquet(req(flags, "output")).count()} (radius $radius)")
 
       case "txlog" =>
         // maintenance/lineage verbs for the transaction-log backend:

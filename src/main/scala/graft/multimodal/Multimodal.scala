@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -166,11 +166,9 @@ object Multimodal {
     *
     * Scale shape: the self-join keys on the 64-bit hash, so only
     * same-bucket images ever pair (shuffle ∝ bucket sizes, not n²);
-    * payload bytes stay where they were decoded. A Hamming-radius
-    * variant would block the hash bits into radius+1 disjoint bands
-    * ([[graft.dedup.Dedup]]'s SimHash blocking, pigeonhole-exact) —
-    * with the stub codec's digest-derived features, radius 0 is the
-    * semantically meaningful setting.
+    * payload bytes stay where they were decoded. For Hamming radius
+    * > 0 — the useful setting under a real codec, where recompression
+    * flips a few hash bits — use [[imageNearDupPairsRadius]].
     *
     * @return (a, b, phash) — duplicate image pairs, a < b, ordered
     */
@@ -185,6 +183,72 @@ object Multimodal {
         .filter(col("x.features") === col("y.features"))
         .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
           col("x.phash").as("phash"))
+        .orderBy(col("a"), col("b"))
+        .transform(graft.util.Materialize.eager)
+    } finally sigs.unpersist()
+  }
+
+  /** Disjoint bit-slice bounds over a `hashBits`-wide signature: the
+    * pigeonhole blocking of
+    * [[graft.dedup.Dedup.simhashBlockBounds]] (32-bit SimHash)
+    * generalized to the perceptual hash — `maxHamming + 1` slices, so
+    * any pair within the radius agrees on at least one untouched
+    * slice. Full recall by construction for any radius < hashBits. */
+  private[graft] def phashBlockBounds(maxHamming: Int, hashBits: Int): Seq[(Int, Int)] = {
+    require(hashBits >= 1 && hashBits <= 64,
+      s"perceptual hashes are 1..64 bits, got $hashBits")
+    require(maxHamming >= 0 && maxHamming < hashBits,
+      s"blocking needs 0 <= maxHamming < hashBits, got $maxHamming/$hashBits")
+    val b = maxHamming + 1
+    (0 until b).map { i =>
+      val lo = i * hashBits / b; (lo, (i + 1) * hashBits / b - lo)
+    }
+  }
+
+  private def phashBlockCol(sig: Column, maxHamming: Int, hashBits: Int): Column =
+    explode(array(phashBlockBounds(maxHamming, hashBits).zipWithIndex.map {
+      case ((lo, w), i) =>
+        // arithmetic shift + mask extracts bits [lo, lo+w) regardless
+        // of sign; the one full-width slice (radius 0 over 64 bits) is
+        // the signature itself
+        val v = if (w == 64) sig
+          else shiftright(sig, lo).bitwiseAND(lit((1L << w) - 1))
+        concat_ws(":", lit(i), v)
+    }: _*))
+
+  /** Perceptual-hash image near-dup pairs at Hamming radius
+    * `maxHamming` — [[imageNearDupPairs]] for the real-codec setting
+    * where a re-encode/resize flips a few aHash bits instead of none.
+    * Signatures block into `maxHamming + 1` disjoint bit slices
+    * ([[phashBlockBounds]]); pairs agreeing on ANY slice collide
+    * (pigeonhole: ≤ maxHamming flipped bits cannot touch every slice),
+    * then the exact `bit_count(xor)` distance filters candidates — so
+    * recall is total and collisions cost work, never correctness.
+    *
+    * Scale shape: same as the radius-0 path — payloads never shuffle,
+    * the join keys on (slice, slice-bits), shuffle ∝ bucket sizes.
+    * `hashBits` must cover the hash's populated width (pass the
+    * codec's cell count when below 64, e.g. the stub's 8): slices are
+    * carved from `[0, hashBits)`, and with the default 64 a narrow
+    * hash would leave all-zero high slices colliding everything.
+    *
+    * @return (a, b, dist) — pairs with Hamming ≤ maxHamming, a < b,
+    *         ordered
+    */
+  def imageNearDupPairsRadius(media: DataFrame, maxHamming: Int,
+      hashBits: Int = 64, batchSize: Int = 64): DataFrame = {
+    val sigs = imageSignatures(media, batchSize).toDF()
+      .select(col("media_id"), col("phash")).persist()
+    try {
+      val blocked = sigs.withColumn("blk",
+        phashBlockCol(col("phash"), maxHamming, hashBits))
+      val l = blocked.select(col("media_id").as("a"), col("phash").as("pa"), col("blk"))
+      val r = blocked.select(col("media_id").as("b"), col("phash").as("pb"), col("blk"))
+      l.join(r, "blk").filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          graft.dedup.Dedup.hamming(col("pa"), col("pb")).cast("long").as("dist"))
+        .distinct()
+        .filter(col("dist") <= maxHamming)
         .orderBy(col("a"), col("b"))
         .transform(graft.util.Materialize.eager)
     } finally sigs.unpersist()

@@ -909,6 +909,48 @@ log[d] {
     ORDER BY a, b"""
   }
 
+  /** q119: radius-parametric perceptual-hash image dedup
+    * ([[Multimodal.imageNearDupPairsRadius]]) — pairs within Hamming
+    * radius 2 over the stub codec's 8-bit aHash, blocked into 3
+    * disjoint bit slices (pigeonhole-total recall). The oracle
+    * computes the EXACT all-pairs Hamming filter with no blocking at
+    * all, so the hash check proves the banded plan loses no pair
+    * within the radius — the recall identity, adjudicated end to end.
+    * Runs over every 4th document to keep the radius-2 pair count
+    * fixture-sized. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+    Multimodal.imageNearDupPairsRadius(Multimodal.repartitionBySize(
+      Multimodal.mediaFromDocuments(docs), 8), maxHamming = 2, hashBits = 8)
+  }
+
+  val q119Sql: String = {
+    def hexLong8(src: String) =
+      s"""list_reduce(list_transform(range(1, 9), i ->
+        CAST(strpos('0123456789abcdef', substring($src, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        (a, x) -> a * 16 + x)"""
+    val fList = s"""list_transform(range(0, 8), j ->
+      CAST(${hexLong8("md5(md5(text) || '/' || CAST(j AS VARCHAR))")} % 1000 AS DOUBLE) / 1000.0)"""
+    s"""
+    WITH media AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+    sig AS (SELECT doc_id AS media_id, $fList AS f FROM media),
+    m AS (SELECT media_id, f,
+            list_reduce(list_prepend(0.0, f), (a, x) -> a + x)
+              / CAST(len(f) AS DOUBLE) AS mean FROM sig),
+    h AS (SELECT media_id,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, 8), j ->
+                CASE WHEN f[CAST(j + 1 AS INT)] > mean
+                  THEN CAST(round(pow(2, CAST(j AS INT))) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END)),
+              (a, x) -> a + x) AS BIGINT) AS phash FROM m)
+    SELECT x.media_id AS a, y.media_id AS b,
+           CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS dist
+    FROM h x JOIN h y ON x.media_id < y.media_id
+    WHERE bit_count(xor(x.phash, y.phash)) <= 2
+    ORDER BY a, b"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -932,5 +974,6 @@ log[d] {
     ("q100_stream_interval_join", q100 _, Some(q100Sql)),
     ("q108_stream_heavy_hitters", q108 _,
       Some(graft.queries.CurationQueries.q104Sql)),
-    ("q114_image_dedup", q114 _, Some(q114Sql)))
+    ("q114_image_dedup", q114 _, Some(q114Sql)),
+    ("q119_image_neardup_radius", q119 _, Some(q119Sql)))
 }

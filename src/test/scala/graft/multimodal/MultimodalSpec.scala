@@ -91,6 +91,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phashBlockBounds: disjoint slices exactly cover [0, hashBits)") {
+    for (bits <- Seq(8, 17, 64); r <- 0 until math.min(bits, 7)) {
+      val bounds = Multimodal.phashBlockBounds(r, bits)
+      assert(bounds.length == r + 1)
+      val covered = bounds.flatMap { case (lo, w) => lo until (lo + w) }
+      assert(covered == (0 until bits),
+        s"bits=$bits r=$r must partition the hash: $bounds")
+    }
+    intercept[IllegalArgumentException](Multimodal.phashBlockBounds(8, 8))
+    intercept[IllegalArgumentException](Multimodal.phashBlockBounds(0, 65))
+  }
+
+  test("radius blocking is the recall identity against brute-force Hamming") {
+    // 40 synthetic docs => 8-bit stub hashes with plenty of close pairs
+    val many = Multimodal.mediaFromDocuments(
+      (0L until 40L).map(i => (i, s"doc body number $i with drift ${i % 7}"))
+        .toDF("doc_id", "text"))
+    val sigs = Multimodal.imageSignatures(many).collect()
+      .map(s => s.media_id -> s.phash).toMap
+    for (r <- Seq(1, 2, 3)) {
+      val expect = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= r
+      } yield (a, b, d.toLong)).toSet
+      val got = Multimodal.imageNearDupPairsRadius(many, maxHamming = r,
+          hashBits = 8)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(got == expect, s"radius $r: banded plan must lose no pair")
+      assert(expect.nonEmpty, s"fixture must exercise radius $r")
+    }
+  }
+
   test("repartitionBySize balances byte volume") {
     val parts = Multimodal.repartitionBySize(media, 2)
     assert(parts.rdd.getNumPartitions == 2)
