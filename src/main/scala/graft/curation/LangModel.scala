@@ -53,30 +53,97 @@ object LangModel {
     * `(__id, n_bigrams, xent)`, xent unrounded. Documents with fewer
     * than two tokens are absent (callers left-join and decide).
     */
-  def bigramCrossEntropy(docs: DataFrame, id: Column, toks: Column): DataFrame = {
-    val tok = docs.select(id.as("__id"), toks.as("__t"))
-    val big = tok.where(size(col("__t")) >= 2)
+  /** The `(__id, w1, w2)` bigram stream of a doc frame. */
+  private def bigramsOf(docs: DataFrame, id: Column, toks: Column): DataFrame =
+    docs.select(id.as("__id"), toks.as("__t"))
+      .where(size(col("__t")) >= 2)
       .select(col("__id"),
         slice(col("__t"), lit(1), size(col("__t")) - 1).as("a"),
         slice(col("__t"), lit(2), size(col("__t")) - 1).as("b"))
       .select(col("__id"), explode(arrays_zip(col("a"), col("b"))).as("z"))
       .select(col("__id"), col("z.a").as("w1"), col("z.b").as("w2"))
-    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = tok.select(explode(col("__t")).as("w"))
-      .agg(countDistinct(col("w")).as("v"))
+
+  /** Score a bigram stream against model count tables. LEFT joins, so
+    * bigrams the model never saw smooth to (0 + 1) / (0-or-c1 + V) —
+    * exactly add-one smoothing — which is what lets a model trained on
+    * one corpus score a DIFFERENT (e.g. live) doc stream; on the
+    * self-train path every bigram is in the tables and the left joins
+    * degenerate to inner. */
+  private def scoreBigrams(big: DataFrame, c12: DataFrame, c1: DataFrame,
+      vocab: DataFrame): DataFrame = {
     // per-term round, then a commutative decimal sum: O(1) aggregation
     // state per document, order-free by construction
-    val lp = round(log((col("c1") + col("v")).cast(DoubleType)) -
-      log((col("c12") + lit(1L)).cast(DoubleType)), 6)
-    big.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val lp = round(
+      log((coalesce(col("c1"), lit(0L)) + col("v")).cast(DoubleType)) -
+        log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast(DoubleType)), 6)
+    big.join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_bigrams"), dsum(lp).as("s"))
       .select(col("__id"), col("n_bigrams"),
         (col("s") / col("n_bigrams").cast(DoubleType)).as("xent"))
   }
+
+  def bigramCrossEntropy(docs: DataFrame, id: Column, toks: Column): DataFrame = {
+    val big = bigramsOf(docs, id, toks)
+    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    scoreBigrams(big, c12, c1, vocab)
+  }
+
+  /** Train the bigram model ONCE and persist its three count tables
+    * (`c12`, `c1`, `v`) under `modelDir` — the artifact side of the
+    * incremental-dedup pattern: heavy distributed training happens in
+    * a batch pass, and scoring (batch or per-micro-batch) is then
+    * three joins against vocabulary-bounded parquet. */
+  def trainBigramModel(docs: DataFrame, id: Column, toks: Column,
+      modelDir: String): Unit = {
+    val big = bigramsOf(docs, id, toks)
+    big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .write.mode("overwrite").parquet(s"$modelDir/c12")
+    big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$modelDir/c1")
+    docs.select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
+      .write.mode("overwrite").parquet(s"$modelDir/v")
+  }
+
+  /** Score a doc frame against a [[trainBigramModel]] artifact.
+    * Unseen bigrams smooth by add-one, so the scored frame need not be
+    * the training corpus. Same output contract as
+    * [[bigramCrossEntropy]]; identical results when scoring the
+    * training corpus itself. */
+  def scoreBigramModel(docs: DataFrame, id: Column, toks: Column,
+      modelDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    scoreBigrams(bigramsOf(docs, id, toks),
+      spark.read.parquet(s"$modelDir/c12"),
+      spark.read.parquet(s"$modelDir/c1"),
+      spark.read.parquet(s"$modelDir/v"))
+  }
+
+  /** Score a LIVE document stream against a persisted
+    * [[trainBigramModel]] artifact — the "score a live feed" closing
+    * of the LM family: each micro-batch runs [[scoreBigramModel]]'s
+    * three-join plan via `foreachBatch` and appends to `outDir`
+    * (the incremental-dedup pattern: per-batch work ∝ batch size, the
+    * model tables are re-read per batch and AQE broadcasts them).
+    * Because scoring is per-document and the model is frozen, the
+    * union of all batch outputs is EXACTLY the batch scoring of the
+    * same documents — the q104→q108 equivalence, adjudicated by q120.
+    * Blocks until the AvailableNow drain finishes. */
+  def scoreBigramStream(stream: DataFrame, id: Column, toks: Column,
+      modelDir: String, outDir: String, checkpointDir: String): Unit =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        scoreBigramModel(batch, id, toks, modelDir)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
 
   /** Per-document cross-entropy under a Jelinek-Mercer-interpolated
     * trigram LM trained on `docs` itself — the sharper CCNet-style

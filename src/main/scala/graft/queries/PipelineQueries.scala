@@ -951,6 +951,42 @@ log[d] {
     ORDER BY a, b"""
   }
 
+  /** q120: STREAMING LM-perplexity scoring
+    * ([[graft.curation.LangModel.scoreBigramStream]]) — the q104→q108
+    * pattern applied to the LM family: the bigram model trains once in
+    * batch and persists its three count tables, then the documents
+    * arrive as a file stream and every micro-batch scores via
+    * `foreachBatch` against the frozen artifact. Scoring is
+    * per-document and the model is frozen, so the union of the batch
+    * outputs must equal batch scoring exactly — q81's oracle
+    * adjudicates the streaming path unchanged. */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val base = Tables.documents(s, d)
+    val work = graft.util.Workspace.temp("graft-q120")
+    val landing = s"$work/landing"
+    base.select(col("doc_id"), col("text"))
+      .repartition(6).write.mode("overwrite").parquet(landing)
+    graft.curation.LangModel.trainBigramModel(base, col("doc_id"),
+      tokens(lower(col("text"))), s"$work/model")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    graft.curation.LangModel.scoreBigramStream(in, col("doc_id"),
+      tokens(lower(col("text"))), s"$work/model", s"$work/scored", s"$work/ckpt")
+    val scored = s.read.parquet(s"$work/scored")
+      .withColumnRenamed("__id", "doc_id")
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("xent"), 6).as("xent"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -975,5 +1011,7 @@ log[d] {
     ("q108_stream_heavy_hitters", q108 _,
       Some(graft.queries.CurationQueries.q104Sql)),
     ("q114_image_dedup", q114 _, Some(q114Sql)),
-    ("q119_image_neardup_radius", q119 _, Some(q119Sql)))
+    ("q119_image_neardup_radius", q119 _, Some(q119Sql)),
+    ("q120_stream_lm_score", q120 _,
+      Some(graft.queries.CurationQueries.q81Sql)))
 }

@@ -56,6 +56,33 @@ class LangModelSpec extends SparkSpec {
     assert(short.filter(col("xent").isNotNull).count() == 0)
   }
 
+  test("stored model scores a DIFFERENT doc stream with add-one smoothing for unseen bigrams") {
+    val s = spark
+    import s.implicits._
+    import graft.text.TextFunctions.tokens
+    val train = Seq((1L, "a b a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val dir = tmpDir("lm-model")
+    LangModel.trainBigramModel(train, col("doc_id"), tokens(col("text")), dir)
+
+    // same corpus re-scored from the artifact == in-memory self-score
+    val self = LangModel.bigramCrossEntropy(train, col("doc_id"), tokens(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val stored = LangModel.scoreBigramModel(train, col("doc_id"), tokens(col("text")), dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(self == stored, "artifact round-trip must not change self-scores")
+
+    // unseen bigrams: doc "b c" — (b,c) never trained; c1(b)=2, V=2
+    // lp = round6(ln(0 + c1(b)=2 + ... )) careful: c1 from model, V=2 ({a,b})
+    val out = LangModel.scoreBigramModel(
+      Seq((9L, "b c")).toDF("doc_id", "text"), col("doc_id"), tokens(col("text")), dir)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L)
+    val expected = BigDecimal(math.log((2 + 2).toDouble) - math.log(1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble / 1
+    assert(out.head.getDouble(2) == expected,
+      s"unseen bigram must smooth add-one: got ${out.head.getDouble(2)}, want $expected")
+  }
+
   test("trigram LM: predictable text scores below out-of-distribution text") {
     import spark.implicits._
     import graft.text.TextFunctions.tokens
