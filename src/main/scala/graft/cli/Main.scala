@@ -50,14 +50,16 @@ object Main {
       |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  txlog versions --warehouse <dir> <ds.tbl>
       |  txlog snapshot --warehouse <dir> --output <dir> [--version <n>] <ds.tbl>
-      |  txlog vacuum   --warehouse <dir> [--older-than-ms <n>] <ds.tbl>""".stripMargin
+      |  txlog vacuum   --warehouse <dir> [--older-than-ms <n>] <ds.tbl>
+      |  txlog compact  --warehouse <dir> [--target-partitions <n>] [--expire] <ds.tbl>
+      |every <ds.tbl|parquetDir> verb also takes --select "<expr AS name>,..." to project at read (e.g. --select "data.doc_id AS doc_id,data.text AS text" off an ingested table)""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
   private def parse(args: Seq[String]): (Map[String, String], Seq[String]) = {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
     val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids",
-      "--overlap", "--intra")
+      "--overlap", "--intra", "--expire")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -96,13 +98,22 @@ object Main {
     * registry table named `ds.tbl` (partition scaffolding dropped,
     * like `sql`); otherwise a parquet directory path. */
   private def readTable(spark: org.apache.spark.sql.SparkSession,
-      flags: Map[String, String], ref: String) =
-    flags.get("warehouse") match {
+      flags: Map[String, String], ref: String) = {
+    val base = flags.get("warehouse") match {
       case Some(w) if ref.contains(".") && !ref.contains("/") =>
         val Array(ds, tbl) = ref.split("\\.", 2)
         spark.read.parquet(new SchemaRegistry(w).dataDir(ds, tbl)).drop("__part")
       case _ => spark.read.parquet(ref)
     }
+    // --select "data.doc_id AS doc_id,data.text AS text": projection
+    // applied at read, so curation verbs chain directly off ingested
+    // tables (whose payload lives under the `data` envelope) without a
+    // materialization step. Comma-separated simple expressions.
+    flags.get("select") match {
+      case Some(sel) => base.selectExpr(sel.split(",").map(_.trim): _*)
+      case None => base
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
@@ -731,8 +742,8 @@ object Main {
         // contract: record the number, re-read identical bytes
         // forever), `vacuum` reclaims crash-stranded batch dirs
         require(pos.size == 2 &&
-          Set("versions", "snapshot", "vacuum")(pos.head),
-          s"txlog needs versions|snapshot|vacuum + one <ds.tbl>\n$usage")
+          Set("versions", "snapshot", "vacuum", "compact")(pos.head),
+          s"txlog needs versions|snapshot|vacuum|compact + one <ds.tbl>\n$usage")
         val Array(ds, tbl) = pos(1).split("\\.", 2)
         val backend = new graft.schema.TxLogBackend(req(flags, "warehouse"))
         pos.head match {
@@ -755,6 +766,15 @@ object Main {
               flags.get("older-than-ms").map(_.toLong).getOrElse(24L * 3600 * 1000))
             if (gone.isEmpty) println("vacuum: nothing to reclaim")
             else gone.foreach(d => println(s"reclaimed $d"))
+          case "compact" =>
+            val v = backend.compact(spark, ds, tbl,
+              flags.getOrElse("target-partitions", "1").toInt)
+            if (v == 0) println("compact: already compact")
+            else println(s"compacted $ds.$tbl -> v$v")
+            if (flags.contains("expire")) {
+              val gone = backend.expireReplaced(ds, tbl)
+              println(s"expired ${gone.size} replaced batch dirs")
+            }
         }
 
       case other =>

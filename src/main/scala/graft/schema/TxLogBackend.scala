@@ -143,19 +143,43 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
 
   private val CommitV = """commit-v(\d{5,})\.json""".r
   private val DirField = """"dir"\s*:\s*"([^"]+)"""".r
+  private val ThroughField = """"through"\s*:\s*(\d+)""".r
 
   /** Published commits in version order: (version, batch dir name). */
-  private def commits(ds: String, t: String): Seq[(Int, String)] = {
+  /** One published manifest: `through` is set only on COMPACTION
+    * commits and names the tip version whose effective content the
+    * commit's rewritten dir replaces. */
+  private case class Commit(v: Int, dir: String, through: Option[Int])
+
+  private def commits(ds: String, t: String): Seq[Commit] = {
     val log = logDir(ds, t)
     if (!Files.exists(log)) Nil
     else listDir(log)(_.flatMap { p =>
       p.getFileName.toString match {
         case CommitV(v) =>
           val content = new String(Files.readAllBytes(p), "UTF-8")
-          DirField.findFirstMatchIn(content).map(m => v.toInt -> m.group(1))
+          DirField.findFirstMatchIn(content).map(m => Commit(v.toInt, m.group(1),
+            ThroughField.findFirstMatchIn(content).map(_.group(1).toInt)))
         case _ => None
       }
-    }.toSeq).sortBy(_._1)
+    }.toSeq).sortBy(_.v)
+  }
+
+  /** The dirs a reader at snapshot `upTo` actually consumes: with no
+    * compaction, every commit ≤ upTo; with one, the LATEST compaction
+    * C* ≤ upTo stands in for everything ≤ its `through` (including any
+    * earlier compaction — C* read the then-effective set, so its
+    * rewrite already contains them), plus the plain appends that
+    * landed after `through` (concurrent-with-compaction appends
+    * included: compaction never loses a racing append). */
+  private def effectiveCommits(ds: String, t: String, upTo: Int): Seq[Commit] = {
+    val cs = commits(ds, t).filter(_.v <= upTo)
+    cs.filter(_.through.isDefined).lastOption match {
+      case Some(cstar) =>
+        (cs.filter(c => c.through.isEmpty && c.v > cstar.through.get) :+ cstar)
+          .sortBy(_.v)
+      case None => cs
+    }
   }
 
   override def appendPartitioned(dataset: String, table: String, df: DataFrame): Unit = {
@@ -169,7 +193,7 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
     // lost race re-reads the new tip and retries — the staged data
     // never moves, only the version number.
     @tailrec def publish(): Int = {
-      val next = commits(dataset, table).lastOption.map(_._1).getOrElse(0) + 1
+      val next = commits(dataset, table).lastOption.map(_.v).getOrElse(0) + 1
       if (casCreate(logDir(dataset, table).resolve(f"commit-v$next%05d.json"),
           s"""{"dir":"batch-$batchId"}""".getBytes("UTF-8"))) next
       else publish()
@@ -177,16 +201,17 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
     publish()
   }
 
-  private def committedDirs(ds: String, t: String): Seq[String] =
-    commits(ds, t).map { case (_, d) => dataDir(ds, t).resolve(d).toString }
-
   override def readWithPart(spark: SparkSession, dataset: String,
-      table: String): DataFrame =
-    readDirs(spark, dataset, table, committedDirs(dataset, table))
+      table: String): DataFrame = {
+    val tip = commits(dataset, table).lastOption.map(_.v).getOrElse(0)
+    readDirs(spark, dataset, table,
+      effectiveCommits(dataset, table, tip)
+        .map(c => dataDir(dataset, table).resolve(c.dir).toString))
+  }
 
   /** Published snapshot versions, ascending (empty = no commits yet). */
   def snapshotVersions(dataset: String, table: String): Seq[Int] =
-    commits(dataset, table).map(_._1)
+    commits(dataset, table).map(_.v)
 
   /** SNAPSHOT READ: the table as of commit `version` — exactly the
     * batches with manifest version ≤ `version`, under the CURRENT
@@ -197,18 +222,81 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
   def readAt(spark: SparkSession, dataset: String, table: String,
       version: Int): DataFrame =
     readDirs(spark, dataset, table,
-      commits(dataset, table).takeWhile(_._1 <= version)
-        .map { case (_, d) => dataDir(dataset, table).resolve(d).toString })
+      effectiveCommits(dataset, table, version)
+        .map(c => dataDir(dataset, table).resolve(c.dir).toString))
 
   private def readDirs(spark: SparkSession, dataset: String, table: String,
       dirs: Seq[String]): DataFrame = {
     val (_, schema) = currentSchema(dataset, table)
       .getOrElse(sys.error(s"no such table $dataset.$table"))
+    dirs.filterNot(d => Files.exists(Paths.get(d))) match {
+      case Nil =>
+      case gone => sys.error(s"snapshot of $dataset.$table needs expired " +
+        s"batch dirs ${gone.mkString(", ")} — reclaimed by compaction " +
+        "retention (expireReplaced); pin snapshots inside the retention window")
+    }
     val withPart = schema.add("__part", StringType)
     if (dirs.isEmpty) // created-but-never-appended: empty, not an error
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         withPart)
     else spark.read.schema(withPart).parquet(dirs: _*)
+  }
+
+  /** COMPACT the table's effective content into one fresh batch dir
+    * and publish it as a compaction commit (`through` = the tip
+    * version whose content it replaces). The small-file answer for a
+    * streaming-append table: N micro-batch dirs collapse to
+    * `targetPartitions` files, clustered by `__part` so the rewritten
+    * files stay partition-homogeneous (row-group stats keep pruning).
+    *
+    * Crash-safe and lock-free like every other commit: the rewrite
+    * stages invisibly, the manifest CAS is the commit point, and a
+    * racing APPEND is never lost — its version lands above `through`,
+    * so the effective-set rule keeps it. Old batch dirs stay on disk
+    * (snapshot reads below the compaction remain exact) until
+    * [[expireReplaced]] reclaims them. Returns the compaction commit's
+    * version, or 0 when there is nothing to compact. */
+  def compact(spark: SparkSession, dataset: String, table: String,
+      targetPartitions: Int = 1): Int = {
+    val tip = commits(dataset, table).lastOption.map(_.v).getOrElse(0)
+    val eff = effectiveCommits(dataset, table, tip)
+    if (eff.size <= 1) return 0 // a single dir is already compact
+    val batchId = UUID.randomUUID().toString
+    val dir = dataDir(dataset, table).resolve(s"batch-$batchId")
+    readDirs(spark, dataset, table,
+        eff.map(c => dataDir(dataset, table).resolve(c.dir).toString))
+      .repartition(targetPartitions, org.apache.spark.sql.functions.col("__part"))
+      .sortWithinPartitions("__part")
+      .write.mode("overwrite").parquet(dir.toString)
+    @tailrec def publish(): Int = {
+      val next = commits(dataset, table).lastOption.map(_.v).getOrElse(0) + 1
+      if (casCreate(logDir(dataset, table).resolve(f"commit-v$next%05d.json"),
+          s"""{"dir":"batch-$batchId","through":$tip}""".getBytes("UTF-8"))) next
+      else publish()
+    }
+    publish()
+  }
+
+  /** Reclaim batch dirs REPLACED by the latest compaction — every
+    * manifested dir outside the current effective set. Manifests stay
+    * (the version log keeps its total order); snapshot reads that
+    * would need a reclaimed dir fail loudly in [[readDirs]] — the
+    * retention-window contract of every log-structured table format.
+    * Returns the deleted dir names. */
+  def expireReplaced(dataset: String, table: String): Seq[String] = {
+    val all = commits(dataset, table)
+    val tip = all.lastOption.map(_.v).getOrElse(0)
+    val live = effectiveCommits(dataset, table, tip).map(_.dir).toSet
+    all.filterNot(c => live(c.dir)).map(_.dir).distinct.flatMap { d =>
+      val p = dataDir(dataset, table).resolve(d)
+      if (!Files.exists(p)) None
+      else {
+        val walk = Files.walk(p)
+        try walk.iterator.asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
+        Some(d)
+      }
+    }
   }
 
   /** Reclaim ORPHAN batch dirs — staged by a writer that crashed before
@@ -220,7 +308,7 @@ final class TxLogBackend(rootDir: String) extends TableBackend {
       olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val data = dataDir(dataset, table)
     if (!Files.exists(data)) return Nil
-    val live = commits(dataset, table).map(_._2).toSet
+    val live = commits(dataset, table).map(_.dir).toSet
     val horizon = System.currentTimeMillis() - olderThanMs
     listDir(data)(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("batch-") &&

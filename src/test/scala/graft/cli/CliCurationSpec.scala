@@ -432,4 +432,84 @@ class CliCurationSpec extends SparkSpec {
     val got = spark.read.parquet(s"$dir/out").as[(String, Long)].collect().toSeq
     assert(got == Seq(("hot", 30L)), s"exact answer is {hot:30}: $got")
   }
+
+  test("full curation pipeline: ingest → strip --intra → sample → split → pack over one warehouse") {
+    val dir = tmpDir("cli-pipeline")
+
+    // 1. ingest: NDJSON landing zone → warehouse table raw.docs. Even
+    // docs carry a stuttered 5-gram (the crawl-loop pathology the
+    // intra-strip stage exists for).
+    val loop = (1 to 5).map(i => s"loop$i").mkString(" ")
+    def text(i: Long): String = {
+      val body = (0 until 12).map(j => s"tok${(i * 5 + j) % 17}").mkString(" ")
+      if (i % 2 == 0) s"$body $loop $loop" else body
+    }
+    writeFile(dir, "landing/docs.json", (0L until 40L).map(i =>
+      s"""{"doc_id": $i, "ts": ${1714557600.0 + i}, "text": "${text(i)}"}""")
+      .mkString("", "\n", "\n"))
+    writeFile(dir, "rules.json", """{
+      "event": [{"name": "all", "when": "name LIKE '%.json'", "schemaRule": "docs"}],
+      "schema": [{"name": "docs", "dataset": "'raw'", "table": "'docs'",
+                  "partition": "day", "timestamp": "ts",
+                  "id": "cast(doc_id as string)"}]
+    }""")
+    Main.run(spark, Array("ingest", "--rules", s"$dir/rules.json",
+      "--warehouse", s"$dir/wh", s"$dir/landing/*.json"))
+
+    // 2. strip --intra from the warehouse table ref, projecting the
+    // payload fields out of the ingest envelope at read
+    Main.run(spark, Array("strip", "--intra", "--k", "5",
+      "--warehouse", s"$dir/wh",
+      "--select", "data.doc_id AS doc_id,data.text AS text",
+      "--output", s"$dir/stripped", "raw.docs"))
+    val stripped = spark.read.parquet(s"$dir/stripped")
+    assert(stripped.count() == 40)
+    assert(stripped.filter(col("doc_id") % 2 === 0)
+      .filter(col("n_removed") === 0).count() == 0,
+      "every stuttered doc must lose its repeated span")
+    assert(stripped.filter(col("doc_id") % 2 === 1)
+      .filter(col("n_removed") > 0).count() == 0,
+      "clean docs stay untouched")
+
+    // 3. uniform sample of the cleaned corpus
+    Main.run(spark, Array("sample", "--per-mille", "700",
+      "--output", s"$dir/sampled", s"$dir/stripped"))
+    val nSampled = spark.read.parquet(s"$dir/sampled").count()
+    assert(nSampled > 0 && nSampled < 40)
+
+    // 4. train/test split of the sampled slice
+    Main.run(spark, Array("split", "--fractions", "train:800,test:200",
+      "--output", s"$dir/split", s"$dir/sampled"))
+    assert(spark.read.parquet(s"$dir/split").count() == nSampled)
+
+    // 5. pack into fixed-length training sequences on the surviving
+    // token budget (n_tokens - n_removed would need a projection; the
+    // original count is the conservative bound a packer can use)
+    Main.run(spark, Array("pack", "--seq-len", "32",
+      "--count-col", "n_tokens", "--output", s"$dir/packed", s"$dir/split"))
+    val packed = spark.read.parquet(s"$dir/packed")
+    assert(packed.select("doc_id").distinct().count() == nSampled,
+      "every split doc lands in a pack")
+
+    // hash check: the five-verb chain is byte-equivalent to composing
+    // the library operators directly over the ingested table
+    val raw = graft.ingest.TableSink.read(spark,
+        new graft.schema.SchemaRegistry(s"$dir/wh"), "raw", "docs")
+      .selectExpr("data.doc_id AS doc_id", "data.text AS text")
+    val direct = graft.curation.Packing.packPositions(
+      graft.curation.Sampling.datasetSplit(
+        graft.curation.Sampling.uniformSample(
+          graft.dedup.Dedup.stripIntraDocRepeats(raw, k = 5),
+          col("doc_id"), 700),
+        col("doc_id"), Seq("train" -> 800, "test" -> 200)),
+      col("doc_id"), col("n_tokens"), seqLen = 32, nShards = 1)
+    def md5Of(df: org.apache.spark.sql.DataFrame): String = {
+      val rows = df.select(df.columns.sorted.map(col): _*)
+        .collect().map(_.toString).sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(md5Of(packed) == md5Of(direct),
+      "verb chain and library composition must hash identically")
+  }
 }
