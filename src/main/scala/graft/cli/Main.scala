@@ -91,7 +91,10 @@ object Main {
     flags.getOrElse("backend", "registry") match {
       case "registry" => new SchemaRegistry(req(flags, "warehouse"))
       case "txlog" => new graft.schema.TxLogBackend(req(flags, "warehouse"))
-      case other => sys.error(s"unknown --backend '$other' (registry | txlog)")
+      case "bigquery-emu" => new graft.schema.bigquery.BigQueryWriteBackend(
+        new graft.schema.bigquery.BigQueryEmulator(req(flags, "warehouse")))
+      case other => sys.error(
+        s"unknown --backend '$other' (registry | txlog | bigquery-emu)")
     }
 
   /** Input frame for the curation verbs: with `--warehouse`, a

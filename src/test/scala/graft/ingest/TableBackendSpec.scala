@@ -36,7 +36,12 @@ class TableBackendSpec extends SparkSpec {
 
   private val backends: Seq[(String, String => TableBackend)] = Seq(
     "parquet-registry" -> (dir => new SchemaRegistry(dir)),
-    "tx-log" -> (dir => new TxLogBackend(dir)))
+    "tx-log" -> (dir => new TxLogBackend(dir)),
+    // the connector-shaped backend: ETag-CAS DDL + Storage-Write-API
+    // pending-stream commits against the in-sandbox emulator
+    "bigquery-write" -> (dir =>
+      new graft.schema.bigquery.BigQueryWriteBackend(
+        new graft.schema.bigquery.BigQueryEmulator(dir))))
 
   private def routed(n: Int, prefix: String = "id"): DataFrame = {
     import spark.implicits._
@@ -256,5 +261,53 @@ class TableBackendSpec extends SparkSpec {
     assert(backend.snapshotVersions("d", "t") == Seq(1, 2, 3, 4),
       s"racing commits must CAS distinct versions: ${backend.snapshotVersions("d", "t")}")
     assert(backend.readAt(spark, "d", "t", 4).count() == 40L)
+  }
+
+  test("bigquery-write: pending streams are invisible until the batch commit") {
+    import graft.schema.bigquery.BigQueryEmulator
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType, StringType}
+    import spark.implicits._
+    val emu = new BigQueryEmulator(tmpDir("bq-pending"))
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("v", IntegerType)))
+    emu.createTable("d", "p", schema)
+    val s1 = emu.createWriteStream("d", "p")
+    emu.appendRows("d", "p", s1, Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    // staged + even finalized rows stay invisible — commit is the point
+    assert(emu.readRows(spark, "d", "p", schema).count() == 0L)
+    emu.finalizeWriteStream("d", "p", s1)
+    assert(emu.readRows(spark, "d", "p", schema).count() == 0L)
+    emu.batchCommitWriteStreams("d", "p", Seq(s1))
+    assert(emu.readRows(spark, "d", "p", schema).count() == 2L)
+    // a finalized stream refuses further appends (Storage Write contract)
+    intercept[IllegalArgumentException](
+      emu.appendRows("d", "p", s1, Seq(("c", 3)).toDF("id", "v")))
+    // commit requires finalize first
+    val s2 = emu.createWriteStream("d", "p")
+    emu.appendRows("d", "p", s2, Seq(("c", 3)).toDF("id", "v"))
+    intercept[IllegalArgumentException](
+      emu.batchCommitWriteStreams("d", "p", Seq(s2)))
+  }
+
+  test("bigquery-write DDL is ETag CAS: racing writers converge on the union schema") {
+    import graft.schema.bigquery.{BigQueryEmulator, BigQueryWriteBackend}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val backend = new BigQueryWriteBackend(
+      new BigQueryEmulator(tmpDir("bq-cas")))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until 8).map { i =>
+        Future(backend.createOrUpdate("d", "cas",
+          StructType(Seq(StructField(s"c$i", StringType)))))
+      }
+      Await.result(Future.sequence(fs), 60.seconds)
+    } finally pool.shutdown()
+    val Some((etag, live)) = backend.currentSchema("d", "cas")
+    assert((0 until 8).forall(i => live.fieldNames.contains(s"c$i")),
+      s"lost update: etag $etag $live")
+    assert(etag <= 8, "each ETag win bumps at most once")
   }
 }
