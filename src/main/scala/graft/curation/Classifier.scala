@@ -50,17 +50,31 @@ object Classifier {
   def naiveBayes(docs: DataFrame, id: Column, toks: Column,
       label: Column): DataFrame = {
     val base = docs.select(id.as("__id"), label.as("label"), toks.as("__t"))
-    val tok = base.where(size(col("__t")) > 0)
-      .select(col("__id"), col("label"), explode(col("__t")).as("w"))
+    val m = modelFrames(base)
+    scoreFrames(base, m)
+  }
 
-    // class-level aggregates: all vocabulary/class-bounded (tiny)
-    val cls = base.groupBy(col("label").as("cls"))
-      .agg(count(lit(1)).as("docs_c"))
-    val n = base.agg(count(lit(1)).as("n"))
-    val tokc = tok.groupBy(col("label").as("cls")).agg(count(lit(1)).as("tok_c"))
-    val v = tok.agg(countDistinct(col("w")).as("v"))
-    val cwc = tok.groupBy(col("w"), col("label").as("cls"))
-      .agg(count(lit(1)).as("cwc"))
+  /** The five count tables that ARE the trained model — every one
+    * vocabulary/class-bounded (tiny). */
+  private final case class Model(cls: DataFrame, n: DataFrame,
+    tokc: DataFrame, v: DataFrame, cwc: DataFrame)
+
+  private def modelFrames(base: DataFrame): Model = {
+    val tok = base.where(size(col("__t")) > 0)
+      .select(col("label"), explode(col("__t")).as("w"))
+    Model(
+      cls = base.groupBy(col("label").as("cls")).agg(count(lit(1)).as("docs_c")),
+      n = base.agg(count(lit(1)).as("n")),
+      tokc = tok.groupBy(col("label").as("cls")).agg(count(lit(1)).as("tok_c")),
+      v = tok.agg(countDistinct(col("w")).as("v")),
+      cwc = tok.groupBy(col("w"), col("label").as("cls"))
+        .agg(count(lit(1)).as("cwc")))
+  }
+
+  private def scoreFrames(base: DataFrame, m: Model): DataFrame = {
+    val tok = base.where(size(col("__t")) > 0)
+      .select(col("__id"), explode(col("__t")).as("w"))
+    val (cls, n, tokc, v, cwc) = (m.cls, m.n, m.tokc, m.v, m.cwc)
 
     // dense (doc token × class) log-likelihoods: zero counts smooth to
     // ln((0+1)/(tok_c + V)), so the left joins' nulls ARE the model.
@@ -99,4 +113,55 @@ object Classifier {
       .where(col("__rn") === 1)
       .select(col("__id"), col("label"), col("cls").as("predicted"), col("score"))
   }
+
+  /** Train ONCE and persist the five count tables under `modelDir` —
+    * the [[LangModel.trainBigramModel]] pattern for the classifier:
+    * training is the heavy distributed pass, scoring (batch or
+    * per-micro-batch) is then joins against vocabulary-bounded
+    * parquet. */
+  def trainNbModel(docs: DataFrame, id: Column, toks: Column,
+      label: Column, modelDir: String): Unit = {
+    val base = docs.select(id.as("__id"), label.as("label"), toks.as("__t"))
+    val m = modelFrames(base)
+    m.cls.write.mode("overwrite").parquet(s"$modelDir/cls")
+    m.n.write.mode("overwrite").parquet(s"$modelDir/n")
+    m.tokc.write.mode("overwrite").parquet(s"$modelDir/tokc")
+    m.v.write.mode("overwrite").parquet(s"$modelDir/v")
+    m.cwc.write.mode("overwrite").parquet(s"$modelDir/cwc")
+  }
+
+  /** Score a doc frame against a [[trainNbModel]] artifact. `label` is
+    * a passthrough column for audit joins (use `lit(null)` for an
+    * unlabeled feed); tokens the model never saw smooth by add-one,
+    * so the scored frame need not be the training corpus. Identical
+    * output to [[naiveBayes]] when scoring the training corpus. */
+  def scoreNbModel(docs: DataFrame, id: Column, toks: Column,
+      label: Column, modelDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    scoreFrames(docs.select(id.as("__id"), label.as("label"), toks.as("__t")),
+      Model(
+        cls = spark.read.parquet(s"$modelDir/cls"),
+        n = spark.read.parquet(s"$modelDir/n"),
+        tokc = spark.read.parquet(s"$modelDir/tokc"),
+        v = spark.read.parquet(s"$modelDir/v"),
+        cwc = spark.read.parquet(s"$modelDir/cwc")))
+  }
+
+  /** Score a LIVE document stream against a persisted [[trainNbModel]]
+    * artifact — per-micro-batch [[scoreNbModel]] via `foreachBatch`,
+    * appending to `outDir` (the incremental-dedup pattern; the union
+    * of batch outputs equals batch scoring exactly because the model
+    * is frozen and scoring is per-document — adjudicated by q122).
+    * Blocks until the AvailableNow drain finishes. */
+  def scoreNbStream(stream: DataFrame, id: Column, toks: Column,
+      label: Column, modelDir: String, outDir: String,
+      checkpointDir: String): Unit =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        scoreNbModel(batch, id, toks, label, modelDir)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
 }

@@ -568,6 +568,40 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware cluster retention: each near-dup cluster keeps its
+    * HIGHEST-scoring member — what a production dedup pass actually
+    * ships (min-id retention as in [[connectedComponents]]' canonical
+    * labels discards quality information; keeping the longest/cleanest
+    * member of a mirror cluster is free signal). Singleton documents
+    * (no near-dup edge) form their own cluster and keep themselves.
+    *
+    * Scale shape: one CC run over the (output-proportional) pair list,
+    * one left equi-join of docs onto the labels, one window over
+    * `cluster` — every stage keyed, nothing driver-side. Determinism:
+    * the argmax orders by (score desc, id asc); pass a pre-rounded
+    * score column so the order is engine-exact.
+    *
+    * @return (id-named column, cluster, keeper, kept) — one row per
+    *         input doc; `kept` marks the cluster's retained member
+    */
+  def clusterKeepBest(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("comp"))
+    val labeled = docs.select(col(idCol), col(scoreCol))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    labeled
+      .withColumn("keeper", first(col(idCol)).over(w))
+      .select(col(idCol), col("cluster"), col("keeper"),
+        (col(idCol) === col("keeper")).as("kept"))
+  }
+
   /** Train/eval decontamination (exact n-gram overlap): flag every
     * non-eval document sharing at least one word k-gram with the eval
     * partition, with the count of distinct shared grams. The standard

@@ -239,19 +239,27 @@ object Multimodal {
       hashBits: Int = 64, batchSize: Int = 64): DataFrame = {
     val sigs = imageSignatures(media, batchSize).toDF()
       .select(col("media_id"), col("phash")).persist()
-    try {
-      val blocked = sigs.withColumn("blk",
-        phashBlockCol(col("phash"), maxHamming, hashBits))
-      val l = blocked.select(col("media_id").as("a"), col("phash").as("pa"), col("blk"))
-      val r = blocked.select(col("media_id").as("b"), col("phash").as("pb"), col("blk"))
-      l.join(r, "blk").filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          graft.dedup.Dedup.hamming(col("pa"), col("pb")).cast("long").as("dist"))
-        .distinct()
-        .filter(col("dist") <= maxHamming)
-        .orderBy(col("a"), col("b"))
-        .transform(graft.util.Materialize.eager)
-    } finally sigs.unpersist()
+    try radiusPairs(sigs, maxHamming, hashBits)
+      .transform(graft.util.Materialize.eager)
+    finally sigs.unpersist()
+  }
+
+  /** The un-materialized pair plan of [[imageNearDupPairsRadius]] —
+    * split out so PlanShapeSpec can pin the (slice, bits) equi-join
+    * shape (the public method checkpoints its output, which hides the
+    * join from the returned frame's plan). */
+  private[graft] def radiusPairs(sigs: DataFrame, maxHamming: Int,
+      hashBits: Int): DataFrame = {
+    val blocked = sigs.withColumn("blk",
+      phashBlockCol(col("phash"), maxHamming, hashBits))
+    val l = blocked.select(col("media_id").as("a"), col("phash").as("pa"), col("blk"))
+    val r = blocked.select(col("media_id").as("b"), col("phash").as("pb"), col("blk"))
+    l.join(r, "blk").filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        graft.dedup.Dedup.hamming(col("pa"), col("pb")).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+      .orderBy(col("a"), col("b"))
   }
 
   /** Decode audio payloads — same batched partition-local shape as

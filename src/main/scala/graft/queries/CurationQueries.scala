@@ -2743,6 +2743,56 @@ object CurationQueries {
              AS novelty
     FROM t LEFT JOIN per USING (doc_id) ORDER BY doc_id"""
 
+  // ---- q121: quality-aware cluster retention (keep-best) ----
+
+  /** q121: [[Dedup.clusterKeepBest]] — q51's near-dup clusters with a
+    * RETENTION POLICY: each cluster keeps its longest member
+    * (score = n_chars) instead of the min-id, singletons keep
+    * themselves. What a production dedup pass ships — min-id retention
+    * throws away the quality signal inside a mirror cluster. The
+    * oracle replays the exhaustive pair space, the recursive-CTE
+    * closure, the singleton coalesce, and the (n_chars desc, doc_id)
+    * argmax — so the hash check pins both the clustering AND which
+    * member survives. */
+  def q121(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val pairs = Dedup.lshJaccardPairs(base, "doc_id", "text",
+      shingleK = 3, threshold = 0.8)
+    Dedup.clusterKeepBest(base.withColumn("n_chars", length(col("text"))),
+        "doc_id", "n_chars", pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  val q121Sql: String = {
+    val toks = toksSql("text")
+    s"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
+    pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+              FROM docs x JOIN docs y ON x.doc_id < y.doc_id
+              WHERE len(x.sh) > 0 AND len(y.sh) > 0
+                AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                    >= 0.8),
+    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
+             FROM reach GROUP BY src),
+    lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+                   length(d.text) AS n_chars
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+    k AS (SELECT cluster, doc_id AS keeper FROM (
+            SELECT cluster, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                     ORDER BY n_chars DESC, doc_id) AS rk FROM lab)
+          WHERE rk = 1)
+    SELECT l.doc_id, l.cluster, k.keeper, l.doc_id = k.keeper AS kept
+    FROM lab l JOIN k USING (cluster) ORDER BY l.doc_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2816,5 +2866,6 @@ object CurationQueries {
     ("q115_trigram_perplexity", q115 _, Some(q115Sql)),
     ("q116_intradoc_strip", q116 _, Some(q116Sql)),
     ("q117_doc_novelty", q117 _, Some(q117Sql)),
-    ("q118_dsir_resample", q118 _, Some(q118Sql)))
+    ("q118_dsir_resample", q118 _, Some(q118Sql)),
+    ("q121_cluster_keep_best", q121 _, Some(q121Sql)))
 }

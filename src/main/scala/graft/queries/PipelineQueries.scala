@@ -987,6 +987,38 @@ log[d] {
       .orderBy(col("doc_id"))
   }
 
+  /** q122: STREAMING classifier scoring
+    * ([[graft.curation.Classifier.scoreNbStream]]) — q120's pattern
+    * for the NB family: train once in batch, persist the five count
+    * tables, score the live document stream per micro-batch against
+    * the frozen artifact. q97's oracle adjudicates the streaming path
+    * unchanged. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val base = Tables.documents(s, d)
+    val work = graft.util.Workspace.temp("graft-q122")
+    val landing = s"$work/landing"
+    base.select(col("doc_id"), col("source"), col("text"))
+      .repartition(6).write.mode("overwrite").parquet(landing)
+    graft.curation.Classifier.trainNbModel(base, col("doc_id"),
+      tokens(lower(col("text"))), col("source"), s"$work/model")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    graft.curation.Classifier.scoreNbStream(in, col("doc_id"),
+      tokens(lower(col("text"))), col("source"),
+      s"$work/model", s"$work/scored", s"$work/ckpt")
+    s.read.parquet(s"$work/scored")
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1013,5 +1045,7 @@ log[d] {
     ("q114_image_dedup", q114 _, Some(q114Sql)),
     ("q119_image_neardup_radius", q119 _, Some(q119Sql)),
     ("q120_stream_lm_score", q120 _,
-      Some(graft.queries.CurationQueries.q81Sql)))
+      Some(graft.queries.CurationQueries.q81Sql)),
+    ("q122_stream_nb_score", q122 _,
+      Some(graft.queries.CurationQueries.q97Sql)))
 }

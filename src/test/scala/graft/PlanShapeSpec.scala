@@ -347,4 +347,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"full-vocabulary shuffle join defeats the sketch prune:\n$plan")
   }
+
+  test("radius image dedup self-joins on the block key — never a cartesian (q119 shape)") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(
+      (0L until 30L).map(i => (i, s"payload $i ${i % 5}")).toDF("doc_id", "text"))
+    val sigs = Multimodal.imageSignatures(media).toDF()
+      .select(col("media_id"), col("phash"))
+    val plan = formatted(Multimodal.radiusPairs(sigs, maxHamming = 2, hashBits = 8))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair space must be pruned by the (slice, bits) equi-key:\n$plan")
+    // and the pruning key is the blocked slice, not the raw hash
+    assert(plan.contains("blk"), s"join must key on the block column:\n$plan")
+  }
 }

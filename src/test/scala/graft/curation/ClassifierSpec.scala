@@ -44,6 +44,34 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("collect_list"), s"buffered-list agg crept back:\n$plan")
   }
 
+  test("stored NB model round-trips self-scores and scores an unlabeled feed") {
+    val docs = Seq(
+      (1L, "apple banana cherry apple", "fruit"),
+      (2L, "banana cherry banana", "fruit"),
+      (3L, "bolt wrench gear bolt", "tool"),
+      (4L, "gear wrench gear wrench", "tool"))
+      .toDF("doc_id", "text", "y")
+    val dir = tmpDir("nb-model")
+    Classifier.trainNbModel(docs, col("doc_id"), tokens(col("text")),
+      col("y"), dir)
+    val self = Classifier.naiveBayes(docs, col("doc_id"),
+        tokens(col("text")), col("y"))
+      .orderBy("__id").as[(Long, String, String, Double)].collect().toSeq
+    val stored = Classifier.scoreNbModel(docs, col("doc_id"),
+        tokens(col("text")), col("y"), dir)
+      .orderBy("__id").as[(Long, String, String, Double)].collect().toSeq
+    assert(self == stored, "artifact round-trip must not change scores")
+    // unlabeled live feed: label passes through as null, routing works
+    val live = Seq((9L, "apple banana"), (10L, "wrench gear gear"))
+      .toDF("doc_id", "text")
+    val out = Classifier.scoreNbModel(live, col("doc_id"),
+        tokens(col("text")), lit(null).cast("string"), dir)
+      .orderBy("__id").collect()
+    assert(out.map(_.getString(2)).toSeq == Seq("fruit", "tool"),
+      s"frozen model must route the live feed: ${out.toSeq}")
+    assert(out.forall(_.isNullAt(1)), "null label passes through")
+  }
+
   test("add-one smoothing scores unseen-per-class tokens; empty docs take the prior argmax") {
     val docs = Seq(
       (1L, "alpha alpha", "a"),

@@ -294,4 +294,22 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty,
       "the postings cache must be released")
   }
+
+  test("clusterKeepBest retains the argmax member; singletons keep themselves") {
+    // cluster {1,2,3} via pairs; doc 2 scores highest; 9 is a singleton
+    val docs = Seq((1L, 10), (2L, 30), (3L, 20), (9L, 5))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Dedup.clusterKeepBest(docs, "doc_id", "score", pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 1L, 2L, false), (9L, 9L, 9L, true)), out.toString)
+    // score tie breaks on the smaller id
+    val tied = Seq((1L, 7), (2L, 7)).toDF("doc_id", "score")
+    val t = Dedup.clusterKeepBest(tied, "doc_id", "score",
+        Seq((1L, 2L)).toDF("a", "b"))
+      .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(t.map(_._3) == Seq(1L, 1L), s"tie keeps min id: $t")
+  }
 }
