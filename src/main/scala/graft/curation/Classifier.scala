@@ -155,13 +155,27 @@ object Classifier {
     * Blocks until the AvailableNow drain finishes. */
   def scoreNbStream(stream: DataFrame, id: Column, toks: Column,
       label: Column, modelDir: String, outDir: String,
-      checkpointDir: String): Unit =
-    stream.writeStream
+      checkpointDir: String): Unit = {
+    val spark = stream.sparkSession
+    // the frozen model is the cross-batch invariant: read + pin it ONCE
+    // so each micro-batch joins against cached (tiny) tables instead of
+    // re-reading five parquet dirs per trigger
+    val m = Model(
+      cls = spark.read.parquet(s"$modelDir/cls").persist(),
+      n = spark.read.parquet(s"$modelDir/n").persist(),
+      tokc = spark.read.parquet(s"$modelDir/tokc").persist(),
+      v = spark.read.parquet(s"$modelDir/v").persist(),
+      cwc = spark.read.parquet(s"$modelDir/cwc").persist())
+    try stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        scoreNbModel(batch, id, toks, label, modelDir)
+        scoreFrames(batch.select(id.as("__id"), label.as("label"),
+          toks.as("__t")), m)
           .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
+    finally Seq(m.cls, m.n, m.tokc, m.v, m.cwc)
+      .foreach(_.unpersist(blocking = false))
+  }
 }
