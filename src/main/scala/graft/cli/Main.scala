@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|imagedup|txlog] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|decontam|imagedup|txlog] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -47,6 +47,7 @@ object Main {
       |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  decontam --output <dir> --eval "<bool SQL>" [--fuzzy] [--k <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  txlog versions --warehouse <dir> <ds.tbl>
       |  txlog snapshot --warehouse <dir> --output <dir> [--version <n>] <ds.tbl>
@@ -59,7 +60,7 @@ object Main {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
     val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids",
-      "--overlap", "--intra", "--expire")
+      "--overlap", "--intra", "--expire", "--fuzzy")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -722,6 +723,31 @@ object Main {
           .orderBy(c("agreement"), c("query_id")).limit(10).collect()
           .foreach(r => println(f"vec ${r.getLong(0)} label ${r.get(1)}: " +
             f"agreement ${r.getDouble(3)}%.2f"))
+
+      case "decontam" =>
+        // train/eval decontamination (q48/q123 as a verb): --eval is a
+        // SQL predicate naming the benchmark slice; default is exact
+        // k-gram overlap, --fuzzy switches to winnowed-fingerprint
+        // collisions (catches drifted/paraphrased leaks)
+        require(pos.size == 1, "decontam needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.expr
+        val df = readTable(spark, flags, pos.head)
+        val evalPred = expr(req(flags, "eval"))
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val out =
+          if (flags.contains("fuzzy"))
+            graft.dedup.Dedup.fuzzyContamination(df, evalPred,
+              shingleK = flags.getOrElse("k", "3").toInt,
+              w = flags.getOrElse("w", "4").toInt,
+              minShared = flags.getOrElse("min-shared", "2").toInt,
+              idCol = idCol, textCol = textCol)
+          else graft.dedup.Dedup.contamination(df, evalPred,
+            k = flags.getOrElse("k", "13").toInt,
+            idCol = idCol, textCol = textCol)
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        println(s"flagged: ${spark.read.parquet(req(flags, "output")).count()} " +
+          s"contaminated docs (eval: ${req(flags, "eval")})")
 
       case "imagedup" =>
         // perceptual-hash image dedup (q114/q119 as a verb): radius 0 =

@@ -636,6 +636,43 @@ object Dedup {
     } finally grams.unpersist()
   }
 
+  /** FUZZY train/eval decontamination — [[contamination]]'s hygiene
+    * pass at the winnowed-fingerprint level: a benchmark answer that
+    * leaked with whitespace/punctuation drift or light paraphrase
+    * breaks exact 13-gram matching, but its surviving local spans
+    * still collide on winnow-selected shingle fingerprints (the q74
+    * construction). Flags every non-eval document sharing at least
+    * `minShared` distinct fingerprints with the eval partition.
+    *
+    * Scale shape: identical to [[contamination]] — the eval
+    * fingerprint set is benchmark-sized, so it BROADCASTS and the
+    * flagging join is map-side; corpus-side cost is one winnow
+    * projection + explode, linear in total shingles. The fingerprint
+    * space is narrower than raw grams (density ~2/(w+1)), so the
+    * fuzzy pass is CHEAPER than the exact one at equal k. */
+  def fuzzyContamination(docs: DataFrame, evalPred: Column,
+      shingleK: Int = 3, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fps = docs
+      .withColumn("__t", tokens(col(textCol)))
+      .filter(size(col("__t")) >= shingleK)
+      .select(col(idCol),
+        explode(array_distinct(call_function("graft_winnow",
+          call_function("graft_shingles", col("__t"), lit(shingleK)),
+          lit(w)))).as("fp"),
+        evalPred.as("__eval"))
+      .persist()
+    try {
+      val evalFps = fps.filter(col("__eval")).select("fp").distinct()
+      fps.filter(!col("__eval"))
+        .join(broadcast(evalFps), "fp")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shared")) // fps already distinct per doc
+        .filter(col("n_shared") >= minShared)
+        .transform(graft.util.Materialize.eager)
+    } finally fps.unpersist()
+  }
+
   /** Exact substring-span REMOVAL — the "deduplicating training data"
     * operator (Lee et al. 2022: repeated long spans are memorization
     * fuel; detection alone — [[graft.queries]] q74 — doesn't fix the

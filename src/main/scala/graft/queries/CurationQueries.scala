@@ -2793,6 +2793,35 @@ object CurationQueries {
     FROM lab l JOIN k USING (cluster) ORDER BY l.doc_id"""
   }
 
+  // ---- q123: FUZZY train/eval decontamination (winnow fingerprints) ----
+
+  /** q123: [[Dedup.fuzzyContamination]] — q48's hygiene pass at the
+    * fingerprint level: near-verbatim eval leaks (whitespace drift,
+    * light paraphrase) break exact 13-gram matching but still collide
+    * on winnow-selected shingle fingerprints. Same eval slice as q48
+    * (doc_id % 10 == 0); the oracle replays the q23/q74-proven winnow
+    * construction, the broadcast eval set, and the per-doc distinct
+    * count ≥ 2. */
+  def q123(s: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyContamination(docs(s, d), col("doc_id") % 10 === 0,
+        shingleK = 3, w = 4, minShared = 2)
+      .orderBy(col("doc_id"))
+
+  val q123Sql: String = {
+    val toks = toksSql("text")
+    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
+    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
+      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
+      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
+    s"""
+    WITH fps AS (SELECT doc_id, unnest(list_distinct($winnow)) AS fp
+                 FROM documents WHERE len(${toksSql("text")}) >= 3),
+    ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0)
+    SELECT doc_id, COUNT(*) AS n_shared
+    FROM fps JOIN ev USING (fp) WHERE doc_id % 10 <> 0
+    GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY doc_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2867,5 +2896,6 @@ object CurationQueries {
     ("q116_intradoc_strip", q116 _, Some(q116Sql)),
     ("q117_doc_novelty", q117 _, Some(q117Sql)),
     ("q118_dsir_resample", q118 _, Some(q118Sql)),
-    ("q121_cluster_keep_best", q121 _, Some(q121Sql)))
+    ("q121_cluster_keep_best", q121 _, Some(q121Sql)),
+    ("q123_fuzzy_decontam", q123 _, Some(q123Sql)))
 }

@@ -295,6 +295,38 @@ class DedupSpec extends SparkSpec {
       "the postings cache must be released")
   }
 
+  test("fuzzyContamination catches a drifted eval leak that exact k-grams miss") {
+    val answer = (1 to 30).map(i => s"ans$i").mkString(" ")
+    // the leak: the same answer with one token swapped mid-way — no
+    // shared EXACT 13-gram crossing the edit, but plenty of intact
+    // local spans on either side
+    val leaked = (1 to 30).map(i => if (i == 15) "EDIT" else s"ans$i").mkString(" ")
+    val docs = Seq(
+      (10L, answer),                      // eval doc (id % 10 == 0)
+      (1L, leaked),                       // near-verbatim train leak
+      (2L, "totally unrelated words here one two three four five six"))
+      .toDF("doc_id", "text")
+    // exact 13-gram: the edit splits the doc into 14-token halves, so
+    // some exact grams DO survive — tighten by editing every 10th token
+    val drifted = (1 to 30).map(i => if (i % 10 == 0) s"x$i" else s"ans$i").mkString(" ")
+    val docs2 = Seq((10L, answer), (1L, drifted), (2L, "unrelated filler"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.contamination(docs2, col("doc_id") % 10 === 0, k = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(1L),
+      "every-10th-token drift must defeat exact 13-gram matching")
+    val fuzzy = Dedup.fuzzyContamination(docs2, col("doc_id") % 10 === 0,
+      shingleK = 3, w = 4, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fuzzy.contains(1L),
+      s"winnow fingerprints must still flag the drifted leak: $fuzzy")
+    assert(!fuzzy.contains(2L), "unrelated doc stays clean")
+    // and a verbatim leak is caught by both
+    val both = Dedup.fuzzyContamination(docs, col("doc_id") % 10 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(both.contains(1L))
+  }
+
   test("clusterKeepBest retains the argmax member; singletons keep themselves") {
     // cluster {1,2,3} via pairs; doc 2 scores highest; 9 is a singleton
     val docs = Seq((1L, 10), (2L, 30), (3L, 20), (9L, 5))

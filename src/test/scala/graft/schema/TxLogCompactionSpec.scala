@@ -80,4 +80,45 @@ class TxLogCompactionSpec extends SparkSpec {
     val err = intercept[RuntimeException](idsAt(tip1))
     assert(err.getMessage.contains("expired"), err.getMessage)
   }
+
+  test("appends racing a compaction are never lost (effective-set rule under concurrency)") {
+    import spark.implicits._
+    import graft.ingest.TableSink
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val backend = new TxLogBackend(tmpDir("txc-race"))
+    def routed(pre: String, n: Int) = (0 until n).map(i => (s"$pre-$i", i))
+      .toDF("rid", "v")
+      .select(org.apache.spark.sql.functions.col("rid").as("id"),
+        org.apache.spark.sql.functions.lit("ing").as("ingest_id"),
+        org.apache.spark.sql.functions.expr("timestamp'2024-05-01 00:00:00'").as("timestamp"),
+        org.apache.spark.sql.functions.current_timestamp().as("ingested_at"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("v")).as("data"),
+        org.apache.spark.sql.functions.lit("d").as("dataset"),
+        org.apache.spark.sql.functions.lit("t").as("table"),
+        org.apache.spark.sql.functions.lit("day").as("partition"))
+    (0 until 6).foreach(i => TableSink.append(spark, backend, routed(s"seed$i", 5)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // compactions and appends interleave freely: a compaction's
+      // `through` is its read tip, so any append landing above it must
+      // survive every later effective-set evaluation
+      val work = (0 until 3).map { i =>
+        Future(TableSink.append(spark, backend, routed(s"race$i", 5)))
+      } :+ Future(backend.compact(spark, "d", "t")) :+
+        Future(backend.compact(spark, "d", "t"))
+      Await.result(Future.sequence(work), 180.seconds)
+    } finally pool.shutdown()
+    val out = TableSink.read(spark, backend, "d", "t")
+    assert(out.count() == 45L, "6 seed + 3 racing appends, 5 rows each")
+    assert(out.select("id").distinct().count() == 45L, "no duplicates either")
+    // one more compaction + expiry settles to the bounded file set with
+    // identical content
+    backend.compact(spark, "d", "t")
+    backend.expireReplaced("d", "t")
+    assert(TableSink.read(spark, backend, "d", "t")
+      .select("id").distinct().count() == 45L)
+  }
 }
