@@ -2822,6 +2822,65 @@ object CurationQueries {
     GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY doc_id"""
   }
 
+  // ---- q124: filter-signal agreement (banded contingency + kappa) ----
+
+  /** q124: [[graft.curation.SignalAgreement.bandAgreement]] — are two
+    * candidate quality filters measuring the same thing? Quintile-band
+    * document length (n_chars) against lexical diversity (distinct
+    * tokens / tokens, rounded), cross-tabulate, and score the diagonal
+    * with Cohen's kappa. Banding is exact interpolated percentile
+    * cutpoints (the q50-proven `percentile` ≡ `quantile_cont`
+    * contract), NOT a global ntile window — no single-partition sort
+    * anywhere. The oracle replays cutpoints, strict-`>` band
+    * membership, the contingency, and the closed-form kappa. */
+  def q124(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+      .withColumn("__t", tokens(lower(col("text"))))
+      .filter(size(col("__t")) > 0)
+    graft.curation.SignalAgreement.bandAgreement(base,
+      col("n_chars").cast("double"),
+      round(size(array_distinct(col("__t"))).cast("double") /
+        size(col("__t")).cast("double"), 6),
+      bands = 5)
+  }
+
+  val q124Sql: String = {
+    val toks = toksSql("lower(text)")
+    s"""
+    WITH staged AS (
+      SELECT CAST(n_chars AS DOUBLE) AS a,
+             round(CAST(len(list_distinct($toks)) AS DOUBLE)
+                   / CAST(len($toks) AS DOUBLE), 6) AS b
+      FROM documents WHERE len($toks) > 0),
+    cuts AS (SELECT quantile_cont(a, [0.2, 0.4, 0.6, 0.8]) AS ca,
+                    quantile_cont(b, [0.2, 0.4, 0.6, 0.8]) AS cb FROM staged),
+    banded AS (
+      SELECT 1 + CAST(a > ca[1] AS INT) + CAST(a > ca[2] AS INT)
+               + CAST(a > ca[3] AS INT) + CAST(a > ca[4] AS INT) AS band_a,
+             1 + CAST(b > cb[1] AS INT) + CAST(b > cb[2] AS INT)
+               + CAST(b > cb[3] AS INT) + CAST(b > cb[4] AS INT) AS band_b
+      FROM staged CROSS JOIN cuts),
+    cells AS (SELECT band_a, band_b, COUNT(*) AS n
+              FROM banded GROUP BY 1, 2),
+    tot AS (SELECT SUM(n) AS tot,
+                   SUM(CASE WHEN band_a = band_b THEN n ELSE 0 END) AS diag
+            FROM cells),
+    rc AS (SELECT r.i, r.ra, c.cb FROM
+             (SELECT band_a AS i, SUM(n) AS ra FROM cells GROUP BY 1) r
+             JOIN (SELECT band_b AS i, SUM(n) AS cb FROM cells GROUP BY 1) c
+             USING (i)),
+    pe AS (SELECT SUM(ra * cb) AS cross FROM rc),
+    kap AS (SELECT CASE WHEN pe.cross = tot.tot * tot.tot THEN NULL
+              ELSE round(
+                (CAST(tot.diag AS DOUBLE) / CAST(tot.tot AS DOUBLE)
+                  - CAST(pe.cross AS DOUBLE) / CAST(tot.tot * tot.tot AS DOUBLE))
+                / (1.0 - CAST(pe.cross AS DOUBLE) / CAST(tot.tot * tot.tot AS DOUBLE)),
+                6) END AS kappa
+            FROM tot CROSS JOIN pe)
+    SELECT c.band_a, c.band_b, c.n, k.kappa
+    FROM cells c CROSS JOIN kap k ORDER BY c.band_a, c.band_b"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2897,5 +2956,6 @@ object CurationQueries {
     ("q117_doc_novelty", q117 _, Some(q117Sql)),
     ("q118_dsir_resample", q118 _, Some(q118Sql)),
     ("q121_cluster_keep_best", q121 _, Some(q121Sql)),
-    ("q123_fuzzy_decontam", q123 _, Some(q123Sql)))
+    ("q123_fuzzy_decontam", q123 _, Some(q123Sql)),
+    ("q124_signal_agreement", q124 _, Some(q124Sql)))
 }
