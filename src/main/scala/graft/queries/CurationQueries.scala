@@ -2881,6 +2881,51 @@ object CurationQueries {
     FROM cells c CROSS JOIN kap k ORDER BY c.band_a, c.band_b"""
   }
 
+  // ---- q125: histogram quantiles (the no-sort percentile scale path) ----
+
+  /** q125: [[graft.curation.HistQuantiles.quantiles]] — q50's per-lang
+    * length percentiles WITHOUT the global per-group sort: two
+    * map-side-combined aggregations (min/max/count, then fixed-width
+    * bin counts) and a window over the bins-bounded table. Histogram
+    * counts are commutative integers, so unlike t-digest sketches the
+    * answer is identical under any partitioning — which is what lets
+    * the oracle replay it exactly: same bins, same cumulative pick,
+    * same interpolation. Error ≤ one bin width by construction
+    * (HistQuantilesSpec measures it against the exact q50 values). */
+  def q125(s: SparkSession, d: String): DataFrame =
+    graft.curation.HistQuantiles.quantiles(docs(s, d), col("lang"),
+        col("n_chars"), bins = 64, qs = Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("grp", "lang")
+
+  val q125Sql: String = s"""
+    WITH staged AS (SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS x
+                    FROM documents),
+    ranges AS (SELECT grp, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n,
+                      (MAX(x) - MIN(x)) / 64.0 AS width
+               FROM staged GROUP BY grp),
+    binned AS (SELECT s.grp,
+                      CASE WHEN r.width = 0 THEN 0
+                        ELSE LEAST(CAST(FLOOR((s.x - r.lo) / r.width) AS INT), 63)
+                      END AS bin,
+                      COUNT(*) AS c
+               FROM staged s JOIN ranges r USING (grp) GROUP BY 1, 2),
+    cum AS (SELECT grp, bin, c,
+                   COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM binned),
+    qs(q) AS (VALUES (0.5), (0.9), (0.99))
+    SELECT c.grp AS lang, CAST(q.q AS DOUBLE) AS q,
+           CASE WHEN r.width = 0 THEN round(r.lo, 6)
+             ELSE round(r.lo + (CAST(c.bin AS DOUBLE) +
+               (q.q * CAST(r.n AS DOUBLE) - CAST(c.cum_before AS DOUBLE))
+                 / CAST(c.c AS DOUBLE)) * r.width, 6)
+           END AS est,
+           r.n
+    FROM cum c JOIN ranges r USING (grp) CROSS JOIN qs q
+    WHERE CAST(c.cum_before AS DOUBLE) < q.q * CAST(r.n AS DOUBLE)
+      AND CAST(c.cum_before + c.c AS DOUBLE) >= q.q * CAST(r.n AS DOUBLE)
+    ORDER BY lang, q"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -2957,5 +3002,6 @@ object CurationQueries {
     ("q118_dsir_resample", q118 _, Some(q118Sql)),
     ("q121_cluster_keep_best", q121 _, Some(q121Sql)),
     ("q123_fuzzy_decontam", q123 _, Some(q123Sql)),
-    ("q124_signal_agreement", q124 _, Some(q124Sql)))
+    ("q124_signal_agreement", q124 _, Some(q124Sql)),
+    ("q125_hist_quantiles", q125 _, Some(q125Sql)))
 }
