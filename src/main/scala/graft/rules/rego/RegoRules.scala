@@ -438,6 +438,8 @@ object RegoRules {
     case _: Term.SetLit => sys.error(
       "a set literal in a data-plane rule is only supported as the right side " +
         "of 'in' (membership compiles to a codegen'd IN list)")
+    case Term.Arr(items) =>
+      s"array(${items.map(sqlExpr(_, ref)).mkString(", ")})"
     case Term.Bin(op, l, r) =>
       val sqlOp = op match {
         case "==" => "=" ; case "!=" => "<>"
@@ -449,14 +451,42 @@ object RegoRules {
       val a = args.map(sqlExpr(_, ref))
       fn match {
         case "startswith" | "endswith" | "contains" | "lower" | "upper" |
-             "trim" | "concat" | "split" | "abs" | "round" | "floor" | "ceil" =>
+             "trim" | "concat" | "split" | "abs" | "round" | "floor" | "ceil" |
+             "replace" =>
           s"$fn(${a.mkString(", ")})"
         case "count" => s"size(${a.head})"
+        case "trim_space" => s"trim(${a.head})"
+        case "to_number" => s"cast(${a.head} as double)"
+        // OPA substring/indexof are 0-based; SQL substr/instr 1-based
+        case "substring" => s"substr(${a(0)}, (${a(1)}) + 1, ${a(2)})"
+        case "indexof" => s"(instr(${a(0)}, ${a(1)}) - 1)"
+        case "sum" => s"aggregate(${a.head}, cast(0.0 as double), (acc, x) -> acc + x)"
+        case "max" => s"array_max(${a.head})"
+        case "min" => s"array_min(${a.head})"
+        case "sort" => s"sort_array(${a.head})"
+        case "array.concat" => s"concat(${a.mkString(", ")})"
+        case "array.slice" =>
+          // OPA slice is [lo, hi) 0-based; SQL slice is (start 1-based, length)
+          s"slice(${a(0)}, (${a(1)}) + 1, (${a(2)}) - (${a(1)}))"
+        // OPA regex is RE2; Spark is Java regex. The shared subset
+        // (literals, classes, anchors, quantifiers, alternation) is
+        // what policies actually write; RE2-only syntax fails loudly
+        // at evaluation, never silently matches differently.
+        case "regex.match" => s"(${a(1)} rlike ${a(0)})"
+        case "sprintf" => args match {
+          case Seq(Term.Str(fmt), Term.Arr(items)) =>
+            // OPA's %v prints like %s for the scalar types a data-plane
+            // rule can produce; Spark's format_string handles %s/%d/%f
+            val jfmt = fmt.replace("%v", "%s")
+            val vals = items.map(sqlExpr(_, ref))
+            s"format_string(${sqlExpr(Term.Str(jfmt), ref)}${vals.map(", " + _).mkString})"
+          case _ => sys.error("sprintf needs a literal format string and a " +
+            "literal argument array in a compiled rule")
+        }
         case "time.parse_rfc3339_ns" =>
           // OPA returns nanoseconds; rules then divide back down — keep
           // the unit so their arithmetic stays correct as written
           s"(unix_micros(to_timestamp(${a.head})) * 1000)"
-        case "sprintf" => sys.error("sprintf: use concat/format_string in a DSL rule")
         case other => sys.error(s"unsupported builtin '$other' in a compiled rule " +
           "(data-plane rules compile to SQL; request-path builtins live in RegoAuth)")
       }

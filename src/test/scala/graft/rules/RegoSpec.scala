@@ -859,4 +859,46 @@ src[s] {
     val n = RegoParser.parse("package schema.t\nlog[d] { d := {\"dataset\": \"d\", \"table\": \"t\", \"timestamp\": ((input.ts / 1000) * 1000) * 1000, \"data\": input} }")
     assert(n.rules.size == 1)
   }
+
+  test("string/array/regex/sprintf builtins compile and match OPA semantics") {
+    import spark.implicits._
+    // OPA indexing conventions differ from SQL's: substring/indexof are
+    // 0-based, array.slice is [lo, hi) — the compiled SQL must shift
+    val r = RegoRules.compile("""package event
+src[{"schema": "s"}] {
+	input.cs.bucket == "corp-logs"
+	substring(input.cs.name, 0, 4) == "/web"
+	indexof(input.cs.name, "web") == 1
+	replace(input.cs.name, ".gz", "") != input.cs.name
+	regex.match("^/web/[a-z]+\\.log\\.gz$", input.cs.name)
+	sprintf("%s-%v", [input.cs.bucket, 1]) == "corp-logs-1"
+	to_number("2") == 2
+}""")
+    val meta = Seq(
+      ("corp-logs", "/web/a.log.gz", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "aa"),
+      ("corp-logs", "/web/b.log", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "bb"),
+      ("corp-logs", "/img/c.log.gz", 1L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "cc"))
+      .toDF("bucket", "name", "size", "created_at", "md5")
+    val matched = r.matchObjects(meta).map { case (er, df) =>
+      er.name -> df.select("name").as[String].collect().toSet
+    }.toMap
+    assert(matched(r.event.head.name) == Set("/web/a.log.gz"), matched.toString)
+
+    // array builtins: sum/sort/slice over a literal array in a predicate
+    val r2 = RegoRules.compile("""package event
+src[{"schema": "s"}] {
+	sum([1, 2, 3]) == 6
+	sort([3, 1, 2]) == [1, 2, 3]
+	array.slice([1, 2, 3, 4], 1, 3) == [2, 3]
+	max([input.size, 5]) >= 5
+	input.cs.bucket == "corp-logs"
+}""")
+    val m2 = r2.matchObjects(meta).map { case (er, df) => df.count() }.sum
+    assert(m2 == 3L, "constant-true array builtins keep all bucket rows")
+
+    // sprintf with a non-literal format still fails loudly at compile
+    val e = intercept[RuntimeException](RegoRules.compile("""package event
+src[{"schema": "s"}] { sprintf(input.cs.name, [1]) == "x" }"""))
+    assert(e.getMessage.contains("sprintf"))
+  }
 }
