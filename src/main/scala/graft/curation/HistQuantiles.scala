@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.DoubleType
   */
 object HistQuantiles {
 
-  /** Per-group histogram quantiles.
+  /** Per-group histogram quantiles. Null values must be filtered by
+    * the caller first (a null lands in no bin but would still count
+    * toward n, shifting every target rank).
     *
     * @param qs quantile points, each in (0, 1)
     * @return (group, q, est, n) — one row per group × quantile,

@@ -150,9 +150,11 @@ object Packing {
     * The bounds come from ONE exact-percentile aggregate whose result
     * is two doubles (model-sized; the filter itself is a map pass). The
     * exact percentile buffers the group's values, which is fine for the
-    * single two-number aggregate here at test scale; at 100 TB swap in
-    * `approx_percentile(col, q, accuracy)` — same two-double output,
-    * bounded-memory sketch — and keep the filter unchanged. */
+    * single two-number aggregate here at test scale; at 100 TB derive
+    * the two cutpoints from [[HistQuantiles.quantiles]] (two map-side-
+    * combined passes, deterministic under any partitioning — unlike
+    * `approx_percentile`'s order-dependent t-digest) and keep the
+    * filter unchanged. */
   def percentileFilter(df: DataFrame, valueCol: String,
       loQ: Double, hiQ: Double): DataFrame = {
     require(loQ >= 0 && hiQ <= 1 && loQ <= hiQ, s"bad quantiles [$loQ, $hiQ]")

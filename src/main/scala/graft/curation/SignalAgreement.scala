@@ -28,7 +28,9 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SignalAgreement {
 
-  /** Cross-tabulate two signals at `bands` quantile buckets.
+  /** Cross-tabulate two signals at `bands` quantile buckets. Rows with
+    * a null in either signal must be filtered by the caller first
+    * (`percentile` skips nulls but the cross-tab would band them).
     *
     * @return (band_a, band_b, n, kappa) — one row per OCCUPIED cell,
     *         bands 1..`bands`, kappa the same on every row (the
