@@ -262,6 +262,37 @@ object Multimodal {
       .orderBy(col("a"), col("b"))
   }
 
+  /** INCREMENTAL perceptual image dedup: a batch of media payloads
+    * probed against a STORED `(media_id, phash)` table — the steady-
+    * state crawl shape (the image member of the incremental family:
+    * MinHash bands = `Dedup.incrementalCandidates`, SimHash =
+    * `Dedup.incrementalSimhash`, exact = the digest index). One-sided:
+    * only (new, corpus) pairs generate, never corpus × corpus, so
+    * per-batch work is batch-blocks × per-block bucket size. The batch
+    * side is decoded in this pass (payloads never shuffle); the stored
+    * side is a column-pruned `(media_id, phash)` scan — persist it
+    * partitioned by a hash prefix for PartitionFilters pruning when it
+    * outgrows a broadcast, as [[graft.dedup.BandIndex]] does.
+    *
+    * @return (new_id, corpus_id, dist) — Hamming ≤ maxHamming pairs,
+    *         ordered
+    */
+  def incrementalImageDedup(batch: DataFrame, corpusHashes: DataFrame,
+      maxHamming: Int, hashBits: Int = 64, batchSize: Int = 64): DataFrame = {
+    val sigs = imageSignatures(batch, batchSize).toDF()
+      .select(col("media_id"), col("phash"))
+    def blocked(df: DataFrame, id: String, ph: String) =
+      df.select(col("media_id").as(id), col("phash").as(ph))
+        .withColumn("blk", phashBlockCol(col(ph), maxHamming, hashBits))
+    blocked(sigs, "new_id", "np")
+      .join(blocked(corpusHashes, "corpus_id", "cp"), "blk")
+      .select(col("new_id"), col("corpus_id"),
+        graft.dedup.Dedup.hamming(col("np"), col("cp")).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   /** Decode audio payloads — same batched partition-local shape as
     * [[decodeImages]]; only the small (rate, duration, channels, MFCC)
     * rows flow onward, never the waveform. */

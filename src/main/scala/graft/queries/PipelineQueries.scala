@@ -1019,6 +1019,48 @@ log[d] {
       .orderBy(col("doc_id"))
   }
 
+  /** q126: incremental image dedup
+    * ([[Multimodal.incrementalImageDedup]]) — the one-sided steady-
+    * state shape: the already-ingested corpus (doc_id < 400) persists
+    * only `(media_id, phash)`; the incoming batch (doc_id ≥ 400)
+    * decodes in-pass and probes at Hamming radius 2. The oracle
+    * computes the UNBLOCKED one-sided all-pairs filter, so the hash
+    * check is the recall identity for the banded probe, batch-side. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+    val corpus = Multimodal.imageSignatures(
+        media.filter(col("media_id") < 400)).toDF()
+      .select(col("media_id"), col("phash"))
+    Multimodal.incrementalImageDedup(media.filter(col("media_id") >= 400),
+      corpus, maxHamming = 2, hashBits = 8)
+  }
+
+  val q126Sql: String = {
+    def hexLong8(src: String) =
+      s"""list_reduce(list_transform(range(1, 9), i ->
+        CAST(strpos('0123456789abcdef', substring($src, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        (a, x) -> a * 16 + x)"""
+    val fList = s"""list_transform(range(0, 8), j ->
+      CAST(${hexLong8("md5(md5(text) || '/' || CAST(j AS VARCHAR))")} % 1000 AS DOUBLE) / 1000.0)"""
+    s"""
+    WITH sig AS (SELECT doc_id AS media_id, $fList AS f FROM documents),
+    m AS (SELECT media_id, f,
+            list_reduce(list_prepend(0.0, f), (a, x) -> a + x)
+              / CAST(len(f) AS DOUBLE) AS mean FROM sig),
+    h AS (SELECT media_id,
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, 8), j ->
+                CASE WHEN f[CAST(j + 1 AS INT)] > mean
+                  THEN CAST(round(pow(2, CAST(j AS INT))) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END)),
+              (a, x) -> a + x) AS BIGINT) AS phash FROM m)
+    SELECT n.media_id AS new_id, c.media_id AS corpus_id,
+           CAST(bit_count(xor(n.phash, c.phash)) AS BIGINT) AS dist
+    FROM h n JOIN h c ON n.media_id >= 400 AND c.media_id < 400
+    WHERE bit_count(xor(n.phash, c.phash)) <= 2
+    ORDER BY new_id, corpus_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1047,5 +1089,6 @@ log[d] {
     ("q120_stream_lm_score", q120 _,
       Some(graft.queries.CurationQueries.q81Sql)),
     ("q122_stream_nb_score", q122 _,
-      Some(graft.queries.CurationQueries.q97Sql)))
+      Some(graft.queries.CurationQueries.q97Sql)),
+    ("q126_incremental_image_dedup", q126 _, Some(q126Sql)))
 }

@@ -123,6 +123,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("incrementalImageDedup: one-sided recall identity, corpus never self-pairs") {
+    val all = Multimodal.mediaFromDocuments(
+      (0L until 40L).map(i => (i, s"media item $i group ${i % 6}"))
+        .toDF("doc_id", "text"))
+    val corpusSigs = Multimodal.imageSignatures(all.filter(col("media_id") < 25))
+      .toDF().select(col("media_id"), col("phash"))
+    val batch = all.filter(col("media_id") >= 25)
+    val got = Multimodal.incrementalImageDedup(batch, corpusSigs,
+        maxHamming = 2, hashBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Multimodal.imageSignatures(all).collect()
+      .map(s => s.media_id -> s.phash).toMap
+    val expect = (for {
+      n <- 25L until 40L; c <- 0L until 25L
+      d = java.lang.Long.bitCount(sigs(n) ^ sigs(c)) if d <= 2
+    } yield (n, c, d.toLong)).toSet
+    assert(got == expect, "banded one-sided probe must equal brute force")
+    assert(expect.nonEmpty)
+    assert(got.forall { case (n, c, _) => n >= 25 && c < 25 },
+      "never a corpus-corpus or batch-batch pair")
+  }
+
   test("repartitionBySize balances byte volume") {
     val parts = Multimodal.repartitionBySize(media, 2)
     assert(parts.rdd.getNumPartitions == 2)
