@@ -80,6 +80,88 @@ object Dsir {
           sum(col("c")).cast(DoubleType), 6).as("score"))
   }
 
+  /** The staged (doc, bucket) feature stream. */
+  private def featuresOf(docs: DataFrame, id: Column, toks: Column,
+      isTarget: Column, numBuckets: Int): DataFrame =
+    docs.select(id.as("__id"), isTarget.as("__tgt"), toks.as("__t"))
+      .select(col("__id"), col("__tgt"),
+        explode(featureBuckets(col("__t"), numBuckets)).as("bucket"))
+
+  /** Train the DSIR model ONCE and persist the frozen per-bucket
+    * log-ratio table under `modelDir` — the full `[0, numBuckets)`
+    * domain, so a LIVE feed hashing into a bucket the training corpus
+    * never produced still scores the Laplace-smoothed zero-count
+    * ratio instead of silently dropping the feature. Scoring (batch
+    * or per-micro-batch) is then one groupBy + one broadcast join
+    * against a fixed-size artifact — the
+    * [[LangModel.trainBigramModel]] pattern for data selection. */
+  def trainDsirModel(docs: DataFrame, id: Column, toks: Column,
+      isTarget: Column, numBuckets: Int, modelDir: String): Unit = {
+    val b = featuresOf(docs, id, toks, isTarget, numBuckets)
+    val raw = b.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
+    val tgt = b.where(col("__tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+    val totals = b.agg(
+      count(lit(1)).as("n_raw"),
+      sum(col("__tgt").cast("long")).as("n_tgt"))
+    val domain = docs.sparkSession.range(numBuckets)
+      .select(col("id").as("bucket"))
+    domain.join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_raw", "c_tgt"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), round(
+        log((col("c_tgt") + 1L).cast(DoubleType)) -
+          log((col("n_tgt") + numBuckets).cast(DoubleType)) -
+          log((col("c_raw") + 1L).cast(DoubleType)) +
+          log((col("n_raw") + numBuckets).cast(DoubleType)), 6).as("lr"))
+      .write.mode("overwrite").parquet(s"$modelDir/lr")
+  }
+
+  /** Score a doc frame against a [[trainDsirModel]] artifact —
+    * identical output to [[importanceScores]] when scoring the
+    * training corpus itself (the persisted table carries the same
+    * smoothed ratios for every bucket the corpus produced). */
+  def scoreDsirModel(docs: DataFrame, id: Column, toks: Column,
+      modelDir: String, numBuckets: Int = 1024): DataFrame = {
+    val lr = docs.sparkSession.read.parquet(s"$modelDir/lr")
+    scoreAgainst(docs, id, toks, numBuckets, lr)
+  }
+
+  private def scoreAgainst(docs: DataFrame, id: Column, toks: Column,
+      numBuckets: Int, lr: DataFrame): DataFrame =
+    featuresOf(docs, id, toks, lit(false), numBuckets)
+      .groupBy(col("__id"), col("bucket")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("__id"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(dsum(col("c").cast(DoubleType) * col("lr")) /
+          sum(col("c")).cast(DoubleType), 6).as("score"))
+
+  /** GATE a live document stream on target-likeness: per micro-batch,
+    * score against the frozen [[trainDsirModel]] artifact and append
+    * only documents with `score >= threshold` to `outDir` — DSIR as a
+    * FILTER instead of a global top-n, because a per-document
+    * threshold decomposes over micro-batches (the union of gated
+    * batches equals the batch filter exactly — q127's adjudicated
+    * identity — where a global top-n would not). The frozen ratio
+    * table is read and pinned once across batches. Blocks until the
+    * AvailableNow drain finishes. */
+  def gateStream(stream: DataFrame, id: Column, toks: Column,
+      modelDir: String, numBuckets: Int, threshold: Double,
+      outDir: String, checkpointDir: String): Unit = {
+    val lr = stream.sparkSession.read.parquet(s"$modelDir/lr").persist()
+    try stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        scoreAgainst(batch, id, toks, numBuckets, lr)
+          .filter(col("score") >= threshold)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    finally lr.unpersist(blocking = false)
+  }
+
   /** Top-`n` target-like documents by [[importanceScores]], ranked
     * (score desc, id) with the two-stage exact top-n. */
   def select(docs: DataFrame, id: Column, toks: Column, isTarget: Column,

@@ -2322,7 +2322,7 @@ object CurationQueries {
   /** Shared DuckDB CTE chain for the DSIR family (q103/q118): hashed
     * features → bucket models → per-doc score, ending at `sc`
     * (doc_id, n_feats, score). */
-  private val dsirScoreCte: String = {
+  private[queries] val dsirScoreCte: String = {
     val bi = "(CASE WHEN len(t) < 2 THEN []::VARCHAR[] ELSE " +
       "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) END)"
     s"""

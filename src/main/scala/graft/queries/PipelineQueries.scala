@@ -1061,6 +1061,44 @@ log[d] {
     ORDER BY new_id, corpus_id"""
   }
 
+  /** q127: STREAMING DSIR gate ([[graft.curation.Dsir.gateStream]]) —
+    * data selection on a live feed: the importance-ratio table trains
+    * once and freezes (full bucket domain, so unseen-feed buckets
+    * score the smoothed zero-count ratio), then every micro-batch
+    * keeps only documents scoring ≥ 0 (more target-like than the
+    * corpus base rate). A per-document threshold decomposes over
+    * batches where q103's global top-n would not — so the union of
+    * gated batches equals the batch filter exactly, and q103's score
+    * CTE adjudicates the streaming path with just a WHERE clause. */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val base = Tables.documents(s, d)
+    val work = graft.util.Workspace.temp("graft-q127")
+    val landing = s"$work/landing"
+    base.select(col("doc_id"), col("text"))
+      .repartition(6).write.mode("overwrite").parquet(landing)
+    graft.curation.Dsir.trainDsirModel(base, col("doc_id"),
+      tokens(lower(col("text"))), col("lang") === "en",
+      numBuckets = 256, modelDir = s"$work/model")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val in = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    graft.curation.Dsir.gateStream(in, col("doc_id"),
+      tokens(lower(col("text"))), s"$work/model", numBuckets = 256,
+      threshold = 0.0, outDir = s"$work/kept", checkpointDir = s"$work/ckpt")
+    s.read.parquet(s"$work/kept")
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  val q127Sql: String = s"""${graft.queries.CurationQueries.dsirScoreCte}
+    SELECT doc_id, n_feats, score FROM sc
+    WHERE score >= 0.0 ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1090,5 +1128,6 @@ log[d] {
       Some(graft.queries.CurationQueries.q81Sql)),
     ("q122_stream_nb_score", q122 _,
       Some(graft.queries.CurationQueries.q97Sql)),
-    ("q126_incremental_image_dedup", q126 _, Some(q126Sql)))
+    ("q126_incremental_image_dedup", q126 _, Some(q126Sql)),
+    ("q127_stream_dsir_gate", q127 _, Some(q127Sql)))
 }

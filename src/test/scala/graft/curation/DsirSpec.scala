@@ -60,6 +60,29 @@ class DsirSpec extends SparkSpec {
     assert(frozen == head, s"T→0 resample $frozen must equal the head $head")
   }
 
+  test("frozen model round-trips self-scores and covers unseen-feed buckets") {
+    val dir = tmpDir("dsir-model")
+    val buckets = 64
+    Dsir.trainDsirModel(docs, col("doc_id"), tokens(lower(col("text"))),
+      col("is_tgt"), buckets, dir)
+    // artifact covers the FULL bucket domain (unseen-feed safety)
+    assert(spark.read.parquet(s"$dir/lr").count() == buckets.toLong)
+    val self = Dsir.importanceScores(docs, col("doc_id"),
+        tokens(lower(col("text"))), col("is_tgt"), buckets)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val stored = Dsir.scoreDsirModel(docs, col("doc_id"),
+        tokens(lower(col("text"))), dir, buckets)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(self == stored, "artifact round-trip must not change scores")
+    // a live doc with out-of-training vocabulary still scores (its
+    // buckets fall back to the smoothed zero-count ratio, no drop)
+    val live = Seq((9L, "zz qq ww vv")).toDF("doc_id", "text")
+    val out = Dsir.scoreDsirModel(live, col("doc_id"),
+      tokens(lower(col("text"))), dir, buckets).collect()
+    assert(out.length == 1 && !out.head.getDouble(2).isNaN,
+      s"unseen-vocab doc must score, got ${out.toSeq}")
+  }
+
   test("featureBuckets: unigrams + bigrams, all in [0, B)") {
     val out = Seq("a b c").toDF("text")
       .select(Dsir.featureBuckets(tokens(col("text")), 16).as("b"))
