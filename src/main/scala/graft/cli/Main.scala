@@ -46,7 +46,7 @@ object Main {
       |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--ngram 2|3] [--save-model <dir> | --load-model <dir>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  decontam --output <dir> --eval "<bool SQL>" [--fuzzy] [--k <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  txlog versions --warehouse <dir> <ds.tbl>
@@ -522,12 +522,29 @@ object Main {
         import org.apache.spark.sql.functions.{col => c, coalesce, lit, lower, round, avg, sum => fsum}
         val df = readTable(spark, flags, pos.head)
         val idCol = flags.getOrElse("id-col", "doc_id")
-        if (flags.contains("label")) {
-          val out = graft.curation.Classifier.naiveBayes(df, c(idCol),
-              graft.text.TextFunctions.tokens(
-                lower(c(flags.getOrElse("text-col", "text")))),
-              c(flags("label")))
-            .withColumnRenamed("__id", idCol)
+        val toksOf = graft.text.TextFunctions.tokens(
+          lower(c(flags.getOrElse("text-col", "text"))))
+        // artifact kind by layout: NB models carry cls/, LM models c12/
+        def isNbModel(dir: String): Boolean =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "cls"))
+        if (flags.contains("label") ||
+            flags.get("load-model").exists(isNbModel)) {
+          // train-once/score-many: --save-model persists the five NB
+          // count tables; --load-model scores (even an unlabeled feed)
+          // against the frozen artifact without a training pass
+          val out = (flags.get("load-model"), flags.get("label")) match {
+            case (Some(dir), lbl) =>
+              graft.curation.Classifier.scoreNbModel(df, c(idCol), toksOf,
+                  lbl.map(c(_)).getOrElse(lit(null).cast("string")), dir)
+                .withColumnRenamed("__id", idCol)
+            case (None, Some(lbl)) =>
+              flags.get("save-model").foreach(dir =>
+                graft.curation.Classifier.trainNbModel(df, c(idCol), toksOf,
+                  c(lbl), dir))
+              graft.curation.Classifier.naiveBayes(df, c(idCol), toksOf, c(lbl))
+                .withColumnRenamed("__id", idCol)
+            case _ => sys.error("unreachable")
+          }
           out.write.mode("overwrite").parquet(req(flags, "output"))
           val got = spark.read.parquet(req(flags, "output"))
           val agree = got.where(c("label") === c("predicted")).count()
@@ -545,19 +562,31 @@ object Main {
               s"$kept/${got.count()} within")
           case None =>
             // default: bigram LM; --ngram 3 switches to the
-            // Jelinek-Mercer-interpolated trigram model (q115)
-            val toks = graft.text.TextFunctions.tokens(
-              lower(c(flags.getOrElse("text-col", "text"))))
+            // Jelinek-Mercer-interpolated trigram model (q115);
+            // --save-model/--load-model freeze/reuse the bigram count
+            // tables (score a live feed without retraining, q120's path)
+            val toks = toksOf
             val trigram = flags.getOrElse("ngram", "2") match {
               case "2" => false
               case "3" => true
               case other => sys.error(s"--ngram must be 2 or 3, got '$other'")
             }
-            val (scored, nCol, unit) =
-              if (trigram) (graft.curation.LangModel.trigramCrossEntropy(
-                df, c(idCol), toks), "n_trigrams", "trigrams")
-              else (graft.curation.LangModel.bigramCrossEntropy(
-                df, c(idCol), toks), "n_bigrams", "bigrams")
+            require(!(trigram && (flags.contains("save-model") ||
+              flags.contains("load-model"))),
+              "model artifacts are bigram-only (--ngram 2)")
+            val (scored, nCol, unit) = flags.get("load-model") match {
+              case Some(dir) => (graft.curation.LangModel.scoreBigramModel(
+                df, c(idCol), toks, dir), "n_bigrams", "bigrams")
+              case None =>
+                if (trigram) (graft.curation.LangModel.trigramCrossEntropy(
+                  df, c(idCol), toks), "n_trigrams", "trigrams")
+                else {
+                  flags.get("save-model").foreach(dir =>
+                    graft.curation.LangModel.trainBigramModel(df, c(idCol), toks, dir))
+                  (graft.curation.LangModel.bigramCrossEntropy(
+                    df, c(idCol), toks), "n_bigrams", "bigrams")
+                }
+            }
             val out = df.select(c(idCol))
               .join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
               .select(c(idCol),

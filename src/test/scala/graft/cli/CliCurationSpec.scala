@@ -433,6 +433,42 @@ class CliCurationSpec extends SparkSpec {
     assert(got == Seq(("hot", 30L)), s"exact answer is {hot:30}: $got")
   }
 
+  test("score --save-model / --load-model: train once, score a fresh (even unlabeled) feed") {
+    val dir = tmpDir("cli-model")
+    (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "apple banana cherry", "fruit")
+      else (i, "bolt wrench gear", "tool")
+    }.toDF("doc_id", "text", "src").write.parquet(s"$dir/train")
+    // NB: train + freeze in one pass
+    Main.run(spark, Array("score", "--label", "src",
+      "--save-model", s"$dir/nb",
+      "--output", s"$dir/self", s"$dir/train"))
+    // an unlabeled live feed routed by the frozen model (no --label)
+    Seq((100L, "banana apple apple"), (101L, "wrench bolt"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/live")
+    Main.run(spark, Array("score", "--load-model", s"$dir/nb",
+      "--output", s"$dir/routed", s"$dir/live"))
+    val routed = spark.read.parquet(s"$dir/routed").orderBy("doc_id").collect()
+    assert(routed.map(_.getString(2)).toSeq == Seq("fruit", "tool"))
+    assert(routed.forall(_.isNullAt(1)), "no label column -> null passthrough")
+
+    // bigram LM: frozen artifact reproduces the self-trained scores
+    Main.run(spark, Array("score", "--save-model", s"$dir/lm",
+      "--output", s"$dir/lm-self", s"$dir/train"))
+    Main.run(spark, Array("score", "--load-model", s"$dir/lm",
+      "--output", s"$dir/lm-stored", s"$dir/train"))
+    val a = spark.read.parquet(s"$dir/lm-self")
+      .select("doc_id", "xent").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = spark.read.parquet(s"$dir/lm-stored")
+      .select("doc_id", "xent").as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b, "frozen bigram model must reproduce self-scores")
+    // trigram artifacts are rejected loudly
+    val e = intercept[IllegalArgumentException](Main.run(spark,
+      Array("score", "--ngram", "3", "--save-model", s"$dir/bad",
+        "--output", s"$dir/x", s"$dir/train")))
+    assert(e.getMessage.contains("bigram-only"))
+  }
+
   test("full curation pipeline: ingest → strip --intra → sample → split → pack over one warehouse") {
     val dir = tmpDir("cli-pipeline")
 
