@@ -46,6 +46,37 @@ object Packing {
     positions.groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_started"))
 
+  /** Packing-efficiency audit — the numbers you tune `seqLen`/`nShards`
+    * with before a [[packTokens]] materialization: per shard, the doc
+    * and token mass, the pack count `ceil(tokens / seqLen)`, and the
+    * fill factor `tokens / (n_packs · seqLen)`. Concat-then-chunk
+    * packing wastes tokens only in each shard's tail pack, so fill is
+    * the padding bill directly; cross-shard token skew (compare the
+    * per-shard rows) is the batch-balance bill. One groupBy over
+    * shard-assigned counts — no window, no positions materialized,
+    * cheaper than [[packPositions]] itself.
+    *
+    * @return (shard, n_docs, n_tokens, n_packs, fill) — fill rounded
+    *         to 6, ordered by shard; token-less shards absent
+    */
+  def packingStats(docs: DataFrame, idCol: Column, tokenCountCol: Column,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    docs.select(tokenCountCol.cast("long").as("n_tokens"),
+        pmod(graft.text.TextFunctions.md5Long(idCol.cast("string"), 8),
+          lit(nShards)).cast("int").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        floor((col("n_tokens") + (seqLen - 1)) / seqLen).as("n_packs"),
+        // a shard of only token-less docs has no packs: null, not 0/0
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_tokens").cast("double") /
+            (floor((col("n_tokens") + (seqLen - 1)) / seqLen) * seqLen)
+              .cast("double"), 6)).as("fill"))
+      .orderBy(col("shard"))
+  }
+
   /** MATERIALIZE the packed training sequences: one row per
     * (shard, pack_id) holding exactly `seqLen` token ids (last pack of
     * each shard padded with `padId`), documents concatenated in doc-id

@@ -2926,6 +2926,36 @@ object CurationQueries {
       AND CAST(c.cum_before + c.c AS DOUBLE) >= q.q * CAST(r.n AS DOUBLE)
     ORDER BY lang, q"""
 
+  // ---- q128: packing-efficiency audit ----
+
+  /** q128: [[graft.curation.Packing.packingStats]] — the seqLen/nShards
+    * tuning numbers over q57's exact packing layout: per shard, doc and
+    * token mass, `ceil(tokens/seqLen)` packs, and the fill factor (the
+    * padding bill — concat-then-chunk wastes tokens only in the tail
+    * pack). Same md5 shard assignment as q57, replayed by the oracle. */
+  def q128(s: SparkSession, d: String): DataFrame =
+    graft.curation.Packing.packingStats(
+      docs(s, d).withColumn("t", tokens(col("text"))),
+      col("doc_id"), size(col("t")), seqLen = 512, nShards = 8)
+
+  val q128Sql: String = {
+    val toks = toksSql("text")
+    s"""
+    WITH pos AS (
+      SELECT CAST(${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % 8 AS INT) AS shard,
+             CAST(len($toks) AS BIGINT) AS n_tokens
+      FROM documents),
+    agg AS (SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+            FROM pos GROUP BY shard)
+    SELECT shard, n_docs, n_tokens,
+           (n_tokens + 511) // 512 AS n_packs,
+           CASE WHEN n_tokens = 0 THEN NULL
+             ELSE round(CAST(n_tokens AS DOUBLE)
+               / CAST(((n_tokens + 511) // 512) * 512 AS DOUBLE), 6)
+           END AS fill
+    FROM agg ORDER BY shard"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -3003,5 +3033,6 @@ object CurationQueries {
     ("q121_cluster_keep_best", q121 _, Some(q121Sql)),
     ("q123_fuzzy_decontam", q123 _, Some(q123Sql)),
     ("q124_signal_agreement", q124 _, Some(q124Sql)),
-    ("q125_hist_quantiles", q125 _, Some(q125Sql)))
+    ("q125_hist_quantiles", q125 _, Some(q125Sql)),
+    ("q128_packing_stats", q128 _, Some(q128Sql)))
 }

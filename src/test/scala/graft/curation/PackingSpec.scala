@@ -117,4 +117,29 @@ class PackingSpec extends SparkSpec {
     val gotPacks = sharded.groupBy("shard").count().as[(Int, Long)].collect().toMap
     assert(gotPacks == expPacks)
   }
+
+  test("packingStats: fill is the tail-pack padding bill, consistent with packPositions") {
+    val docs = (0L until 60L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n")
+    val stats = Packing.packingStats(docs, col("doc_id"), col("n"),
+        seqLen = 64, nShards = 4)
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(stats.map(_._1) == stats.map(_._1).sorted && stats.nonEmpty)
+    // agree with the ground truth derived from the same shard hash
+    val positions = Packing.packPositions(docs, col("doc_id"), col("n"), 64, 4)
+      .select("shard", "n_tokens").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    for ((shard, nDocs, nToks, nPacks, fill) <- stats) {
+      assert(nToks == positions(shard), s"shard $shard token mass")
+      assert(nPacks == (nToks + 63) / 64)
+      assert(fill == BigDecimal(nToks.toDouble / (nPacks * 64).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(fill > 0.5 && fill <= 1.0, s"shard $shard fill $fill")
+    }
+    assert(stats.map(_._2).sum == 60L, "every doc lands in one shard")
+    // a token-less shard reports null fill, never NaN
+    val empty = Packing.packingStats(
+      Seq((1L, 0L)).toDF("doc_id", "n"), col("doc_id"), col("n"), 64, 1)
+      .collect()
+    assert(empty.head.isNullAt(4))
+  }
 }
