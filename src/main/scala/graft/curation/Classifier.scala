@@ -157,25 +157,15 @@ object Classifier {
       label: Column, modelDir: String, outDir: String,
       checkpointDir: String): Unit = {
     val spark = stream.sparkSession
-    // the frozen model is the cross-batch invariant: read + pin it ONCE
-    // so each micro-batch joins against cached (tiny) tables instead of
-    // re-reading five parquet dirs per trigger
     val m = Model(
-      cls = spark.read.parquet(s"$modelDir/cls").persist(),
-      n = spark.read.parquet(s"$modelDir/n").persist(),
-      tokc = spark.read.parquet(s"$modelDir/tokc").persist(),
-      v = spark.read.parquet(s"$modelDir/v").persist(),
-      cwc = spark.read.parquet(s"$modelDir/cwc").persist())
-    try stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        scoreFrames(batch.select(id.as("__id"), label.as("label"),
-          toks.as("__t")), m)
-          .write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
-    finally Seq(m.cls, m.n, m.tokc, m.v, m.cwc)
-      .foreach(_.unpersist(blocking = false))
+      cls = spark.read.parquet(s"$modelDir/cls"),
+      n = spark.read.parquet(s"$modelDir/n"),
+      tokc = spark.read.parquet(s"$modelDir/tokc"),
+      v = spark.read.parquet(s"$modelDir/v"),
+      cwc = spark.read.parquet(s"$modelDir/cwc"))
+    graft.streaming.ScoreStream.replay(stream,
+      Seq(m.cls, m.n, m.tokc, m.v, m.cwc), outDir, checkpointDir)(batch =>
+      scoreFrames(batch.select(id.as("__id"), label.as("label"),
+        toks.as("__t")), m))
   }
 }

@@ -149,17 +149,11 @@ object Dsir {
   def gateStream(stream: DataFrame, id: Column, toks: Column,
       modelDir: String, numBuckets: Int, threshold: Double,
       outDir: String, checkpointDir: String): Unit = {
-    val lr = stream.sparkSession.read.parquet(s"$modelDir/lr").persist()
-    try stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        scoreAgainst(batch, id, toks, numBuckets, lr)
-          .filter(col("score") >= threshold)
-          .write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
-    finally lr.unpersist(blocking = false)
+    val lr = stream.sparkSession.read.parquet(s"$modelDir/lr")
+    graft.streaming.ScoreStream.replay(stream, Seq(lr), outDir,
+      checkpointDir)(batch =>
+      scoreAgainst(batch, id, toks, numBuckets, lr)
+        .filter(col("score") >= threshold))
   }
 
   /** Top-`n` target-like documents by [[importanceScores]], ranked

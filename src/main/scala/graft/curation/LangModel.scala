@@ -137,21 +137,11 @@ object LangModel {
   def scoreBigramStream(stream: DataFrame, id: Column, toks: Column,
       modelDir: String, outDir: String, checkpointDir: String): Unit = {
     val spark = stream.sparkSession
-    // the frozen model is the cross-batch invariant: read + pin it ONCE
-    // so each micro-batch joins against cached (vocabulary-bounded)
-    // tables instead of re-reading three parquet dirs per trigger
-    val c12 = spark.read.parquet(s"$modelDir/c12").persist()
-    val c1 = spark.read.parquet(s"$modelDir/c1").persist()
-    val v = spark.read.parquet(s"$modelDir/v").persist()
-    try stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        scoreBigrams(bigramsOf(batch, id, toks), c12, c1, v)
-          .write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination()
-    finally Seq(c12, c1, v).foreach(_.unpersist(blocking = false))
+    val c12 = spark.read.parquet(s"$modelDir/c12")
+    val c1 = spark.read.parquet(s"$modelDir/c1")
+    val v = spark.read.parquet(s"$modelDir/v")
+    graft.streaming.ScoreStream.replay(stream, Seq(c12, c1, v), outDir,
+      checkpointDir)(batch => scoreBigrams(bigramsOf(batch, id, toks), c12, c1, v))
   }
 
   /** Per-document cross-entropy under a Jelinek-Mercer-interpolated

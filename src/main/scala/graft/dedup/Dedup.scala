@@ -70,9 +70,16 @@ object Dedup {
     val sh = s"""(CASE WHEN len($toks) < $shingleK THEN []::VARCHAR[]
       ELSE list_transform(range(1, len($toks) - ${shingleK - 2}),
         i -> list_aggregate(list_slice($toks, i, i + ${shingleK - 1}), 'string_agg', ' ')) END)"""
-    s"""list_transform(range(0, $k), seed -> list_min(list_transform($sh,
-        s -> ${md5LongSql("concat(CAST(seed AS VARCHAR), '|', s)", 15)})))"""
+    minhashFromShinglesSql(sh, k)
   }
+
+  /** [[minhashSignatureSql]] over an already-staged shingles COLUMN —
+    * the cheap form for oracle CTE chains (the inline form re-derives
+    * the token split per element access under DuckDB's lambda
+    * re-evaluation; staging mirrors the Spark-side *Of contract). */
+  def minhashFromShinglesSql(shCol: String, k: Int): String =
+    s"""list_transform(range(0, $k), seed -> list_min(list_transform($shCol,
+        s -> ${md5LongSql("concat(CAST(seed AS VARCHAR), '|', s)", 15)})))"""
 
   /** LSH banding over minhash signatures: split the k-length signature
     * into `bands` bands of k/bands rows each; docs sharing any band are
@@ -650,18 +657,27 @@ object Dedup {
     * projection + explode, linear in total shingles. The fingerprint
     * space is narrower than raw grams (density ~2/(w+1)), so the
     * fuzzy pass is CHEAPER than the exact one at equal k. */
+  /** One row per (doc, distinct winnow fingerprint) — the shared
+    * projection under [[fuzzyContamination]] (batch) and
+    * [[decontaminateStream]] (per micro-batch): stage tokens, require
+    * at least one shingle, winnow the shingle hash stream with window
+    * `w`, de-dup per doc, explode. `extra` columns ride along
+    * per-input-row (used for the batch eval flag). */
+  private[graft] def winnowFps(docs: DataFrame, shingleK: Int, w: Int,
+      idCol: String, textCol: String, extra: Seq[Column] = Nil): DataFrame =
+    docs
+      .withColumn("__t", tokens(col(textCol)))
+      .filter(size(col("__t")) >= shingleK)
+      .select(col(idCol) +:
+        explode(array_distinct(call_function("graft_winnow",
+          call_function("graft_shingles", col("__t"), lit(shingleK)),
+          lit(w)))).as("fp") +: extra: _*)
+
   def fuzzyContamination(docs: DataFrame, evalPred: Column,
       shingleK: Int = 3, w: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fps = docs
-      .withColumn("__t", tokens(col(textCol)))
-      .filter(size(col("__t")) >= shingleK)
-      .select(col(idCol),
-        explode(array_distinct(call_function("graft_winnow",
-          call_function("graft_shingles", col("__t"), lit(shingleK)),
-          lit(w)))).as("fp"),
-        evalPred.as("__eval"))
-      .persist()
+    val fps = winnowFps(docs, shingleK, w, idCol, textCol,
+      extra = Seq(evalPred.as("__eval"))).persist()
     try {
       val evalFps = fps.filter(col("__eval")).select("fp").distinct()
       fps.filter(!col("__eval"))
@@ -671,6 +687,46 @@ object Dedup {
         .filter(col("n_shared") >= minShared)
         .transform(graft.util.Materialize.eager)
     } finally fps.unpersist()
+  }
+
+  /** Freeze the eval partition's winnowed-fingerprint set as a model
+    * artifact (`modelDir/fp`, one distinct `fp` column) — the
+    * train-once half of crawl-time decontamination: build it from the
+    * benchmark suite once, screen every incoming feed against it with
+    * [[decontaminateStream]]. Benchmark-sized by construction, so the
+    * streaming probe broadcasts it. */
+  def trainEvalFingerprints(docs: DataFrame, evalPred: Column,
+      modelDir: String, shingleK: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    winnowFps(docs.filter(evalPred), shingleK, w, idCol, textCol)
+      .select("fp").distinct()
+      .write.mode("overwrite").parquet(s"$modelDir/fp")
+
+  /** STREAMING fuzzy decontamination — screen a LIVE document feed
+    * against a frozen [[trainEvalFingerprints]] artifact, the
+    * crawl-time shape users actually want (the eval suite is fixed;
+    * the corpus arrives forever). Each micro-batch runs
+    * [[fuzzyContamination]]'s flagging plan one-sided (the q126
+    * incremental-probe pattern: batch fingerprints probe the frozen
+    * set, never corpus × corpus) and appends flagged
+    * `(idCol, n_shared)` rows to `outDir`. Flagging is per-document
+    * against a frozen set, so the union of batch outputs equals the
+    * batch pass exactly — q123's oracle adjudicates the streaming
+    * path unchanged (q129). Per-batch cost: one winnow projection
+    * over the batch + a broadcast map-side join; work ∝ batch size at
+    * any corpus age. Blocks until the AvailableNow drain finishes. */
+  def decontaminateStream(stream: DataFrame, modelDir: String,
+      outDir: String, checkpointDir: String,
+      shingleK: Int = 3, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val evalFps = stream.sparkSession.read.parquet(s"$modelDir/fp")
+    graft.streaming.ScoreStream.replay(stream, Seq(evalFps), outDir,
+      checkpointDir)(batch =>
+      winnowFps(batch, shingleK, w, idCol, textCol)
+        .join(broadcast(evalFps), "fp")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shared")) // fps already distinct per doc
+        .filter(col("n_shared") >= minShared))
   }
 
   /** Exact substring-span REMOVAL — the "deduplicating training data"

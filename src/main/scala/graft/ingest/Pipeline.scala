@@ -563,7 +563,22 @@ object Pipeline {
         "dataset", "table", "schema_version", "log_count", "success")
       .coalesce(1)
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
-    registry.appendPartitioned("_meta", "load_log", df)
+    appendMeta(registry, "load_log", df)
+  }
+
+  /** Telemetry appends go DDL-first like every data append: a backend
+    * whose write plane validates against table metadata (BigQuery's
+    * does — `SCHEMA_MISMATCH_EXTRA_FIELDS`, and an append to an absent
+    * table is an error outright) must see the `_meta` table declared
+    * before its first row. The parquet/tx-log backends tolerate
+    * implicit creation, but the trait's "DDL before data" discipline is
+    * the portable contract, so the engine honors it everywhere. */
+  private def appendMeta(registry: TableBackend, table: String,
+      df: DataFrame): Unit = {
+    registry.createOrUpdate("_meta", table,
+      org.apache.spark.sql.types.StructType(
+        df.schema.filterNot(_.name == "__part")))
+    registry.appendPartitioned("_meta", table, df)
   }
 
   /** Records dropped by validation → `_meta.quarantine` (reasons +
@@ -576,7 +591,7 @@ object Pipeline {
     * write — the all-valid common case never pays a probe or write job. */
   private def writeQuarantine(spark: SparkSession, registry: TableBackend,
       startedMs: Long, bad: DataFrame): Unit =
-    registry.appendPartitioned("_meta", "quarantine", bad
+    appendMeta(registry, "quarantine", bad
       .withColumn("rejected_at", lit(new java.sql.Timestamp(startedMs)))
       .withColumn("__part", date_format(col("rejected_at"), "yyyy-MM")))
 
@@ -592,7 +607,7 @@ object Pipeline {
     }.toDF("ingest_id", "started_at", "rule", "path", "row_count")
       .coalesce(1) // driver-sized: rows = source objects in this ingest
       .withColumn("__part", date_format(col("started_at"), "yyyy-MM"))
-    registry.appendPartitioned("_meta", "source_log", df)
+    appendMeta(registry, "source_log", df)
   }
 
   /** Schema-only pass (≡ `swarm schema` CLI, `cmd/schema.go`): run rules

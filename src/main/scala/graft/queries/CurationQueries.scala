@@ -36,6 +36,61 @@ object CurationQueries {
   private def markerHitsSql(textE: String, markers: Seq[String]): String =
     s"len(list_filter(${toksSql(s"lower($textE)")}, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
 
+  /** int64 hash list of the 3-shingles of a staged tokens column — the
+    * shared per-doc projection under every winnow oracle. */
+  private def shingleHashesSql(toksCol: String): String =
+    s"list_transform(${shinglesSql(toksCol, 3)}, s -> ${md5LongSql("s", 8)})"
+
+  /** Winnow (window w=4) over a staged hash-list column. */
+  private def winnowListSql(h: String): String =
+    s"""(CASE WHEN len($h) = 0 THEN []::BIGINT[]
+      WHEN len($h) <= 4 THEN [list_min($h)]
+      ELSE list_transform(range(1, len($h) - 2), i -> list_min(list_slice($h, i, i + 3))) END)"""
+
+  /** Staged winnow-fingerprint CTE chain shared by the q23 oracle
+    * family (q74/q109/q123/q129): `__wt` (tokens), `__wh` (shingle
+    * hashes), `fps` (one row per $idAs × per-doc-distinct fingerprint).
+    * MATERIALIZED where referenced more than once — DuckDB inlines
+    * plain CTEs per reference, so the unstaged originals re-derived
+    * the shingle+md5 projection up to 4× per query (~80 s each at
+    * sf0.01; staged: well under a second). Values are identical: the
+    * staging is pure common-subexpression binding, the same contract
+    * as the Spark side's *Of helpers. */
+  private[queries] def winnowFpsCteSql(idExpr: String = "doc_id",
+      idAs: String = "doc_id"): String =
+    s"""__wt AS MATERIALIZED (SELECT $idExpr AS $idAs, ${toksSql("text")} AS __toks
+          FROM documents),
+    __wh AS (SELECT $idAs, ${shingleHashesSql("__toks")} AS __h FROM __wt),
+    fps AS MATERIALIZED (SELECT $idAs,
+          unnest(list_distinct(${winnowListSql("__h")})) AS fp FROM __wh)"""
+
+  /** Staged exhaustive Jaccard≥0.8 connected-components CTE chain
+    * shared by the q51 oracle family (q89/q121): staged shingle sets,
+    * postings-based intersection counts (identical pair set — a pair
+    * below one shared shingle cannot reach 0.8), recursive closure,
+    * `comp` = (doc_id, $compAs = min reachable id). Callers must open
+    * with WITH RECURSIVE. */
+  private[queries] def jaccardCompCteSql(compAs: String): String =
+    s"""__jt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS __toks
+          FROM documents),
+    __jd AS MATERIALIZED (SELECT doc_id,
+          list_distinct(${shinglesSql("__toks", 3)}) AS sh FROM __jt),
+    __jp AS (SELECT doc_id, unnest(sh) AS s FROM __jd),
+    __ji AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+             FROM __jp x JOIN __jp y ON x.s = y.s AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+    pairs AS (SELECT a, b FROM __ji
+              JOIN (SELECT doc_id, len(sh) AS n FROM __jd) sa ON sa.doc_id = a
+              JOIN (SELECT doc_id, len(sh) AS n FROM __jd) sb ON sb.doc_id = b
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS $compAs
+             FROM reach GROUP BY src)"""
+
   /** DuckDB twin of [[Similarity.dot]]: left fold in element order from
     * an explicit 0.0 — the same accumulation order as Spark's fold, so
     * the doubles (and everything derived from them) are bit-identical. */
@@ -144,18 +199,16 @@ object CurationQueries {
       .orderBy(col("doc_id"))
 
   val q23Sql: String = {
-    val toks = toksSql("text")
     val rolling = s"""list_reduce(
-      list_prepend(CAST(0 AS BIGINT), list_transform($toks, t -> ${md5LongSql("t", 8)} % 2147483647)),
+      list_prepend(CAST(0 AS BIGINT), list_transform(__toks, t -> ${md5LongSql("t", 8)} % 2147483647)),
       (acc, x) -> (acc * 31 + x) % 2147483647)"""
-    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
-    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
-      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
-      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
     s"""
+    WITH __wt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS __toks
+           FROM documents),
+    __wh AS (SELECT doc_id, __toks, ${shingleHashesSql("__toks")} AS __h FROM __wt)
     SELECT doc_id, $rolling AS rolling_fp,
-           array_to_string(list_sort(list_distinct($winnow)), ',') AS winnow_fps
-    FROM documents ORDER BY doc_id"""
+           array_to_string(list_sort(list_distinct(${winnowListSql("__h")})), ',') AS winnow_fps
+    FROM __wh ORDER BY doc_id"""
   }
 
   // ---- q74: cross-document shared-span pairs (winnow collisions) ----
@@ -172,20 +225,13 @@ object CurationQueries {
         shingleK = 3, w = 4, minShared = 2, maxDocFreq = 50)
       .orderBy(col("a"), col("b"))
 
-  val q74Sql: String = {
-    val toks = toksSql("text")
-    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
-    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
-      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
-      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
-    s"""
-    WITH fps AS (SELECT doc_id, unnest(list_distinct($winnow)) AS fp FROM documents),
+  val q74Sql: String = s"""
+    WITH ${winnowFpsCteSql()},
     rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
-    p AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+    p AS MATERIALIZED (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
     SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
     FROM p x JOIN p y ON x.fp = y.fp AND x.doc_id < y.doc_id
     GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"""
-  }
 
   // ---- q79: exact substring-span removal (strip repeated k-grams) ----
 
@@ -303,11 +349,15 @@ object CurationQueries {
 
   val q26Sql: String = {
     val r = MinhashK / LshBands
-    val sig = Dedup.minhashSignatureSql("text", MinhashK)
     val bandKeys = (0 until LshBands).map(b =>
       s"concat('$b', ':', CAST(to_json(list_slice(sig, ${b * r + 1}, ${b * r + r})) AS VARCHAR))")
     s"""
-    WITH docs AS (SELECT doc_id, $sig AS sig FROM documents),
+    WITH __mt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS __toks
+           FROM documents),
+    __msh AS MATERIALIZED (SELECT doc_id, ${shinglesSql("__toks", 3)} AS __sh
+           FROM __mt),
+    docs AS MATERIALIZED (SELECT doc_id,
+           ${Dedup.minhashFromShinglesSql("__sh", MinhashK)} AS sig FROM __msh),
     banded AS (SELECT doc_id, unnest([${bandKeys.mkString(",")}]) AS band_key FROM docs),
     pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
               FROM banded x JOIN banded y ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
@@ -1042,11 +1092,15 @@ object CurationQueries {
 
   val q52Sql: String = {
     val r = MinhashK / LshBands
-    val sig = Dedup.minhashSignatureSql("text", MinhashK)
     val bandKeys = (0 until LshBands).map(b =>
       s"concat('$b', ':', CAST(to_json(list_slice(sig, ${b * r + 1}, ${b * r + r})) AS VARCHAR))")
     s"""
-    WITH docs AS (SELECT doc_id, $sig AS sig FROM documents),
+    WITH __mt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS __toks
+           FROM documents),
+    __msh AS MATERIALIZED (SELECT doc_id, ${shinglesSql("__toks", 3)} AS __sh
+           FROM __mt),
+    docs AS MATERIALIZED (SELECT doc_id,
+           ${Dedup.minhashFromShinglesSql("__sh", MinhashK)} AS sig FROM __msh),
     banded AS (SELECT doc_id, unnest([${bandKeys.mkString(",")}]) AS band_key FROM docs),
     hits AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
              FROM banded n JOIN banded c ON n.band_key = c.band_key
@@ -1103,25 +1157,10 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val q51Sql: String = {
-    val toks = toksSql("text")
-    s"""
+  val q51Sql: String = s"""
     WITH RECURSIVE
-    docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
-    pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
-              FROM docs x JOIN docs y ON x.doc_id < y.doc_id
-              WHERE len(x.sh) > 0 AND len(y.sh) > 0
-                AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                    >= 0.8),
-    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
-    FROM reach GROUP BY src ORDER BY doc_id"""
-  }
+    ${jaccardCompCteSql("cluster")}
+    SELECT doc_id, cluster FROM comp ORDER BY doc_id"""
 
   // ---- q49: deterministic stratified sampling ----
 
@@ -1753,18 +1792,25 @@ object CurationQueries {
         shingleK = 3, threshold = 0.9)
       .orderBy(col("a"), col("b"))
 
+  /** Pair generation spelled over postings (directed; a pair needs ≥ 1
+    * shared shingle to appear, exactly the original `inter > 0` guard)
+    * with the shingle sets staged MATERIALIZED — the unstaged all-pairs
+    * `list_intersect` form re-derived the shingle projection inside the
+    * quadratic join. Identical result set. */
   val q94Sql: String = {
     val toks = toksSql("text")
     s"""
-    WITH sh_docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh
-                     FROM documents),
-    cands AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                     len(list_intersect(x.sh, y.sh)) AS inter, len(x.sh) AS na
-              FROM sh_docs x JOIN sh_docs y ON x.doc_id <> y.doc_id
-              WHERE len(x.sh) > 0 AND len(list_intersect(x.sh, y.sh)) > 0)
-    SELECT a, b, CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) AS containment
-    FROM cands
-    WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.9
+    WITH __ct AS MATERIALIZED (SELECT doc_id, $toks AS __toks FROM documents),
+    sh_docs AS MATERIALIZED (SELECT doc_id,
+        list_distinct(${shinglesSql("__toks", 3)}) AS sh FROM __ct),
+    post AS (SELECT doc_id, unnest(sh) AS s FROM sh_docs),
+    cands AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+              FROM post x JOIN post y ON x.s = y.s AND x.doc_id <> y.doc_id
+              GROUP BY 1, 2)
+    SELECT a, b, CAST(inter AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
+    FROM cands JOIN (SELECT doc_id, len(sh) AS n FROM sh_docs) sz
+      ON sz.doc_id = a
+    WHERE CAST(inter AS DOUBLE) / CAST(sz.n AS DOUBLE) >= 0.9
     ORDER BY a, b"""
   }
 
@@ -1988,24 +2034,10 @@ object CurationQueries {
   }
 
   val q89Sql: String = {
-    val toks = toksSql("text")
     val bucket = s"(${md5LongSql("concat('split|', CAST(rep AS VARCHAR))", 8)} % 1000)"
     s"""
     WITH RECURSIVE
-    sh_docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
-    pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
-              FROM sh_docs x JOIN sh_docs y ON x.doc_id < y.doc_id
-              WHERE len(x.sh) > 0 AND len(y.sh) > 0
-                AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                    >= 0.8),
-    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep
-             FROM reach GROUP BY src),
+    ${jaccardCompCteSql("rep")},
     withrep AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
                 FROM documents d LEFT JOIN comp c USING (doc_id))
     SELECT doc_id, rep,
@@ -2496,19 +2528,12 @@ object CurationQueries {
     graft.text.CorpusStats.groupOverlap(docs(s, d), col("source"),
       col("text"), shingleK = 3, w = 4, maxGroupFreq = 15)
 
-  val q109Sql: String = {
-    val toks = toksSql("text")
-    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
-    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
-      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
-      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
-    s"""
-    WITH raw AS (SELECT source AS grp, unnest(list_distinct($winnow)) AS fp
-                 FROM documents),
-    fps AS (SELECT DISTINCT grp, fp FROM raw),
-    sizes AS (SELECT grp, COUNT(*) AS n_fp FROM fps GROUP BY 1),
-    joinable AS (SELECT grp, fp FROM fps JOIN
-      (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 15) r USING (fp)),
+  val q109Sql: String = s"""
+    WITH ${winnowFpsCteSql("source", "grp")},
+    gfp AS MATERIALIZED (SELECT DISTINCT grp, fp FROM fps),
+    sizes AS (SELECT grp, COUNT(*) AS n_fp FROM gfp GROUP BY 1),
+    joinable AS MATERIALIZED (SELECT grp, fp FROM gfp JOIN
+      (SELECT fp FROM gfp GROUP BY fp HAVING COUNT(*) <= 15) r USING (fp)),
     pairs AS (SELECT x.grp AS grp_a, y.grp AS grp_b, COUNT(*) AS n_shared
               FROM joinable x JOIN joinable y
                 ON x.fp = y.fp AND x.grp < y.grp
@@ -2518,7 +2543,6 @@ object CurationQueries {
              / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6) AS overlap
     FROM pairs JOIN sizes sa ON sa.grp = grp_a JOIN sizes sb ON sb.grp = grp_b
     ORDER BY grp_a, grp_b"""
-  }
 
   // ---- q110: embedding anisotropy (mean pairwise cosine, closed form) ----
 
@@ -2763,24 +2787,9 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val q121Sql: String = {
-    val toks = toksSql("text")
-    s"""
+  val q121Sql: String = s"""
     WITH RECURSIVE
-    docs AS (SELECT doc_id, list_distinct(${shinglesSql(toks, 3)}) AS sh FROM documents),
-    pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
-              FROM docs x JOIN docs y ON x.doc_id < y.doc_id
-              WHERE len(x.sh) > 0 AND len(y.sh) > 0
-                AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                    >= 0.8),
-    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-    comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster
-             FROM reach GROUP BY src),
+    ${jaccardCompCteSql("cluster")},
     lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
                    length(d.text) AS n_chars
             FROM documents d LEFT JOIN comp c USING (doc_id)),
@@ -2791,7 +2800,6 @@ object CurationQueries {
           WHERE rk = 1)
     SELECT l.doc_id, l.cluster, k.keeper, l.doc_id = k.keeper AS kept
     FROM lab l JOIN k USING (cluster) ORDER BY l.doc_id"""
-  }
 
   // ---- q123: FUZZY train/eval decontamination (winnow fingerprints) ----
 
@@ -2807,20 +2815,16 @@ object CurationQueries {
         shingleK = 3, w = 4, minShared = 2)
       .orderBy(col("doc_id"))
 
-  val q123Sql: String = {
-    val toks = toksSql("text")
-    val hashes = s"list_transform(${shinglesSql(toks, 3)}, s -> ${md5LongSql("s", 8)})"
-    val winnow = s"""(CASE WHEN len($hashes) = 0 THEN []::BIGINT[]
-      WHEN len($hashes) <= 4 THEN [list_min($hashes)]
-      ELSE list_transform(range(1, len($hashes) - 2), i -> list_min(list_slice($hashes, i, i + 3))) END)"""
-    s"""
-    WITH fps AS (SELECT doc_id, unnest(list_distinct($winnow)) AS fp
-                 FROM documents WHERE len(${toksSql("text")}) >= 3),
+  /** A doc with < 3 tokens has no shingles, hence no fingerprint rows —
+    * the staged chain needs no explicit length filter (unnest of an
+    * empty winnow list yields nothing, exactly the Spark-side
+    * `size(__t) >= shingleK` filter's effect). */
+  val q123Sql: String = s"""
+    WITH ${winnowFpsCteSql()},
     ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0)
     SELECT doc_id, COUNT(*) AS n_shared
     FROM fps JOIN ev USING (fp) WHERE doc_id % 10 <> 0
     GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY doc_id"""
-  }
 
   // ---- q124: filter-signal agreement (banded contingency + kappa) ----
 

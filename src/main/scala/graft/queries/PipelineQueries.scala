@@ -964,18 +964,10 @@ log[d] {
     import graft.text.TextFunctions.tokens
     val base = Tables.documents(s, d)
     val work = graft.util.Workspace.temp("graft-q120")
-    val landing = s"$work/landing"
-    base.select(col("doc_id"), col("text"))
-      .repartition(6).write.mode("overwrite").parquet(landing)
     graft.curation.LangModel.trainBigramModel(base, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
-    val in = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val in = graft.streaming.ScoreStream.feed(
+      base.select(col("doc_id"), col("text")), s"$work/landing")
     graft.curation.LangModel.scoreBigramStream(in, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model", s"$work/scored", s"$work/ckpt")
     val scored = s.read.parquet(s"$work/scored")
@@ -997,20 +989,10 @@ log[d] {
     import graft.text.TextFunctions.tokens
     val base = Tables.documents(s, d)
     val work = graft.util.Workspace.temp("graft-q122")
-    val landing = s"$work/landing"
-    base.select(col("doc_id"), col("source"), col("text"))
-      .repartition(6).write.mode("overwrite").parquet(landing)
     graft.curation.Classifier.trainNbModel(base, col("doc_id"),
       tokens(lower(col("text"))), col("source"), s"$work/model")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("source",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
-    val in = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val in = graft.streaming.ScoreStream.feed(
+      base.select(col("doc_id"), col("source"), col("text")), s"$work/landing")
     graft.curation.Classifier.scoreNbStream(in, col("doc_id"),
       tokens(lower(col("text"))), col("source"),
       s"$work/model", s"$work/scored", s"$work/ckpt")
@@ -1074,19 +1056,11 @@ log[d] {
     import graft.text.TextFunctions.tokens
     val base = Tables.documents(s, d)
     val work = graft.util.Workspace.temp("graft-q127")
-    val landing = s"$work/landing"
-    base.select(col("doc_id"), col("text"))
-      .repartition(6).write.mode("overwrite").parquet(landing)
     graft.curation.Dsir.trainDsirModel(base, col("doc_id"),
       tokens(lower(col("text"))), col("lang") === "en",
       numBuckets = 256, modelDir = s"$work/model")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
-    val in = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val in = graft.streaming.ScoreStream.feed(
+      base.select(col("doc_id"), col("text")), s"$work/landing")
     graft.curation.Dsir.gateStream(in, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model", numBuckets = 256,
       threshold = 0.0, outDir = s"$work/kept", checkpointDir = s"$work/ckpt")
@@ -1098,6 +1072,29 @@ log[d] {
   val q127Sql: String = s"""${graft.queries.CurationQueries.dsirScoreCte}
     SELECT doc_id, n_feats, score FROM sc
     WHERE score >= 0.0 ORDER BY doc_id"""
+
+  /** q129: STREAMING fuzzy decontamination
+    * ([[graft.dedup.Dedup.decontaminateStream]]) — q123's hygiene pass
+    * at crawl time: the eval suite's winnowed fingerprints freeze once
+    * ([[graft.dedup.Dedup.trainEvalFingerprints]]), then the non-eval
+    * corpus replays as a live feed and every micro-batch probes the
+    * frozen set one-sided (the q126 pattern). Flagging is per-document
+    * against a frozen artifact, so the union of batch outputs equals
+    * the batch pass exactly — q123's oracle adjudicates the streaming
+    * path unchanged (the q120/q122/q127 adjudication pattern, now on
+    * the [[graft.streaming.ScoreStream]] harness end-to-end). */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val work = graft.util.Workspace.temp("graft-q129")
+    graft.dedup.Dedup.trainEvalFingerprints(base,
+      col("doc_id") % 10 === 0, modelDir = s"$work/model")
+    val in = graft.streaming.ScoreStream.feed(
+      base.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text")), s"$work/landing")
+    graft.dedup.Dedup.decontaminateStream(in, s"$work/model",
+      outDir = s"$work/flagged", checkpointDir = s"$work/ckpt")
+    s.read.parquet(s"$work/flagged").orderBy(col("doc_id"))
+  }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
@@ -1129,5 +1126,7 @@ log[d] {
     ("q122_stream_nb_score", q122 _,
       Some(graft.queries.CurationQueries.q97Sql)),
     ("q126_incremental_image_dedup", q126 _, Some(q126Sql)),
-    ("q127_stream_dsir_gate", q127 _, Some(q127Sql)))
+    ("q127_stream_dsir_gate", q127 _, Some(q127Sql)),
+    ("q129_stream_decontam", q129 _,
+      Some(graft.queries.CurationQueries.q123Sql)))
 }

@@ -3,11 +3,12 @@ package graft.schema.bigquery
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
+import scala.annotation.tailrec
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
 /** In-process emulator of the PUBLIC BigQuery API surfaces the
   * reference engine drives — the sandbox stand-in that lets the
@@ -21,17 +22,39 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     `CreateWriteStream` → `AppendRows` → `FinalizeWriteStream` →
   *     `BatchCommitWriteStreams` (ref: `pkg/infra/bq/stream.go:30-116`)
   *     — appended rows are INVISIBLE until the batch commit, which is
-  *     atomic across the committed streams.
+  *     atomic across the committed streams;
+  *   - `AppendRows` SCHEMA VALIDATION with simulated DDL propagation
+  *     lag: the real write plane keeps serving a table's pre-ALTER
+  *     schema for a while after `tables.update` (≈10 min per the issue
+  *     the reference cites, `pkg/infra/bq/stream.go:87-90`) and rejects
+  *     wider rows with `SCHEMA_MISMATCH_EXTRA_FIELDS`; the emulator
+  *     makes the lag deterministic — [[setPropagationLag]] counts
+  *     append ATTEMPTS instead of minutes, so the backend's
+  *     renew-and-backoff loop is exercised with bounded retries.
   *
   * The emulator persists each stream's rows as parquet under its own
   * directory and publishes commits by atomically rewriting a
-  * `commits.json` membership file — so visibility semantics (pending
-  * invisible, commit atomic, half-written never readable) match the
-  * real service's, observable through the same verbs the real client
-  * exposes. Method names deliberately mirror
+  * generational `commits.json` membership log — so visibility
+  * semantics (pending invisible, commit atomic, half-written never
+  * readable) match the real service's, observable through the same
+  * verbs the real client exposes. Method names deliberately mirror
   * `google-cloud-bigquerystorage`; a live deployment swaps this class
   * for a thin adapter over the real client and changes NOTHING above
-  * it (the [[BigQueryWriteBackend]] calls only these eight methods).
+  * it.
+  *
+  * STORE MAINTENANCE (emulator-side, not a client verb): the real
+  * service compacts its capacitor storage internally; the emulator's
+  * one-dir-per-committed-stream layout needs the same discipline or a
+  * long-running streaming ingest degrades into the small-file pattern
+  * the tx-log backend fixed in round 9. [[compact]] collapses the
+  * effective stream set into one finalized stream and publishes it as
+  * a `through`-marked commit (racing appends land above `through` and
+  * are kept by the effective-set rule — never lost);
+  * [[expireReplaced]] reclaims replaced stream dirs AND prunes their
+  * entries from `commits.json`, bounding both files and log under
+  * sustained streaming. Generation-pinned reads ([[readRowsAsOf]])
+  * below the pruned horizon fail loudly — the retention-window
+  * contract of every log-structured store.
   *
   * Single-JVM emulator: per-table monitors serialize metadata updates
   * (the service serializes them server-side); stream dirs are
@@ -41,8 +64,16 @@ final class BigQueryEmulator(rootDir: String) {
 
   final case class TableMeta(etag: Int, schema: StructType)
 
+  /** One committed batch: `through` = 0 for a plain append; a
+    * compaction commit carries the generation whose effective content
+    * it replaces. */
+  final case class CommitEntry(gen: Int, through: Int, streams: Seq[String])
+
   final class AlreadyExistsException(m: String) extends RuntimeException(m)
   final class EtagMismatchException(m: String) extends RuntimeException(m)
+  /** `SCHEMA_MISMATCH_EXTRA_FIELDS` — rows wider than the write plane's
+    * (possibly propagation-lagged) view of the table schema. */
+  final class SchemaMismatchException(m: String) extends RuntimeException(m)
 
   private val locks = TrieMap.empty[String, Object]
   private def lockFor(ds: String, t: String): Object =
@@ -91,7 +122,11 @@ final class BigQueryEmulator(rootDir: String) {
 
   /** `tables.update` with `If-Match: etag`: the ETag compare-and-set of
     * `bq/client.go:198-204`. A stale etag throws; the caller re-reads,
-    * re-merges, retries. */
+    * re-merges, retries. When a propagation lag is armed
+    * ([[setPropagationLag]]), the WRITE PLANE keeps validating appends
+    * against the pre-update schema for the next N attempts — the DDL
+    * plane (this method, [[getTable]]) sees the new schema at once,
+    * exactly the real service's split-brain window. */
   def updateTable(ds: String, t: String, schema: StructType, etag: Int): Unit =
     lockFor(ds, t).synchronized {
       val cur = getTable(ds, t).getOrElse(
@@ -99,7 +134,44 @@ final class BigQueryEmulator(rootDir: String) {
       if (cur.etag != etag)
         throw new EtagMismatchException(
           s"$ds.$t etag $etag is stale (current ${cur.etag})")
+      if (propagationLag > 0 && !lagState.contains(s"$ds.$t"))
+        lagState.put(s"$ds.$t", (cur.schema, propagationLag))
       atomicWrite(metaFile(ds, t), s"""{"etag":${etag + 1},"schema":${schema.json}}""")
+    }
+
+  // ---- simulated DDL propagation lag (write plane) ----
+
+  @volatile private var propagationLag: Int = 0
+  // table → (schema the write plane still serves, append attempts left)
+  private val lagState = TrieMap.empty[String, (StructType, Int)]
+  private val attemptCounts = TrieMap.empty[String, Int]
+
+  /** Arm a deterministic propagation window: after the NEXT
+    * `tables.update`, the write plane keeps the pre-update schema for
+    * `appendAttempts` more [[appendRows]] calls on that table (each
+    * attempt advances propagation; the real clock-driven lag maps to
+    * retry attempts so tests stay wall-clock-free). 0 disarms. */
+  def setPropagationLag(appendAttempts: Int): Unit =
+    propagationLag = appendAttempts
+
+  /** Total [[appendRows]] attempts observed for `ds.t` — lets specs
+    * assert the renew/backoff loop retried a bounded number of times. */
+  def appendAttempts(ds: String, t: String): Int =
+    attemptCounts.getOrElse(s"$ds.$t", 0)
+
+  /** Field paths present in `incoming` but absent from `visible` —
+    * BigQuery's extra-field check is recursive into RECORD fields. */
+  private def extraFields(incoming: StructType, visible: StructType,
+      prefix: String = ""): Seq[String] =
+    incoming.fields.toSeq.flatMap { f =>
+      visible.fields.find(_.name == f.name) match {
+        case None => Seq(prefix + f.name)
+        case Some(v) => (f.dataType, v.dataType) match {
+          case (a: StructType, b: StructType) =>
+            extraFields(a, b, s"$prefix${f.name}.")
+          case _ => Nil
+        }
+      }
     }
 
   // ---- Storage Write API (data plane, PENDING streams) ----
@@ -113,10 +185,32 @@ final class BigQueryEmulator(rootDir: String) {
   }
 
   /** `AppendRows`: stage a row block on the stream (parquet stands in
-    * for the proto rows on the wire). May be called repeatedly. */
+    * for the proto rows on the wire). May be called repeatedly.
+    * Validates the block against the write plane's CURRENT view of the
+    * table schema — which lags `tables.update` inside an armed
+    * propagation window — and rejects wider rows with
+    * [[SchemaMismatchException]] (`SCHEMA_MISMATCH_EXTRA_FIELDS`),
+    * the error the reference's renew/backoff loop absorbs
+    * (`pkg/infra/bq/stream.go:92-106`). `__part` is the destination's
+    * partitioning column and always admissible. */
   def appendRows(ds: String, t: String, stream: String, rows: DataFrame): Unit = {
     require(!Files.exists(streamDir(ds, t, stream).resolve("_finalized")),
       s"$stream is finalized — no further appends (Storage Write API contract)")
+    val key = s"$ds.$t"
+    attemptCounts.updateWith(key)(c => Some(c.getOrElse(0) + 1))
+    val visible = lagState.get(key) match {
+      case Some((lagged, left)) =>
+        if (left <= 1) lagState.remove(key) // this attempt completes propagation
+        else lagState.put(key, (lagged, left - 1))
+        lagged
+      case None => getTable(ds, t).map(_.schema).getOrElse(
+        throw new IllegalStateException(s"$key does not exist"))
+    }
+    val extra = extraFields(rows.schema, visible.add("__part", StringType))
+    if (extra.nonEmpty)
+      throw new SchemaMismatchException(
+        s"SCHEMA_MISMATCH_EXTRA_FIELDS: $key write plane has not seen " +
+          s"fields ${extra.mkString(", ")} yet (DDL propagation lag)")
     rows.write.mode("append").parquet(streamDir(ds, t, stream).resolve("rows").toString)
   }
 
@@ -133,31 +227,161 @@ final class BigQueryEmulator(rootDir: String) {
         require(Files.exists(streamDir(ds, t, s).resolve("_finalized")),
           s"$s must be finalized before commit")
       }
-      val merged = committedStreams(ds, t) ++ streams
-      atomicWrite(commitsFile(ds, t),
-        merged.map(s => s""""$s"""").mkString("""{"streams":[""", ",", "]}"))
+      val (pruned, es) = readLog(ds, t)
+      val gen = es.lastOption.map(_.gen).getOrElse(0) + 1
+      writeLog(ds, t, pruned, es :+ CommitEntry(gen, 0, streams))
     }
 
-  private def committedStreams(ds: String, t: String): Seq[String] = {
+  // ---- commit log (generational membership) ----
+
+  private val EntryRe =
+    """\{"gen":(\d+),"through":(\d+),"streams":\[([^\]]*)\]\}""".r
+  private val StreamRe = """"(stream-[^"]+)"""".r
+
+  /** (prunedThrough, entries in gen order). */
+  private def readLog(ds: String, t: String): (Int, Seq[CommitEntry]) = {
     val f = commitsFile(ds, t)
-    if (!Files.exists(f)) Nil
-    else """"(stream-[^"]+)"""".r
-      .findAllMatchIn(new String(Files.readAllBytes(f), "UTF-8"))
-      .map(_.group(1)).toSeq
+    if (!Files.exists(f)) (0, Nil)
+    else {
+      val txt = new String(Files.readAllBytes(f), "UTF-8")
+      val pruned = """"prunedThrough":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(0)
+      (pruned, EntryRe.findAllMatchIn(txt).map { m =>
+        CommitEntry(m.group(1).toInt, m.group(2).toInt,
+          StreamRe.findAllMatchIn(m.group(3)).map(_.group(1)).toSeq)
+      }.toSeq)
+    }
+  }
+
+  private def writeLog(ds: String, t: String, pruned: Int,
+      es: Seq[CommitEntry]): Unit =
+    atomicWrite(commitsFile(ds, t),
+      s"""{"prunedThrough":$pruned,"entries":[""" +
+        es.map(e => s"""{"gen":${e.gen},"through":${e.through},"streams":[""" +
+          e.streams.map(s => s""""$s"""").mkString(",") + "]}").mkString(",") +
+        "]}")
+
+  /** The entries whose streams a read at `gen` sees: the latest
+    * compaction at or below `gen` plus every plain append above its
+    * `through` — a racing append (gen between a compaction's `through`
+    * and its own gen) is KEPT, never lost. */
+  private def effectiveEntries(es: Seq[CommitEntry], gen: Int): Seq[CommitEntry] = {
+    val upTo = es.filter(_.gen <= gen)
+    upTo.filter(_.through > 0).lastOption match {
+      case None => upTo
+      case Some(c) => c +: upTo.filter(e => e.through == 0 && e.gen > c.through)
+    }
+  }
+
+  /** Latest committed generation (0 = nothing committed). */
+  def tipGeneration(ds: String, t: String): Int = {
+    val (_, es) = readLog(ds, t)
+    es.lastOption.map(_.gen).getOrElse(0)
+  }
+
+  /** Committed stream dirs a reader at `gen` scans. */
+  private def dirsAt(ds: String, t: String, gen: Int): Seq[String] = {
+    val (pruned, es) = readLog(ds, t)
+    if (pruned > 0 && gen <= pruned)
+      sys.error(s"generation $gen of $ds.$t is below the retention " +
+        s"horizon $pruned — its stream dirs were reclaimed by " +
+        "expireReplaced; pin reads inside the retention window")
+    effectiveEntries(es, gen).flatMap(_.streams)
+      .map(s => streamDir(ds, t, s).resolve("rows").toString)
+      .filter(d => Files.exists(Paths.get(d))) // committed-but-empty stream
   }
 
   /** `ReadRows` (Storage Read API shape): every committed stream's rows
     * under `schema` — uncommitted streams invisible, evolution
     * null-fills (exactly BigQuery's post-ALTER read semantics). */
   def readRows(spark: SparkSession, ds: String, t: String,
-      schema: StructType): DataFrame = {
-    val dirs = committedStreams(ds, t)
-      .map(s => streamDir(ds, t, s).resolve("rows").toString)
-      .filter(d => Files.exists(Paths.get(d))) // committed-but-empty stream
+      schema: StructType): DataFrame =
+    readRowsAsOf(spark, ds, t, schema, tipGeneration(ds, t))
+
+  /** Generation-pinned read (the `FOR SYSTEM_TIME AS OF` analogue):
+    * the table exactly as published at `gen` — immovable under later
+    * appends AND under compaction, until [[expireReplaced]] reclaims
+    * the generation's dirs (then it fails loudly). */
+  def readRowsAsOf(spark: SparkSession, ds: String, t: String,
+      schema: StructType, gen: Int): DataFrame = {
+    val dirs = dirsAt(ds, t, gen)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  // ---- store maintenance (the service's internal compaction) ----
+
+  /** Collapse the current effective stream set into ONE finalized
+    * stream (clustered by `__part` so row-group pruning survives) and
+    * publish it as a compaction commit with `through` = the tip at
+    * read time. Lock-free against appends exactly like the tx-log: the
+    * rewrite stages invisibly, the log rewrite is the commit point,
+    * and a racing append's generation lands above `through` so the
+    * effective-set rule keeps it. Old dirs stay until
+    * [[expireReplaced]] (pinned reads below the compaction remain
+    * exact). Returns the compaction's generation, 0 when already
+    * compact. */
+  def compact(spark: SparkSession, ds: String, t: String,
+      targetPartitions: Int = 1): Int = {
+    val tip = tipGeneration(ds, t)
+    val dirs = dirsAt(ds, t, tip)
+    if (dirs.size <= 1) return 0
+    val schema = getTable(ds, t).getOrElse(
+      throw new IllegalStateException(s"$ds.$t does not exist"))
+      .schema.add("__part", StringType)
+    val stream = createWriteStream(ds, t)
+    spark.read.schema(schema).parquet(dirs: _*)
+      .repartition(targetPartitions, org.apache.spark.sql.functions.col("__part"))
+      .sortWithinPartitions("__part")
+      .write.mode("append").parquet(streamDir(ds, t, stream).resolve("rows").toString)
+    finalizeWriteStream(ds, t, stream)
+    lockFor(ds, t).synchronized {
+      val (pruned, es) = readLog(ds, t)
+      val gen = es.lastOption.map(_.gen).getOrElse(0) + 1
+      writeLog(ds, t, pruned, es :+ CommitEntry(gen, tip, Seq(stream)))
+      gen
+    }
+  }
+
+  /** Reclaim stream dirs REPLACED by the latest compaction and PRUNE
+    * their entries from `commits.json` — under sustained streaming
+    * with periodic [[compact]], both the dir count and the log length
+    * stay bounded (the round-9 tx-log discipline; the log growth was
+    * this store's flagged leak). Generations below the new horizon
+    * fail loudly in [[readRowsAsOf]]. Returns deleted dir names. */
+  def expireReplaced(ds: String, t: String): Seq[String] =
+    lockFor(ds, t).synchronized {
+      val (pruned, es) = readLog(ds, t)
+      val tip = es.lastOption.map(_.gen).getOrElse(0)
+      val live = effectiveEntries(es, tip)
+      val liveStreams = live.flatMap(_.streams).toSet
+      val dead = es.flatMap(_.streams).distinct.filterNot(liveStreams)
+      val newHorizon = es.filter(_.through > 0).lastOption
+        .map(_.through).getOrElse(pruned)
+      writeLog(ds, t, math.max(pruned, newHorizon),
+        es.filter(_.streams.forall(liveStreams)))
+      dead.flatMap { s =>
+        val p = streamDir(ds, t, s)
+        if (!Files.exists(p)) None
+        else {
+          val walk = Files.walk(p)
+          try walk.iterator.asScala.toSeq.reverse.foreach(Files.delete)
+          finally walk.close()
+          Some(s)
+        }
+      }
+    }
+
+  /** Stream dirs currently on disk (for the boundedness assertions). */
+  def streamDirCount(ds: String, t: String): Int = {
+    val d = tableDir(ds, t).resolve("streams")
+    if (!Files.exists(d)) 0
+    else {
+      val ls = Files.list(d)
+      try ls.iterator.asScala.size finally ls.close()
+    }
   }
 
   /** Datasets/tables present (for catalog listings). */

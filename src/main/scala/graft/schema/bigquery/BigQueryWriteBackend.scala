@@ -37,7 +37,10 @@ import graft.schema.{SchemaMerge, TableBackend}
   * prune it server-side; here parquet row-group stats do, exactly the
   * tx-log note).
   */
-final class BigQueryWriteBackend(emulator: BigQueryEmulator) extends TableBackend {
+final class BigQueryWriteBackend(emulator: BigQueryEmulator,
+    backoffInitialMs: Long = 10,
+    backoffMaxMs: Long = 30L * 1000,
+    retryDeadlineMs: Long = 15L * 60 * 1000) extends TableBackend {
 
   override def exists(dataset: String, table: String): Boolean =
     emulator.getTable(dataset, table).isDefined
@@ -74,13 +77,38 @@ final class BigQueryWriteBackend(emulator: BigQueryEmulator) extends TableBacken
   /** One PENDING stream per engine batch: stage, finalize, commit —
     * atomic per call exactly as the trait demands (the batch commit is
     * the single visibility point; a crash before it strands an
-    * invisible stream, the service's own replay story). */
+    * invisible stream, the service's own replay story).
+    *
+    * SCHEMA_MISMATCH retry protocol (the reference's, in shape:
+    * `pkg/infra/bq/stream.go:87-106` + `bq/writer/manager.go:128-146`
+    * + the `bq/client.go:64-89` backoff): right after the engine's DDL
+    * merge, the write plane may still serve the pre-ALTER schema (DDL
+    * propagation lag, ~10 min per the issue the reference cites) and
+    * reject the widened batch with `SCHEMA_MISMATCH_EXTRA_FIELDS`. The
+    * loop RENEWS the stream (the reference reconnects its managed
+    * stream — a pending stream that took a rejected append is simply
+    * abandoned, never finalized, so it can't half-commit) and retries
+    * under exponential backoff 10 ms → 30 s capped, bounded by a
+    * 15-minute deadline — after which the mismatch propagates to the
+    * caller (at-least-once delivery: the batch replays). */
   override def appendPartitioned(dataset: String, table: String,
       df: DataFrame): Unit = {
-    val stream = emulator.createWriteStream(dataset, table)
-    emulator.appendRows(dataset, table, stream, df)
-    emulator.finalizeWriteStream(dataset, table, stream)
-    emulator.batchCommitWriteStreams(dataset, table, Seq(stream))
+    val deadline = System.nanoTime() + retryDeadlineMs * 1000000L
+    var backoff = backoffInitialMs
+    while (true) {
+      val stream = emulator.createWriteStream(dataset, table)
+      try {
+        emulator.appendRows(dataset, table, stream, df)
+        emulator.finalizeWriteStream(dataset, table, stream)
+        emulator.batchCommitWriteStreams(dataset, table, Seq(stream))
+        return
+      } catch {
+        case e: emulator.SchemaMismatchException =>
+          if (System.nanoTime() >= deadline) throw e
+          Thread.sleep(backoff) // then renew: next iteration's fresh stream
+          backoff = math.min(backoff * 2, backoffMaxMs)
+      }
+    }
   }
 
   override def readWithPart(spark: SparkSession, dataset: String,

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.Trigger
+
+/** The ONE place for the train-once / score-a-live-feed scaffold shared
+  * by every streaming twin of a batch scorer (q120 LM, q122 NB, q127
+  * DSIR gate, q129 fuzzy decontamination): freeze the model frames by
+  * `persist()`ing them OUTSIDE `foreachBatch`, drain the stream with
+  * `Trigger.AvailableNow`, run the batch scoring plan per micro-batch,
+  * append each batch's output, and unpersist the frozen frames when the
+  * drain finishes.
+  *
+  * Why this contract matters at scale: the frozen frames are the
+  * cross-batch invariant. Pinned once, every trigger joins against
+  * cached vocabulary-bounded tables instead of re-reading model parquet
+  * per trigger — per-batch work stays ∝ batch size, so 100× the trigger
+  * count costs 100× the batch work and nothing more. And because the
+  * scoring plan is per-document against a FROZEN model, the union of
+  * the per-batch appends equals the one-shot batch scoring exactly —
+  * which is why each streaming twin is adjudicated by its batch twin's
+  * oracle unchanged (the q104→q108 equivalence; see
+  * /root/repo/docs/PERF.md round-9 notes).
+  *
+  * Reference anchor: the reference drains batch work-lists through the
+  * same at-least-once loader it uses for live events
+  * (`pkg/usecase/load.go`), which is the behavioral contract here —
+  * replaying a feed through the streaming scorer must land exactly the
+  * batch answer. */
+object ScoreStream {
+
+  /** Drain `stream` with AvailableNow, appending `score(batch)` to
+    * `outDir` per micro-batch. Every frame in `frozen` is persisted
+    * for the whole drain and unpersisted after — callers must build
+    * `score`'s plan over exactly these frames so no model state is
+    * re-derived inside the loop. Blocks until the drain finishes. */
+  def replay(stream: DataFrame, frozen: Seq[DataFrame], outDir: String,
+      checkpointDir: String)(score: DataFrame => DataFrame): Unit = {
+    frozen.foreach(_.persist())
+    try stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        score(batch).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    finally frozen.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Turn a batch frame into a replayable file feed: write `df` to
+    * `dir` as `files` parquet files and re-open it as a one-file-per-
+    * trigger stream — the harness the streaming-twin queries use to
+    * replay a known corpus through the live path so the batch oracle
+    * can adjudicate the result. */
+  def feed(df: DataFrame, dir: String, files: Int = 6): DataFrame = {
+    df.repartition(files).write.mode("overwrite").parquet(dir)
+    df.sparkSession.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+}

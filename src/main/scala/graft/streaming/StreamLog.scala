@@ -51,10 +51,18 @@ final class StreamLog(spark: SparkSession, registry: TableBackend)
       new java.sql.Timestamp(System.currentTimeMillis()))
     // through the registry's appendPartitioned so the per-table write
     // lock covers this path too — a concurrent writer to the same dir
-    // (backfill, compaction) must never race this append's staging
-    try registry.appendPartitioned("_meta", "stream_log", Seq(row)
-      .toDF("query", "query_id", "batch_id", "input_rows", "trigger_ms", "logged_at")
-      .withColumn("__part", date_format(col("logged_at"), "yyyy-MM")))
+    // (backfill, compaction) must never race this append's staging;
+    // DDL-first like every append (a metadata-validating backend —
+    // BigQuery — rejects rows against an undeclared table)
+    try {
+      val df = Seq(row)
+        .toDF("query", "query_id", "batch_id", "input_rows", "trigger_ms", "logged_at")
+        .withColumn("__part", date_format(col("logged_at"), "yyyy-MM"))
+      registry.createOrUpdate("_meta", "stream_log",
+        org.apache.spark.sql.types.StructType(
+          df.schema.filterNot(_.name == "__part")))
+      registry.appendPartitioned("_meta", "stream_log", df)
+    }
     catch {
       // telemetry must never kill the listener bus; the query goes on
       case e: Exception =>

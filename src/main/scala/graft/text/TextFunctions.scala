@@ -193,11 +193,19 @@ object TextFunctions {
     require(n <= 15, "n>15 overflows signed long")
     conv(substring(md5(c), 1, n), 16, 10).cast(LongType)
   }
-  /** SQL twin of [[md5Long]] for the DuckDB oracle. */
+  /** SQL twin of [[md5Long]] for the DuckDB oracle. The md5 hex prefix
+    * is STAGED through a one-element-list lambda binding (`[h]` →
+    * `__mh`) before the positional digit fold: DuckDB, like Spark's
+    * interpreted HOFs, re-evaluates a lambda's input expression per
+    * element access, so the naive fold would compute `md5($e)` once per
+    * digit — n× the hash work for the identical value. Inside
+    * per-shingle lambdas (winnow/minhash oracles) that factor
+    * multiplied into minutes of DuckDB time per query. */
   def md5LongSql(e: String, n: Int = 8): String =
-    s"list_reduce(list_transform(range(1, ${n + 1}), i -> " +
-      s"CAST(strpos('0123456789abcdef', substring(substring(md5($e),1,$n), CAST(i AS INT), 1)) - 1 AS BIGINT)), " +
-      s"(acc, x) -> acc * 16 + x)"
+    s"list_transform([substring(md5($e), 1, $n)], __mh -> " +
+      s"list_reduce(list_transform(range(1, ${n + 1}), i -> " +
+      s"CAST(strpos('0123456789abcdef', substring(__mh, CAST(i AS INT), 1)) - 1 AS BIGINT)), " +
+      s"(acc, x) -> acc * 16 + x))[1]"
 
   /** Word k-shingles from an already-materialized tokens column.
     *

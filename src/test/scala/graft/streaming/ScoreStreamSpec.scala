@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+/** The shared train-once/score-a-feed harness (q120/q122/q127/q129 all
+  * ride it) and its newest client, streaming fuzzy decontamination:
+  * the union of per-batch outputs must equal the batch pass exactly —
+  * the adjudication identity every streaming twin's oracle relies on. */
+class ScoreStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    val answer = (1 to 30).map(i => s"ans$i").mkString(" ")
+    val drifted = (1 to 30).map(i => if (i % 10 == 0) s"x$i" else s"ans$i").mkString(" ")
+    Seq(
+      (10L, answer),  // eval doc (id % 10 == 0)
+      (1L, drifted),  // near-verbatim leak (winnow-level collision)
+      (2L, answer),   // verbatim leak
+      (3L, "totally unrelated words here one two three four five six"),
+      (4L, "more clean filler text with nothing shared at all ok"))
+      .toDF("doc_id", "text")
+  }
+
+  test("decontaminateStream == batch fuzzyContamination (union-of-batches identity)") {
+    val docs = corpus
+    val work = graft.util.Workspace.temp("score-stream-spec")
+    Dedup.trainEvalFingerprints(docs, col("doc_id") % 10 === 0,
+      modelDir = s"$work/model")
+    val feed = ScoreStream.feed(
+      docs.filter(col("doc_id") % 10 =!= 0).select($"doc_id", $"text"),
+      s"$work/landing", files = 3)
+    Dedup.decontaminateStream(feed, s"$work/model",
+      outDir = s"$work/flagged", checkpointDir = s"$work/ckpt")
+    val streamed = spark.read.parquet(s"$work/flagged")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dedup.fuzzyContamination(docs, col("doc_id") % 10 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed $streamed must equal batch $batch")
+    assert(streamed.contains(1L) && streamed.contains(2L) && !streamed.contains(3L))
+  }
+
+  test("replay unpersists the frozen frames after the drain") {
+    val docs = corpus
+    val work = graft.util.Workspace.temp("score-stream-unpersist")
+    Dedup.trainEvalFingerprints(docs, col("doc_id") % 10 === 0,
+      modelDir = s"$work/model")
+    val feed = ScoreStream.feed(
+      docs.filter(col("doc_id") % 10 =!= 0).select($"doc_id", $"text"),
+      s"$work/landing", files = 2)
+    Dedup.decontaminateStream(feed, s"$work/model",
+      outDir = s"$work/out", checkpointDir = s"$work/ckpt")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "frozen model frames must not leak into the session cache")
+  }
+
+  test("feed replays the frame's exact rows as a maxFilesPerTrigger=1 stream") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val work = graft.util.Workspace.temp("score-stream-feed")
+    val feed = ScoreStream.feed(df, s"$work/landing", files = 4)
+    assert(feed.isStreaming)
+    var batches = 0
+    ScoreStream.replay(feed, Nil, s"$work/out", s"$work/ckpt") { b =>
+      batches += 1; b
+    }
+    // one trigger per landing FILE (repartition may leave an empty
+    // partition unwritten, so ≥ 2 proves multi-batch, ≤ 4 proves the
+    // one-file-per-trigger cap)
+    assert(batches >= 2 && batches <= 4, s"per-file triggers, got $batches")
+    val out = spark.read.parquet(s"$work/out").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+}
