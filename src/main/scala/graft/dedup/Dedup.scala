@@ -447,18 +447,25 @@ object Dedup {
     (0 until b).map { i => val lo = i * 32 / b; (lo, (i + 1) * 32 / b - lo) }
   }
 
+  /** Block key = `(block index << 48) | slice bits` — ONE long, not a
+    * string: the candidate join probes this key millions of times at
+    * radius-dense settings (q39 is radius 8 over 32 bits ⇒ 3-bit
+    * blocks), and long hash/equality is several× cheaper than the
+    * string `concat` key it replaces. Slices are ≤ 32 bits, so the
+    * index never collides with slice bits. */
   private def simhashBlockCol(sig: Column, maxHamming: Int): Column =
     explode(array(simhashBlockBounds(maxHamming).zipWithIndex.map {
       case ((lo, w), i) =>
-        concat_ws(":", lit(i),
-          shiftright(sig, lo).bitwiseAND(lit((1L << w) - 1)))
+        shiftright(sig, lo).bitwiseAND(lit((1L << w) - 1))
+          .bitwiseOR(lit(i.toLong << 48))
     }: _*))
 
   /** DuckDB twin of [[simhashBlockCol]]: the `unnest([...])` element
-    * list over signature column `sh` — same bounds, same labels. */
+    * list over signature column `sh` — same bounds, same packed-long
+    * keys. */
   def simhashBlockSqlList(sh: String, maxHamming: Int): String =
     simhashBlockBounds(maxHamming).zipWithIndex.map { case ((lo, w), i) =>
-      s"concat('$i', ':', CAST(($sh // ${1L << lo}) % ${1L << w} AS VARCHAR))"
+      s"CAST(${i.toLong << 48} + ($sh // ${1L << lo}) % ${1L << w} AS BIGINT)"
     }.mkString(",\n        ")
 
   /** SimHash near-dup candidates: block on `maxHamming + 1` disjoint
@@ -474,8 +481,12 @@ object Dedup {
     val r = blocked.select(col("doc").as("b"), col("sig").as("sigb"), col("blk"))
     l.join(r, "blk").filter(col("a") < col("b"))
       .select(col("a"), col("b"), hamming(col("siga"), col("sigb")).as("dist"))
-      .distinct()
+      // verify BEFORE the de-dup shuffle: a pair colliding on k blocks
+      // rides the distinct k times either way, but false candidates
+      // (the bulk at radius-heavy settings — q39 is radius 8 over 32
+      // bits) die map-side and never shuffle at all
       .filter(col("dist") <= maxHamming)
+      .distinct()
   }
 
   /** Incremental SimHash near-dup: batch signatures probed against a
@@ -500,8 +511,8 @@ object Dedup {
       .join(blocked(corpusSigs, "corpus_id", "csig"), "blk")
       .select(col("new_id"), col("corpus_id"),
         hamming(col("nsig"), col("csig")).as("dist"))
+      .filter(col("dist") <= maxHamming) // verify before the de-dup shuffle
       .distinct()
-      .filter(col("dist") <= maxHamming)
   }
 
   /** Connected components over near-dup PAIRS → duplicate CLUSTERS.

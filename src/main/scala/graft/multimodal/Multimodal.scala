@@ -210,10 +210,14 @@ object Multimodal {
       case ((lo, w), i) =>
         // arithmetic shift + mask extracts bits [lo, lo+w) regardless
         // of sign; the one full-width slice (radius 0 over 64 bits) is
-        // the signature itself
+        // the signature itself. Key packs (index << 48) | slice into
+        // ONE long (see Dedup.simhashBlockCol — long keys make the
+        // bucket join's probe several× cheaper than string concat);
+        // for b ≥ 2 blocks every slice is ≤ 33 bits, so no collision
         val v = if (w == 64) sig
           else shiftright(sig, lo).bitwiseAND(lit((1L << w) - 1))
-        concat_ws(":", lit(i), v)
+            .bitwiseOR(lit(i.toLong << 48))
+        v
     }: _*))
 
   /** Perceptual-hash image near-dup pairs at Hamming radius
@@ -257,8 +261,8 @@ object Multimodal {
     l.join(r, "blk").filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         graft.dedup.Dedup.hamming(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxHamming) // verify before the de-dup shuffle
       .distinct()
-      .filter(col("dist") <= maxHamming)
       .orderBy(col("a"), col("b"))
   }
 
@@ -288,8 +292,8 @@ object Multimodal {
       .join(blocked(corpusHashes, "corpus_id", "cp"), "blk")
       .select(col("new_id"), col("corpus_id"),
         graft.dedup.Dedup.hamming(col("np"), col("cp")).cast("long").as("dist"))
+      .filter(col("dist") <= maxHamming) // verify before the de-dup shuffle
       .distinct()
-      .filter(col("dist") <= maxHamming)
       .orderBy(col("new_id"), col("corpus_id"))
   }
 

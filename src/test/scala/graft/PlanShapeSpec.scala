@@ -361,4 +361,27 @@ class PlanShapeSpec extends SparkSpec {
     // and the pruning key is the blocked slice, not the raw hash
     assert(plan.contains("blk"), s"join must key on the block column:\n$plan")
   }
+
+  test("simhash near-dup: equi-join on the packed-long block key, verify inside the join (q39 shape)") {
+    import graft.dedup.Dedup
+    import graft.text.TextFunctions.tokens
+    val sigged = (0L until 40L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} tail"))
+      .toDF("doc_id", "text")
+      .withColumn("t", tokens(col("text")))
+      .select(col("doc_id"), Dedup.simhashNative(col("t")).as("sh"))
+    val plan = formatted(
+      Dedup.simhashNearDup(sigged, "doc_id", "sh", maxHamming = 8))
+    // block-key equi-join — the pigeonhole prune must survive any
+    // optimizer change (a cartesian here is corpus² at any scale)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the pair space must be pruned by the block equi-key:\n$plan")
+    assert(plan.contains("blk"), s"join must key on the block column:\n$plan")
+    // the Hamming verify rides the join/filter BEFORE the distinct's
+    // exchange — false candidates must die map-side, not shuffle
+    // (the round-10 q39 ordering fix)
+    assert(plan.contains("bit_count"), s"Hamming verify missing:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"pair de-dup must be the aggregate form:\n$plan")
+  }
 }
