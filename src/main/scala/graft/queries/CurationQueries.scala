@@ -2960,6 +2960,35 @@ object CurationQueries {
     FROM agg ORDER BY shard"""
   }
 
+  // ---- q131: cosine-threshold calibration for semantic dedup ----
+
+  /** q131: [[Similarity.cosineCalibration]] — what cutoff does
+    * [[Similarity.semanticDedup]] deserve on THIS corpus? Deterministic
+    * md5 vector sample, exact pairwise cosine over the sample only
+    * (sample², never corpus² — the sample is the scale knob), exact
+    * interpolated percentiles of the similarity distribution. The
+    * oracle replays the sample predicate, the staged-norm cosine fold,
+    * and `quantile_cont` (q50 contract), so the hash check pins the
+    * whole calibration read-out. */
+  def q131(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineCalibration(Tables.embeddings(s, d), sampleMod = 8)
+
+  val q131Sql: String = s"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE ${md5LongSql("concat('cal|', CAST(vec_id AS VARCHAR))", 8)} % 8 = 0),
+    vn AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+    vv AS (SELECT vec_id, v, nrm FROM vn WHERE nrm > 0.0),
+    p AS (SELECT round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS sim
+          FROM vv x JOIN vv y ON x.vec_id < y.vec_id),
+    n AS (SELECT COUNT(*) AS n_vectors FROM vv),
+    q AS (SELECT COUNT(*) AS n_pairs,
+                 quantile_cont(sim, 0.5) AS p50,
+                 quantile_cont(sim, 0.9) AS p90,
+                 quantile_cont(sim, 0.99) AS p99 FROM p)
+    SELECT n_vectors, n_pairs, p50, p90, p99 FROM n CROSS JOIN q"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -3038,5 +3067,6 @@ object CurationQueries {
     ("q123_fuzzy_decontam", q123 _, Some(q123Sql)),
     ("q124_signal_agreement", q124 _, Some(q124Sql)),
     ("q125_hist_quantiles", q125 _, Some(q125Sql)),
-    ("q128_packing_stats", q128 _, Some(q128Sql)))
+    ("q128_packing_stats", q128 _, Some(q128Sql)),
+    ("q131_cosine_calibration", q131 _, Some(q131Sql)))
 }

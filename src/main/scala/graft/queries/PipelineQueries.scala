@@ -69,6 +69,36 @@ object PipelineQueries {
            ${graft.relational.RelationalQueries.dsumSql("value")} AS total_value
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** q130: q33's full ingest pipeline driven through the CONNECTOR-
+    * SHAPED BigQuery backend — ETag-CAS DDL + pending-stream
+    * append/finalize/batch-commit against the in-process emulator —
+    * instead of the parquet registry, with a DDL-propagation window
+    * armed mid-run so every batch crosses the SCHEMA_MISMATCH
+    * renew/backoff path at least potentially. Same landing data, same
+    * rules, same read-back aggregate, SAME ORACLE as q33: the third
+    * backend is adjudicated by the hash gate itself, not just the
+    * contract suite. (Storage semantics — pending invisible, commit
+    * atomic, write-plane schema validation — are the emulator's; the
+    * engine code is byte-for-byte the q33 path, proving the storage
+    * seam carries the whole pipeline.) */
+  def q130(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q130")
+    exportNdjson(s, d, s"$work/landing")
+    val emu = new graft.schema.bigquery.BigQueryEmulator(s"$work/warehouse")
+    val backend = new graft.schema.bigquery.BigQueryWriteBackend(emu,
+      backoffInitialMs = 1, backoffMaxMs = 8)
+    emu.setPropagationLag(2) // every DDL merge lags the write plane
+    try Pipeline.ingestPrefix(s, Pipeline.Config(backend, eventsRules),
+      s"$work/landing/part-*")
+    finally emu.setPropagationLag(0)
+    TableSink.read(s, backend, "analytics", "events")
+      .groupBy(col("data.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("distinct_ids"),
+        graft.relational.RelationalQueries.dsum(col("data.value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** q34: streaming ingest round-trip — the same landing dir drained by
     * the checkpointed file-source stream (Trigger.AvailableNow), then
     * the same lossless-ness aggregate. Covers SURVEY §2.7 T1-T3. */
@@ -1128,5 +1158,6 @@ log[d] {
     ("q126_incremental_image_dedup", q126 _, Some(q126Sql)),
     ("q127_stream_dsir_gate", q127 _, Some(q127Sql)),
     ("q129_stream_decontam", q129 _,
-      Some(graft.queries.CurationQueries.q123Sql)))
+      Some(graft.queries.CurationQueries.q123Sql)),
+    ("q130_bigquery_pipeline", q130 _, Some(q33Sql)))
 }

@@ -824,4 +824,44 @@ object Similarity {
         coalesce(col("comp"), col(idCol)).as("rep"),
         (coalesce(col("comp"), col(idCol)) === col(idCol)).as("keep"))
   }
+
+  /** THRESHOLD CALIBRATION for semantic dedup (q131) — the workflow
+    * step before [[semanticDedup]]: what cosine cutoff means "the same
+    * document" on THIS corpus? A deterministic md5 sample of vectors
+    * (`md5("cal|" + id) % sampleMod == 0` — the reproducible-sample
+    * contract every Sampling operator uses), exact pairwise cosine over
+    * the sample only, and EXACT interpolated percentiles of the
+    * similarity distribution (the q50-proven `percentile` ≡
+    * `quantile_cont` contract). Read p99/p90 against the intended
+    * duplicate rate and hand the cutoff to [[semanticDedup]].
+    *
+    * 100 TB shape: the pair space is sample², never corpus² — pick
+    * `sampleMod` so the sample is O(10³-10⁴) vectors regardless of
+    * corpus size (quantile error depends on sample size alone). The
+    * sample broadcasts; the pair generation is a broadcast self-join
+    * DELIBERATELY (sample-bounded by construction, the one place a
+    * nested-loop join is the intended plan). Norms stage once per
+    * vector ([[cosine]]'s hot-path note). */
+  def cosineCalibration(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", sampleMod: Int = 8): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val sampled = emb
+      .filter(graft.text.TextFunctions.md5Long(
+        concat(lit("cal|"), col(idCol).cast("string"))) % sampleMod === 0)
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", sqrt(fastDot(emb)(col("__v"), col("__v"))))
+      .filter(col("__n") > 0)
+    val pairs = sampled.select(col("__id").as("a"), col("__v").as("va"), col("__n").as("na"))
+      .join(broadcast(sampled.select(col("__id").as("b"), col("__v").as("vb"),
+        col("__n").as("nb"))), col("a") < col("b"))
+      .select(round(fastDot(emb)(col("va"), col("vb"))
+        / (col("na") * col("nb")), 6).as("sim"))
+    val quantiles = pairs.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(sim, array(0.5D, 0.9D, 0.99D))").as("p"))
+    sampled.agg(count(lit(1)).as("n_vectors")).crossJoin(quantiles)
+      .select(col("n_vectors"), col("n_pairs"),
+        element_at(col("p"), 1).as("p50"),
+        element_at(col("p"), 2).as("p90"),
+        element_at(col("p"), 3).as("p99"))
+  }
 }
