@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|decontam|imagedup|txlog] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|calibrate|decontam|imagedup|txlog] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -734,6 +734,23 @@ object Main {
         val got = spark.read.parquet(req(flags, "output"))
         println(s"mined: ${got.count()} negatives for " +
           s"${got.select("query_id").distinct().count()} queries")
+
+      case "calibrate" =>
+        // cosine-threshold calibration (q131 as a verb): the read-out
+        // you run BEFORE picking a semantic-dedup cutoff — md5 vector
+        // sample, exact pairwise cosine over the sample, exact
+        // percentiles of the similarity distribution
+        require(pos.size == 1, "calibrate needs exactly one <ds.tbl|parquetDir>")
+        val df = readTable(spark, flags, pos.head)
+        val out = graft.sim.Similarity.cosineCalibration(df,
+          flags.getOrElse("id-col", "vec_id"),
+          flags.getOrElse("vec-col", "embedding"),
+          flags.getOrElse("sample-mod", "8").toInt)
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        spark.read.parquet(req(flags, "output")).collect().foreach(r =>
+          println(f"vectors ${r.getLong(0)} pairs ${r.getLong(1)} " +
+            f"p50 ${r.getDouble(2)}%.6f p90 ${r.getDouble(3)}%.6f " +
+            f"p99 ${r.getDouble(4)}%.6f"))
 
       case "agree" =>
         // kNN label agreement (q112 as a verb): the geometric mislabel

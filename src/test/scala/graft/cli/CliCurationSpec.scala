@@ -421,6 +421,22 @@ class CliCurationSpec extends SparkSpec {
     assert(out.size == 17)
   }
 
+  test("calibrate reads out the cosine-threshold percentiles via the verb") {
+    val dir = tmpDir("cli-calibrate")
+    // two tight clusters → the similarity distribution is bimodal and
+    // p99 (within-cluster mass) sits far above p50 (cross-cluster)
+    ((0 until 40).map(i => (i.toLong, Array(1f, 0.001f * i))) ++
+      (40 until 80).map(i => (i.toLong, Array(0.001f * i, 1f))))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/in")
+    Main.run(spark, Array("calibrate", "--sample-mod", "2",
+      "--output", s"$dir/out", s"$dir/in"))
+    val r = spark.read.parquet(s"$dir/out").head()
+    assert(r.getLong(0) > 10 && r.getLong(1) > 40, s"sampled pairs: $r")
+    assert(r.getDouble(4) > r.getDouble(2),
+      s"p99 above p50 on a bimodal corpus: $r")
+    assert(r.getDouble(4) > 0.9, s"within-cluster p99 is near 1: $r")
+  }
+
   test("freq mines exact frequent tokens via the verb") {
     val dir = tmpDir("cli-freq")
     ((Seq.fill(30)("hot") ++ (1 to 70).map(i => s"t$i")).grouped(4)
