@@ -166,6 +166,34 @@ object Sampling {
       .drop("__score", "__w")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): draw
+    * `n` rows with inclusion probability proportional to `weight`, by
+    * ranking on the priority key u^(1/w) — spelled in log space as
+    * ln(u)/w so the arithmetic stays in the deterministic-ln contract
+    * (ln only on exact integers: u is the md5 long + 1; ln 2^60 is the
+    * exact domain bound; their difference is the genuine ln of a (0,1]
+    * uniform). The "uniform" u is the domain-separated md5 of
+    * `"wsample|seed|id"`, NEVER rand() — the sample is identical on any
+    * cluster, partitioning, or retry, and a new seed draws an
+    * independent sample. Key is scaled ×1e6 and rounded to 6 decimals
+    * BEFORE ranking (the cross-engine double contract); ties break on
+    * the id, so the selection is a total order.
+    *
+    * Scale shape: the key is a pure map-side projection; the global
+    * top-n runs through [[graft.util.TopN.exact]] (per-partition prune,
+    * then rank the ≤ n·P survivors) — no full sort, no single-task
+    * window, any corpus size. */
+  def weightedSample(df: DataFrame, idCol: Column, weight: Column, n: Int,
+      seed: String, keyAs: String = "es_key"): DataFrame = {
+    require(n > 0, s"weightedSample needs n > 0, got $n")
+    val u = md5Long(concat(lit(s"wsample|$seed|"), idCol.cast("string")), 15) + lit(1L)
+    val w = greatest(weight.cast("double"), lit(1.0))
+    val key = round((log(u.cast("double")) - log(lit(1152921504606846976L).cast("double")))
+      / w * lit(1000000.0), 6)
+    graft.util.TopN.exact(df.withColumn(keyAs, key),
+      Seq.empty, Seq(col(keyAs).desc, idCol.asc), n)
+  }
+
   /** Deterministic global shuffle order — the training-order step: a
     * reproducible "random" permutation of the corpus, assigned as a
     * 1-based `posCol` by rank of the domain-separated md5 of

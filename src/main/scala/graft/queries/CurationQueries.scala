@@ -139,31 +139,31 @@ object CurationQueries {
         qualityScoreOf(col("text"), col("t"), col("lt")).as("quality"))
       .orderBy(col("doc_id"))
 
+  /** DuckDB twins of the qualityScore component ratios (q21 family;
+    * also the q133 domain-filter oracle). */
+  private def ratioSql(cls: String) = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      CAST(length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) END)"""
+  private val ntSql = s"len(${toksSql("text")})"
+  /** DuckDB twin of TextFunctions.qualityScore over a `text` column. */
+  private def qualitySql: String = {
+    val stopHits = markerHitsSql("text", LangMarkers.flatMap(_._2))
+    s"""round(greatest(0.0, least(1.0,
+        0.4 * least(CAST($ntSql AS DOUBLE) / 64.0, 1.0)
+      + 0.4 * (CASE WHEN $ntSql = 0 THEN 0.0
+               ELSE least(CAST($stopHits AS DOUBLE) / CAST($ntSql AS DOUBLE) * 4.0, 1.0) END)
+      + 0.2 * (1.0 - (${ratioSql("[\\.,!\\?;:]")} + ${ratioSql("[0-9]")} + ${ratioSql("[A-Z]")})))), 6)"""
+  }
+
   val q21Sql: String = {
-    val nt = s"len(${toksSql("text")})"
-    val allMarkers = LangMarkers.flatMap(_._2)
-    val punct = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-      CAST(length(text) - length(regexp_replace(text, '[\\.,!\\?;:]', '', 'g')) AS DOUBLE)
-        / CAST(length(text) AS DOUBLE) END)"""
-    val digit = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-        / CAST(length(text) AS DOUBLE) END)"""
-    val upper = s"""(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-      CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
-        / CAST(length(text) AS DOUBLE) END)"""
+    val nt = ntSql
     val mtl = s"""(CASE WHEN $nt = 0 THEN 0.0 ELSE
       CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / CAST($nt AS DOUBLE) END)"""
-    val stopHits = markerHitsSql("text", allMarkers)
-    val quality = s"""round(greatest(0.0, least(1.0,
-        0.4 * least(CAST($nt AS DOUBLE) / 64.0, 1.0)
-      + 0.4 * (CASE WHEN $nt = 0 THEN 0.0
-               ELSE least(CAST($stopHits AS DOUBLE) / CAST($nt AS DOUBLE) * 4.0, 1.0) END)
-      + 0.2 * (1.0 - ($punct + $digit + $upper)))), 6)"""
     s"""
     SELECT doc_id, CAST($nt AS BIGINT) AS n_tokens,
-           round($punct, 6) AS punct_ratio,
+           round(${ratioSql("[\\.,!\\?;:]")}, 6) AS punct_ratio,
            round($mtl, 6) AS mean_token_len,
-           $quality AS quality
+           $qualitySql AS quality
     FROM documents ORDER BY doc_id"""
   }
 
@@ -2989,6 +2989,97 @@ object CurationQueries {
                  quantile_cont(sim, 0.99) AS p99 FROM p)
     SELECT n_vectors, n_pairs, p50, p90, p99 FROM n CROSS JOIN q"""
 
+  // ---- q132: weighted sampling without replacement ----
+
+  /** q132: [[graft.curation.Sampling.weightedSample]] —
+    * length-proportional corpus draw (long documents are likelier but
+    * short ones still sampled): Efraimidis–Spirakis priorities off the
+    * deterministic md5 uniform, global top-200 via TopN.exact. The
+    * oracle replays the exact-integer ln arithmetic and the total
+    * order, so the hash check pins the whole sample. */
+  def q132(s: SparkSession, d: String): DataFrame =
+    graft.curation.Sampling.weightedSample(docs(s, d), col("doc_id"),
+        col("n_chars"), n = 200, seed = "0")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"), col("rank"))
+      .orderBy(col("doc_id"))
+
+  val q132Sql: String = s"""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+        round((ln(CAST(${md5LongSql("concat('wsample|0|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
+               - ln(CAST(1152921504606846976 AS DOUBLE)))
+          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+      FROM documents)
+    SELECT doc_id, lang, n_chars, es_key, rank FROM (
+      SELECT k.*, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank FROM k)
+    WHERE rank <= 200 ORDER BY doc_id"""
+
+  // ---- q133: domain-level quality filter ----
+
+  /** q133: [[graft.curation.DomainFilter.domainQualityFilter]] — the
+    * two-stage web-corpus filter: per-doc quality (q21's score), exact
+    * decimal average per source, keep sources at/above the corpus mean
+    * with >= 10 docs, broadcast the keep list back. The relative
+    * threshold needs no magic constant and can never keep zero
+    * domains. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val scored = docs(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("lt", tokens(lower(col("text"))))
+      .withColumn("q", qualityScoreOf(col("text"), col("t"), col("lt")))
+    graft.curation.DomainFilter
+      .domainQualityFilter(scored, col("source"), col("q"), minCount = 10L)
+      .select(col("doc_id"), col("source"), col("domain_avg"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q133Sql: String = s"""
+    WITH dq AS MATERIALIZED (
+      SELECT doc_id, source, $qualitySql AS q FROM documents),
+    g AS (SELECT source, ${davgSql("q")} AS src_avg, COUNT(*) AS n
+          FROM dq GROUP BY source),
+    c AS (SELECT ${davgSql("q")} AS corpus_avg FROM dq)
+    SELECT dq.doc_id, dq.source, round(g.src_avg, 6) AS domain_avg
+    FROM dq JOIN g USING (source) CROSS JOIN c
+    WHERE g.src_avg >= c.corpus_avg AND g.n >= 10
+    ORDER BY dq.doc_id"""
+
+  // ---- q134: embedding-space decontamination ----
+
+  /** q134: [[Similarity.semanticContamination]] — the semantic
+    * complement of q48/q123: per corpus vector, max cosine against a
+    * broadcast eval set (deterministic md5 16th of the embeddings
+    * table), arg-max eval id, contamination flag at 0.25. One-sided
+    * probe — never corpus x corpus. */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isEval = graft.text.TextFunctions.md5Long(
+      concat(lit("decon|"), col("vec_id").cast("string"))) % 16 === 0
+    Similarity.semanticContamination(
+        emb.filter(!isEval), emb.filter(isEval), threshold = 0.25)
+      .orderBy(col("vec_id"))
+  }
+
+  val q134Sql: String = {
+    val evalPred = s"${md5LongSql("concat('decon|', CAST(vec_id AS VARCHAR))", 8)} % 16 = 0"
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v, $evalPred AS is_eval
+      FROM embeddings),
+    n AS MATERIALIZED (
+      SELECT vec_id, v, is_eval, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+    ev AS (SELECT vec_id, v, nrm FROM n WHERE is_eval AND nrm > 0.0),
+    cp AS (SELECT vec_id, v, nrm FROM n WHERE NOT is_eval AND nrm > 0.0),
+    p AS (SELECT cp.vec_id, ev.vec_id AS eval_id,
+                 round(${dotSql("cp.v", "ev.v")} / (cp.nrm * ev.nrm), 6) AS sim
+          FROM cp CROSS JOIN ev)
+    SELECT vec_id, eval_id, max_sim, contaminated FROM (
+      SELECT vec_id, eval_id, sim AS max_sim, sim >= 0.25 AS contaminated,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk
+      FROM p) WHERE rk = 1
+    ORDER BY vec_id"""
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -3068,5 +3159,8 @@ object CurationQueries {
     ("q124_signal_agreement", q124 _, Some(q124Sql)),
     ("q125_hist_quantiles", q125 _, Some(q125Sql)),
     ("q128_packing_stats", q128 _, Some(q128Sql)),
-    ("q131_cosine_calibration", q131 _, Some(q131Sql)))
+    ("q131_cosine_calibration", q131 _, Some(q131Sql)),
+    ("q132_weighted_sample", q132 _, Some(q132Sql)),
+    ("q133_domain_filter", q133 _, Some(q133Sql)),
+    ("q134_semantic_decontam", q134 _, Some(q134Sql)))
 }

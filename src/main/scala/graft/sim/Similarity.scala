@@ -864,4 +864,42 @@ object Similarity {
         element_at(col("p"), 2).as("p90"),
         element_at(col("p"), 3).as("p99"))
   }
+
+  /** Embedding-space decontamination: for every corpus vector, its max
+    * cosine against the EVAL set, the arg-max eval id (ties broken on
+    * the smaller id), and a `contaminated` flag at `threshold` — the
+    * semantic complement of the n-gram decontamination family (exact
+    * q48 / fuzzy q123): paraphrased eval leakage shares no n-grams but
+    * sits next to the eval point in embedding space.
+    *
+    * Scale shape: the q126 one-sided-probe contract — the eval set is
+    * small by construction (an eval benchmark, not a corpus) and is
+    * BROADCAST; the corpus streams through map-side: per corpus row,
+    * |eval| staged-norm dot products, one partial max. Never
+    * corpus × corpus, no shuffle of pair rows — the only exchange is
+    * the final per-id max, and even that is pre-aggregated map-side.
+    * Rows with zero-norm vectors on either side are dropped (cosine
+    * undefined). */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = withVecNorm(corpus, idCol, vecCol, "__id", "__v", "__n")
+      .filter(col("__n") > 0)
+    val e = withVecNorm(evalSet, idCol, vecCol, "__eid", "__ev", "__en",
+        spread = false)
+      .filter(col("__en") > 0)
+    c.join(broadcast(e))
+      .select(col("__id"),
+        round(fastDot(corpus)(col("__v"), col("__ev"))
+          / (col("__n") * col("__en")), 6).as("__sim"),
+        col("__eid"))
+      // max of (sim, -eval_id) = highest sim, then LOWEST eval id — an
+      // aggregate-form argmax (partial map-side combine), not a window
+      .groupBy(col("__id").as(idCol))
+      .agg(max(struct(col("__sim"), (-col("__eid")).as("__neg"))).as("__m"))
+      .select(col(idCol),
+        (-col("__m.__neg")).as("eval_id"),
+        col("__m.__sim").as("max_sim"),
+        (col("__m.__sim") >= threshold).as("contaminated"))
+  }
 }

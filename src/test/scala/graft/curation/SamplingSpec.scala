@@ -212,4 +212,60 @@ class SamplingSpec extends SparkSpec {
     // all three splits actually populated on 60 docs
     assert(out.select("split").distinct().count() == 3)
   }
+
+  test("weightedSample: deterministic, weight-biased, exact n, total order") {
+    // weights: doc 0..499 light (10), 500..999 heavy (1000)
+    val weighted = corpus.withColumn("w",
+      when($"doc_id" < 500, lit(10L)).otherwise(lit(1000L)))
+    val out = Sampling.weightedSample(weighted, $"doc_id", $"w", 100, "s1")
+    assert(out.count() == 100L)
+    val heavy = out.filter($"doc_id" >= 500).count()
+    // heavy rows are 100x likelier: expect the sample to be dominated
+    // by them (P[light dominating] is astronomically small)
+    assert(heavy > 80, s"heavy=$heavy of 100")
+    // identical sample on a different partitioning (md5 key, TopN)
+    val again = Sampling.weightedSample(weighted.repartition(13),
+      $"doc_id", $"w", 100, "s1")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // a different seed draws a different sample
+    val other = Sampling.weightedSample(weighted, $"doc_id", $"w", 100, "s2")
+    assert(other.exceptAll(out).count() > 0)
+    // ranks are 1..n under the key's total order
+    val ranks = out.select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 100L))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(weighted, $"doc_id", $"w", 0, "s"))
+  }
+
+  test("weightedSample: zero/negative weights clamp to 1, never crash") {
+    val df = spark.range(100).select($"id".as("doc_id"),
+      when($"id" < 50, lit(0L)).otherwise(lit(-3L)).as("w"))
+    val out = Sampling.weightedSample(df, $"doc_id", $"w", 20, "s")
+    assert(out.count() == 20L)
+    // all weights equal (clamped) -> sample is the plain md5-uniform draw
+    assert(out.select("es_key").as[Double].collect().forall(_ <= 0.0))
+  }
+
+  test("domainQualityFilter: keeps domains at/above corpus mean with min count") {
+    val df = Seq.tabulate(60) { i =>
+      val dom = s"d${i % 3}"
+      // d0 scores high, d1 mid, d2 low
+      val score = (i % 3) match { case 0 => 0.9; case 1 => 0.5; case 2 => 0.1 }
+      (i.toLong, dom, score)
+    }.toDF("id", "dom", "score")
+    val kept = DomainFilter.domainQualityFilter(df, $"dom", $"score", minCount = 5L)
+    val doms = kept.select("dom").distinct().as[String].collect().toSet
+    // corpus mean = 0.5 -> d0 (0.9) and d1 (0.5, ties keep) survive
+    assert(doms == Set("d0", "d1"), s"kept $doms")
+    assert(kept.count() == 40L)
+    assert(kept.filter($"dom" === "d0").select("domain_avg")
+      .distinct().as[Double].head() == 0.9)
+    // minCount prunes small domains even when high-scoring
+    val plus = df.union(Seq((100L, "tiny", 1.0)).toDF("id", "dom", "score"))
+    val kept2 = DomainFilter.domainQualityFilter(plus, $"dom", $"score", minCount = 5L)
+    assert(!kept2.select("dom").distinct().as[String].collect().contains("tiny"))
+    // partitioning-invariant (decimal sums)
+    val again = DomainFilter.domainQualityFilter(df.repartition(7), $"dom", $"score", 5L)
+    assert(kept.exceptAll(again).isEmpty)
+  }
 }

@@ -304,4 +304,30 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"query_id").as[(Long, Double)].collect().toSeq
     assert(got2 == got)
   }
+
+  test("semanticContamination: argmax eval, tie-break, flag, zero-norm drop") {
+    val evalSet = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 0f, 0f))) // duplicate direction of eval 1
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2f, 0f, 0f, 0f)),   // parallel to eval 1 AND 3 -> tie, keep 1
+      (11L, Array(0f, 0.1f, 0f, 0f)), // parallel to eval 2
+      (12L, Array(0f, 0f, 1f, 1f)),   // orthogonal to all -> sim 0
+      (13L, Array(0f, 0f, 0f, 0f)))   // zero norm -> dropped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, evalSet, threshold = 0.9)
+      .orderBy($"vec_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (10L, 1L, 1.0, true),
+      (11L, 2L, 1.0, true),
+      (12L, 1L, 0.0, false)), s"got $got")
+    // partitioning-invariant (aggregate-form argmax)
+    val again = Similarity.semanticContamination(
+      corpus.repartition(5), evalSet, threshold = 0.9)
+      .orderBy($"vec_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(again == got)
+  }
 }
