@@ -461,10 +461,28 @@ object RegoRules {
         case "substring" => s"substr(${a(0)}, (${a(1)}) + 1, ${a(2)})"
         case "indexof" => s"(instr(${a(0)}, ${a(1)}) - 1)"
         case "sum" => s"aggregate(${a.head}, cast(0.0 as double), (acc, x) -> acc + x)"
+        case "product" => s"aggregate(${a.head}, cast(1.0 as double), (acc, x) -> acc * x)"
         case "max" => s"array_max(${a.head})"
         case "min" => s"array_min(${a.head})"
         case "sort" => s"sort_array(${a.head})"
         case "array.concat" => s"concat(${a.mkString(", ")})"
+        case "array.reverse" | "strings.reverse" => s"reverse(${a.head})"
+        // OPA numbers.range is inclusive both ends and auto-steps -1
+        // when descending — exactly Spark's sequence()
+        case "numbers.range" => s"sequence(${a(0)}, ${a(1)})"
+        // non-overlapping literal substring occurrences
+        case "strings.count" =>
+          s"cast((length(${a(0)}) - length(replace(${a(0)}, ${a(1)}, ''))) / length(${a(1)}) as bigint)"
+        case "base64.encode" => s"base64(cast(${a.head} as binary))"
+        case "base64.decode" => s"cast(unbase64(${a.head}) as string)"
+        // OPA hex.encode emits lowercase; Spark hex() uppercase
+        case "hex.encode" => s"lower(hex(cast(${a.head} as binary)))"
+        case "hex.decode" => s"cast(unhex(${a.head}) as string)"
+        // OPA format_int emits lowercase digits for base 16
+        case "format_int" => s"lower(conv(cast(${a(0)} as bigint), 10, cast(${a(1)} as int)))"
+        // structured values only (struct/map/array columns) — a scalar
+        // arg fails loudly at analysis, matching the loud-fail boundary
+        case "json.marshal" => s"to_json(${a.head})"
         case "array.slice" =>
           // OPA slice is [lo, hi) 0-based; SQL slice is (start 1-based, length)
           s"slice(${a(0)}, (${a(1)}) + 1, (${a(2)}) - (${a(1)}))"
@@ -473,6 +491,8 @@ object RegoRules {
         // what policies actually write; RE2-only syntax fails loudly
         // at evaluation, never silently matches differently.
         case "regex.match" => s"(${a(1)} rlike ${a(0)})"
+        case "regex.split" => s"split(${a(1)}, ${a(0)}, -1)"
+        case "regex.replace" => s"regexp_replace(${a(0)}, ${a(1)}, ${a(2)})"
         case "sprintf" => args match {
           case Seq(Term.Str(fmt), Term.Arr(items)) =>
             // OPA's %v prints like %s for the scalar types a data-plane

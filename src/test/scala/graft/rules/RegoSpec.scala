@@ -901,4 +901,38 @@ src[{"schema": "s"}] {
 src[{"schema": "s"}] { sprintf(input.cs.name, [1]) == "x" }"""))
     assert(e.getMessage.contains("sprintf"))
   }
+
+  test("encoding/number/regex builtin family compiles and matches OPA semantics") {
+    import spark.implicits._
+    val meta = Seq(
+      ("corp-logs", "/web/a.log.gz", 10L, java.sql.Timestamp.valueOf("2024-05-01 10:00:00"), "aa"))
+      .toDF("bucket", "name", "size", "created_at", "md5")
+    // every predicate is OPA-checkable: encode/decode round-trips,
+    // lowercase hex/format_int, inclusive numbers.range, product,
+    // strings.count non-overlapping, regex split/replace arg orders
+    val r = RegoRules.compile("""package event
+src[{"schema": "s"}] {
+	base64.encode("swarm") == "c3dhcm0="
+	base64.decode("c3dhcm0=") == "swarm"
+	hex.encode("AB") == "4142"
+	hex.decode("4142") == "AB"
+	format_int(255, 16) == "ff"
+	numbers.range(2, 5) == [2, 3, 4, 5]
+	numbers.range(3, 1) == [3, 2, 1]
+	product([2, 3, 4]) == 24
+	strings.count("banana", "an") == 2
+	strings.reverse("abc") == "cba"
+	array.reverse([1, 2]) == [2, 1]
+	regex.split("/", input.cs.name) == ["", "web", "a.log.gz"]
+	regex.replace(input.cs.name, "[0-9]+", "N") == input.cs.name
+	input.cs.bucket == "corp-logs"
+}""")
+    val matched = r.matchObjects(meta).map { case (_, df) => df.count() }.sum
+    assert(matched == 1L, "all encoding/number builtins hold on the row")
+
+    // unknown builtins still fail loudly at compile, not silently false
+    val e = intercept[RuntimeException](RegoRules.compile("""package event
+src[{"schema": "s"}] { units.parse("10KB") == 10000 }"""))
+    assert(e.getMessage.contains("unsupported builtin"))
+  }
 }
