@@ -186,12 +186,21 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: Column, weight: Column, n: Int,
       seed: String, keyAs: String = "es_key"): DataFrame = {
     require(n > 0, s"weightedSample needs n > 0, got $n")
+    graft.util.TopN.exact(df.withColumn(keyAs, esKey(idCol, weight, seed)),
+      Seq.empty, Seq(col(keyAs).desc, idCol.asc), n)
+  }
+
+  /** The Efraimidis–Spirakis priority key of [[weightedSample]] — a
+    * pure per-row projection, exposed so the STREAMING reservoir
+    * ([[graft.streaming.Reservoir]]) ranks by the identical key: the
+    * E-S priority is mergeable (top-n(A ∪ B) = top-n(top-n(A) ∪ B)),
+    * which is exactly what makes the streaming sample equal the batch
+    * sample. */
+  private[graft] def esKey(idCol: Column, weight: Column, seed: String): Column = {
     val u = md5Long(concat(lit(s"wsample|$seed|"), idCol.cast("string")), 15) + lit(1L)
     val w = greatest(weight.cast("double"), lit(1.0))
-    val key = round((log(u.cast("double")) - log(lit(1152921504606846976L).cast("double")))
+    round((log(u.cast("double")) - log(lit(1152921504606846976L).cast("double")))
       / w * lit(1000000.0), 6)
-    graft.util.TopN.exact(df.withColumn(keyAs, key),
-      Seq.empty, Seq(col(keyAs).desc, idCol.asc), n)
   }
 
   /** Deterministic global shuffle order — the training-order step: a

@@ -1126,6 +1126,45 @@ log[d] {
     s.read.parquet(s"$work/flagged").orderBy(col("doc_id"))
   }
 
+  /** q135: STREAMING weighted reservoir
+    * ([[graft.streaming.Reservoir.streamWeightedSample]]) — q132's
+    * Efraimidis–Spirakis draw over a live 6-file feed. The E-S key is
+    * mergeable, so the final reservoir equals the batch sample exactly
+    * and q132's oracle adjudicates the streaming path unchanged. */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q135")
+    val in = graft.streaming.ScoreStream.feed(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      s"$work/landing")
+    graft.streaming.Reservoir.streamWeightedSample(s, in,
+        idCol = "doc_id", weightCol = "n_chars", n = 200, seed = "0",
+        storeDir = s"$work/reservoir", checkpointDir = s"$work/ckpt")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q136: STREAMING embedding-space decontamination —
+    * [[graft.sim.Similarity.semanticContamination]] against a FROZEN
+    * eval set, per micro-batch over a live corpus feed
+    * ([[graft.streaming.ScoreStream.replay]]). Per-batch argmax equals
+    * the batch argmax (the scoring is per-row against frozen state), so
+    * the union of batch appends is q134's answer and q134's oracle
+    * adjudicates the streaming path unchanged. */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q136")
+    val emb = Tables.embeddings(s, d)
+    val isEval = graft.text.TextFunctions.md5Long(
+      concat(lit("decon|"), col("vec_id").cast("string"))) % 16 === 0
+    val evalSet = emb.filter(isEval)
+    val in = graft.streaming.ScoreStream.feed(
+      emb.filter(!isEval), s"$work/landing")
+    graft.streaming.ScoreStream.replay(in, Seq(evalSet),
+      outDir = s"$work/report", checkpointDir = s"$work/ckpt") { batch =>
+      graft.sim.Similarity.semanticContamination(batch, evalSet, threshold = 0.25)
+    }
+    s.read.parquet(s"$work/report").orderBy(col("vec_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1159,5 +1198,9 @@ log[d] {
     ("q127_stream_dsir_gate", q127 _, Some(q127Sql)),
     ("q129_stream_decontam", q129 _,
       Some(graft.queries.CurationQueries.q123Sql)),
-    ("q130_bigquery_pipeline", q130 _, Some(q33Sql)))
+    ("q130_bigquery_pipeline", q130 _, Some(q33Sql)),
+    ("q135_stream_weighted_sample", q135 _,
+      Some(graft.queries.CurationQueries.q132Sql)),
+    ("q136_stream_semantic_decontam", q136 _,
+      Some(graft.queries.CurationQueries.q134Sql)))
 }

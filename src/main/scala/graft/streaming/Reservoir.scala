@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming weighted reservoir — exact weighted sampling WITHOUT
+  * replacement over a live feed. The batch operator's
+  * Efraimidis–Spirakis priority key ([[graft.curation.Sampling.esKey]])
+  * is mergeable: top-n(A ∪ B) = top-n(top-n(A) ∪ B), so a store that
+  * keeps only the current top-n and re-ranks it against each
+  * micro-batch holds, at every trigger, EXACTLY the sample the batch
+  * operator would draw from everything seen so far. That is the whole
+  * point: a crawl can be sampled as it lands, and the result is
+  * indistinguishable from sampling the finished corpus (the q104→q108
+  * streaming-equals-batch adjudication pattern, in reservoir form).
+  *
+  * Per-batch work is top-n over (n + batch) rows — never the history;
+  * the store is n rows by construction, so state is O(n) regardless of
+  * how much has streamed past. Re-delivered batches (at-least-once
+  * replay after a crash) are absorbed by the id-level dedup before
+  * ranking: the E-S key is a pure function of the id, so a replayed row
+  * is byte-identical to its first delivery and collapses.
+  *
+  * Store layout: `storeDir/gen=N` parquet + a `GEN` pointer file,
+  * swapped atomically (write-new → move-pointer → delete-old); a crash
+  * between steps leaves either the old complete generation (pointer
+  * not yet moved) or the new one — never a torn store.
+  */
+object Reservoir {
+
+  /** Drain `stream` with AvailableNow, folding each micro-batch into
+    * the weighted reservoir at `storeDir`. Returns the final sample
+    * with the key column and its 1..n `rank` (the batch operator's
+    * exact output shape). */
+  def streamWeightedSample(spark: SparkSession, stream: DataFrame,
+      idCol: String, weightCol: String, n: Int, seed: String,
+      storeDir: String, checkpointDir: String,
+      keyAs: String = "es_key"): DataFrame = {
+    require(n > 0, s"reservoir needs n > 0, got $n")
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val keyed = batch.withColumn(keyAs,
+          graft.curation.Sampling.esKey(col(idCol), col(weightCol), seed))
+        val merged = current(spark, storeDir) match {
+          case Some(cur) => cur.drop("rank").unionByName(keyed)
+          case None => keyed
+        }
+        val top = graft.util.TopN.exact(merged.dropDuplicates(idCol),
+          Seq.empty, Seq(col(keyAs).desc, col(idCol).asc), n)
+        advance(spark, storeDir, top)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    current(spark, storeDir).getOrElse(
+      spark.emptyDataFrame)
+  }
+
+  private def genFile(storeDir: String) = Paths.get(storeDir, "GEN")
+
+  /** The committed reservoir, or None before the first generation. */
+  def current(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val p = genFile(storeDir)
+    if (!Files.exists(p)) None
+    else Some(spark.read.parquet(s"$storeDir/gen=${Files.readString(p).trim}"))
+  }
+
+  /** Write the next generation, move the pointer (atomic rename of a
+    * tmp pointer — readers see old or new, never torn), drop the old. */
+  private def advance(spark: SparkSession, storeDir: String, top: DataFrame): Unit = {
+    val p = genFile(storeDir)
+    val old = if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    val next = old.map(_.toLong + 1).getOrElse(0L)
+    // the store is n rows by construction — one file keeps the
+    // generation a single-object swap on any filesystem
+    top.coalesce(1).write.mode("overwrite").parquet(s"$storeDir/gen=$next")
+    val tmp = Paths.get(storeDir, "GEN.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    old.foreach { g =>
+      val dir = Paths.get(storeDir, s"gen=$g")
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.curation.Sampling
+
+/** Streaming weighted reservoir: the E-S priority key is mergeable, so
+  * the final store must equal the batch weightedSample over everything
+  * fed — the streaming-equals-batch identity q135's oracle relies on —
+  * and a re-delivered batch must collapse in the id dedup. */
+class ReservoirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.range(500)
+    .select($"id".as("doc_id"),
+      (($"id" % 7) * 100 + 10).as("w"))
+
+  test("streaming reservoir == batch weightedSample (merge identity)") {
+    val work = graft.util.Workspace.temp("reservoir-spec")
+    val feed = ScoreStream.feed(corpus, s"$work/landing", files = 5)
+    val streamed = Reservoir.streamWeightedSample(spark, feed,
+      "doc_id", "w", n = 60, seed = "s", s"$work/store", s"$work/ckpt")
+    val batch = Sampling.weightedSample(corpus, $"doc_id", $"w", 60, "s")
+    assert(streamed.count() == 60)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // exactly one committed generation dir remains (old ones swept)
+    val gens = new java.io.File(s"$work/store").listFiles()
+      .filter(_.getName.startsWith("gen=")).map(_.getName).toSeq
+    assert(gens.size == 1, s"generations left: $gens")
+  }
+
+  test("re-delivered rows collapse; store stays O(n) across many batches") {
+    val work = graft.util.Workspace.temp("reservoir-replay")
+    // same rows fed TWICE (at-least-once replay): dedup by id must
+    // absorb them — the key is a pure function of the id
+    val doubled = corpus.union(corpus)
+    val feed = ScoreStream.feed(doubled, s"$work/landing", files = 8)
+    val streamed = Reservoir.streamWeightedSample(spark, feed,
+      "doc_id", "w", n = 40, seed = "s", s"$work/store", s"$work/ckpt")
+    val batch = Sampling.weightedSample(corpus, $"doc_id", $"w", 40, "s")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // no duplicate ids inside the reservoir
+    assert(streamed.select("doc_id").distinct().count() == 40)
+  }
+
+  test("current() is None before the first commit; resumes from the pointer") {
+    val work = graft.util.Workspace.temp("reservoir-gen")
+    assert(Reservoir.current(spark, s"$work/store").isEmpty)
+    // two separate drains over two disjoint feeds: the second resumes
+    // from the first's committed store and the union equals one batch
+    val (a, b) = (corpus.filter($"doc_id" < 250), corpus.filter($"doc_id" >= 250))
+    val f1 = ScoreStream.feed(a, s"$work/l1", files = 2)
+    Reservoir.streamWeightedSample(spark, f1, "doc_id", "w", 30, "s",
+      s"$work/store", s"$work/ckpt1")
+    val f2 = ScoreStream.feed(b, s"$work/l2", files = 2)
+    val streamed = Reservoir.streamWeightedSample(spark, f2, "doc_id", "w", 30, "s",
+      s"$work/store", s"$work/ckpt2")
+    val batch = Sampling.weightedSample(corpus, $"doc_id", $"w", 30, "s")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
