@@ -38,7 +38,7 @@ object Main {
       |  sql     --warehouse <dir> <query>
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
       |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
-      |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s>) [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--ids] [--save-vocab <file>] [--load-vocab <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -47,7 +47,7 @@ object Main {
       |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--ngram 2|3] [--save-model <dir> | --load-model <dir>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  decontam --output <dir> --eval "<bool SQL>" [--fuzzy] [--k <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  decontam --output <dir> --eval "<bool SQL>" [--fuzzy | --semantic [--threshold <t>] [--vec-col <c>]] [--k <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  txlog versions --warehouse <dir> <ds.tbl>
       |  txlog snapshot --warehouse <dir> --output <dir> [--version <n>] <ds.tbl>
@@ -60,7 +60,7 @@ object Main {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
     val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids",
-      "--overlap", "--intra", "--expire", "--fuzzy")
+      "--overlap", "--intra", "--expire", "--fuzzy", "--semantic", "--weighted")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -330,9 +330,14 @@ object Main {
           else if (flags.contains("shuffle-seed"))
             // deterministic training-order assignment (q80 operator)
             graft.curation.Sampling.shuffleOrder(df, id, flags("shuffle-seed"))
+          else if (flags.contains("weighted"))
+            // Efraimidis-Spirakis without-replacement draw (q132)
+            graft.curation.Sampling.weightedSample(df, id,
+              col(req(flags, "weight-col")), req(flags, "n").toInt,
+              flags.getOrElse("seed", "0"))
           else sys.error(
             s"sample needs --per-mille, --strata + --cap, --cluster-cap, " +
-              s"or --shuffle-seed\n$usage")
+              s"--shuffle-seed, or --weighted + --weight-col + --n\n$usage")
         sampled.write.mode("overwrite").parquet(req(flags, "output"))
         println(s"sampled rows: " +
           spark.read.parquet(req(flags, "output")).count())
@@ -782,7 +787,19 @@ object Main {
         val idCol = flags.getOrElse("id-col", "doc_id")
         val textCol = flags.getOrElse("text-col", "text")
         val out =
-          if (flags.contains("fuzzy"))
+          if (flags.contains("semantic")) {
+            // embedding-space decontamination (q134): max cosine of
+            // each corpus vector against the eval slice, flag at
+            // --threshold; report rows above it (paraphrased leaks
+            // share no n-grams but sit next to the eval point)
+            import org.apache.spark.sql.functions.{col, not}
+            graft.sim.Similarity.semanticContamination(
+                df.filter(not(evalPred)), df.filter(evalPred),
+                threshold = flags.getOrElse("threshold", "0.25").toDouble,
+                idCol = flags.getOrElse("id-col", "vec_id"),
+                vecCol = flags.getOrElse("vec-col", "embedding"))
+              .filter(col("contaminated"))
+          } else if (flags.contains("fuzzy"))
             graft.dedup.Dedup.fuzzyContamination(df, evalPred,
               shingleK = flags.getOrElse("k", "3").toInt,
               w = flags.getOrElse("w", "4").toInt,

@@ -384,4 +384,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"pair de-dup must be the aggregate form:\n$plan")
   }
+
+  test("semantic decontam: broadcast eval probe + aggregate-form argmax, no shuffle of pairs (q134 shape)") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => math.cos(i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = formatted(Similarity.semanticContamination(
+      emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+      threshold = 0.5))
+    // the eval side must arrive broadcast — corpus x corpus at scale
+    // otherwise (the q126 one-sided-probe contract)
+    assert(plan.contains("BroadcastExchange"),
+      s"eval set must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"pair rows must never shuffle:\n$plan")
+    // argmax is the aggregate form (partial max map-side), not a window
+    // over shuffled pair rows
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"argmax must pre-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"), s"no window over pair rows:\n$plan")
+  }
+
+  test("domain filter: keep-list comes back broadcast — the corpus never reshuffles (q133 shape)") {
+    import graft.curation.DomainFilter
+    val df = (0L until 60L).map(i => (i, s"d${i % 4}", (i % 10) / 10.0))
+      .toDF("id", "dom", "score")
+    val plan = formatted(
+      DomainFilter.domainQualityFilter(df, col("dom"), col("score"), 5L))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"keep-list join must be broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the keep-list join:\n$plan")
+  }
 }

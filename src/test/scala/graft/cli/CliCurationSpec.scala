@@ -81,6 +81,34 @@ class CliCurationSpec extends SparkSpec {
       .sortBy(_._1).toSeq == direct, "verb byte-equivalent to the operator")
   }
 
+  test("sample --weighted draws the E-S without-replacement sample via the verb") {
+    val dir = tmpDir("cli-weighted")
+    corpus.write.parquet(s"$dir/in")
+    Main.run(spark, Array("sample", "--weighted", "--weight-col", "w",
+      "--n", "50", "--seed", "s1", "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    val direct = Sampling.weightedSample(corpus, col("doc_id"), col("w"), 50, "s1")
+    assert(out.count() == 50)
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty,
+      "verb byte-equivalent to the operator")
+  }
+
+  test("decontam --semantic flags embedding-space leaks via the verb") {
+    val dir = tmpDir("cli-semdecon")
+    // eval = vec 0/1; vec 10 is a near-copy of vec 0 (leak), vec 11 is
+    // orthogonal
+    Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (10L, Array(0.99f, 0.01f, 0f)), (11L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/in")
+    Main.run(spark, Array("decontam", "--semantic", "--eval", "vec_id < 2",
+      "--threshold", "0.9", "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("vec_id").as[Long].collect().toSeq == Seq(10L),
+      "only the planted near-copy is flagged")
+    assert(out.select("eval_id").as[Long].head() == 0L)
+  }
+
   test("tokenize trains, saves, reloads, and encodes losslessly via the verb") {
     val dir = tmpDir("cli-tokenize")
     Seq((1L, "the cat sat on the mat"), (2L, "the mat sat on the cat"),
