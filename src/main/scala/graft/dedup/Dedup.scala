@@ -996,4 +996,69 @@ object Dedup {
     flagged.join(broadcast(dup), col(digestCol) === col("__dup"), "left_anti")
       .drop("__hit")
   }
+
+  // ---- content-defined chunking (CDC) ----
+
+  /** One row per (doc, chunk): content-defined chunk digests. A chunk
+    * boundary falls AFTER token `i+k-1` wherever the md5 hash of the
+    * k-shingle starting at `i` is ≡ 0 (mod `p`) — the rolling-hash
+    * chunking rule (Rabin-style CDC, the storage-dedup classic applied
+    * to corpus text): boundaries depend only on LOCAL content, so a
+    * passage shared by two documents chunks the same way in both no
+    * matter where it sits, and its chunks collide by digest. That
+    * shift-invariance is what fixed-window chunking ([[graft.curation
+    * .Packing]] q69) fundamentally cannot give, and what makes CDC the
+    * petabyte-scale sub-document dedup shape: expected chunk length is
+    * `p` tokens, tunable independently of document length.
+    *
+    * Docs with fewer than `k` tokens are skipped (no shingle to hash).
+    * A boundary landing exactly on the last token is dropped (the
+    * final chunk always ends at the document end).
+    *
+    * Scale shape: pure map-side — tokens, shingle hashes, boundary
+    * scan, and chunk digests are all per-row projections over staged
+    * bound columns (the *Of contract); no shuffle, no explode until
+    * the caller aggregates. */
+  def cdcChunks(docs: DataFrame, k: Int = 3, p: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1 && p >= 1, s"cdcChunks needs k >= 1, p >= 1, got k=$k p=$p")
+    docs
+      .withColumn("__t", tokens(col(textCol)))
+      .filter(size(col("__t")) >= k)
+      .withColumn("__sh", call_function("graft_shingles", col("__t"), lit(k)))
+      .withColumn("__h", transform(col("__sh"), s => md5Long(s)))
+      .withColumn("__ends", concat(
+        transform(
+          filter(sequence(lit(1), size(col("__h"))), i =>
+            element_at(col("__h"), i) % p === 0 &&
+              (i + lit(k - 1)) =!= size(col("__t"))),
+          i => i + lit(k - 1)),
+        array(size(col("__t")))))
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__ends"))), j => {
+          val start = when(j === 1, lit(1))
+            .otherwise(element_at(col("__ends"), (j - 1).cast("int")) + 1)
+          val end = element_at(col("__ends"), j.cast("int"))
+          struct(
+            md5(array_join(slice(col("__t"), start, end - start + 1), " "))
+              .as("chunk_digest"),
+            (end - start + 1).cast("long").as("chunk_tokens"))
+        })).as("__c"))
+      .select(col(idCol), col("__c.chunk_digest"), col("__c.chunk_tokens"))
+  }
+
+  /** The cross-document duplicated-chunk report: CDC chunks appearing
+    * in 2+ DISTINCT documents, with occurrence counts and an anchor
+    * doc — what a sub-document dedup pass strips or a contamination
+    * audit reads. One digest-keyed aggregation; shuffle volume is
+    * ~corpus/p digest rows, never pairs. */
+  def cdcDuplicateChunks(docs: DataFrame, k: Int = 3, p: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cdcChunks(docs, k, p, idCol, textCol)
+      .groupBy(col("chunk_digest"))
+      .agg(max(col("chunk_tokens")).as("chunk_tokens"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("min_doc"))
+      .filter(col("n_docs") >= 2)
 }

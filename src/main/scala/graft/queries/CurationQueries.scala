@@ -3080,6 +3080,49 @@ object CurationQueries {
     ORDER BY vec_id"""
   }
 
+  // ---- q137: content-defined chunking dedup ----
+
+  /** q137: [[Dedup.cdcDuplicateChunks]] — Rabin-style content-defined
+    * chunking over tokens (boundary where the k-shingle md5 ≡ 0 mod p),
+    * then the cross-document duplicated-chunk report. Boundaries are
+    * local content, so shared passages chunk identically in both hosts
+    * regardless of offset — the shift-invariant sub-document dedup
+    * q69's fixed windows can't express. The oracle replays the
+    * boundary scan, the slice arithmetic, and the digest aggregation
+    * over staged CTE columns. */
+  def q137(s: SparkSession, d: String): DataFrame =
+    Dedup.cdcDuplicateChunks(docs(s, d), k = 3, p = 8)
+      .orderBy(col("chunk_digest"))
+
+  val q137Sql: String = s"""
+    WITH ct AS MATERIALIZED (
+      SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+    cf AS (SELECT doc_id, t FROM ct WHERE len(t) >= 3),
+    chh AS MATERIALIZED (
+      SELECT doc_id, t,
+             list_transform(${shinglesSql("t", 3)}, s -> ${md5LongSql("s", 8)}) AS h
+      FROM cf),
+    ce AS MATERIALIZED (
+      SELECT doc_id, t,
+        list_concat(list_transform(list_filter(range(1, len(h) + 1),
+          i -> (h[i] % 8 = 0) AND (i + 2 <> len(t))), i -> i + 2), [len(t)]) AS ends
+      FROM chh),
+    ck AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(range(1, len(ends) + 1), j ->
+          md5(array_to_string(list_slice(t,
+            CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END, ends[j]), ' '))) AS ds,
+        list_transform(range(1, len(ends) + 1), j ->
+          ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1) AS ns
+      FROM ce),
+    ex AS (SELECT doc_id, unnest(ds) AS chunk_digest, unnest(ns) AS chunk_tokens
+           FROM ck)
+    SELECT chunk_digest, CAST(max(chunk_tokens) AS BIGINT) AS chunk_tokens,
+           COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS min_doc
+    FROM ex GROUP BY chunk_digest HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY chunk_digest"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -3162,5 +3205,6 @@ object CurationQueries {
     ("q131_cosine_calibration", q131 _, Some(q131Sql)),
     ("q132_weighted_sample", q132 _, Some(q132Sql)),
     ("q133_domain_filter", q133 _, Some(q133Sql)),
-    ("q134_semantic_decontam", q134 _, Some(q134Sql)))
+    ("q134_semantic_decontam", q134 _, Some(q134Sql)),
+    ("q137_cdc_chunk_dedup", q137 _, Some(q137Sql)))
 }

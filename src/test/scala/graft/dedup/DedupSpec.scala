@@ -344,4 +344,31 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(t.map(_._3) == Seq(1L, 1L), s"tie keeps min id: $t")
   }
+
+  test("cdcChunks: boundaries are shift-invariant; chunks cover the doc exactly") {
+    // the same long passage embedded at DIFFERENT offsets in two hosts
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage"),
+      (2L, s"one two three four five six seven $passage tail word"),
+      (3L, "entirely different content with no shared passage at all here"))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, k = 3, p = 4)
+    // chunk token counts reconstruct each doc exactly (full coverage,
+    // no overlap, no loss)
+    val cover = chunks.groupBy("doc_id").agg(sum("chunk_tokens").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(cover == Map(1L -> 42L, 2L -> 49L, 3L -> 10L), s"$cover")
+    // shift-invariance: interior chunks of the shared passage collide
+    // across hosts despite the different offsets
+    val dup = Dedup.cdcDuplicateChunks(docs, k = 3, p = 4)
+    val shared = dup.filter($"n_docs" === 2).count()
+    assert(shared >= 1, "interior chunks of the shared passage must collide")
+    // determinism under partitioning
+    val again = Dedup.cdcChunks(docs.repartition(5), k = 3, p = 4)
+    assert(chunks.exceptAll(again).isEmpty && again.exceptAll(chunks).isEmpty)
+    // short docs (< k tokens) are skipped, not crashed
+    val tiny = Dedup.cdcChunks(Seq((9L, "ab cd")).toDF("doc_id", "text"), k = 3, p = 4)
+    assert(tiny.count() == 0)
+  }
 }
