@@ -28,7 +28,7 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|calibrate|decontam|imagedup|txlog] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|calibrate|decontam|imagedup|chunkdup|txlog] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
@@ -49,6 +49,7 @@ object Main {
       |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--ngram 2|3] [--save-model <dir> | --load-model <dir>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  decontam --output <dir> --eval "<bool SQL>" [--fuzzy | --semantic [--threshold <t>] [--vec-col <c>]] [--k <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  chunkdup --output <dir> [--ref "<bool SQL>"] [--k <n>] [--p <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  txlog versions --warehouse <dir> <ds.tbl>
       |  txlog snapshot --warehouse <dir> --output <dir> [--version <n>] <ds.tbl>
       |  txlog vacuum   --warehouse <dir> [--older-than-ms <n>] <ds.tbl>
@@ -826,6 +827,31 @@ object Main {
         out.write.mode("overwrite").parquet(req(flags, "output"))
         println(s"image near-dup pairs: " +
           s"${spark.read.parquet(req(flags, "output")).count()} (radius $radius)")
+
+      case "chunkdup" =>
+        // content-defined chunking dedup (q137/q138 as a verb): default
+        // emits the cross-doc duplicated-chunk report; --ref "<pred>"
+        // switches to per-doc duplication COVERAGE against the
+        // reference slice (the crawl-gate signal)
+        require(pos.size == 1, "chunkdup needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{expr, not}
+        val df = readTable(spark, flags, pos.head)
+        val k = flags.getOrElse("k", "3").toInt
+        val p = flags.getOrElse("p", "8").toInt
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val textCol = flags.getOrElse("text-col", "text")
+        val out = flags.get("ref") match {
+          case Some(pred) =>
+            val refPred = expr(pred)
+            graft.dedup.Dedup.cdcCoverage(df.filter(not(refPred)),
+              graft.dedup.Dedup.cdcDigests(df.filter(refPred), k, p, idCol, textCol),
+              k, p, idCol, textCol)
+          case None =>
+            graft.dedup.Dedup.cdcDuplicateChunks(df, k, p, idCol, textCol)
+        }
+        out.write.mode("overwrite").parquet(req(flags, "output"))
+        println(s"chunkdup rows: ${spark.read.parquet(req(flags, "output")).count()}" +
+          s" (k=$k p=$p${flags.get("ref").map(r => s" ref=$r").getOrElse("")})")
 
       case "txlog" =>
         // maintenance/lineage verbs for the transaction-log backend:

@@ -38,14 +38,27 @@ object HistQuantiles {
     *         ordered by (group, q)
     */
   def quantiles(df: DataFrame, group: Column, v: Column,
+      bins: Int = 128, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    weightedQuantiles(df, group, v, lit(1L), bins, qs)
+
+  /** [[quantiles]] over PRE-COUNTED values: each row carries a value
+    * and its multiplicity `w`. `quantiles(df, g, v)` ≡
+    * `weightedQuantiles(distinct-counts of v, g, v, c)` — counts are
+    * commutative integers either way, so the two spellings are
+    * bit-identical. The weighted form is what a STREAMING value-count
+    * accumulator ([[graft.streaming.CountStream]]) reads out through:
+    * the (group, value, count) table is the operator's mergeable
+    * sufficient statistic. */
+  def weightedQuantiles(df: DataFrame, group: Column, v: Column, wgt: Column,
       bins: Int = 128, qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(bins >= 2, s"need >= 2 bins, got $bins")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
       s"quantile points must lie in (0, 1): $qs")
-    val staged = df.select(group.as("grp"), v.cast(DoubleType).as("x"))
+    val staged = df.select(group.as("grp"), v.cast(DoubleType).as("x"),
+      wgt.cast("long").as("w"))
     val ranges = staged.groupBy(col("grp"))
       .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
-        count(lit(1)).as("n"))
+        sum(col("w")).as("n"))
       .withColumn("width", (col("hi") - col("lo")) / lit(bins.toDouble))
     // bin membership: integer floor of (x − lo)/width, top edge clamped
     val binned = staged.join(broadcast(ranges), Seq("grp"))
@@ -53,7 +66,7 @@ object HistQuantiles {
         when(col("width") === 0.0, lit(0))
           .otherwise(least(floor((col("x") - col("lo")) / col("width"))
             .cast("int"), lit(bins - 1))))
-      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"), col("bin")).agg(sum(col("w")).as("c"))
     // cumulative-before per bin: a window over the BINS-BOUNDED count
     // table (≤ bins rows per group — never data-scale)
     val w = org.apache.spark.sql.expressions.Window

@@ -1061,4 +1061,36 @@ object Dedup {
         countDistinct(col(idCol)).as("n_docs"),
         min(col(idCol)).as("min_doc"))
       .filter(col("n_docs") >= 2)
+
+  /** The distinct CDC chunk-digest set of a reference corpus — the
+    * frozen side of [[cdcCoverage]] (and its streaming gate): what a
+    * crawl's incoming documents are screened against. */
+  def cdcDigests(ref: DataFrame, k: Int = 3, p: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cdcChunks(ref, k, p, idCol, textCol).select(col("chunk_digest")).distinct()
+
+  /** Per-document sub-document duplication coverage against a
+    * reference chunk-digest set: the token-weighted fraction of each
+    * probe document already present (as content-defined chunks) in the
+    * reference — the signal a crawl-dedup gate thresholds on. CDC's
+    * shift-invariance is what makes the measure meaningful: a copied
+    * passage registers wherever it sits in the host.
+    *
+    * Scale shape: probe chunking is map-side; the one shuffle is the
+    * digest equi-join against the reference set (~|probe|/p rows vs
+    * ~|ref|/p rows — chunk digests, never documents, never pairs).
+    * Coverage is a per-doc aggregate of exact integer token counts;
+    * the double division happens once per doc, after. */
+  def cdcCoverage(probe: DataFrame, refDigests: DataFrame, k: Int = 3,
+      p: Int = 8, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cdcChunks(probe, k, p, idCol, textCol)
+      .join(refDigests.select(col("chunk_digest")).distinct()
+        .withColumn("__dup", lit(1)), Seq("chunk_digest"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("chunk_tokens")).as("total_tokens"),
+        sum(when(col("__dup").isNotNull, col("chunk_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .select(col(idCol), col("total_tokens"), col("dup_tokens"),
+        round(col("dup_tokens").cast(DoubleType)
+          / col("total_tokens").cast(DoubleType), 6).as("coverage"))
 }

@@ -3094,8 +3094,11 @@ object CurationQueries {
     Dedup.cdcDuplicateChunks(docs(s, d), k = 3, p = 8)
       .orderBy(col("chunk_digest"))
 
-  val q137Sql: String = s"""
-    WITH ct AS MATERIALIZED (
+  /** Staged CDC CTE chain (k=3, p=8) ending in `ex` — one row per
+    * (doc_id, chunk_digest, chunk_tokens) for every document with >= 3
+    * tokens. Shared by the q137/q138/q139 oracles. */
+  private def cdcChainSql: String = s"""
+    ct AS MATERIALIZED (
       SELECT doc_id, ${toksSql("text")} AS t FROM documents),
     cf AS (SELECT doc_id, t FROM ct WHERE len(t) >= 3),
     chh AS MATERIALIZED (
@@ -3116,12 +3119,43 @@ object CurationQueries {
           ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1) AS ns
       FROM ce),
     ex AS (SELECT doc_id, unnest(ds) AS chunk_digest, unnest(ns) AS chunk_tokens
-           FROM ck)
+           FROM ck)"""
+
+  val q137Sql: String = s"""
+    WITH $cdcChainSql
     SELECT chunk_digest, CAST(max(chunk_tokens) AS BIGINT) AS chunk_tokens,
            COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
            MIN(doc_id) AS min_doc
     FROM ex GROUP BY chunk_digest HAVING COUNT(DISTINCT doc_id) >= 2
     ORDER BY chunk_digest"""
+
+  // ---- q138: CDC duplication coverage vs a reference corpus ----
+
+  /** q138: [[Dedup.cdcCoverage]] — per probe document, the
+    * token-weighted fraction already present in the reference slice
+    * (doc_id % 10 == 0) as content-defined chunks: the crawl-dedup
+    * gate's decision signal. Integer token sums; one double division
+    * per doc, rounded 6. */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val refD = Dedup.cdcDigests(base.filter(col("doc_id") % 10 === 0), k = 3, p = 8)
+    Dedup.cdcCoverage(base.filter(col("doc_id") % 10 =!= 0), refD, k = 3, p = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val q138Sql: String = s"""
+    WITH $cdcChainSql,
+    rd AS (SELECT DISTINCT chunk_digest FROM ex WHERE doc_id % 10 = 0),
+    pb AS (SELECT doc_id, chunk_digest, chunk_tokens FROM ex WHERE doc_id % 10 <> 0)
+    SELECT pb.doc_id,
+           CAST(SUM(pb.chunk_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rd.chunk_digest IS NOT NULL
+                         THEN pb.chunk_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+           round(CAST(SUM(CASE WHEN rd.chunk_digest IS NOT NULL
+                               THEN pb.chunk_tokens ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(pb.chunk_tokens) AS DOUBLE), 6) AS coverage
+    FROM pb LEFT JOIN rd ON pb.chunk_digest = rd.chunk_digest
+    GROUP BY pb.doc_id ORDER BY pb.doc_id"""
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
@@ -3206,5 +3240,6 @@ object CurationQueries {
     ("q132_weighted_sample", q132 _, Some(q132Sql)),
     ("q133_domain_filter", q133 _, Some(q133Sql)),
     ("q134_semantic_decontam", q134 _, Some(q134Sql)),
-    ("q137_cdc_chunk_dedup", q137 _, Some(q137Sql)))
+    ("q137_cdc_chunk_dedup", q137 _, Some(q137Sql)),
+    ("q138_cdc_coverage", q138 _, Some(q138Sql)))
 }

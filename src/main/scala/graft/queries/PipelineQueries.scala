@@ -1165,6 +1165,71 @@ log[d] {
     s.read.parquet(s"$work/report").orderBy(col("vec_id"))
   }
 
+  /** q139: STREAMING CDC duplication gate — q138's coverage scoring
+    * against the FROZEN reference chunk-digest set, per micro-batch
+    * over a live feed ([[graft.streaming.ScoreStream.replay]]). A
+    * document is one feed row, so its chunks never straddle batches
+    * and the per-doc coverage is batch-local; scoring is against
+    * frozen state, so the union of batch appends is q138's answer and
+    * q138's oracle adjudicates the streaming path unchanged. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q139")
+    val base = Tables.documents(s, d)
+    val refD = graft.dedup.Dedup.cdcDigests(
+      base.filter(col("doc_id") % 10 === 0), k = 3, p = 8)
+    val in = graft.streaming.ScoreStream.feed(
+      base.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")),
+      s"$work/landing")
+    graft.streaming.ScoreStream.replay(in, Seq(refD),
+      outDir = s"$work/coverage", checkpointDir = s"$work/ckpt") { batch =>
+      graft.dedup.Dedup.cdcCoverage(batch, refD, k = 3, p = 8)
+    }
+    s.read.parquet(s"$work/coverage").orderBy(col("doc_id"))
+  }
+
+  /** q140: STREAMING histogram quantiles — q125's corpus length
+    * profile over a live feed via the mergeable value-count store
+    * ([[graft.streaming.CountStream]]): (lang, n_chars, count) is the
+    * operator's complete sufficient statistic, merges by commutative
+    * integer sum, and the weighted read-out
+    * ([[graft.curation.HistQuantiles.weightedQuantiles]]) replays the
+    * identical arithmetic — q125's oracle adjudicates unchanged. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q140")
+    val in = graft.streaming.ScoreStream.feed(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      s"$work/landing")
+    val counts = graft.streaming.CountStream.accumulate(s, in,
+      s"$work/store", s"$work/ckpt", Seq("lang", "x"), "c") { b =>
+      b.groupBy(col("lang"), col("n_chars").as("x")).agg(count(lit(1)).as("c"))
+    }
+    graft.curation.HistQuantiles.weightedQuantiles(counts,
+        col("lang"), col("x"), col("c"), bins = 64, qs = Seq(0.5, 0.9, 0.99))
+      .withColumnRenamed("grp", "lang")
+  }
+
+  /** q141: STREAMING source-KL drift — q105 over a live feed: the
+    * (group, term, c_gt) table is klDrift's sufficient statistic;
+    * [[graft.text.CorpusStats.klDriftFromCounts]] reads the
+    * accumulated store out through the identical tail, so q105's
+    * oracle adjudicates unchanged. The scale contract is the bounded
+    * term vocabulary (the same bound q105 itself carries). */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val work = graft.util.Workspace.temp("graft-q141")
+    val in = graft.streaming.ScoreStream.feed(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      s"$work/landing")
+    val gt = graft.streaming.CountStream.accumulate(s, in,
+      s"$work/store", s"$work/ckpt", Seq("group", "term"), "c_gt") { b =>
+      b.select(col("source").as("group"),
+          explode(tokens(lower(col("text")))).as("term"))
+        .groupBy(col("group"), col("term")).agg(count(lit(1)).as("c_gt"))
+    }
+    graft.text.CorpusStats.klDriftFromCounts(gt)
+      .withColumnRenamed("group", "source")
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1202,5 +1267,11 @@ log[d] {
     ("q135_stream_weighted_sample", q135 _,
       Some(graft.queries.CurationQueries.q132Sql)),
     ("q136_stream_semantic_decontam", q136 _,
-      Some(graft.queries.CurationQueries.q134Sql)))
+      Some(graft.queries.CurationQueries.q134Sql)),
+    ("q139_stream_cdc_gate", q139 _,
+      Some(graft.queries.CurationQueries.q138Sql)),
+    ("q140_stream_hist_quantiles", q140 _,
+      Some(graft.queries.CurationQueries.q125Sql)),
+    ("q141_stream_kl_drift", q141 _,
+      Some(graft.queries.CurationQueries.q105Sql)))
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Mergeable-count-table accumulation over a live feed — the third
+  * streaming state discipline here, next to per-row scoring against
+  * frozen state ([[ScoreStream]]) and bounded top-n state
+  * ([[Reservoir]]): operators whose complete sufficient statistic is a
+  * (keys..., count) table merge by commutative integer sum, so
+  * accumulating per-batch count tables lands EXACTLY the batch
+  * aggregation over everything fed — the streaming-equals-batch
+  * identity, for the corpus-health family (histogram quantiles q125,
+  * KL drift q105, and anything else count-shaped).
+  *
+  * Per-batch work: aggregate the batch (∝ batch size) + re-merge the
+  * store (∝ store size = live key cardinality, NOT history size). The
+  * scale contract is therefore BOUNDED KEYS — discrete metrics
+  * (lengths, buckets, terms of a bounded vocabulary); bucket or hash a
+  * continuous/unbounded key first.
+  *
+  * Replay safety: count merge is not idempotent, so the committed
+  * pointer records the last merged batch id and a re-delivered batch
+  * (at-least-once restart) is skipped — the standard foreachBatch
+  * idempotence guard, transactional here because the pointer and the
+  * generation move in one atomic rename (see [[Reservoir]]'s layout).
+  */
+object CountStream {
+
+  /** Drain `stream` with AvailableNow, folding `table(batch)` — a
+    * (keyCols..., cntCol) frame — into the count store at `storeDir`
+    * by groupBy(keys).sum(cnt). Returns the final accumulated table. */
+  def accumulate(spark: SparkSession, stream: DataFrame, storeDir: String,
+      checkpointDir: String, keyCols: Seq[String], cntCol: String)
+      (table: DataFrame => DataFrame): DataFrame = {
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        mergeBatch(spark, storeDir, keyCols, cntCol, table(batch), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    current(spark, storeDir).getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Fold one batch's count table into the store — a NO-OP when
+    * `batchId` is at or below the committed pointer's batch id (the
+    * at-least-once replay guard: a crash between the store commit and
+    * the checkpoint commit re-delivers the same id on restart, and a
+    * second merge would double-count). */
+  private[streaming] def mergeBatch(spark: SparkSession, storeDir: String,
+      keyCols: Seq[String], cntCol: String, t: DataFrame,
+      batchId: Long): Unit =
+    if (lastBatch(storeDir).forall(_ < batchId)) {
+      val merged = current(spark, storeDir) match {
+        case Some(cur) => cur.unionByName(t)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col(cntCol)).as(cntCol))
+        case None => t
+      }
+      advance(spark, storeDir, merged, batchId)
+    }
+
+  private def genFile(storeDir: String) = Paths.get(storeDir, "GEN")
+
+  private def pointer(storeDir: String): Option[(Long, Long)] = {
+    val p = genFile(storeDir)
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.split(" ") match {
+      case Array(g, b) => Some((g.toLong, b.toLong))
+    }
+  }
+
+  /** Last merged micro-batch id, if any generation is committed. */
+  def lastBatch(storeDir: String): Option[Long] = pointer(storeDir).map(_._2)
+
+  /** The committed count table, or None before the first generation. */
+  def current(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    pointer(storeDir).map { case (g, _) =>
+      spark.read.parquet(s"$storeDir/gen=$g")
+    }
+
+  private def advance(spark: SparkSession, storeDir: String,
+      merged: DataFrame, batchId: Long): Unit = {
+    val old = pointer(storeDir)
+    val next = old.map(_._1 + 1).getOrElse(0L)
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$storeDir/gen=$next")
+    val tmp = Paths.get(storeDir, "GEN.tmp")
+    Files.writeString(tmp, s"$next $batchId")
+    Files.move(tmp, genFile(storeDir), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    old.foreach { case (g, _) =>
+      val dir = Paths.get(storeDir, s"gen=$g")
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+}

@@ -41,7 +41,17 @@ object CorpusStats {
     */
   def klDrift(docs: DataFrame, group: Column, toks: Column): DataFrame = {
     val tok = docs.select(group.as("group"), explode(toks).as("term"))
-    val gt = tok.groupBy(col("group"), col("term")).agg(count(lit(1)).as("c_gt"))
+    klDriftFromCounts(
+      tok.groupBy(col("group"), col("term")).agg(count(lit(1)).as("c_gt")))
+  }
+
+  /** [[klDrift]]'s read-out over an already-aggregated
+    * (group, term, c_gt) count table. The count table is the operator's
+    * complete sufficient statistic and merges by commutative integer
+    * sum — which is what lets a STREAMING accumulator
+    * ([[graft.streaming.CountStream]]) feed this identical tail and
+    * land the batch answer exactly. */
+  def klDriftFromCounts(gt: DataFrame): DataFrame = {
     val g = gt.groupBy(col("group")).agg(sum(col("c_gt")).as("n_g"))
     val t = gt.groupBy(col("term")).agg(sum(col("c_gt")).as("c_t"))
     val n = g.agg(sum(col("n_g")).as("n"))

@@ -109,6 +109,25 @@ class CliCurationSpec extends SparkSpec {
     assert(out.select("eval_id").as[Long].head() == 0L)
   }
 
+  test("chunkdup reports duplicated chunks and per-doc coverage via the verb") {
+    val dir = tmpDir("cli-chunkdup")
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    Seq((100L, s"lead in $passage out"),
+      (1L, s"fresh prefix $passage suffix"),
+      (2L, "novel text nothing shared at all with anything here ok"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("chunkdup", "--p", "4",
+      "--output", s"$dir/dup", s"$dir/in"))
+    assert(spark.read.parquet(s"$dir/dup").count() > 0,
+      "interior chunks of the shared passage must be reported")
+    Main.run(spark, Array("chunkdup", "--p", "4", "--ref", "doc_id >= 100",
+      "--output", s"$dir/cov", s"$dir/in"))
+    val cov = spark.read.parquet(s"$dir/cov").orderBy($"doc_id")
+      .select("doc_id", "coverage").as[(Long, Double)].collect().toSeq
+    assert(cov.map(_._1) == Seq(1L, 2L))
+    assert(cov(0)._2 > 0.5 && cov(1)._2 == 0.0, s"$cov")
+  }
+
   test("tokenize trains, saves, reloads, and encodes losslessly via the verb") {
     val dir = tmpDir("cli-tokenize")
     Seq((1L, "the cat sat on the mat"), (2L, "the mat sat on the cat"),

@@ -371,4 +371,25 @@ class DedupSpec extends SparkSpec {
     val tiny = Dedup.cdcChunks(Seq((9L, "ab cd")).toDF("doc_id", "text"), k = 3, p = 4)
     assert(tiny.count() == 0)
   }
+
+  test("cdcCoverage: token-weighted duplication fraction against a reference set") {
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val ref = Seq((100L, s"lead in words $passage and out")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, s"some fresh prefix $passage suffix here"),  // mostly copied
+      (2L, "completely novel text nothing shared with reference at all ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcCoverage(probe,
+        Dedup.cdcDigests(ref, k = 3, p = 4), k = 3, p = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: interior chunks of the passage collide -> high coverage;
+    // doc 2: zero
+    assert(got.size == 2)
+    val (d1, d2) = (got(0), got(1))
+    assert(d1._1 == 1L && d1._4 > 0.5, s"leak doc must score high: $d1")
+    assert(d2._1 == 2L && d2._3 == 0L && d2._4 == 0.0, s"clean doc scores 0: $d2")
+    // total tokens reconstruct the doc
+    assert(d1._2 == 45L && d2._2 == 10L, s"$got")
+  }
 }

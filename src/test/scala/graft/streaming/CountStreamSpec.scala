@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The mergeable count-table accumulator: streaming-equals-batch for
+  * count-shaped sufficient statistics, replay skip, and the weighted
+  * quantile read-out identity (q140/q141's adjudication basis). */
+class CountStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = spark.range(600)
+    .select($"id".as("doc_id"), ($"id" % 3).cast("string").as("g"),
+      ($"id" % 17 + 10).as("x"))
+
+  test("accumulated counts == batch aggregation (merge identity)") {
+    val work = graft.util.Workspace.temp("countstream-spec")
+    val feed = ScoreStream.feed(corpus, s"$work/landing", files = 5)
+    val got = CountStream.accumulate(spark, feed, s"$work/store",
+      s"$work/ckpt", Seq("g", "x"), "c") { b =>
+      b.groupBy($"g", $"x").agg(count(lit(1)).as("c"))
+    }
+    val batch = corpus.groupBy($"g", $"x").agg(count(lit(1)).as("c"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // one committed generation; pointer records the last batch id
+    assert(CountStream.lastBatch(s"$work/store").exists(_ >= 4))
+  }
+
+  test("a re-delivered batch id is skipped, not double-counted") {
+    val work = graft.util.Workspace.temp("countstream-replay")
+    val feed = ScoreStream.feed(corpus, s"$work/landing", files = 3)
+    CountStream.accumulate(spark, feed, s"$work/store", s"$work/ckpt",
+      Seq("g"), "c")(b => b.groupBy($"g").agg(count(lit(1)).as("c")))
+    val batch = corpus.groupBy($"g").agg(count(lit(1)).as("c"))
+    val last = CountStream.lastBatch(s"$work/store").get
+    // crash-window re-delivery: merging the SAME batch id again must be
+    // a no-op (the pointer guard), while the NEXT id still merges
+    CountStream.mergeBatch(spark, s"$work/store", Seq("g"), "c",
+      corpus.groupBy($"g").agg(count(lit(1)).as("c")), last)
+    val afterReplay = CountStream.current(spark, s"$work/store").get
+    assert(afterReplay.exceptAll(batch).isEmpty && batch.exceptAll(afterReplay).isEmpty,
+      "counts unchanged after the replayed batch id")
+    // a second drain with the same checkpoint and NO new files is empty
+    val feed2 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/landing")
+    val got = CountStream.accumulate(spark, feed2, s"$work/store",
+      s"$work/ckpt", Seq("g"), "c")(b => b.groupBy($"g").agg(count(lit(1)).as("c")))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "no-new-files drain leaves counts unchanged")
+  }
+
+  test("weightedQuantiles over the count table == row-level quantiles") {
+    import graft.curation.HistQuantiles
+    val counts = corpus.groupBy($"g", $"x").agg(count(lit(1)).as("c"))
+    val weighted = HistQuantiles.weightedQuantiles(counts, $"g", $"x", $"c",
+      bins = 16)
+    val rows = HistQuantiles.quantiles(corpus, $"g", $"x", bins = 16)
+    assert(weighted.exceptAll(rows).isEmpty && rows.exceptAll(weighted).isEmpty)
+  }
+}
