@@ -3157,6 +3157,70 @@ object CurationQueries {
     FROM pb LEFT JOIN rd ON pb.chunk_digest = rd.chunk_digest
     GROUP BY pb.doc_id ORDER BY pb.doc_id"""
 
+  // ---- q142: composed crawl pipeline (round-10 operators end-to-end) ----
+
+  /** q142: the round-10 operators composed the way a crawl intake
+    * actually runs them — domain-level quality filter (q133) → CDC
+    * duplication gate vs the eval slice at coverage < 0.5 (q138) →
+    * Efraimidis–Spirakis length-weighted draw of 100 (q132). Each
+    * stage keeps its own scale shape (broadcast keep-list; digest
+    * equi-join; map-side key + TopN) — composition adds no new
+    * shuffle. The oracle chains the three stages' SQL over shared
+    * staged CTEs. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val scored = base
+      .withColumn("t", tokens(col("text")))
+      .withColumn("lt", tokens(lower(col("text"))))
+      .withColumn("q", qualityScoreOf(col("text"), col("t"), col("lt")))
+    val kept = graft.curation.DomainFilter
+      .domainQualityFilter(scored, col("source"), col("q"), minCount = 10L)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    val refD = Dedup.cdcDigests(base.filter(col("doc_id") % 10 === 0), k = 3, p = 8)
+    val surv = kept
+      .join(Dedup.cdcCoverage(kept, refD, k = 3, p = 8)
+        .filter(col("coverage") < 0.5).select(col("doc_id")), Seq("doc_id"))
+    graft.curation.Sampling.weightedSample(
+        surv.select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("n_chars"), n = 100, seed = "crawl")
+      .orderBy(col("doc_id"))
+  }
+
+  val q142Sql: String = s"""
+    WITH $cdcChainSql,
+    dq AS MATERIALIZED (
+      SELECT doc_id, source, n_chars, $qualitySql AS q FROM documents),
+    g AS (SELECT source, ${davgSql("q")} AS src_avg, COUNT(*) AS n
+          FROM dq GROUP BY source),
+    c AS (SELECT ${davgSql("q")} AS corpus_avg FROM dq),
+    keep AS (SELECT dq.doc_id, dq.source, dq.n_chars
+             FROM dq JOIN g USING (source) CROSS JOIN c
+             WHERE g.src_avg >= c.corpus_avg AND g.n >= 10
+               AND dq.doc_id % 10 <> 0),
+    rd AS (SELECT DISTINCT chunk_digest FROM ex WHERE doc_id % 10 = 0),
+    cov AS (SELECT pb.doc_id,
+                   CAST(SUM(CASE WHEN rd.chunk_digest IS NOT NULL
+                                 THEN pb.chunk_tokens ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(pb.chunk_tokens) AS DOUBLE) AS coverage
+            FROM (SELECT doc_id, chunk_digest, chunk_tokens FROM ex
+                  WHERE doc_id % 10 <> 0) pb
+            LEFT JOIN rd ON pb.chunk_digest = rd.chunk_digest
+            GROUP BY pb.doc_id),
+    surv AS (SELECT k.doc_id, k.source, k.n_chars
+             FROM keep k JOIN cov ON k.doc_id = cov.doc_id
+             WHERE round(cov.coverage, 6) < 0.5),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+        round((ln(CAST(${md5LongSql("concat('wsample|crawl|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
+               - ln(CAST(1152921504606846976 AS DOUBLE)))
+          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+      FROM surv)
+    SELECT doc_id, source, n_chars, es_key, rank FROM (
+      SELECT keyed.*, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank
+      FROM keyed)
+    WHERE rank <= 100 ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q20_token_stats", q20 _, Some(q20Sql)),
     ("q21_quality_score", q21 _, Some(q21Sql)),
@@ -3241,5 +3305,6 @@ object CurationQueries {
     ("q133_domain_filter", q133 _, Some(q133Sql)),
     ("q134_semantic_decontam", q134 _, Some(q134Sql)),
     ("q137_cdc_chunk_dedup", q137 _, Some(q137Sql)),
-    ("q138_cdc_coverage", q138 _, Some(q138Sql)))
+    ("q138_cdc_coverage", q138 _, Some(q138Sql)),
+    ("q142_crawl_pipeline", q142 _, Some(q142Sql)))
 }
