@@ -405,6 +405,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window over pair rows:\n$plan")
   }
 
+  test("CDC chunking is map-side — no exchange before the digest aggregate (q137 shape)") {
+    import graft.dedup.Dedup
+    val docs = (0L until 30L).map(i => (i, (1 to 20).map(j => s"w${(i + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // the per-doc chunk projection must be shuffle-free: tokens,
+    // shingle hashes, boundary scan, slices, digests are all row-local
+    val plan = formatted(Dedup.cdcChunks(docs, k = 3, p = 4))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle (it is a projection):\n$plan")
+    // and the duplicated-chunk report shuffles only (digest[, doc])
+    // chunk rows — the two-exchange count-distinct pair, nothing wider
+    val dupPlan = formatted(Dedup.cdcDuplicateChunks(docs, k = 3, p = 4))
+    val exchanges = dupPlan.linesIterator
+      .count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2,
+      s"the report should shuffle only digest rows:\n$dupPlan")
+  }
+
   test("domain filter: keep-list comes back broadcast — the corpus never reshuffles (q133 shape)") {
     import graft.curation.DomainFilter
     val df = (0L until 60L).map(i => (i, s"d${i % 4}", (i % 10) / 10.0))
