@@ -190,6 +190,21 @@ object Sampling {
       Seq.empty, Seq(col(keyAs).desc, idCol.asc), n)
   }
 
+  /** Per-stratum [[weightedSample]]: an independent without-replacement
+    * E-S draw of `n` rows INSIDE each stratum — the per-language /
+    * per-source quota shape (a global weighted draw would let a heavy
+    * stratum crowd out the tail entirely). Same key, same total order,
+    * ranked within the strata; TopN's per-partition prune composes
+    * with the grouping, so no stratum ever funnels through one task. */
+  def stratifiedWeightedSample(df: DataFrame, strata: Seq[String],
+      idCol: Column, weight: Column, n: Int, seed: String,
+      keyAs: String = "es_key"): DataFrame = {
+    require(strata.nonEmpty, "stratifiedWeightedSample needs >= 1 stratum column")
+    require(n > 0, s"stratifiedWeightedSample needs n > 0, got $n")
+    graft.util.TopN.exact(df.withColumn(keyAs, esKey(idCol, weight, seed)),
+      strata.map(col), Seq(col(keyAs).desc, idCol.asc), n)
+  }
+
   /** The Efraimidis–Spirakis priority key of [[weightedSample]] — a
     * pure per-row projection, exposed so the STREAMING reservoir
     * ([[graft.streaming.Reservoir]]) ranks by the identical key: the

@@ -3157,6 +3157,31 @@ object CurationQueries {
     FROM pb LEFT JOIN rd ON pb.chunk_digest = rd.chunk_digest
     GROUP BY pb.doc_id ORDER BY pb.doc_id"""
 
+  // ---- q143: stratified weighted sampling ----
+
+  /** q143: [[graft.curation.Sampling.stratifiedWeightedSample]] — an
+    * independent length-weighted E-S draw of 40 INSIDE each language
+    * (the per-language quota shape: a global draw would let a heavy
+    * stratum crowd out the tail). Same key arithmetic as q132, ranked
+    * within the stratum. */
+  def q143(s: SparkSession, d: String): DataFrame =
+    graft.curation.Sampling.stratifiedWeightedSample(docs(s, d),
+        Seq("lang"), col("doc_id"), col("n_chars"), n = 40, seed = "0")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"), col("rank"))
+      .orderBy(col("doc_id"))
+
+  val q143Sql: String = s"""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+        round((ln(CAST(${md5LongSql("concat('wsample|0|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
+               - ln(CAST(1152921504606846976 AS DOUBLE)))
+          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+      FROM documents)
+    SELECT doc_id, lang, n_chars, es_key, rank FROM (
+      SELECT k.*, ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY es_key DESC, doc_id) AS rank FROM k)
+    WHERE rank <= 40 ORDER BY doc_id"""
+
   // ---- q142: composed crawl pipeline (round-10 operators end-to-end) ----
 
   /** q142: the round-10 operators composed the way a crawl intake
@@ -3306,5 +3331,6 @@ object CurationQueries {
     ("q134_semantic_decontam", q134 _, Some(q134Sql)),
     ("q137_cdc_chunk_dedup", q137 _, Some(q137Sql)),
     ("q138_cdc_coverage", q138 _, Some(q138Sql)),
-    ("q142_crawl_pipeline", q142 _, Some(q142Sql)))
+    ("q142_crawl_pipeline", q142 _, Some(q142Sql)),
+    ("q143_stratified_weighted", q143 _, Some(q143Sql)))
 }

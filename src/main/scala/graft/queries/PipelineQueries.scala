@@ -1187,6 +1187,24 @@ log[d] {
     s.read.parquet(s"$work/coverage").orderBy(col("doc_id"))
   }
 
+  /** q144: STREAMING stratified weighted reservoir — q143's
+    * per-language quota draw over a live feed: the E-S merge property
+    * holds within each stratum, so the n·|strata|-row store equals the
+    * batch stratified sample at every trigger and q143's oracle
+    * adjudicates unchanged. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q144")
+    val in = graft.streaming.ScoreStream.feed(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      s"$work/landing")
+    graft.streaming.Reservoir.streamWeightedSample(s, in,
+        idCol = "doc_id", weightCol = "n_chars", n = 40, seed = "0",
+        storeDir = s"$work/reservoir", checkpointDir = s"$work/ckpt",
+        strata = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("es_key"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q140: STREAMING histogram quantiles — q125's corpus length
     * profile over a live feed via the mergeable value-count store
     * ([[graft.streaming.CountStream]]): (lang, n_chars, count) is the
@@ -1273,5 +1291,7 @@ log[d] {
     ("q140_stream_hist_quantiles", q140 _,
       Some(graft.queries.CurationQueries.q125Sql)),
     ("q141_stream_kl_drift", q141 _,
-      Some(graft.queries.CurationQueries.q105Sql)))
+      Some(graft.queries.CurationQueries.q105Sql)),
+    ("q144_stream_stratified_weighted", q144 _,
+      Some(graft.queries.CurationQueries.q143Sql)))
 }

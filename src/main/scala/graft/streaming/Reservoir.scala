@@ -38,7 +38,12 @@ object Reservoir {
   def streamWeightedSample(spark: SparkSession, stream: DataFrame,
       idCol: String, weightCol: String, n: Int, seed: String,
       storeDir: String, checkpointDir: String,
-      keyAs: String = "es_key"): DataFrame = {
+      keyAs: String = "es_key",
+      /** rank within these columns instead of globally — the
+        * per-stratum quota reservoir (merge property holds per group,
+        * so the store is n·|strata| rows and still equals the batch
+        * [[graft.curation.Sampling.stratifiedWeightedSample]]) */
+      strata: Seq[String] = Nil): DataFrame = {
     require(n > 0, s"reservoir needs n > 0, got $n")
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -49,7 +54,7 @@ object Reservoir {
           case None => keyed
         }
         val top = graft.util.TopN.exact(merged.dropDuplicates(idCol),
-          Seq.empty, Seq(col(keyAs).desc, col(idCol).asc), n)
+          strata.map(col), Seq(col(keyAs).desc, col(idCol).asc), n)
         advance(spark, storeDir, top)
       }
       .option("checkpointLocation", checkpointDir)

@@ -237,6 +237,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.weightedSample(weighted, $"doc_id", $"w", 0, "s"))
   }
 
+  test("stratifiedWeightedSample: independent per-stratum draws, exact quota") {
+    val df = corpus.withColumn("w", lit(10L) + $"doc_id" % 5)
+    val out = Sampling.stratifiedWeightedSample(df, Seq("src"), $"doc_id", $"w", 30, "s")
+    // every stratum gets exactly its quota (250 candidates each)
+    val per = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(per.values.toSet == Set(30L) && per.size == 4, s"$per")
+    // ranks are 1..n inside each stratum
+    val ranks = out.filter($"src" === "0").select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (1L to 30L))
+    // a stratum's draw is INDEPENDENT of other strata's membership:
+    // dropping stratum 3 leaves strata 0-2 selections unchanged
+    val without = Sampling.stratifiedWeightedSample(
+      df.filter($"src" =!= "3"), Seq("src"), $"doc_id", $"w", 30, "s")
+    val before = out.filter($"src" =!= "3")
+    assert(before.exceptAll(without).isEmpty && without.exceptAll(before).isEmpty)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedWeightedSample(df, Seq.empty, $"doc_id", $"w", 30, "s"))
+  }
+
   test("weightedSample: zero/negative weights clamp to 1, never crash") {
     val df = spark.range(100).select($"id".as("doc_id"),
       when($"id" < 50, lit(0L)).otherwise(lit(-3L)).as("w"))

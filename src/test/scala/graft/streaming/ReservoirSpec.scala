@@ -44,6 +44,19 @@ class ReservoirSpec extends SparkSpec {
     assert(streamed.select("doc_id").distinct().count() == 40)
   }
 
+  test("stratified reservoir == batch stratified draw (per-group merge identity)") {
+    val work = graft.util.Workspace.temp("reservoir-strata")
+    val strat = corpus.withColumn("g", ($"doc_id" % 4).cast("string"))
+    val feed = ScoreStream.feed(strat, s"$work/landing", files = 5)
+    val streamed = Reservoir.streamWeightedSample(spark, feed,
+      "doc_id", "w", n = 20, seed = "s", s"$work/store", s"$work/ckpt",
+      strata = Seq("g"))
+    val batch = Sampling.stratifiedWeightedSample(strat, Seq("g"),
+      $"doc_id", $"w", 20, "s")
+    assert(streamed.count() == 80) // 20 per stratum x 4
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("current() is None before the first commit; resumes from the pointer") {
     val work = graft.util.Workspace.temp("reservoir-gen")
     assert(Reservoir.current(spark, s"$work/store").isEmpty)
