@@ -205,6 +205,31 @@ object Sampling {
       strata.map(col), Seq(col(keyAs).desc, idCol.asc), n)
   }
 
+  /** REALIZE a [[mixAllocation]]: the temperature-balanced mix as an
+    * actual drawn corpus, not just an allocation table — each stratum
+    * contributes exactly its alpha-weighted integer allocation, drawn
+    * without replacement by the E-S priority (weight-proportional
+    * INSIDE the stratum, alpha-balanced ACROSS strata). A stratum
+    * smaller than its allocation contributes everything it has.
+    *
+    * Scale shape: one low-cardinality count aggregate (the allocation),
+    * one per-stratum TopN pruned at the LARGEST allocation (driver
+    * reads one scalar off the strata-sized frame), and a broadcast
+    * join of the allocation table for the final per-stratum cut. */
+  def allocatedSample(df: DataFrame, stratum: String, alpha: Double,
+      budget: Long, idCol: Column, weight: Column, seed: String): DataFrame = {
+    val alloc = mixAllocation(df, stratum, alpha, budget)
+      .select(col(stratum), col("alloc"))
+    val maxAlloc = alloc.agg(max(col("alloc"))).head().getLong(0)
+    val ranked = graft.util.TopN.exact(
+      df.filter(col(stratum).isNotNull)
+        .withColumn("es_key", esKey(idCol, weight, seed)),
+      Seq(col(stratum)), Seq(col("es_key").desc, idCol.asc),
+      math.max(maxAlloc, 1L).toInt)
+    ranked.join(broadcast(alloc), Seq(stratum))
+      .filter(col("rank") <= col("alloc"))
+  }
+
   /** The Efraimidis–Spirakis priority key of [[weightedSample]] — a
     * pure per-row projection, exposed so the STREAMING reservoir
     * ([[graft.streaming.Reservoir]]) ranks by the identical key: the

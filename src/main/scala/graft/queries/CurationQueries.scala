@@ -3182,6 +3182,41 @@ object CurationQueries {
                ORDER BY es_key DESC, doc_id) AS rank FROM k)
     WHERE rank <= 40 ORDER BY doc_id"""
 
+  // ---- q145: temperature-balanced mix, realized ----
+
+  /** q145: [[graft.curation.Sampling.allocatedSample]] — q55's
+    * alpha-0.5 allocation table actually DRAWN: each language
+    * contributes its integer allocation of a 150-doc budget, selected
+    * by the length-weighted E-S priority within the language. The
+    * oracle chains q55's allocation CTE with q143's per-stratum
+    * ranking. */
+  def q145(s: SparkSession, d: String): DataFrame =
+    graft.curation.Sampling.allocatedSample(docs(s, d), "lang",
+        alpha = 0.5, budget = 150L, col("doc_id"), col("n_chars"), seed = "mix")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("es_key"), col("rank"), col("alloc"))
+      .orderBy(col("doc_id"))
+
+  val q145Sql: String = s"""
+    WITH counts AS (SELECT lang, COUNT(*) AS c,
+                           pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS pw
+                    FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+    tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(pw ORDER BY lang)), (a, x) -> a + x) AS t
+            FROM counts),
+    alloc AS (SELECT lang, CAST(floor(150 * pw / t) AS BIGINT) AS alloc
+              FROM counts, tot),
+    k AS (SELECT doc_id, lang, n_chars,
+        round((ln(CAST(${md5LongSql("concat('wsample|mix|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
+               - ln(CAST(1152921504606846976 AS DOUBLE)))
+          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+      FROM documents WHERE lang IS NOT NULL),
+    r AS (SELECT k.*, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY es_key DESC, doc_id) AS rank FROM k)
+    SELECT r.doc_id, r.lang, r.n_chars, r.es_key, r.rank, a.alloc
+    FROM r JOIN alloc a USING (lang) WHERE r.rank <= a.alloc
+    ORDER BY r.doc_id"""
+
   // ---- q142: composed crawl pipeline (round-10 operators end-to-end) ----
 
   /** q142: the round-10 operators composed the way a crawl intake
@@ -3332,5 +3367,6 @@ object CurationQueries {
     ("q137_cdc_chunk_dedup", q137 _, Some(q137Sql)),
     ("q138_cdc_coverage", q138 _, Some(q138Sql)),
     ("q142_crawl_pipeline", q142 _, Some(q142Sql)),
-    ("q143_stratified_weighted", q143 _, Some(q143Sql)))
+    ("q143_stratified_weighted", q143 _, Some(q143Sql)),
+    ("q145_mix_realized", q145 _, Some(q145Sql)))
 }

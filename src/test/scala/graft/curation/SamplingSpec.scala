@@ -256,6 +256,26 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedWeightedSample(df, Seq.empty, $"doc_id", $"w", 30, "s"))
   }
 
+  test("allocatedSample: realizes the mix allocation exactly, small strata capped by size") {
+    // strata sized 300/150/50: alpha 0.5 up-weights the small ones
+    val df = (spark.range(300).select(lit("big").as("src"), $"id".as("doc_id")) unionAll
+      spark.range(150).select(lit("mid").as("src"), ($"id" + 1000).as("doc_id")) unionAll
+      spark.range(50).select(lit("small").as("src"), ($"id" + 5000).as("doc_id")))
+      .withColumn("w", lit(1L) + $"doc_id" % 7)
+    val alloc = Sampling.mixAllocation(df, "src", alpha = 0.5, budget = 100L)
+      .select("src", "alloc").as[(String, Long)].collect().toMap
+    val out = Sampling.allocatedSample(df, "src", 0.5, 100L, $"doc_id", $"w", "m")
+    val per = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // every stratum contributes exactly min(alloc, size)
+    assert(per == alloc.map { case (s, a) =>
+      s -> math.min(a, Map("big" -> 300L, "mid" -> 150L, "small" -> 50L)(s)) }
+      .filter(_._2 > 0), s"per=$per alloc=$alloc")
+    // deterministic under repartitioning
+    val again = Sampling.allocatedSample(df.repartition(9), "src", 0.5, 100L,
+      $"doc_id", $"w", "m")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("weightedSample: zero/negative weights clamp to 1, never crash") {
     val df = spark.range(100).select($"id".as("doc_id"),
       when($"id" < 50, lit(0L)).otherwise(lit(-3L)).as("w"))

@@ -57,6 +57,28 @@ class ReservoirSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("a stray next-generation dir (crash before the pointer move) is invisible and overwritten") {
+    val work = graft.util.Workspace.temp("reservoir-crash")
+    val feed = ScoreStream.feed(corpus.filter($"doc_id" < 250), s"$work/l1", files = 2)
+    Reservoir.streamWeightedSample(spark, feed, "doc_id", "w", 25, "s",
+      s"$work/store", s"$work/ckpt1")
+    val committed = Reservoir.current(spark, s"$work/store").get.collect().toSet
+    // simulate a crash AFTER the next gen dir was written but BEFORE the
+    // pointer moved: a torn gen=N+1 full of garbage
+    val gen = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$work/store/GEN")).trim.toLong
+    spark.range(3).selectExpr("id AS doc_id", "id AS w", "0.0 AS es_key", "id AS rank")
+      .write.parquet(s"$work/store/gen=${gen + 1}")
+    // readers still see the committed generation only
+    assert(Reservoir.current(spark, s"$work/store").get.collect().toSet == committed)
+    // the next drain overwrites the torn dir and commits cleanly
+    val feed2 = ScoreStream.feed(corpus.filter($"doc_id" >= 250), s"$work/l2", files = 2)
+    val fin = Reservoir.streamWeightedSample(spark, feed2, "doc_id", "w", 25, "s",
+      s"$work/store", s"$work/ckpt2")
+    val batch = Sampling.weightedSample(corpus, $"doc_id", $"w", 25, "s")
+    assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
+  }
+
   test("current() is None before the first commit; resumes from the pointer") {
     val work = graft.util.Workspace.temp("reservoir-gen")
     assert(Reservoir.current(spark, s"$work/store").isEmpty)
