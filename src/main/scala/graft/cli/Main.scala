@@ -38,7 +38,7 @@ object Main {
       |  sql     --warehouse <dir> <query>
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
       |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
-      |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--strata-col <c1,c2>] [--seed <s>] | --mix-alpha <a> --stratum <c> --budget <n> --weight-col <c> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--ids] [--save-vocab <file>] [--load-vocab <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -331,14 +331,29 @@ object Main {
           else if (flags.contains("shuffle-seed"))
             // deterministic training-order assignment (q80 operator)
             graft.curation.Sampling.shuffleOrder(df, id, flags("shuffle-seed"))
+          else if (flags.contains("weighted") && flags.contains("strata-col"))
+            // per-stratum quota draw (q143)
+            graft.curation.Sampling.stratifiedWeightedSample(df,
+              flags("strata-col").split(",").toSeq, id,
+              col(req(flags, "weight-col")), req(flags, "n").toInt,
+              flags.getOrElse("seed", "0"))
           else if (flags.contains("weighted"))
             // Efraimidis-Spirakis without-replacement draw (q132)
             graft.curation.Sampling.weightedSample(df, id,
               col(req(flags, "weight-col")), req(flags, "n").toInt,
               flags.getOrElse("seed", "0"))
+          else if (flags.contains("mix-alpha"))
+            // temperature-balanced mix, REALIZED (q145): q55's
+            // alpha-weighted allocations drawn by E-S priority
+            graft.curation.Sampling.allocatedSample(df,
+              req(flags, "stratum"), flags("mix-alpha").toDouble,
+              req(flags, "budget").toLong, id,
+              col(req(flags, "weight-col")), flags.getOrElse("seed", "0"))
           else sys.error(
             s"sample needs --per-mille, --strata + --cap, --cluster-cap, " +
-              s"--shuffle-seed, or --weighted + --weight-col + --n\n$usage")
+              s"--shuffle-seed, --weighted + --weight-col + --n " +
+              s"[--strata-col], or --mix-alpha + --stratum + --budget + " +
+              s"--weight-col\n$usage")
         sampled.write.mode("overwrite").parquet(req(flags, "output"))
         println(s"sampled rows: " +
           spark.read.parquet(req(flags, "output")).count())

@@ -93,6 +93,24 @@ class CliCurationSpec extends SparkSpec {
       "verb byte-equivalent to the operator")
   }
 
+  test("sample --strata-col and --mix-alpha realize the quota/mix draws via the verb") {
+    val dir = tmpDir("cli-mix")
+    corpus.write.parquet(s"$dir/in")
+    Main.run(spark, Array("sample", "--weighted", "--weight-col", "w",
+      "--n", "10", "--strata-col", "src", "--seed", "s",
+      "--output", s"$dir/quota", s"$dir/in"))
+    val quota = spark.read.parquet(s"$dir/quota")
+    assert(quota.groupBy("src").count().as[(String, Long)].collect()
+      .forall(_._2 == 10L), "10 per stratum")
+    Main.run(spark, Array("sample", "--mix-alpha", "0.5", "--stratum", "src",
+      "--budget", "40", "--weight-col", "w", "--output", s"$dir/mix", s"$dir/in"))
+    val mix = spark.read.parquet(s"$dir/mix")
+    val direct = Sampling.allocatedSample(corpus, "src", 0.5, 40L,
+      col("doc_id"), col("w"), "0")
+    assert(mix.exceptAll(direct).isEmpty && direct.exceptAll(mix).isEmpty,
+      "verb byte-equivalent to the operator")
+  }
+
   test("decontam --semantic flags embedding-space leaks via the verb") {
     val dir = tmpDir("cli-semdecon")
     // eval = vec 0/1; vec 10 is a near-copy of vec 0 (leak), vec 11 is
