@@ -3080,6 +3080,74 @@ object CurationQueries {
     ORDER BY vec_id"""
   }
 
+  // ---- q146: semantic decontamination, IVF scale path ----
+
+  /** q146: [[Similarity.semanticContaminationIvf]] — q134 for an eval
+    * set too large to broadcast: the eval slice is IVF-clustered
+    * (md5-deterministic seeds + one decimal-exact Lloyd step), each
+    * corpus vector probes its 2 nearest of 8 eval lists, max cosine
+    * over probed candidates only. The q94→q95 / q111→q113 duality:
+    * q134 is the exact report, this is the shape that survives a
+    * million-row eval set. The oracle replays the full IVF pipeline
+    * (q38's machinery) over the eval slice. */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isEval = graft.text.TextFunctions.md5Long(
+      concat(lit("decon|"), col("vec_id").cast("string"))) % 16 === 0
+    Similarity.semanticContaminationIvf(
+        emb.filter(!isEval), emb.filter(isEval), threshold = 0.25,
+        nlist = 8, nprobe = 2)
+      .orderBy(col("vec_id"))
+  }
+
+  val q146Sql: String = {
+    val (nlist, nprobe) = (8, 2)
+    def halfS(c: String) =
+      "(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform($c, x -> x * x)), (acc, x) -> acc + x) / 2.0)"
+    val h = md5LongSql("CAST(vec_id AS VARCHAR)", 15)
+    val evalPred = s"${md5LongSql("concat('decon|', CAST(vec_id AS VARCHAR))", 8)} % 16 = 0"
+    s"""
+    WITH a AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v, $evalPred AS is_eval
+      FROM embeddings),
+    ev AS (SELECT vec_id, v FROM a WHERE is_eval),
+    cp AS (SELECT vec_id, v FROM a WHERE NOT is_eval),
+    seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h) - 1 AS c, v
+              FROM (SELECT v, $h AS h FROM ev) ORDER BY h LIMIT $nlist),
+    assign0 AS (SELECT vec_id, v, c FROM (
+        SELECT ev.vec_id, ev.v AS v, s.c AS c,
+               ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+                 ORDER BY (${dotSql("ev.v", "s.v")} - ${halfS("s.v")}) DESC, s.c DESC) AS rn
+        FROM ev CROSS JOIN seeds s) WHERE rn = 1),
+    means AS (SELECT c, pos, CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+              FROM (SELECT c, unnest(v) AS x, unnest(range(len(v))) AS pos FROM assign0)
+              GROUP BY c, pos),
+    refined AS (SELECT s.c AS c, COALESCE(m.mv, s.v) AS v
+                FROM seeds s LEFT JOIN
+                  (SELECT c, list(m ORDER BY pos) AS mv FROM means GROUP BY c) m
+                  ON s.c = m.c),
+    cassign AS (SELECT vec_id AS eval_id, v AS evv, sqrt(${dotSql("v", "v")}) AS en, c AS cluster
+                FROM (SELECT ev.vec_id, ev.v AS v, r.c AS c,
+                        ROW_NUMBER() OVER (PARTITION BY ev.vec_id
+                          ORDER BY (${dotSql("ev.v", "r.v")} - ${halfS("r.v")}) DESC, r.c DESC) AS rn
+                      FROM ev CROSS JOIN refined r) WHERE rn = 1),
+    qprobe AS (SELECT vec_id, v AS qv, sqrt(${dotSql("v", "v")}) AS qn, c AS cluster
+               FROM (SELECT cp.vec_id, cp.v AS v, r.c AS c,
+                       ROW_NUMBER() OVER (PARTITION BY cp.vec_id
+                         ORDER BY (${dotSql("cp.v", "r.v")} - ${halfS("r.v")}) DESC, r.c ASC) AS rn
+                     FROM cp CROSS JOIN refined r) WHERE rn <= $nprobe),
+    scored AS (SELECT q.vec_id, c.eval_id,
+                      round(${dotSql("q.qv", "c.evv")} / (q.qn * c.en), 6) AS sim
+               FROM qprobe q JOIN cassign c USING (cluster)
+               WHERE q.qn > 0.0 AND c.en > 0.0)
+    SELECT vec_id, eval_id, max_sim, contaminated FROM (
+      SELECT vec_id, eval_id, sim AS max_sim, sim >= 0.25 AS contaminated,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rk
+      FROM scored) WHERE rk = 1
+    ORDER BY vec_id"""
+  }
+
   // ---- q137: content-defined chunking dedup ----
 
   /** q137: [[Dedup.cdcDuplicateChunks]] — Rabin-style content-defined
@@ -3368,5 +3436,6 @@ object CurationQueries {
     ("q138_cdc_coverage", q138 _, Some(q138Sql)),
     ("q142_crawl_pipeline", q142 _, Some(q142Sql)),
     ("q143_stratified_weighted", q143 _, Some(q143Sql)),
-    ("q145_mix_realized", q145 _, Some(q145Sql)))
+    ("q145_mix_realized", q145 _, Some(q145Sql)),
+    ("q146_semantic_decontam_ivf", q146 _, Some(q146Sql)))
 }

@@ -880,6 +880,42 @@ object Similarity {
     * the final per-id max, and even that is pre-aggregated map-side.
     * Rows with zero-norm vectors on either side are dropped (cosine
     * undefined). */
+  /** [[semanticContamination]]'s IVF scale path — for an eval set too
+    * large to broadcast (full benchmark suites, millions of rows): the
+    * EVAL set is clustered (md5-deterministic IVF), each corpus vector
+    * probes its `nprobe` nearest eval lists map-side (centroids are
+    * plan literals), and the candidate join is a shuffle equi-join on
+    * the cluster id — the same exact→shuffle degradation contract as
+    * [[graft.sim.Mining]]. Max cosine is over the PROBED candidates
+    * only (the IVF approximation); corpus rows whose probed clusters
+    * hold no eval vector are absent from the report (they have no
+    * candidate — at any plausible threshold they are clean). The
+    * probe is still one-sided: never corpus × corpus, never eval²,
+    * and each eval vector lives in exactly one list so no pair is
+    * scored twice. */
+  def semanticContaminationIvf(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(evalSet, nlist, idCol, vecCol)
+    val e = assignCluster(evalSet, cents, idCol, vecCol)
+      .select(col(idCol).as("__eid"), col("__v").as("__ev"), col("cluster"))
+      .withColumn("__en", sqrt(fastDot(evalSet)(col("__ev"), col("__ev"))))
+      .filter(col("__en") > 0)
+    val p = probeQueries(corpus, cents, nprobe, idCol, vecCol)
+      .filter(col("qn") > 0)
+    p.join(e, "cluster")
+      .select(col("query_id"),
+        round(fastDot(corpus)(col("qv"), col("__ev"))
+          / (col("qn") * col("__en")), 6).as("__sim"),
+        col("__eid"))
+      .groupBy(col("query_id").as(idCol))
+      .agg(max(struct(col("__sim"), (-col("__eid")).as("__neg"))).as("__m"))
+      .select(col(idCol),
+        (-col("__m.__neg")).as("eval_id"),
+        col("__m.__sim").as("max_sim"),
+        (col("__m.__sim") >= threshold).as("contaminated"))
+  }
+
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -330,4 +330,28 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"vec_id").as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(again == got)
   }
+
+  test("semanticContaminationIvf: exhaustive probe equals the exact report") {
+    val all = vecs
+    val evalSet = all.filter($"vec_id" % 5 === 0)
+    val corpus = all.filter($"vec_id" % 5 =!= 0)
+    // nprobe = nlist → every eval list probed → identical to the
+    // broadcast-exact operator (the q38/q87 exhaustive-probe identity)
+    val ivf = Similarity.semanticContaminationIvf(corpus, evalSet,
+      threshold = 0.8, nlist = 4, nprobe = 4)
+    val exact = Similarity.semanticContamination(corpus, evalSet, threshold = 0.8)
+    assert(ivf.exceptAll(exact).isEmpty && exact.exceptAll(ivf).isEmpty)
+    // tight probe: a subset report, never a contradictory one — every
+    // reported max_sim is a real pair the exact report can only equal
+    // or beat
+    val tight = Similarity.semanticContaminationIvf(corpus, evalSet,
+      threshold = 0.8, nlist = 4, nprobe = 1)
+      .select($"vec_id", $"max_sim").as[(Long, Double)].collect().toMap
+    val exactMap = exact.select($"vec_id", $"max_sim").as[(Long, Double)].collect().toMap
+    assert(tight.forall { case (id, s) => exactMap(id) >= s })
+    // the planted near-dup of vec 0 that lands on the corpus side
+    // (id 101; 0 and 100 are eval) is flagged even at nprobe 1 — the
+    // leak sits in its eval point's own list
+    assert(tight(101L) > 0.99, s"tight=${tight.get(101L)}")
+  }
 }
