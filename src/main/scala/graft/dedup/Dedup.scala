@@ -1019,9 +1019,11 @@ object Dedup {
     * scan, and chunk digests are all per-row projections over staged
     * bound columns (the *Of contract); no shuffle, no explode until
     * the caller aggregates. */
-  def cdcChunks(docs: DataFrame, k: Int = 3, p: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(k >= 1 && p >= 1, s"cdcChunks needs k >= 1, p >= 1, got k=$k p=$p")
+  /** Stage tokens + CDC chunk ends (`__t`, `__ends`) — the shared
+    * boundary scan under [[cdcChunks]] and [[cdcStrip]]. */
+  private def withCdcEnds(docs: DataFrame, k: Int, p: Int,
+      textCol: String): DataFrame = {
+    require(k >= 1 && p >= 1, s"CDC needs k >= 1, p >= 1, got k=$k p=$p")
     docs
       .withColumn("__t", tokens(col(textCol)))
       .filter(size(col("__t")) >= k)
@@ -1034,6 +1036,11 @@ object Dedup {
               (i + lit(k - 1)) =!= size(col("__t"))),
           i => i + lit(k - 1)),
         array(size(col("__t")))))
+  }
+
+  def cdcChunks(docs: DataFrame, k: Int = 3, p: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    withCdcEnds(docs, k, p, textCol)
       .select(col(idCol),
         explode(transform(sequence(lit(1), size(col("__ends"))), j => {
           val start = when(j === 1, lit(1))
@@ -1093,4 +1100,42 @@ object Dedup {
       .select(col(idCol), col("total_tokens"), col("dup_tokens"),
         round(col("dup_tokens").cast(DoubleType)
           / col("total_tokens").cast(DoubleType), 6).as("coverage"))
+
+  /** CDC chunk-level STRIP — the removal complement of [[cdcCoverage]]:
+    * rewrite each probe document with every chunk whose digest appears
+    * in `refDigests` removed (known-boilerplate libraries, an eval
+    * set, an earlier crawl). Shift-invariance means the shared passage
+    * is excised wherever it sits; surviving chunks rejoin in document
+    * order with single spaces (token-normalized, like
+    * [[stripDuplicateSpans]]). Documents losing every chunk come back
+    * with empty `clean`; docs with < k tokens are absent (no chunk).
+    *
+    * Scale shape: map-side chunking; one digest equi-join (chunk rows,
+    * never documents); per-doc reassembly is an aggregate over that
+    * doc's own chunks, ordered by the unique chunk index — O(doc)
+    * state, the same bound the document itself already is. */
+  def cdcStrip(probe: DataFrame, refDigests: DataFrame, k: Int = 3,
+      p: Int = 8, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withCdcEnds(probe, k, p, textCol)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__ends"))), j => {
+          val start = when(j === 1, lit(1))
+            .otherwise(element_at(col("__ends"), (j - 1).cast("int")) + 1)
+          val end = element_at(col("__ends"), j.cast("int"))
+          val txt = array_join(slice(col("__t"), start, end - start + 1), " ")
+          struct(md5(txt).as("d"), txt.as("tx"),
+            (end - start + 1).cast("long").as("n"))
+        })))
+      .select(col(idCol), col("pos"),
+        col("col.d").as("__d"), col("col.tx").as("__tx"), col("col.n").as("__n"))
+      .join(refDigests.select(col("chunk_digest").as("__d")).distinct()
+        .withColumn("__dup", lit(1)), Seq("__d"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__dup").isNull, struct(col("pos"), col("__tx").as("tx"))))),
+          x => x.getField("tx")), " ").as("clean"),
+        sum(when(col("__dup").isNull, col("__n")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("__dup").isNotNull, col("__n")).otherwise(0L)).as("dropped_tokens"))
 }

@@ -3080,6 +3080,44 @@ object CurationQueries {
     ORDER BY vec_id"""
   }
 
+  // ---- q147: CDC chunk-level strip ----
+
+  /** q147: [[Dedup.cdcStrip]] — the removal complement of q138: every
+    * probe document rewritten with its reference-duplicated chunks
+    * (vs the doc_id % 10 == 0 slice) excised, plus kept/dropped token
+    * accounting. The oracle rebuilds each document from its surviving
+    * chunks with an idx-ordered string_agg over the same staged CTE
+    * chain. */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val refD = Dedup.cdcDigests(base.filter(col("doc_id") % 10 === 0), k = 3, p = 8)
+    Dedup.cdcStrip(base.filter(col("doc_id") % 10 =!= 0), refD, k = 3, p = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val q147Sql: String = s"""
+    WITH $cdcChainSql,
+    ck2 AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(range(1, len(ends) + 1), j ->
+          array_to_string(list_slice(t,
+            CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END, ends[j]), ' ')) AS ts,
+        list_transform(range(1, len(ends) + 1), j ->
+          ends[j] - (CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END) + 1) AS ns
+      FROM ce WHERE doc_id % 10 <> 0),
+    ex2 AS (SELECT doc_id, unnest(ts) AS tx, unnest(ns) AS n,
+                   unnest(range(1, len(ts) + 1)) AS idx
+            FROM ck2),
+    rd AS (SELECT DISTINCT chunk_digest FROM ex WHERE doc_id % 10 = 0),
+    fl AS (SELECT ex2.doc_id, ex2.tx, ex2.n, ex2.idx,
+                  rd.chunk_digest IS NOT NULL AS dup
+           FROM ex2 LEFT JOIN rd ON md5(ex2.tx) = rd.chunk_digest)
+    SELECT doc_id,
+           COALESCE(string_agg(tx, ' ' ORDER BY idx) FILTER (WHERE NOT dup), '') AS clean,
+           CAST(COALESCE(SUM(n) FILTER (WHERE NOT dup), 0) AS BIGINT) AS kept_tokens,
+           CAST(COALESCE(SUM(n) FILTER (WHERE dup), 0) AS BIGINT) AS dropped_tokens
+    FROM fl GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- q146: semantic decontamination, IVF scale path ----
 
   /** q146: [[Similarity.semanticContaminationIvf]] — q134 for an eval
@@ -3437,5 +3475,6 @@ object CurationQueries {
     ("q142_crawl_pipeline", q142 _, Some(q142Sql)),
     ("q143_stratified_weighted", q143 _, Some(q143Sql)),
     ("q145_mix_realized", q145 _, Some(q145Sql)),
-    ("q146_semantic_decontam_ivf", q146 _, Some(q146Sql)))
+    ("q146_semantic_decontam_ivf", q146 _, Some(q146Sql)),
+    ("q147_cdc_strip", q147 _, Some(q147Sql)))
 }

@@ -372,6 +372,32 @@ class DedupSpec extends SparkSpec {
     assert(tiny.count() == 0)
   }
 
+  test("cdcStrip: excises reference chunks wherever they sit, keeps the rest in order") {
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    val ref = Seq((100L, s"lead in words $passage and out")).toDF("doc_id", "text")
+    val refD = Dedup.cdcDigests(ref, k = 3, p = 4)
+    val probe = Seq(
+      (1L, s"some fresh prefix $passage suffix here"),
+      (2L, "completely novel text nothing shared with reference at all ok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcStrip(probe, refD, k = 3, p = 4).orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val (d1, d2) = (got(0), got(1))
+    // the shared passage's interior chunks are gone from doc 1; the
+    // doc's own words survive in order
+    assert(d1._4 > 20 && d1._2.startsWith("some fresh prefix"), s"$d1")
+    assert(!d1._2.contains("p10 p11"), s"interior of the passage must be cut: $d1")
+    // accounting reconciles with the doc (45 tokens total)
+    assert(d1._3 + d1._4 == 45L)
+    // untouched doc comes back verbatim (chunks rejoin with spaces)
+    assert(d2._2 == "completely novel text nothing shared with reference at all ok"
+      && d2._4 == 0L, s"$d2")
+    // a doc that IS a reference chunk loses everything -> empty clean
+    val allDup = Dedup.cdcStrip(ref, refD, k = 3, p = 4)
+      .as[(Long, String, Long, Long)].head()
+    assert(allDup._2 == "" && allDup._3 == 0L)
+  }
+
   test("cdcCoverage: token-weighted duplication fraction against a reference set") {
     val passage = (1 to 40).map(i => s"p$i").mkString(" ")
     val ref = Seq((100L, s"lead in words $passage and out")).toDF("doc_id", "text")
