@@ -40,7 +40,7 @@ object Main {
       |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--strata-col <c1,c2>] [--seed <s>] | --mix-alpha <a> --stratum <c> --budget <n> --weight-col <c> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
-      |  strip   --output <dir> [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  strip   --output <dir> [--intra | --ref "<bool SQL>" [--p <n>]] [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  tokenize --output <dir> [--merges <n>] [--min-freq <n>] [--save-merges <file>] [--load-merges <file>] [--ids] [--save-vocab <file>] [--load-vocab <file>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  pack    --output <dir> [--seq-len <n>] [--shards <n>] [--id-col <c>] [--count-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  recall  --output <dir> [--queries <n>] [--k <n>] [--method lsh|ivf|pq] [--id-col <c>] [--vec-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -378,19 +378,32 @@ object Main {
         // (q116 — the crawl-loop / template-stutter cleaner)
         require(pos.size == 1, "strip needs exactly one <ds.tbl|parquetDir>")
         val df = readTable(spark, flags, pos.head)
-        val stripK = flags.getOrElse("k", "13").toInt
+        val stripId = flags.getOrElse("id-col", "doc_id")
+        val stripText = flags.getOrElse("text-col", "text")
         val out =
-          if (flags.contains("intra"))
-            graft.dedup.Dedup.stripIntraDocRepeats(df, k = stripK,
-              idCol = flags.getOrElse("id-col", "doc_id"),
-              textCol = flags.getOrElse("text-col", "text"))
-          else graft.dedup.Dedup.stripDuplicateSpans(df, k = stripK,
-            idCol = flags.getOrElse("id-col", "doc_id"),
-            textCol = flags.getOrElse("text-col", "text"))
+          if (flags.contains("ref")) {
+            // CDC chunk strip vs a reference slice (q147): excise
+            // whole content-defined chunks the --ref slice contains
+            import org.apache.spark.sql.functions.{expr, not}
+            val refPred = expr(flags("ref"))
+            val (k, p) = (flags.getOrElse("k", "3").toInt,
+              flags.getOrElse("p", "8").toInt)
+            graft.dedup.Dedup.cdcStrip(df.filter(not(refPred)),
+              graft.dedup.Dedup.cdcDigests(df.filter(refPred), k, p,
+                stripId, stripText), k, p, stripId, stripText)
+          } else if (flags.contains("intra"))
+            graft.dedup.Dedup.stripIntraDocRepeats(df,
+              k = flags.getOrElse("k", "13").toInt,
+              idCol = stripId, textCol = stripText)
+          else graft.dedup.Dedup.stripDuplicateSpans(df,
+            k = flags.getOrElse("k", "13").toInt,
+            idCol = stripId, textCol = stripText)
         out.write.mode("overwrite").parquet(req(flags, "output"))
+        val removedCol =
+          if (flags.contains("ref")) "dropped_tokens" else "n_removed"
         val removed = spark.read.parquet(req(flags, "output"))
           .agg(org.apache.spark.sql.functions.coalesce(
-            org.apache.spark.sql.functions.sum("n_removed"),
+            org.apache.spark.sql.functions.sum(removedCol),
             org.apache.spark.sql.functions.lit(0L))).head.getLong(0)
         println(s"stripped tokens: $removed")
 

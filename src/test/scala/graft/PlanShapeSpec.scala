@@ -423,6 +423,25 @@ class PlanShapeSpec extends SparkSpec {
       s"the report should shuffle only digest rows:\n$dupPlan")
   }
 
+  test("IVF semantic decontam: cluster equi-join, centroids as plan literals, no cartesian (q146 shape)") {
+    val emb = (0L until 60L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 5 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = formatted(Similarity.semanticContaminationIvf(
+      emb.filter(col("vec_id") % 5 =!= 0), emb.filter(col("vec_id") % 5 === 0),
+      threshold = 0.5, nlist = 4, nprobe = 2))
+    // the candidate join is keyed on the cluster id — never all-pairs
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair space must be pruned by the cluster equi-key:\n$plan")
+    assert(plan.contains("cluster"), s"join must key on cluster:\n$plan")
+    // argmax is the aggregate form with a map-side partial (struct max
+    // plans as SortAggregate), never a window over candidate rows
+    assert(plan.contains("partial_max"),
+      s"argmax must pre-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"), s"no window over candidate rows:\n$plan")
+  }
+
   test("domain filter: keep-list comes back broadcast — the corpus never reshuffles (q133 shape)") {
     import graft.curation.DomainFilter
     val df = (0L until 60L).map(i => (i, s"d${i % 4}", (i % 10) / 10.0))

@@ -146,6 +146,23 @@ class CliCurationSpec extends SparkSpec {
     assert(cov(0)._2 > 0.5 && cov(1)._2 == 0.0, s"$cov")
   }
 
+  test("strip --ref excises CDC chunks via the verb") {
+    val dir = tmpDir("cli-cdcstrip")
+    val passage = (1 to 40).map(i => s"p$i").mkString(" ")
+    Seq((100L, s"lead in $passage out"),
+      (1L, s"fresh prefix $passage suffix"),
+      (2L, "novel text nothing shared at all with anything here ok"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    Main.run(spark, Array("strip", "--ref", "doc_id >= 100", "--p", "4",
+      "--output", s"$dir/out", s"$dir/in"))
+    val out = spark.read.parquet(s"$dir/out").orderBy($"doc_id")
+      .select("doc_id", "clean", "dropped_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out(0)._3 > 20 && !out(0)._2.contains("p10 p11"), s"${out(0)}")
+    assert(out(1)._3 == 0L)
+  }
+
   test("tokenize trains, saves, reloads, and encodes losslessly via the verb") {
     val dir = tmpDir("cli-tokenize")
     Seq((1L, "the cat sat on the mat"), (2L, "the mat sat on the cat"),
