@@ -1101,6 +1101,39 @@ object Dedup {
         round(col("dup_tokens").cast(DoubleType)
           / col("total_tokens").cast(DoubleType), 6).as("coverage"))
 
+  /** Corpus snapshot DIFF by content digest — the ablation-bookkeeping
+    * read-out between two versions of a corpus (before/after a filter
+    * change, two txlog snapshots, last week's crawl vs this week's):
+    * per digest that CHANGED, its multiplicity on each side and a
+    * status (`added` / `removed` / `changed`). Unchanged digests are
+    * absent, so the report is delta-sized, not corpus-sized. An
+    * `example_id` per side anchors the digest to an inspectable row
+    * (min id; -1 when the side is empty — a sortable non-null anchor,
+    * never a null the engines order differently).
+    *
+    * Scale shape: two map-side digest projections, two count
+    * aggregates, one full-outer equi-join on the digest — every
+    * shuffled row is (digest, count), never documents. */
+  def corpusDiff(before: DataFrame, after: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, nAs: String, exAs: String) =
+      df.select(contentKey(col(textCol)).as("digest"), col(idCol).as("__id"))
+        .groupBy(col("digest"))
+        .agg(count(lit(1)).as(nAs), min(col("__id")).as(exAs))
+    counts(before, "n_before", "eb").join(
+        counts(after, "n_after", "ea"), Seq("digest"), "full_outer")
+      .select(col("digest"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("eb"), lit(-1L)).as("example_before"),
+        coalesce(col("ea"), lit(-1L)).as("example_after"))
+      .withColumn("status",
+        when(col("n_before") === 0, lit("added"))
+          .when(col("n_after") === 0, lit("removed"))
+          .otherwise(lit("changed")))
+      .filter(col("n_before") =!= col("n_after"))
+  }
+
   /** CDC chunk-level STRIP — the removal complement of [[cdcCoverage]]:
     * rewrite each probe document with every chunk whose digest appears
     * in `refDigests` removed (known-boilerplate libraries, an eval

@@ -3080,6 +3080,43 @@ object CurationQueries {
     ORDER BY vec_id"""
   }
 
+  // ---- q148: corpus snapshot diff ----
+
+  /** q148: [[Dedup.corpusDiff]] — the ablation-bookkeeping delta
+    * between two corpus versions, exercised against a synthetic
+    * "after" built from the same table (a filter drop, re-added
+    * duplicates, and edited additions), so all three statuses appear
+    * and the oracle replays the construction exactly. */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+    val after = base.filter(col("doc_id") % 7 =!= 0)
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+    Dedup.corpusDiff(base, after).orderBy(col("digest"))
+  }
+
+  val q148Sql: String = s"""
+    WITH b AS (SELECT doc_id, text FROM documents),
+    a AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0
+          UNION ALL SELECT doc_id + 200000, text || ' v2' FROM documents WHERE doc_id % 13 = 0),
+    cb AS (SELECT md5(text) AS digest, COUNT(*) AS n_before, MIN(doc_id) AS eb
+           FROM b GROUP BY 1),
+    ca AS (SELECT md5(text) AS digest, COUNT(*) AS n_after, MIN(doc_id) AS ea
+           FROM a GROUP BY 1)
+    SELECT digest,
+           COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after,
+           COALESCE(eb, -1) AS example_before, COALESCE(ea, -1) AS example_after,
+           CASE WHEN COALESCE(n_before, 0) = 0 THEN 'added'
+                WHEN COALESCE(n_after, 0) = 0 THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM cb FULL OUTER JOIN ca USING (digest)
+    WHERE COALESCE(n_before, 0) <> COALESCE(n_after, 0)
+    ORDER BY digest"""
+
   // ---- q147: CDC chunk-level strip ----
 
   /** q147: [[Dedup.cdcStrip]] — the removal complement of q138: every
@@ -3476,5 +3513,6 @@ object CurationQueries {
     ("q143_stratified_weighted", q143 _, Some(q143Sql)),
     ("q145_mix_realized", q145 _, Some(q145Sql)),
     ("q146_semantic_decontam_ivf", q146 _, Some(q146Sql)),
-    ("q147_cdc_strip", q147 _, Some(q147Sql)))
+    ("q147_cdc_strip", q147 _, Some(q147Sql)),
+    ("q148_corpus_diff", q148 _, Some(q148Sql)))
 }

@@ -372,6 +372,24 @@ class DedupSpec extends SparkSpec {
     assert(tiny.count() == 0)
   }
 
+  test("corpusDiff: delta-sized report with added/removed/changed and anchors") {
+    val before = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "gamma"))
+      .toDF("doc_id", "text")
+    val after = Seq((10L, "alpha"), (11L, "delta"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(before, after)
+      .select($"status", $"n_before", $"n_after", $"example_before", $"example_after")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // alpha unchanged (1->1, absent); beta removed; gamma 2->1 changed;
+    // delta added
+    assert(got == Set(
+      ("removed", 1L, 0L, 2L, -1L),
+      ("changed", 2L, 1L, 3L, 12L),
+      ("added", 0L, 1L, -1L, 11L)), s"$got")
+    // identical corpora diff to empty
+    assert(Dedup.corpusDiff(before, before).count() == 0)
+  }
+
   test("cdcStrip: excises reference chunks wherever they sit, keeps the rest in order") {
     val passage = (1 to 40).map(i => s"p$i").mkString(" ")
     val ref = Seq((100L, s"lead in words $passage and out")).toDF("doc_id", "text")
