@@ -297,6 +297,19 @@ object Multimodal {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** Audio near-duplicate pairs: MFCC feature vectors (from
+    * [[decodeAudio]] — stubbed features here, a real filterbank in
+    * production; the PLUMBING is the contract) through the SRP-LSH
+    * banded pair generator with exact cosine verify
+    * ([[graft.sim.Similarity.nearDupPairsLsh]]) — the audio twin of
+    * [[imageNearDupPairs]], and the same 100 TB shape: band collisions
+    * generate candidates, no crossJoin anywhere. */
+  def audioNearDupPairs(media: DataFrame, threshold: Double,
+      batchSize: Int = 64): DataFrame =
+    graft.sim.Similarity.nearDupPairsLsh(
+      decodeAudio(media, batchSize).toDF().select(col("media_id"), col("mfcc")),
+      threshold, idCol = "media_id", vecCol = "mfcc")
+
   /** Decode audio payloads — same batched partition-local shape as
     * [[decodeImages]]; only the small (rate, duration, channels, MFCC)
     * rows flow onward, never the waveform. */

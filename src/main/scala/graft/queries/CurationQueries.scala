@@ -94,7 +94,7 @@ object CurationQueries {
   /** DuckDB twin of [[Similarity.dot]]: left fold in element order from
     * an explicit 0.0 — the same accumulation order as Spark's fold, so
     * the doubles (and everything derived from them) are bit-identical. */
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(list_zip($a, $b), z -> z[1] * z[2])), (acc, v) -> acc + v)"
 
@@ -409,7 +409,7 @@ object CurationQueries {
   /** Shared DuckDB fragments for the SRP-LSH pipeline (q29/q30): the
     * signature sum-of-bits over a `v` column, and the band-key list over
     * a `sig` column — same md5-derived ±1 plane literals Spark embeds. */
-  private def srpSigSql(planes: Int = 16, dims: Int = 64): String =
+  private[queries] def srpSigSql(planes: Int = 16, dims: Int = 64): String =
     (0 until planes).map { p =>
       val signs = (0 until dims).map(j => Similarity.planeSign(p, j)).mkString("[", ",", "]")
       val proj = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -417,7 +417,7 @@ object CurationQueries {
       s"(CASE WHEN $proj > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString("(", " + ", ")")
 
-  private def srpBandListSql(planes: Int = 16, bandBits: Int = 4): String =
+  private[queries] def srpBandListSql(planes: Int = 16, bandBits: Int = 4): String =
     (0 until planes / bandBits).map(b =>
       s"concat('$b', ':', CAST((sig >> ${b * bandBits}) & ${(1 << bandBits) - 1} AS VARCHAR))")
       .mkString("[", ",", "]")

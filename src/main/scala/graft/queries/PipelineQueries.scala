@@ -248,6 +248,48 @@ object PipelineQueries {
     FROM documents ORDER BY media_id"""
   }
 
+  /** q149: audio near-duplicate pairs —
+    * [[Multimodal.audioNearDupPairs]]: the stub MFCC vectors (13-dim,
+    * md5-deterministic, so the oracle replays the decode exactly)
+    * through the SRP-LSH banded pair generator with exact cosine
+    * verify at 0.75 — the audio twin of q114's image dedup. Exact
+    * payload duplicates land at sim 1.0; the LSH bands are the same
+    * q29 fragments the oracle replays. */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.repartitionBySize(
+      Tables.documents(s, d).select(col("doc_id").as("media_id"),
+        lit("audio").as("media_type"), lit("fake").as("fmt"),
+        encode(col("text"), "UTF-8").cast("binary").as("content")), 8)
+    Multimodal.audioNearDupPairs(media, threshold = 0.75)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val q149Sql: String = {
+    def hexLong(src: String, from: Int, len: Int) =
+      s"""CAST(list_reduce(list_transform(range($from, ${from + len}), i ->
+          CAST(strpos('0123456789abcdef', substring($src, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+        (a, x) -> a * 16 + x) AS BIGINT)"""
+    val mfccJ = hexLong("md5(md5(text) || '@' || CAST(j AS VARCHAR))", 1, 8)
+    s"""
+    WITH e AS MATERIALIZED (
+      SELECT doc_id AS media_id,
+             list_transform(range(0, 13), j ->
+               CAST($mfccJ % 2000 - 1000 AS DOUBLE) / 100.0) AS v
+      FROM documents),
+    sigs AS MATERIALIZED (
+      SELECT media_id, v, sqrt(${graft.queries.CurationQueries.dotSql("v", "v")}) AS nrm,
+             ${graft.queries.CurationQueries.srpSigSql()} AS sig FROM e),
+    banded AS (SELECT media_id, unnest(${graft.queries.CurationQueries.srpBandListSql()}) AS band
+               FROM sigs),
+    cands AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b
+              FROM banded x JOIN banded y ON x.band = y.band
+              WHERE x.media_id < y.media_id)
+    SELECT a, b, round(${graft.queries.CurationQueries.dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm), 6) AS sim
+    FROM cands JOIN sigs sa ON sa.media_id = a JOIN sigs sb ON sb.media_id = b
+    WHERE round(${graft.queries.CurationQueries.dotSql("sa.v", "sb.v")} / (sa.nrm * sb.nrm), 6) >= 0.75
+    ORDER BY a, b"""
+  }
+
   /** q36: notification decode (SURVEY S7) — Cloud-Storage object-event
     * JSON (built deterministically from `events`) through the fixed-
     * schema from_json decoder: string→long size, RFC3339→timestamp,
@@ -1293,5 +1335,6 @@ log[d] {
     ("q141_stream_kl_drift", q141 _,
       Some(graft.queries.CurationQueries.q105Sql)),
     ("q144_stream_stratified_weighted", q144 _,
-      Some(graft.queries.CurationQueries.q143Sql)))
+      Some(graft.queries.CurationQueries.q143Sql)),
+    ("q149_audio_neardup", q149 _, Some(q149Sql)))
 }

@@ -150,4 +150,18 @@ class MultimodalSpec extends SparkSpec {
     assert(parts.rdd.getNumPartitions == 2)
     assert(parts.count() == 3)
   }
+
+  test("audioNearDupPairs: identical payloads pair at sim 1.0, distinct payloads verified exactly") {
+    import org.apache.spark.sql.functions._
+    val m = spark.range(20).select($"id".as("media_id"),
+        lit("audio").as("media_type"), lit("fake").as("fmt"),
+        encode(concat(lit("payload "), ($"id" % 10).cast("string")), "UTF-8")
+          .cast("binary").as("content"))
+    // ids i and i+10 carry identical payloads -> identical MFCCs
+    val got = Multimodal.audioNearDupPairs(m, threshold = 0.999)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == (0L until 10L).map(i => (i, i + 10L, 1.0)).toSet, s"$got")
+    // threshold 1.1 excludes everything (exact verify, not band trust)
+    assert(Multimodal.audioNearDupPairs(m, threshold = 1.1).count() == 0)
+  }
 }
