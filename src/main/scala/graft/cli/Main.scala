@@ -54,6 +54,7 @@ object Main {
       |  txlog snapshot --warehouse <dir> --output <dir> [--version <n>] <ds.tbl>
       |  txlog vacuum   --warehouse <dir> [--older-than-ms <n>] <ds.tbl>
       |  txlog compact  --warehouse <dir> [--target-partitions <n>] [--expire] <ds.tbl>
+      |  txlog diff     --warehouse <dir> --output <dir> [--from <v>] [--to <v>] <ds.tbl>
       |every <ds.tbl|parquetDir> verb also takes --select "<expr AS name>,..." to project at read (e.g. --select "data.doc_id AS doc_id,data.text AS text" off an ingested table)""".stripMargin
 
   /** Parsed flags + positional args (flags may appear anywhere). */
@@ -888,8 +889,8 @@ object Main {
         // contract: record the number, re-read identical bytes
         // forever), `vacuum` reclaims crash-stranded batch dirs
         require(pos.size == 2 &&
-          Set("versions", "snapshot", "vacuum", "compact")(pos.head),
-          s"txlog needs versions|snapshot|vacuum|compact + one <ds.tbl>\n$usage")
+          Set("versions", "snapshot", "vacuum", "compact", "diff")(pos.head),
+          s"txlog needs versions|snapshot|vacuum|compact|diff + one <ds.tbl>\n$usage")
         val Array(ds, tbl) = pos(1).split("\\.", 2)
         val backend = new graft.schema.TxLogBackend(req(flags, "warehouse"))
         pos.head match {
@@ -921,6 +922,34 @@ object Main {
               val gone = backend.expireReplaced(ds, tbl)
               println(s"expired ${gone.size} replaced batch dirs")
             }
+          case "diff" =>
+            // row-digest delta between two published snapshots — the
+            // "what did that append/compaction change" audit. Digest =
+            // md5 of the row's canonical JSON (the engine's row-identity
+            // hash), so column order / partitioning can never alias a
+            // change. Compaction-only versions diff to EMPTY — the
+            // content-preservation proof as a one-command check.
+            import org.apache.spark.sql.functions.{col, lit, struct}
+            val vs = backend.snapshotVersions(ds, tbl)
+            require(vs.nonEmpty, s"$ds.$tbl has no commits to diff")
+            val to = flags.get("to").map(_.toInt).getOrElse(vs.max)
+            val from = flags.get("from").map(_.toInt).getOrElse(
+              vs.filter(_ < to).maxOption.getOrElse(to))
+            require(vs.contains(from) && vs.contains(to),
+              s"versions must be published commits (have: ${vs.mkString(", ")})")
+            def digested(v: Int) = {
+              val df = backend.readAt(spark, ds, tbl, v).drop("__part")
+              df.select(graft.functions.logId(struct(df.columns.map(col): _*),
+                df.schema).as("text"))
+            }
+            val delta = graft.dedup.Dedup.corpusDiff(
+                digested(from).withColumn("doc_id", lit(-1L)),
+                digested(to).withColumn("doc_id", lit(-1L)))
+              .drop("example_before", "example_after")
+            delta.write.mode("overwrite").parquet(req(flags, "output"))
+            val n = spark.read.parquet(req(flags, "output")).count()
+            println(if (n == 0) s"diff $ds.$tbl v$from..v$to: identical content"
+              else s"diff $ds.$tbl v$from..v$to: $n changed digests")
         }
 
       case other =>

@@ -400,6 +400,21 @@ class CliCurationSpec extends SparkSpec {
       "--older-than-ms", "0", "d.t"))
     assert(!java.nio.file.Files.exists(orphan))
     assert(graft.ingest.TableSink.read(spark, backend, "d", "t").count() == 2L)
+    // diff v1..v2: exactly the second ingest's row-digest appears added
+    Main.run(spark, Array("txlog", "diff", "--warehouse", s"$dir/wh",
+      "--from", vs.head.toString, "--to", vs.max.toString,
+      "--output", s"$dir/delta", "d.t"))
+    val delta = spark.read.parquet(s"$dir/delta")
+      .select("status", "n_before", "n_after").as[(String, Long, Long)].collect().toSeq
+    assert(delta == Seq(("added", 0L, 1L)), s"$delta")
+    // a compaction-only version diffs to EMPTY vs the tip before it —
+    // the content-preservation proof as a one-command check
+    Main.run(spark, Array("txlog", "compact", "--warehouse", s"$dir/wh", "d.t"))
+    val vs2 = backend.snapshotVersions("d", "t")
+    Main.run(spark, Array("txlog", "diff", "--warehouse", s"$dir/wh",
+      "--from", vs.max.toString, "--to", vs2.max.toString,
+      "--output", s"$dir/delta2", "d.t"))
+    assert(spark.read.parquet(s"$dir/delta2").count() == 0L)
   }
 
   test("strip removes cross-doc duplicated spans via the verb") {
