@@ -195,4 +195,34 @@ class BigQueryProtocolSpec extends SparkSpec {
     assert(TableSink.read(spark, backend, "d", "t")
       .select("id").distinct().count() == 45L)
   }
+
+  test("generation diff: compaction diffs to EMPTY, appends diff to exactly the added rows") {
+    val emu = new BigQueryEmulator(tmpDir("bq-gendiff"))
+    val backend = new BigQueryWriteBackend(emu)
+    backend.createOrUpdate("d", "t", baseSchema)
+    backend.appendPartitioned("d", "t", baseRows("a", 4))
+    backend.appendPartitioned("d", "t", baseRows("a2", 3))
+    val tipA = emu.tipGeneration("d", "t")
+    val cg = emu.compact(spark, "d", "t")
+    assert(cg > tipA, "two streams must actually compact")
+    backend.appendPartitioned("d", "t", baseRows("b", 2))
+    val tipB = emu.tipGeneration("d", "t")
+    // row identity = canonical-JSON digest, the txlog-diff contract
+    val withPart = baseSchema.add("__part", StringType)
+    def digests(gen: Int) = {
+      val df = emu.readRowsAsOf(spark, "d", "t", withPart, gen)
+      df.select(graft.functions.logId(
+          struct(df.columns.map(col): _*), df.schema).as("text"))
+        .withColumn("doc_id", lit(-1L))
+    }
+    // the compaction commit preserves content EXACTLY — empty delta
+    assert(graft.dedup.Dedup.corpusDiff(digests(tipA), digests(cg)).count() == 0,
+      "compaction-only generations must diff to empty")
+    // the append's delta is exactly its two rows, all 'added'
+    val d = graft.dedup.Dedup.corpusDiff(digests(cg), digests(tipB))
+      .select("status", "n_before", "n_after")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d == Set(("added", 0L, 1L)) &&
+      graft.dedup.Dedup.corpusDiff(digests(cg), digests(tipB)).count() == 2, s"$d")
+  }
 }
