@@ -264,7 +264,11 @@ object Main {
               .createOrReplaceTempView(s"_meta_$t")
         }
         val df = Migrate.sql(spark, registry, registry.listTables(), pos.head)
-        df.toJSON.collect().foreach(println)
+        // stream the read-out: toLocalIterator holds one partition at a
+        // time on the driver, so an unbounded SELECT over a 100 TB table
+        // never materializes the full result; --limit caps it outright
+        val rows = flags.get("limit").map(n => df.limit(n.toInt)).getOrElse(df)
+        rows.toJSON.toLocalIterator().forEachRemaining(println(_))
 
       case "corpus" | "c" if pos == Seq("compact") =>
         // bounded-growth maintenance for the corpus stores (docs dir +

@@ -238,7 +238,10 @@ object Sampling {
     * sample. */
   private[graft] def esKey(idCol: Column, weight: Column, seed: String): Column = {
     val u = md5Long(concat(lit(s"wsample|$seed|"), idCol.cast("string")), 15) + lit(1L)
-    val w = greatest(weight.cast("double"), lit(1.0))
+    // clamp guards only w <= 0 (a zero/negative weight would divide by
+    // zero or flip the key's sign); fractional weights in (0,1) — e.g.
+    // quality scores — keep their proportional inclusion odds
+    val w = greatest(weight.cast("double"), lit(1e-9))
     round((log(u.cast("double")) - log(lit(1152921504606846976L).cast("double")))
       / w * lit(1000000.0), 6)
   }

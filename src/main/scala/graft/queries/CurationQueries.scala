@@ -2949,10 +2949,11 @@ object CurationQueries {
       SELECT CAST(${md5LongSql("CAST(doc_id AS VARCHAR)", 8)} % 8 AS INT) AS shard,
              CAST(len($toks) AS BIGINT) AS n_tokens
       FROM documents),
-    agg AS (SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens
+    agg AS (SELECT shard, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
             FROM pos GROUP BY shard)
     SELECT shard, n_docs, n_tokens,
-           (n_tokens + 511) // 512 AS n_packs,
+           CAST((n_tokens + 511) // 512 AS BIGINT) AS n_packs,
            CASE WHEN n_tokens = 0 THEN NULL
              ELSE round(CAST(n_tokens AS DOUBLE)
                / CAST(((n_tokens + 511) // 512) * 512 AS DOUBLE), 6)
@@ -3008,7 +3009,7 @@ object CurationQueries {
       SELECT doc_id, lang, n_chars,
         round((ln(CAST(${md5LongSql("concat('wsample|0|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
                - ln(CAST(1152921504606846976 AS DOUBLE)))
-          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+          / greatest(CAST(n_chars AS DOUBLE), 0.000000001) * 1000000.0, 6) AS es_key
       FROM documents)
     SELECT doc_id, lang, n_chars, es_key, rank FROM (
       SELECT k.*, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank FROM k)
@@ -3318,7 +3319,7 @@ object CurationQueries {
       SELECT doc_id, lang, n_chars,
         round((ln(CAST(${md5LongSql("concat('wsample|0|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
                - ln(CAST(1152921504606846976 AS DOUBLE)))
-          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+          / greatest(CAST(n_chars AS DOUBLE), 0.000000001) * 1000000.0, 6) AS es_key
       FROM documents)
     SELECT doc_id, lang, n_chars, es_key, rank FROM (
       SELECT k.*, ROW_NUMBER() OVER (PARTITION BY lang
@@ -3352,7 +3353,7 @@ object CurationQueries {
     k AS (SELECT doc_id, lang, n_chars,
         round((ln(CAST(${md5LongSql("concat('wsample|mix|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
                - ln(CAST(1152921504606846976 AS DOUBLE)))
-          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+          / greatest(CAST(n_chars AS DOUBLE), 0.000000001) * 1000000.0, 6) AS es_key
       FROM documents WHERE lang IS NOT NULL),
     r AS (SELECT k.*, ROW_NUMBER() OVER (PARTITION BY lang
             ORDER BY es_key DESC, doc_id) AS rank FROM k)
@@ -3417,7 +3418,7 @@ object CurationQueries {
       SELECT doc_id, source, n_chars,
         round((ln(CAST(${md5LongSql("concat('wsample|crawl|', CAST(doc_id AS VARCHAR))", 15)} + 1 AS DOUBLE))
                - ln(CAST(1152921504606846976 AS DOUBLE)))
-          / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000.0, 6) AS es_key
+          / greatest(CAST(n_chars AS DOUBLE), 0.000000001) * 1000000.0, 6) AS es_key
       FROM surv)
     SELECT doc_id, source, n_chars, es_key, rank FROM (
       SELECT keyed.*, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank

@@ -1042,7 +1042,7 @@ log[d] {
       base.select(col("doc_id"), col("text")), s"$work/landing")
     graft.curation.LangModel.scoreBigramStream(in, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model", s"$work/scored", s"$work/ckpt")
-    val scored = s.read.parquet(s"$work/scored")
+    val scored = graft.streaming.ScoreStream.output(s, s"$work/scored")
       .withColumnRenamed("__id", "doc_id")
     base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1068,7 +1068,7 @@ log[d] {
     graft.curation.Classifier.scoreNbStream(in, col("doc_id"),
       tokens(lower(col("text"))), col("source"),
       s"$work/model", s"$work/scored", s"$work/ckpt")
-    s.read.parquet(s"$work/scored")
+    graft.streaming.ScoreStream.output(s, s"$work/scored")
       .withColumnRenamed("__id", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -1136,7 +1136,7 @@ log[d] {
     graft.curation.Dsir.gateStream(in, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model", numBuckets = 256,
       threshold = 0.0, outDir = s"$work/kept", checkpointDir = s"$work/ckpt")
-    s.read.parquet(s"$work/kept")
+    graft.streaming.ScoreStream.output(s, s"$work/kept")
       .withColumnRenamed("__id", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -1165,7 +1165,7 @@ log[d] {
         .select(col("doc_id"), col("text")), s"$work/landing")
     graft.dedup.Dedup.decontaminateStream(in, s"$work/model",
       outDir = s"$work/flagged", checkpointDir = s"$work/ckpt")
-    s.read.parquet(s"$work/flagged").orderBy(col("doc_id"))
+    graft.streaming.ScoreStream.output(s, s"$work/flagged").orderBy(col("doc_id"))
   }
 
   /** q135: STREAMING weighted reservoir
@@ -1204,7 +1204,7 @@ log[d] {
       outDir = s"$work/report", checkpointDir = s"$work/ckpt") { batch =>
       graft.sim.Similarity.semanticContamination(batch, evalSet, threshold = 0.25)
     }
-    s.read.parquet(s"$work/report").orderBy(col("vec_id"))
+    graft.streaming.ScoreStream.output(s, s"$work/report").orderBy(col("vec_id"))
   }
 
   /** q139: STREAMING CDC duplication gate — q138's coverage scoring
@@ -1226,7 +1226,7 @@ log[d] {
       outDir = s"$work/coverage", checkpointDir = s"$work/ckpt") { batch =>
       graft.dedup.Dedup.cdcCoverage(batch, refD, k = 3, p = 8)
     }
-    s.read.parquet(s"$work/coverage").orderBy(col("doc_id"))
+    graft.streaming.ScoreStream.output(s, s"$work/coverage").orderBy(col("doc_id"))
   }
 
   /** q144: STREAMING stratified weighted reservoir — q143's

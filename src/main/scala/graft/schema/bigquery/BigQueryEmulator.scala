@@ -324,7 +324,13 @@ final class BigQueryEmulator(rootDir: String) {
     * exact). Returns the compaction's generation, 0 when already
     * compact. */
   def compact(spark: SparkSession, ds: String, t: String,
-      targetPartitions: Int = 1): Int = {
+      targetPartitions: Int = 1,
+      /** test seam: runs after the rewrite stages, before the log
+        * commit — the window where a concurrent append "races" the
+        * compaction (its gen lands between `through` and the
+        * compaction's gen). Lets specs pin that interleave
+        * deterministically instead of hoping threads collide. */
+      beforeCommit: () => Unit = () => ()): Int = {
     val tip = tipGeneration(ds, t)
     val dirs = dirsAt(ds, t, tip)
     if (dirs.size <= 1) return 0
@@ -337,6 +343,7 @@ final class BigQueryEmulator(rootDir: String) {
       .sortWithinPartitions("__part")
       .write.mode("append").parquet(streamDir(ds, t, stream).resolve("rows").toString)
     finalizeWriteStream(ds, t, stream)
+    beforeCommit()
     lockFor(ds, t).synchronized {
       val (pruned, es) = readLog(ds, t)
       val gen = es.lastOption.map(_.gen).getOrElse(0) + 1
@@ -358,8 +365,16 @@ final class BigQueryEmulator(rootDir: String) {
       val live = effectiveEntries(es, tip)
       val liveStreams = live.flatMap(_.streams).toSet
       val dead = es.flatMap(_.streams).distinct.filterNot(liveStreams)
+      // horizon is the latest compaction's OWN gen - 1, not its
+      // `through`: a racing append's gen lands strictly between
+      // `through` and the compaction gen, and a read pinned there
+      // resolves against pre-compaction entries this expiry just
+      // pruned — it must fail loudly, not silently return only the
+      // racing append's rows. Every gen >= the compaction's sees the
+      // compaction plus live racing appends, so nothing above the
+      // raised horizon loses data.
       val newHorizon = es.filter(_.through > 0).lastOption
-        .map(_.through).getOrElse(pruned)
+        .map(_.gen - 1).getOrElse(pruned)
       writeLog(ds, t, math.max(pruned, newHorizon),
         es.filter(_.streams.forall(liveStreams)))
       dead.flatMap { s =>

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -30,15 +32,36 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object CountStream {
 
+  /** Default key-cardinality ceiling: generous for any genuinely
+    * discrete domain (langs × length buckets, a capped vocabulary) and
+    * far below where the "store ∝ live keys" contract stops being a
+    * bound in practice. */
+  val MaxStoreKeys: Long = 1L << 22
+
+  /** Above this many bytes per store file, a generation is written as
+    * multiple shards instead of one (the single-file swap is an
+    * optimization for the common small store, not a correctness
+    * requirement — the pointer move is the commit either way). */
+  val ShardBytes: Long = 128L << 20
+
   /** Drain `stream` with AvailableNow, folding `table(batch)` — a
     * (keyCols..., cntCol) frame — into the count store at `storeDir`
-    * by groupBy(keys).sum(cnt). Returns the final accumulated table. */
+    * by groupBy(keys).sum(cnt). Returns the final accumulated table.
+    *
+    * `maxKeys` ENFORCES the bounded-keys contract instead of trusting
+    * the scaladoc: a feed whose key is secretly unbounded (raw terms of
+    * an open vocabulary, raw doc ids) fails loudly on the first
+    * over-cardinality merge — before the pointer moves, so the store
+    * stays at its last good generation — rather than silently growing
+    * the store and every subsequent re-merge. */
   def accumulate(spark: SparkSession, stream: DataFrame, storeDir: String,
-      checkpointDir: String, keyCols: Seq[String], cntCol: String)
+      checkpointDir: String, keyCols: Seq[String], cntCol: String,
+      maxKeys: Long = MaxStoreKeys)
       (table: DataFrame => DataFrame): DataFrame = {
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        mergeBatch(spark, storeDir, keyCols, cntCol, table(batch), batchId)
+        mergeBatch(spark, storeDir, keyCols, cntCol, table(batch), batchId,
+          maxKeys)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -53,7 +76,7 @@ object CountStream {
     * second merge would double-count). */
   private[streaming] def mergeBatch(spark: SparkSession, storeDir: String,
       keyCols: Seq[String], cntCol: String, t: DataFrame,
-      batchId: Long): Unit =
+      batchId: Long, maxKeys: Long = MaxStoreKeys): Unit =
     if (lastBatch(storeDir).forall(_ < batchId)) {
       val merged = current(spark, storeDir) match {
         case Some(cur) => cur.unionByName(t)
@@ -61,7 +84,7 @@ object CountStream {
           .agg(sum(col(cntCol)).as(cntCol))
         case None => t
       }
-      advance(spark, storeDir, merged, batchId)
+      advance(spark, storeDir, merged, batchId, maxKeys)
     }
 
   private def genFile(storeDir: String) = Paths.get(storeDir, "GEN")
@@ -83,11 +106,40 @@ object CountStream {
       spark.read.parquet(s"$storeDir/gen=$g")
     }
 
+  /** Bytes on disk of the committed generation, 0 when none — sizes the
+    * NEXT generation's shard count (the store grows per-merge by at
+    * most a batch's key set, so the previous size is the right
+    * estimate; re-sizing lags one generation, which only ever means
+    * one slightly-oversized file). */
+  private def committedBytes(storeDir: String): Long = pointer(storeDir) match {
+    case None => 0L
+    case Some((g, _)) =>
+      val dir = Paths.get(storeDir, s"gen=$g")
+      if (!Files.exists(dir)) 0L
+      else {
+        val walk = Files.walk(dir)
+        try walk.iterator.asScala.filter(Files.isRegularFile(_))
+          .map(Files.size).sum
+        finally walk.close()
+      }
+  }
+
   private def advance(spark: SparkSession, storeDir: String,
-      merged: DataFrame, batchId: Long): Unit = {
+      merged: DataFrame, batchId: Long, maxKeys: Long): Unit = {
     val old = pointer(storeDir)
     val next = old.map(_._1 + 1).getOrElse(0L)
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$storeDir/gen=$next")
+    val shards = math.max(1L, (committedBytes(storeDir) + ShardBytes - 1) / ShardBytes).toInt
+    merged.repartition(shards).write.mode("overwrite")
+      .parquet(s"$storeDir/gen=$next")
+    // cardinality check off the WRITTEN parquet (footer metadata — no
+    // recompute), and BEFORE the pointer move: an over-cardinality
+    // merge leaves the store at its last good generation
+    val keys = spark.read.parquet(s"$storeDir/gen=$next").count()
+    require(keys <= maxKeys,
+      s"count store at $storeDir: merge produced $keys keys > maxKeys=" +
+        s"$maxKeys — the (keys..., count) table only bounds state for a " +
+        "BOUNDED key domain; bucket or hash the key first (see " +
+        "HistQuantiles), or raise maxKeys explicitly for a known domain.")
     val tmp = Paths.get(storeDir, "GEN.tmp")
     Files.writeString(tmp, s"$next $batchId")
     Files.move(tmp, genFile(storeDir), StandardCopyOption.REPLACE_EXISTING,

@@ -53,7 +53,19 @@ object Reservoir {
           case Some(cur) => cur.drop("rank").unionByName(keyed)
           case None => keyed
         }
-        val top = graft.util.TopN.exact(merged.dropDuplicates(idCol),
+        // id-level dedup must be DETERMINISTIC: a replayed row is
+        // byte-identical and collapses either way, but a feed that
+        // re-carries an id with a NEW weight/attributes would make
+        // dropDuplicates keep an arbitrary row. Keep the max-key row
+        // per id (ties broken by the full remaining struct), so the
+        // winner is a pure function of the rows seen — the batch twin's
+        // unique-id precondition, enforced rather than assumed.
+        val rest = merged.columns.filter(c => c != idCol && c != keyAs)
+        val deduped = merged.groupBy(col(idCol))
+          .agg(max(struct((col(keyAs) +: rest.map(col)): _*)).as("__w"))
+          .select(merged.columns.map(c =>
+            if (c == idCol) col(c) else col(s"__w.$c").as(c)): _*)
+        val top = graft.util.TopN.exact(deduped,
           strata.map(col), Seq(col(keyAs).desc, col(idCol).asc), n)
         advance(spark, storeDir, top)
       }

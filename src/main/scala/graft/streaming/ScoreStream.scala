@@ -38,14 +38,26 @@ object ScoreStream {
       checkpointDir: String)(score: DataFrame => DataFrame): Unit = {
     frozen.foreach(_.persist())
     try stream.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        score(batch).write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // idempotent under at-least-once redelivery: each micro-batch
+        // OWNS the batch=<id> subdir, so a batch re-delivered after a
+        // crash between the write and the checkpoint commit overwrites
+        // its own (possibly partial) output instead of appending a
+        // duplicate — the union of subdirs is exactly-once by content
+        score(batch).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start().awaitTermination()
     finally frozen.foreach(_.unpersist(blocking = false))
   }
+
+  /** A finished [[replay]]'s accumulated output: the union of the
+    * per-batch subdirs, with the `batch` partition column dropped
+    * (callers adjudicate against batch oracles that know nothing of
+    * micro-batch boundaries). */
+  def output(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch")
 
   /** Turn a batch frame into a replayable file feed: write `df` to
     * `dir` as `files` parquet files and re-open it as a one-file-per-

@@ -276,13 +276,30 @@ class SamplingSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
-  test("weightedSample: zero/negative weights clamp to 1, never crash") {
+  test("weightedSample: zero/negative weights clamp to epsilon, never crash") {
     val df = spark.range(100).select($"id".as("doc_id"),
       when($"id" < 50, lit(0L)).otherwise(lit(-3L)).as("w"))
     val out = Sampling.weightedSample(df, $"doc_id", $"w", 20, "s")
     assert(out.count() == 20L)
     // all weights equal (clamped) -> sample is the plain md5-uniform draw
     assert(out.select("es_key").as[Double].collect().forall(_ <= 0.0))
+  }
+
+  test("weightedSample: fractional weights keep proportional odds (not collapsed to uniform)") {
+    // half the corpus carries quality 0.9, half 0.01 — the E-S draw
+    // must overwhelmingly prefer the 0.9 rows; the old greatest(w, 1.0)
+    // clamp flattened BOTH halves to uniform and drew ~50/50
+    val df = spark.range(2000).select($"id".as("doc_id"),
+      when($"id" % 2 === 0, lit(0.9)).otherwise(lit(0.01)).as("q"))
+    val out = Sampling.weightedSample(df, $"doc_id", $"q", 200, "s")
+    val hi = out.filter($"doc_id" % 2 === 0).count()
+    assert(hi >= 180L, s"expected the 0.9-quality half to dominate, got $hi/200")
+    // and zero-weight rows are never drawn ahead of positive-weight ones
+    val z = spark.range(100).select($"id".as("doc_id"),
+      when($"id" < 90, lit(0.5)).otherwise(lit(0.0)).as("q"))
+    val zo = Sampling.weightedSample(z, $"doc_id", $"q", 90, "s")
+    assert(zo.filter($"doc_id" >= 90).count() == 0L,
+      "zero-weight rows drawn while positive-weight rows remained")
   }
 
   test("domainQualityFilter: keeps domains at/above corpus mean with min count") {

@@ -163,6 +163,33 @@ class BigQueryProtocolSpec extends SparkSpec {
     assert(err.getMessage.contains("retention"), err.getMessage)
   }
 
+  test("a gen pinned INSIDE the racing window fails loud after expiry, never partial") {
+    val emu = new BigQueryEmulator(tmpDir("bq-race-window"))
+    val backend = new BigQueryWriteBackend(emu)
+    backend.createOrUpdate("d", "t", baseSchema)
+    backend.appendPartitioned("d", "t", baseRows("a", 3)) // gen 1
+    backend.appendPartitioned("d", "t", baseRows("b", 3)) // gen 2
+    // deterministic race: the append commits while the compaction is
+    // staged but not yet committed — its gen (3) lands strictly between
+    // the compaction's through (2) and the compaction's own gen (4)
+    val cg = emu.compact(spark, "d", "t", beforeCommit = () =>
+      backend.appendPartitioned("d", "t", baseRows("c", 3))) // gen 3
+    assert(cg == 4, s"compaction gen after the racing append, got $cg")
+    val sch = baseSchema.add("__part", StringType)
+    // before expiry the racing gen reads exactly its effective set
+    assert(emu.readRowsAsOf(spark, "d", "t", sch, 3).count() == 9)
+    assert(emu.readRowsAsOf(spark, "d", "t", sch, 4).count() == 9)
+    emu.expireReplaced("d", "t")
+    // tip and compaction gen stay exact (racing append's stream is live)
+    assert(emu.readRowsAsOf(spark, "d", "t", sch, 4).count() == 9)
+    // the racing-window gen resolved against pruned pre-compaction
+    // entries — it must fail loudly, not silently return only the
+    // racing append's 3 rows
+    val err = intercept[RuntimeException](
+      emu.readRowsAsOf(spark, "d", "t", sch, 3).count())
+    assert(err.getMessage.contains("retention"), err.getMessage)
+  }
+
   test("appends racing a compaction are never lost (effective-set rule under concurrency)") {
     import spark.implicits._
     import graft.ingest.TableSink

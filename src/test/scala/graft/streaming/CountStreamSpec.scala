@@ -50,6 +50,27 @@ class CountStreamSpec extends SparkSpec {
       "no-new-files drain leaves counts unchanged")
   }
 
+  test("an over-cardinality key trips the guard; the store stays at its last good generation") {
+    val work = graft.util.Workspace.temp("countstream-guard")
+    // first drain: a bounded key (g) under a tight ceiling — fine
+    val feed = ScoreStream.feed(corpus, s"$work/landing", files = 2)
+    CountStream.accumulate(spark, feed, s"$work/store", s"$work/ckpt",
+      Seq("g"), "c", maxKeys = 10)(b => b.groupBy($"g").agg(count(lit(1)).as("c")))
+    val good = CountStream.current(spark, s"$work/store").get.collect().toSet
+    val goodBatch = CountStream.lastBatch(s"$work/store").get
+    // an unbounded key (raw doc_id) must fail loudly on the merge...
+    val e = intercept[Exception] {
+      CountStream.mergeBatch(spark, s"$work/store", Seq("g"), "c",
+        corpus.select($"doc_id".cast("string").as("g"))
+          .groupBy($"g").agg(count(lit(1)).as("c")),
+        goodBatch + 1, maxKeys = 10)
+    }
+    assert(e.getMessage.contains("maxKeys"), e.getMessage)
+    // ...and the committed store is untouched (pointer never moved)
+    assert(CountStream.current(spark, s"$work/store").get.collect().toSet == good)
+    assert(CountStream.lastBatch(s"$work/store").contains(goodBatch))
+  }
+
   test("weightedQuantiles over the count table == row-level quantiles") {
     import graft.curation.HistQuantiles
     val counts = corpus.groupBy($"g", $"x").agg(count(lit(1)).as("c"))

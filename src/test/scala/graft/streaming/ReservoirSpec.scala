@@ -79,6 +79,22 @@ class ReservoirSpec extends SparkSpec {
     assert(fin.exceptAll(batch).isEmpty && batch.exceptAll(fin).isEmpty)
   }
 
+  test("an id re-carried with a NEW weight dedups deterministically to the max-key row") {
+    val work = graft.util.Workspace.temp("reservoir-rekey")
+    // doc 0 arrives twice with different weights: the reservoir must
+    // keep the max-es_key row (larger weight -> larger key), not an
+    // arbitrary dropDuplicates survivor
+    val base = spark.range(100).select($"id".as("doc_id"), lit(10L).as("w"))
+    val re = spark.range(1).select($"id".as("doc_id"), lit(100000L).as("w"))
+    val feed = ScoreStream.feed(base.union(re), s"$work/landing", files = 4)
+    val streamed = Reservoir.streamWeightedSample(spark, feed,
+      "doc_id", "w", n = 100, seed = "s", s"$work/store", s"$work/ckpt")
+    val zero = streamed.filter($"doc_id" === 0).collect()
+    assert(zero.length == 1, s"one row for the re-carried id, got ${zero.length}")
+    assert(zero.head.getAs[Long]("w") == 100000L,
+      "winner must be the max-key (here max-weight) variant, deterministically")
+  }
+
   test("current() is None before the first commit; resumes from the pointer") {
     val work = graft.util.Workspace.temp("reservoir-gen")
     assert(Reservoir.current(spark, s"$work/store").isEmpty)

@@ -34,7 +34,7 @@ class ScoreStreamSpec extends SparkSpec {
       s"$work/landing", files = 3)
     Dedup.decontaminateStream(feed, s"$work/model",
       outDir = s"$work/flagged", checkpointDir = s"$work/ckpt")
-    val streamed = spark.read.parquet(s"$work/flagged")
+    val streamed = ScoreStream.output(spark, s"$work/flagged")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = Dedup.fuzzyContamination(docs, col("doc_id") % 10 === 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -70,7 +70,22 @@ class ScoreStreamSpec extends SparkSpec {
     // partition unwritten, so ≥ 2 proves multi-batch, ≤ 4 proves the
     // one-file-per-trigger cap)
     assert(batches >= 2 && batches <= 4, s"per-file triggers, got $batches")
-    val out = spark.read.parquet(s"$work/out").as[(Long, String)].collect().toSet
+    val out = ScoreStream.output(spark, s"$work/out").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("a re-delivered batch overwrites its own output (at-least-once crash window)") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val work = graft.util.Workspace.temp("score-stream-redeliver")
+    val feed = ScoreStream.feed(df, s"$work/landing", files = 2)
+    // simulate the crash window: a previous attempt wrote batch 0's
+    // output but died before the checkpoint commit — on restart the
+    // stream re-delivers batch 0, which must REPLACE this, not append
+    Seq((99L, "stale"), (98L, "stale")).toDF("id", "v")
+      .write.parquet(s"$work/out/batch=0")
+    ScoreStream.replay(feed, Nil, s"$work/out", s"$work/ckpt")(b => b)
+    val out = ScoreStream.output(spark, s"$work/out").as[(Long, String)].collect().toSeq
+    assert(out.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"stale pre-crash rows must be overwritten, got $out")
   }
 }

@@ -40,6 +40,19 @@ def main(sf_dir, out_dir):
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1; continue
+        # Type-faithful gate: the driver hashes RENDERED values, so an
+        # int64 Spark column vs a float64 oracle column (DuckDB HUGEINT
+        # from an uncast SUM, DECIMAL from //, etc.) hash-mismatches even
+        # when Python's == calls the values equal. Compare dtype kinds.
+        KIND = {"i": "int", "u": "int", "f": "float", "b": "bool",
+                "O": "obj", "M": "ts", "m": "td"}
+        drift = [(c, str(got[c].dtype), str(want[c].dtype))
+                 for c in got.columns
+                 if KIND.get(got[c].dtype.kind, got[c].dtype.kind)
+                 != KIND.get(want[c].dtype.kind, want[c].dtype.kind)]
+        if drift:
+            print(f"FAIL {name}: dtype drift (spark vs oracle): {drift}")
+            n_fail += 1; continue
         g = sorted([tuple(norm(v) for v in r) for r in got.itertuples(index=False)])
         w = sorted([tuple(norm(v) for v in r) for r in want.itertuples(index=False)])
         if len(g) != len(w):
