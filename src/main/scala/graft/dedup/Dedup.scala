@@ -336,6 +336,26 @@ object Dedup {
     * p ≈ 5e-8.
     *
     * Needs a GraftExtensions session (native minhash kernel). */
+  /** The (doc, sh, sig) staging shared by [[lshJaccardPairs]] and the
+    * incremental cluster maintainer
+    * ([[graft.streaming.ClusterStream]]) — ONE projection, so the
+    * shingle set and signature a streaming fold persists are
+    * bit-identical to what the batch pipeline computes (the
+    * streaming-equals-batch identity depends on it). Empty docs can
+    * never reach a positive threshold and would all collide on the
+    * null signature — dropped up front. */
+  private[graft] def stagedSigs(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
+      // emptiness precondition on the cheap TOKEN count, not on the
+      // shingle array: a filter above the shingle projection gets
+      // pushed below it with the alias substituted, silently computing
+      // the expensive shingle build twice per row
+      .filter(size(col("t")) >= shingleK)
+      .select(col("doc"),
+        array_distinct(call_function("graft_shingles", col("t"), lit(shingleK))).as("sh"))
+      .withColumn("sig", call_function("graft_minhash_mix", col("sh"), lit(k)))
+
   def lshJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, threshold: Double = 0.8,
       k: Int = 128, bands: Int = 32): DataFrame = {
@@ -349,16 +369,7 @@ object Dedup {
     // (md5 per shingle + splitmix64 seeds): banding only needs
     // signatures to agree with themselves, and k=128 md5s per shingle
     // was the pipeline's dominant CPU.
-    val sigs = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("t"))
-      // emptiness precondition on the cheap TOKEN count, not on the
-      // shingle array: a filter above the shingle projection gets
-      // pushed below it with the alias substituted, silently computing
-      // the expensive shingle build twice per row
-      .filter(size(col("t")) >= shingleK)
-      .select(col("doc"),
-        array_distinct(call_function("graft_shingles", col("t"), lit(shingleK))).as("sh"))
-      .withColumn("sig", call_function("graft_minhash_mix", col("sh"), lit(k)))
-      .persist()
+    val sigs = stagedSigs(df, idCol, textCol, shingleK, k).persist()
     try {
       sigs.count() // eager fill: both join branches must hit the cache
       // candidates are output-sized — checkpoint them so the verify
@@ -1115,13 +1126,28 @@ object Dedup {
     * aggregates, one full-outer equi-join on the digest — every
     * shuffled row is (digest, count), never documents. */
   def corpusDiff(before: DataFrame, after: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def counts(df: DataFrame, nAs: String, exAs: String) =
-      df.select(contentKey(col(textCol)).as("digest"), col(idCol).as("__id"))
-        .groupBy(col("digest"))
-        .agg(count(lit(1)).as(nAs), min(col("__id")).as(exAs))
-    counts(before, "n_before", "eb").join(
-        counts(after, "n_after", "ea"), Seq("digest"), "full_outer")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    diffFromCounts(
+      diffCounts(before, idCol, textCol, "n_before", "eb"),
+      diffCounts(after, idCol, textCol, "n_after", "ea"))
+
+  /** One side's (digest, count, example-id) table — the diff's complete
+    * sufficient statistic. count merges by sum and example by min, so a
+    * STREAMING after-side accumulates per batch
+    * ([[graft.streaming.DiffStream]]) and reads out through the same
+    * [[diffFromCounts]] tail the batch diff uses. */
+  private[graft] def diffCounts(df: DataFrame, idCol: String,
+      textCol: String, nAs: String, exAs: String): DataFrame =
+    df.select(contentKey(col(textCol)).as("digest"), col(idCol).as("__id"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as(nAs), min(col("__id")).as(exAs))
+
+  /** The diff read-out over two [[diffCounts]] tables — factored so the
+    * batch and streaming paths share ONE arithmetic (columns must be
+    * named n_before/eb and n_after/ea respectively). */
+  private[graft] def diffFromCounts(beforeCounts: DataFrame,
+      afterCounts: DataFrame): DataFrame =
+    beforeCounts.join(afterCounts, Seq("digest"), "full_outer")
       .select(col("digest"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"),
@@ -1132,7 +1158,6 @@ object Dedup {
           .when(col("n_after") === 0, lit("removed"))
           .otherwise(lit("changed")))
       .filter(col("n_before") =!= col("n_after"))
-  }
 
   /** CDC chunk-level STRIP — the removal complement of [[cdcCoverage]]:
     * rewrite each probe document with every chunk whose digest appears

@@ -1290,6 +1290,45 @@ log[d] {
       .withColumnRenamed("group", "source")
   }
 
+  /** q150: STREAMING duplicate clusters
+    * ([[graft.streaming.ClusterStream]]) — q51's connected components
+    * maintained incrementally as documents land: per batch, LSH edges
+    * (batch-internal + a one-sided probe of the persisted signature
+    * store) fold into a bucketed label store, recomputing only the
+    * components those edges touch. The fold invariant is that the
+    * labels equal the batch CC over all pairs seen, so q51's
+    * recursive-CTE oracle adjudicates the streaming path unchanged. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q150")
+    val in = graft.streaming.ScoreStream.feed(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      s"$work/landing")
+    graft.streaming.ClusterStream.streamClusters(s, in,
+        s"$work/store", s"$work/ckpt")
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q151: STREAMING corpus diff ([[graft.streaming.DiffStream]]) —
+    * q148's delta read-out with the "after" corpus arriving live: the
+    * after side's (digest, count, example) statistic merges per batch
+    * through the mergeable-store discipline and reads out through the
+    * batch diff's own tail, so q148's oracle adjudicates unchanged. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q151")
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val after = base.filter(col("doc_id") % 7 =!= 0)
+      .unionAll(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+    val in = graft.streaming.ScoreStream.feed(after, s"$work/landing")
+    graft.streaming.DiffStream.streamCorpusDiff(s, base, in,
+        s"$work/store", s"$work/ckpt")
+      .orderBy(col("digest"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1336,5 +1375,9 @@ log[d] {
       Some(graft.queries.CurationQueries.q105Sql)),
     ("q144_stream_stratified_weighted", q144 _,
       Some(graft.queries.CurationQueries.q143Sql)),
-    ("q149_audio_neardup", q149 _, Some(q149Sql)))
+    ("q149_audio_neardup", q149 _, Some(q149Sql)),
+    ("q150_stream_dedup_clusters", q150 _,
+      Some(graft.queries.CurationQueries.q51Sql)),
+    ("q151_stream_corpus_diff", q151 _,
+      Some(graft.queries.CurationQueries.q148Sql)))
 }

@@ -57,11 +57,25 @@ object CountStream {
   def accumulate(spark: SparkSession, stream: DataFrame, storeDir: String,
       checkpointDir: String, keyCols: Seq[String], cntCol: String,
       maxKeys: Long = MaxStoreKeys)
-      (table: DataFrame => DataFrame): DataFrame = {
+      (table: DataFrame => DataFrame): DataFrame =
+    accumulateWith(spark, stream, storeDir, checkpointDir, maxKeys)(table)(
+      (cur, t) => cur.unionByName(t)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(cntCol)).as(cntCol)))
+
+  /** [[accumulate]] with a caller-supplied merge — for sufficient
+    * statistics beyond one summed count (e.g. the corpus diff's
+    * (digest, SUM count, MIN example-id) table). Same pointer guard,
+    * generation swap, cardinality ceiling and shard sizing; the merge
+    * must be associative and commutative over batches for
+    * streaming-equals-batch to hold. */
+  def accumulateWith(spark: SparkSession, stream: DataFrame, storeDir: String,
+      checkpointDir: String, maxKeys: Long = MaxStoreKeys)
+      (table: DataFrame => DataFrame)
+      (merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        mergeBatch(spark, storeDir, keyCols, cntCol, table(batch), batchId,
-          maxKeys)
+        mergeBatchWith(spark, storeDir, table(batch), batchId, maxKeys)(merge)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -77,11 +91,17 @@ object CountStream {
   private[streaming] def mergeBatch(spark: SparkSession, storeDir: String,
       keyCols: Seq[String], cntCol: String, t: DataFrame,
       batchId: Long, maxKeys: Long = MaxStoreKeys): Unit =
+    mergeBatchWith(spark, storeDir, t, batchId, maxKeys)(
+      (cur, tt) => cur.unionByName(tt)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col(cntCol)).as(cntCol)))
+
+  private[streaming] def mergeBatchWith(spark: SparkSession, storeDir: String,
+      t: DataFrame, batchId: Long, maxKeys: Long)
+      (merge: (DataFrame, DataFrame) => DataFrame): Unit =
     if (lastBatch(storeDir).forall(_ < batchId)) {
       val merged = current(spark, storeDir) match {
-        case Some(cur) => cur.unionByName(t)
-          .groupBy(keyCols.map(col): _*)
-          .agg(sum(col(cntCol)).as(cntCol))
+        case Some(cur) => merge(cur, t)
         case None => t
       }
       advance(spark, storeDir, merged, batchId, maxKeys)
