@@ -28,16 +28,17 @@ import graft.schema.SchemaRegistry
 object Main {
 
   private val usage: String =
-    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|calibrate|decontam|imagedup|chunkdup|txlog] <flags> <args>
+    """usage: graft [ingest|serve|push|enqueue|schema|migrate|sql|corpus|cluster|sample|select|strip|tokenize|pack|recall|split|rank|score|phrases|dsir|freq|health|negatives|agree|calibrate|decontam|imagedup|chunkdup|txlog] <flags> <args>
       |  ingest  --rules <file|dir> --warehouse <dir> [--backend registry|txlog] [--dry-run] [--output <dir>] [--dedup] [--batch-size <n>] <glob>...
       |  serve   --rules <file|dir> --warehouse <dir> [--backend registry|txlog] --checkpoint <dir> [--continuous <ms>] [--max-files <n>] <glob>
       |  push    --rules <file|dir> --warehouse <dir> --checkpoint <dir> --spool <dir> [--port <n>] [--interval <ms>] [--path-rewrite <from=to>] [--auth-rego <file>] [--auth-token <t>] [--jwt-secret <s> [--jwt-issuer <iss>]] [--jwks <file|url> [--jwt-issuer <iss>] [--jwt-email <e>]] [--state <dir>] [--memory-limit <bytes>]
       |  enqueue --output <dir> [--count-limit <n>] [--size-limit <bytes>] <glob>
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
-      |  sql     --warehouse <dir> <query>
+      |  sql     --warehouse <dir> [--limit <n>] <query>
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
       |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
+      |  cluster --store <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--threshold <t>] [--buckets <n>] [--max-files <n>] <glob>
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--strata-col <c1,c2>] [--seed <s>] | --mix-alpha <a> --stratum <c> --budget <n> --weight-col <c> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--intra | --ref "<bool SQL>" [--p <n>]] [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -314,6 +315,34 @@ object Main {
         q.awaitTermination()
         println(s"corpus rows: " +
           spark.read.parquet(s"${req(flags, "corpus")}/docs").count())
+
+      case "cluster" =>
+        // incremental duplicate clustering (ClusterStream): connected
+        // components maintained under a live feed, only touched
+        // components recomputed per batch; resume with the SAME
+        // checkpoint (the store's batch pointer tracks one stream)
+        require(pos.size == 1, "cluster needs exactly one landing glob")
+        val store = req(flags, "store")
+        val in = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              flags.getOrElse("id-col", "doc_id"),
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              flags.getOrElse("text-col", "text"),
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", flags.getOrElse("max-files", "1").toInt)
+          .parquet(pos.head)
+        val labels = graft.streaming.ClusterStream.streamClusters(spark, in,
+          store, req(flags, "checkpoint"),
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"),
+          threshold = flags.get("threshold").map(_.toDouble).getOrElse(0.8),
+          nBuckets = flags.get("buckets").map(_.toInt)
+            .getOrElse(graft.streaming.ClusterStream.DefaultBuckets))
+        println(s"clusters: ${labels.select("comp").distinct().count()} " +
+          s"components over ${labels.count()} paired docs " +
+          s"(batch ${graft.streaming.ClusterStream.lastBatch(store).getOrElse(-1L)})")
 
       case "sample" =>
         // deterministic corpus sampling (q49/q75 operators as a verb —

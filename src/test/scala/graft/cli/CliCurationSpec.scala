@@ -49,6 +49,25 @@ class CliCurationSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("cluster maintains incremental dedup clusters via the verb") {
+    val dir = tmpDir("cli-clusterstream")
+    val fam = "alpha beta gamma delta epsilon zeta"
+    Seq((1L, fam), (2L, fam), (3L, "totally unrelated filler words here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/landing")
+    Main.run(spark, Array("cluster", "--store", s"$dir/store",
+      "--checkpoint", s"$dir/ckpt", s"$dir/landing"))
+    // a second drop over the SAME checkpoint folds incrementally
+    Seq((4L, fam)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/landing")
+    Main.run(spark, Array("cluster", "--store", s"$dir/store",
+      "--checkpoint", s"$dir/ckpt", s"$dir/landing"))
+    val labels = graft.streaming.ClusterStream.clusters(spark, s"$dir/store")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == Set((1L, 1L), (2L, 1L), (4L, 1L)),
+      s"the late twin must join the existing component, got $labels")
+  }
+
   test("select --budget keeps the greedy score-ordered prefix, via warehouse table ref") {
     val dir = tmpDir("cli-select")
     // warehouse-table input path: ds.tbl resolved through the registry
