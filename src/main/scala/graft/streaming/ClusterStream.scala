@@ -70,6 +70,18 @@ object ClusterStream {
     * resize requires a rebuild (the manifest pins the count). */
   val DefaultBuckets = 64
 
+  /** Local-subgraph ceiling for the per-fold union-find: the fold's
+    * edge set (new edges + touched components' star edges) is
+    * batch-bounded — the same size class as the candidate broadcasts
+    * the probe already ships — so below this count the connected
+    * components run as a driver union-find (microseconds, zero Spark
+    * jobs) instead of paying the iterative CC's per-round fixed cost
+    * inside foreachBatch, where AQE is unavailable. Above it, the fold
+    * falls back to the distributed [[Dedup.connectedComponents]]
+    * (the guarded-broadcast discipline of
+    * [[graft.sim.Mining.MaxBroadcastQueryRows]]). */
+  val MaxLocalEdges: Long = 1L << 22
+
   /** Drain `stream` with AvailableNow, folding each micro-batch into
     * the cluster state at `storeDir`; returns the final (id, comp)
     * labels — exactly [[Dedup.connectedComponents]] over the union of
@@ -130,11 +142,38 @@ object ClusterStream {
 
     def bucketOf(c: Column): Column = pmod(hash(c), lit(nBuckets))
 
+    // does a prior batch exist? (driver metadata — one directory list)
+    val sigsRoot = Paths.get(storeDir, "sigs")
+    val hasPrior = Files.exists(sigsRoot) && {
+      val ls = Files.list(sigsRoot)
+      try ls.iterator.asScala.exists { d =>
+        val n = d.getFileName.toString
+        n.startsWith("batch=") && n.drop(6).toLong < batchId
+      } finally ls.close()
+    }
+
+    def t0 = System.nanoTime()
+    var tm = t0
+    def lap(tag: String): Unit = if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) {
+      val now = System.nanoTime()
+      System.err.println(f"[fold $batchId] $tag ${(now - tm) / 1e9}%.2fs")
+      tm = now
+    }
     val sigsB = Dedup.stagedSigs(batch, idCol, textCol, shingleK, k).persist()
     try {
       sigsB.count() // eager: banding + both verify joins must hit the cache
-      // idempotent under redelivery: the batch owns its subdir
+      lap("stage-sigs")
+      val bandB = Dedup.banded(sigsB, "doc", "sig", bands)
+        .select(col("doc"), col("band_key"))
+      // idempotent under redelivery: the batch owns its subdirs. Band
+      // rows persist alongside the signatures so each document is
+      // banded ONCE, at its own fold — later folds probe the stored
+      // band table instead of re-banding the whole corpus (the
+      // [[graft.dedup.BandIndex]] discipline; re-banding per fold would
+      // make total banding work quadratic in the batch count)
       sigsB.write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+      bandB.write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
+      lap("store-writes")
 
       // batch-internal edges (the q51 pipeline restricted to the batch)
       val candIn = graft.util.Materialize.eager(
@@ -144,88 +183,197 @@ object ClusterStream {
         .join(sigsB.select(col("doc").as("b"), col("sh").as("shb")), "b")
         .filter(Dedup.jaccard(col("sha"), col("shb")) >= threshold)
         .select(col("a"), col("b"))
+      lap("internal-cand")
 
       // cross edges vs the PRIOR corpus: batch band keys broadcast, the
-      // store scanned map-side (column-pruned to (doc, sig) by the band
-      // projection), candidates fetched back one-sided — the corpus is
-      // never shuffled, never re-signatured
-      val corpus = spark.read.parquet(s"$storeDir/sigs")
-        .filter(col("batch") < batchId)
-      val bandB = broadcast(Dedup.banded(sigsB, "doc", "sig", bands)
-        .select(col("doc").as("new_id"), col("band_key")))
-      val candX = graft.util.Materialize.eager(
-        Dedup.banded(corpus, "doc", "sig", bands).select(col("doc"), col("band_key"))
-          .join(bandB, "band_key")
-          .select(col("new_id"), col("doc").as("corpus_id")).distinct())
-      val corpusSh = corpus.select(col("doc").as("corpus_id"), col("sh").as("csh"))
-        .join(broadcast(candX.select("corpus_id").distinct()), "corpus_id")
-      val cross = candX
-        .join(corpusSh, "corpus_id")
-        .join(sigsB.select(col("doc").as("new_id"), col("sh").as("nsh")), "new_id")
-        .filter(Dedup.jaccard(col("csh"), col("nsh")) >= threshold)
-        .select(col("new_id").as("a"), col("corpus_id").as("b"))
-
-      val edges = graft.util.Materialize.eager(internal.unionByName(cross))
-      if (edges.isEmpty) { // nothing to merge — just advance the pointer
+      // stored band table scanned map-side, candidates fetched back
+      // one-sided — the corpus is never shuffled, never re-signatured,
+      // never re-banded
+      val edges = if (!hasPrior) graft.util.Materialize.eager(internal)
+      else {
+        val corpusBands = spark.read.parquet(s"$storeDir/bands")
+          .filter(col("batch") < batchId)
+        val candX = graft.util.Materialize.eager(
+          corpusBands.select(col("doc"), col("band_key"))
+            .join(broadcast(bandB.withColumnRenamed("doc", "new_id")), "band_key")
+            .select(col("new_id"), col("doc").as("corpus_id")).distinct())
+        val corpusSh = spark.read.parquet(s"$storeDir/sigs")
+          .filter(col("batch") < batchId)
+          .select(col("doc").as("corpus_id"), col("sh").as("csh"))
+          .join(broadcast(candX.select("corpus_id").distinct()), "corpus_id")
+        val cross = candX
+          .join(corpusSh, "corpus_id")
+          .join(sigsB.select(col("doc").as("new_id"), col("sh").as("nsh")), "new_id")
+          .filter(Dedup.jaccard(col("csh"), col("nsh")) >= threshold)
+          .select(col("new_id").as("a"), col("corpus_id").as("b"))
+        graft.util.Materialize.eager(internal.unionByName(cross))
+      }
+      lap("edges")
+      // the guard job: one count over the checkpointed edges
+      val eCount = edges.count()
+      if (eCount == 0) { // nothing to merge — just advance the pointer
         commit(storeDir, cur, Map.empty, nBuckets, batchId); return
       }
+      if (eCount > MaxLocalEdges)
+        // past the batch-bounded envelope: the distributed path — full
+        // label store as star edges through the iterative CC, full
+        // store rewrite. Correct at any size, none of the fast path's
+        // driver state.
+        return foldDistributed(spark, storeDir, cur, edges, bucketOf,
+          nBuckets, batchId)
+
+      // batch-bounded fast path: everything below is the same size
+      // class as the candidate broadcasts the probe already ships, so
+      // it lives on the driver — zero shuffles, three jobs total
+      // (roots probe, member fetch, bucket write)
+      val idType = edges.schema("a").dataType
+      val edgeRows = edges.collect().map(r => (r.get(0), r.get(1)))
+      val endpointSet = edgeRows.iterator
+        .flatMap { case (a, b) => Iterator(a, b) }.toSet
+      lap("edge-collect")
 
       // touched roots: endpoints' current labels, read from ONLY the
-      // endpoints' id-buckets (driver holds bucket NUMBERS, ≤ nBuckets)
-      val endpoints = graft.util.Materialize.eager(
-        edges.select(col("a").as("id")).union(edges.select(col("b").as("id")))
-          .distinct())
-      val roots = cur.filter(_.buckets.nonEmpty).flatMap { m =>
-        val eb = endpoints.select(bucketOf(col("id")).as("bk"))
-          .distinct().collect().map(_.getInt(0)).toSet
+      // endpoints' id-buckets (bucket numbers computed driver-side with
+      // the same murmur3 the column expression uses)
+      def idsDf(ids: Iterable[Any], as: String) = spark.createDataFrame(
+        ids.toSeq.map(Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(as, idType))))
+      val roots: Set[Any] = cur.filter(_.buckets.nonEmpty).map { m =>
+        val eb = endpointSet.map(bucketOfValue(_, idType, nBuckets))
         val hit = m.buckets.keySet.intersect(eb)
-        if (hit.isEmpty) None
-        else Some(graft.util.Materialize.eager(
-          readBuckets(spark, storeDir, m, hit)
-            .join(broadcast(endpoints), "id").select("comp").distinct()))
-      }.filterNot(_.isEmpty)
+        if (hit.isEmpty) Set.empty[Any]
+        else readBuckets(spark, storeDir, m, hit)
+          .join(broadcast(idsDf(endpointSet, "id")), "id")
+          .select("comp").collect().map(_.get(0)).toSet
+      }.getOrElse(Set.empty)
+      lap("roots")
 
       // members of touched components — the one store-proportional scan
-      // (map-side, broadcast roots, column-pruned, shuffle-free)
-      val sub = (cur, roots) match {
-        case (Some(m), Some(r)) if m.buckets.nonEmpty =>
-          Some(graft.util.Materialize.eager(
-            readBuckets(spark, storeDir, m, m.buckets.keySet)
-              .join(broadcast(r), "comp")))
-        case _ => None
-      }
-
-      // local CC: new edges + star edges (member → its current root)
-      // — touched components' connectivity rides in, so the result is
+      // (map-side, broadcast roots, column-pruned, shuffle-free) — as
+      // star edges (member → its current root): touched components'
+      // connectivity rides into the union-find, so the result is
       // exactly the batch CC over everything seen
-      val localEdges = sub match {
-        case Some(s) => edges.unionByName(
-          s.select(col("id").as("a"), col("comp").as("b")))
-        case None => edges
+      val starRows: Array[(Any, Any)] = (cur, roots) match {
+        case (Some(m), r) if m.buckets.nonEmpty && r.nonEmpty =>
+          readBuckets(spark, storeDir, m, m.buckets.keySet)
+            .join(broadcast(idsDf(r, "comp")), "comp")
+            .select("id", "comp").collect().map(x => (x.get(0), x.get(1)))
+        case _ => Array.empty
       }
-      val newLabels = graft.util.Materialize.eager(
-        Dedup.connectedComponents(localEdges, "a", "b"))
+      lap("members")
+
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(idType)
+      val labels = unionFind(edgeRows ++ starRows, ord)
+      lap("cc")
 
       // rewrite exactly the buckets holding changed rows; carry the
       // rest forward as manifest pointers
-      val tb = newLabels.select(bucketOf(col("id")).as("bk"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      val keep = (cur, roots) match {
-        case (Some(m), Some(r)) if m.buckets.keySet.exists(tb) =>
-          readBuckets(spark, storeDir, m, m.buckets.keySet.intersect(tb))
-            .join(broadcast(r), Seq("comp"), "left_anti")
-        case (Some(m), None) if m.buckets.keySet.exists(tb) =>
-          readBuckets(spark, storeDir, m, m.buckets.keySet.intersect(tb))
+      val tb = labels.keysIterator.map(bucketOfValue(_, idType, nBuckets)).toSet
+      val newLabels = spark.createDataFrame(
+        labels.toSeq.map { case (id, comp) => Row(id, comp) }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("comp", idType))))
+      val keep = cur.map(_.buckets.keySet.intersect(tb)) match {
+        case Some(hit) if hit.nonEmpty =>
+          val inTb = readBuckets(spark, storeDir, cur.get, hit)
+          if (roots.isEmpty) inTb
+          else inTb.join(broadcast(idsDf(roots, "comp")), Seq("comp"), "left_anti")
         case _ => newLabels.limit(0)
       }
       keep.unionByName(newLabels)
         .select(col("id"), col("comp")) // joins reorder — pin the layout
         .withColumn("__bk", bucketOf(col("id")))
+        // batch-bounded by the fast-path guard: one task writes exactly
+        // one file per touched bucket (a multi-task write would leave
+        // tasks × buckets fragments for every later fold to re-read)
+        .coalesce(1)
         .write.partitionBy("__bk").mode("overwrite")
         .parquet(s"$storeDir/labels/data/batch=$batchId")
+      lap("keep-write")
       val repointed = tb.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap
       commit(storeDir, cur, repointed, nBuckets, batchId)
+      lap("label-rewrite")
     } finally sigsB.unpersist(blocking = false)
+  }
+
+  /** The unbounded fallback: iterative distributed CC over (new edges ∪
+    * the full label store as star edges), full-store rewrite. Pays the
+    * per-iteration cost the fast path avoids, but holds nothing
+    * batch-sized on the driver. */
+  private def foldDistributed(spark: SparkSession, storeDir: String,
+      cur: Option[Manifest], edges: DataFrame, bucketOf: Column => Column,
+      nBuckets: Int, batchId: Long): Unit = {
+    val prior = cur.filter(_.buckets.nonEmpty)
+      .map(m => readBuckets(spark, storeDir, m, m.buckets.keySet))
+    val localEdges = prior match {
+      case Some(l) => edges.unionByName(
+        l.select(col("id").as("a"), col("comp").as("b")))
+      case None => edges
+    }
+    val newLabels = Dedup.connectedComponents(localEdges, "a", "b")
+    newLabels
+      .select(col("id"), col("comp"))
+      .withColumn("__bk", bucketOf(col("id")))
+      .repartition(col("__bk")) // one file per bucket at any size
+      .write.partitionBy("__bk").mode("overwrite")
+      .parquet(s"$storeDir/labels/data/batch=$batchId")
+    // the store was rewritten whole — every prior id re-landed in its
+    // (id-stable) bucket, so the written set must cover the old one;
+    // repoint everything at the new generation
+    val written = {
+      val base = Paths.get(storeDir, "labels", "data", s"batch=$batchId")
+      val ls = Files.list(base)
+      try ls.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__bk=")).map(_.drop(5).toInt).toSet
+      finally ls.close()
+    }
+    val old = cur.map(_.buckets.keySet).getOrElse(Set.empty)
+    require(old.subsetOf(written),
+      s"full rewrite lost buckets ${old.diff(written)} — rows never vanish")
+    commit(storeDir, cur,
+      written.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap,
+      nBuckets, batchId)
+  }
+
+  /** Driver-side twin of `pmod(hash(col), nBuckets)` — the Catalyst
+    * murmur3 evaluated on a literal, so fast-path bucket numbers can
+    * never drift from the column expression the writes use. */
+  private def bucketOfValue(v: Any, idType: org.apache.spark.sql.types.DataType,
+      nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, idType)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** Union-find with path compression and MIN-LABEL roots (union
+    * attaches the larger root under the smaller, so every root is the
+    * minimum id of its component — exactly
+    * [[Dedup.connectedComponents]]' canonical labels). Near-linear in
+    * the edge count; the ordering comes from the id column's Catalyst
+    * type so long and string ids rank the way SQL `min` does. */
+  private def unionFind(pairs: Array[(Any, Any)],
+      ord: Ordering[Any]): Map[Any, Any] = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lteq(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
   }
 
   /** Point the manifest at `repointed` buckets (others carry forward),
