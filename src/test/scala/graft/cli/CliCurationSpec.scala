@@ -49,6 +49,35 @@ class CliCurationSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("sql verb streams a large read-out row-by-row; --limit caps it") {
+    val dir = tmpDir("cli-sql")
+    val ndj = (1 to 2000).map(i =>
+      s"""{"event_id": $i, "ts": ${1559347200 + i}.5, "v": "x$i"}""").mkString("\n")
+    writeFile(dir, "events.json", ndj + "\n")
+    writeFile(dir, "rules.json",
+      """{"event": [{"name": "all", "when": "name LIKE '%.json'", "schemaRule": "ev"}],
+        | "schema": [{"name": "ev", "dataset": "'d'", "table": "'t'", "partition": "day",
+        |             "timestamp": "ts", "id": "cast(event_id as string)"}]}""".stripMargin)
+    Main.run(spark, Array("ingest", "--rules", s"$dir/rules.json",
+      "--warehouse", s"$dir/wh", s"$dir/events.json"))
+    def runSql(args: String*): Seq[String] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        Main.run(spark, args.toArray)
+      }
+      buf.toString("UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    }
+    // unbounded SELECT: every row arrives, one JSON line each, through
+    // toLocalIterator (never a full-result collect on the driver)
+    val all = runSql("sql", "--warehouse", s"$dir/wh",
+      "SELECT id FROM d_t ORDER BY id")
+    assert(all.length == 2000, s"expected 2000 lines, got ${all.length}")
+    // --limit caps the read-out outright
+    val capped = runSql("sql", "--warehouse", s"$dir/wh", "--limit", "7",
+      "SELECT id FROM d_t ORDER BY id")
+    assert(capped.length == 7, s"expected 7 lines, got ${capped.length}")
+  }
+
   test("cluster maintains incremental dedup clusters via the verb") {
     val dir = tmpDir("cli-clusterstream")
     val fam = "alpha beta gamma delta epsilon zeta"
