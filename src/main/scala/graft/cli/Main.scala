@@ -39,6 +39,7 @@ object Main {
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
       |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
       |  cluster --store <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--threshold <t>] [--buckets <n>] [--max-files <n>] <glob>
+      |  cluster compact --store <dir> [--min-dirs <n>]
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--strata-col <c1,c2>] [--seed <s>] | --mix-alpha <a> --stratum <c> --budget <n> --weight-col <c> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  strip   --output <dir> [--intra | --ref "<bool SQL>" [--p <n>]] [--k <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -315,6 +316,18 @@ object Main {
         q.awaitTermination()
         println(s"corpus rows: " +
           spark.read.parquet(s"${req(flags, "corpus")}/docs").count())
+
+      case "cluster" if pos == Seq("compact") =>
+        // bounded-growth maintenance for the cluster state (one sig +
+        // band dir per micro-batch otherwise accretes forever); run
+        // between drains, like `corpus compact`
+        graft.streaming.ClusterStream.compactStores(spark,
+          req(flags, "store"),
+          minDirs = flags.get("min-dirs").map(_.toInt).getOrElse(8)) match {
+          case Some((s0, b0)) => println(s"cluster compact: $s0 sig dirs + " +
+            s"$b0 band dirs -> 1 + 1")
+          case None => println("cluster compact: nothing to do")
+        }
 
       case "cluster" =>
         // incremental duplicate clustering (ClusterStream): connected

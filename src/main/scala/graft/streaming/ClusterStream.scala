@@ -24,10 +24,15 @@ import graft.dedup.Dedup
   * incremental — state TTL, `pkg/usecase/usecase.go:37`). Two pieces of
   * state under `storeDir`:
   *
-  *  - `sigs/batch=<id>/` — each batch's (doc, sh, sig) staging
-  *    ([[Dedup.stagedSigs]], the SAME projection the batch pipeline
-  *    uses), append-only and idempotent (a re-delivered batch
-  *    overwrites its own subdir). This is the probe corpus.
+  *  - `sigs/batch=<id>/` + `bands/batch=<id>/` — each batch's
+  *    (doc, sh, sig) staging ([[Dedup.stagedSigs]], the SAME projection
+  *    the batch pipeline uses) and its band rows, append-only and
+  *    idempotent (a re-delivered batch overwrites its own subdirs).
+  *    This is the probe corpus; the manifest lists the LIVE dirs, so a
+  *    crashed fold's ghost write is invisible until its batch
+  *    re-delivers, and [[compactStores]] bin-packs the one-dir-per-
+  *    batch accretion between drains (the tx-log compaction
+  *    discipline).
   *  - `labels/` — the (id, comp) table, hash-bucketed BY ID (a row's
   *    bucket never changes — comp updates rewrite in place) behind a
   *    MANIFEST mapping bucket → data dir. A fold rewrites only the
@@ -142,15 +147,12 @@ object ClusterStream {
 
     def bucketOf(c: Column): Column = pmod(hash(c), lit(nBuckets))
 
-    // does a prior batch exist? (driver metadata — one directory list)
-    val sigsRoot = Paths.get(storeDir, "sigs")
-    val hasPrior = Files.exists(sigsRoot) && {
-      val ls = Files.list(sigsRoot)
-      try ls.iterator.asScala.exists { d =>
-        val n = d.getFileName.toString
-        n.startsWith("batch=") && n.drop(6).toLong < batchId
-      } finally ls.close()
-    }
+    // the prior corpus is whatever the committed manifest lists — a
+    // ghost dir from a crashed fold is not listed and is invisible
+    // until its batch re-delivers and re-registers it
+    val priorSigDirs = cur.map(_.sigDirs).getOrElse(Nil)
+    val priorBandDirs = cur.map(_.bandDirs).getOrElse(Nil)
+    val ownDirs = (Seq(s"sigs/batch=$batchId"), Seq(s"bands/batch=$batchId"))
 
     def t0 = System.nanoTime()
     var tm = t0
@@ -189,16 +191,16 @@ object ClusterStream {
       // stored band table scanned map-side, candidates fetched back
       // one-sided — the corpus is never shuffled, never re-signatured,
       // never re-banded
-      val edges = if (!hasPrior) graft.util.Materialize.eager(internal)
+      val edges = if (priorSigDirs.isEmpty) graft.util.Materialize.eager(internal)
       else {
-        val corpusBands = spark.read.parquet(s"$storeDir/bands")
-          .filter(col("batch") < batchId)
+        val corpusBands = spark.read.parquet(
+          priorBandDirs.map(d => s"$storeDir/$d"): _*)
         val candX = graft.util.Materialize.eager(
           corpusBands.select(col("doc"), col("band_key"))
             .join(broadcast(bandB.withColumnRenamed("doc", "new_id")), "band_key")
             .select(col("new_id"), col("doc").as("corpus_id")).distinct())
-        val corpusSh = spark.read.parquet(s"$storeDir/sigs")
-          .filter(col("batch") < batchId)
+        val corpusSh = spark.read.parquet(
+          priorSigDirs.map(d => s"$storeDir/$d"): _*)
           .select(col("doc").as("corpus_id"), col("sh").as("csh"))
           .join(broadcast(candX.select("corpus_id").distinct()), "corpus_id")
         val cross = candX
@@ -212,7 +214,7 @@ object ClusterStream {
       // the guard job: one count over the checkpointed edges
       val eCount = edges.count()
       if (eCount == 0) { // nothing to merge — just advance the pointer
-        commit(storeDir, cur, Map.empty, nBuckets, batchId); return
+        commit(storeDir, cur, Map.empty, nBuckets, batchId, ownDirs); return
       }
       if (eCount > MaxLocalEdges)
         // past the batch-bounded envelope: the distributed path — full
@@ -220,7 +222,7 @@ object ClusterStream {
         // store rewrite. Correct at any size, none of the fast path's
         // driver state.
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
-          nBuckets, batchId)
+          nBuckets, batchId, ownDirs)
 
       // batch-bounded fast path: everything below is the same size
       // class as the candidate broadcasts the probe already ships, so
@@ -294,7 +296,7 @@ object ClusterStream {
         .parquet(s"$storeDir/labels/data/batch=$batchId")
       lap("keep-write")
       val repointed = tb.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap
-      commit(storeDir, cur, repointed, nBuckets, batchId)
+      commit(storeDir, cur, repointed, nBuckets, batchId, ownDirs)
       lap("label-rewrite")
     } finally sigsB.unpersist(blocking = false)
   }
@@ -305,7 +307,8 @@ object ClusterStream {
     * batch-sized on the driver. */
   private def foldDistributed(spark: SparkSession, storeDir: String,
       cur: Option[Manifest], edges: DataFrame, bucketOf: Column => Column,
-      nBuckets: Int, batchId: Long): Unit = {
+      nBuckets: Int, batchId: Long,
+      ownDirs: (Seq[String], Seq[String])): Unit = {
     val prior = cur.filter(_.buckets.nonEmpty)
       .map(m => readBuckets(spark, storeDir, m, m.buckets.keySet))
     val localEdges = prior match {
@@ -335,7 +338,56 @@ object ClusterStream {
       s"full rewrite lost buckets ${old.diff(written)} — rows never vanish")
     commit(storeDir, cur,
       written.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap,
-      nBuckets, batchId)
+      nBuckets, batchId, ownDirs)
+  }
+
+  /** Bin-pack the one-dir-per-batch signature/band stores into a single
+    * consolidated dir each — the bounded-growth maintenance every
+    * per-batch store here carries (the tx-log / BigQuery-emulator
+    * compaction discipline; without it a long-running drain accretes
+    * one dir per micro-batch forever). Run BETWEEN drains, like
+    * `corpus compact`. Crash-safe by the same referenced-never-deleted
+    * rule as the label buckets: the consolidated dirs are written
+    * first, the manifest swap is the commit, and only then are
+    * unreferenced dirs swept — a crash at any point leaves a complete,
+    * readable store. Returns (sig dirs before, band dirs before), or
+    * None when there were fewer than `minDirs` of each. */
+  def compactStores(spark: SparkSession, storeDir: String,
+      minDirs: Int = 8): Option[(Int, Int)] = {
+    require(minDirs >= 2, s"minDirs must be >= 2, got $minDirs")
+    readManifest(storeDir).flatMap { m =>
+      if (m.sigDirs.size < minDirs && m.bandDirs.size < minDirs) None
+      else {
+        def abs(rel: String) = s"$storeDir/$rel"
+        val (sigTo, bandTo) =
+          (s"sigs/compact-${m.batchId}", s"bands/compact-${m.batchId}")
+        spark.read.parquet(m.sigDirs.map(abs): _*)
+          .write.mode("overwrite").parquet(abs(sigTo))
+        spark.read.parquet(m.bandDirs.map(abs): _*)
+          .write.mode("overwrite").parquet(abs(bandTo))
+        writeManifest(storeDir,
+          m.copy(sigDirs = Seq(sigTo), bandDirs = Seq(bandTo)))
+        sweepUnreferenced(storeDir, "sigs", Set(sigTo))
+        sweepUnreferenced(storeDir, "bands", Set(bandTo))
+        Some((m.sigDirs.size, m.bandDirs.size))
+      }
+    }
+  }
+
+  /** Delete every dir under `storeDir/area` the manifest no longer
+    * references (relative refs like "sigs/batch=3"). A ghost dir from a
+    * crashed not-yet-committed fold is also swept — its batch
+    * re-delivers and rewrites it. */
+  private def sweepUnreferenced(storeDir: String, area: String,
+      live: Set[String]): Unit = {
+    val root = Paths.get(storeDir, area)
+    if (Files.exists(root)) {
+      val ls = Files.list(root)
+      try ls.iterator.asScala.filter(Files.isDirectory(_)).toList.foreach { d =>
+        if (!live(s"$area/${d.getFileName}")) deleteRecursively(d)
+      }
+      finally ls.close()
+    }
   }
 
   /** Driver-side twin of `pmod(hash(col), nBuckets)` — the Catalyst
@@ -381,9 +433,12 @@ object ClusterStream {
     * — referenced dirs are never touched, so a crash anywhere leaves a
     * readable store (old manifest, or new manifest + live dirs). */
   private def commit(storeDir: String, cur: Option[Manifest],
-      repointed: Map[Int, String], nBuckets: Int, batchId: Long): Unit = {
+      repointed: Map[Int, String], nBuckets: Int, batchId: Long,
+      ownDirs: (Seq[String], Seq[String])): Unit = {
     val buckets = cur.map(_.buckets).getOrElse(Map.empty) ++ repointed
-    writeManifest(storeDir, Manifest(batchId, nBuckets, buckets))
+    writeManifest(storeDir, Manifest(batchId, nBuckets, buckets,
+      cur.map(_.sigDirs).getOrElse(Nil) ++ ownDirs._1,
+      cur.map(_.bandDirs).getOrElse(Nil) ++ ownDirs._2))
     val live = buckets.values.toSet
     val dataDir = Paths.get(storeDir, "labels", "data")
     if (Files.exists(dataDir)) {
@@ -412,7 +467,8 @@ object ClusterStream {
   // ---- manifest (tmp + atomic rename; the pointer IS the commit) ----
 
   private final case class Manifest(batchId: Long, nBuckets: Int,
-      buckets: Map[Int, String])
+      buckets: Map[Int, String], sigDirs: Seq[String] = Nil,
+      bandDirs: Seq[String] = Nil)
 
   private def manifestFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "MANIFEST")
@@ -426,14 +482,23 @@ object ClusterStream {
       val entry = """"(\d+)":"([^"]+)"""".r
       val hm = head.findFirstMatchIn(txt).getOrElse(
         sys.error(s"unreadable cluster manifest at $p"))
+      def dirList(field: String): Seq[String] =
+        (s"\"$field\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+          .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSeq)
+          .getOrElse(Nil)
       Some(Manifest(hm.group(1).toLong, hm.group(2).toInt,
-        entry.findAllMatchIn(txt).map(m => m.group(1).toInt -> m.group(2)).toMap))
+        entry.findAllMatchIn(txt).map(m => m.group(1).toInt -> m.group(2)).toMap,
+        dirList("sigDirs"), dirList("bandDirs")))
     }
   }
 
   private def writeManifest(storeDir: String, m: Manifest): Unit = {
     Files.createDirectories(manifestFile(storeDir).getParent)
-    val body = s"""{"batchId":${m.batchId},"nBuckets":${m.nBuckets},"buckets":{""" +
+    def dirList(ds: Seq[String]) = ds.map(d => s""""$d"""").mkString(",")
+    val body = s"""{"batchId":${m.batchId},"nBuckets":${m.nBuckets},""" +
+      s""""sigDirs":[${dirList(m.sigDirs)}],""" +
+      s""""bandDirs":[${dirList(m.bandDirs)}],"buckets":{""" +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":"$v"""" }.mkString(",") + "}}"
     val tmp = Paths.get(storeDir, "labels", "MANIFEST.tmp")

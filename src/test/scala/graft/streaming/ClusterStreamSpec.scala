@@ -102,6 +102,37 @@ class ClusterStreamSpec extends SparkSpec {
       Set((1L, 1L), (2L, 1L), (30L, 30L), (31L, 30L)))
   }
 
+  test("compactStores bin-packs the sig/band dirs; later folds probe the consolidated store") {
+    val work = graft.util.Workspace.temp("clusterstream-compact")
+    val fam = "alpha beta gamma delta epsilon zeta eta"
+    // 8 one-doc files -> 8 batches -> 8 sig dirs + 8 band dirs
+    val frames = (0 until 8).map { i =>
+      val text = if (i % 2 == 0) fam else s"unique filler number $i with words"
+      Seq((i.toLong, text)).toDF("doc_id", "text")
+    }
+    val feed = landFiles(s"$work/landing", frames)
+    ClusterStream.streamClusters(spark, feed, s"$work/store", s"$work/ckpt")
+    def dirCount(area: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/store/$area"))
+        .filter(java.nio.file.Files.isDirectory(_)).count()
+    assert(dirCount("sigs") == 8 && dirCount("bands") == 8)
+    val before = ClusterStream.compactStores(spark, s"$work/store", minDirs = 4)
+    assert(before.contains((8, 8)))
+    assert(dirCount("sigs") == 1 && dirCount("bands") == 1,
+      "replaced dirs swept after the manifest swap")
+    // idempotent: a second compaction has nothing to do
+    assert(ClusterStream.compactStores(spark, s"$work/store", minDirs = 4).isEmpty)
+    // a later drain (same checkpoint lineage) probes the consolidated
+    // store: the new twin must join the existing even-doc family
+    val feed2 = landFiles(s"$work/landing", Seq(
+      Seq((100L, fam)).toDF("doc_id", "text")))
+    val fin = ClusterStream.streamClusters(spark, feed2,
+      s"$work/store", s"$work/ckpt")
+    val famIds = Set(0L, 2L, 4L, 6L, 100L)
+    assert(streamedClusters(fin).filter(x => famIds(x._1)) == famIds.map(_ -> 0L),
+      "post-compaction probe must still find the family")
+  }
+
   test("a re-delivered batch id is a no-op; edge-free batches advance the pointer") {
     val work = graft.util.Workspace.temp("clusterstream-replay")
     val f1 = Seq((1L, "alpha beta gamma delta epsilon"),
