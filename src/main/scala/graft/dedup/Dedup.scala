@@ -614,9 +614,17 @@ object Dedup {
     *         input doc; `kept` marks the cluster's retained member
     */
   def clusterKeepBest(docs: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs)
-      .select(col("id").as(idCol), col("comp"))
+      pairs: DataFrame): DataFrame =
+    keepBestFromLabels(docs, idCol, scoreCol,
+      connectedComponents(pairs).select(col("id").as(idCol), col("comp")))
+
+  /** [[clusterKeepBest]]'s retention tail over PRECOMPUTED (id, comp)
+    * labels — the read-out the incrementally-maintained cluster state
+    * ([[graft.streaming.ClusterStream]]) shares with the batch
+    * operator, so the two paths can never drift. */
+  def keepBestFromLabels(docs: DataFrame, idCol: String, scoreCol: String,
+      labels: DataFrame): DataFrame = {
+    val cc = labels.toDF(idCol, "comp")
     val labeled = docs.select(col(idCol), col(scoreCol))
       .join(cc, Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("comp"), col(idCol)))

@@ -1329,6 +1329,28 @@ log[d] {
       .orderBy(col("digest"))
   }
 
+  /** q152: STREAMING keep-best retention — q121's quality-aware
+    * cluster retention read off the INCREMENTALLY MAINTAINED label
+    * store instead of a fresh CC run: the feed drains through
+    * [[graft.streaming.ClusterStream]], then the retention tail
+    * ([[graft.dedup.Dedup.keepBestFromLabels]] — the same code the
+    * batch operator runs) ranks each maintained cluster by
+    * (n_chars desc, doc_id). The fold invariant (labels ≡ batch CC at
+    * every trigger) makes q121's oracle adjudicate unchanged — the
+    * hash pins the maintained clustering AND which member survives. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q152")
+    val base = Tables.documents(s, d)
+    val in = graft.streaming.ScoreStream.feed(
+      base.select(col("doc_id"), col("text")), s"$work/landing")
+    val labels = graft.streaming.ClusterStream.streamClusters(s, in,
+      s"$work/store", s"$work/ckpt")
+    graft.dedup.Dedup.keepBestFromLabels(
+        base.withColumn("n_chars", length(col("text"))),
+        "doc_id", "n_chars", labels)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1379,5 +1401,7 @@ log[d] {
     ("q150_stream_dedup_clusters", q150 _,
       Some(graft.queries.CurationQueries.q51Sql)),
     ("q151_stream_corpus_diff", q151 _,
-      Some(graft.queries.CurationQueries.q148Sql)))
+      Some(graft.queries.CurationQueries.q148Sql)),
+    ("q152_stream_keep_best", q152 _,
+      Some(graft.queries.CurationQueries.q121Sql)))
 }
