@@ -163,8 +163,19 @@ object ClusterStream {
     }
     val sigsB = Dedup.stagedSigs(batch, idCol, textCol, shingleK, k).persist()
     try {
-      sigsB.count() // eager: banding + both verify joins must hit the cache
+      // eager fill: banding + both verify joins must hit the cache; the
+      // count also decides registration below
+      val nSigs = sigsB.count()
       lap("stage-sigs")
+      if (nSigs == 0) {
+        // every doc too short to shingle (or an empty trigger): no
+        // signatures, no possible edge — advance the pointer WITHOUT
+        // registering dirs (a 0-row parquet write may carry no data
+        // file, and an empty dir in the manifest would break later
+        // multi-dir probe reads)
+        commit(storeDir, cur, Map.empty, nBuckets, batchId, (Nil, Nil))
+        return
+      }
       val bandB = Dedup.banded(sigsB, "doc", "sig", bands)
         .select(col("doc"), col("band_key"))
       // idempotent under redelivery: the batch owns its subdirs. Band

@@ -137,12 +137,16 @@ class ClusterStreamSpec extends SparkSpec {
     val work = graft.util.Workspace.temp("clusterstream-replay")
     val f1 = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
-    val f2 = Seq((9L, "totally unrelated words without any twin")).toDF("doc_id", "text")
-    val feed = landFiles(s"$work/landing", Seq(f1, f2))
+    // f2's doc is too short to shingle (< 3 tokens): the fold must
+    // advance the pointer without registering an empty dir the next
+    // fold's multi-dir probe would choke on
+    val f2 = Seq((8L, "too short")).toDF("doc_id", "text")
+    val f3 = Seq((9L, "totally unrelated words without any twin")).toDF("doc_id", "text")
+    val feed = landFiles(s"$work/landing", Seq(f1, f2, f3))
     ClusterStream.streamClusters(spark, feed, s"$work/store", s"$work/ckpt")
     val committed = streamedClusters(ClusterStream.clusters(spark, s"$work/store"))
     val last = ClusterStream.lastBatch(s"$work/store").get
-    assert(last >= 1, "the edge-free batch must still advance the pointer")
+    assert(last >= 2, "edge-free and unshingleable batches must still advance the pointer")
     // crash-window redelivery of the LAST batch: must change nothing
     ClusterStream.fold(spark, s"$work/store", f1, "doc_id", "text",
       shingleK = 3, threshold = 0.8, k = 128, bands = 32,
