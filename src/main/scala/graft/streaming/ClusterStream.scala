@@ -204,21 +204,10 @@ object ClusterStream {
       // never re-banded
       val edges = if (priorSigDirs.isEmpty) graft.util.Materialize.eager(internal)
       else {
-        val corpusBands = spark.read.parquet(
-          priorBandDirs.map(d => s"$storeDir/$d"): _*)
-        val candX = graft.util.Materialize.eager(
-          corpusBands.select(col("doc"), col("band_key"))
-            .join(broadcast(bandB.withColumnRenamed("doc", "new_id")), "band_key")
-            .select(col("new_id"), col("doc").as("corpus_id")).distinct())
-        val corpusSh = spark.read.parquet(
-          priorSigDirs.map(d => s"$storeDir/$d"): _*)
-          .select(col("doc").as("corpus_id"), col("sh").as("csh"))
-          .join(broadcast(candX.select("corpus_id").distinct()), "corpus_id")
-        val cross = candX
-          .join(corpusSh, "corpus_id")
-          .join(sigsB.select(col("doc").as("new_id"), col("sh").as("nsh")), "new_id")
-          .filter(Dedup.jaccard(col("csh"), col("nsh")) >= threshold)
-          .select(col("new_id").as("a"), col("corpus_id").as("b"))
+        val cross = crossEdges(
+          spark.read.parquet(priorBandDirs.map(d => s"$storeDir/$d"): _*),
+          spark.read.parquet(priorSigDirs.map(d => s"$storeDir/$d"): _*),
+          bandB, sigsB, threshold)
         graft.util.Materialize.eager(internal.unionByName(cross))
       }
       lap("edges")
@@ -350,6 +339,32 @@ object ClusterStream {
     commit(storeDir, cur,
       written.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap,
       nBuckets, batchId, ownDirs)
+  }
+
+  /** The cross-batch probe plan, exposed for the plan-shape pin: the
+    * stored band table joins the BROADCAST batch band keys, candidate
+    * ids broadcast back into the stored-signature fetch, and the exact
+    * Jaccard verify runs where the shingles land — the corpus side is
+    * scanned map-side twice and never shuffled (the q126 one-sided
+    * discipline). `materialize` checkpoints the candidate set in
+    * production (exact stats for the fetch) and is identity in the
+    * plan pin so the whole composition is visible. */
+  private[graft] def crossEdges(corpusBands: DataFrame, corpusSigs: DataFrame,
+      bandB: DataFrame, sigsB: DataFrame, threshold: Double,
+      materialize: DataFrame => DataFrame = graft.util.Materialize.eager)
+      : DataFrame = {
+    val candX = materialize(
+      corpusBands.select(col("doc"), col("band_key"))
+        .join(broadcast(bandB.withColumnRenamed("doc", "new_id")), "band_key")
+        .select(col("new_id"), col("doc").as("corpus_id")).distinct())
+    val corpusSh = corpusSigs
+      .select(col("doc").as("corpus_id"), col("sh").as("csh"))
+      .join(broadcast(candX.select("corpus_id").distinct()), "corpus_id")
+    candX
+      .join(corpusSh, "corpus_id")
+      .join(sigsB.select(col("doc").as("new_id"), col("sh").as("nsh")), "new_id")
+      .filter(Dedup.jaccard(col("csh"), col("nsh")) >= threshold)
+      .select(col("new_id").as("a"), col("corpus_id").as("b"))
   }
 
   /** Bin-pack the one-dir-per-batch signature/band stores into a single

@@ -442,6 +442,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window over candidate rows:\n$plan")
   }
 
+  test("incremental cluster probe: batch keys broadcast, stored corpus never shuffles (q150 shape)") {
+    import graft.dedup.Dedup
+    import graft.streaming.ClusterStream
+    val dir = tmpDir("plan-cluster")
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 5} alpha beta gamma delta epsilon token$i"))
+      .toDF("doc_id", "text")
+    val staged = Dedup.stagedSigs(docs, "doc_id", "text", shingleK = 3, k = 128)
+    staged.write.parquet(s"$dir/sigs")
+    Dedup.banded(staged, "doc", "sig", 32).select(col("doc"), col("band_key"))
+      .write.parquet(s"$dir/bands")
+    val batch = Dedup.stagedSigs(
+      docs.filter(col("doc_id") < 4), "doc_id", "text", 3, 128)
+    val probe = ClusterStream.crossEdges(
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sigs"),
+      Dedup.banded(batch, "doc", "sig", 32).select(col("doc"), col("band_key")),
+      batch, threshold = 0.8, materialize = identity)
+    val plan = formatted(probe)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch band keys and candidate ids must come back broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the stored corpus must never shuffle for the probe:\n$plan")
+  }
+
   test("domain filter: keep-list comes back broadcast — the corpus never reshuffles (q133 shape)") {
     import graft.curation.DomainFilter
     val df = (0L until 60L).map(i => (i, s"d${i % 4}", (i % 10) / 10.0))
