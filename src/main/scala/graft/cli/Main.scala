@@ -38,7 +38,7 @@ object Main {
       |  sql     --warehouse <dir> [--limit <n>] <query>
       |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
       |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
-      |  cluster --store <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--threshold <t>] [--buckets <n>] [--max-files <n>] <glob>
+      |  cluster --store <dir> --checkpoint <dir> [--output <dir>] [--id-col <c>] [--text-col <c>] [--threshold <t>] [--buckets <n>] [--max-files <n>] <glob>
       |  cluster compact --store <dir> [--min-dirs <n>]
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--strata-col <c1,c2>] [--seed <s>] | --mix-alpha <a> --stratum <c> --budget <n> --weight-col <c> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -353,6 +353,8 @@ object Main {
           threshold = flags.get("threshold").map(_.toDouble).getOrElse(0.8),
           nBuckets = flags.get("buckets").map(_.toInt)
             .getOrElse(graft.streaming.ClusterStream.DefaultBuckets))
+        flags.get("output").foreach(out =>
+          labels.write.mode("overwrite").parquet(out))
         println(s"clusters: ${labels.select("comp").distinct().count()} " +
           s"components over ${labels.count()} paired docs " +
           s"(batch ${graft.streaming.ClusterStream.lastBatch(store).getOrElse(-1L)})")
