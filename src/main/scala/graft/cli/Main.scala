@@ -319,14 +319,26 @@ object Main {
 
       case "cluster" if pos == Seq("compact") =>
         // bounded-growth maintenance for the cluster state (one sig +
-        // band dir per micro-batch otherwise accretes forever); run
-        // between drains, like `corpus compact`
+        // band + edge dir per micro-batch otherwise accretes forever);
+        // run between drains, like `corpus compact`
         graft.streaming.ClusterStream.compactStores(spark,
           req(flags, "store"),
           minDirs = flags.get("min-dirs").map(_.toInt).getOrElse(8)) match {
-          case Some((s0, b0)) => println(s"cluster compact: $s0 sig dirs + " +
-            s"$b0 band dirs -> 1 + 1")
+          case Some((s0, b0, e0)) => println(s"cluster compact: $s0 sig + " +
+            s"$b0 band + $e0 edge dirs -> 1 each")
           case None => println("cluster compact: nothing to do")
+        }
+
+      case "cluster" if pos == Seq("expire") =>
+        // retention horizon (the reference's bounded dedup TTL,
+        // pkg/usecase/usecase.go:37): drop documents that landed before
+        // --keep-from <batchId> and recompute the labels as the batch
+        // CC over the retained window; run between drains
+        graft.streaming.ClusterStream.expire(spark, req(flags, "store"),
+          req(flags, "keep-from").toLong) match {
+          case Some((docs, rows)) => println(
+            s"cluster expire: $docs docs retained, $rows label rows")
+          case None => println("cluster expire: empty store, nothing to do")
         }
 
       case "cluster" =>
@@ -336,14 +348,15 @@ object Main {
         // checkpoint (the store's batch pointer tracks one stream)
         require(pos.size == 1, "cluster needs exactly one landing glob")
         val store = req(flags, "store")
+        val (idCol0, textCol0) =
+          (flags.getOrElse("id-col", "doc_id"), flags.getOrElse("text-col", "text"))
+        // the id type follows the landing data (ClusterStream supports
+        // any orderable id) — a one-off batch read of the same glob
+        // supplies the stream schema instead of hardcoding LongType
+        val landed = spark.read.parquet(pos.head).schema
         val in = spark.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(
-              flags.getOrElse("id-col", "doc_id"),
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField(
-              flags.getOrElse("text-col", "text"),
-              org.apache.spark.sql.types.StringType))))
+            landed(idCol0), landed(textCol0))))
           .option("maxFilesPerTrigger", flags.getOrElse("max-files", "1").toInt)
           .parquet(pos.head)
         val labels = graft.streaming.ClusterStream.streamClusters(spark, in,

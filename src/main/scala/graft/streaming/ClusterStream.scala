@@ -32,7 +32,14 @@ import graft.dedup.Dedup
   *    crashed fold's ghost write is invisible until its batch
   *    re-delivers, and [[compactStores]] bin-packs the one-dir-per-
   *    batch accretion between drains (the tx-log compaction
-  *    discipline).
+  *    discipline). Every row carries its landing batch id (`__batch`),
+  *    which is what [[expire]]'s retention horizon cuts on.
+  *  - `edges/batch=<id>/` — each batch's VERIFIED near-dup edges
+  *    (batch-bounded, already materialized by the fold), kept so
+  *    [[expire]] can recompute the exact batch CC over the retained
+  *    window: labels alone collapse connectivity into component ids,
+  *    so dropping an expired bridge doc from labels could never split
+  *    the component it once joined — the retained edge set can.
   *  - `labels/` — the (id, comp) table, hash-bucketed BY ID (a row's
   *    bucket never changes — comp updates rewrite in place) behind a
   *    MANIFEST mapping bucket → data dir. A fold rewrites only the
@@ -76,15 +83,18 @@ object ClusterStream {
   val DefaultBuckets = 64
 
   /** Local-subgraph ceiling for the per-fold union-find: the fold's
-    * edge set (new edges + touched components' star edges) is
-    * batch-bounded — the same size class as the candidate broadcasts
-    * the probe already ships — so below this count the connected
-    * components run as a driver union-find (microseconds, zero Spark
-    * jobs) instead of paying the iterative CC's per-round fixed cost
-    * inside foreachBatch, where AQE is unavailable. Above it, the fold
-    * falls back to the distributed [[Dedup.connectedComponents]]
-    * (the guarded-broadcast discipline of
-    * [[graft.sim.Mining.MaxBroadcastQueryRows]]). */
+    * working set — new edges PLUS the touched components' members
+    * (their star edges) — runs as a driver union-find (microseconds,
+    * zero Spark jobs) only below this count, instead of paying the
+    * iterative CC's per-round fixed cost inside foreachBatch, where
+    * AQE is unavailable. Above it, the fold falls back to the
+    * distributed [[Dedup.connectedComponents]] (the guarded-broadcast
+    * discipline of [[graft.sim.Mining.MaxBroadcastQueryRows]]). BOTH
+    * terms are guarded: the edge count alone is batch-bounded, but the
+    * member term is store-proportional — in crawl dedup, boilerplate
+    * families accrete into mega-components, and ONE new edge touching
+    * a 100M-row component must not collect the whole component onto
+    * the driver. */
   val MaxLocalEdges: Long = 1L << 22
 
   /** Drain `stream` with AvailableNow, folding each micro-batch into
@@ -93,21 +103,26 @@ object ClusterStream {
     * all near-dup pairs in everything fed. Ids must be unique across
     * the feed (each document lands once — the replay-idempotence key,
     * as in [[Reservoir]]), and the store is bound to ONE checkpoint
-    * lineage: resume later drains with the SAME `checkpointDir`, or the
-    * restarted batch ids fall below the store's pointer and the folds
-    * no-op (the batch-id replay guard cannot tell a fresh stream from a
-    * redelivery — the [[CountStream]] contract). */
+    * lineage: resume later drains with the SAME `checkpointDir`. The
+    * binding is ENFORCED — the first fold stamps the checkpoint
+    * identity into the manifest, and a fold arriving from a different
+    * lineage fails loudly instead of silently no-oping when its
+    * restarted batch ids fall below the store's pointer (the batch-id
+    * replay guard cannot tell a fresh stream from a redelivery — the
+    * [[CountStream]] contract). */
   def streamClusters(spark: SparkSession, stream: DataFrame,
       storeDir: String, checkpointDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingleK: Int = 3, threshold: Double = 0.8,
       k: Int = 128, bands: Int = 32,
-      nBuckets: Int = DefaultBuckets): DataFrame = {
+      nBuckets: Int = DefaultBuckets,
+      maxLocalEdges: Long = MaxLocalEdges): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val ckptId = Paths.get(checkpointDir).toAbsolutePath.normalize.toString
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         fold(spark, storeDir, batch, idCol, textCol, shingleK, threshold,
-          k, bands, nBuckets, batchId)
+          k, bands, nBuckets, batchId, maxLocalEdges, ckptId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -138,8 +153,22 @@ object ClusterStream {
   private[streaming] def fold(spark: SparkSession, storeDir: String,
       batch: DataFrame, idCol: String, textCol: String, shingleK: Int,
       threshold: Double, k: Int, bands: Int, nBuckets: Int,
-      batchId: Long): Unit = {
+      batchId: Long, maxLocalEdges: Long = MaxLocalEdges,
+      ckptId: String = ""): Unit = {
+    require(!Files.exists(lockFile(storeDir)),
+      s"cluster store at $storeDir is locked by an in-progress compaction " +
+        "(labels/COMPACT.lock) — compaction runs BETWEEN drains; if no " +
+        "compaction is running, a crashed one left the lock: delete it")
     val cur = readManifest(storeDir)
+    // lineage check FIRST: a second stream's restarted batch ids fall
+    // below the pointer, and the replay no-op below would silently
+    // swallow its folds — fail loudly instead
+    cur.foreach(m => require(
+      ckptId.isEmpty || m.ckpt.isEmpty || m.ckpt == ckptId,
+      s"cluster store at $storeDir is bound to checkpoint lineage " +
+        s"'${m.ckpt}' but this fold arrived from '$ckptId' — the store's " +
+        "batch-id replay guard tracks ONE stream; resume with the " +
+        "original checkpoint dir or point the new stream at a fresh store"))
     if (cur.exists(_.batchId >= batchId)) return // at-least-once replay: no-op
     cur.foreach(m => require(m.nBuckets == nBuckets,
       s"label store at $storeDir was built with nBuckets=${m.nBuckets}, " +
@@ -152,7 +181,8 @@ object ClusterStream {
     // until its batch re-delivers and re-registers it
     val priorSigDirs = cur.map(_.sigDirs).getOrElse(Nil)
     val priorBandDirs = cur.map(_.bandDirs).getOrElse(Nil)
-    val ownDirs = (Seq(s"sigs/batch=$batchId"), Seq(s"bands/batch=$batchId"))
+    val ownDirs = NewDirs(Seq(s"sigs/batch=$batchId"),
+      Seq(s"bands/batch=$batchId"), Seq(s"edges/batch=$batchId"))
 
     def t0 = System.nanoTime()
     var tm = t0
@@ -173,7 +203,8 @@ object ClusterStream {
         // registering dirs (a 0-row parquet write may carry no data
         // file, and an empty dir in the manifest would break later
         // multi-dir probe reads)
-        commit(storeDir, cur, Map.empty, nBuckets, batchId, (Nil, Nil))
+        commit(storeDir, cur, Map.empty, nBuckets, batchId,
+          NewDirs(Nil, Nil, Nil), ckptId)
         return
       }
       val bandB = Dedup.banded(sigsB, "doc", "sig", bands)
@@ -183,9 +214,13 @@ object ClusterStream {
       // banded ONCE, at its own fold — later folds probe the stored
       // band table instead of re-banding the whole corpus (the
       // [[graft.dedup.BandIndex]] discipline; re-banding per fold would
-      // make total banding work quadratic in the batch count)
-      sigsB.write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
-      bandB.write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
+      // make total banding work quadratic in the batch count). Every
+      // row carries its landing batch id — [[expire]]'s horizon column,
+      // preserved across compaction (probes prune it away)
+      sigsB.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+      bandB.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
       lap("store-writes")
 
       // batch-internal edges (the q51 pipeline restricted to the batch)
@@ -214,15 +249,20 @@ object ClusterStream {
       // the guard job: one count over the checkpointed edges
       val eCount = edges.count()
       if (eCount == 0) { // nothing to merge — just advance the pointer
-        commit(storeDir, cur, Map.empty, nBuckets, batchId, ownDirs); return
+        commit(storeDir, cur, Map.empty, nBuckets, batchId,
+          ownDirs.copy(edges = Nil), ckptId); return
       }
-      if (eCount > MaxLocalEdges)
+      // verified edges persist (batch-bounded, already materialized):
+      // the retained-window edge set [[expire]] recomputes the CC over
+      edges.withColumn("__batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
+      if (eCount > maxLocalEdges)
         // past the batch-bounded envelope: the distributed path — full
         // label store as star edges through the iterative CC, full
         // store rewrite. Correct at any size, none of the fast path's
         // driver state.
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
-          nBuckets, batchId, ownDirs)
+          nBuckets, batchId, ownDirs, ckptId)
 
       // batch-bounded fast path: everything below is the same size
       // class as the candidate broadcasts the probe already ships, so
@@ -255,13 +295,28 @@ object ClusterStream {
       // (map-side, broadcast roots, column-pruned, shuffle-free) — as
       // star edges (member → its current root): touched components'
       // connectivity rides into the union-find, so the result is
-      // exactly the batch CC over everything seen
-      val starRows: Array[(Any, Any)] = (cur, roots) match {
+      // exactly the batch CC over everything seen. The scan is GUARDED
+      // before it collects: membership is store-proportional, not
+      // batch-bounded — one new edge into a mega-component (crawl
+      // boilerplate families) must not pull the whole component onto
+      // the driver — so a cheap count on the same pruned,
+      // broadcast-filtered plan routes oversized folds to the
+      // distributed path first
+      val touched = (cur, roots) match {
         case (Some(m), r) if m.buckets.nonEmpty && r.nonEmpty =>
-          readBuckets(spark, storeDir, m, m.buckets.keySet)
-            .join(broadcast(idsDf(r, "comp")), "comp")
-            .select("id", "comp").collect().map(x => (x.get(0), x.get(1)))
-        case _ => Array.empty
+          Some(readBuckets(spark, storeDir, m, m.buckets.keySet)
+            .join(broadcast(idsDf(r, "comp")), "comp"))
+        case _ => None
+      }
+      val memberCount = touched.map(_.count()).getOrElse(0L)
+      lap("member-count")
+      if (eCount + memberCount > maxLocalEdges)
+        return foldDistributed(spark, storeDir, cur, edges, bucketOf,
+          nBuckets, batchId, ownDirs, ckptId)
+      val starRows: Array[(Any, Any)] = touched match {
+        case Some(t) =>
+          t.select("id", "comp").collect().map(x => (x.get(0), x.get(1)))
+        case None => Array.empty
       }
       lap("members")
 
@@ -296,7 +351,7 @@ object ClusterStream {
         .parquet(s"$storeDir/labels/data/batch=$batchId")
       lap("keep-write")
       val repointed = tb.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap
-      commit(storeDir, cur, repointed, nBuckets, batchId, ownDirs)
+      commit(storeDir, cur, repointed, nBuckets, batchId, ownDirs, ckptId)
       lap("label-rewrite")
     } finally sigsB.unpersist(blocking = false)
   }
@@ -308,7 +363,7 @@ object ClusterStream {
   private def foldDistributed(spark: SparkSession, storeDir: String,
       cur: Option[Manifest], edges: DataFrame, bucketOf: Column => Column,
       nBuckets: Int, batchId: Long,
-      ownDirs: (Seq[String], Seq[String])): Unit = {
+      ownDirs: NewDirs, ckptId: String): Unit = {
     val prior = cur.filter(_.buckets.nonEmpty)
       .map(m => readBuckets(spark, storeDir, m, m.buckets.keySet))
     val localEdges = prior match {
@@ -338,7 +393,7 @@ object ClusterStream {
       s"full rewrite lost buckets ${old.diff(written)} — rows never vanish")
     commit(storeDir, cur,
       written.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap,
-      nBuckets, batchId, ownDirs)
+      nBuckets, batchId, ownDirs, ckptId)
   }
 
   /** The cross-batch probe plan, exposed for the plan-shape pin: the
@@ -379,26 +434,157 @@ object ClusterStream {
     * readable store. Returns (sig dirs before, band dirs before), or
     * None when there were fewer than `minDirs` of each. */
   def compactStores(spark: SparkSession, storeDir: String,
-      minDirs: Int = 8): Option[(Int, Int)] = {
+      minDirs: Int = 8): Option[(Int, Int, Int)] =
+    compactStoresImpl(spark, storeDir, minDirs, () => ())
+
+  /** [[compactStores]] with a test seam fired between the consolidated
+    * writes and the manifest swap — where a concurrent fold's commit
+    * would otherwise be clobbered. */
+  private[streaming] def compactStoresImpl(spark: SparkSession,
+      storeDir: String, minDirs: Int,
+      beforeSwap: () => Unit): Option[(Int, Int, Int)] = {
     require(minDirs >= 2, s"minDirs must be >= 2, got $minDirs")
     readManifest(storeDir).flatMap { m =>
-      if (m.sigDirs.size < minDirs && m.bandDirs.size < minDirs) None
+      if (m.sigDirs.size < minDirs && m.bandDirs.size < minDirs &&
+        m.edgeDirs.size < minDirs) None
       else {
-        def abs(rel: String) = s"$storeDir/$rel"
-        val (sigTo, bandTo) =
-          (s"sigs/compact-${m.batchId}", s"bands/compact-${m.batchId}")
-        spark.read.parquet(m.sigDirs.map(abs): _*)
-          .write.mode("overwrite").parquet(abs(sigTo))
-        spark.read.parquet(m.bandDirs.map(abs): _*)
-          .write.mode("overwrite").parquet(abs(bandTo))
-        writeManifest(storeDir,
-          m.copy(sigDirs = Seq(sigTo), bandDirs = Seq(bandTo)))
-        sweepUnreferenced(storeDir, "sigs", Set(sigTo))
-        sweepUnreferenced(storeDir, "bands", Set(bandTo))
-        Some((m.sigDirs.size, m.bandDirs.size))
+        // the documented contract is run-BETWEEN-drains; the lock makes
+        // a concurrent fold fail loudly instead of racing the sweep
+        // (fold checks it on entry), and a second compaction cannot
+        // start while one holds it
+        Files.createDirectories(lockFile(storeDir).getParent)
+        try Files.createFile(lockFile(storeDir))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            sys.error(s"cluster store at $storeDir is already locked " +
+              "(labels/COMPACT.lock) — another compaction is running, or " +
+              "a crashed one left the lock: delete it after confirming")
+        }
+        try {
+          def abs(rel: String) = s"$storeDir/$rel"
+          val (sigTo, bandTo, edgeTo) = (s"sigs/compact-${m.batchId}",
+            s"bands/compact-${m.batchId}", s"edges/compact-${m.batchId}")
+          spark.read.parquet(m.sigDirs.map(abs): _*)
+            .write.mode("overwrite").parquet(abs(sigTo))
+          spark.read.parquet(m.bandDirs.map(abs): _*)
+            .write.mode("overwrite").parquet(abs(bandTo))
+          val newEdge = if (m.edgeDirs.isEmpty) Nil else {
+            spark.read.parquet(m.edgeDirs.map(abs): _*)
+              .write.mode("overwrite").parquet(abs(edgeTo))
+            Seq(edgeTo)
+          }
+          beforeSwap()
+          // abort on pointer movement: a fold committed since the read
+          // above, and swapping would silently drop its registered dirs
+          val m2 = readManifest(storeDir)
+          require(m2.exists(_.batchId == m.batchId),
+            s"cluster store at $storeDir advanced during compaction " +
+              s"(batch ${m.batchId} -> ${m2.map(_.batchId).getOrElse(-1L)})" +
+              " — compaction runs BETWEEN drains; aborting the swap")
+          writeManifest(storeDir, m.copy(sigDirs = Seq(sigTo),
+            bandDirs = Seq(bandTo), edgeDirs = newEdge))
+          sweepUnreferenced(storeDir, "sigs", Set(sigTo))
+          sweepUnreferenced(storeDir, "bands", Set(bandTo))
+          sweepUnreferenced(storeDir, "edges", newEdge.toSet)
+          Some((m.sigDirs.size, m.bandDirs.size, m.edgeDirs.size))
+        } finally Files.deleteIfExists(lockFile(storeDir))
       }
     }
   }
+
+  /** RETENTION — the reference's dedup horizon is explicitly bounded
+    * (state TTL, `pkg/usecase/usecase.go:37`); without one the sig/
+    * band/label state grows forever. Drops every document that landed
+    * BEFORE micro-batch `fromBatch` from the store and recomputes the
+    * labels as the exact batch CC over the RETAINED window: retained
+    * edges are the stored verified edges whose endpoints BOTH survive
+    * (an edge lands in the batch of its later endpoint, so the
+    * `__batch >= fromBatch` cut plus an endpoint semi-join is exact).
+    * Recomputing from edges — not re-rooting labels — is what makes a
+    * bridge doc's expiry SPLIT the component it once joined, matching
+    * what a batch run over only the retained docs would produce; a
+    * post-expiry drain therefore still satisfies the fold invariant
+    * over the retained window. Run BETWEEN drains (same lock as
+    * [[compactStores]]). Returns (retained docs, label rows), or None
+    * when the store is empty. */
+  def expire(spark: SparkSession, storeDir: String,
+      fromBatch: Long): Option[(Long, Long)] =
+    readManifest(storeDir).map { m =>
+      require(m.buckets.isEmpty || m.edgeDirs.nonEmpty,
+        s"cluster store at $storeDir has labels but no retained edge " +
+          "dirs (predates edge retention) — expiry cannot recompute the " +
+          "retained-window CC; rebuild the store")
+      Files.createDirectories(lockFile(storeDir).getParent)
+      try Files.createFile(lockFile(storeDir))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          sys.error(s"cluster store at $storeDir is already locked " +
+            "(labels/COMPACT.lock) — another maintenance op is running, " +
+            "or a crashed one left the lock: delete it after confirming")
+      }
+      try {
+        def abs(rel: String) = s"$storeDir/$rel"
+        val tag = s"expire-${m.batchId}-$fromBatch"
+        def cutWrite(dirs: Seq[String], to: String): Seq[String] =
+          if (dirs.isEmpty) Nil
+          else {
+            val kept = spark.read.parquet(dirs.map(abs): _*)
+              .filter(col("__batch") >= fromBatch)
+            kept.write.mode("overwrite").parquet(abs(to))
+            // a 0-row parquet dir may carry no data file — never list it
+            if (spark.read.parquet(abs(to)).isEmpty) Nil else Seq(to)
+          }
+        val sigTo = cutWrite(m.sigDirs, s"sigs/$tag")
+        val bandTo = cutWrite(m.bandDirs, s"bands/$tag")
+        val retainedDocs = sigTo.headOption.map(d =>
+          spark.read.parquet(abs(d)).select(col("doc")).distinct())
+        // retained edges: the batch cut keeps only edges whose LATER
+        // endpoint survives; the semi-join drops those whose earlier
+        // endpoint expired
+        val edgeTo: Seq[String] = retainedDocs match {
+          case Some(docs) if m.edgeDirs.nonEmpty =>
+            spark.read.parquet(m.edgeDirs.map(abs): _*)
+              .filter(col("__batch") >= fromBatch)
+              .join(docs.select(col("doc").as("a")), Seq("a"), "left_semi")
+              .join(docs.select(col("doc").as("b")), Seq("b"), "left_semi")
+              .select(col("a"), col("b"), col("__batch"))
+              .write.mode("overwrite").parquet(abs(s"edges/$tag"))
+            if (spark.read.parquet(abs(s"edges/$tag")).isEmpty) Nil
+            else Seq(s"edges/$tag")
+          case _ => Nil
+        }
+        // the retained-window CC, written as a full label generation
+        val labelRows: Long = edgeTo match {
+          case Seq(e) =>
+            Dedup.connectedComponents(
+                spark.read.parquet(abs(e)).select(col("a"), col("b")), "a", "b")
+              .select(col("id"), col("comp"))
+              .withColumn("__bk", pmod(hash(col("id")), lit(m.nBuckets)))
+              .repartition(col("__bk"))
+              .write.partitionBy("__bk").mode("overwrite")
+              .parquet(s"$storeDir/labels/data/$tag")
+            spark.read.parquet(s"$storeDir/labels/data/$tag").count()
+          case _ => 0L
+        }
+        val written: Set[Int] =
+          if (labelRows == 0L) Set.empty
+          else {
+            val base = Paths.get(storeDir, "labels", "data", tag)
+            val ls = Files.list(base)
+            try ls.iterator.asScala.map(_.getFileName.toString)
+              .filter(_.startsWith("__bk=")).map(_.drop(5).toInt).toSet
+            finally ls.close()
+          }
+        writeManifest(storeDir, m.copy(
+          buckets = written.map(bk => bk -> s"data/$tag/__bk=$bk").toMap,
+          sigDirs = sigTo, bandDirs = bandTo, edgeDirs = edgeTo))
+        sweepUnreferenced(storeDir, "sigs", sigTo.toSet)
+        sweepUnreferenced(storeDir, "bands", bandTo.toSet)
+        sweepUnreferenced(storeDir, "edges", edgeTo.toSet)
+        sweepLabels(storeDir, written.map(bk => s"data/$tag/__bk=$bk"))
+        (retainedDocs.map(_.count()).getOrElse(0L), labelRows)
+      } finally Files.deleteIfExists(lockFile(storeDir))
+    }
 
   /** Delete every dir under `storeDir/area` the manifest no longer
     * references (relative refs like "sigs/batch=3"). A ghost dir from a
@@ -460,12 +646,22 @@ object ClusterStream {
     * readable store (old manifest, or new manifest + live dirs). */
   private def commit(storeDir: String, cur: Option[Manifest],
       repointed: Map[Int, String], nBuckets: Int, batchId: Long,
-      ownDirs: (Seq[String], Seq[String])): Unit = {
+      ownDirs: NewDirs, ckptId: String): Unit = {
     val buckets = cur.map(_.buckets).getOrElse(Map.empty) ++ repointed
+    // the first fold stamps the lineage; later folds carry it forward
+    // (the fold-entry require already proved they match)
+    val ckpt = cur.map(_.ckpt).filter(_.nonEmpty).getOrElse(ckptId)
     writeManifest(storeDir, Manifest(batchId, nBuckets, buckets,
-      cur.map(_.sigDirs).getOrElse(Nil) ++ ownDirs._1,
-      cur.map(_.bandDirs).getOrElse(Nil) ++ ownDirs._2))
-    val live = buckets.values.toSet
+      cur.map(_.sigDirs).getOrElse(Nil) ++ ownDirs.sigs,
+      cur.map(_.bandDirs).getOrElse(Nil) ++ ownDirs.bands,
+      cur.map(_.edgeDirs).getOrElse(Nil) ++ ownDirs.edges, ckpt))
+    sweepLabels(storeDir, buckets.values.toSet)
+  }
+
+  /** Delete label leaf dirs (`data/<gen>/__bk=<k>`) no manifest
+    * references — referenced dirs are never touched, so a crash
+    * anywhere leaves a readable store. */
+  private def sweepLabels(storeDir: String, live: Set[String]): Unit = {
     val dataDir = Paths.get(storeDir, "labels", "data")
     if (Files.exists(dataDir)) {
       val batches = Files.list(dataDir)
@@ -492,14 +688,24 @@ object ClusterStream {
 
   // ---- manifest (tmp + atomic rename; the pointer IS the commit) ----
 
-  private final case class Manifest(batchId: Long, nBuckets: Int,
+  /** A fold's newly registered store dirs (its own batch subdirs). */
+  private final case class NewDirs(sigs: Seq[String], bands: Seq[String],
+      edges: Seq[String])
+
+  private[streaming] final case class Manifest(batchId: Long, nBuckets: Int,
       buckets: Map[Int, String], sigDirs: Seq[String] = Nil,
-      bandDirs: Seq[String] = Nil)
+      bandDirs: Seq[String] = Nil, edgeDirs: Seq[String] = Nil,
+      ckpt: String = "")
 
   private def manifestFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "MANIFEST")
 
-  private def readManifest(storeDir: String): Option[Manifest] = {
+  /** The maintenance lock ([[compactStores]]/[[expire]] hold it; folds
+    * refuse to run under it). */
+  private def lockFile(storeDir: String): Path =
+    Paths.get(storeDir, "labels", "COMPACT.lock")
+
+  private[streaming] def readManifest(storeDir: String): Option[Manifest] = {
     val p = manifestFile(storeDir)
     if (!Files.exists(p)) None
     else {
@@ -513,18 +719,22 @@ object ClusterStream {
           .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1))
             .map(_.group(1)).toSeq)
           .getOrElse(Nil)
+      val ckpt = """"ckpt":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
       Some(Manifest(hm.group(1).toLong, hm.group(2).toInt,
         entry.findAllMatchIn(txt).map(m => m.group(1).toInt -> m.group(2)).toMap,
-        dirList("sigDirs"), dirList("bandDirs")))
+        dirList("sigDirs"), dirList("bandDirs"), dirList("edgeDirs"), ckpt))
     }
   }
 
-  private def writeManifest(storeDir: String, m: Manifest): Unit = {
+  private[streaming] def writeManifest(storeDir: String, m: Manifest): Unit = {
     Files.createDirectories(manifestFile(storeDir).getParent)
     def dirList(ds: Seq[String]) = ds.map(d => s""""$d"""").mkString(",")
     val body = s"""{"batchId":${m.batchId},"nBuckets":${m.nBuckets},""" +
+      s""""ckpt":"${m.ckpt}",""" +
       s""""sigDirs":[${dirList(m.sigDirs)}],""" +
-      s""""bandDirs":[${dirList(m.bandDirs)}],"buckets":{""" +
+      s""""bandDirs":[${dirList(m.bandDirs)}],""" +
+      s""""edgeDirs":[${dirList(m.edgeDirs)}],"buckets":{""" +
       m.buckets.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":"$v"""" }.mkString(",") + "}}"
     val tmp = Paths.get(storeDir, "labels", "MANIFEST.tmp")

@@ -117,8 +117,9 @@ class ClusterStreamSpec extends SparkSpec {
         .filter(java.nio.file.Files.isDirectory(_)).count()
     assert(dirCount("sigs") == 8 && dirCount("bands") == 8)
     val before = ClusterStream.compactStores(spark, s"$work/store", minDirs = 4)
-    assert(before.contains((8, 8)))
-    assert(dirCount("sigs") == 1 && dirCount("bands") == 1,
+    assert(before.exists(t => t._1 == 8 && t._2 == 8))
+    assert(dirCount("sigs") == 1 && dirCount("bands") == 1 &&
+      dirCount("edges") == 1,
       "replaced dirs swept after the manifest swap")
     // idempotent: a second compaction has nothing to do
     assert(ClusterStream.compactStores(spark, s"$work/store", minDirs = 4).isEmpty)
@@ -131,6 +132,159 @@ class ClusterStreamSpec extends SparkSpec {
     val famIds = Set(0L, 2L, 4L, 6L, 100L)
     assert(streamedClusters(fin).filter(x => famIds(x._1)) == famIds.map(_ -> 0L),
       "post-compaction probe must still find the family")
+  }
+
+  test("member guard: a small-edge fold into an oversized component routes to the distributed path") {
+    val work = graft.util.Workspace.temp("clusterstream-memberguard")
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    // batch 0 (fast path): 3 twins -> 3 internal edges == guard
+    ClusterStream.fold(spark, s"$work/store",
+      Seq((1L, fam), (2L, fam), (3L, fam)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 0.8, 128, 32, ClusterStream.DefaultBuckets,
+      batchId = 0, maxLocalEdges = 4)
+    val m0 = ClusterStream.readManifest(s"$work/store").get
+    assert(m0.buckets.values.forall(_.startsWith("data/batch=0/")),
+      "batch 0 must have taken the fast path (only its own buckets)")
+    // batch 1: ONE new twin -> 3 cross edges <= guard, but the touched
+    // component has 3 members: 3 + 3 > 4 routes to foldDistributed,
+    // whose full rewrite repoints EVERY bucket at batch 1
+    ClusterStream.fold(spark, s"$work/store",
+      Seq((4L, fam)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 0.8, 128, 32, ClusterStream.DefaultBuckets,
+      batchId = 1, maxLocalEdges = 4)
+    val m1 = ClusterStream.readManifest(s"$work/store").get
+    assert(m1.buckets.nonEmpty &&
+      m1.buckets.values.forall(_.startsWith("data/batch=1/")),
+      s"member-guarded fold must rewrite the full store, got ${m1.buckets}")
+    // and the distributed fold's labels still equal the batch CC
+    val all = Seq((1L, fam), (2L, fam), (3L, fam), (4L, fam))
+      .toDF("doc_id", "text")
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      batchClusters(all))
+    // a later fast-path fold reads the distributed store back fine
+    ClusterStream.fold(spark, s"$work/store",
+      Seq((9L, fam)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 0.8, 128, 32, ClusterStream.DefaultBuckets,
+      batchId = 2, maxLocalEdges = 1L << 22)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      (1L to 4L).map(_ -> 1L).toSet + (9L -> 1L))
+  }
+
+  test("edge guard: an over-guard first batch folds through the distributed path correctly") {
+    val work = graft.util.Workspace.temp("clusterstream-distributed")
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    val f1 = Seq((1L, fam), (2L, fam), (3L, fam)).toDF("doc_id", "text")
+    // 3 internal edges > maxLocalEdges=2: distributed from an empty store
+    val feed = landFiles(s"$work/landing", Seq(f1))
+    val out = ClusterStream.streamClusters(spark, feed,
+      s"$work/store", s"$work/ckpt", maxLocalEdges = 2)
+    assert(streamedClusters(out) == batchClusters(f1))
+    val m = ClusterStream.readManifest(s"$work/store").get
+    assert(m.buckets.values.forall(_.startsWith("data/batch=0/")))
+  }
+
+  test("expire drops old docs, re-roots retained components (batch CC over the retained window)") {
+    val work = graft.util.Workspace.temp("clusterstream-expire")
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    def fold1(id: Long, text: String, b: Long) =
+      ClusterStream.fold(spark, s"$work/store",
+        Seq((id, text)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    fold1(1L, fam, 0); fold1(2L, fam, 1); fold1(3L, fam, 2)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L)))
+    // expire batch 0: doc 1 leaves; edge (3,2) survives (batch 2, both
+    // retained); the component re-roots at min retained id 2
+    val stats = ClusterStream.expire(spark, s"$work/store", fromBatch = 1)
+    assert(stats.contains((2L, 2L)), s"retained (docs, labels): $stats")
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      Set((2L, 2L), (3L, 2L)))
+    // a post-expiry fold probes only the retained window: a new famA
+    // twin joins {2,3}; a twin of EXPIRED doc text still joins (same
+    // family) — so use a doc similar only to nothing retained
+    fold1(6L, fam, 3)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      Set((2L, 2L), (3L, 2L), (6L, 2L)))
+  }
+
+  test("expire SPLITS a component whose bridge doc expired (labels alone could not)") {
+    val work = graft.util.Workspace.temp("clusterstream-expire-bridge")
+    // the bridge triple from the merge test: j(A,T0)=j(B,T0)>=0.8 but
+    // j(A,B)<0.8 — T0 is the only connectivity between A and B
+    val t0 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val ta = ((1 to 11).map(i => s"w$i") :+ "xx").mkString(" ")
+    val tb = ("yy" +: (2 to 12).map(i => s"w$i")).mkString(" ")
+    def fold1(id: Long, text: String, b: Long) =
+      ClusterStream.fold(spark, s"$work/store",
+        Seq((id, text)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    fold1(5L, t0, 0); fold1(1L, ta, 1); fold1(10L, tb, 2)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      Set((1L, 1L), (5L, 1L), (10L, 1L)))
+    // T0 expires: every retained edge had T0 as an endpoint, so the
+    // retained-window CC is EMPTY — A and B must split apart, exactly
+    // as a batch run over {A, B} alone would produce
+    ClusterStream.expire(spark, s"$work/store", fromBatch = 1)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")).isEmpty)
+    // and a retained doc's twin still finds it post-expiry
+    fold1(11L, tb, 3)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      Set((10L, 10L), (11L, 10L)))
+  }
+
+  test("a second checkpoint lineage on the same store fails loudly instead of no-oping") {
+    val work = graft.util.Workspace.temp("clusterstream-lineage")
+    val fam = "alpha beta gamma delta epsilon zeta"
+    val f1 = Seq((1L, fam), (2L, fam)).toDF("doc_id", "text")
+    val feedA = landFiles(s"$work/landingA", Seq(f1))
+    ClusterStream.streamClusters(spark, feedA, s"$work/store", s"$work/ckptA")
+    val f2 = Seq((3L, fam)).toDF("doc_id", "text")
+    val feedB = landFiles(s"$work/landingB", Seq(f2))
+    val ex = intercept[Exception] {
+      ClusterStream.streamClusters(spark, feedB, s"$work/store", s"$work/ckptB")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("bound to checkpoint lineage")),
+      s"expected the lineage guard, got: ${chain(ex).mkString(" | ")}")
+    // the original lineage still resumes fine
+    val f3 = Seq((4L, fam)).toDF("doc_id", "text")
+    val feedA2 = landFiles(s"$work/landingA", Seq(f3))
+    val fin = ClusterStream.streamClusters(spark, feedA2,
+      s"$work/store", s"$work/ckptA")
+    assert(streamedClusters(fin) == Set((1L, 1L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("compaction aborts when the store advances mid-run; the lock blocks concurrent folds") {
+    val work = graft.util.Workspace.temp("clusterstream-compact-guard")
+    val fam = "alpha beta gamma delta epsilon zeta eta"
+    def fold1(id: Long, b: Long) =
+      ClusterStream.fold(spark, s"$work/store",
+        Seq((id, fam)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    (0L until 4L).foreach(b => fold1(b, b))
+    val m = ClusterStream.readManifest(s"$work/store").get
+    // pointer moves between the consolidated writes and the swap ->
+    // the swap must abort (a fold committed dirs the swap would drop)
+    val ex = intercept[IllegalArgumentException] {
+      ClusterStream.compactStoresImpl(spark, s"$work/store", minDirs = 2,
+        beforeSwap = () =>
+          ClusterStream.writeManifest(s"$work/store",
+            m.copy(batchId = m.batchId + 1)))
+    }
+    assert(ex.getMessage.contains("advanced during compaction"))
+    // ... and the store still reads (the swap never happened)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      (0L until 4L).map(_ -> 0L).toSet)
+    // a held lock makes a fold fail loudly instead of racing the sweep
+    val lock = java.nio.file.Paths.get(s"$work/store/labels/COMPACT.lock")
+    java.nio.file.Files.createFile(lock)
+    val ex2 = intercept[IllegalArgumentException] { fold1(99L, 9L) }
+    assert(ex2.getMessage.contains("COMPACT.lock"))
+    java.nio.file.Files.delete(lock)
   }
 
   test("a re-delivered batch id is a no-op; edge-free batches advance the pointer") {
