@@ -97,15 +97,138 @@ object CountStream {
         .agg(sum(col(cntCol)).as(cntCol)))
 
   private[streaming] def mergeBatchWith(spark: SparkSession, storeDir: String,
-      t: DataFrame, batchId: Long, maxKeys: Long)
+      t: DataFrame, batchId: Long, maxKeys: Long,
+      shardBytes: Long = ShardBytes)
       (merge: (DataFrame, DataFrame) => DataFrame): Unit =
     if (lastBatch(storeDir).forall(_ < batchId)) {
       val merged = current(spark, storeDir) match {
         case Some(cur) => merge(cur, t)
         case None => t
       }
-      advance(spark, storeDir, merged, batchId, maxKeys)
+      advance(spark, storeDir, merged, batchId, maxKeys, shardBytes)
     }
+
+  // ---- the delta discipline: unbounded-key accumulation ----
+
+  /** Compact the delta store once this many live delta dirs accrete —
+    * per-batch work is then ∝ batch with an amortized ∝ store/16 term,
+    * against the re-merge discipline's ∝ store EVERY batch. */
+  val DefaultCompactEvery: Int = 16
+
+  /** [[accumulateWith]] for UNBOUNDED key domains (the corpus diff's
+    * after-digest table): instead of rewriting the full merged table
+    * every micro-batch — right for a metric store bounded by
+    * [[MaxStoreKeys]], quadratic-in-corpus wrong for a store that GROWS
+    * with the corpus — each batch APPENDS its own (already aggregated,
+    * so batch-sized) delta dir, a manifest atomic-rename is the commit
+    * (same replay transactionality: the pointer and the dir list move
+    * together), and dirs bin-pack through `combine` once
+    * `compactEvery` of them accrete — the tx-log / ClusterStream
+    * compaction discipline. Read-out merges the live dirs through
+    * `combine` at the end of the drain.
+    *
+    * `combine` collapses a UNION of per-batch delta tables into one
+    * (e.g. groupBy(key).agg(sum, min)); it must be associative/
+    * commutative over batches AND satisfy
+    * `combine(combine(a) ∪ b) == combine(a ∪ b)` (any algebraic
+    * aggregate does) for compaction boundaries to be invisible. */
+  def accumulateDeltas(spark: SparkSession, stream: DataFrame,
+      storeDir: String, checkpointDir: String,
+      compactEvery: Int = DefaultCompactEvery)
+      (table: DataFrame => DataFrame)
+      (combine: DataFrame => DataFrame): DataFrame = {
+    require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        foldDelta(spark, storeDir, table(batch), batchId, compactEvery)(combine)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    currentDeltas(spark, storeDir)(combine).getOrElse(spark.emptyDataFrame)
+  }
+
+  /** One delta fold: write the batch's (aggregated, batch-sized) table
+    * to its own dir — idempotent under redelivery, invisible until the
+    * manifest lists it — then commit dir list + batch pointer in one
+    * atomic rename. Compaction folds in-line when the dir count hits
+    * `compactEvery`. */
+  private[streaming] def foldDelta(spark: SparkSession, storeDir: String,
+      t: DataFrame, batchId: Long, compactEvery: Int)
+      (combine: DataFrame => DataFrame): Unit = {
+    val cur = readDeltaManifest(storeDir)
+    if (cur.exists(_._1 >= batchId)) return // at-least-once replay: no-op
+    val own = s"delta/batch=$batchId"
+    t.write.mode("overwrite").parquet(s"$storeDir/$own")
+    // a 0-row write may carry no data file — advance the pointer
+    // without listing a dir later multi-dir reads would choke on
+    val rows = spark.read.parquet(s"$storeDir/$own")
+    val prior = cur.map(_._2).getOrElse(Nil)
+    val dirs = if (rows.isEmpty) prior else prior :+ own
+    val live =
+      if (dirs.size < compactEvery) dirs
+      else {
+        val to = s"delta/compact-$batchId"
+        combine(spark.read.parquet(dirs.map(d => s"$storeDir/$d"): _*))
+          .write.mode("overwrite").parquet(s"$storeDir/$to")
+        Seq(to)
+      }
+    writeDeltaManifest(storeDir, batchId, live)
+    sweepDeltas(storeDir, live.toSet)
+  }
+
+  /** The accumulated table: live delta dirs merged through `combine`,
+    * or None before the first committed fold with rows. */
+  def currentDeltas(spark: SparkSession, storeDir: String)
+      (combine: DataFrame => DataFrame): Option[DataFrame] =
+    readDeltaManifest(storeDir).collect { case (_, dirs) if dirs.nonEmpty =>
+      combine(spark.read.parquet(dirs.map(d => s"$storeDir/$d"): _*))
+    }
+
+  /** Last folded batch id in the delta store, if any. */
+  def lastDeltaBatch(storeDir: String): Option[Long] =
+    readDeltaManifest(storeDir).map(_._1)
+
+  private def deltaManifestFile(storeDir: String) =
+    Paths.get(storeDir, "DELTAS")
+
+  private def readDeltaManifest(storeDir: String): Option[(Long, Seq[String])] = {
+    val p = deltaManifestFile(storeDir)
+    if (!Files.exists(p)) None
+    else {
+      val lines = Files.readString(p).split("\n", 2)
+      Some((lines(0).trim.toLong,
+        if (lines.length < 2 || lines(1).trim.isEmpty) Nil
+        else lines(1).trim.split("\n").toSeq))
+    }
+  }
+
+  private def writeDeltaManifest(storeDir: String, batchId: Long,
+      dirs: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(storeDir))
+    val tmp = Paths.get(storeDir, "DELTAS.tmp")
+    Files.writeString(tmp, (batchId.toString +: dirs).mkString("\n"))
+    Files.move(tmp, deltaManifestFile(storeDir),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Delete delta dirs the manifest no longer references (replaced by a
+    * compaction, or ghosts of a crashed fold already re-delivered). */
+  private def sweepDeltas(storeDir: String, live: Set[String]): Unit = {
+    val root = Paths.get(storeDir, "delta")
+    if (Files.exists(root)) {
+      val ls = Files.list(root)
+      try ls.iterator.asScala.filter(Files.isDirectory(_)).toList.foreach { d =>
+        if (!live(s"delta/${d.getFileName}")) {
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      finally ls.close()
+    }
+  }
 
   private def genFile(storeDir: String) = Paths.get(storeDir, "GEN")
 
@@ -145,10 +268,11 @@ object CountStream {
   }
 
   private def advance(spark: SparkSession, storeDir: String,
-      merged: DataFrame, batchId: Long, maxKeys: Long): Unit = {
+      merged: DataFrame, batchId: Long, maxKeys: Long,
+      shardBytes: Long = ShardBytes): Unit = {
     val old = pointer(storeDir)
     val next = old.map(_._1 + 1).getOrElse(0L)
-    val shards = math.max(1L, (committedBytes(storeDir) + ShardBytes - 1) / ShardBytes).toInt
+    val shards = math.max(1L, (committedBytes(storeDir) + shardBytes - 1) / shardBytes).toInt
     merged.repartition(shards).write.mode("overwrite")
       .parquet(s"$storeDir/gen=$next")
     // cardinality check off the WRITTEN parquet (footer metadata — no

@@ -71,6 +71,96 @@ class CountStreamSpec extends SparkSpec {
     assert(CountStream.lastBatch(s"$work/store").contains(goodBatch))
   }
 
+  test("delta store: accumulated == batch aggregation; per-batch written bytes track the BATCH, not the store") {
+    val work = graft.util.Workspace.temp("countstream-deltas")
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy($"k").agg(sum($"c").as("c"))
+    def deltaDirBytes(b: Long): Long = {
+      val d = java.nio.file.Paths.get(s"$work/store/delta/batch=$b")
+      if (!java.nio.file.Files.exists(d)) -1L
+      else {
+        val walk = java.nio.file.Files.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator.asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+        } finally walk.close()
+      }
+    }
+    // 10 equal-size batches of DISJOINT keys: the store grows 10x while
+    // each batch stays the same size — the flatness contrast the old
+    // full-re-merge discipline fails (its per-batch write ∝ store)
+    val n = 2000
+    (0L until 10L).foreach { b =>
+      val t = spark.range(n).select(($"id" + b * n).cast("string").as("k"),
+        lit(1L).as("c"))
+      CountStream.foldDelta(spark, s"$work/store", t, b,
+        compactEvery = 100)(combine)
+    }
+    val sizes = (0L until 10L).map(deltaDirBytes)
+    assert(sizes.forall(_ > 0), s"every batch owns a delta dir: $sizes")
+    assert(sizes.max.toDouble / sizes.min < 2.0,
+      s"per-batch delta bytes must stay flat while the store grows 10x: $sizes")
+    val got = CountStream.currentDeltas(spark, s"$work/store")(combine).get
+    assert(got.count() == 10L * n && CountStream.lastDeltaBatch(s"$work/store").contains(9L))
+    // replayed batch id: a no-op (even with different data)
+    CountStream.foldDelta(spark, s"$work/store",
+      spark.range(5).select($"id".cast("string").as("k"), lit(99L).as("c")),
+      9L, compactEvery = 100)(combine)
+    assert(CountStream.currentDeltas(spark, s"$work/store")(combine).get.count() == 10L * n)
+  }
+
+  test("delta store compaction bin-packs dirs; compaction boundaries are invisible to the merge") {
+    val work = graft.util.Workspace.temp("countstream-delta-compact")
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy($"k").agg(sum($"c").as("c"))
+    // overlapping keys across batches so compaction actually merges
+    (0L until 9L).foreach { b =>
+      val t = spark.range(50).select(($"id" % 60 + b).cast("string").as("k"),
+        lit(1L).as("c")).groupBy($"k").agg(sum($"c").as("c"))
+      CountStream.foldDelta(spark, s"$work/store", t, b,
+        compactEvery = 4)(combine)
+    }
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/store/delta")).iterator.asScala
+      .map(_.getFileName.toString).toSeq
+    assert(dirs.size <= 4, s"compaction must bound the dir count, got $dirs")
+    assert(dirs.exists(_.startsWith("compact-")), s"expected a compacted dir in $dirs")
+    // the merged read-out equals the one-shot batch aggregation
+    val batch = (0L until 9L).map(b => spark.range(50)
+        .select(($"id" % 60 + b).cast("string").as("k"), lit(1L).as("c")))
+      .reduce(_ unionByName _).groupBy($"k").agg(sum($"c").as("c"))
+    val got = CountStream.currentDeltas(spark, s"$work/store")(combine).get
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("a multi-shard generation reads back merged-correct (size-based sharding end-to-end)") {
+    val work = graft.util.Workspace.temp("countstream-shards")
+    def table(ids: Range) = ids.toDF("k").select($"k".cast("string").as("k"),
+      lit(1L).as("c"))
+    // first merge commits gen=0 (~KBs); shardBytes=2000 makes gen=1
+    // write ceil(committedBytes/2000) > 1 shard files
+    CountStream.mergeBatchWith(spark, s"$work/store", table(0 until 3000),
+      batchId = 0, maxKeys = Long.MaxValue)(
+      (cur, t) => cur.unionByName(t).groupBy($"k").agg(sum($"c").as("c")))
+    CountStream.mergeBatchWith(spark, s"$work/store", table(3000 until 3500),
+      batchId = 1, maxKeys = Long.MaxValue, shardBytes = 2000)(
+      (cur, t) => cur.unionByName(t).groupBy($"k").agg(sum($"c").as("c")))
+    import scala.jdk.CollectionConverters._
+    val gen1 = java.nio.file.Paths.get(s"$work/store/gen=1")
+    assert(java.nio.file.Files.exists(gen1), "pointer must have swapped to gen=1")
+    val parts = java.nio.file.Files.list(gen1).iterator.asScala
+      .count(p => p.getFileName.toString.startsWith("part-"))
+    assert(parts > 1, s"expected a multi-shard generation, got $parts part files")
+    val got = CountStream.current(spark, s"$work/store").get
+    assert(got.count() == 3500 &&
+      got.agg(sum($"c")).head.getLong(0) == 3500L)
+    assert(CountStream.lastBatch(s"$work/store").contains(1L),
+      "the pointer swap stays atomic across shards")
+  }
+
   test("weightedQuantiles over the count table == row-level quantiles") {
     import graft.curation.HistQuantiles
     val counts = corpus.groupBy($"g", $"x").agg(count(lit(1)).as("c"))
