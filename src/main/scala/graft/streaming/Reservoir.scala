@@ -57,12 +57,20 @@ object Reservoir {
         // byte-identical and collapses either way, but a feed that
         // re-carries an id with a NEW weight/attributes would make
         // dropDuplicates keep an arbitrary row. Keep the max-key row
-        // per id (ties broken by the full remaining struct), so the
-        // winner is a pure function of the rows seen — the batch twin's
-        // unique-id precondition, enforced rather than assumed.
+        // per id (ties broken by the remaining ORDERABLE columns), so
+        // the winner is a pure function of the rows seen — the batch
+        // twin's unique-id precondition, enforced rather than assumed.
+        // Non-orderable attributes (maps) ride in the VALUE struct but
+        // not the ordering — max(struct(...)) over them fails analysis
+        // — so a row carrying a map column still flows through; the
+        // pick is only tie-arbitrary if two rows agree on the key and
+        // every orderable attribute yet differ in a map.
         val rest = merged.columns.filter(c => c != idCol && c != keyAs)
+        val orderable = rest.filter(c => org.apache.spark.sql.catalyst
+          .expressions.RowOrdering.isOrderable(merged.schema(c).dataType))
         val deduped = merged.groupBy(col(idCol))
-          .agg(max(struct((col(keyAs) +: rest.map(col)): _*)).as("__w"))
+          .agg(max_by(struct((col(keyAs) +: rest.map(col)): _*),
+            struct((col(keyAs) +: orderable.map(col)): _*)).as("__w"))
           .select(merged.columns.map(c =>
             if (c == idCol) col(c) else col(s"__w.$c").as(c)): _*)
         val top = graft.util.TopN.exact(deduped,

@@ -36,6 +36,28 @@ object ScoreStream {
     * re-derived inside the loop. Blocks until the drain finishes. */
   def replay(stream: DataFrame, frozen: Seq[DataFrame], outDir: String,
       checkpointDir: String)(score: DataFrame => DataFrame): Unit = {
+    // the output layout moved from flat per-batch appends to
+    // batch=<id> subdirs; resuming over an outDir written with the old
+    // flat layout would leave root part files NEXT TO batch= subdirs,
+    // and spark.read.parquet fails on the mixed structure — detect and
+    // fail with a migration message instead of corrupting the dir
+    {
+      val root = java.nio.file.Paths.get(outDir)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val ls = java.nio.file.Files.list(root)
+        val legacy = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator.asScala.exists(p =>
+            java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.startsWith("part-"))
+        } finally ls.close()
+        require(!legacy,
+          s"outDir $outDir holds flat part files from the pre-batch-subdir " +
+            "layout; mixing them with batch=<id> subdirs makes the parquet " +
+            s"read fail — move them into $outDir/batch=legacy (content is " +
+            "preserved; output() unions subdirs) or start a fresh outDir")
+      }
+    }
     frozen.foreach(_.persist())
     try stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

@@ -95,6 +95,25 @@ class ReservoirSpec extends SparkSpec {
       "winner must be the max-key (here max-weight) variant, deterministically")
   }
 
+  test("a non-orderable attribute column (map) flows through the dedup") {
+    val work = graft.util.Workspace.temp("reservoir-map")
+    // a MapType attribute would fail analysis inside max(struct(...));
+    // the ordering struct must restrict to orderable columns while the
+    // map still rides along on the winning row
+    val withMap = corpus.withColumn("attrs",
+      map(lit("w2"), $"w" * 2))
+    val feed = ScoreStream.feed(withMap, s"$work/landing", files = 3)
+    val streamed = Reservoir.streamWeightedSample(spark, feed,
+      "doc_id", "w", n = 30, seed = "s", s"$work/store", s"$work/ckpt")
+    val batch = Sampling.weightedSample(corpus, $"doc_id", $"w", 30, "s")
+    assert(streamed.count() == 30)
+    // same winners as the map-free batch draw (the key ignores attrs)
+    assert(streamed.select("doc_id").exceptAll(batch.select("doc_id")).isEmpty)
+    // and the map column survived with the right content
+    assert(streamed.select($"doc_id", element_at($"attrs", "w2").as("w2"), $"w")
+      .collect().forall(r => r.getLong(1) == 2 * r.getLong(2)))
+  }
+
   test("current() is None before the first commit; resumes from the pointer") {
     val work = graft.util.Workspace.temp("reservoir-gen")
     assert(Reservoir.current(spark, s"$work/store").isEmpty)

@@ -88,4 +88,31 @@ class ScoreStreamSpec extends SparkSpec {
     assert(out.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
       s"stale pre-crash rows must be overwritten, got $out")
   }
+
+  test("resuming over a legacy flat-layout outDir fails with a migration message") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val work = graft.util.Workspace.temp("score-stream-legacy")
+    // the pre-batch-subdir layout: part files at the outDir ROOT —
+    // writing batch= subdirs next to them makes the parquet read fail,
+    // so replay must refuse up front
+    df.coalesce(1).write.parquet(s"$work/out")
+    val feed = ScoreStream.feed(df, s"$work/landing", files = 2)
+    val ex = intercept[IllegalArgumentException] {
+      ScoreStream.replay(feed, Nil, s"$work/out", s"$work/ckpt")(b => b)
+    }
+    assert(ex.getMessage.contains("batch=legacy"), ex.getMessage)
+    // the documented migration unblocks the same resume
+    val root = java.nio.file.Paths.get(s"$work/out")
+    val legacyDir = root.resolve("batch=legacy")
+    java.nio.file.Files.createDirectories(legacyDir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(root).iterator.asScala
+      .filter(java.nio.file.Files.isRegularFile(_)).toList
+      .foreach(p => java.nio.file.Files.move(p, legacyDir.resolve(p.getFileName)))
+    ScoreStream.replay(feed, Nil, s"$work/out", s"$work/ckpt")(b => b)
+    val out = ScoreStream.output(spark, s"$work/out").as[(Long, String)]
+      .collect().toSeq.sorted
+    // legacy rows union with the replayed batches
+    assert(out == Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")), s"got $out")
+  }
 }
