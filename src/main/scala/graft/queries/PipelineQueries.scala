@@ -1351,6 +1351,26 @@ log[d] {
       .orderBy(col("doc_id"))
   }
 
+  /** q153: q150's drain with MEGA-BATCH landing — the same corpus in 2
+    * triggers instead of 6 (`maxFilesPerTrigger=3`): each fold's fixed
+    * cost (plan + store write + job overhead, AQE off inside
+    * foreachBatch) is per-TRIGGER, so batching the landing amortizes
+    * the floor — the production knob for a backlogged stream. The fold
+    * invariant is trigger-boundary-independent, so the q51 oracle
+    * adjudicates unchanged; the q150-vs-q153 bench delta measures the
+    * floor-vs-work split (docs/PERF.md round-12). */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q153")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.repartition(6).write.mode("overwrite").parquet(s"$work/landing")
+    val in = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 3).parquet(s"$work/landing")
+    graft.streaming.ClusterStream.streamClusters(s, in,
+        s"$work/store", s"$work/ckpt")
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1403,5 +1423,7 @@ log[d] {
     ("q151_stream_corpus_diff", q151 _,
       Some(graft.queries.CurationQueries.q148Sql)),
     ("q152_stream_keep_best", q152 _,
-      Some(graft.queries.CurationQueries.q121Sql)))
+      Some(graft.queries.CurationQueries.q121Sql)),
+    ("q153_megabatch_clusters", q153 _,
+      Some(graft.queries.CurationQueries.q51Sql)))
 }

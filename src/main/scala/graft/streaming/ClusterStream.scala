@@ -204,7 +204,7 @@ object ClusterStream {
         // file, and an empty dir in the manifest would break later
         // multi-dir probe reads)
         commit(storeDir, cur, Map.empty, nBuckets, batchId,
-          NewDirs(Nil, Nil, Nil), ckptId)
+          NewDirs(Nil, Nil, Nil), ckptId, cur.map(_.rows).getOrElse(0L))
         return
       }
       val bandB = Dedup.banded(sigsB, "doc", "sig", bands)
@@ -250,7 +250,8 @@ object ClusterStream {
       val eCount = edges.count()
       if (eCount == 0) { // nothing to merge — just advance the pointer
         commit(storeDir, cur, Map.empty, nBuckets, batchId,
-          ownDirs.copy(edges = Nil), ckptId); return
+          ownDirs.copy(edges = Nil), ckptId,
+          cur.map(_.rows).getOrElse(0L)); return
       }
       // verified edges persist (batch-bounded, already materialized):
       // the retained-window edge set [[expire]] recomputes the CC over
@@ -308,7 +309,16 @@ object ClusterStream {
             .join(broadcast(idsDf(r, "comp")), "comp"))
         case _ => None
       }
-      val memberCount = touched.map(_.count()).getOrElse(0L)
+      // the member bound: the manifest's maintained row total is an
+      // upper bound on any component's membership, so a small store
+      // proves the guard with ZERO extra jobs; only a store past the
+      // guard pays one count on the pruned, broadcast-filtered scan to
+      // learn the TOUCHED components' exact size
+      val memberCount: Long = cur.map(_.rows).filter(_ >= 0) match {
+        case _ if touched.isEmpty => 0L
+        case Some(total) if eCount + total <= maxLocalEdges => total
+        case _ => touched.get.count()
+      }
       lap("member-count")
       if (eCount + memberCount > maxLocalEdges)
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
@@ -351,7 +361,15 @@ object ClusterStream {
         .parquet(s"$storeDir/labels/data/batch=$batchId")
       lap("keep-write")
       val repointed = tb.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap
-      commit(storeDir, cur, repointed, nBuckets, batchId, ownDirs, ckptId)
+      // every touched-comp member is a union-find key, so the store's
+      // row total moves by exactly (labels written) - (members replaced)
+      // -- maintained driver-side, no counting job
+      val newRows = cur.map(_.rows).getOrElse(0L) match {
+        case known if known >= 0 => known - starRows.length + labels.size
+        case _ => -1L // legacy store without a maintained total
+      }
+      commit(storeDir, cur, repointed, nBuckets, batchId, ownDirs, ckptId,
+        newRows)
       lap("label-rewrite")
     } finally sigsB.unpersist(blocking = false)
   }
@@ -393,7 +411,8 @@ object ClusterStream {
       s"full rewrite lost buckets ${old.diff(written)} — rows never vanish")
     commit(storeDir, cur,
       written.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap,
-      nBuckets, batchId, ownDirs, ckptId)
+      nBuckets, batchId, ownDirs, ckptId,
+      spark.read.parquet(s"$storeDir/labels/data/batch=$batchId").count())
   }
 
   /** The cross-batch probe plan, exposed for the plan-shape pin: the
@@ -577,7 +596,8 @@ object ClusterStream {
           }
         writeManifest(storeDir, m.copy(
           buckets = written.map(bk => bk -> s"data/$tag/__bk=$bk").toMap,
-          sigDirs = sigTo, bandDirs = bandTo, edgeDirs = edgeTo))
+          sigDirs = sigTo, bandDirs = bandTo, edgeDirs = edgeTo,
+          rows = labelRows))
         sweepUnreferenced(storeDir, "sigs", sigTo.toSet)
         sweepUnreferenced(storeDir, "bands", bandTo.toSet)
         sweepUnreferenced(storeDir, "edges", edgeTo.toSet)
@@ -646,7 +666,7 @@ object ClusterStream {
     * readable store (old manifest, or new manifest + live dirs). */
   private def commit(storeDir: String, cur: Option[Manifest],
       repointed: Map[Int, String], nBuckets: Int, batchId: Long,
-      ownDirs: NewDirs, ckptId: String): Unit = {
+      ownDirs: NewDirs, ckptId: String, rows: Long): Unit = {
     val buckets = cur.map(_.buckets).getOrElse(Map.empty) ++ repointed
     // the first fold stamps the lineage; later folds carry it forward
     // (the fold-entry require already proved they match)
@@ -654,7 +674,7 @@ object ClusterStream {
     writeManifest(storeDir, Manifest(batchId, nBuckets, buckets,
       cur.map(_.sigDirs).getOrElse(Nil) ++ ownDirs.sigs,
       cur.map(_.bandDirs).getOrElse(Nil) ++ ownDirs.bands,
-      cur.map(_.edgeDirs).getOrElse(Nil) ++ ownDirs.edges, ckpt))
+      cur.map(_.edgeDirs).getOrElse(Nil) ++ ownDirs.edges, ckpt, rows))
     sweepLabels(storeDir, buckets.values.toSet)
   }
 
@@ -695,7 +715,10 @@ object ClusterStream {
   private[streaming] final case class Manifest(batchId: Long, nBuckets: Int,
       buckets: Map[Int, String], sigDirs: Seq[String] = Nil,
       bandDirs: Seq[String] = Nil, edgeDirs: Seq[String] = Nil,
-      ckpt: String = "")
+      ckpt: String = "",
+      /** Maintained label-store row total (-1 = unknown/legacy): the
+        * zero-job upper bound for the fast path's member guard. */
+      rows: Long = -1L)
 
   private def manifestFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "MANIFEST")
@@ -721,9 +744,12 @@ object ClusterStream {
           .getOrElse(Nil)
       val ckpt = """"ckpt":"([^"]*)"""".r.findFirstMatchIn(txt)
         .map(_.group(1)).getOrElse("")
+      val rows = """"rows":(-?\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
       Some(Manifest(hm.group(1).toLong, hm.group(2).toInt,
         entry.findAllMatchIn(txt).map(m => m.group(1).toInt -> m.group(2)).toMap,
-        dirList("sigDirs"), dirList("bandDirs"), dirList("edgeDirs"), ckpt))
+        dirList("sigDirs"), dirList("bandDirs"), dirList("edgeDirs"),
+        ckpt, rows))
     }
   }
 
@@ -731,7 +757,7 @@ object ClusterStream {
     Files.createDirectories(manifestFile(storeDir).getParent)
     def dirList(ds: Seq[String]) = ds.map(d => s""""$d"""").mkString(",")
     val body = s"""{"batchId":${m.batchId},"nBuckets":${m.nBuckets},""" +
-      s""""ckpt":"${m.ckpt}",""" +
+      s""""rows":${m.rows},"ckpt":"${m.ckpt}",""" +
       s""""sigDirs":[${dirList(m.sigDirs)}],""" +
       s""""bandDirs":[${dirList(m.bandDirs)}],""" +
       s""""edgeDirs":[${dirList(m.edgeDirs)}],"buckets":{""" +

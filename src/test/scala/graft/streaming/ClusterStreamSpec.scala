@@ -168,6 +168,9 @@ class ClusterStreamSpec extends SparkSpec {
       batchId = 2, maxLocalEdges = 1L << 22)
     assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
       (1L to 4L).map(_ -> 1L).toSet + (9L -> 1L))
+    // the maintained row total stays exact across fast AND distributed
+    // folds — it is the zero-job upper bound the member guard trusts
+    assert(ClusterStream.readManifest(s"$work/store").get.rows == 5L)
   }
 
   test("edge guard: an over-guard first batch folds through the distributed path correctly") {
@@ -206,6 +209,9 @@ class ClusterStreamSpec extends SparkSpec {
     fold1(6L, fam, 3)
     assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
       Set((2L, 2L), (3L, 2L), (6L, 2L)))
+    // expire reset the maintained row total; the post-expiry fold kept
+    // it exact
+    assert(ClusterStream.readManifest(s"$work/store").get.rows == 3L)
   }
 
   test("expire SPLITS a component whose bridge doc expired (labels alone could not)") {
