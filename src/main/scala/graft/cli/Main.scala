@@ -354,11 +354,16 @@ object Main {
         // any orderable id) — a one-off batch read of the same glob
         // supplies the stream schema instead of hardcoding LongType
         val landed = spark.read.parquet(pos.head).schema
-        val in = spark.readStream
+        var reader = spark.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(
             landed(idCol0), landed(textCol0))))
           .option("maxFilesPerTrigger", flags.getOrElse("max-files", "1").toInt)
-          .parquet(pos.head)
+        // --max-bytes: mega-batch landing — each fold pays a fixed
+        // per-trigger floor (docs/PERF.md round-12: ~2.6 s vs ~1 s of
+        // work at sf0.1), so a backlogged stream should batch by bytes
+        flags.get("max-bytes").foreach(b =>
+          reader = reader.option("maxBytesPerTrigger", b))
+        val in = reader.parquet(pos.head)
         val labels = graft.streaming.ClusterStream.streamClusters(spark, in,
           store, req(flags, "checkpoint"),
           idCol = flags.getOrElse("id-col", "doc_id"),

@@ -48,12 +48,17 @@ import graft.dedup.Dedup
   *
   * Per-batch fold:
   *  1. edge generation — batch-internal LSH candidates + a one-sided
-  *     probe of the sig store (batch band keys BROADCAST; the corpus
-  *     side is scanned map-side, column-pruned to (doc, sig), and never
-  *     shuffled — the q126 discipline), every candidate exact-Jaccard
-  *     verified. The union over batches equals the batch pipeline's
-  *     edge set exactly: a pair lands in whichever batch carries its
-  *     later endpoint.
+  *     probe of the band store (batch band keys BROADCAST; the corpus
+  *     side is scanned map-side, column-pruned to the narrow
+  *     (doc, band_key) pair, and never shuffled — the q126 discipline),
+  *     then every candidate exact-Jaccard verified against shingles
+  *     fetched from ONLY the candidates' id-buckets of the COMPACTED
+  *     sig bulk plus the small flat post-compaction tail
+  *     ([[SigBuckets]] — the fat read made candidate-sized on a
+  *     maintained store).
+  *     The union over batches equals the batch pipeline's edge set
+  *     exactly: a pair lands in whichever batch carries its later
+  *     endpoint.
   *  2. touched roots — endpoints' current labels, read from ONLY the
   *     endpoints' id-buckets (pruned by construction).
   *  3. member fetch — rows of touched components, one map-side
@@ -96,6 +101,51 @@ object ClusterStream {
     * a 100M-row component must not collect the whole component onto
     * the driver. */
   val MaxLocalEdges: Long = 1L << 22
+
+  /** Id-bucket count of the COMPACTED signature layout
+    * (`sigs/compact-<id>/__bk=<k>/`): the candidate verify is the
+    * fold's fat read — shingle arrays dwarf the narrow (doc, band_key)
+    * table — and candidates are FEW (only band-colliding docs), so the
+    * fetch prunes to the candidates' id-buckets instead of scanning
+    * every doc's shingles per fold. The layout is LSM-shaped: each
+    * fold writes its own batch dir FLAT (one file, write-optimized —
+    * partitioning per micro-batch measured a 64-small-files-per-
+    * trigger storm), and [[compactStores]] rewrites the accumulated
+    * bulk id-bucket partitioned (read-optimized) — so a maintained
+    * store probes the compacted bulk pruned and only the recent
+    * post-compaction tail flat. Stamped in the manifest; a store
+    * stamped 0 stays flat everywhere. */
+  val SigBuckets: Int = 64
+
+  private val SigBucketCol = "__bk"
+
+  /** Sentinel bucket for rows in the flat (not yet compacted) sig
+    * dirs: never a real bucket value, so the prune filter keeps every
+    * flat row while the partitioned dirs prune to candidates. */
+  private val FlatBucket = -1
+
+  /** Is this store dir a flat per-batch run (vs a compacted/expired
+    * consolidated dir — for sigs, id-bucket partitioned on a stamped
+    * store)? Name-based: the fold writes only `<area>/batch=<id>`
+    * runs; maintenance writes only `compact-*` / `expire-*`. */
+  private def isFlatRun(rel: String): Boolean = rel.contains("/batch=")
+
+  /** Read the sig store's live dirs. An all-flat store (no compaction
+    * yet — every drain before the first maintenance) reads as ONE
+    * multi-root scan, exactly the unpruned fast shape. A store with a
+    * compacted bulk mixes directory structures (a single multi-root
+    * read trips Spark's conflicting-directory check), so it loads per
+    * root and unions, with flat rows carrying the sentinel bucket so
+    * one prune filter serves both. */
+  private def readSigs(spark: SparkSession, storeDir: String,
+      dirs: Seq[String]): DataFrame =
+    if (dirs.forall(isFlatRun))
+      spark.read.parquet(dirs.map(d => s"$storeDir/$d"): _*)
+    else dirs.map { d =>
+      val df = spark.read.parquet(s"$storeDir/$d")
+      if (df.columns.contains(SigBucketCol)) df
+      else df.withColumn(SigBucketCol, lit(FlatBucket))
+    }.reduce(_.unionByName(_))
 
   /** Drain `stream` with AvailableNow, folding each micro-batch into
     * the cluster state at `storeDir`; returns the final (id, comp)
@@ -217,6 +267,14 @@ object ClusterStream {
       // make total banding work quadratic in the batch count). Every
       // row carries its landing batch id — [[expire]]'s horizon column,
       // preserved across compaction (probes prune it away)
+      // per-batch dirs write FLAT (one file — write-optimized; the
+      // read-optimized id-bucket partitioning happens at compaction,
+      // the LSM discipline — see [[SigBuckets]]). Pruning (and its
+      // tiny bucket-list job) only pays once a compacted bulk exists —
+      // an all-flat store probes the unpruned fast shape unchanged
+      val sigBk =
+        if (priorSigDirs.forall(isFlatRun)) 0
+        else cur.map(_.sigBk).getOrElse(SigBuckets)
       sigsB.withColumn("__batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
       bandB.withColumn("__batch", lit(batchId))
@@ -241,8 +299,8 @@ object ClusterStream {
       else {
         val cross = crossEdges(
           spark.read.parquet(priorBandDirs.map(d => s"$storeDir/$d"): _*),
-          spark.read.parquet(priorSigDirs.map(d => s"$storeDir/$d"): _*),
-          bandB, sigsB, threshold)
+          readSigs(spark, storeDir, priorSigDirs),
+          bandB, sigsB, threshold, sigBk = sigBk)
         graft.util.Materialize.eager(internal.unionByName(cross))
       }
       lap("edges")
@@ -425,13 +483,30 @@ object ClusterStream {
     * plan pin so the whole composition is visible. */
   private[graft] def crossEdges(corpusBands: DataFrame, corpusSigs: DataFrame,
       bandB: DataFrame, sigsB: DataFrame, threshold: Double,
-      materialize: DataFrame => DataFrame = graft.util.Materialize.eager)
-      : DataFrame = {
+      materialize: DataFrame => DataFrame = graft.util.Materialize.eager,
+      sigBk: Int = 0): DataFrame = {
     val candX = materialize(
       corpusBands.select(col("doc"), col("band_key"))
         .join(broadcast(bandB.withColumnRenamed("doc", "new_id")), "band_key")
         .select(col("new_id"), col("doc").as("corpus_id")).distinct())
-    val corpusSh = corpusSigs
+    // the fetch's scan prunes to the CANDIDATES' id-buckets when the
+    // sig layout is partitioned (manifest-stamped sigBk > 0): the
+    // bucket list is metadata-sized (<= sigBk ints, one tiny job over
+    // the materialized candidates) and lands as a static
+    // PartitionFilter — the shingle column of non-candidate buckets is
+    // never read. candidates ~ batch collisions << corpus, so this is
+    // the fold's store-proportional FAT read made candidate-sized.
+    val prunedSigs =
+      if (sigBk <= 0) corpusSigs
+      else {
+        val bks = candX
+          .select(pmod(hash(col("corpus_id")), lit(sigBk)).as(SigBucketCol))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        // the sentinel keeps every not-yet-compacted (flat) row; the
+        // partitioned compacted dirs prune to the candidates' buckets
+        corpusSigs.filter(col(SigBucketCol).isin(bks :+ FlatBucket: _*))
+      }
+    val corpusSh = prunedSigs
       .select(col("doc").as("corpus_id"), col("sh").as("csh"))
       .join(broadcast(candX.select("corpus_id").distinct()), "corpus_id")
     candX
@@ -483,8 +558,16 @@ object ClusterStream {
           def abs(rel: String) = s"$storeDir/$rel"
           val (sigTo, bandTo, edgeTo) = (s"sigs/compact-${m.batchId}",
             s"bands/compact-${m.batchId}", s"edges/compact-${m.batchId}")
-          spark.read.parquet(m.sigDirs.map(abs): _*)
-            .write.mode("overwrite").parquet(abs(sigTo))
+          val sigs = readSigs(spark, storeDir, m.sigDirs).drop(SigBucketCol)
+          if (m.sigBk > 0)
+            // the compaction rewrite is where the read-optimized layout
+            // is built: recompute every row's id-bucket (flat rows
+            // carry only the sentinel) and land one file per bucket
+            sigs.withColumn(SigBucketCol, pmod(hash(col("doc")), lit(m.sigBk)))
+              .repartition(col(SigBucketCol))
+              .write.partitionBy(SigBucketCol)
+              .mode("overwrite").parquet(abs(sigTo))
+          else sigs.write.mode("overwrite").parquet(abs(sigTo))
           spark.read.parquet(m.bandDirs.map(abs): _*)
             .write.mode("overwrite").parquet(abs(bandTo))
           val newEdge = if (m.edgeDirs.isEmpty) Nil else {
@@ -544,17 +627,33 @@ object ClusterStream {
       try {
         def abs(rel: String) = s"$storeDir/$rel"
         val tag = s"expire-${m.batchId}-$fromBatch"
-        def cutWrite(dirs: Seq[String], to: String): Seq[String] =
+        def cutWrite(dirs: Seq[String], to: String,
+            partitionedBk: Int): Seq[String] =
           if (dirs.isEmpty) Nil
           else {
-            val kept = spark.read.parquet(dirs.map(abs): _*)
-              .filter(col("__batch") >= fromBatch)
-            kept.write.mode("overwrite").parquet(abs(to))
-            // a 0-row parquet dir may carry no data file — never list it
-            if (spark.read.parquet(abs(to)).isEmpty) Nil else Seq(to)
+            val kept = readSigs(spark, storeDir, dirs)
+              .filter(col("__batch") >= fromBatch).drop(SigBucketCol)
+            // an all-expired cut registers NO dir (an empty partitioned
+            // write leaves nothing readable, and the manifest must
+            // never list a dir a multi-dir read would choke on)
+            if (kept.isEmpty) Nil
+            // the consolidated sig cut lands read-optimized, like a
+            // compaction (recomputed buckets — flat rows carried only
+            // the sentinel)
+            else if (partitionedBk > 0) {
+              kept.withColumn(SigBucketCol,
+                  pmod(hash(col("doc")), lit(partitionedBk)))
+                .repartition(col(SigBucketCol))
+                .write.partitionBy(SigBucketCol)
+                .mode("overwrite").parquet(abs(to))
+              Seq(to)
+            } else {
+              kept.write.mode("overwrite").parquet(abs(to))
+              Seq(to)
+            }
           }
-        val sigTo = cutWrite(m.sigDirs, s"sigs/$tag")
-        val bandTo = cutWrite(m.bandDirs, s"bands/$tag")
+        val sigTo = cutWrite(m.sigDirs, s"sigs/$tag", m.sigBk)
+        val bandTo = cutWrite(m.bandDirs, s"bands/$tag", 0)
         val retainedDocs = sigTo.headOption.map(d =>
           spark.read.parquet(abs(d)).select(col("doc")).distinct())
         // retained edges: the batch cut keeps only edges whose LATER
@@ -674,7 +773,8 @@ object ClusterStream {
     writeManifest(storeDir, Manifest(batchId, nBuckets, buckets,
       cur.map(_.sigDirs).getOrElse(Nil) ++ ownDirs.sigs,
       cur.map(_.bandDirs).getOrElse(Nil) ++ ownDirs.bands,
-      cur.map(_.edgeDirs).getOrElse(Nil) ++ ownDirs.edges, ckpt, rows))
+      cur.map(_.edgeDirs).getOrElse(Nil) ++ ownDirs.edges, ckpt, rows,
+      cur.map(_.sigBk).getOrElse(SigBuckets)))
     sweepLabels(storeDir, buckets.values.toSet)
   }
 
@@ -718,7 +818,10 @@ object ClusterStream {
       ckpt: String = "",
       /** Maintained label-store row total (-1 = unknown/legacy): the
         * zero-job upper bound for the fast path's member guard. */
-      rows: Long = -1L)
+      rows: Long = -1L,
+      /** Id-bucket count of the sig layout (0 = flat/legacy — no
+        * partition pruning on the verify fetch). */
+      sigBk: Int = 0)
 
   private def manifestFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "MANIFEST")
@@ -746,10 +849,12 @@ object ClusterStream {
         .map(_.group(1)).getOrElse("")
       val rows = """"rows":(-?\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toLong).getOrElse(-1L)
+      val sigBk = """"sigBk":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(0)
       Some(Manifest(hm.group(1).toLong, hm.group(2).toInt,
         entry.findAllMatchIn(txt).map(m => m.group(1).toInt -> m.group(2)).toMap,
         dirList("sigDirs"), dirList("bandDirs"), dirList("edgeDirs"),
-        ckpt, rows))
+        ckpt, rows, sigBk))
     }
   }
 
@@ -757,7 +862,7 @@ object ClusterStream {
     Files.createDirectories(manifestFile(storeDir).getParent)
     def dirList(ds: Seq[String]) = ds.map(d => s""""$d"""").mkString(",")
     val body = s"""{"batchId":${m.batchId},"nBuckets":${m.nBuckets},""" +
-      s""""rows":${m.rows},"ckpt":"${m.ckpt}",""" +
+      s""""rows":${m.rows},"sigBk":${m.sigBk},"ckpt":"${m.ckpt}",""" +
       s""""sigDirs":[${dirList(m.sigDirs)}],""" +
       s""""bandDirs":[${dirList(m.bandDirs)}],""" +
       s""""edgeDirs":[${dirList(m.edgeDirs)}],"buckets":{""" +

@@ -466,6 +466,36 @@ class PlanShapeSpec extends SparkSpec {
       s"the stored corpus must never shuffle for the probe:\n$plan")
   }
 
+  test("incremental cluster verify fetch: candidate id-buckets land as STATIC PartitionFilters (q150 fat-read prune)") {
+    import graft.dedup.Dedup
+    import graft.streaming.ClusterStream
+    val dir = tmpDir("plan-cluster-prune")
+    val docs = (0L until 40L).map(i =>
+      (i, s"w${i % 5} alpha beta gamma delta epsilon token$i"))
+      .toDF("doc_id", "text")
+    val staged = Dedup.stagedSigs(docs, "doc_id", "text", shingleK = 3, k = 128)
+    // the partitioned sig layout a manifest-stamped store writes
+    staged.withColumn("__bk", pmod(hash(col("doc")), lit(64)))
+      .repartition(col("__bk"))
+      .write.partitionBy("__bk").parquet(s"$dir/sigs")
+    Dedup.banded(staged, "doc", "sig", 32).select(col("doc"), col("band_key"))
+      .write.parquet(s"$dir/bands")
+    val batch = Dedup.stagedSigs(
+      docs.filter(col("doc_id") < 4), "doc_id", "text", 3, 128)
+    val probe = ClusterStream.crossEdges(
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sigs"),
+      Dedup.banded(batch, "doc", "sig", 32).select(col("doc"), col("band_key")),
+      batch, threshold = 0.8, materialize = identity, sigBk = 64)
+    val plan = formatted(probe)
+    // the shingle scan must carry the collected candidate buckets as a
+    // static partition filter — non-candidate buckets' (fat) shingle
+    // column is never read
+    assert("PartitionFilters: \\[[^\\]]*__bk".r.findFirstIn(plan).isDefined,
+      s"the sig scan must prune by candidate id-buckets:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the probe shape is unchanged by the prune:\n$plan")
+  }
+
   test("domain filter: keep-list comes back broadcast — the corpus never reshuffles (q133 shape)") {
     import graft.curation.DomainFilter
     val df = (0L until 60L).map(i => (i, s"d${i % 4}", (i % 10) / 10.0))

@@ -50,6 +50,16 @@ class ClusterStreamSpec extends SparkSpec {
     // famA straddles all three files: only the cross-batch probe can
     // have built it
     assert(streamedClusters(streamed).filter(_._2 == 1L).map(_._1) == Set(1L, 2L, 3L))
+    // per-batch sig dirs land FLAT (write-optimized — the partitioned
+    // layout is compaction's job); the manifest stamps the bucket count
+    val m = ClusterStream.readManifest(s"$work/store").get
+    assert(m.sigBk == ClusterStream.SigBuckets)
+    import scala.jdk.CollectionConverters._
+    val leaves = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/store/sigs/batch=0")).iterator.asScala
+      .map(_.getFileName.toString).toSeq
+    assert(!leaves.exists(_.startsWith("__bk=")),
+      s"per-batch sig dirs must stay flat, got $leaves")
   }
 
   test("a later batch BRIDGES two existing components (touched-comp merge)") {
@@ -121,6 +131,15 @@ class ClusterStreamSpec extends SparkSpec {
     assert(dirCount("sigs") == 1 && dirCount("bands") == 1 &&
       dirCount("edges") == 1,
       "replaced dirs swept after the manifest swap")
+    // the compacted sig dir is the READ-OPTIMIZED layout: id-bucket
+    // partitioned, so later folds' verify fetch prunes to candidates
+    import scala.jdk.CollectionConverters._
+    val compactDir = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/store/sigs")).iterator.asScala.next()
+    val bkLeaves = java.nio.file.Files.list(compactDir).iterator.asScala
+      .map(_.getFileName.toString).toSeq
+    assert(bkLeaves.exists(_.startsWith("__bk=")),
+      s"compacted sig dir must be __bk-partitioned, got $bkLeaves")
     // idempotent: a second compaction has nothing to do
     assert(ClusterStream.compactStores(spark, s"$work/store", minDirs = 4).isEmpty)
     // a later drain (same checkpoint lineage) probes the consolidated
