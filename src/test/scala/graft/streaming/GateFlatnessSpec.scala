@@ -144,4 +144,66 @@ class GateFlatnessSpec extends SparkSpec {
     assert(spark.read.parquet(s"$corpus/docs").count() ==
       (k * newPerBatch + 1).toLong)
   }
+
+  test("cluster fold: compaction's partitioned sig bulk cuts the verify fetch's bytes (LSM prune, measured)") {
+    import graft.streaming.ClusterStream
+    val work = tmpDir("flat-cluster-prune")
+    val rnd = new scala.util.Random(7)
+    // LONG docs + few bands: the shingle column must dominate the
+    // fold's bytes for the prune to show (short docs would let the
+    // narrow band table swamp the measurement)
+    def longDoc(tag: String) =
+      (0 until 900).map(i => s"$tag${rnd.nextInt(50000)}x$i").mkString(" ")
+    val seed = longDoc("seed")
+    def fold1(df: org.apache.spark.sql.DataFrame, b: Long) =
+      ClusterStream.fold(spark, s"$work/store", df, "doc_id", "text",
+        3, 0.8, 128, bands = 8, ClusterStream.DefaultBuckets, batchId = b)
+    // two corpus batches: unique long docs + the seed
+    fold1(((0L until 150L).map(i => (i, longDoc(s"a$i"))) :+ (900L, seed))
+      .toDF("doc_id", "text"), 0)
+    fold1((150L until 300L).map(i => (i, longDoc(s"b$i")))
+      .toDF("doc_id", "text"), 1)
+    // the probe batch: one twin of the seed, staged exactly as a fold
+    // stages it
+    val batchSigs = graft.dedup.Dedup.stagedSigs(
+      Seq((901L, seed)).toDF("doc_id", "text"), "doc_id", "text", 3, 128)
+      .persist()
+    batchSigs.count()
+    val bandB = graft.dedup.Dedup.banded(batchSigs, "doc", "sig", 8)
+      .select(col("doc"), col("band_key")).persist()
+    bandB.count()
+    def fetchBytes(bands: org.apache.spark.sql.DataFrame,
+        sigs: org.apache.spark.sql.DataFrame, sigBk: Int): Long = {
+      var edges = 0L
+      val bytes = inputBytes {
+        edges = ClusterStream.crossEdges(
+          bands, sigs, bandB, batchSigs, threshold = 0.8,
+          sigBk = sigBk).count()
+      }
+      assert(edges == 1L, s"the twin must verify against the seed: $edges")
+      bytes
+    }
+    // the same probe, against the same corpus, through the same plan:
+    // flat store (full shingle scan) vs compacted partitioned bulk
+    // (candidate-bucket PartitionFilters)
+    val before = fetchBytes(
+      spark.read.parquet(s"$work/store/bands/batch=0",
+        s"$work/store/bands/batch=1"),
+      spark.read.parquet(
+        s"$work/store/sigs/batch=0", s"$work/store/sigs/batch=1"), 0)
+    assert(ClusterStream.compactStores(spark, s"$work/store", minDirs = 2)
+      .nonEmpty)
+    import scala.jdk.CollectionConverters._
+    def compactDir(area: String) = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/store/$area")).iterator.asScala
+      .map(_.getFileName.toString).find(_.startsWith("compact-")).get
+    val after = fetchBytes(
+      spark.read.parquet(s"$work/store/bands/${compactDir("bands")}"),
+      spark.read.parquet(s"$work/store/sigs/${compactDir("sigs")}"),
+      ClusterStream.SigBuckets)
+    info(s"verify-fetch bytes: flat=$before pruned=$after")
+    assert(after.toDouble < before.toDouble * 0.5,
+      s"the compacted store's fetch must read far less: $before -> $after")
+    batchSigs.unpersist(); bandB.unpersist()
+  }
 }
