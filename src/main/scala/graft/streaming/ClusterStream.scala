@@ -693,6 +693,14 @@ object ClusterStream {
               .filter(_.startsWith("__bk=")).map(_.drop(5).toInt).toSet
             finally ls.close()
           }
+        // same interleave guard as compactStores: a fold that read the
+        // manifest BEFORE the lock appeared may have committed while
+        // the cut ran — swapping now would drop its registered dirs
+        val m2 = readManifest(storeDir)
+        require(m2.exists(_.batchId == m.batchId),
+          s"cluster store at $storeDir advanced during expiry " +
+            s"(batch ${m.batchId} -> ${m2.map(_.batchId).getOrElse(-1L)})" +
+            " — expiry runs BETWEEN drains; aborting the swap")
         writeManifest(storeDir, m.copy(
           buckets = written.map(bk => bk -> s"data/$tag/__bk=$bk").toMap,
           sigDirs = sigTo, bandDirs = bandTo, edgeDirs = edgeTo,
