@@ -329,6 +329,15 @@ object Main {
           case None => println("cluster compact: nothing to do")
         }
 
+      case "cluster" if pos == Seq("status") =>
+        // operational read-out of the store manifest: the batch
+        // pointer, maintained row total, state-dir accretion (how
+        // overdue compaction is), and the bound checkpoint lineage
+        graft.streaming.ClusterStream.status(req(flags, "store")) match {
+          case Some(s) => println(s)
+          case None => println("cluster status: empty store")
+        }
+
       case "cluster" if pos == Seq("expire") =>
         // retention horizon (the reference's bounded dedup TTL,
         // pkg/usecase/usecase.go:37): drop documents that landed before

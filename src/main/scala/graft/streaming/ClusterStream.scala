@@ -198,6 +198,19 @@ object ClusterStream {
   /** Last folded batch id, if any (the replay guard's pointer). */
   def lastBatch(storeDir: String): Option[Long] = readManifest(storeDir).map(_.batchId)
 
+  /** One-line operational summary of the store (CLI `cluster status`):
+    * batch pointer, maintained label rows, live state-dir counts (how
+    * overdue `cluster compact` is), and the bound checkpoint lineage. */
+  def status(storeDir: String): Option[String] = readManifest(storeDir).map { m =>
+    s"cluster store $storeDir: batch=${m.batchId}, label rows=" +
+      (if (m.rows >= 0) m.rows.toString else "unknown") +
+      s" across ${m.buckets.size}/${m.nBuckets} buckets; " +
+      s"${m.sigDirs.size} sig + ${m.bandDirs.size} band + " +
+      s"${m.edgeDirs.size} edge dirs (sigBk=${m.sigBk}); " +
+      (if (m.ckpt.isEmpty) "no checkpoint lineage bound"
+       else s"lineage ${m.ckpt}")
+  }
+
   // ---- the per-batch fold ----
 
   private[streaming] def fold(spark: SparkSession, storeDir: String,

@@ -95,6 +95,11 @@ class CliCurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(labels == Set((1L, 1L), (2L, 1L), (4L, 1L)),
       s"the late twin must join the existing component, got $labels")
+    // the status verb reads the same manifest the folds maintain
+    val status = graft.streaming.ClusterStream.status(s"$dir/store").get
+    assert(status.contains("label rows=3") && status.contains("lineage"),
+      s"status must surface the maintained totals: $status")
+    Main.run(spark, Array("cluster", "status", "--store", s"$dir/store"))
   }
 
   test("select --budget keeps the greedy score-ordered prefix, via warehouse table ref") {
