@@ -759,7 +759,7 @@ object ClusterStream {
     * [[Dedup.connectedComponents]]' canonical labels). Near-linear in
     * the edge count; the ordering comes from the id column's Catalyst
     * type so long and string ids rank the way SQL `min` does. */
-  private def unionFind(pairs: Array[(Any, Any)],
+  private[streaming] def unionFind(pairs: Array[(Any, Any)],
       ord: Ordering[Any]): Map[Any, Any] = {
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {

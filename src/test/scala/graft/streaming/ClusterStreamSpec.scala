@@ -312,6 +312,32 @@ class ClusterStreamSpec extends SparkSpec {
     java.nio.file.Files.delete(lock)
   }
 
+  test("PROPERTY: the driver union-find equals the distributed CC on random graphs (min-label twin)") {
+    // the fast path's correctness rests on unionFind producing exactly
+    // Dedup.connectedComponents' canonical labels (comp = min id of the
+    // component, SQL min ordering) — pinned on random edge sets instead
+    // of argued from the implementation
+    val gen = org.scalacheck.Gen.listOfN(40,
+      org.scalacheck.Gen.zip(
+        org.scalacheck.Gen.choose(0L, 24L), org.scalacheck.Gen.choose(0L, 24L)))
+    var seed = org.scalacheck.rng.Seed(42L)
+    (1 to 25).foreach { _ =>
+      val edges = gen.pureApply(org.scalacheck.Gen.Parameters.default, seed)
+        .filter { case (a, b) => a != b }
+      seed = seed.next
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(org.apache.spark.sql.types.LongType)
+      val local = ClusterStream.unionFind(
+        edges.map { case (a, b) => (a: Any, b: Any) }.toArray, ord)
+      val dist = Dedup.connectedComponents(
+          edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist,
+        s"union-find diverged from the distributed CC on $edges:\n" +
+          s"local=$local\ndist=$dist")
+    }
+  }
+
   test("a re-delivered batch id is a no-op; edge-free batches advance the pointer") {
     val work = graft.util.Workspace.temp("clusterstream-replay")
     val f1 = Seq((1L, "alpha beta gamma delta epsilon"),
