@@ -624,6 +624,12 @@ object ClusterStream {
     * when the store is empty. */
   def expire(spark: SparkSession, storeDir: String,
       fromBatch: Long): Option[(Long, Long)] =
+    expireImpl(spark, storeDir, fromBatch, () => ())
+
+  /** [[expire]] with a test seam fired between the consolidated cuts
+    * and the manifest swap (the compactStoresImpl pattern). */
+  private[streaming] def expireImpl(spark: SparkSession, storeDir: String,
+      fromBatch: Long, beforeSwap: () => Unit): Option[(Long, Long)] =
     readManifest(storeDir).map { m =>
       require(m.buckets.isEmpty || m.edgeDirs.nonEmpty,
         s"cluster store at $storeDir has labels but no retained edge " +
@@ -709,6 +715,7 @@ object ClusterStream {
         // same interleave guard as compactStores: a fold that read the
         // manifest BEFORE the lock appeared may have committed while
         // the cut ran — swapping now would drop its registered dirs
+        beforeSwap()
         val m2 = readManifest(storeDir)
         require(m2.exists(_.batchId == m.batchId),
           s"cluster store at $storeDir advanced during expiry " +

@@ -310,6 +310,15 @@ class ClusterStreamSpec extends SparkSpec {
     val ex2 = intercept[IllegalArgumentException] { fold1(99L, 9L) }
     assert(ex2.getMessage.contains("COMPACT.lock"))
     java.nio.file.Files.delete(lock)
+    // expire carries the same mid-run pointer guard
+    val m3 = ClusterStream.readManifest(s"$work/store").get
+    val ex3 = intercept[IllegalArgumentException] {
+      ClusterStream.expireImpl(spark, s"$work/store", fromBatch = 1,
+        beforeSwap = () =>
+          ClusterStream.writeManifest(s"$work/store",
+            m3.copy(batchId = m3.batchId + 1)))
+    }
+    assert(ex3.getMessage.contains("advanced during expiry"))
   }
 
   test("PROPERTY: the driver union-find equals the distributed CC on random graphs (min-label twin)") {
