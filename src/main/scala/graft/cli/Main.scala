@@ -363,16 +363,24 @@ object Main {
         // any orderable id) — a one-off batch read of the same glob
         // supplies the stream schema instead of hardcoding LongType
         val landed = spark.read.parquet(pos.head).schema
-        var reader = spark.readStream
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            landed(idCol0), landed(textCol0))))
-          .option("maxFilesPerTrigger", flags.getOrElse("max-files", "1").toInt)
         // --max-bytes: mega-batch landing — each fold pays a fixed
         // per-trigger floor (docs/PERF.md round-12: ~2.6 s vs ~1 s of
-        // work at sf0.1), so a backlogged stream should batch by bytes
-        flags.get("max-bytes").foreach(b =>
-          reader = reader.option("maxBytesPerTrigger", b))
-        val in = reader.parquet(pos.head)
+        // work at sf0.1), so a backlogged stream should batch by bytes.
+        // Spark's file source forbids combining it with
+        // maxFilesPerTrigger, so the file knob (default 1) only applies
+        // when no byte budget is given
+        require(!(flags.contains("max-files") && flags.contains("max-bytes")),
+          "--max-files and --max-bytes are mutually exclusive (the file " +
+            "stream source rejects both trigger limits at once) — pick one")
+        val reader = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            landed(idCol0), landed(textCol0))))
+        val sized = flags.get("max-bytes") match {
+          case Some(b) => reader.option("maxBytesPerTrigger", b)
+          case None => reader.option("maxFilesPerTrigger",
+            flags.getOrElse("max-files", "1").toInt)
+        }
+        val in = sized.parquet(pos.head)
         val labels = graft.streaming.ClusterStream.streamClusters(spark, in,
           store, req(flags, "checkpoint"),
           idCol = flags.getOrElse("id-col", "doc_id"),

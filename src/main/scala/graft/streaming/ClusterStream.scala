@@ -40,11 +40,15 @@ import graft.dedup.Dedup
   *    window: labels alone collapse connectivity into component ids,
   *    so dropping an expired bridge doc from labels could never split
   *    the component it once joined — the retained edge set can.
-  *  - `labels/` — the (id, comp) table, hash-bucketed BY ID (a row's
-  *    bucket never changes — comp updates rewrite in place) behind a
-  *    MANIFEST mapping bucket → data dir. A fold rewrites only the
-  *    buckets holding changed rows; untouched buckets carry forward as
-  *    manifest pointers (the tx-log discipline applied to graph state).
+  *  - `labels/` — the (id, comp, members, bks) table, hash-bucketed BY
+  *    ID (a row's bucket never changes — comp updates rewrite in place)
+  *    behind a MANIFEST mapping bucket → data dir. A fold rewrites only
+  *    the buckets holding changed rows; untouched buckets carry forward
+  *    as manifest pointers (the tx-log discipline applied to graph
+  *    state). `members`/`bks` are the component's member count and
+  *    member-bucket set, DENORMALIZED onto every row: the fold rewrites
+  *    every touched-comp row anyway, so the index is maintained for
+  *    free, and the roots probe returns it in the job it already pays.
   *
   * Per-batch fold:
   *  1. edge generation — batch-internal LSH candidates + a one-sided
@@ -59,13 +63,14 @@ import graft.dedup.Dedup
   *     The union over batches equals the batch pipeline's edge set
   *     exactly: a pair lands in whichever batch carries its later
   *     endpoint.
-  *  2. touched roots — endpoints' current labels, read from ONLY the
-  *     endpoints' id-buckets (pruned by construction).
-  *  3. member fetch — rows of touched components, one map-side
-  *     broadcast-filtered scan of the label store (the single
-  *     store-proportional READ in the fold; the store holds only
-  *     pair-participating docs, and the scan is column-pruned and
-  *     shuffle-free).
+  *  2. touched roots — endpoints' current labels + their components'
+  *     denormalized (members, bks) index, read from ONLY the endpoints'
+  *     id-buckets (pruned by construction). The member guard sums the
+  *     EXACT touched sizes with zero extra jobs at any store size.
+  *  3. member fetch — rows of touched components, read from ONLY the
+  *     touched components' member buckets (the index's bks union),
+  *     map-side broadcast-filtered, column-pruned, shuffle-free —
+  *     fetch bytes track the touched components, never the store.
   *  4. local CC — [[Dedup.connectedComponents]] over (new edges ∪ star
   *     edges member→root). Star edges preserve existing connectivity,
   *     so the pointer-jumping iterations run over touched components +
@@ -117,6 +122,17 @@ object ClusterStream {
     * stamped 0 stays flat everywhere. */
   val SigBuckets: Int = 64
 
+  /** Band-key-bucket count of the COMPACTED band layout
+    * (`bands/compact-<id>/__bk=<k>/`) — the same LSM discipline as
+    * [[SigBuckets]] applied to the probe's OTHER store-proportional
+    * scan: the (doc, band_key) table is narrow but ∝ corpus, and the
+    * probe only ever needs the rows whose band_key collides with the
+    * batch's keys, so the compacted bulk partitions by band-key bucket
+    * and the probe prunes with the broadcast batch keys' bucket list
+    * (+ sentinel for the flat post-compaction tail). Per-batch dirs
+    * stay flat (write-optimized); stamped in the manifest. */
+  val BandBuckets: Int = 64
+
   private val SigBucketCol = "__bk"
 
   /** Sentinel bucket for rows in the flat (not yet compacted) sig
@@ -130,14 +146,14 @@ object ClusterStream {
     * runs; maintenance writes only `compact-*` / `expire-*`. */
   private def isFlatRun(rel: String): Boolean = rel.contains("/batch=")
 
-  /** Read the sig store's live dirs. An all-flat store (no compaction
-    * yet — every drain before the first maintenance) reads as ONE
-    * multi-root scan, exactly the unpruned fast shape. A store with a
-    * compacted bulk mixes directory structures (a single multi-root
-    * read trips Spark's conflicting-directory check), so it loads per
-    * root and unions, with flat rows carrying the sentinel bucket so
-    * one prune filter serves both. */
-  private def readSigs(spark: SparkSession, storeDir: String,
+  /** Read an LSM area's (sigs or bands) live dirs. An all-flat store
+    * (no compaction yet — every drain before the first maintenance)
+    * reads as ONE multi-root scan, exactly the unpruned fast shape. A
+    * store with a compacted bulk mixes directory structures (a single
+    * multi-root read trips Spark's conflicting-directory check), so it
+    * loads per root and unions, with flat rows carrying the sentinel
+    * bucket so one prune filter serves both. */
+  private def readLsm(spark: SparkSession, storeDir: String,
       dirs: Seq[String]): DataFrame =
     if (dirs.forall(isFlatRun))
       spark.read.parquet(dirs.map(d => s"$storeDir/$d"): _*)
@@ -180,12 +196,15 @@ object ClusterStream {
     clusters(spark, storeDir)
   }
 
-  /** The committed (id, comp) labels — empty before the first fold. */
+  /** The committed (id, comp) labels — empty before the first fold.
+    * The per-component index columns the fold maintains (`members`,
+    * `bks`) are internal and projected away here. */
   def clusters(spark: SparkSession, storeDir: String): DataFrame =
     readManifest(storeDir) match {
       case Some(m) if m.buckets.nonEmpty =>
         spark.read.parquet(
           m.buckets.values.toSeq.distinct.map(rel => s"$storeDir/labels/$rel"): _*)
+          .select(col("id"), col("comp"))
       case _ =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           org.apache.spark.sql.types.StructType(Seq(
@@ -288,6 +307,9 @@ object ClusterStream {
       val sigBk =
         if (priorSigDirs.forall(isFlatRun)) 0
         else cur.map(_.sigBk).getOrElse(SigBuckets)
+      val bandBk =
+        if (priorBandDirs.forall(isFlatRun)) 0
+        else cur.map(_.bandBk).getOrElse(BandBuckets)
       sigsB.withColumn("__batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
       bandB.withColumn("__batch", lit(batchId))
@@ -311,9 +333,9 @@ object ClusterStream {
       val edges = if (priorSigDirs.isEmpty) graft.util.Materialize.eager(internal)
       else {
         val cross = crossEdges(
-          spark.read.parquet(priorBandDirs.map(d => s"$storeDir/$d"): _*),
-          readSigs(spark, storeDir, priorSigDirs),
-          bandB, sigsB, threshold, sigBk = sigBk)
+          readLsm(spark, storeDir, priorBandDirs),
+          readLsm(spark, storeDir, priorSigDirs),
+          bandB, sigsB, threshold, sigBk = sigBk, bandBk = bandBk)
         graft.util.Materialize.eager(internal.unionByName(cross))
       }
       lap("edges")
@@ -346,59 +368,53 @@ object ClusterStream {
         .flatMap { case (a, b) => Iterator(a, b) }.toSet
       lap("edge-collect")
 
-      // touched roots: endpoints' current labels, read from ONLY the
-      // endpoints' id-buckets (bucket numbers computed driver-side with
-      // the same murmur3 the column expression uses)
-      def idsDf(ids: Iterable[Any], as: String) = spark.createDataFrame(
-        ids.toSeq.map(Row(_)).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(as, idType))))
-      val roots: Set[Any] = cur.filter(_.buckets.nonEmpty).map { m =>
-        val eb = endpointSet.map(bucketOfValue(_, idType, nBuckets))
-        val hit = m.buckets.keySet.intersect(eb)
-        if (hit.isEmpty) Set.empty[Any]
-        else readBuckets(spark, storeDir, m, hit)
-          .join(broadcast(idsDf(endpointSet, "id")), "id")
-          .select("comp").collect().map(_.get(0)).toSet
-      }.getOrElse(Set.empty)
+      // touched roots + the per-component index, in the ONE probe job
+      // the roots read always was: every label row carries its
+      // component's member count and member-BUCKET set (`members`,
+      // `bks`) — denormalized ON the labels rather than kept as a side
+      // table, because the fold rewrites every touched-comp row anyway
+      // (index maintenance costs zero extra jobs, the r12-measured
+      // per-fold-job tax) and the endpoints' id-buckets are the probe's
+      // natural prune. The guard then has EXACT touched-component sizes
+      // with no counting job at ANY store size, and the member fetch
+      // below reads only the touched components' buckets instead of the
+      // whole label store — the fold's last corpus-proportional read,
+      // gone
+      def idsDf(ids: Iterable[Any], as: String) =
+        ClusterStream.idsDf(spark, ids, as, idType)
+      val rootInfo: Map[Any, (Option[Long], Option[Set[Int]])] =
+        cur.filter(_.buckets.nonEmpty)
+          .map(m => probeRoots(spark, storeDir, m, endpointSet, idType))
+          .getOrElse(Map.empty)
+      val roots: Set[Any] = rootInfo.keySet
       lap("roots")
 
-      // members of touched components — the one store-proportional scan
-      // (map-side, broadcast roots, column-pruned, shuffle-free) — as
-      // star edges (member → its current root): touched components'
-      // connectivity rides into the union-find, so the result is
-      // exactly the batch CC over everything seen. The scan is GUARDED
-      // before it collects: membership is store-proportional, not
-      // batch-bounded — one new edge into a mega-component (crawl
-      // boilerplate families) must not pull the whole component onto
-      // the driver — so a cheap count on the same pruned,
-      // broadcast-filtered plan routes oversized folds to the
-      // distributed path first
-      val touched = (cur, roots) match {
-        case (Some(m), r) if m.buckets.nonEmpty && r.nonEmpty =>
-          Some(readBuckets(spark, storeDir, m, m.buckets.keySet)
-            .join(broadcast(idsDf(r, "comp")), "comp"))
-        case _ => None
-      }
-      // the member bound: the manifest's maintained row total is an
-      // upper bound on any component's membership, so a small store
-      // proves the guard with ZERO extra jobs; only a store past the
-      // guard pays one count on the pruned, broadcast-filtered scan to
-      // learn the TOUCHED components' exact size
-      val memberCount: Long = cur.map(_.rows).filter(_ >= 0) match {
-        case _ if touched.isEmpty => 0L
-        case Some(total) if eCount + total <= maxLocalEdges => total
-        case _ => touched.get.count()
-      }
+      // the member bound, exact and job-free when every touched comp
+      // carries the index; a legacy comp falls back to the maintained
+      // row total (an upper bound), then to one pruned count — one new
+      // edge into a mega-component (crawl boilerplate families) must
+      // not pull the whole component onto the driver, so oversized
+      // folds route to the distributed path BEFORE anything collects
+      val memberCount: Long =
+        if (roots.isEmpty) 0L
+        else if (rootInfo.values.forall(_._1.isDefined))
+          rootInfo.values.map(_._1.get).sum
+        else cur.map(_.rows).filter(_ >= 0) match {
+          case Some(total) if eCount + total <= maxLocalEdges => total
+          case _ => readBuckets(spark, storeDir, cur.get, cur.get.buckets.keySet)
+            .join(broadcast(idsDf(roots, "comp")), "comp").count()
+        }
       lap("member-count")
       if (eCount + memberCount > maxLocalEdges)
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
           nBuckets, batchId, ownDirs, ckptId)
-      val starRows: Array[(Any, Any)] = touched match {
-        case Some(t) =>
-          t.select("id", "comp").collect().map(x => (x.get(0), x.get(1)))
-        case None => Array.empty
-      }
+      // members of touched components as star edges (member → current
+      // root): touched components' connectivity rides into the
+      // union-find, so the result is exactly the batch CC over
+      // everything seen
+      val starRows: Array[(Any, Any)] =
+        if (roots.isEmpty) Array.empty
+        else fetchMembers(spark, storeDir, cur.get, rootInfo, idType)
       lap("members")
 
       val ord = org.apache.spark.sql.catalyst.util.TypeUtils
@@ -407,22 +423,45 @@ object ClusterStream {
       lap("cc")
 
       // rewrite exactly the buckets holding changed rows; carry the
-      // rest forward as manifest pointers
+      // rest forward as manifest pointers. Every written row carries
+      // its component's refreshed index (members, bks) — every member
+      // of a touched comp is a union-find key, so no stale index row
+      // can survive a fold
       val tb = labels.keysIterator.map(bucketOfValue(_, idType, nBuckets)).toSet
+      val byComp: Map[Any, (Long, Seq[Int])] =
+        labels.toSeq.groupBy(_._2).map { case (c, ms) =>
+          c -> (ms.size.toLong,
+            ms.map(kv => bucketOfValue(kv._1, idType, nBuckets))
+              .toSet.toSeq.sorted)
+        }
+      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("comp", idType),
+        org.apache.spark.sql.types.StructField("members",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bks",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType))))
       val newLabels = spark.createDataFrame(
-        labels.toSeq.map { case (id, comp) => Row(id, comp) }.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType),
-          org.apache.spark.sql.types.StructField("comp", idType))))
+        labels.toSeq.map { case (id, comp) =>
+          val (members, bks) = byComp(comp)
+          Row(id, comp, members, bks)
+        }.asJava, labelSchema)
       val keep = cur.map(_.buckets.keySet.intersect(tb)) match {
         case Some(hit) if hit.nonEmpty =>
-          val inTb = readBuckets(spark, storeDir, cur.get, hit)
+          val bkt = readBuckets(spark, storeDir, cur.get, hit)
+          // untouched rows carry their stored index forward unchanged
+          // (legacy rows stay null until their comp is next touched)
+          val inTb = if (bkt.columns.contains("members")) bkt
+          else bkt.withColumn("members", lit(null).cast("long"))
+            .withColumn("bks", lit(null).cast("array<int>"))
           if (roots.isEmpty) inTb
           else inTb.join(broadcast(idsDf(roots, "comp")), Seq("comp"), "left_anti")
         case _ => newLabels.limit(0)
       }
       keep.unionByName(newLabels)
-        .select(col("id"), col("comp")) // joins reorder — pin the layout
+        // joins reorder — pin the layout
+        .select(col("id"), col("comp"), col("members"), col("bks"))
         .withColumn("__bk", bucketOf(col("id")))
         // batch-bounded by the fast-path guard: one task writes exactly
         // one file per touched bucket (a multi-task write would leave
@@ -461,9 +500,7 @@ object ClusterStream {
       case None => edges
     }
     val newLabels = Dedup.connectedComponents(localEdges, "a", "b")
-    newLabels
-      .select(col("id"), col("comp"))
-      .withColumn("__bk", bucketOf(col("id")))
+    withCompIndex(newLabels.select(col("id"), col("comp")), bucketOf)
       .repartition(col("__bk")) // one file per bucket at any size
       .write.partitionBy("__bk").mode("overwrite")
       .parquet(s"$storeDir/labels/data/batch=$batchId")
@@ -497,9 +534,23 @@ object ClusterStream {
   private[graft] def crossEdges(corpusBands: DataFrame, corpusSigs: DataFrame,
       bandB: DataFrame, sigsB: DataFrame, threshold: Double,
       materialize: DataFrame => DataFrame = graft.util.Materialize.eager,
-      sigBk: Int = 0): DataFrame = {
+      sigBk: Int = 0, bandBk: Int = 0): DataFrame = {
+    // the band scan prunes to the BATCH KEYS' band-key buckets when the
+    // compacted band bulk is partitioned (manifest-stamped bandBk > 0):
+    // the bucket list is one tiny job over the cached batch bands
+    // (≤ batch docs × bands keys), and non-colliding buckets — the vast
+    // majority of a large corpus' band rows — are never read. Flat
+    // (post-compaction tail) rows ride the sentinel, as with sigs.
+    val prunedBands =
+      if (bandBk <= 0) corpusBands
+      else {
+        val bks = bandB
+          .select(pmod(hash(col("band_key")), lit(bandBk)).as(SigBucketCol))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        corpusBands.filter(col(SigBucketCol).isin(bks :+ FlatBucket: _*))
+      }
     val candX = materialize(
-      corpusBands.select(col("doc"), col("band_key"))
+      prunedBands.select(col("doc"), col("band_key"))
         .join(broadcast(bandB.withColumnRenamed("doc", "new_id")), "band_key")
         .select(col("new_id"), col("doc").as("corpus_id")).distinct())
     // the fetch's scan prunes to the CANDIDATES' id-buckets when the
@@ -571,7 +622,7 @@ object ClusterStream {
           def abs(rel: String) = s"$storeDir/$rel"
           val (sigTo, bandTo, edgeTo) = (s"sigs/compact-${m.batchId}",
             s"bands/compact-${m.batchId}", s"edges/compact-${m.batchId}")
-          val sigs = readSigs(spark, storeDir, m.sigDirs).drop(SigBucketCol)
+          val sigs = readLsm(spark, storeDir, m.sigDirs).drop(SigBucketCol)
           if (m.sigBk > 0)
             // the compaction rewrite is where the read-optimized layout
             // is built: recompute every row's id-bucket (flat rows
@@ -581,8 +632,17 @@ object ClusterStream {
               .write.partitionBy(SigBucketCol)
               .mode("overwrite").parquet(abs(sigTo))
           else sigs.write.mode("overwrite").parquet(abs(sigTo))
-          spark.read.parquet(m.bandDirs.map(abs): _*)
-            .write.mode("overwrite").parquet(abs(bandTo))
+          // the band bulk lands band-key-bucket partitioned (the probe
+          // prunes it with the batch keys' bucket list) — same LSM
+          // rewrite as the sigs, different prune key
+          val bands = readLsm(spark, storeDir, m.bandDirs).drop(SigBucketCol)
+          if (m.bandBk > 0)
+            bands.withColumn(SigBucketCol,
+                pmod(hash(col("band_key")), lit(m.bandBk)))
+              .repartition(col(SigBucketCol))
+              .write.partitionBy(SigBucketCol)
+              .mode("overwrite").parquet(abs(bandTo))
+          else bands.write.mode("overwrite").parquet(abs(bandTo))
           val newEdge = if (m.edgeDirs.isEmpty) Nil else {
             spark.read.parquet(m.edgeDirs.map(abs): _*)
               .write.mode("overwrite").parquet(abs(edgeTo))
@@ -597,7 +657,7 @@ object ClusterStream {
               s"(batch ${m.batchId} -> ${m2.map(_.batchId).getOrElse(-1L)})" +
               " — compaction runs BETWEEN drains; aborting the swap")
           writeManifest(storeDir, m.copy(sigDirs = Seq(sigTo),
-            bandDirs = Seq(bandTo), edgeDirs = newEdge))
+            bandDirs = Seq(bandTo), edgeDirs = newEdge, seq = m.seq + 1))
           sweepUnreferenced(storeDir, "sigs", Set(sigTo))
           sweepUnreferenced(storeDir, "bands", Set(bandTo))
           sweepUnreferenced(storeDir, "edges", newEdge.toSet)
@@ -645,23 +705,43 @@ object ClusterStream {
       }
       try {
         def abs(rel: String) = s"$storeDir/$rel"
+        // the edge-dirs guard above only catches a PURE pre-upgrade
+        // store: on an upgraded one (old dirs + post-upgrade folds),
+        // pre-upgrade sig/band rows lack the landing stamp — they read
+        // back as null __batch through schema merge, and the
+        // `__batch >= fromBatch` cut would silently drop them AND their
+        // never-persisted edges. Fail like the guard instead: schema
+        // first (footer-only), then a null probe (first-match scan on
+        // this rare maintenance path)
+        def requireStamped(area: String, dirs: Seq[String]): Unit =
+          if (dirs.nonEmpty) {
+            val df = readLsm(spark, storeDir, dirs)
+            require(df.columns.contains("__batch") &&
+              df.filter(col("__batch").isNull).isEmpty,
+              s"cluster store at $storeDir has $area rows without a " +
+                "landing-batch stamp (__batch) — they predate edge " +
+                "retention, so expiry would silently lose those docs " +
+                "and their components; rebuild the store")
+          }
+        requireStamped("sig", m.sigDirs)
+        requireStamped("band", m.bandDirs)
         val tag = s"expire-${m.batchId}-$fromBatch"
         def cutWrite(dirs: Seq[String], to: String,
-            partitionedBk: Int): Seq[String] =
+            partitionedBk: Int, bucketKey: String): Seq[String] =
           if (dirs.isEmpty) Nil
           else {
-            val kept = readSigs(spark, storeDir, dirs)
+            val kept = readLsm(spark, storeDir, dirs)
               .filter(col("__batch") >= fromBatch).drop(SigBucketCol)
             // an all-expired cut registers NO dir (an empty partitioned
             // write leaves nothing readable, and the manifest must
             // never list a dir a multi-dir read would choke on)
             if (kept.isEmpty) Nil
-            // the consolidated sig cut lands read-optimized, like a
+            // the consolidated cut lands read-optimized, like a
             // compaction (recomputed buckets — flat rows carried only
-            // the sentinel)
+            // the sentinel); sigs bucket by doc id, bands by band key
             else if (partitionedBk > 0) {
               kept.withColumn(SigBucketCol,
-                  pmod(hash(col("doc")), lit(partitionedBk)))
+                  pmod(hash(col(bucketKey)), lit(partitionedBk)))
                 .repartition(col(SigBucketCol))
                 .write.partitionBy(SigBucketCol)
                 .mode("overwrite").parquet(abs(to))
@@ -671,8 +751,8 @@ object ClusterStream {
               Seq(to)
             }
           }
-        val sigTo = cutWrite(m.sigDirs, s"sigs/$tag", m.sigBk)
-        val bandTo = cutWrite(m.bandDirs, s"bands/$tag", 0)
+        val sigTo = cutWrite(m.sigDirs, s"sigs/$tag", m.sigBk, "doc")
+        val bandTo = cutWrite(m.bandDirs, s"bands/$tag", m.bandBk, "band_key")
         val retainedDocs = sigTo.headOption.map(d =>
           spark.read.parquet(abs(d)).select(col("doc")).distinct())
         // retained edges: the batch cut keeps only edges whose LATER
@@ -693,10 +773,12 @@ object ClusterStream {
         // the retained-window CC, written as a full label generation
         val labelRows: Long = edgeTo match {
           case Seq(e) =>
-            Dedup.connectedComponents(
-                spark.read.parquet(abs(e)).select(col("a"), col("b")), "a", "b")
-              .select(col("id"), col("comp"))
-              .withColumn("__bk", pmod(hash(col("id")), lit(m.nBuckets)))
+            withCompIndex(
+                Dedup.connectedComponents(
+                    spark.read.parquet(abs(e)).select(col("a"), col("b")),
+                    "a", "b")
+                  .select(col("id"), col("comp")),
+                c => pmod(hash(c), lit(m.nBuckets)))
               .repartition(col("__bk"))
               .write.partitionBy("__bk").mode("overwrite")
               .parquet(s"$storeDir/labels/data/$tag")
@@ -724,7 +806,7 @@ object ClusterStream {
         writeManifest(storeDir, m.copy(
           buckets = written.map(bk => bk -> s"data/$tag/__bk=$bk").toMap,
           sigDirs = sigTo, bandDirs = bandTo, edgeDirs = edgeTo,
-          rows = labelRows))
+          rows = labelRows, seq = m.seq + 1))
         sweepUnreferenced(storeDir, "sigs", sigTo.toSet)
         sweepUnreferenced(storeDir, "bands", bandTo.toSet)
         sweepUnreferenced(storeDir, "edges", edgeTo.toSet)
@@ -749,10 +831,26 @@ object ClusterStream {
     }
   }
 
+  /** Attach the denormalized per-component index the fast path's probe
+    * reads — (members, bks) on every label row — plus the `__bk`
+    * partition column, for the full-generation writers (distributed
+    * fold, expiry): one window over comp, the same values the fast
+    * path computes driver-side. */
+  private def withCompIndex(labels: DataFrame,
+      bucketOf: Column => Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("comp"))
+    labels
+      .withColumn("__bk", bucketOf(col("id")))
+      .withColumn("members", count(lit(1)).over(w))
+      .withColumn("bks", sort_array(collect_set(col("__bk")).over(w)))
+      .select(col("id"), col("comp"), col("members"), col("bks"), col("__bk"))
+  }
+
   /** Driver-side twin of `pmod(hash(col), nBuckets)` — the Catalyst
     * murmur3 evaluated on a literal, so fast-path bucket numbers can
     * never drift from the column expression the writes use. */
-  private def bucketOfValue(v: Any, idType: org.apache.spark.sql.types.DataType,
+  private[streaming] def bucketOfValue(v: Any,
+      idType: org.apache.spark.sql.types.DataType,
       nBuckets: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, idType)), 42)
@@ -790,10 +888,41 @@ object ClusterStream {
   /** Point the manifest at `repointed` buckets (others carry forward),
     * record the batch id, then sweep bucket dirs no manifest references
     * — referenced dirs are never touched, so a crash anywhere leaves a
-    * readable store (old manifest, or new manifest + live dirs). */
+    * readable store (old manifest, or new manifest + live dirs).
+    *
+    * Re-checks the maintenance lock AND the manifest sequence against
+    * the fold's entry snapshot immediately before the write: the
+    * fold-entry lock check alone is check-then-act — a fold that
+    * entered before a compaction took the lock could otherwise commit
+    * AFTER its manifest swap, repointing the store at dirs the sweep
+    * just deleted. A fold refusing to commit while the lock is held
+    * also means maintenance's own swap (which holds the lock from
+    * before its manifest read to after its sweep) can never interleave
+    * with a fold's write; the batch-pointer re-check on the maintenance
+    * side covers the remaining order (fold committed first). The
+    * aborted fold's batch re-delivers on restart. */
+  /** Fault-injection seam for the commit-TOCTOU spec: invoked with the
+    * store dir right before a fold's commit re-checks the lock and the
+    * manifest sequence — the window where a maintenance op that started
+    * AFTER the fold's entry could have swapped the manifest. A test
+    * installs a hook that simulates exactly that; production never sets
+    * it (a no-op call per commit). */
+  @volatile private[streaming] var beforeCommitCheck: String => Unit = _ => ()
+
   private def commit(storeDir: String, cur: Option[Manifest],
       repointed: Map[Int, String], nBuckets: Int, batchId: Long,
       ownDirs: NewDirs, ckptId: String, rows: Long): Unit = {
+    beforeCommitCheck(storeDir)
+    require(!Files.exists(lockFile(storeDir)),
+      s"cluster store at $storeDir was locked by a maintenance op after " +
+        "this fold started — committing would race the sweep; the batch " +
+        "re-delivers on restart (maintenance runs BETWEEN drains)")
+    val now = readManifest(storeDir)
+    require(now.map(_.seq) == cur.map(_.seq),
+      s"cluster manifest at $storeDir changed mid-fold (seq " +
+        s"${cur.map(_.seq)} -> ${now.map(_.seq)}) — a maintenance swap " +
+        "landed after this fold's entry snapshot; committing would " +
+        "repoint at swept dirs. The batch re-delivers on restart")
     val buckets = cur.map(_.buckets).getOrElse(Map.empty) ++ repointed
     // the first fold stamps the lineage; later folds carry it forward
     // (the fold-entry require already proved they match)
@@ -802,7 +931,9 @@ object ClusterStream {
       cur.map(_.sigDirs).getOrElse(Nil) ++ ownDirs.sigs,
       cur.map(_.bandDirs).getOrElse(Nil) ++ ownDirs.bands,
       cur.map(_.edgeDirs).getOrElse(Nil) ++ ownDirs.edges, ckpt, rows,
-      cur.map(_.sigBk).getOrElse(SigBuckets)))
+      cur.map(_.sigBk).getOrElse(SigBuckets),
+      cur.map(_.bandBk).getOrElse(BandBuckets),
+      seq = cur.map(_.seq + 1).getOrElse(0L)))
     sweepLabels(storeDir, buckets.values.toSet)
   }
 
@@ -826,12 +957,74 @@ object ClusterStream {
     }
   }
 
+  /** One-column broadcast frame of driver-side ids. */
+  private def idsDf(spark: SparkSession, ids: Iterable[Any], as: String,
+      idType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(
+      ids.toSeq.map(Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(as, idType))))
+
+  /** The fold's roots probe: the endpoints' current labels plus their
+    * components' denormalized (members, bks) index, read from ONLY the
+    * endpoints' id-buckets. Returns comp -> (members, bks); members/bks
+    * are None on rows written before the index existed (legacy stores
+    * read back null through mergeSchema) — those comps degrade to the
+    * pre-index plan for one fold and are upgraded by its rewrite. */
+  private[streaming] def probeRoots(spark: SparkSession, storeDir: String,
+      m: Manifest, endpoints: Set[Any],
+      idType: org.apache.spark.sql.types.DataType)
+      : Map[Any, (Option[Long], Option[Set[Int]])] = {
+    val eb = endpoints.map(bucketOfValue(_, idType, m.nBuckets))
+    val hit = m.buckets.keySet.intersect(eb)
+    if (hit.isEmpty) Map.empty
+    else {
+      val bkt = readBuckets(spark, storeDir, m, hit)
+      val withIdx = if (bkt.columns.contains("members")) bkt
+      else bkt.withColumn("members", lit(null).cast("long"))
+        .withColumn("bks", lit(null).cast("array<int>"))
+      withIdx.join(broadcast(idsDf(spark, endpoints, "id", idType)), "id")
+        .select(col("comp"), col("members"), col("bks"))
+        .collect().map { r =>
+          r.get(0) -> (Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[
+              scala.collection.Seq[Int]].toSet))
+        }.toMap
+    }
+  }
+
+  /** The fold's member fetch: every (id, comp) row of the touched
+    * components, read from ONLY the touched components' member buckets
+    * (the probe's bks union), broadcast-filtered map-side, shuffle-free
+    * — fetch bytes track the touched components, never the store. A
+    * legacy comp without an index widens the fetch to every bucket,
+    * once. */
+  private[streaming] def fetchMembers(spark: SparkSession, storeDir: String,
+      m: Manifest, rootInfo: Map[Any, (Option[Long], Option[Set[Int]])],
+      idType: org.apache.spark.sql.types.DataType): Array[(Any, Any)] = {
+    val fetchBks: Set[Int] =
+      if (rootInfo.values.forall(_._2.isDefined))
+        rootInfo.values.flatMap(_._2.get).toSet
+      else m.buckets.keySet
+    val hit = m.buckets.keySet.intersect(fetchBks)
+    if (hit.isEmpty) Array.empty
+    else readBuckets(spark, storeDir, m, hit)
+      .select(col("id"), col("comp"))
+      .join(broadcast(idsDf(spark, rootInfo.keySet, "comp", idType)), "comp")
+      .select(col("id"), col("comp"))
+      .collect().map(x => (x.get(0), x.get(1)))
+  }
+
   private def readBuckets(spark: SparkSession, storeDir: String,
       m: Manifest, bks: Set[Int]): DataFrame = {
     val paths = bks.toSeq.sorted.flatMap(m.buckets.get)
       .distinct.map(rel => s"$storeDir/labels/$rel")
     require(paths.nonEmpty, "readBuckets called with no resolvable buckets")
-    spark.read.parquet(paths: _*)
+    // mergeSchema: bucket dirs written before the denormalized comp
+    // index lack (members, bks) — the union schema carries them as
+    // nulls so one read serves mixed-generation stores (dirs are
+    // few and small; the extra footer reads are noise)
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   // ---- manifest (tmp + atomic rename; the pointer IS the commit) ----
@@ -849,7 +1042,15 @@ object ClusterStream {
       rows: Long = -1L,
       /** Id-bucket count of the sig layout (0 = flat/legacy — no
         * partition pruning on the verify fetch). */
-      sigBk: Int = 0)
+      sigBk: Int = 0,
+      /** Band-key-bucket count of the compacted band layout (0 =
+        * flat/legacy — the probe scans the whole band bulk). */
+      bandBk: Int = 0,
+      /** Write sequence number, bumped on EVERY manifest write (folds
+        * bump the batch pointer too; maintenance swaps don't) — the
+        * changed-since-my-entry-snapshot check a fold's commit uses to
+        * abort instead of clobbering a concurrent maintenance swap. */
+      seq: Long = 0L)
 
   private def manifestFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "MANIFEST")
@@ -859,45 +1060,59 @@ object ClusterStream {
   private def lockFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "COMPACT.lock")
 
+  /** Jackson (bundled with Spark) for the manifest round-trip: a real
+    * JSON parser, so no field value — a dir name with `]`, a checkpoint
+    * path with quotes — can ever be mis-read the way the original
+    * regex scan could. The pre-JSON-parser writer already emitted valid
+    * JSON, so old manifests read back unchanged (absent fields take
+    * their legacy defaults). */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private[streaming] def readManifest(storeDir: String): Option[Manifest] = {
     val p = manifestFile(storeDir)
     if (!Files.exists(p)) None
     else {
-      val txt = Files.readString(p)
-      val head = """"batchId":(-?\d+),"nBuckets":(\d+)""".r
-      val entry = """"(\d+)":"([^"]+)"""".r
-      val hm = head.findFirstMatchIn(txt).getOrElse(
-        sys.error(s"unreadable cluster manifest at $p"))
-      def dirList(field: String): Seq[String] =
-        (s"\"$field\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
-          .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1))
-            .map(_.group(1)).toSeq)
-          .getOrElse(Nil)
-      val ckpt = """"ckpt":"([^"]*)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-      val rows = """"rows":(-?\d+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong).getOrElse(-1L)
-      val sigBk = """"sigBk":(\d+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toInt).getOrElse(0)
-      Some(Manifest(hm.group(1).toLong, hm.group(2).toInt,
-        entry.findAllMatchIn(txt).map(m => m.group(1).toInt -> m.group(2)).toMap,
-        dirList("sigDirs"), dirList("bandDirs"), dirList("edgeDirs"),
-        ckpt, rows, sigBk))
+      val root = try jsonMapper.readTree(Files.readString(p))
+      catch { case e: com.fasterxml.jackson.core.JacksonException =>
+        sys.error(s"unreadable cluster manifest at $p: ${e.getMessage}")
+      }
+      require(root.hasNonNull("batchId") && root.hasNonNull("nBuckets"),
+        s"unreadable cluster manifest at $p: missing batchId/nBuckets")
+      def dirList(field: String): Seq[String] = Option(root.get(field))
+        .map(n => n.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+      val buckets = Option(root.get("buckets")).map { b =>
+        b.fields.asScala.map(e => e.getKey.toInt -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[Int, String])
+      Some(Manifest(root.get("batchId").asLong, root.get("nBuckets").asInt,
+        buckets, dirList("sigDirs"), dirList("bandDirs"), dirList("edgeDirs"),
+        ckpt = Option(root.get("ckpt")).map(_.asText).getOrElse(""),
+        rows = Option(root.get("rows")).map(_.asLong).getOrElse(-1L),
+        sigBk = Option(root.get("sigBk")).map(_.asInt).getOrElse(0),
+        bandBk = Option(root.get("bandBk")).map(_.asInt).getOrElse(0),
+        seq = Option(root.get("seq")).map(_.asLong).getOrElse(0L)))
     }
   }
 
   private[streaming] def writeManifest(storeDir: String, m: Manifest): Unit = {
     Files.createDirectories(manifestFile(storeDir).getParent)
-    def dirList(ds: Seq[String]) = ds.map(d => s""""$d"""").mkString(",")
-    val body = s"""{"batchId":${m.batchId},"nBuckets":${m.nBuckets},""" +
-      s""""rows":${m.rows},"sigBk":${m.sigBk},"ckpt":"${m.ckpt}",""" +
-      s""""sigDirs":[${dirList(m.sigDirs)}],""" +
-      s""""bandDirs":[${dirList(m.bandDirs)}],""" +
-      s""""edgeDirs":[${dirList(m.edgeDirs)}],"buckets":{""" +
-      m.buckets.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",") + "}}"
+    val root = jsonMapper.createObjectNode()
+    root.put("batchId", m.batchId)
+    root.put("nBuckets", m.nBuckets)
+    root.put("rows", m.rows)
+    root.put("sigBk", m.sigBk)
+    root.put("bandBk", m.bandBk)
+    root.put("seq", m.seq)
+    root.put("ckpt", m.ckpt)
+    def dirList(field: String, ds: Seq[String]): Unit = {
+      val a = root.putArray(field); ds.foreach(a.add)
+    }
+    dirList("sigDirs", m.sigDirs)
+    dirList("bandDirs", m.bandDirs)
+    dirList("edgeDirs", m.edgeDirs)
+    val b = root.putObject("buckets")
+    m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => b.put(k.toString, v) }
     val tmp = Paths.get(storeDir, "labels", "MANIFEST.tmp")
-    Files.writeString(tmp, body)
+    Files.writeString(tmp, jsonMapper.writeValueAsString(root))
     Files.move(tmp, manifestFile(storeDir), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }

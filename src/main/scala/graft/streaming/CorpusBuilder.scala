@@ -51,6 +51,15 @@ import graft.dedup.{BandIndex, Dedup, DigestIndex, ShardedBloom}
   * which never joins and never bloom-hits, so such a row would evade
   * every digest gate forever and be re-appended on each replay.
   * Exactly-once-by-content is defined only over non-null text.
+  *
+  * Deliberately NOT bound to one checkpoint lineage (unlike the
+  * batch-id-guarded stores — [[Lineage]]): the gate keys on CONTENT
+  * digests, not batch ids, so a full fresh-checkpoint replay of the
+  * landing zone is a correct, tested operation (exactly-once-by-content
+  * — CorpusBuilderSpec's fresh-checkpoint cases). The remaining hazard
+  * is two CONCURRENT drains racing the derived-store commits; the
+  * documented contract is one live builder per corpus (as with
+  * maintenance: run between drains).
   */
 object CorpusBuilder {
 

@@ -73,6 +73,9 @@ object CountStream {
       checkpointDir: String, maxKeys: Long = MaxStoreKeys)
       (table: DataFrame => DataFrame)
       (merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // the batch-id pointer is only meaningful within one checkpoint
+    // lineage — a second stream's restarted ids would silently no-op
+    Lineage.bind(storeDir, checkpointDir, "count store")
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         mergeBatchWith(spark, storeDir, table(batch), batchId, maxKeys)(merge)
@@ -99,7 +102,14 @@ object CountStream {
   private[streaming] def mergeBatchWith(spark: SparkSession, storeDir: String,
       t: DataFrame, batchId: Long, maxKeys: Long,
       shardBytes: Long = ShardBytes)
-      (merge: (DataFrame, DataFrame) => DataFrame): Unit =
+      (merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    // the mirror of requireDeltaLayout: a generation-discipline caller
+    // pointed at a DELTAS store would read it as empty and fork state
+    require(Files.exists(genFile(storeDir)) ||
+      !Files.exists(deltaManifestFile(storeDir)),
+      s"store at $storeDir holds a DELTA layout (DELTAS manifest from " +
+        "accumulateDeltas) but no GEN pointer — accumulate/accumulateWith " +
+        "would read it as empty; keep the store on one discipline")
     if (lastBatch(storeDir).forall(_ < batchId)) {
       val merged = current(spark, storeDir) match {
         case Some(cur) => merge(cur, t)
@@ -107,6 +117,7 @@ object CountStream {
       }
       advance(spark, storeDir, merged, batchId, maxKeys, shardBytes)
     }
+  }
 
   // ---- the delta discipline: unbounded-key accumulation ----
 
@@ -138,6 +149,10 @@ object CountStream {
       (table: DataFrame => DataFrame)
       (combine: DataFrame => DataFrame): DataFrame = {
     require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
+    requireDeltaLayout(storeDir)
+    // same lineage contract as the generation discipline: the DELTAS
+    // pointer tracks one stream's batch ids
+    Lineage.bind(storeDir, checkpointDir, "delta store")
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         foldDelta(spark, storeDir, table(batch), batchId, compactEvery)(combine)
@@ -156,6 +171,7 @@ object CountStream {
   private[streaming] def foldDelta(spark: SparkSession, storeDir: String,
       t: DataFrame, batchId: Long, compactEvery: Int)
       (combine: DataFrame => DataFrame): Unit = {
+    requireDeltaLayout(storeDir)
     val cur = readDeltaManifest(storeDir)
     if (cur.exists(_._1 >= batchId)) return // at-least-once replay: no-op
     val own = s"delta/batch=$batchId"
@@ -188,6 +204,30 @@ object CountStream {
   /** Last folded batch id in the delta store, if any. */
   def lastDeltaBatch(storeDir: String): Option[Long] =
     readDeltaManifest(storeDir).map(_._1)
+
+  /** A delta-discipline store must not silently shadow a GENERATION
+    * store at the same path: a caller migrated from [[accumulateWith]]
+    * (the corpus diff moved disciplines in round 12) would otherwise
+    * read the accumulated side as EMPTY — for the diff, reporting every
+    * previously-fed digest as removed — instead of failing with a
+    * migration message (the [[ScoreStream]] legacy-layout contract). */
+  private def requireDeltaLayout(storeDir: String): Unit = {
+    val root = Paths.get(storeDir)
+    if (!Files.exists(deltaManifestFile(storeDir)) && Files.isDirectory(root)) {
+      val hasGen = Files.exists(genFile(storeDir)) || {
+        val ls = Files.list(root)
+        try ls.iterator.asScala.exists(p =>
+          Files.isDirectory(p) && p.getFileName.toString.startsWith("gen="))
+        finally ls.close()
+      }
+      require(!hasGen,
+        s"store at $storeDir holds a GENERATION layout (GEN/gen=N from " +
+          "accumulate/accumulateWith) but no DELTAS manifest — the delta " +
+          "discipline would read it as empty and silently drop the " +
+          "accumulated state; drain the old store to parquet and re-feed " +
+          "it through accumulateDeltas, or start a fresh storeDir")
+    }
+  }
 
   private def deltaManifestFile(storeDir: String) =
     Paths.get(storeDir, "DELTAS")

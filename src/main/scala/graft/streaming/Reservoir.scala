@@ -28,6 +28,14 @@ import org.apache.spark.sql.streaming.Trigger
   * swapped atomically (write-new → move-pointer → delete-old); a crash
   * between steps leaves either the old complete generation (pointer
   * not yet moved) or the new one — never a torn store.
+  *
+  * Deliberately NOT bound to one checkpoint lineage (unlike the
+  * batch-id-guarded stores — [[Lineage]]): replay safety here is
+  * VALUE-keyed (the E-S key is a pure function of the id, so any
+  * replayed or re-fed row collapses in the id-dedup), which makes
+  * draining one store from a second checkpoint a correct operation —
+  * the result still equals the batch draw over the union of everything
+  * fed (pinned in ReservoirSpec's two-lineage tests).
   */
 object Reservoir {
 

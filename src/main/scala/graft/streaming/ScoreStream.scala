@@ -58,6 +58,13 @@ object ScoreStream {
             "preserved; output() unions subdirs) or start a fresh outDir")
       }
     }
+    // batch=<id> subdirs are keyed on the micro-batch id: a SECOND
+    // checkpoint lineage restarts ids at 0 and would silently OVERWRITE
+    // the committed batch dirs of the first — bind the outDir to one
+    // lineage and fail loudly instead ([[Lineage]]; the _LINEAGE stamp
+    // is ignored by parquet directory listings, so output() is
+    // unaffected)
+    Lineage.bind(outDir, checkpointDir, "score-stream output")
     frozen.foreach(_.persist())
     try stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

@@ -102,6 +102,31 @@ class CliCurationSpec extends SparkSpec {
     Main.run(spark, Array("cluster", "status", "--store", s"$dir/store"))
   }
 
+  test("cluster --max-bytes mega-batches the drain; combining it with --max-files is rejected") {
+    val dir = tmpDir("cli-cluster-bytes")
+    val fam = "alpha beta gamma delta epsilon zeta"
+    // two landed files, one generous byte budget -> ONE fold
+    Seq((1L, fam), (2L, fam)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/landing")
+    Seq((3L, fam)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/landing")
+    Main.run(spark, Array("cluster", "--store", s"$dir/store",
+      "--checkpoint", s"$dir/ckpt", "--max-bytes", (64L << 20).toString,
+      s"$dir/landing"))
+    val labels = graft.streaming.ClusterStream.clusters(spark, s"$dir/store")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels == Set((1L, 1L), (2L, 1L), (3L, 1L)), s"got $labels")
+    assert(graft.streaming.ClusterStream.lastBatch(s"$dir/store").contains(0L),
+      "both files must land in one mega-batch under the byte budget")
+    // the file source rejects both trigger limits — fail at the CLI
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("cluster", "--store", s"$dir/store2",
+        "--checkpoint", s"$dir/ckpt2", "--max-files", "1",
+        "--max-bytes", "1000", s"$dir/landing"))
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+  }
+
   test("select --budget keeps the greedy score-ordered prefix, via warehouse table ref") {
     val dir = tmpDir("cli-select")
     // warehouse-table input path: ds.tbl resolved through the registry

@@ -321,6 +321,86 @@ class ClusterStreamSpec extends SparkSpec {
     assert(ex3.getMessage.contains("advanced during expiry"))
   }
 
+  test("expire refuses a store with unstamped (pre-upgrade) sig rows instead of silently dropping them") {
+    val work = graft.util.Workspace.temp("clusterstream-prestamp")
+    val store = s"$work/store"
+    val fam = "alpha beta gamma delta epsilon zeta eta"
+    def fold1(id: Long, b: Long) =
+      ClusterStream.fold(spark, store,
+        Seq((id, fam)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    fold1(1L, 0); fold1(2L, 1)
+    // simulate an upgraded store that still carries pre-upgrade rows:
+    // strip the landing stamp from batch 0's sig dir (its rows would
+    // read back as null __batch and the `>= fromBatch` cut would
+    // silently drop them along with their never-persisted edges)
+    val d = s"$store/sigs/batch=0"
+    val stripped = spark.read.parquet(d).drop("__batch").localCheckpoint(true)
+    stripped.write.mode("overwrite").parquet(d)
+    val e = intercept[IllegalArgumentException] {
+      ClusterStream.expire(spark, store, fromBatch = 0)
+    }
+    assert(e.getMessage.contains("landing-batch stamp"), e.getMessage)
+    // same refusal when the column exists but holds nulls (a compacted
+    // mixed-era store reads pre-upgrade rows as null through merge)
+    val nulled = spark.read.parquet(d)
+      .withColumn("__batch", lit(null).cast("long")).localCheckpoint(true)
+    nulled.write.mode("overwrite").parquet(d)
+    val e2 = intercept[IllegalArgumentException] {
+      ClusterStream.expire(spark, store, fromBatch = 0)
+    }
+    assert(e2.getMessage.contains("landing-batch stamp"), e2.getMessage)
+    // the refused store is untouched and still reads
+    assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
+      Set((1L, 1L), (2L, 1L)))
+  }
+
+  test("a fold whose commit lands after a maintenance swap aborts instead of clobbering it (TOCTOU)") {
+    val work = graft.util.Workspace.temp("clusterstream-toctou")
+    val store = s"$work/store"
+    val fam = "alpha beta gamma delta epsilon zeta eta"
+    def fold1(id: Long, b: Long) =
+      ClusterStream.fold(spark, store,
+        Seq((id, fam)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    (0L until 3L).foreach(b => fold1(b, b))
+    val before = ClusterStream.readManifest(store).get
+    // a maintenance swap completes INSIDE the fold's window (entered
+    // before the lock existed, committing after the swap + sweep): the
+    // fold's commit must abort on the moved sequence — committing would
+    // repoint the store at dirs the sweep just deleted
+    ClusterStream.beforeCommitCheck = dir =>
+      if (dir == store && ClusterStream.readManifest(store).get.seq == before.seq)
+        ClusterStream.writeManifest(store,
+          before.copy(seq = before.seq + 1))
+    try {
+      val e1 = intercept[IllegalArgumentException] { fold1(50L, 3L) }
+      assert(e1.getMessage.contains("changed mid-fold"), e1.getMessage)
+    } finally ClusterStream.beforeCommitCheck = _ => ()
+    // a maintenance op still RUNNING at commit time (lock held) aborts
+    // too — the lock re-check closes the entry-check race from the
+    // fold's side
+    val lock = java.nio.file.Paths.get(s"$store/labels/COMPACT.lock")
+    ClusterStream.beforeCommitCheck = dir =>
+      if (dir == store && !java.nio.file.Files.exists(lock))
+        java.nio.file.Files.createFile(lock)
+    try {
+      val e2 = intercept[IllegalArgumentException] { fold1(60L, 4L) }
+      assert(e2.getMessage.contains("locked by a maintenance op"), e2.getMessage)
+    } finally {
+      ClusterStream.beforeCommitCheck = _ => ()
+      java.nio.file.Files.deleteIfExists(lock)
+    }
+    // the store survived both aborts: the swap's manifest is intact and
+    // the batch re-delivers cleanly on restart
+    assert(ClusterStream.readManifest(store).get.seq == before.seq + 1)
+    fold1(50L, 3L)
+    assert(streamedClusters(ClusterStream.clusters(spark, store))
+      .contains((50L, 0L)))
+  }
+
   test("PROPERTY: the driver union-find equals the distributed CC on random graphs (min-label twin)") {
     // the fast path's correctness rests on unionFind producing exactly
     // Dedup.connectedComponents' canonical labels (comp = min id of the
@@ -345,6 +425,106 @@ class ClusterStreamSpec extends SparkSpec {
         s"union-find diverged from the distributed CC on $edges:\n" +
           s"local=$local\ndist=$dist")
     }
+  }
+
+  /** Every label row's denormalized comp index must equal the truth
+    * derivable from the labels themselves: members = the component's
+    * row count, bks = the set of buckets its members hash to. */
+  private def assertIdxConsistent(store: String): Unit = {
+    val m = ClusterStream.readManifest(store).get
+    val rows = spark.read.option("mergeSchema", "true").parquet(
+        m.buckets.values.toSeq.distinct.map(rel => s"$store/labels/$rel"): _*)
+      .select("id", "comp", "members", "bks")
+      .collect()
+    val byComp = rows.groupBy(_.getLong(1))
+    rows.foreach { r =>
+      val ms = byComp(r.getLong(1))
+      assert(!r.isNullAt(2) && r.getLong(2) == ms.length.toLong,
+        s"row $r: members must be ${ms.length}")
+      val expect = ms.map(x => ClusterStream.bucketOfValue(x.getLong(0),
+        org.apache.spark.sql.types.LongType, m.nBuckets)).toSet
+      assert(r.getSeq[Int](3).toSet == expect,
+        s"row $r: bks must be $expect")
+    }
+  }
+
+  test("the denormalized comp index stays consistent across fast, distributed and expire paths") {
+    val work = graft.util.Workspace.temp("clusterstream-compidx")
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    val famB = "one two three four five six seven eight nine"
+    def fold1(docs: Seq[(Long, String)], b: Long,
+        guard: Long = 1L << 22) =
+      ClusterStream.fold(spark, s"$work/store", docs.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b, maxLocalEdges = guard)
+    // fast folds: two families grow across batches
+    fold1(Seq((1L, fam), (2L, fam)), 0)
+    fold1(Seq((10L, famB), (11L, famB), (3L, fam)), 1)
+    assertIdxConsistent(s"$work/store")
+    // distributed fold (tight guard): full rewrite re-derives the index
+    fold1(Seq((4L, fam)), 2, guard = 2)
+    assertIdxConsistent(s"$work/store")
+    // a fast fold on top of the distributed generation
+    fold1(Seq((12L, famB)), 3)
+    assertIdxConsistent(s"$work/store")
+    // expire recomputes the retained-window CC WITH its index
+    ClusterStream.expire(spark, s"$work/store", fromBatch = 1)
+    assertIdxConsistent(s"$work/store")
+    // and a post-expiry fast fold still maintains it
+    fold1(Seq((13L, famB)), 4)
+    assertIdxConsistent(s"$work/store")
+    // the labels still equal the batch CC over the retained window
+    // (batches 1-4's docs)
+    val retained = Seq((10L, famB), (11L, famB), (3L, fam), (4L, fam),
+      (12L, famB), (13L, famB)).toDF("doc_id", "text")
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      batchClusters(retained))
+  }
+
+  test("PROPERTY: the JSON manifest round-trips arbitrary field values (quotes, brackets, unicode)") {
+    import org.scalacheck.Gen
+    // the regex parser this replaced silently mis-read any value
+    // containing ']' or '"' — generate exactly that hostile content
+    val hostile = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(']', '[', '"', '\\', '/', '{', '}',
+        ',', ':', '=', ' ', 'é', '→'))).map(_.mkString)
+    val manifestGen = for {
+      batchId <- Gen.choose(-1L, Long.MaxValue)
+      nBuckets <- Gen.choose(1, 256)
+      nB <- Gen.choose(0, 8)
+      buckets <- Gen.mapOfN(nB, Gen.zip(Gen.choose(0, 255), hostile))
+      sigDirs <- Gen.listOfN(3, hostile)
+      bandDirs <- Gen.listOfN(2, hostile)
+      edgeDirs <- Gen.listOfN(2, hostile)
+      ckpt <- hostile
+      rows <- Gen.choose(-1L, Long.MaxValue)
+      sigBk <- Gen.choose(0, 256)
+      bandBk <- Gen.choose(0, 256)
+      seq <- Gen.choose(0L, Long.MaxValue)
+    } yield ClusterStream.Manifest(batchId, nBuckets, buckets, sigDirs,
+      bandDirs, edgeDirs, ckpt, rows, sigBk, bandBk, seq)
+    val work = graft.util.Workspace.temp("clusterstream-manifest-prop")
+    var seed = org.scalacheck.rng.Seed(13L)
+    (1 to 40).foreach { i =>
+      val m = manifestGen.pureApply(org.scalacheck.Gen.Parameters.default, seed)
+      seed = seed.next
+      val dir = s"$work/m$i"
+      ClusterStream.writeManifest(dir, m)
+      assert(ClusterStream.readManifest(dir).contains(m),
+        s"manifest round-trip diverged for $m")
+    }
+    // and the pre-JSON-parser writer's output (the old regex writer
+    // emitted valid JSON without the newer fields) reads back with
+    // legacy defaults
+    val legacy = s"$work/legacy"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(legacy, "labels"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(legacy, "labels", "MANIFEST"),
+      """{"batchId":7,"nBuckets":64,"buckets":{"3":"data/batch=7/__bk=3"}}""")
+    val got = ClusterStream.readManifest(legacy).get
+    assert(got == ClusterStream.Manifest(7L, 64,
+      Map(3 -> "data/batch=7/__bk=3"), Nil, Nil, Nil, "", -1L, 0, 0, 0L))
   }
 
   test("a re-delivered batch id is a no-op; edge-free batches advance the pointer") {

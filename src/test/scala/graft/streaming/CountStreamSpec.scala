@@ -161,6 +161,71 @@ class CountStreamSpec extends SparkSpec {
       "the pointer swap stays atomic across shards")
   }
 
+  test("a second checkpoint lineage fails loudly on BOTH disciplines; the original resumes") {
+    val work = graft.util.Workspace.temp("countstream-lineage")
+    def agg(b: org.apache.spark.sql.DataFrame) =
+      b.groupBy($"g").agg(count(lit(1)).as("c"))
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy($"g").agg(sum($"c").as("c"))
+    val batch = agg(corpus)
+    // generation discipline: a second lineage's restarted batch ids
+    // fall below the GEN pointer and its merges would silently vanish
+    val feed = ScoreStream.feed(corpus, s"$work/landing", files = 2)
+    CountStream.accumulate(spark, feed, s"$work/store", s"$work/ckptA",
+      Seq("g"), "c")(agg)
+    val feedB = ScoreStream.feed(corpus, s"$work/landingB", files = 1)
+    val e1 = intercept[IllegalArgumentException] {
+      CountStream.accumulate(spark, feedB, s"$work/store", s"$work/ckptB",
+        Seq("g"), "c")(agg)
+    }
+    assert(e1.getMessage.contains("bound to checkpoint lineage"), e1.getMessage)
+    // the original lineage resumes fine (no new files -> unchanged)
+    val feedA2 = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/landing")
+    val got = CountStream.accumulate(spark, feedA2, s"$work/store",
+      s"$work/ckptA", Seq("g"), "c")(agg)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // delta discipline: same contract on the DELTAS pointer
+    val feedD = ScoreStream.feed(corpus, s"$work/landingD", files = 2)
+    CountStream.accumulateDeltas(spark, feedD, s"$work/deltas",
+      s"$work/ckptD")(b => agg(b).withColumnRenamed("c", "c"))(combine)
+    val feedD2 = ScoreStream.feed(corpus, s"$work/landingD2", files = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      CountStream.accumulateDeltas(spark, feedD2, s"$work/deltas",
+        s"$work/ckptD2")(agg)(combine)
+    }
+    assert(e2.getMessage.contains("bound to checkpoint lineage"), e2.getMessage)
+    val gotD = CountStream.currentDeltas(spark, s"$work/deltas")(combine).get
+    assert(gotD.exceptAll(batch).isEmpty && batch.exceptAll(gotD).isEmpty)
+  }
+
+  test("discipline mismatch fails loudly: a GEN store refuses delta folds and vice versa") {
+    val work = graft.util.Workspace.temp("countstream-layout")
+    def combine(u: org.apache.spark.sql.DataFrame) =
+      u.groupBy($"k").agg(sum($"c").as("c"))
+    val t = spark.range(5).select($"id".cast("string").as("k"), lit(1L).as("c"))
+    // a generation store (the pre-r12 corpus-diff layout)...
+    CountStream.mergeBatchWith(spark, s"$work/gen", t, batchId = 0,
+      maxKeys = Long.MaxValue)((cur, x) => combine(cur.unionByName(x)))
+    // ...fed through the delta discipline must fail with the migration
+    // message instead of reading the accumulated state as empty (which,
+    // for the corpus diff, would report every fed digest as removed)
+    val e1 = intercept[IllegalArgumentException] {
+      CountStream.foldDelta(spark, s"$work/gen", t, 0, compactEvery = 4)(combine)
+    }
+    assert(e1.getMessage.contains("GENERATION layout"), e1.getMessage)
+    // the mirror: a delta store refuses generation merges
+    CountStream.foldDelta(spark, s"$work/delta", t, 0, compactEvery = 4)(combine)
+    val e2 = intercept[IllegalArgumentException] {
+      CountStream.mergeBatchWith(spark, s"$work/delta", t, batchId = 1,
+        maxKeys = Long.MaxValue)((cur, x) => combine(cur.unionByName(x)))
+    }
+    assert(e2.getMessage.contains("DELTA layout"), e2.getMessage)
+    // both stores remain readable on their own discipline
+    assert(CountStream.current(spark, s"$work/gen").get.count() == 5L)
+    assert(CountStream.currentDeltas(spark, s"$work/delta")(combine).get.count() == 5L)
+  }
+
   test("weightedQuantiles over the count table == row-level quantiles") {
     import graft.curation.HistQuantiles
     val counts = corpus.groupBy($"g", $"x").agg(count(lit(1)).as("c"))

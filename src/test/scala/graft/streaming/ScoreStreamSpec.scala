@@ -57,6 +57,29 @@ class ScoreStreamSpec extends SparkSpec {
       "frozen model frames must not leak into the session cache")
   }
 
+  test("a second checkpoint lineage on one outDir fails loudly instead of overwriting batch dirs") {
+    val work = graft.util.Workspace.temp("score-stream-lineage")
+    val docs = corpus.select($"doc_id", $"text")
+    val feed = ScoreStream.feed(docs, s"$work/landing", files = 2)
+    ScoreStream.replay(feed, Nil, s"$work/out", s"$work/ckptA")(b => b)
+    val committed = ScoreStream.output(spark, s"$work/out").count()
+    assert(committed == docs.count())
+    // a fresh checkpoint restarts batch ids at 0: its writes would
+    // silently OVERWRITE the committed batch=0/1 dirs — fail instead
+    val feedB = ScoreStream.feed(docs, s"$work/landingB", files = 1)
+    val ex = intercept[IllegalArgumentException] {
+      ScoreStream.replay(feedB, Nil, s"$work/out", s"$work/ckptB")(b => b)
+    }
+    assert(ex.getMessage.contains("bound to checkpoint lineage"), ex.getMessage)
+    assert(ScoreStream.output(spark, s"$work/out").count() == committed,
+      "the committed output survives the rejected second lineage")
+    // the original lineage resumes (no new files -> unchanged output)
+    val feedA2 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/landing")
+    ScoreStream.replay(feedA2, Nil, s"$work/out", s"$work/ckptA")(b => b)
+    assert(ScoreStream.output(spark, s"$work/out").count() == committed)
+  }
+
   test("feed replays the frame's exact rows as a maxFilesPerTrigger=1 stream") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
     val work = graft.util.Workspace.temp("score-stream-feed")
