@@ -1371,6 +1371,39 @@ log[d] {
       .orderBy(col("doc_id"))
   }
 
+  /** q154: q150's clustering against a MAINTAINED store — the
+    * operational lifecycle inside one query: drain half the corpus
+    * (one mega-batch), run [[graft.streaming.ClusterStream.compactStores]]
+    * (the sig bulk re-lands id-bucket partitioned, the band bulk
+    * band-key partitioned — the LSM read-optimized layout), then drain
+    * the rest on the SAME lineage, so the second fold probes the
+    * compacted bulk through both partition prunes (candidate
+    * id-buckets + batch band-key buckets + sentinel flat tail) and
+    * rewrites labels through the denormalized comp index. Compaction
+    * preserves content exactly and the fold invariant is
+    * trigger-boundary-independent, so the q51 oracle adjudicates
+    * unchanged — the maintenance machinery sits under the driver's
+    * correctness gate, not just specs. */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q154")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def land(part: DataFrame): Unit = part.repartition(3)
+      .write.mode("append").parquet(s"$work/landing")
+    def drain(): DataFrame = {
+      val in = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 3).parquet(s"$work/landing")
+      graft.streaming.ClusterStream.streamClusters(s, in,
+        s"$work/store", s"$work/ckpt")
+    }
+    land(docs.filter(col("doc_id") % 2 === 0))
+    drain()
+    graft.streaming.ClusterStream.compactStores(s, s"$work/store", minDirs = 2)
+    land(docs.filter(col("doc_id") % 2 =!= 0))
+    drain()
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1425,5 +1458,7 @@ log[d] {
     ("q152_stream_keep_best", q152 _,
       Some(graft.queries.CurationQueries.q121Sql)),
     ("q153_megabatch_clusters", q153 _,
+      Some(graft.queries.CurationQueries.q51Sql)),
+    ("q154_maintained_clusters", q154 _,
       Some(graft.queries.CurationQueries.q51Sql)))
 }

@@ -351,12 +351,13 @@ object ClusterStream {
       edges.withColumn("__batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
       if (eCount > maxLocalEdges)
-        // past the batch-bounded envelope: the distributed path — full
-        // label store as star edges through the iterative CC, full
-        // store rewrite. Correct at any size, none of the fast path's
-        // driver state.
+        // past the batch-bounded envelope: the distributed path —
+        // touched components derived by semi-join (the batch is
+        // over-size, so endpoints never collect), iterative CC,
+        // touched-bucket rewrite. Correct at any size, none of the
+        // fast path's driver state.
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
-          nBuckets, batchId, ownDirs, ckptId)
+          nBuckets, batchId, ownDirs, ckptId, rootInfo = None)
 
       // batch-bounded fast path: everything below is the same size
       // class as the candidate broadcasts the probe already ships, so
@@ -407,7 +408,7 @@ object ClusterStream {
       lap("member-count")
       if (eCount + memberCount > maxLocalEdges)
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
-          nBuckets, batchId, ownDirs, ckptId)
+          nBuckets, batchId, ownDirs, ckptId, Some(rootInfo))
       // members of touched components as star edges (member → current
       // root): touched components' connectivity rides into the
       // union-find, so the result is exactly the batch CC over
@@ -484,29 +485,85 @@ object ClusterStream {
     } finally sigsB.unpersist(blocking = false)
   }
 
-  /** The unbounded fallback: iterative distributed CC over (new edges ∪
-    * the full label store as star edges), full-store rewrite. Pays the
-    * per-iteration cost the fast path avoids, but holds nothing
-    * batch-sized on the driver. */
+  /** The over-guard fallback: iterative distributed CC over (new edges
+    * ∪ the TOUCHED components' star edges), rewriting only the buckets
+    * holding changed rows — correct at any size, nothing batch-sized on
+    * the driver. `rootInfo` is the fast path's probe when the member
+    * guard routed here (touched roots known, the star fetch prunes by
+    * the comp index); the edge-guard route passes None and derives the
+    * touched components distributively instead (the batch itself is
+    * over-size, so endpoints never collect). Degenerates to a full
+    * rewrite exactly when the touched components span every bucket. */
   private def foldDistributed(spark: SparkSession, storeDir: String,
       cur: Option[Manifest], edges: DataFrame, bucketOf: Column => Column,
       nBuckets: Int, batchId: Long,
-      ownDirs: NewDirs, ckptId: String): Unit = {
-    val prior = cur.filter(_.buckets.nonEmpty)
-      .map(m => readBuckets(spark, storeDir, m, m.buckets.keySet))
-    val localEdges = prior match {
-      case Some(l) => edges.unionByName(
-        l.select(col("id").as("a"), col("comp").as("b")))
-      case None => edges
+      ownDirs: NewDirs, ckptId: String,
+      rootInfo: Option[Map[Any, (Option[Long], Option[Set[Int]])]]): Unit = {
+    val idType = edges.schema("a").dataType
+    val mf = cur.filter(_.buckets.nonEmpty)
+    // star edges (member -> current root) of the touched components,
+    // plus the roots frame the keep-side anti-join filters on (None =
+    // no prior component touched)
+    val empty = edges.limit(0).select(col("a"), col("b"))
+    val (stars, rootsDf): (DataFrame, Option[DataFrame]) = mf match {
+      case None => (empty, None)
+      case Some(m) => rootInfo match {
+        case Some(ri) if ri.isEmpty => (empty, None)
+        case Some(ri) =>
+          // roots collected by the fast path's probe: broadcast them;
+          // the star fetch prunes to the touched comps' buckets when
+          // every touched comp carries the index
+          val src =
+            if (ri.values.forall(_._2.isDefined))
+              readBuckets(spark, storeDir, m, m.buckets.keySet
+                .intersect(ri.values.flatMap(_._2.get).toSet))
+            else readBuckets(spark, storeDir, m, m.buckets.keySet)
+          val roots = broadcast(idsDf(spark, ri.keySet, "comp", idType))
+          (src.select(col("id"), col("comp")).join(roots, "comp")
+            .select(col("id").as("a"), col("comp").as("b")), Some(roots))
+        case None =>
+          // over-size batch: touched comps = labels semi-joined on the
+          // batch's endpoints, fully distributed (no driver state)
+          val all = readBuckets(spark, storeDir, m, m.buckets.keySet)
+            .select(col("id"), col("comp"))
+          val eps = edges.select(col("a").as("id"))
+            .unionByName(edges.select(col("b").as("id"))).distinct()
+          val roots = graft.util.Materialize.eager(
+            all.join(eps, "id").select(col("comp")).distinct())
+          (all.join(roots, "comp")
+            .select(col("id").as("a"), col("comp").as("b")), Some(roots))
+      }
     }
-    val newLabels = Dedup.connectedComponents(localEdges, "a", "b")
-    withCompIndex(newLabels.select(col("id"), col("comp")), bucketOf)
-      .repartition(col("__bk")) // one file per bucket at any size
+    val starsM = graft.util.Materialize.eager(stars)
+    val starCount = starsM.count()
+    val cc = graft.util.Materialize.eager(
+      Dedup.connectedComponents(edges.unionByName(starsM), "a", "b"))
+    val ccCount = cc.count()
+    // the buckets holding changed rows — the one driver-sized collect
+    // (<= nBuckets ints); untouched buckets carry forward as pointers
+    val tb: Set[Int] = cc.select(bucketOf(col("id")).as("__bk"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val newLabels = withCompIndex(cc.select(col("id"), col("comp")), bucketOf)
+    val keep = mf.map(_.buckets.keySet.intersect(tb)) match {
+      case Some(hit) if hit.nonEmpty =>
+        val bkt = readBuckets(spark, storeDir, mf.get, hit)
+        val inTb = (if (bkt.columns.contains("members")) bkt
+          else bkt.withColumn("members", lit(null).cast("long"))
+            .withColumn("bks", lit(null).cast("array<int>")))
+          .withColumn("__bk", bucketOf(col("id")))
+        rootsDf match {
+          case Some(r) => inTb.join(r, Seq("comp"), "left_anti")
+          case None => inTb
+        }
+      case _ => newLabels.limit(0)
+    }
+    keep.unionByName(newLabels)
+      .select(col("id"), col("comp"), col("members"), col("bks"), col("__bk"))
+      .repartition(col("__bk")) // one file per touched bucket at any size
       .write.partitionBy("__bk").mode("overwrite")
       .parquet(s"$storeDir/labels/data/batch=$batchId")
-    // the store was rewritten whole — every prior id re-landed in its
-    // (id-stable) bucket, so the written set must cover the old one;
-    // repoint everything at the new generation
+    // every changed row re-landed in its (id-stable) bucket, so the
+    // written set must cover the computed touched set
     val written = {
       val base = Paths.get(storeDir, "labels", "data", s"batch=$batchId")
       val ls = Files.list(base)
@@ -514,13 +571,19 @@ object ClusterStream {
         .filter(_.startsWith("__bk=")).map(_.drop(5).toInt).toSet
       finally ls.close()
     }
-    val old = cur.map(_.buckets.keySet).getOrElse(Set.empty)
-    require(old.subsetOf(written),
-      s"full rewrite lost buckets ${old.diff(written)} — rows never vanish")
+    require(tb.subsetOf(written),
+      s"touched-bucket rewrite lost buckets ${tb.diff(written)} — rows " +
+        "never vanish")
+    // every touched-comp member is a CC key, so the row total moves by
+    // exactly (cc rows) - (stars replaced) — same identity as the fast
+    // path, off two counts of already-materialized frames
+    val newRows = cur.map(_.rows).getOrElse(0L) match {
+      case known if known >= 0 => known - starCount + ccCount
+      case _ => -1L // legacy store without a maintained total
+    }
     commit(storeDir, cur,
       written.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap,
-      nBuckets, batchId, ownDirs, ckptId,
-      spark.read.parquet(s"$storeDir/labels/data/batch=$batchId").count())
+      nBuckets, batchId, ownDirs, ckptId, newRows)
   }
 
   /** The cross-batch probe plan, exposed for the plan-shape pin: the

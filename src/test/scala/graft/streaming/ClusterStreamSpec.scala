@@ -165,8 +165,9 @@ class ClusterStreamSpec extends SparkSpec {
     assert(m0.buckets.values.forall(_.startsWith("data/batch=0/")),
       "batch 0 must have taken the fast path (only its own buckets)")
     // batch 1: ONE new twin -> 3 cross edges <= guard, but the touched
-    // component has 3 members: 3 + 3 > 4 routes to foldDistributed,
-    // whose full rewrite repoints EVERY bucket at batch 1
+    // component has 3 members: 3 + 3 > 4 routes to foldDistributed.
+    // Every store row belongs to the touched component here, so the
+    // touched-bucket rewrite covers every bucket
     ClusterStream.fold(spark, s"$work/store",
       Seq((4L, fam)).toDF("doc_id", "text"),
       "doc_id", "text", 3, 0.8, 128, 32, ClusterStream.DefaultBuckets,
@@ -174,7 +175,7 @@ class ClusterStreamSpec extends SparkSpec {
     val m1 = ClusterStream.readManifest(s"$work/store").get
     assert(m1.buckets.nonEmpty &&
       m1.buckets.values.forall(_.startsWith("data/batch=1/")),
-      s"member-guarded fold must rewrite the full store, got ${m1.buckets}")
+      s"every bucket held touched rows, so all repoint at batch 1: ${m1.buckets}")
     // and the distributed fold's labels still equal the batch CC
     val all = Seq((1L, fam), (2L, fam), (3L, fam), (4L, fam))
       .toDF("doc_id", "text")
@@ -190,6 +191,50 @@ class ClusterStreamSpec extends SparkSpec {
     // the maintained row total stays exact across fast AND distributed
     // folds — it is the zero-job upper bound the member guard trusts
     assert(ClusterStream.readManifest(s"$work/store").get.rows == 5L)
+  }
+
+  test("an over-guard fold rewrites only the touched buckets; untouched pointers carry forward") {
+    val work = graft.util.Workspace.temp("clusterstream-touched-dist")
+    val store = s"$work/store"
+    val famA = "alpha beta gamma delta epsilon zeta eta theta"
+    val famB = "one two three four five six seven eight nine"
+    def fold1(docs: Seq[(Long, String)], b: Long, guard: Long) =
+      ClusterStream.fold(spark, store, docs.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32, ClusterStream.DefaultBuckets,
+        batchId = b, maxLocalEdges = guard)
+    fold1(Seq((1L, famA), (2L, famA), (10L, famB), (11L, famB)), 0, 1L << 22)
+    val m0 = ClusterStream.readManifest(store).get
+    val lt = org.apache.spark.sql.types.LongType
+    val famBBks = Set(10L, 11L)
+      .map(ClusterStream.bucketOfValue(_, lt, m0.nBuckets))
+    val famABks = Set(1L, 2L, 4L, 5L)
+      .map(ClusterStream.bucketOfValue(_, lt, m0.nBuckets))
+    assert(famBBks.intersect(famABks).isEmpty,
+      "test ids must hash to disjoint buckets — pick different ids")
+    // member-guard route (roots known from the probe): 2 cross edges +
+    // 2 existing members > guard 3 -> distributed, but famB's buckets
+    // hold no touched rows and must NOT be rewritten
+    fold1(Seq((4L, famA)), 1, 3)
+    val m1 = ClusterStream.readManifest(store).get
+    famBBks.foreach(bk => assert(m1.buckets(bk) == m0.buckets(bk),
+      s"untouched bucket $bk must carry forward: ${m1.buckets(bk)}"))
+    Set(1L, 2L, 4L).map(ClusterStream.bucketOfValue(_, lt, m0.nBuckets))
+      .foreach(bk => assert(m1.buckets(bk).startsWith("data/batch=1/"),
+        s"touched bucket $bk must repoint: ${m1.buckets(bk)}"))
+    assert(m1.rows == 5L, "the maintained total stays exact")
+    // edge-guard route (batch too big to collect — roots derived
+    // distributively): same touched-only rewrite
+    fold1(Seq((5L, famA)), 2, 1)
+    val m2 = ClusterStream.readManifest(store).get
+    famBBks.foreach(bk => assert(m2.buckets(bk) == m0.buckets(bk),
+      s"untouched bucket $bk must survive the edge-guard fold"))
+    assert(m2.rows == 6L)
+    // and the labels still equal the batch CC over everything fed
+    val all = Seq((1L, famA), (2L, famA), (10L, famB), (11L, famB),
+      (4L, famA), (5L, famA)).toDF("doc_id", "text")
+    assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
+      batchClusters(all))
+    assertIdxConsistent(store)
   }
 
   test("edge guard: an over-guard first batch folds through the distributed path correctly") {
@@ -525,6 +570,70 @@ class ClusterStreamSpec extends SparkSpec {
     val got = ClusterStream.readManifest(legacy).get
     assert(got == ClusterStream.Manifest(7L, 64,
       Map(3 -> "data/batch=7/__bk=3"), Nil, Nil, Nil, "", -1L, 0, 0, 0L))
+  }
+
+  test("LIFECYCLE soak: drain -> compact -> drain -> expire -> drain -> compact holds the fold invariant at every boundary") {
+    val work = graft.util.Workspace.temp("clusterstream-lifecycle")
+    val store = s"$work/store"
+    val famA = "alpha beta gamma delta epsilon zeta eta theta"
+    val famB = "one two three four five six seven eight nine"
+    // one frame per micro-batch (maxFilesPerTrigger=1): batch ids are
+    // the frame indexes, continuing across drains on the one lineage
+    val frames: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, famA), (2L, famA)),                       // b0
+      Seq((10L, famB)),                                  // b1
+      Seq((11L, famB)),                                  // b2
+      Seq((3L, famA), (50L, "unique filler words here")),// b3
+      Seq((4L, famA)),                                   // b4
+      Seq((12L, famB)),                                  // b5
+      Seq((13L, famB), (5L, famA)),                      // b6
+      Seq((6L, famA)))                                   // b7
+    def docsOf(bs: Range): Seq[(Long, String)] = bs.flatMap(frames(_))
+    def drain(bs: Range): Unit = {
+      val feed = landFiles(s"$work/landing",
+        bs.map(b => frames(b).toDF("doc_id", "text")))
+      ClusterStream.streamClusters(spark, feed, store, s"$work/ckpt")
+    }
+    def checkInvariant(docs: Seq[(Long, String)], at: String): Unit = {
+      assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
+        batchClusters(docs.toDF("doc_id", "text")),
+        s"fold invariant broken $at")
+      assertIdxConsistent(store)
+    }
+    def dirCount(area: String): Long = {
+      val p = java.nio.file.Paths.get(s"$store/$area")
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val ls = java.nio.file.Files.list(p)
+        try ls.filter(java.nio.file.Files.isDirectory(_)).count()
+        finally ls.close()
+      }
+    }
+    drain(0 until 4)
+    checkInvariant(docsOf(0 until 4), "after drain 1")
+    assert(ClusterStream.compactStores(spark, store, minDirs = 2).nonEmpty)
+    checkInvariant(docsOf(0 until 4), "after compact 1")
+    drain(4 until 6)
+    checkInvariant(docsOf(0 until 6), "after drain 2 (post-compaction probe)")
+    // retention horizon: drop batches 0-1 ({1,2,famA} and doc 10)
+    ClusterStream.expire(spark, store, fromBatch = 2)
+    checkInvariant(docsOf(2 until 6), "after expire")
+    drain(6 until 7)
+    checkInvariant(docsOf(2 until 7), "after drain 3 (post-expiry probe)")
+    assert(ClusterStream.compactStores(spark, store, minDirs = 2).nonEmpty)
+    checkInvariant(docsOf(2 until 7), "after compact 2")
+    // the six-way manifest state space stays bounded: one consolidated
+    // dir per area after maintenance
+    assert(dirCount("sigs") == 1 && dirCount("bands") == 1 &&
+      dirCount("edges") == 1,
+      s"dir accretion unbounded: ${dirCount("sigs")}/${dirCount("bands")}/" +
+        s"${dirCount("edges")}")
+    // and the store still folds after the full lifecycle
+    drain(7 until 8)
+    checkInvariant(docsOf(2 until 8), "after the post-lifecycle drain")
+    val m = ClusterStream.readManifest(store).get
+    assert(m.rows == ClusterStream.clusters(spark, store).count(),
+      "the maintained row total survives the full lifecycle")
   }
 
   test("a re-delivered batch id is a no-op; edge-free batches advance the pointer") {
