@@ -225,7 +225,7 @@ object ClusterStream {
       (if (m.rows >= 0) m.rows.toString else "unknown") +
       s" across ${m.buckets.size}/${m.nBuckets} buckets; " +
       s"${m.sigDirs.size} sig + ${m.bandDirs.size} band + " +
-      s"${m.edgeDirs.size} edge dirs (sigBk=${m.sigBk}); " +
+      s"${m.edgeDirs.size} edge dirs (sigBk=${m.sigBk}, bandBk=${m.bandBk}); " +
       (if (m.ckpt.isEmpty) "no checkpoint lineage bound"
        else s"lineage ${m.ckpt}")
   }
