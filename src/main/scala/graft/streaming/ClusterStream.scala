@@ -76,10 +76,15 @@ import graft.dedup.Dedup
   *     so the pointer-jumping iterations run over touched components +
   *     the batch ONLY, never the whole graph; comp = min id globally
   *     because every old label is itself a member id.
-  *  5. bucket rewrite — changed rows land in `labels/data/batch=<id>/
-  *     __bk=<k>/`; the manifest repoints exactly those buckets
-  *     (tmp+atomic-rename, batch-id pointer = the replay guard);
-  *     replaced dirs are swept after the commit.
+  *  5. bucket rewrite — the touched buckets' rows (kept + changed)
+  *     land in ONE flat single-file run `labels/data/batch=<id>`
+  *     (`__bk` a data column — the per-fold partitionBy this replaced
+  *     paid the dynamic-partition commit on every touched bucket, the
+  *     fold's largest measured lap); the manifest repoints exactly
+  *     those buckets at the run (tmp+atomic-rename, batch-id pointer =
+  *     the replay guard). Readers filter each run to its LIVE buckets;
+  *     [[compactStores]] rebuilds the read-optimized partitioned bulk
+  *     (`data/compact-<id>/__bk=<k>`) and sweeps superseded runs.
   *
   * The invariant after every fold: the label table equals
   * `connectedComponents(all edges seen so far)` — so the batch oracle
@@ -198,12 +203,12 @@ object ClusterStream {
 
   /** The committed (id, comp) labels — empty before the first fold.
     * The per-component index columns the fold maintains (`members`,
-    * `bks`) are internal and projected away here. */
+    * `bks`) are internal and projected away here; flat fold runs are
+    * filtered to their LIVE buckets (see [[readBuckets]]). */
   def clusters(spark: SparkSession, storeDir: String): DataFrame =
     readManifest(storeDir) match {
       case Some(m) if m.buckets.nonEmpty =>
-        spark.read.parquet(
-          m.buckets.values.toSeq.distinct.map(rel => s"$storeDir/labels/$rel"): _*)
+        readBuckets(spark, storeDir, m, m.buckets.keySet)
           .select(col("id"), col("comp"))
       case _ =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -463,15 +468,20 @@ object ClusterStream {
       keep.unionByName(newLabels)
         // joins reorder — pin the layout
         .select(col("id"), col("comp"), col("members"), col("bks"))
-        .withColumn("__bk", bucketOf(col("id")))
-        // batch-bounded by the fast-path guard: one task writes exactly
-        // one file per touched bucket (a multi-task write would leave
-        // tasks × buckets fragments for every later fold to re-read)
+        .withColumn(SigBucketCol, bucketOf(col("id")))
+        // ONE flat single-file commit (batch-bounded by the fast-path
+        // guard), __bk a data column — the per-fold partitionBy this
+        // replaced paid the dynamic-partition commit protocol on every
+        // touched bucket dir, measured as the fold's LARGEST lap
+        // (~1.5 s of a ~2.6 s trigger at sf0.1); readers filter each
+        // flat run to its live buckets, and compaction rebuilds the
+        // read-optimized partitioned bulk (the sig-store LSM
+        // discipline applied to labels)
         .coalesce(1)
-        .write.partitionBy("__bk").mode("overwrite")
+        .write.mode("overwrite")
         .parquet(s"$storeDir/labels/data/batch=$batchId")
       lap("keep-write")
-      val repointed = tb.map(bk => bk -> s"data/batch=$batchId/__bk=$bk").toMap
+      val repointed = tb.map(bk => bk -> s"data/batch=$batchId").toMap
       // every touched-comp member is a union-find key, so the store's
       // row total moves by exactly (labels written) - (members replaced)
       // -- maintained driver-side, no counting job
@@ -711,6 +721,30 @@ object ClusterStream {
               .write.mode("overwrite").parquet(abs(edgeTo))
             Seq(edgeTo)
           }
+          // the label store's flat fold runs accrete too (one dir per
+          // fold, each carrying stale superseded rows of repointed
+          // buckets) — rewrite the LIVE rows into the read-optimized
+          // partitioned bulk and repoint every bucket at its leaf
+          val newBuckets: Map[Int, String] =
+            if (m.buckets.isEmpty) m.buckets
+            else {
+              val gen = s"compact-${m.batchId}"
+              readBuckets(spark, storeDir, m, m.buckets.keySet)
+                .withColumn(SigBucketCol,
+                  pmod(hash(col("id")), lit(m.nBuckets)))
+                .repartition(col(SigBucketCol))
+                .write.partitionBy(SigBucketCol)
+                .mode("overwrite").parquet(s"$storeDir/labels/data/$gen")
+              val base = Paths.get(storeDir, "labels", "data", gen)
+              val ls = Files.list(base)
+              val written = try ls.iterator.asScala
+                .map(_.getFileName.toString).filter(_.startsWith("__bk="))
+                .map(_.drop(5).toInt).toSet
+              finally ls.close()
+              require(m.buckets.keySet.subsetOf(written),
+                s"label compaction lost buckets ${m.buckets.keySet.diff(written)}")
+              written.map(bk => bk -> s"data/$gen/__bk=$bk").toMap
+            }
           beforeSwap()
           // abort on pointer movement: a fold committed since the read
           // above, and swapping would silently drop its registered dirs
@@ -719,11 +753,13 @@ object ClusterStream {
             s"cluster store at $storeDir advanced during compaction " +
               s"(batch ${m.batchId} -> ${m2.map(_.batchId).getOrElse(-1L)})" +
               " — compaction runs BETWEEN drains; aborting the swap")
-          writeManifest(storeDir, m.copy(sigDirs = Seq(sigTo),
-            bandDirs = Seq(bandTo), edgeDirs = newEdge, seq = m.seq + 1))
+          writeManifest(storeDir, m.copy(buckets = newBuckets,
+            sigDirs = Seq(sigTo), bandDirs = Seq(bandTo),
+            edgeDirs = newEdge, seq = m.seq + 1))
           sweepUnreferenced(storeDir, "sigs", Set(sigTo))
           sweepUnreferenced(storeDir, "bands", Set(bandTo))
           sweepUnreferenced(storeDir, "edges", newEdge.toSet)
+          sweepLabels(storeDir, newBuckets.values.toSet)
           Some((m.sigDirs.size, m.bandDirs.size, m.edgeDirs.size))
         } finally Files.deleteIfExists(lockFile(storeDir))
       }
@@ -1000,22 +1036,28 @@ object ClusterStream {
     sweepLabels(storeDir, buckets.values.toSet)
   }
 
-  /** Delete label leaf dirs (`data/<gen>/__bk=<k>`) no manifest
-    * references — referenced dirs are never touched, so a crash
-    * anywhere leaves a readable store. */
+  /** Delete label dirs no manifest references — flat fold runs
+    * (`data/batch=<id>`, referenced whole) and partitioned-generation
+    * leaves (`data/<gen>/__bk=<k>`). Referenced dirs are never touched,
+    * so a crash anywhere leaves a readable store. */
   private def sweepLabels(storeDir: String, live: Set[String]): Unit = {
     val dataDir = Paths.get(storeDir, "labels", "data")
     if (Files.exists(dataDir)) {
       val batches = Files.list(dataDir)
-      try batches.iterator.asScala.filter(Files.isDirectory(_)).foreach { bd =>
-        val leaves = Files.list(bd)
-        try leaves.iterator.asScala.filter(Files.isDirectory(_)).toList
-          .foreach { leaf =>
-            val rel = s"data/${bd.getFileName}/${leaf.getFileName}"
-            if (!live(rel)) deleteRecursively(leaf)
+      try batches.iterator.asScala.filter(Files.isDirectory(_)).toList
+        .foreach { bd =>
+          val rel = s"data/${bd.getFileName}"
+          if (!live(rel)) {
+            val leaves = Files.list(bd)
+            val leafDirs = try leaves.iterator.asScala
+              .filter(Files.isDirectory(_)).toList
+            finally leaves.close()
+            if (leafDirs.isEmpty) deleteRecursively(bd) // flat fold run
+            else leafDirs.foreach { leaf =>
+              if (!live(s"$rel/${leaf.getFileName}")) deleteRecursively(leaf)
+            }
           }
-        finally leaves.close()
-      }
+        }
       finally batches.close()
     }
   }
@@ -1078,16 +1120,39 @@ object ClusterStream {
       .collect().map(x => (x.get(0), x.get(1)))
   }
 
-  private def readBuckets(spark: SparkSession, storeDir: String,
+  /** Read the live rows of `bks` from the label store. Two dir shapes
+    * coexist (the sig store's LSM discipline applied to labels):
+    *
+    *  - FLAT fold runs (`data/batch=<id>`, `__bk` a data column): one
+    *    single-file commit per fold — the partitioned per-fold write
+    *    this replaced paid the dynamic-partition commit protocol on
+    *    ~every touched bucket, measured as the fold's largest lap.
+    *    Many buckets point at one dir, and a dir may hold STALE rows
+    *    of buckets since repointed elsewhere — each dir is filtered to
+    *    exactly the buckets whose pointer targets it.
+    *  - PARTITIONED leaves (`data/<gen>/__bk=<k>`, from compaction /
+    *    expiry / the distributed fold's full generations): the
+    *    read-optimized bulk, single-bucket by path.
+    *
+    * Columns are normalized to (id, comp, members, bks) — rows written
+    * before the denormalized comp index read back null. */
+  private[streaming] def readBuckets(spark: SparkSession, storeDir: String,
       m: Manifest, bks: Set[Int]): DataFrame = {
-    val paths = bks.toSeq.sorted.flatMap(m.buckets.get)
-      .distinct.map(rel => s"$storeDir/labels/$rel")
-    require(paths.nonEmpty, "readBuckets called with no resolvable buckets")
-    // mergeSchema: bucket dirs written before the denormalized comp
-    // index lack (members, bks) — the union schema carries them as
-    // nulls so one read serves mixed-generation stores (dirs are
-    // few and small; the extra footer reads are noise)
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val wanted = bks.toSeq.sorted.flatMap(b => m.buckets.get(b).map(b -> _))
+    require(wanted.nonEmpty, "readBuckets called with no resolvable buckets")
+    wanted.groupBy(_._2).toSeq.sortBy(_._1).map { case (rel, entries) =>
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(s"$storeDir/labels/$rel")
+      val live =
+        if (rel.contains("/__bk=") || !df.columns.contains(SigBucketCol)) df
+        else df.filter(col(SigBucketCol)
+            .isin(entries.map(_._1): _*))
+          .drop(SigBucketCol)
+      val withIdx = if (live.columns.contains("members")) live
+      else live.withColumn("members", lit(null).cast("long"))
+        .withColumn("bks", lit(null).cast("array<int>"))
+      withIdx.select(col("id"), col("comp"), col("members"), col("bks"))
+    }.reduce(_.unionByName(_))
   }
 
   // ---- manifest (tmp + atomic rename; the pointer IS the commit) ----

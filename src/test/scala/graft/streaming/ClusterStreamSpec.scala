@@ -162,8 +162,8 @@ class ClusterStreamSpec extends SparkSpec {
       "doc_id", "text", 3, 0.8, 128, 32, ClusterStream.DefaultBuckets,
       batchId = 0, maxLocalEdges = 4)
     val m0 = ClusterStream.readManifest(s"$work/store").get
-    assert(m0.buckets.values.forall(_.startsWith("data/batch=0/")),
-      "batch 0 must have taken the fast path (only its own buckets)")
+    assert(m0.buckets.values.forall(_ == "data/batch=0"),
+      "batch 0 must have taken the fast path (one flat run)")
     // batch 1: ONE new twin -> 3 cross edges <= guard, but the touched
     // component has 3 members: 3 + 3 > 4 routes to foldDistributed.
     // Every store row belongs to the touched component here, so the
@@ -477,8 +477,9 @@ class ClusterStreamSpec extends SparkSpec {
     * row count, bks = the set of buckets its members hash to. */
   private def assertIdxConsistent(store: String): Unit = {
     val m = ClusterStream.readManifest(store).get
-    val rows = spark.read.option("mergeSchema", "true").parquet(
-        m.buckets.values.toSeq.distinct.map(rel => s"$store/labels/$rel"): _*)
+    // the LIVE rows only — flat fold runs may carry stale superseded
+    // rows of repointed buckets, which the pointer-filtered read drops
+    val rows = ClusterStream.readBuckets(spark, store, m, m.buckets.keySet)
       .select("id", "comp", "members", "bks")
       .collect()
     val byComp = rows.groupBy(_.getLong(1))
