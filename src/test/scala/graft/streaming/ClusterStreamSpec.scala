@@ -527,6 +527,71 @@ class ClusterStreamSpec extends SparkSpec {
       batchClusters(retained))
   }
 
+  test("PROPERTY soak: random fold/compact/expire interleavings hold the fold invariant, comp index and row total") {
+    // the deterministic LIFECYCLE soak walks ONE maintenance sequence;
+    // this walks seeded-random interleavings of all four operations
+    // (fast fold, over-guard distributed fold, compaction, expiry) and
+    // re-checks the adjudication identity — labels == batch CC over the
+    // retained window — plus index consistency and the maintained row
+    // total after EVERY step, so any ordering the six-way manifest
+    // state space admits that breaks an invariant fails here with its
+    // seed and step
+    val fams = Vector(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine",
+      "red orange yellow green blue indigo violet umber",
+      "north south east west upward downward leftward rightward")
+    for (seed <- Seq(7L, 101L)) {
+      val rnd = new scala.util.Random(seed)
+      val work = graft.util.Workspace.temp(s"clusterstream-propsoak-$seed")
+      val store = s"$work/store"
+      var nextId = 0L
+      var nextBatch = 0L
+      var fed = Vector.empty[(Long, Seq[(Long, String)])]
+      var horizon = 0L
+      def freshDoc(): (Long, String) = {
+        nextId += 1
+        val text =
+          if (rnd.nextInt(3) == 0) // singleton: never pairs, never labeled
+            s"unique filler s$seed n$nextId alone in this corpus m${nextId * 31}"
+          else fams(rnd.nextInt(fams.size))
+        (nextId, text)
+      }
+      def doFold(overGuard: Boolean): Unit = {
+        val docs = Seq.fill(1 + rnd.nextInt(3))(freshDoc())
+        val b = nextBatch; nextBatch += 1
+        ClusterStream.fold(spark, store, docs.toDF("doc_id", "text"),
+          "doc_id", "text", 3, 0.8, 128, 32,
+          ClusterStream.DefaultBuckets, batchId = b,
+          maxLocalEdges = if (overGuard) 1L else 1L << 22)
+        fed = fed :+ ((b, docs))
+      }
+      def retained: Seq[(Long, String)] =
+        fed.filter(_._1 >= horizon).flatMap(_._2)
+      doFold(overGuard = false) // a store must exist before maintenance ops
+      (1 to 10).foreach { step =>
+        val op = rnd.nextInt(6) match {
+          case 0 | 1 | 2 => doFold(overGuard = false); "fold"
+          case 3 => doFold(overGuard = true); "fold-distributed"
+          case 4 => ClusterStream.compactStores(spark, store, minDirs = 2); "compact"
+          case 5 =>
+            horizon = math.max(horizon, rnd.between(0L, nextBatch + 1))
+            ClusterStream.expire(spark, store, fromBatch = horizon); "expire"
+        }
+        val at = s"seed=$seed step=$step after $op (horizon=$horizon)"
+        val exp = batchClusters(retained.toDF("doc_id", "text"))
+        assert(streamedClusters(ClusterStream.clusters(spark, store)) == exp,
+          s"fold invariant broken $at")
+        // a fully-expired / not-yet-paired store has no label rows to
+        // index-check (readBuckets refuses an empty bucket set)
+        if (ClusterStream.readManifest(store).exists(_.buckets.nonEmpty))
+          assertIdxConsistent(store)
+        assert(ClusterStream.readManifest(store).get.rows == exp.size.toLong,
+          s"maintained row total diverged $at")
+      }
+    }
+  }
+
   test("PROPERTY: the JSON manifest round-trips arbitrary field values (quotes, brackets, unicode)") {
     import org.scalacheck.Gen
     // the regex parser this replaced silently mis-read any value
