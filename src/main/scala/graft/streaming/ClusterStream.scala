@@ -112,6 +112,18 @@ object ClusterStream {
     * the driver. */
   val MaxLocalEdges: Long = 1L << 22
 
+  /** Single daemon thread for the fold's async sig/band store writes:
+    * the dirs it writes are read by NOTHING until a later fold probes
+    * them, so the writes overlap the fold's candidate/edge computation
+    * and commit paths await durability first. One thread suffices —
+    * foreachBatch serializes triggers, so at most one fold (two write
+    * jobs) is ever in flight. */
+  private lazy val storeWriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+        val t = new Thread(r, "cluster-store-writes"); t.setDaemon(true); t
+      })
+
   /** Id-bucket count of the COMPACTED signature layout
     * (`sigs/compact-<id>/__bk=<k>/`): the candidate verify is the
     * fold's fat read — shingle arrays dwarf the narrow (doc, band_key)
@@ -279,6 +291,15 @@ object ClusterStream {
       tm = now
     }
     val sigsB = Dedup.stagedSigs(batch, idCol, textCol, shingleK, k).persist()
+    // the batch's own sig/band dirs are read by NOTHING in this fold
+    // (the probe scans only the manifest's PRIOR dirs), so their two
+    // cache-fed writes run async and overlap the candidate/edge
+    // computation — they only need to be durable before a commit
+    // registers them (every commit path awaits first)
+    var storeWrites: Option[scala.concurrent.Future[Unit]] = None
+    def awaitWrites(): Unit =
+      storeWrites.foreach(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
     try {
       // eager fill: banding + both verify joins must hit the cache; the
       // count also decides registration below
@@ -315,11 +336,16 @@ object ClusterStream {
       val bandBk =
         if (priorBandDirs.forall(isFlatRun)) 0
         else cur.map(_.bandBk).getOrElse(BandBuckets)
-      sigsB.withColumn("__batch", lit(batchId))
-        .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
-      bandB.withColumn("__batch", lit(batchId))
-        .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
-      lap("store-writes")
+      storeWrites = Some(scala.concurrent.Future {
+        val w0 = System.nanoTime()
+        sigsB.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+        bandB.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
+        if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) System.err.println(
+          f"[fold $batchId] store-writes(async) ${(System.nanoTime() - w0) / 1e9}%.2fs")
+      }(storeWriteEc))
+      lap("store-writes-submit")
 
       // batch-internal edges (the q51 pipeline restricted to the batch)
       val candIn = graft.util.Materialize.eager(
@@ -347,6 +373,7 @@ object ClusterStream {
       // the guard job: one count over the checkpointed edges
       val eCount = edges.count()
       if (eCount == 0) { // nothing to merge — just advance the pointer
+        awaitWrites()
         commit(storeDir, cur, Map.empty, nBuckets, batchId,
           ownDirs.copy(edges = Nil), ckptId,
           cur.map(_.rows).getOrElse(0L)); return
@@ -355,14 +382,16 @@ object ClusterStream {
       // the retained-window edge set [[expire]] recomputes the CC over
       edges.withColumn("__batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
-      if (eCount > maxLocalEdges)
+      if (eCount > maxLocalEdges) {
         // past the batch-bounded envelope: the distributed path —
         // touched components derived by semi-join (the batch is
         // over-size, so endpoints never collect), iterative CC,
         // touched-bucket rewrite. Correct at any size, none of the
         // fast path's driver state.
+        awaitWrites()
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
           nBuckets, batchId, ownDirs, ckptId, rootInfo = None)
+      }
 
       // batch-bounded fast path: everything below is the same size
       // class as the candidate broadcasts the probe already ships, so
@@ -411,9 +440,11 @@ object ClusterStream {
             .join(broadcast(idsDf(roots, "comp")), "comp").count()
         }
       lap("member-count")
-      if (eCount + memberCount > maxLocalEdges)
+      if (eCount + memberCount > maxLocalEdges) {
+        awaitWrites()
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
           nBuckets, batchId, ownDirs, ckptId, Some(rootInfo))
+      }
       // members of touched components as star edges (member → current
       // root): touched components' connectivity rides into the
       // union-find, so the result is exactly the batch CC over
@@ -489,10 +520,19 @@ object ClusterStream {
         case known if known >= 0 => known - starRows.length + labels.size
         case _ => -1L // legacy store without a maintained total
       }
+      awaitWrites()
       commit(storeDir, cur, repointed, nBuckets, batchId, ownDirs, ckptId,
         newRows)
       lap("label-rewrite")
-    } finally sigsB.unpersist(blocking = false)
+    } finally {
+      // on ANY exit (incl. an exception upstream of the awaits): never
+      // leave a straggler write racing a redelivered fold's overwrite
+      // of the same batch dirs. `ready`, not `result` — a failed write
+      // must not mask the original exception on an already-failing path
+      storeWrites.foreach(f => scala.concurrent.Await.ready(
+        f, scala.concurrent.duration.Duration.Inf))
+      sigsB.unpersist(blocking = false)
+    }
   }
 
   /** The over-guard fallback: iterative distributed CC over (new edges
