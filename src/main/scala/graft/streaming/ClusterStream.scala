@@ -347,10 +347,15 @@ object ClusterStream {
       }(storeWriteEc))
       lap("store-writes-submit")
 
-      // batch-internal edges (the q51 pipeline restricted to the batch)
-      val candIn = graft.util.Materialize.eager(
-        Dedup.lshCandidates(sigsB, "doc", "sig", bands))
-      val internal = candIn
+      // batch-internal edges (the q51 pipeline restricted to the batch).
+      // NOT materialized on its own: the candidate plan is single-use
+      // (it runs exactly once, inside `edges`' checkpoint job), and
+      // both verify joins broadcast the CACHED batch side — sigsB's
+      // in-memory stats drive the strategy, so candidate-side estimates
+      // never matter. A separate eager here was one pure
+      // materialization job per trigger, measured ~0.2-0.4 s of
+      // one-file-trigger floor
+      val internal = Dedup.lshCandidates(sigsB, "doc", "sig", bands)
         .join(sigsB.select(col("doc").as("a"), col("sh").as("sha")), "a")
         .join(sigsB.select(col("doc").as("b"), col("sh").as("shb")), "b")
         .filter(Dedup.jaccard(col("sha"), col("shb")) >= threshold)
