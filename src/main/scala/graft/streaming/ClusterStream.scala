@@ -116,8 +116,11 @@ object ClusterStream {
     * the dirs it writes are read by NOTHING until a later fold probes
     * them, so the writes overlap the fold's candidate/edge computation
     * and commit paths await durability first. One thread suffices —
-    * foreachBatch serializes triggers, so at most one fold (two write
-    * jobs) is ever in flight. */
+    * foreachBatch serializes a stream's triggers, so a single drain
+    * has at most one fold (two write jobs) in flight; concurrent
+    * drains of DIFFERENT stores in one JVM queue behind each other
+    * here, which only delays their awaits, never reorders a store's
+    * own writes. */
   private lazy val storeWriteEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newSingleThreadExecutor { r =>
