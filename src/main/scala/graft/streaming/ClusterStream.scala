@@ -345,6 +345,7 @@ object ClusterStream {
           .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
         bandB.withColumn("__batch", lit(batchId))
           .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
+        afterStoreWrites(storeDir)
         if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) System.err.println(
           f"[fold $batchId] store-writes(async) ${(System.nanoTime() - w0) / 1e9}%.2fs")
       }(storeWriteEc))
@@ -1055,6 +1056,13 @@ object ClusterStream {
     * installs a hook that simulates exactly that; production never sets
     * it (a no-op call per commit). */
   @volatile private[streaming] var beforeCommitCheck: String => Unit = _ => ()
+
+  /** Fault-injection seam for the async-store-write spec: invoked on
+    * the writer thread after the sig/band writes, so a test can fail
+    * the write future and pin that the fold (a) propagates the failure
+    * through its commit-path await and (b) never advances the
+    * manifest pointer. Production never sets it. */
+  @volatile private[streaming] var afterStoreWrites: String => Unit = _ => ()
 
   private def commit(storeDir: String, cur: Option[Manifest],
       repointed: Map[Int, String], nBuckets: Int, batchId: Long,

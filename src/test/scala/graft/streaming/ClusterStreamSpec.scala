@@ -527,6 +527,30 @@ class ClusterStreamSpec extends SparkSpec {
       batchClusters(retained))
   }
 
+  test("a failed async store write fails the fold loudly, commits nothing, and the redelivery heals") {
+    val work = graft.util.Workspace.temp("clusterstream-write-fail")
+    val store = s"$work/store"
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, fam), (2L, fam)).toDF("doc_id", "text")
+    def fold0() = ClusterStream.fold(spark, store, docs, "doc_id", "text",
+      3, 0.8, 128, 32, ClusterStream.DefaultBuckets, batchId = 0)
+    ClusterStream.afterStoreWrites =
+      _ => sys.error("injected store-write failure")
+    try {
+      val e = intercept[Exception](fold0())
+      assert(e.getMessage.contains("injected store-write failure"),
+        s"the fold must surface the write failure, got: ${e.getMessage}")
+      // nothing committed: no pointer, so the batch re-delivers
+      assert(ClusterStream.lastBatch(store).isEmpty,
+        "a fold whose store write failed must not advance the pointer")
+    } finally ClusterStream.afterStoreWrites = _ => ()
+    // the redelivered batch (same id) folds cleanly over the debris
+    fold0()
+    assert(ClusterStream.lastBatch(store).contains(0L))
+    assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
+      batchClusters(docs))
+  }
+
   test("PROPERTY soak: random fold/compact/expire interleavings hold the fold invariant, comp index and row total") {
     // the deterministic LIFECYCLE soak walks ONE maintenance sequence;
     // this walks seeded-random interleavings of all four operations
