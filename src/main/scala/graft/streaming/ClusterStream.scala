@@ -388,9 +388,16 @@ object ClusterStream {
           cur.map(_.rows).getOrElse(0L)); return
       }
       // verified edges persist (batch-bounded, already materialized):
-      // the retained-window edge set [[expire]] recomputes the CC over
-      edges.withColumn("__batch", lit(batchId))
-        .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
+      // the retained-window edge set [[expire]] recomputes the CC over.
+      // Read by nothing in THIS fold (the CC runs off the checkpointed
+      // frame, expire runs between drains), so it chains onto the
+      // writer thread behind the sig/band writes — the probe below
+      // runs meanwhile; a failed sig/band write skips it and the
+      // commit-path await surfaces the failure either way
+      storeWrites = storeWrites.map(_.map { _ =>
+        edges.withColumn("__batch", lit(batchId))
+          .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
+      }(storeWriteEc))
       if (eCount > maxLocalEdges) {
         // past the batch-bounded envelope: the distributed path —
         // touched components derived by semi-join (the batch is
