@@ -70,9 +70,10 @@ object CurationQueries {
     * below one shared shingle cannot reach 0.8), recursive closure,
     * `comp` = (doc_id, $compAs = min reachable id). Callers must open
     * with WITH RECURSIVE. */
-  private[queries] def jaccardCompCteSql(compAs: String): String =
+  private[queries] def jaccardCompCteSql(compAs: String,
+      where: String = "TRUE"): String =
     s"""__jt AS MATERIALIZED (SELECT doc_id, ${toksSql("text")} AS __toks
-          FROM documents),
+          FROM documents WHERE $where),
     __jd AS MATERIALIZED (SELECT doc_id,
           list_distinct(${shinglesSql("__toks", 3)}) AS sh FROM __jt),
     __jp AS (SELECT doc_id, unnest(sh) AS s FROM __jd),

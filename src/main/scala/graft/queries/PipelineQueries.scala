@@ -1404,6 +1404,47 @@ log[d] {
       .orderBy(col("doc_id"))
   }
 
+  /** q155: the retention horizon under the driver's gate — the one
+    * maintenance op q154 left to specs. Two single-trigger drains give
+    * a DETERMINISTIC batch↔docs mapping (batch 0 = even doc_ids,
+    * batch 1 = odd; no per-trigger file limit, so each drain is one
+    * micro-batch), then [[graft.streaming.ClusterStream.expire]] cuts
+    * the horizon at batch 1: every even doc expires, the labels
+    * recompute as the retained-window CC from the persisted per-batch
+    * verified edges (an expired bridge SPLITS its component), and the
+    * read-out must equal a from-scratch batch clustering of the ODD
+    * docs only — which is exactly what the oracle computes (q51's
+    * recursive-CTE CC restricted to doc_id % 2 = 1). */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    val work = graft.util.Workspace.temp("graft-q155")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    def land(part: DataFrame): Unit = part.repartition(3)
+      .write.mode("append").parquet(s"$work/landing")
+    def drain(): Unit = {
+      val in = s.readStream.schema(docs.schema).parquet(s"$work/landing")
+      graft.streaming.ClusterStream.streamClusters(s, in,
+        s"$work/store", s"$work/ckpt")
+      ()
+    }
+    // quarter-corpus halves: expire rewrites the WHOLE retained store
+    // (cut sig/band/edge dirs + a fresh CC generation — maintenance
+    // priced ∝ corpus by necessity, run between drains in production),
+    // so the bench pays it on a bounded slice; the adjudication is
+    // corpus-size-independent
+    land(docs.filter(col("doc_id") % 4 === 0)); drain() // batch 0
+    land(docs.filter(col("doc_id") % 4 === 2)); drain() // batch 1
+    graft.streaming.ClusterStream.expire(s, s"$work/store", fromBatch = 1)
+    graft.streaming.ClusterStream.clusters(s, s"$work/store")
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q155Sql: String = s"""
+    WITH RECURSIVE
+    ${graft.queries.CurationQueries.jaccardCompCteSql("cluster",
+      "doc_id % 4 = 2")}
+    SELECT doc_id, cluster FROM comp ORDER BY doc_id"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
     ("q31_multimodal_decode", q31 _, Some(q31Sql)),
     ("q32_frame_sample", q32 _, Some(q32Sql)),
@@ -1460,5 +1501,6 @@ log[d] {
     ("q153_megabatch_clusters", q153 _,
       Some(graft.queries.CurationQueries.q51Sql)),
     ("q154_maintained_clusters", q154 _,
-      Some(graft.queries.CurationQueries.q51Sql)))
+      Some(graft.queries.CurationQueries.q51Sql)),
+    ("q155_expired_clusters", q155 _, Some(q155Sql)))
 }
