@@ -1406,15 +1406,16 @@ log[d] {
 
   /** q155: the retention horizon under the driver's gate — the one
     * maintenance op q154 left to specs. Two single-trigger drains give
-    * a DETERMINISTIC batch↔docs mapping (batch 0 = even doc_ids,
-    * batch 1 = odd; no per-trigger file limit, so each drain is one
-    * micro-batch), then [[graft.streaming.ClusterStream.expire]] cuts
-    * the horizon at batch 1: every even doc expires, the labels
-    * recompute as the retained-window CC from the persisted per-batch
-    * verified edges (an expired bridge SPLITS its component), and the
-    * read-out must equal a from-scratch batch clustering of the ODD
-    * docs only — which is exactly what the oracle computes (q51's
-    * recursive-CTE CC restricted to doc_id % 2 = 1). */
+    * a DETERMINISTIC batch↔docs mapping (batch 0 = doc_id % 4 == 0,
+    * batch 1 = doc_id % 4 == 2; no per-trigger file limit, so each
+    * drain is one micro-batch), then
+    * [[graft.streaming.ClusterStream.expire]] cuts the horizon at
+    * batch 1: every batch-0 doc expires, the labels recompute as the
+    * retained-window CC from the persisted per-batch verified edges
+    * (an expired bridge SPLITS its component), and the read-out must
+    * equal a from-scratch batch clustering of the retained quarter
+    * only — which is exactly what the oracle computes (q51's
+    * recursive-CTE CC restricted to doc_id % 4 = 2). */
   def q155(s: SparkSession, d: String): DataFrame = {
     val work = graft.util.Workspace.temp("graft-q155")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))

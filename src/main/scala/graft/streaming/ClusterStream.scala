@@ -112,20 +112,44 @@ object ClusterStream {
     * the driver. */
   val MaxLocalEdges: Long = 1L << 22
 
-  /** Single daemon thread for the fold's async sig/band store writes:
-    * the dirs it writes are read by NOTHING until a later fold probes
+  /** Daemon threads for the fold's async sig/band store writes: the
+    * dirs they write are read by NOTHING until a later fold probes
     * them, so the writes overlap the fold's candidate/edge computation
-    * and commit paths await durability first. One thread suffices —
-    * foreachBatch serializes a stream's triggers, so a single drain
-    * has at most one fold (two write jobs) in flight; concurrent
-    * drains of DIFFERENT stores in one JVM queue behind each other
-    * here, which only delays their awaits, never reorders a store's
-    * own writes. */
-  private lazy val storeWriteEc: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newSingleThreadExecutor { r =>
-        val t = new Thread(r, "cluster-store-writes"); t.setDaemon(true); t
-      })
+    * and commit paths await durability first. The pool is STRIPED by
+    * store dir — a store always lands on the same single thread
+    * (foreachBatch serializes a stream's triggers, so per-store write
+    * order is preserved), while drains of DIFFERENT stores in one JVM
+    * hash to different stripes and overlap instead of queueing behind
+    * each other. Stripe threads are created lazily on first use. */
+  private val StoreWriteStripes = 8
+  private lazy val storeWriteEcs: Array[scala.concurrent.ExecutionContext] =
+    Array.tabulate(StoreWriteStripes) { i =>
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+          val t = new Thread(r, s"cluster-store-writes-$i")
+          t.setDaemon(true); t
+        })
+    }
+  private[streaming] def storeWriteEc(storeDir: String): scala.concurrent.ExecutionContext =
+    storeWriteEcs(math.floorMod(storeDir.hashCode, StoreWriteStripes))
+
+  /** The three local properties `SparkContext.setJobGroup` writes —
+    * captured on the SUBMITTING thread (the stream's micro-batch
+    * thread, whose job group the streaming engine cancels on
+    * `query.stop()`) and re-set on the writer stripe per submission,
+    * so an async store write's Spark jobs stay cancellable with the
+    * query instead of detaching onto a group-less daemon thread and
+    * wedging the `awaitWrites` on stop. */
+  private val JobGroupKeys = Seq("spark.jobGroup.id", "spark.job.description",
+    "spark.job.interruptOnCancel")
+  private[streaming] def jobGroupSnapshot(
+      sc: org.apache.spark.SparkContext): Seq[(String, String)] =
+    JobGroupKeys.map(k => k -> sc.getLocalProperty(k))
+  private[streaming] def withJobGroup[T](sc: org.apache.spark.SparkContext,
+      props: Seq[(String, String)])(body: => T): T = {
+    props.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+    body
+  }
 
   /** Id-bucket count of the COMPACTED signature layout
     * (`sigs/compact-<id>/__bk=<k>/`): the candidate verify is the
@@ -303,6 +327,10 @@ object ClusterStream {
     def awaitWrites(): Unit =
       storeWrites.foreach(f => scala.concurrent.Await.result(
         f, scala.concurrent.duration.Duration.Inf))
+    // the stream's job group, re-set on the writer stripe per
+    // submission so query.stop() cancels in-flight store writes
+    val jobProps = jobGroupSnapshot(spark.sparkContext)
+    val writeEc = storeWriteEc(storeDir)
     try {
       // eager fill: banding + both verify joins must hit the cache; the
       // count also decides registration below
@@ -340,15 +368,17 @@ object ClusterStream {
         if (priorBandDirs.forall(isFlatRun)) 0
         else cur.map(_.bandBk).getOrElse(BandBuckets)
       storeWrites = Some(scala.concurrent.Future {
-        val w0 = System.nanoTime()
-        sigsB.withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
-        bandB.withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
-        afterStoreWrites(storeDir)
-        if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) System.err.println(
-          f"[fold $batchId] store-writes(async) ${(System.nanoTime() - w0) / 1e9}%.2fs")
-      }(storeWriteEc))
+        withJobGroup(spark.sparkContext, jobProps) {
+          val w0 = System.nanoTime()
+          sigsB.withColumn("__batch", lit(batchId))
+            .write.mode("overwrite").parquet(s"$storeDir/sigs/batch=$batchId")
+          bandB.withColumn("__batch", lit(batchId))
+            .write.mode("overwrite").parquet(s"$storeDir/bands/batch=$batchId")
+          afterStoreWrites(storeDir)
+          if (sys.env.contains("GRAFT_CLUSTER_DEBUG")) System.err.println(
+            f"[fold $batchId] store-writes(async) ${(System.nanoTime() - w0) / 1e9}%.2fs")
+        }
+      }(writeEc))
       lap("store-writes-submit")
 
       // batch-internal edges (the q51 pipeline restricted to the batch).
@@ -395,9 +425,11 @@ object ClusterStream {
       // runs meanwhile; a failed sig/band write skips it and the
       // commit-path await surfaces the failure either way
       storeWrites = storeWrites.map(_.map { _ =>
-        edges.withColumn("__batch", lit(batchId))
-          .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
-      }(storeWriteEc))
+        withJobGroup(spark.sparkContext, jobProps) {
+          edges.withColumn("__batch", lit(batchId))
+            .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
+        }
+      }(writeEc))
       if (eCount > maxLocalEdges) {
         // past the batch-bounded envelope: the distributed path —
         // touched components derived by semi-join (the batch is

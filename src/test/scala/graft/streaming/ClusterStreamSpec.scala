@@ -747,4 +747,37 @@ class ClusterStreamSpec extends SparkSpec {
     assert(ClusterStream.lastBatch(s"$work/store").contains(last))
     assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) == committed)
   }
+
+  test("async writer stripes key by store dir; the caller's job group rides onto the writer thread") {
+    // stripe keying: a store always lands on the SAME single thread
+    // (per-store write order), distinct stores may land on different
+    // stripes (multi-store drains overlap instead of serializing)
+    assert(ClusterStream.storeWriteEc("/tmp/storeA") eq
+      ClusterStream.storeWriteEc("/tmp/storeA"))
+    val stripes = (0 until 64)
+      .map(i => ClusterStream.storeWriteEc(s"/tmp/store$i")).distinct
+    assert(stripes.size > 1,
+      "64 distinct stores must spread over more than one write stripe")
+
+    // job-group propagation: a snapshot taken on the submitting thread
+    // (here: with an active job group, as the micro-batch thread has)
+    // must be visible to Spark's scheduler inside the writer task —
+    // that's what makes query.stop() cancel an in-flight store write
+    val sc = spark.sparkContext
+    sc.setJobGroup("spec-group", "spec-desc", interruptOnCancel = true)
+    try {
+      val snap = ClusterStream.jobGroupSnapshot(sc)
+      val seen = new java.util.concurrent.atomic.AtomicReference[String]()
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      ClusterStream.storeWriteEc("/tmp/storeA").execute { () =>
+        ClusterStream.withJobGroup(sc, snap) {
+          seen.set(sc.getLocalProperty("spark.jobGroup.id"))
+        }
+        latch.countDown()
+      }
+      assert(latch.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      assert(seen.get() == "spec-group",
+        "the writer thread must run under the submitting stream's job group")
+    } finally sc.clearJobGroup()
+  }
 }
