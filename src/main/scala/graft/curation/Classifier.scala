@@ -1,7 +1,6 @@
 package graft.curation
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -51,7 +50,7 @@ object Classifier {
       label: Column): DataFrame = {
     val base = docs.select(id.as("__id"), label.as("label"), toks.as("__t"))
     val m = modelFrames(base)
-    scoreFrames(base, m)
+    scoreFrames(base, compileModel(m))
   }
 
   /** The five count tables that ARE the trained model — every one
@@ -71,63 +70,122 @@ object Classifier {
         .agg(count(lit(1)).as("cwc")))
   }
 
-  private def scoreFrames(base: DataFrame, m: Model): DataFrame = {
-    val tok = base.where(size(col("__t")) > 0)
-      .select(col("__id"), explode(col("__t")).as("w"))
-    val (cls, n, tokc, v, cwc) = (m.cls, m.n, m.tokc, m.v, m.cwc)
+  /** The model COMPILED for scoring: the five count tables folded into
+    * the two frames the per-batch plan actually joins — `lpSeen` maps
+    * every trained (token, class) to its rounded log-likelihood, and
+    * `clsPrior` holds each class's smoothed unseen-token default `lp0`
+    * plus its log-prior. Compiling once (outside the per-micro-batch
+    * loop on the streaming path) is the trigger-floor optimization:
+    * scoring pays TWO broadcasts, ONE source scan and TWO hash
+    * aggregations per batch where the uncompiled plan paid four
+    * broadcasts, three shuffles and a window sort. */
+  private final case class ScoreModel(lpSeen: DataFrame, clsPrior: DataFrame)
 
-    // dense (doc token × class) log-likelihoods: zero counts smooth to
-    // ln((0+1)/(tok_c + V)), so the left joins' nulls ARE the model.
-    // Classes come from the DOC-level frame (`cls`), not the token
-    // stream — a class trained only on token-less docs has no tokc row
-    // but must still pay ln(1/V) per scored token; deriving classes
-    // from tokc would silently give it prior-only scores, which win
-    // the argmax over every real (negative-likelihood) class.
+  /** Every expression here reproduces [[scoreFrames]]' original
+    * per-token arithmetic EXACTLY (same Column tree, same 6-decimal
+    * rounding), just evaluated once per trained (token, class) instead
+    * of once per scored token — zero counts smooth to
+    * ln((0+1)/(tok_c + V)). Classes come from the DOC-level frame
+    * (`cls`), not the token stream — a class trained only on
+    * token-less docs has no tokc row but must still pay ln(1/V) per
+    * scored token. */
+  private def compileModel(m: Model): ScoreModel = {
     val lp = round(log((coalesce(col("cwc"), lit(0L)) + 1L).cast(DoubleType)) -
       log((coalesce(col("tok_c"), lit(0L)) + col("v")).cast(DoubleType)), 6)
-    val pairs = tok.select(col("__id"), col("w"))
-      .crossJoin(broadcast(cls.select(col("cls"))))
-      .join(broadcast(tokc), Seq("cls"), "left")
-      .crossJoin(broadcast(v))
-      .join(broadcast(cwc), Seq("w", "cls"), "left")
-      .select(col("__id"), col("cls"), lp.as("lp"))
+    val lpSeen = m.cwc
+      .join(broadcast(m.tokc), Seq("cls"), "left")
+      .crossJoin(broadcast(m.v))
+      .select(col("w"), col("cls"), lp.as("lp"))
+    val lp0 = round(log((coalesce(lit(null).cast("long"), lit(0L)) + 1L)
+        .cast(DoubleType)) -
+      log((coalesce(col("tok_c"), lit(0L)) + col("v")).cast(DoubleType)), 6)
+    val prior = log(col("docs_c").cast(DoubleType)) -
+      log(col("n").cast(DoubleType))
+    val clsPrior = m.cls
+      .join(broadcast(m.tokc), Seq("cls"), "left")
+      .crossJoin(broadcast(m.v))
+      .crossJoin(broadcast(m.n))
+      .select(col("cls"), lp0.as("lp0"), prior.as("prior"))
+    ScoreModel(lpSeen, clsPrior)
+  }
+
+  private def scoreFrames(base: DataFrame, sm: ScoreModel): DataFrame = {
+    // ONE scan of the batch: label rides the explode (functionally
+    // dependent on __id) so the scored side never joins back to
+    // `base`, and explode_outer keeps token-less docs in the SAME
+    // pass as a null-token row (the old plan's second source scan —
+    // which re-ran tokenization per trigger — and its union are gone).
+    // A null token contributes exactly 0 to every class's sum, so a
+    // token-less doc scores round(prior + 0, 6) per class and the
+    // argmax resolves to the prior argmax, bit-identical to the
+    // fallback literal. (Corner: a non-empty array CONTAINING null
+    // tokens now scores them as absent rather than as unseen-smoothed
+    // — tokenizers never emit null tokens, and absent is the sensible
+    // semantics for one.)
+    val tok = base.select(col("__id"), col("label"),
+      explode_outer(when(size(col("__t")) > 0, col("__t"))).as("w"))
+    val pairs = tok
+      .crossJoin(broadcast(sm.clsPrior))
+      .join(broadcast(sm.lpSeen), Seq("w", "cls"), "left")
+      .select(col("__id"), col("label"), col("cls"), col("prior"),
+        when(col("w").isNull, lit(0.0))
+          .otherwise(coalesce(col("lp"), col("lp0"))).as("lp"))
 
     // commutative decimal sum per (doc, class) — the determinism
     // contract, with O(1) aggregation state (no buffered token list)
     val sums = pairs
-      .groupBy(col("__id"), col("cls"))
+      .groupBy(col("__id"), col("label"), col("cls"), col("prior"))
       .agg(graft.relational.RelationalQueries.dsum(col("lp")).as("s"))
-
-    val prior = log(col("docs_c").cast(DoubleType)) - log(col("n").cast(DoubleType))
-    val scored = base.select(col("__id"), col("label"))
-      .crossJoin(broadcast(cls))
-      .crossJoin(broadcast(n))
-      .join(sums, Seq("__id", "cls"), "left")
       .select(col("__id"), col("label"), col("cls"),
-        round(prior + coalesce(col("s"), lit(0.0)), 6).as("score"))
+        round(col("prior") + col("s"), 6).as("score"))
 
-    val rank = Window.partitionBy(col("__id"))
-      .orderBy(col("score").desc, col("cls"))
-    scored
-      .withColumn("__rn", row_number().over(rank))
-      .where(col("__rn") === 1)
-      .select(col("__id"), col("label"), col("cls").as("predicted"), col("score"))
+    // hash-agg argmax replacing the window rank: min over
+    // (-score, cls) picks the max score, ties to the smallest class;
+    // the original score rides the struct so no value is ever re-derived
+    // from its negation (-0.0 hygiene)
+    val best = sums
+      .groupBy(col("__id"), col("label"))
+      .agg(min(struct((lit(0.0) - col("score")).as("ns"), col("cls"),
+        col("score"))).as("b"))
+      .select(col("__id"), col("label"), col("b.cls").as("predicted"),
+        col("b.score").as("score"))
+
+    best
   }
 
   /** Train ONCE and persist the five count tables under `modelDir` —
     * the [[LangModel.trainBigramModel]] pattern for the classifier:
     * training is the heavy distributed pass, scoring (batch or
     * per-micro-batch) is then joins against vocabulary-bounded
-    * parquet. */
+    * parquet.
+    *
+    * The corpus is read (and tokenized) ONCE: `cwc` is the only
+    * corpus-sized aggregation, and `tokc` (Σ cwc per class), `v`
+    * (distinct w in cwc) and `n` (Σ docs_c) all derive from the two
+    * persisted vocabulary/class-bounded frames — the naive five
+    * independent writes each re-ran the tokenize+explode over the full
+    * corpus, a 5× tokenization tax that dominated the train lap. */
   def trainNbModel(docs: DataFrame, id: Column, toks: Column,
       label: Column, modelDir: String): Unit = {
     val base = docs.select(id.as("__id"), label.as("label"), toks.as("__t"))
     val m = modelFrames(base)
-    m.cls.write.mode("overwrite").parquet(s"$modelDir/cls")
-    m.n.write.mode("overwrite").parquet(s"$modelDir/n")
-    m.tokc.write.mode("overwrite").parquet(s"$modelDir/tokc")
-    m.v.write.mode("overwrite").parquet(s"$modelDir/v")
-    m.cwc.write.mode("overwrite").parquet(s"$modelDir/cwc")
+    graft.streaming.ScoreStream.lap("nb-train") {
+      val cwc = m.cwc.persist()
+      val cls = m.cls.persist()
+      try {
+        cwc.write.mode("overwrite").parquet(s"$modelDir/cwc")
+        cls.write.mode("overwrite").parquet(s"$modelDir/cls")
+        cwc.groupBy(col("cls")).agg(sum(col("cwc")).as("tok_c"))
+          .write.mode("overwrite").parquet(s"$modelDir/tokc")
+        cwc.agg(countDistinct(col("w")).as("v"))
+          .write.mode("overwrite").parquet(s"$modelDir/v")
+        cls.agg(coalesce(sum(col("docs_c")), lit(0L)).as("n"))
+          .write.mode("overwrite").parquet(s"$modelDir/n")
+      } finally {
+        cwc.unpersist(blocking = false)
+        cls.unpersist(blocking = false)
+      }
+    }
   }
 
   /** Score a doc frame against a [[trainNbModel]] artifact. `label` is
@@ -139,13 +197,16 @@ object Classifier {
       label: Column, modelDir: String): DataFrame = {
     val spark = docs.sparkSession
     scoreFrames(docs.select(id.as("__id"), label.as("label"), toks.as("__t")),
-      Model(
-        cls = spark.read.parquet(s"$modelDir/cls"),
-        n = spark.read.parquet(s"$modelDir/n"),
-        tokc = spark.read.parquet(s"$modelDir/tokc"),
-        v = spark.read.parquet(s"$modelDir/v"),
-        cwc = spark.read.parquet(s"$modelDir/cwc")))
+      compileModel(loadModel(spark, modelDir)))
   }
+
+  private def loadModel(spark: org.apache.spark.sql.SparkSession,
+      modelDir: String): Model = Model(
+    cls = spark.read.parquet(s"$modelDir/cls"),
+    n = spark.read.parquet(s"$modelDir/n"),
+    tokc = spark.read.parquet(s"$modelDir/tokc"),
+    v = spark.read.parquet(s"$modelDir/v"),
+    cwc = spark.read.parquet(s"$modelDir/cwc"))
 
   /** Score a LIVE document stream against a persisted [[trainNbModel]]
     * artifact — per-micro-batch [[scoreNbModel]] via `foreachBatch`,
@@ -157,15 +218,14 @@ object Classifier {
       label: Column, modelDir: String, outDir: String,
       checkpointDir: String): Unit = {
     val spark = stream.sparkSession
-    val m = Model(
-      cls = spark.read.parquet(s"$modelDir/cls"),
-      n = spark.read.parquet(s"$modelDir/n"),
-      tokc = spark.read.parquet(s"$modelDir/tokc"),
-      v = spark.read.parquet(s"$modelDir/v"),
-      cwc = spark.read.parquet(s"$modelDir/cwc"))
+    // compiled ONCE, before the drain: the per-trigger plan then joins
+    // two frozen broadcast-side frames — the model fold-in (and its
+    // one tiny fallback-argmax job) never re-runs inside the loop
+    val sm = graft.streaming.ScoreStream.lap("nb-compile")(
+      compileModel(loadModel(spark, modelDir)))
     graft.streaming.ScoreStream.replay(stream,
-      Seq(m.cls, m.n, m.tokc, m.v, m.cwc), outDir, checkpointDir)(batch =>
+      Seq(sm.lpSeen, sm.clsPrior), outDir, checkpointDir)(batch =>
       scoreFrames(batch.select(id.as("__id"), label.as("label"),
-        toks.as("__t")), m))
+        toks.as("__t")), sm))
   }
 }

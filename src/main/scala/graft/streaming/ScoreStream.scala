@@ -29,6 +29,55 @@ import org.apache.spark.sql.streaming.Trigger
   * batch answer. */
 object ScoreStream {
 
+  /** Env-gated lap profiler (`GRAFT_SCORE_DEBUG=1`) — the ClusterStream
+    * debug-lap discipline for the scoring drains: `lap("tag")(body)`
+    * prints the tag and elapsed seconds to stderr, so a slow scoring
+    * query decomposes into train / feed / per-trigger laps without a
+    * listener. Zero-cost when the env var is unset. */
+  private[graft] def lap[T](tag: String)(body: => T): T =
+    if (!sys.env.contains("GRAFT_SCORE_DEBUG")) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[score] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
+  /** `GRAFT_SCORE_DEBUG=jobs` additionally prints every Spark job run
+    * during a [[replay]] drain (duration, task count, first line of
+    * the call site) — the decomposition that tells a broadcast-build
+    * job from the write job from scheduler dead time inside a
+    * trigger's lap. */
+  private def withJobTrace[T](spark: org.apache.spark.sql.SparkSession)(
+      body: => T): T =
+    if (!sys.env.get("GRAFT_SCORE_DEBUG").contains("jobs")) body
+    else {
+      val starts =
+        new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("?")
+          starts.put(js.jobId,
+            (System.nanoTime(), desc.linesIterator.next().take(90),
+              js.stageInfos.map(_.numTasks).sum))
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, desc, tasks) =>
+            System.err.println(f"[score-job] #${je.jobId}%-4d " +
+              f"${(System.nanoTime() - t0) / 1e9}%6.3fs $tasks%4d tasks  $desc")
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally spark.sparkContext.removeSparkListener(l)
+    }
+
   /** Drain `stream` with AvailableNow, appending `score(batch)` to
     * `outDir` per micro-batch. Every frame in `frozen` is persisted
     * for the whole drain and unpersisted after — callers must build
@@ -66,18 +115,33 @@ object ScoreStream {
     // unaffected)
     Lineage.bind(outDir, checkpointDir, "score-stream output")
     frozen.foreach(_.persist())
-    try stream.writeStream
+    try lap("drain")(withJobTrace(stream.sparkSession)(stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         // idempotent under at-least-once redelivery: each micro-batch
         // OWNS the batch=<id> subdir, so a batch re-delivered after a
         // crash between the write and the checkpoint commit overwrites
         // its own (possibly partial) output instead of appending a
         // duplicate — the union of subdirs is exactly-once by content
-        score(batch).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        //
+        // spread a parallelism-STARVED batch before scoring: a
+        // few-file trigger arrives as that many scan splits, so the
+        // scorer's expensive first stage (tokenize + explode + partial
+        // agg) runs on one core while the rest idle — measured as a
+        // single-task job owning ~70% of the trigger lap. The
+        // round-robin shuffle moves only the raw batch rows (small by
+        // definition when split-starved); a production mega-batch
+        // already carries >= defaultParallelism splits and passes
+        // through untouched, so this never caps cluster-scale inputs
+        val par = batch.sparkSession.sparkContext.defaultParallelism
+        val spread =
+          if (batch.rdd.getNumPartitions >= par) batch
+          else batch.repartition(par)
+        lap(s"trigger $batchId")(
+          score(spread).write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .start().awaitTermination()
+      .start().awaitTermination()))
     finally frozen.foreach(_.unpersist(blocking = false))
   }
 
@@ -94,7 +158,8 @@ object ScoreStream {
     * replay a known corpus through the live path so the batch oracle
     * can adjudicate the result. */
   def feed(df: DataFrame, dir: String, files: Int = 6): DataFrame = {
-    df.repartition(files).write.mode("overwrite").parquet(dir)
+    lap("feed-write")(
+      df.repartition(files).write.mode("overwrite").parquet(dir))
     df.sparkSession.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
   }
