@@ -112,6 +112,46 @@ object ClusterStream {
     * the driver. */
   val MaxLocalEdges: Long = 1L << 22
 
+  /** Byte twin of [[MaxLocalEdges]]: the edge-count ceiling bounds the
+    * union-find's ENTRY count, but with var-width ids (URL doc-ids)
+    * the same count can be two orders of magnitude more driver heap —
+    * 4M long pairs are ~67 MB of payload, 4M 200-char-URL pairs are
+    * ~1.7 GB. This ceiling bounds the estimated collected PAYLOAD
+    * (id bytes + a small per-value overhead; JVM boxing multiplies the
+    * real heap by ~3-4×, which the default prices in: 256 MB payload
+    * ≈ ≤1 GB heap). Fixed-width id types can never reach it below the
+    * count ceiling, so long-id folds are guarded for free; var-width
+    * folds price themselves with one cheap agg over the checkpointed
+    * edges and route distributed when oversized. */
+  val MaxLocalEdgeBytes: Long = 256L << 20
+
+  /** Per-value overhead (object header + reference) added to each
+    * var-width id's payload when pricing a collected pair. */
+  private val VarIdOverheadBytes = 16L
+
+  /** Estimated driver-payload bytes of ONE collected (a, b) pair.
+    * Fixed-width types price statically (zero jobs). Var-width types
+    * (string/binary) need the data: if even the 32-byte lower bound
+    * trips the ceiling the answer is moot (caller routes distributed
+    * regardless), otherwise ONE small aggregation over the
+    * already-checkpointed edge frame measures the true mean width. */
+  private[streaming] def estimatedPairBytes(edges: DataFrame, eCount: Long,
+      idType: org.apache.spark.sql.types.DataType,
+      maxLocalEdgeBytes: Long): Long = idType match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BinaryType =>
+      val lowerBound = 2L * VarIdOverheadBytes
+      if (eCount <= 0 || eCount > maxLocalEdgeBytes / lowerBound) lowerBound
+      else {
+        val row = edges.agg(
+          avg(octet_length(col("a")) + octet_length(col("b")))).head()
+        val payload = Option(row.get(0))
+          .map(_.toString.toDouble).getOrElse(0.0)
+        math.max(lowerBound, math.ceil(payload).toLong + lowerBound)
+      }
+    case dt => 2L * dt.defaultSize
+  }
+
   /** Daemon threads for the fold's async sig/band store writes: the
     * dirs they write are read by NOTHING until a later fold probes
     * them, so the writes overlap the fold's candidate/edge computation
@@ -226,13 +266,15 @@ object ClusterStream {
       shingleK: Int = 3, threshold: Double = 0.8,
       k: Int = 128, bands: Int = 32,
       nBuckets: Int = DefaultBuckets,
-      maxLocalEdges: Long = MaxLocalEdges): DataFrame = {
+      maxLocalEdges: Long = MaxLocalEdges,
+      maxLocalEdgeBytes: Long = MaxLocalEdgeBytes): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val ckptId = Paths.get(checkpointDir).toAbsolutePath.normalize.toString
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         fold(spark, storeDir, batch, idCol, textCol, shingleK, threshold,
-          k, bands, nBuckets, batchId, maxLocalEdges, ckptId)
+          k, bands, nBuckets, batchId, maxLocalEdges, ckptId,
+          maxLocalEdgeBytes)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -280,7 +322,8 @@ object ClusterStream {
       batch: DataFrame, idCol: String, textCol: String, shingleK: Int,
       threshold: Double, k: Int, bands: Int, nBuckets: Int,
       batchId: Long, maxLocalEdges: Long = MaxLocalEdges,
-      ckptId: String = ""): Unit = {
+      ckptId: String = "",
+      maxLocalEdgeBytes: Long = MaxLocalEdgeBytes): Unit = {
     require(!Files.exists(lockFile(storeDir)),
       s"cluster store at $storeDir is locked by an in-progress compaction " +
         "(labels/COMPACT.lock) — compaction runs BETWEEN drains; if no " +
@@ -430,7 +473,17 @@ object ClusterStream {
             .write.mode("overwrite").parquet(s"$storeDir/edges/batch=$batchId")
         }
       }(writeEc))
-      if (eCount > maxLocalEdges) {
+      val idType = edges.schema("a").dataType
+      // the BYTE twin of the edge-count guard: 4M edges of 8-byte longs
+      // and 4M edges of 200-byte URL ids are different driver-heap
+      // animals; pairBytes prices one collected pair for THIS id type
+      // (fixed-width: statically, zero jobs; var-width: one cheap agg
+      // over the checkpointed edges, skipped when the lower bound
+      // already trips) so wide string ids route distributed well below
+      // the count ceiling instead of collecting hundreds of MB
+      lazy val pairBytes = estimatedPairBytes(edges, eCount, idType,
+        maxLocalEdgeBytes)
+      if (eCount > maxLocalEdges || eCount > maxLocalEdgeBytes / pairBytes) {
         // past the batch-bounded envelope: the distributed path —
         // touched components derived by semi-join (the batch is
         // over-size, so endpoints never collect), iterative CC,
@@ -445,7 +498,6 @@ object ClusterStream {
       // class as the candidate broadcasts the probe already ships, so
       // it lives on the driver — zero shuffles, three jobs total
       // (roots probe, member fetch, bucket write)
-      val idType = edges.schema("a").dataType
       val edgeRows = edges.collect().map(r => (r.get(0), r.get(1)))
       val endpointSet = edgeRows.iterator
         .flatMap { case (a, b) => Iterator(a, b) }.toSet
@@ -488,7 +540,10 @@ object ClusterStream {
             .join(broadcast(idsDf(roots, "comp")), "comp").count()
         }
       lap("member-count")
-      if (eCount + memberCount > maxLocalEdges) {
+      // member rows collect as (member, root) pairs of the same id
+      // type, so the byte guard prices them with the same pairBytes
+      if (eCount + memberCount > maxLocalEdges ||
+          eCount + memberCount > maxLocalEdgeBytes / pairBytes) {
         awaitWrites()
         return foldDistributed(spark, storeDir, cur, edges, bucketOf,
           nBuckets, batchId, ownDirs, ckptId, Some(rootInfo))
@@ -502,9 +557,7 @@ object ClusterStream {
         else fetchMembers(spark, storeDir, cur.get, rootInfo, idType)
       lap("members")
 
-      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(idType)
-      val labels = unionFind(edgeRows ++ starRows, ord)
+      val labels = unionFind(edgeRows ++ starRows, idOrdering(idType))
       lap("cc")
 
       // rewrite exactly the buckets holding changed rows; carry the
@@ -1043,6 +1096,27 @@ object ClusterStream {
       Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v, idType)), 42)
       .eval(null).asInstanceOf[Int]
     ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** Ordering over COLLECTED id values (external Java types) that
+    * ranks exactly as SQL `min` over the id column does. Catalyst's
+    * interpreted ordering expects INTERNAL values — for StringType
+    * that is UTF8String, whose byte-wise comparison differs from
+    * java.lang.String's UTF-16 ordering on supplementary characters —
+    * so string ids convert at the comparison; every other id type's
+    * external and internal representations coincide. */
+  private[streaming] def idOrdering(
+      idType: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType)
+    idType match {
+      case org.apache.spark.sql.types.StringType => new Ordering[Any] {
+        def compare(x: Any, y: Any): Int = ord.compare(
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String]),
+          org.apache.spark.unsafe.types.UTF8String.fromString(y.asInstanceOf[String]))
+      }
+      case _ => ord
+    }
   }
 
   /** Union-find with path compression and MIN-LABEL roots (union

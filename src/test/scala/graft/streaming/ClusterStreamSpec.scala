@@ -250,6 +250,39 @@ class ClusterStreamSpec extends SparkSpec {
     assert(m.buckets.values.forall(_.startsWith("data/batch=0/")))
   }
 
+  test("byte guard: wide string ids route distributed below the edge-count ceiling") {
+    val work = graft.util.Workspace.temp("clusterstream-byteguard")
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    // ~200-char URL-ish ids: ONE edge, far below any count ceiling,
+    // but each collected pair is ~400B of id payload
+    def wid(n: Int) = s"https://example.test/docs/${"x" * 160}/item-$n"
+    val docs = Seq((wid(1), fam), (wid(2), fam)).toDF("doc_id", "text")
+    // control: with the default byte ceiling the 1-edge fold takes the
+    // fast path (one flat label run)
+    ClusterStream.fold(spark, s"$work/fast", docs, "doc_id", "text",
+      3, 0.8, 128, 32, ClusterStream.DefaultBuckets, batchId = 0)
+    val mf = ClusterStream.readManifest(s"$work/fast").get
+    assert(mf.buckets.values.forall(_ == "data/batch=0"),
+      s"long-id-equivalent widths under the ceiling stay fast: ${mf.buckets}")
+    // a tight byte ceiling (64B < one ~430B pair) must route the SAME
+    // fold distributed even though eCount=1 << maxLocalEdges
+    ClusterStream.fold(spark, s"$work/store", docs, "doc_id", "text",
+      3, 0.8, 128, 32, ClusterStream.DefaultBuckets, batchId = 0,
+      maxLocalEdgeBytes = 64L)
+    val m = ClusterStream.readManifest(s"$work/store").get
+    assert(m.buckets.nonEmpty &&
+      m.buckets.values.forall(_.startsWith("data/batch=0/")),
+      s"wide-id fold must take the distributed path: ${m.buckets}")
+    // and the labels are the batch CC regardless of route
+    val got = ClusterStream.clusters(spark, s"$work/store")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(wid(1) -> wid(1), wid(2) -> wid(1)))
+    // fixed-width ids price statically: no agg, fast path untouched
+    assert(ClusterStream.estimatedPairBytes(
+      spark.emptyDataFrame, 1000L,
+      org.apache.spark.sql.types.LongType, 1L << 28) == 16L)
+  }
+
   test("expire drops old docs, re-roots retained components (batch CC over the retained window)") {
     val work = graft.util.Workspace.temp("clusterstream-expire")
     val fam = "alpha beta gamma delta epsilon zeta eta theta"
