@@ -58,10 +58,81 @@ import graft.dedup.{BandIndex, Dedup, DigestIndex, ShardedBloom}
   * landing zone is a correct, tested operation (exactly-once-by-content
   * — CorpusBuilderSpec's fresh-checkpoint cases). The remaining hazard
   * is two CONCURRENT drains racing the derived-store commits; the
-  * documented contract is one live builder per corpus (as with
-  * maintenance: run between drains).
+  * one-live-builder contract is ENFORCED (the [[ClusterStream]]
+  * maintenance-lock discipline): [[build]] takes `BUILD.lock` under
+  * the corpus dir atomically before the stream starts — a second
+  * builder fails loudly instead of silently corrupting the gate — and
+  * every fold re-checks its token at entry and again immediately
+  * before the docs append (the commit's point of no return), so even
+  * an operator force-breaking the lock mid-drain fails the usurped
+  * builder's commit instead of interleaving two gates. Direct batch
+  * calls to [[appendNew]]/[[appendNearDupNew]] (no `lockToken`) stay
+  * lock-free — the caller owns serialization there.
   */
 object CorpusBuilder {
+
+  /** One-live-builder lock file (under the corpus dir). Created
+    * atomically by [[acquireBuildLock]]; holds `<token> <holder>`. */
+  private def buildLockPath(corpusDir: String): java.nio.file.Path =
+    Paths.get(corpusDir, "BUILD.lock")
+
+  /** Atomically take the corpus' builder lock, failing loudly if a
+    * builder already holds it. Returns the token the holder's folds
+    * pass to the commit re-check. A builder that CRASHES leaves the
+    * lock behind (the [[ClusterStream]] compaction-lock contract):
+    * if no builder is running, the operator deletes the file. */
+  private[streaming] def acquireBuildLock(corpusDir: String,
+      holder: String): String = {
+    Files.createDirectories(Paths.get(corpusDir))
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      Files.write(buildLockPath(corpusDir), s"$token $holder".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      token
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val cur = try new String(
+          Files.readAllBytes(buildLockPath(corpusDir)), "UTF-8").trim
+        catch { case _: Exception => "<unreadable>" }
+        sys.error(s"corpus at $corpusDir already has a live builder " +
+          s"($cur) — the content gate's derived-store commits assume ONE " +
+          "builder per corpus; stop it first, or if it crashed, delete " +
+          s"${buildLockPath(corpusDir)}")
+    }
+  }
+
+  /** Release the builder lock IF `token` still holds it (idempotent;
+    * a force-broken lock belongs to the usurper and is left alone). */
+  private[streaming] def releaseBuildLock(corpusDir: String,
+      token: String): Unit = {
+    val p = buildLockPath(corpusDir)
+    val held = try Files.exists(p) &&
+      new String(Files.readAllBytes(p), "UTF-8").startsWith(token)
+    catch { case _: Exception => false }
+    if (held) Files.deleteIfExists(p)
+  }
+
+  /** The commit re-check: a fold holding `token` must still own the
+    * lock — an operator who force-broke a live builder's lock and
+    * started another fails THIS builder's fold loudly instead of
+    * letting two gates interleave their derived-store commits.
+    * Derived-store writes already made by the failing fold are ghosts
+    * the gate absorbs by design (superset invariant). No token
+    * (direct batch API use) checks nothing. */
+  private def requireBuildLock(corpusDir: String,
+      token: Option[String]): Unit = token.foreach { t =>
+    val p = buildLockPath(corpusDir)
+    val cur = try {
+      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8")
+      else ""
+    } catch { case _: Exception => "" }
+    require(cur.startsWith(t),
+      s"this builder no longer holds $p (current holder: " +
+        s"'${cur.trim}') — its lock was broken and another builder " +
+        "took the corpus; this fold aborts before the docs append " +
+        "(derived-store rows it already wrote are crash-window ghosts " +
+        "the gate absorbs)")
+  }
 
   /** Fault-injection seam for crash-recovery specs: invoked after each
     * derived-store persist step of a commit, BEFORE the docs append,
@@ -175,29 +246,51 @@ object CorpusBuilder {
         * maintenance run serial with this stream's own appends; the
         * StateStore lock inside compactStores covers external racers. */
       compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
-    val schema = landingSchema(spark, landingGlob, corpusDir)
-    var reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    reader.json(landingGlob)
-      .writeStream
-      .queryName("graft-corpus-builder")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDup match {
-          case Some(nd) =>
-            appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd,
-              expectedItems, fpp, numShards, digestBuckets)
-          case None => appendNew(spark, batch, corpusDir, idCol, textCol,
-            expectedItems, fpp, numShards, digestBuckets)
+    // one live builder per corpus, ENFORCED: taken before the stream
+    // starts, re-checked by every fold, released when the query
+    // terminates (normally or not)
+    val token = acquireBuildLock(corpusDir,
+      s"checkpoint=$checkpointDir pid=${ProcessHandle.current().pid()}")
+    val query = try {
+      val schema = landingSchema(spark, landingGlob, corpusDir)
+      var reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+      reader.json(landingGlob)
+        .writeStream
+        .queryName("graft-corpus-builder")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nearDup match {
+            case Some(nd) =>
+              appendNearDupNew(spark, batch, corpusDir, idCol, textCol, nd,
+                expectedItems, fpp, numShards, digestBuckets,
+                lockToken = Some(token))
+            case None => appendNew(spark, batch, corpusDir, idCol, textCol,
+              expectedItems, fpp, numShards, digestBuckets,
+              lockToken = Some(token))
+          }
+          // batchId is monotonic across restarts (checkpointed), so the
+          // cadence survives stop/start without extra state
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactStores(spark, corpusDir)
+          ()
         }
-        // batchId is monotonic across restarts (checkpointed), so the
-        // cadence survives stop/start without extra state
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          compactStores(spark, corpusDir)
-        ()
-      }
-      .start()
+        .start()
+    } catch { case e: Throwable => releaseBuildLock(corpusDir, token); throw e }
+    // release rides the query's lifetime, not a listener (a listener
+    // registered after start() can miss an already-terminated query's
+    // event): a daemon watcher awaits termination — exceptional or not
+    // — and releases the token-guarded lock (idempotent; a force-broken
+    // lock belongs to the usurper and is left alone)
+    val watcher = new Thread(() => {
+      try query.awaitTermination()
+      catch { case _: Throwable => () }
+      finally releaseBuildLock(corpusDir, token)
+    }, s"corpus-build-lock-${query.id}")
+    watcher.setDaemon(true)
+    watcher.start()
+    query
   }
 
   /** Doc schema for the stream: persisted beside the corpus after the
@@ -234,7 +327,9 @@ object CorpusBuilder {
   def appendNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String,
       expectedItems: Long, fpp: Double, numShards: Int = 1,
-      digestBuckets: Int = DefaultDigestBuckets): Long = {
+      digestBuckets: Int = DefaultDigestBuckets,
+      lockToken: Option[String] = None): Long = {
+    requireBuildLock(corpusDir, lockToken)
     val docsDir = s"$corpusDir/docs"
     Files.createDirectories(Paths.get(corpusDir))
     // null text is rejected, not gated — see class doc
@@ -269,7 +364,7 @@ object CorpusBuilder {
       val appended = staged.count()
       if (appended > 0) {
         commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems,
-          fpp, corpusDir, idCol, idxSpec)
+          fpp, corpusDir, idCol, idxSpec, lockToken)
         // one store at a time: this corpus is monolithic-owned now
         ShardedBloom.deleteStore(spark, corpusDir)
       }
@@ -301,6 +396,7 @@ object CorpusBuilder {
         DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
           idCol, DigestCol, corpusDir, idxSpec)
         commitFault("digest-index", corpusDir)
+        requireBuildLock(corpusDir, lockToken)
         staged.drop("__h").write.mode("append").parquet(docsDir)
         // one store at a time: drop the other mode's filter
         Files.deleteIfExists(Paths.get(corpusDir, "bloom.bin"))
@@ -429,12 +525,13 @@ object CorpusBuilder {
   private def commitBatch(spark: SparkSession, staged: DataFrame, docsDir: String,
       bloomPath: java.nio.file.Path, stored: Option[Array[Byte]],
       expectedItems: Long, fpp: Double, corpusDir: String, idCol: String,
-      idxSpec: DigestIndex.Spec): Unit = {
+      idxSpec: DigestIndex.Spec, lockToken: Option[String] = None): Unit = {
     persistMergedFilter(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
     commitFault("bloom", corpusDir)
     DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
       idCol, DigestCol, corpusDir, idxSpec)
     commitFault("digest-index", corpusDir)
+    requireBuildLock(corpusDir, lockToken)
     staged.write.mode("append").parquet(docsDir)
   }
 
@@ -517,8 +614,10 @@ object CorpusBuilder {
   def appendNearDupNew(spark: SparkSession, batch: DataFrame, corpusDir: String,
       idCol: String, textCol: String, nd: NearDup,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01,
-      numShards: Int = 1, digestBuckets: Int = DefaultDigestBuckets): Long = {
+      numShards: Int = 1, digestBuckets: Int = DefaultDigestBuckets,
+      lockToken: Option[String] = None): Long = {
     import graft.text.TextFunctions.tokens
+    requireBuildLock(corpusDir, lockToken)
     val docsDir = s"$corpusDir/docs"
     Files.createDirectories(Paths.get(corpusDir))
     val hasDocs = Files.exists(Paths.get(docsDir))
@@ -630,6 +729,7 @@ object CorpusBuilder {
       BandIndex.append(fresh.filter(col(SigCol).isNotNull)
         .select(col(idCol), col(SigCol)), idCol, SigCol, corpusDir, bandSpec)
       commitFault("band-index", corpusDir)
+      requireBuildLock(corpusDir, lockToken)
       fresh.write.mode("append").parquet(docsDir)
     }
     appended

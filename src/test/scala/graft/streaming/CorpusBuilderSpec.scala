@@ -635,4 +635,78 @@ class CorpusBuilderSpec extends SparkSpec {
     }
     assert(held.contains(Nil), "locked compactStores must skip, not run")
   }
+
+  test("one live builder per corpus: a second build fails loudly; the lock releases on termination") {
+    val landing = tmpDir("lock-landing")
+    val corpus = tmpDir("lock-corpus")
+    writeFile(landing, "f0.json",
+      """{"doc_id": 1, "text": "locked corpus content"}""" + "\n")
+    // a live builder holds BUILD.lock (seam: take it the way build()
+    // does — deterministic, no trigger-timing race)
+    val token = CorpusBuilder.acquireBuildLock(corpus, "spec-holder")
+    val e = intercept[RuntimeException] {
+      CorpusBuilder.build(spark, s"$landing/*.json",
+        tmpDir("lock-ckpt-b"), corpus)
+    }
+    assert(e.getMessage.contains("live builder") &&
+      e.getMessage.contains("BUILD.lock"), e.getMessage)
+    // the refused builder must not have corrupted or created anything
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "docs")))
+    CorpusBuilder.releaseBuildLock(corpus, token)
+    // lock gone -> a builder starts, drains, and releases on termination
+    val q = CorpusBuilder.build(spark, s"$landing/*.json",
+      tmpDir("lock-ckpt-c"), corpus)
+    q.awaitTermination()
+    assert(corpusDocs(corpus).count() == 1L)
+    // the watcher releases asynchronously after termination
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(corpus, "BUILD.lock")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(corpus, "BUILD.lock")),
+      "the lock must release when the drain terminates")
+    // and a later builder proves the corpus is intact and gated
+    val q2 = CorpusBuilder.build(spark, s"$landing/*.json",
+      tmpDir("lock-ckpt-d"), corpus)
+    q2.awaitTermination()
+    assert(corpusDocs(corpus).count() == 1L)
+  }
+
+  test("a lock broken MID-FOLD fails the usurped builder at the commit re-check, before the docs append") {
+    val corpus = tmpDir("lock-toctou-corpus")
+    // builder 1 holds the lock and enters a fold (entry check passes)
+    val t1 = CorpusBuilder.acquireBuildLock(corpus, "builder-1")
+    // the commitFault seam fires AFTER the derived-store persists and
+    // right BEFORE the commit re-check — exactly the TOCTOU window: an
+    // operator force-breaks the lock there and a usurper takes over
+    @volatile var t2: String = null
+    CorpusBuilder.commitFault = (step, dir) =>
+      if (step == "digest-index" && dir == corpus && t2 == null) {
+        CorpusBuilder.releaseBuildLock(corpus, t1)
+        t2 = CorpusBuilder.acquireBuildLock(corpus, "builder-2")
+      }
+    val b = Seq((1L, "contested content")).toDF("doc_id", "text")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        CorpusBuilder.appendNew(spark, b, corpus, "doc_id", "text",
+          1024L, 0.01, lockToken = Some(t1))
+      }
+      assert(e.getMessage.contains("no longer holds"), e.getMessage)
+    } finally CorpusBuilder.commitFault = (_, _) => ()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "docs")),
+      "the usurped fold must abort before the docs append")
+    // the usurper's own folds proceed; builder-1's derived-store rows
+    // are crash-window ghosts the gate absorbs
+    assert(CorpusBuilder.appendNew(spark, b, corpus, "doc_id", "text",
+      1024L, 0.01, lockToken = Some(t2)) == 1L)
+    assert(corpusDocs(corpus).count() == 1L)
+    // a STALE token at fold ENTRY also aborts (the cheap early check)
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusBuilder.appendNew(spark, b, corpus, "doc_id", "text",
+        1024L, 0.01, lockToken = Some(t1))
+    }
+    assert(e2.getMessage.contains("no longer holds"), e2.getMessage)
+    CorpusBuilder.releaseBuildLock(corpus, t2)
+  }
 }
