@@ -951,8 +951,12 @@ object ClusterStream {
         // back as null __batch through schema merge, and the
         // `__batch >= fromBatch` cut would silently drop them AND their
         // never-persisted edges. Fail like the guard instead: schema
-        // first (footer-only), then a null probe (first-match scan on
-        // this rare maintenance path)
+        // first (footer-only), then a null probe. The probe is paid
+        // ONLY by legacy (ver 0) stores: a manifest stamped
+        // [[StampedVer]] — first fold of a fresh store, or a prior
+        // expiry whose probe passed — makes this check a free manifest
+        // read, and a passing probe upgrades the stamp at the swap so
+        // a legacy store pays it at most once
         def requireStamped(area: String, dirs: Seq[String]): Unit =
           if (dirs.nonEmpty) {
             val df = readLsm(spark, storeDir, dirs)
@@ -963,8 +967,10 @@ object ClusterStream {
                 "retention, so expiry would silently lose those docs " +
                 "and their components; rebuild the store")
           }
-        requireStamped("sig", m.sigDirs)
-        requireStamped("band", m.bandDirs)
+        if (m.ver < StampedVer) {
+          requireStamped("sig", m.sigDirs)
+          requireStamped("band", m.bandDirs)
+        }
         val tag = s"expire-${m.batchId}-$fromBatch"
         def cutWrite(dirs: Seq[String], to: String,
             partitionedBk: Int, bucketKey: String): Seq[String] =
@@ -1043,10 +1049,13 @@ object ClusterStream {
           s"cluster store at $storeDir advanced during expiry " +
             s"(batch ${m.batchId} -> ${m2.map(_.batchId).getOrElse(-1L)})" +
             " — expiry runs BETWEEN drains; aborting the swap")
+        // ver upgrades unconditionally: either the probe just proved
+        // the store stamped, or it already was — and the cut itself
+        // writes only stamped rows
         writeManifest(storeDir, m.copy(
           buckets = written.map(bk => bk -> s"data/$tag/__bk=$bk").toMap,
           sigDirs = sigTo, bandDirs = bandTo, edgeDirs = edgeTo,
-          rows = labelRows, seq = m.seq + 1))
+          rows = labelRows, seq = m.seq + 1, ver = StampedVer))
         sweepUnreferenced(storeDir, "sigs", sigTo.toSet)
         sweepUnreferenced(storeDir, "bands", bandTo.toSet)
         sweepUnreferenced(storeDir, "edges", edgeTo.toSet)
@@ -1201,7 +1210,11 @@ object ClusterStream {
       cur.map(_.edgeDirs).getOrElse(Nil) ++ ownDirs.edges, ckpt, rows,
       cur.map(_.sigBk).getOrElse(SigBuckets),
       cur.map(_.bandBk).getOrElse(BandBuckets),
-      seq = cur.map(_.seq + 1).getOrElse(0L)))
+      seq = cur.map(_.seq + 1).getOrElse(0L),
+      // a FRESH store is fully stamped by construction; a legacy store
+      // (ver 0) may hold pre-upgrade rows forever and stays 0 until an
+      // expiry's probe proves otherwise
+      ver = cur.map(_.ver).getOrElse(StampedVer)))
     sweepLabels(storeDir, buckets.values.toSet)
   }
 
@@ -1347,7 +1360,20 @@ object ClusterStream {
         * bump the batch pointer too; maintenance swaps don't) — the
         * changed-since-my-entry-snapshot check a fold's commit uses to
         * abort instead of clobbering a concurrent maintenance swap. */
-      seq: Long = 0L)
+      seq: Long = 0L,
+      /** Store format version. [[StampedVer]] (1) asserts EVERY sig/
+        * band row carries its landing-batch stamp (`__batch`) — stamped
+        * at the first fold of a FRESH store, carried forward by every
+        * commit, and upgraded by an [[expire]] whose stamp probe
+        * passed. 0 (the read default, so every pre-upgrade manifest
+        * reads as legacy) means unstamped rows may exist: expiry must
+        * run its full sig+band null probe before trusting the
+        * `__batch >= fromBatch` cut. */
+      ver: Int = 0)
+
+  /** Manifest `ver` meaning "all rows stamped — expiry's stamp probe
+    * is a free manifest read". */
+  private[streaming] val StampedVer = 1
 
   private def manifestFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "MANIFEST")
@@ -1386,7 +1412,8 @@ object ClusterStream {
         rows = Option(root.get("rows")).map(_.asLong).getOrElse(-1L),
         sigBk = Option(root.get("sigBk")).map(_.asInt).getOrElse(0),
         bandBk = Option(root.get("bandBk")).map(_.asInt).getOrElse(0),
-        seq = Option(root.get("seq")).map(_.asLong).getOrElse(0L)))
+        seq = Option(root.get("seq")).map(_.asLong).getOrElse(0L),
+        ver = Option(root.get("ver")).map(_.asInt).getOrElse(0)))
     }
   }
 
@@ -1399,6 +1426,7 @@ object ClusterStream {
     root.put("sigBk", m.sigBk)
     root.put("bandBk", m.bandBk)
     root.put("seq", m.seq)
+    root.put("ver", m.ver)
     root.put("ckpt", m.ckpt)
     def dirList(field: String, ds: Seq[String]): Unit = {
       val a = root.putArray(field); ds.foreach(a.add)

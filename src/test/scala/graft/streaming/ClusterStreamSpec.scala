@@ -409,13 +409,24 @@ class ClusterStreamSpec extends SparkSpec {
         "doc_id", "text", 3, 0.8, 128, 32,
         ClusterStream.DefaultBuckets, batchId = b)
     fold1(1L, 0); fold1(2L, 1)
-    // simulate an upgraded store that still carries pre-upgrade rows:
+    // a FRESH store is stamped at its first fold — the probe is a free
+    // manifest read for every post-upgrade store
+    assert(ClusterStream.readManifest(store).get.ver ==
+      ClusterStream.StampedVer)
+    // simulate a LEGACY store that still carries pre-upgrade rows:
     // strip the landing stamp from batch 0's sig dir (its rows would
     // read back as null __batch and the `>= fromBatch` cut would
-    // silently drop them along with their never-persisted edges)
+    // silently drop them along with their never-persisted edges) AND
+    // downgrade the manifest to the pre-upgrade read default (ver 0,
+    // what every manifest written before the stamp reads as)
     val d = s"$store/sigs/batch=0"
     val stripped = spark.read.parquet(d).drop("__batch").localCheckpoint(true)
     stripped.write.mode("overwrite").parquet(d)
+    def downgrade(): Unit = {
+      val m = ClusterStream.readManifest(store).get
+      ClusterStream.writeManifest(store, m.copy(ver = 0))
+    }
+    downgrade()
     val e = intercept[IllegalArgumentException] {
       ClusterStream.expire(spark, store, fromBatch = 0)
     }
@@ -432,6 +443,39 @@ class ClusterStreamSpec extends SparkSpec {
     // the refused store is untouched and still reads
     assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
       Set((1L, 1L), (2L, 1L)))
+  }
+
+  test("the manifest version stamp replaces expiry's null probe; a passing legacy probe upgrades once") {
+    val work = graft.util.Workspace.temp("clusterstream-verstamp")
+    val store = s"$work/store"
+    val fam = "alpha beta gamma delta epsilon zeta eta"
+    def fold1(id: Long, b: Long) =
+      ClusterStream.fold(spark, store,
+        Seq((id, fam)).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    fold1(1L, 0); fold1(2L, 1); fold1(3L, 2)
+    // a legacy manifest (ver 0) over FULLY-STAMPED rows: the one-time
+    // probe passes and the expiry swap upgrades the stamp
+    val m0 = ClusterStream.readManifest(store).get
+    ClusterStream.writeManifest(store, m0.copy(ver = 0))
+    assert(ClusterStream.expire(spark, store, fromBatch = 1).isDefined)
+    assert(ClusterStream.readManifest(store).get.ver ==
+      ClusterStream.StampedVer,
+      "a passing probe must upgrade the stamp so it is paid at most once")
+    assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
+      Set((2L, 2L), (3L, 2L)))
+    // PROOF the scan is gone on stamped stores: null-stamp rows
+    // smuggled under a StampedVer manifest do NOT trip the probe (the
+    // old code scanned and refused; the stamp is now the contract and
+    // the cut simply drops the nulls)
+    val sigDir = ClusterStream.readManifest(store).get.sigDirs.head
+    val smuggled = spark.read.parquet(s"$store/$sigDir")
+      .withColumn("__batch", lit(null).cast("long")).localCheckpoint(true)
+    smuggled.write.mode("overwrite").parquet(s"$store/$sigDir")
+    assert(ClusterStream.expireImpl(spark, store, fromBatch = 2,
+      beforeSwap = () => ()).isDefined,
+      "a StampedVer manifest must make the stamp check a free manifest read")
   }
 
   test("a fold whose commit lands after a maintenance swap aborts instead of clobbering it (TOCTOU)") {
