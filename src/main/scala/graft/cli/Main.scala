@@ -36,9 +36,9 @@ object Main {
       |  schema  --rules <file|dir> <glob>...
       |  migrate --warehouse <dir> [--partition <unit>] <srcDs.srcTbl> <dstDs.dstTbl>
       |  sql     --warehouse <dir> [--limit <n>] <query>
-      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
+      |  corpus  --corpus <dir> --checkpoint <dir> [--id-col <c>] [--text-col <c>] [--continuous <ms>] [--max-files <n> | --max-bytes <b>] [--expected-items <n>] [--fpp <p>] [--shards <n>] [--near-dup] [--min-agree <f>] [--compact-every <n>] <glob>
       |  corpus compact --corpus <dir> [--target-bytes <b>] [--small-bytes <b>] [--min-files <n>]
-      |  cluster --store <dir> --checkpoint <dir> [--output <dir>] [--id-col <c>] [--text-col <c>] [--threshold <t>] [--buckets <n>] [--max-files <n>] <glob>
+      |  cluster --store <dir> --checkpoint <dir> [--output <dir>] [--id-col <c>] [--text-col <c>] [--threshold <t>] [--buckets <n>] [--max-files <n> | --max-bytes <b>] <glob>
       |  cluster compact --store <dir> [--min-dirs <n>]
       |  sample  --output <dir> [--id-col <c>] (--per-mille <n> | --strata <c1,c2> --cap <n> | --cluster-cap <n> [--nlist <n>] [--vec-col <c>] | --shuffle-seed <s> | --weighted --weight-col <c> --n <n> [--strata-col <c1,c2>] [--seed <s>] | --mix-alpha <a> --stratum <c> --budget <n> --weight-col <c> [--seed <s>]) [--warehouse <dir>] <ds.tbl|parquetDir>
       |  select  --output <dir> --budget <n> --score <col> --weight <col> [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -49,6 +49,7 @@ object Main {
       |  split   --output <dir> [--fractions train:800,val:100,test:100] [--pairs <parquetDir>] [--id-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  rank    --output <dir> --query "<id>:<terms>[;<id>:<terms>...]" [--k <n>] [--k1 <f>] [--b <f>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--ngram 2|3] [--save-model <dir> | --load-model <dir>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  score --stream --load-model <dir> --output <dir> --checkpoint <dir> [--label <c>] [--id-col <c>] [--text-col <c>] [--max-files <n> | --max-bytes <b>] <parquetGlob>
       |  decontam --output <dir> --eval "<bool SQL>" [--fuzzy | --semantic [--threshold <t>] [--vec-col <c>]] [--k <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  chunkdup --output <dir> [--ref "<bool SQL>"] [--k <n>] [--p <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
@@ -64,7 +65,8 @@ object Main {
     val flags = Map.newBuilder[String, String]
     val pos = Seq.newBuilder[String]
     val boolFlags = Set("--dry-run", "--dedup", "--near-dup", "--ids",
-      "--overlap", "--intra", "--expire", "--fuzzy", "--semantic", "--weighted")
+      "--overlap", "--intra", "--expire", "--fuzzy", "--semantic", "--weighted",
+      "--stream")
     var rest = args.toList
     while (rest.nonEmpty) rest match {
       case f :: tail if boolFlags(f) =>
@@ -296,12 +298,17 @@ object Main {
           .map(ms => Trigger.ProcessingTime(ms.toLong))
           .getOrElse(Trigger.AvailableNow())
         val items = flags.get("expected-items").map(_.toLong).getOrElse(1L << 20)
+        // --max-bytes: mega-batch landing, the `cluster` verb's knob —
+        // each micro-batch pays the gate's fixed floor (bloom/index
+        // probes + derived-store appends), so a backlogged landing
+        // zone should batch by bytes, not files
         val q = graft.streaming.CorpusBuilder.build(spark, pos.head,
           req(flags, "checkpoint"), req(flags, "corpus"),
           idCol = flags.getOrElse("id-col", "doc_id"),
           textCol = flags.getOrElse("text-col", "text"),
           trigger = trigger,
           maxFilesPerTrigger = flags.get("max-files").map(_.toInt),
+          maxBytesPerTrigger = flags.get("max-bytes").map(_.toLong),
           expectedItems = items,
           fpp = flags.get("fpp").map(_.toDouble).getOrElse(0.01),
           nearDup = if (flags.contains("near-dup"))
@@ -627,6 +634,46 @@ object Main {
           .orderBy(c("query_id"), c("rank")).collect()
           .foreach(r => println(s"${r.get(0)} #${r.get(1)}: ${r.get(2)} " +
             f"(${r.getDouble(3)}%.4f)"))
+
+      case "score" if flags.contains("stream") =>
+        // STREAMING scoring against a frozen --load-model artifact —
+        // the q120/q122 path as a verb: the parquet landing glob
+        // drains as a file stream, every micro-batch scores against
+        // the frozen model (NB when the artifact carries cls/, bigram
+        // LM otherwise), and --output accumulates batch=<id> subdirs
+        // (read back as one frame via ScoreStream.output). Trigger
+        // sizing mirrors `cluster`: one file per trigger by default;
+        // the scoring floor is PER-TRIGGER, so a backlogged landing
+        // zone should mega-batch with --max-bytes (or --max-files)
+        require(pos.size == 1,
+          "score --stream needs exactly one parquet landing glob")
+        import org.apache.spark.sql.functions.{col => c, lit, lower}
+        require(!(flags.contains("max-files") && flags.contains("max-bytes")),
+          "--max-files and --max-bytes are mutually exclusive (the file " +
+            "stream source rejects both trigger limits at once) — pick one")
+        val modelDir = req(flags, "load-model")
+        val idCol = flags.getOrElse("id-col", "doc_id")
+        val toksOf = graft.text.TextFunctions.tokens(
+          lower(c(flags.getOrElse("text-col", "text"))))
+        val reader0 = spark.readStream
+          .schema(spark.read.parquet(pos.head).schema)
+        val sized = flags.get("max-bytes") match {
+          case Some(b) => reader0.option("maxBytesPerTrigger", b)
+          case None => reader0.option("maxFilesPerTrigger",
+            flags.getOrElse("max-files", "1").toInt)
+        }
+        val in = sized.parquet(pos.head)
+        val outDir = req(flags, "output")
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(modelDir, "cls")))
+          graft.curation.Classifier.scoreNbStream(in, c(idCol), toksOf,
+            flags.get("label").map(c(_)).getOrElse(lit(null).cast("string")),
+            modelDir, outDir, req(flags, "checkpoint"))
+        else
+          graft.curation.LangModel.scoreBigramStream(in, c(idCol), toksOf,
+            modelDir, outDir, req(flags, "checkpoint"))
+        println(s"scored rows: " +
+          graft.streaming.ScoreStream.output(spark, outDir).count())
 
       case "score" =>
         // corpus-statistics document scoring: by default the bigram-LM

@@ -228,6 +228,12 @@ object CorpusBuilder {
       corpusDir: String, idCol: String = "doc_id", textCol: String = "text",
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None,
+      /** Mega-batch trigger sizing: each micro-batch pays the gate's
+        * fixed floor (bloom/index probes, derived-store appends), so a
+        * backlogged landing zone should batch by BYTES, not files.
+        * Mutually exclusive with `maxFilesPerTrigger` (the file source
+        * rejects both limits at once). */
+      maxBytesPerTrigger: Option[Long] = None,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01,
       /** Some(params) switches the per-batch gate from exact-content
         * to MinHash near-dup ([[appendNearDupNew]]). */
@@ -246,6 +252,11 @@ object CorpusBuilder {
         * maintenance run serial with this stream's own appends; the
         * StateStore lock inside compactStores covers external racers. */
       compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+    // arg validation BEFORE the lock — a refused call must not leak it
+    require(!(maxFilesPerTrigger.isDefined && maxBytesPerTrigger.isDefined),
+      "maxFilesPerTrigger and maxBytesPerTrigger are mutually exclusive " +
+        "(the file stream source rejects both trigger limits at once) — " +
+        "pick one")
     // one live builder per corpus, ENFORCED: taken before the stream
     // starts, re-checked by every fold, released when the query
     // terminates (normally or not)
@@ -255,6 +266,7 @@ object CorpusBuilder {
       val schema = landingSchema(spark, landingGlob, corpusDir)
       var reader = spark.readStream.schema(schema)
       maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+      maxBytesPerTrigger.foreach(b => reader = reader.option("maxBytesPerTrigger", b))
       reader.json(landingGlob)
         .writeStream
         .queryName("graft-corpus-builder")

@@ -127,6 +127,101 @@ class CliCurationSpec extends SparkSpec {
     assert(ex.getMessage.contains("mutually exclusive"))
   }
 
+  test("corpus --max-bytes mega-batches the drain; combining it with --max-files is rejected") {
+    val dir = tmpDir("cli-corpus-bytes")
+    writeFile(s"$dir/landing", "f0.json",
+      """{"doc_id": 1, "text": "alpha content"}""" + "\n" +
+        """{"doc_id": 2, "text": "beta content"}""" + "\n")
+    writeFile(s"$dir/landing", "f1.json",
+      """{"doc_id": 3, "text": "alpha content"}""" + "\n" +
+        """{"doc_id": 4, "text": "gamma content"}""" + "\n")
+    Main.run(spark, Array("corpus", "--corpus", s"$dir/corpus",
+      "--checkpoint", s"$dir/ckpt", "--max-bytes", (64L << 20).toString,
+      s"$dir/landing/*.json"))
+    assert(spark.read.parquet(s"$dir/corpus/docs").count() == 3L,
+      "content-deduped across both files")
+    // a generous byte budget lands both files in ONE micro-batch
+    val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits == 1, s"expected one mega-batch commit, got $commits")
+    // the file source rejects both trigger limits — fail at the API
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("corpus", "--corpus", s"$dir/corpus2",
+        "--checkpoint", s"$dir/ckpt2", "--max-files", "1",
+        "--max-bytes", "1000", s"$dir/landing/*.json"))
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+    // ...and the refused call must not leak the builder lock
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/corpus2", "BUILD.lock")))
+  }
+
+  test("score --stream drains a landing glob against a frozen NB artifact; --max-bytes mega-batches") {
+    val dir = tmpDir("cli-score-stream")
+    val docs = Seq(
+      (1L, "news", "markets rally as stocks climb higher"),
+      (2L, "sport", "team wins the cup final tonight"),
+      (3L, "news", "stocks slip on rate fears again"),
+      (4L, "sport", "late winner seals the cup again"))
+      .toDF("doc_id", "src", "text")
+    docs.write.parquet(s"$dir/in")
+    // train + batch-score via the batch verb (the adjudicating twin)
+    Main.run(spark, Array("score", "--label", "src",
+      "--save-model", s"$dir/model", "--output", s"$dir/batch", s"$dir/in"))
+    // landing zone: two files, drained as a stream with a byte budget
+    docs.filter(col("doc_id") <= 2).coalesce(1)
+      .write.mode("append").parquet(s"$dir/landing")
+    docs.filter(col("doc_id") > 2).coalesce(1)
+      .write.mode("append").parquet(s"$dir/landing")
+    Main.run(spark, Array("score", "--stream", "--load-model", s"$dir/model",
+      "--label", "src", "--output", s"$dir/scored",
+      "--checkpoint", s"$dir/ckpt", "--max-bytes", (64L << 20).toString,
+      s"$dir/landing"))
+    val streamed = graft.streaming.ScoreStream.output(spark, s"$dir/scored")
+      .select(col("__id"), col("predicted"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = spark.read.parquet(s"$dir/batch")
+      .select(col("doc_id"), col("predicted"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"stream must equal the batch twin:\n$streamed\nvs\n$batch")
+    val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits == 1, s"expected one mega-batch commit, got $commits")
+    // both trigger limits at once is rejected before anything starts
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Array("score", "--stream", "--load-model", s"$dir/model",
+        "--output", s"$dir/scored2", "--checkpoint", s"$dir/ckpt2",
+        "--max-files", "1", "--max-bytes", "1000", s"$dir/landing"))
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+  }
+
+  test("score --stream routes an LM artifact (no cls/) to the bigram scorer") {
+    val dir = tmpDir("cli-score-stream-lm")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox sleeps by the dog"),
+      (3L, "entirely different words compose this one"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/in")
+    Main.run(spark, Array("score", "--save-model", s"$dir/model",
+      "--output", s"$dir/batch", s"$dir/in"))
+    docs.coalesce(1).write.parquet(s"$dir/landing")
+    Main.run(spark, Array("score", "--stream", "--load-model", s"$dir/model",
+      "--output", s"$dir/scored", "--checkpoint", s"$dir/ckpt",
+      "--max-bytes", (64L << 20).toString, s"$dir/landing"))
+    val streamed = graft.streaming.ScoreStream.output(spark, s"$dir/scored")
+      .select(col("__id"), round(col("xent"), 6).as("xent")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = spark.read.parquet(s"$dir/batch")
+      .filter(col("n_bigrams") > 0)
+      .select(col("doc_id"), col("xent")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch,
+      s"LM stream must equal the batch twin:\n$streamed\nvs\n$batch")
+  }
+
   test("select --budget keeps the greedy score-ordered prefix, via warehouse table ref") {
     val dir = tmpDir("cli-select")
     // warehouse-table input path: ds.tbl resolved through the registry
