@@ -54,29 +54,21 @@ object BandIndex {
   private val MetaFile = "bands-meta.json"
 
   /** The ACTIVE spec, or None when no index exists yet. */
-  def readMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String): Option[Spec] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(storeDir, MetaFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  def readMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String): Option[Spec] =
+    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile).map { s =>
       val m = """\{"bands":(\d+),"buckets":(\d+)\}""".r
       s.trim match {
-        case m(b, k) => Some(Spec(b.toInt, k.toInt))
-        case _ => sys.error(s"unreadable band-index meta at $p: $s")
+        case m(b, k) => Spec(b.toInt, k.toInt)
+        case _ => sys.error(s"unreadable band-index meta at $storeDir/$MetaFile: $s")
       }
     }
-  }
 
   /** Does the ACTIVE layout directory for `spec` exist? A meta pointer
     * whose layout was deleted out-of-band must trigger a rebuild, not
     * quietly probe "no index" ≡ "no near-dups". */
   def layoutExists(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      spec: Spec): Boolean = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(storeDir, spec.layoutDir))
-  }
+      spec: Spec): Boolean =
+    graft.streaming.StoreManifest.fsExists(spark, storeDir, spec.layoutDir)
 
   private def bucketOf(bandKey: Column, buckets: Int): Column =
     pmod(xxhash64(bandKey), lit(buckets.toLong)).cast(IntegerType)

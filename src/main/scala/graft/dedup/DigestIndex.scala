@@ -68,29 +68,21 @@ object DigestIndex {
   private val MetaFile = "digests-meta.json"
 
   /** The ACTIVE spec, or None when no index exists yet. */
-  def readMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String): Option[Spec] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(storeDir, MetaFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  def readMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String): Option[Spec] =
+    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile).map { s =>
       val m = """\{"buckets":(\d+)\}""".r
       s.trim match {
-        case m(k) => Some(Spec(k.toInt))
-        case _ => sys.error(s"unreadable digest-index meta at $p: $s")
+        case m(k) => Spec(k.toInt)
+        case _ => sys.error(s"unreadable digest-index meta at $storeDir/$MetaFile: $s")
       }
     }
-  }
 
   /** Does the ACTIVE layout directory for `spec` exist? A meta pointer
     * whose layout was deleted out-of-band must trigger a rebuild, not
     * quietly verify "no match" ≡ "new content". */
   def layoutExists(spark: org.apache.spark.sql.SparkSession, storeDir: String,
-      spec: Spec): Boolean = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(storeDir, spec.layoutDir))
-  }
+      spec: Spec): Boolean =
+    graft.streaming.StoreManifest.fsExists(spark, storeDir, spec.layoutDir)
 
   private def bucketOf(digest: Column, buckets: Int): Column =
     pmod(xxhash64(digest), lit(buckets.toLong)).cast(IntegerType)

@@ -74,21 +74,15 @@ object ShardedBloom {
     new Path(layout, f"shard=$shard%05d.bin")
 
   /** The ACTIVE spec, or None when no sharded store exists yet. */
-  def readMeta(spark: SparkSession, storeDir: String): Option[Spec] = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new Path(storeDir, MetaFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  def readMeta(spark: SparkSession, storeDir: String): Option[Spec] =
+    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile).map { s =>
       // three fields, fixed order — keep the parse dependency-free
       val m = """\{"numShards":(\d+),"expectedItems":(\d+),"fpp":([0-9.eE+-]+)\}""".r
       s.trim match {
-        case m(n, i, f) => Some(Spec(n.toInt, i.toLong, f.toDouble))
-        case _ => sys.error(s"unreadable bloom meta at $p: $s")
+        case m(n, i, f) => Spec(n.toInt, i.toLong, f.toDouble)
+        case _ => sys.error(s"unreadable bloom meta at $storeDir/$MetaFile: $s")
       }
     }
-  }
 
   private def writeMeta(fs: FileSystem, storeDir: String, spec: Spec): Unit = {
     val json = s"""{"numShards":${spec.numShards},"expectedItems":${spec.expectedItems},"fpp":${spec.fpp}}"""
@@ -150,10 +144,8 @@ object ShardedBloom {
   /** Does the ACTIVE layout directory for `spec` exist? A meta pointer
     * whose layout was deleted out-of-band must trigger a rebuild, not
     * quietly probe "every shard absent" ≡ "everything new". */
-  def layoutExists(spark: SparkSession, storeDir: String, spec: Spec): Boolean = {
-    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new Path(storeDir, spec.layoutDir))
-  }
+  def layoutExists(spark: SparkSession, storeDir: String, spec: Spec): Boolean =
+    graft.streaming.StoreManifest.fsExists(spark, storeDir, spec.layoutDir)
 
   /** Remove the sharded store entirely (meta + every layout dir) —
     * used when the corpus switches back to a monolithic filter, so two

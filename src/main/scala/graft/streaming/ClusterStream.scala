@@ -1069,16 +1069,9 @@ object ClusterStream {
     * crashed not-yet-committed fold is also swept — its batch
     * re-delivers and rewrites it. */
   private def sweepUnreferenced(storeDir: String, area: String,
-      live: Set[String]): Unit = {
-    val root = Paths.get(storeDir, area)
-    if (Files.exists(root)) {
-      val ls = Files.list(root)
-      try ls.iterator.asScala.filter(Files.isDirectory(_)).toList.foreach { d =>
-        if (!live(s"$area/${d.getFileName}")) deleteRecursively(d)
-      }
-      finally ls.close()
-    }
-  }
+      live: Set[String]): Unit =
+    StoreManifest.sweepChildDirs(Paths.get(storeDir, area),
+      name => live(s"$area/$name"))
 
   /** Attach the denormalized per-component index the fast path's probe
     * reads — (members, bks) on every label row — plus the `__bk`
@@ -1234,10 +1227,8 @@ object ClusterStream {
             val leafDirs = try leaves.iterator.asScala
               .filter(Files.isDirectory(_)).toList
             finally leaves.close()
-            if (leafDirs.isEmpty) deleteRecursively(bd) // flat fold run
-            else leafDirs.foreach { leaf =>
-              if (!live(s"$rel/${leaf.getFileName}")) deleteRecursively(leaf)
-            }
+            if (leafDirs.isEmpty) StoreManifest.deleteRecursively(bd) // flat run
+            else StoreManifest.sweepChildDirs(bd, leaf => live(s"$rel/$leaf"))
           }
         }
       finally batches.close()
@@ -1436,16 +1427,7 @@ object ClusterStream {
     dirList("edgeDirs", m.edgeDirs)
     val b = root.putObject("buckets")
     m.buckets.toSeq.sortBy(_._1).foreach { case (k, v) => b.put(k.toString, v) }
-    val tmp = Paths.get(storeDir, "labels", "MANIFEST.tmp")
-    Files.writeString(tmp, jsonMapper.writeValueAsString(root))
-    Files.move(tmp, manifestFile(storeDir), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    val walk = Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(f => Files.deleteIfExists(f))
-    finally walk.close()
+    StoreManifest.atomicWrite(manifestFile(storeDir),
+      jsonMapper.writeValueAsString(root))
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -57,82 +57,39 @@ import graft.dedup.{BandIndex, Dedup, DigestIndex, ShardedBloom}
   * digests, not batch ids, so a full fresh-checkpoint replay of the
   * landing zone is a correct, tested operation (exactly-once-by-content
   * — CorpusBuilderSpec's fresh-checkpoint cases). The remaining hazard
-  * is two CONCURRENT drains racing the derived-store commits; the
-  * one-live-builder contract is ENFORCED (the [[ClusterStream]]
-  * maintenance-lock discipline): [[build]] takes `BUILD.lock` under
-  * the corpus dir atomically before the stream starts — a second
-  * builder fails loudly instead of silently corrupting the gate — and
-  * every fold re-checks its token at entry and again immediately
-  * before the docs append (the commit's point of no return), so even
-  * an operator force-breaking the lock mid-drain fails the usurped
-  * builder's commit instead of interleaving two gates. Direct batch
-  * calls to [[appendNew]]/[[appendNearDupNew]] (no `lockToken`) stay
-  * lock-free — the caller owns serialization there.
+  * — two CONCURRENT drains racing the derived-store commits — is
+  * closed by the enforced one-live-builder lock (see [[buildLockPath]]
+  * and [[StoreManifest]] invariant 5); direct batch calls to
+  * [[appendNew]]/[[appendNearDupNew]] (no `lockToken`) stay lock-free,
+  * the caller owning serialization there.
   */
 object CorpusBuilder {
 
-  /** One-live-builder lock file (under the corpus dir). Created
-    * atomically by [[acquireBuildLock]]; holds `<token> <holder>`. */
+  /** One-live-builder lock file (under the corpus dir). The
+    * [[StoreManifest]] holder-lock discipline: atomic acquire in
+    * [[build]], token re-checked by every fold at entry and before the
+    * docs append, released when the query terminates; a crashed
+    * builder leaves it for the operator. */
   private def buildLockPath(corpusDir: String): java.nio.file.Path =
     Paths.get(corpusDir, "BUILD.lock")
 
-  /** Atomically take the corpus' builder lock, failing loudly if a
-    * builder already holds it. Returns the token the holder's folds
-    * pass to the commit re-check. A builder that CRASHES leaves the
-    * lock behind (the [[ClusterStream]] compaction-lock contract):
-    * if no builder is running, the operator deletes the file. */
   private[streaming] def acquireBuildLock(corpusDir: String,
-      holder: String): String = {
-    Files.createDirectories(Paths.get(corpusDir))
-    val token = java.util.UUID.randomUUID().toString
-    try {
-      Files.write(buildLockPath(corpusDir), s"$token $holder".getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      token
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val cur = try new String(
-          Files.readAllBytes(buildLockPath(corpusDir)), "UTF-8").trim
-        catch { case _: Exception => "<unreadable>" }
-        sys.error(s"corpus at $corpusDir already has a live builder " +
-          s"($cur) — the content gate's derived-store commits assume ONE " +
-          "builder per corpus; stop it first, or if it crashed, delete " +
-          s"${buildLockPath(corpusDir)}")
-    }
-  }
+      holder: String): String =
+    StoreManifest.acquireHolderLock(buildLockPath(corpusDir), "builder",
+      holder, "the content gate's derived-store commits assume ONE " +
+        "builder per corpus")
 
-  /** Release the builder lock IF `token` still holds it (idempotent;
-    * a force-broken lock belongs to the usurper and is left alone). */
   private[streaming] def releaseBuildLock(corpusDir: String,
-      token: String): Unit = {
-    val p = buildLockPath(corpusDir)
-    val held = try Files.exists(p) &&
-      new String(Files.readAllBytes(p), "UTF-8").startsWith(token)
-    catch { case _: Exception => false }
-    if (held) Files.deleteIfExists(p)
-  }
+      token: String): Unit =
+    StoreManifest.releaseHolderLock(buildLockPath(corpusDir), token)
 
-  /** The commit re-check: a fold holding `token` must still own the
-    * lock — an operator who force-broke a live builder's lock and
-    * started another fails THIS builder's fold loudly instead of
-    * letting two gates interleave their derived-store commits.
-    * Derived-store writes already made by the failing fold are ghosts
-    * the gate absorbs by design (superset invariant). No token
-    * (direct batch API use) checks nothing. */
+  /** Derived-store writes already made by a fold failing this re-check
+    * are ghosts the gate absorbs by design (superset invariant). */
   private def requireBuildLock(corpusDir: String,
-      token: Option[String]): Unit = token.foreach { t =>
-    val p = buildLockPath(corpusDir)
-    val cur = try {
-      if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8")
-      else ""
-    } catch { case _: Exception => "" }
-    require(cur.startsWith(t),
-      s"this builder no longer holds $p (current holder: " +
-        s"'${cur.trim}') — its lock was broken and another builder " +
-        "took the corpus; this fold aborts before the docs append " +
-        "(derived-store rows it already wrote are crash-window ghosts " +
-        "the gate absorbs)")
-  }
+      token: Option[String]): Unit =
+    StoreManifest.requireHolderLock(buildLockPath(corpusDir), token,
+      "this fold aborts before the docs append (derived-store rows it " +
+        "already wrote are crash-window ghosts the gate absorbs)")
 
   /** Fault-injection seam for crash-recovery specs: invoked after each
     * derived-store persist step of a commit, BEFORE the docs append,
@@ -518,15 +475,12 @@ object CorpusBuilder {
     spark.read.option("mergeSchema", "true").parquet(docsDir)
       .select(col(DigestCol).as("digest"))
 
-  /** Single-writer tmp+rename of the monolithic filter (the driver's
-    * foreachBatch is serial per corpus, so a fixed tmp name is safe
-    * here — unlike the executor-side shard writes). */
-  private def writeFilter(bloomPath: java.nio.file.Path, bytes: Array[Byte]): Unit = {
-    val tmp = bloomPath.resolveSibling("bloom.bin.tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, bloomPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Single-writer atomic swap of the monolithic filter (the driver's
+    * foreachBatch is serial per corpus, so the fixed tmp name inside
+    * [[StoreManifest.atomicWriteBytes]] is safe here — unlike the
+    * executor-side shard writes). */
+  private def writeFilter(bloomPath: java.nio.file.Path, bytes: Array[Byte]): Unit =
+    StoreManifest.atomicWriteBytes(bloomPath, bytes)
 
   /** Persist one batch under the superset invariant: merge the batch's
     * digests into the stored filter FIRST, then append to the digest

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -232,53 +232,31 @@ object CountStream {
   private def deltaManifestFile(storeDir: String) =
     Paths.get(storeDir, "DELTAS")
 
-  private def readDeltaManifest(storeDir: String): Option[(Long, Seq[String])] = {
-    val p = deltaManifestFile(storeDir)
-    if (!Files.exists(p)) None
-    else {
-      val lines = Files.readString(p).split("\n", 2)
-      Some((lines(0).trim.toLong,
+  private def readDeltaManifest(storeDir: String): Option[(Long, Seq[String])] =
+    StoreManifest.readIfExists(deltaManifestFile(storeDir)).map { s =>
+      val lines = s.split("\n", 2)
+      (lines(0).trim.toLong,
         if (lines.length < 2 || lines(1).trim.isEmpty) Nil
-        else lines(1).trim.split("\n").toSeq))
+        else lines(1).trim.split("\n").toSeq)
     }
-  }
 
   private def writeDeltaManifest(storeDir: String, batchId: Long,
-      dirs: Seq[String]): Unit = {
-    Files.createDirectories(Paths.get(storeDir))
-    val tmp = Paths.get(storeDir, "DELTAS.tmp")
-    Files.writeString(tmp, (batchId.toString +: dirs).mkString("\n"))
-    Files.move(tmp, deltaManifestFile(storeDir),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
+      dirs: Seq[String]): Unit =
+    StoreManifest.atomicWrite(deltaManifestFile(storeDir),
+      (batchId.toString +: dirs).mkString("\n"))
 
   /** Delete delta dirs the manifest no longer references (replaced by a
     * compaction, or ghosts of a crashed fold already re-delivered). */
-  private def sweepDeltas(storeDir: String, live: Set[String]): Unit = {
-    val root = Paths.get(storeDir, "delta")
-    if (Files.exists(root)) {
-      val ls = Files.list(root)
-      try ls.iterator.asScala.filter(Files.isDirectory(_)).toList.foreach { d =>
-        if (!live(s"delta/${d.getFileName}")) {
-          val walk = Files.walk(d)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        }
-      }
-      finally ls.close()
-    }
-  }
+  private def sweepDeltas(storeDir: String, live: Set[String]): Unit =
+    StoreManifest.sweepChildDirs(Paths.get(storeDir, "delta"),
+      name => live(s"delta/$name"))
 
   private def genFile(storeDir: String) = Paths.get(storeDir, "GEN")
 
-  private def pointer(storeDir: String): Option[(Long, Long)] = {
-    val p = genFile(storeDir)
-    if (!Files.exists(p)) None
-    else Files.readString(p).trim.split(" ") match {
-      case Array(g, b) => Some((g.toLong, b.toLong))
-    }
-  }
+  private def pointer(storeDir: String): Option[(Long, Long)] =
+    StoreManifest.genPointer(storeDir).map(_.split(" ") match {
+      case Array(g, b) => (g.toLong, b.toLong)
+    })
 
   /** Last merged micro-batch id, if any generation is committed. */
   def lastBatch(storeDir: String): Option[Long] = pointer(storeDir).map(_._2)
@@ -294,10 +272,9 @@ object CountStream {
     * most a batch's key set, so the previous size is the right
     * estimate; re-sizing lags one generation, which only ever means
     * one slightly-oversized file). */
-  private def committedBytes(storeDir: String): Long = pointer(storeDir) match {
-    case None => 0L
-    case Some((g, _)) =>
-      val dir = Paths.get(storeDir, s"gen=$g")
+  private def committedBytes(storeDir: String): Long =
+    StoreManifest.currentGenDir(storeDir).map { rel =>
+      val dir = Paths.get(storeDir, rel)
       if (!Files.exists(dir)) 0L
       else {
         val walk = Files.walk(dir)
@@ -305,34 +282,27 @@ object CountStream {
           .map(Files.size).sum
         finally walk.close()
       }
-  }
+    }.getOrElse(0L)
 
   private def advance(spark: SparkSession, storeDir: String,
       merged: DataFrame, batchId: Long, maxKeys: Long,
       shardBytes: Long = ShardBytes): Unit = {
-    val old = pointer(storeDir)
-    val next = old.map(_._1 + 1).getOrElse(0L)
-    val shards = math.max(1L, (committedBytes(storeDir) + shardBytes - 1) / shardBytes).toInt
-    merged.repartition(shards).write.mode("overwrite")
-      .parquet(s"$storeDir/gen=$next")
-    // cardinality check off the WRITTEN parquet (footer metadata — no
-    // recompute), and BEFORE the pointer move: an over-cardinality
-    // merge leaves the store at its last good generation
-    val keys = spark.read.parquet(s"$storeDir/gen=$next").count()
-    require(keys <= maxKeys,
-      s"count store at $storeDir: merge produced $keys keys > maxKeys=" +
-        s"$maxKeys — the (keys..., count) table only bounds state for a " +
-        "BOUNDED key domain; bucket or hash the key first (see " +
-        "HistQuantiles), or raise maxKeys explicitly for a known domain.")
-    val tmp = Paths.get(storeDir, "GEN.tmp")
-    Files.writeString(tmp, s"$next $batchId")
-    Files.move(tmp, genFile(storeDir), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    old.foreach { case (g, _) =>
-      val dir = Paths.get(storeDir, s"gen=$g")
-      if (Files.exists(dir))
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-    }
+    val shards = math.max(1L,
+      (committedBytes(storeDir) + shardBytes - 1) / shardBytes).toInt
+    StoreManifest.advanceGen(storeDir,
+      writeGen = dir =>
+        merged.repartition(shards).write.mode("overwrite").parquet(dir),
+      pointerFor = next => s"$next $batchId",
+      // cardinality check off the WRITTEN parquet (footer metadata — no
+      // recompute), and BEFORE the pointer move: an over-cardinality
+      // merge leaves the store at its last good generation
+      afterWrite = dir => {
+        val keys = spark.read.parquet(dir).count()
+        require(keys <= maxKeys,
+          s"count store at $storeDir: merge produced $keys keys > maxKeys=" +
+            s"$maxKeys — the (keys..., count) table only bounds state for " +
+            "a BOUNDED key domain; bucket or hash the key first (see " +
+            "HistQuantiles), or raise maxKeys explicitly for a known domain.")
+      })
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** Checkpoint-lineage binding for BATCH-ID-guarded foreachBatch stores
   * ([[CountStream]]'s generation and delta disciplines,
@@ -46,12 +46,6 @@ object Lineage {
           "would silently no-op or overwrite committed state. Resume with " +
           "the original checkpoint dir, point the new stream at a fresh " +
           s"store, or delete $f for a deliberate rebind")
-    } else {
-      Files.createDirectories(f.getParent)
-      val tmp = Paths.get(dir, "_LINEAGE.tmp")
-      Files.writeString(tmp, ckpt)
-      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+    } else StoreManifest.atomicWrite(f, ckpt)
   }
 }

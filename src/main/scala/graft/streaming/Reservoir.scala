@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -24,10 +22,10 @@ import org.apache.spark.sql.streaming.Trigger
   * ranking: the E-S key is a pure function of the id, so a replayed row
   * is byte-identical to its first delivery and collapses.
   *
-  * Store layout: `storeDir/gen=N` parquet + a `GEN` pointer file,
-  * swapped atomically (write-new → move-pointer → delete-old); a crash
-  * between steps leaves either the old complete generation (pointer
-  * not yet moved) or the new one — never a torn store.
+  * Store layout: `storeDir/gen=N` parquet + a `GEN` pointer file under
+  * [[StoreManifest]]'s atomic-swap discipline — a crash between steps
+  * leaves the old complete generation or the new one, never a torn
+  * store.
   *
   * Deliberately NOT bound to one checkpoint lineage (unlike the
   * batch-id-guarded stores — [[Lineage]]): replay safety here is
@@ -92,33 +90,15 @@ object Reservoir {
       spark.emptyDataFrame)
   }
 
-  private def genFile(storeDir: String) = Paths.get(storeDir, "GEN")
-
   /** The committed reservoir, or None before the first generation. */
-  def current(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val p = genFile(storeDir)
-    if (!Files.exists(p)) None
-    else Some(spark.read.parquet(s"$storeDir/gen=${Files.readString(p).trim}"))
-  }
+  def current(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    StoreManifest.currentGenDir(storeDir)
+      .map(rel => spark.read.parquet(s"$storeDir/$rel"))
 
-  /** Write the next generation, move the pointer (atomic rename of a
-    * tmp pointer — readers see old or new, never torn), drop the old. */
-  private def advance(spark: SparkSession, storeDir: String, top: DataFrame): Unit = {
-    val p = genFile(storeDir)
-    val old = if (Files.exists(p)) Some(Files.readString(p).trim) else None
-    val next = old.map(_.toLong + 1).getOrElse(0L)
-    // the store is n rows by construction — one file keeps the
-    // generation a single-object swap on any filesystem
-    top.coalesce(1).write.mode("overwrite").parquet(s"$storeDir/gen=$next")
-    val tmp = Paths.get(storeDir, "GEN.tmp")
-    Files.writeString(tmp, next.toString)
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    old.foreach { g =>
-      val dir = Paths.get(storeDir, s"gen=$g")
-      if (Files.exists(dir))
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-    }
-  }
+  /** One [[StoreManifest.advanceGen]] swap; the store is n rows by
+    * construction, so one file keeps the generation a single-object
+    * swap on any filesystem. */
+  private def advance(spark: SparkSession, storeDir: String, top: DataFrame): Unit =
+    StoreManifest.advanceGen(storeDir,
+      dir => top.coalesce(1).write.mode("overwrite").parquet(dir))
 }
