@@ -360,6 +360,14 @@ object ClusterStream {
       System.err.println(f"[fold $batchId] $tag ${(now - tm) / 1e9}%.2fs")
       tm = now
     }
+    // NOT spread before signaturing, unlike [[ScoreStream]]'s scorers:
+    // measured A/B (r14) shows the fold LOSES ~15-25% to the
+    // round-robin shuffle — its heavy laps (cross-edge probe, roots,
+    // member fetch) are store-side and already parallel, the batch
+    // side rides one cached single-task stage, and the spread's extra
+    // exchange plus 32-way tiny downstream stages cost more than the
+    // one task saves. The scoring drains have the opposite profile
+    // (per-row tokenize+join work dominated by the batch side).
     val sigsB = Dedup.stagedSigs(batch, idCol, textCol, shingleK, k).persist()
     // the batch's own sig/band dirs are read by NOTHING in this fold
     // (the probe scans only the manifest's PRIOR dirs), so their two
