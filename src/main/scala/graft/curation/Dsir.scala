@@ -150,8 +150,11 @@ object Dsir {
       modelDir: String, numBuckets: Int, threshold: Double,
       outDir: String, checkpointDir: String): Unit = {
     val lr = stream.sparkSession.read.parquet(s"$modelDir/lr")
+    // spread = false: the gate's per-row work (tokenize + bucket hash +
+    // one tiny broadcast join) is too light to amortize the spread's
+    // exchange — measured ~+0.7s per drain at sf0.1 (docs/PERF.md r14)
     graft.streaming.ScoreStream.replay(stream, Seq(lr), outDir,
-      checkpointDir)(batch =>
+      checkpointDir, spread = false)(batch =>
       scoreAgainst(batch, id, toks, numBuckets, lr)
         .filter(col("score") >= threshold))
   }

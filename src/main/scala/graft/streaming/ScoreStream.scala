@@ -84,7 +84,14 @@ object ScoreStream {
     * `score`'s plan over exactly these frames so no model state is
     * re-derived inside the loop. Blocks until the drain finishes. */
   def replay(stream: DataFrame, frozen: Seq[DataFrame], outDir: String,
-      checkpointDir: String)(score: DataFrame => DataFrame): Unit = {
+      checkpointDir: String,
+      /** spread a split-starved micro-batch to defaultParallelism
+        * before scoring. Right when the trigger cost IS batch-side
+        * per-row work (NB: measured −30%; LM/decontam: tie) — a
+        * scorer whose per-row work is too light to amortize the
+        * round-robin exchange (DSIR gate: measured ~+0.7s) opts out.
+        * Per-family A/B in docs/PERF.md round 14. */
+      spread: Boolean = true)(score: DataFrame => DataFrame): Unit = {
     // the output layout moved from flat per-batch appends to
     // batch=<id> subdirs; resuming over an outDir written with the old
     // flat layout would leave root part files NEXT TO batch= subdirs,
@@ -136,12 +143,12 @@ object ScoreStream {
         // isolating its contribution on a given box (debug-only, like
         // GRAFT_SCORE_DEBUG)
         val par = batch.sparkSession.sparkContext.defaultParallelism
-        val spread =
-          if (sys.env.contains("GRAFT_SCORE_NOSPREAD") ||
+        val in =
+          if (!spread || sys.env.contains("GRAFT_SCORE_NOSPREAD") ||
             batch.rdd.getNumPartitions >= par) batch
           else batch.repartition(par)
         lap(s"trigger $batchId")(
-          score(spread).write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
+          score(in).write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
