@@ -1,0 +1,32 @@
+package graft.util
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Whole-session job tracer (`GRAFT_JOB_TRACE=1` on [[graft.GraftSession]],
+  * or `spark.extraListeners=graft.util.JobTraceListener`): prints every
+  * Spark job's duration, task count and call-site line to stderr — the
+  * decomposition tool that tells a broadcast build from a store append
+  * from scheduler dead time in ANY drain, not just the ScoreStream
+  * scorers (whose `GRAFT_SCORE_DEBUG=jobs` listener scopes the same
+  * trace to one replay). */
+class JobTraceListener extends SparkListener {
+  private val starts =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+
+  override def onJobStart(js: SparkListenerJobStart): Unit = {
+    val desc = Option(js.properties)
+      .flatMap(p => Option(p.getProperty("spark.job.description")))
+      .orElse(Option(js.properties)
+        .flatMap(p => Option(p.getProperty("callSite.short"))))
+      .getOrElse("?")
+    starts.put(js.jobId, (System.nanoTime(),
+      desc.linesIterator.next().take(90),
+      js.stageInfos.map(_.numTasks).sum))
+  }
+
+  override def onJobEnd(je: SparkListenerJobEnd): Unit =
+    Option(starts.remove(je.jobId)).foreach { case (t0, desc, tasks) =>
+      System.err.println(f"[job] #${je.jobId}%-4d " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.3fs $tasks%4d tasks  $desc")
+    }
+}
