@@ -319,8 +319,9 @@ object CorpusBuilder {
     }
     if (numShards <= 1) {
       val bloomPath = Paths.get(corpusDir, "bloom.bin")
-      val stored = monolithicFilter(spark, bloomPath, docsDir, hasDocs,
-        expectedItems, fpp)
+      val stored = graft.streaming.ScoreStream.lap("corpus-resolve")(
+        monolithicFilter(spark, bloomPath, docsDir, hasDocs,
+          expectedItems, fpp))
       val fresh = stored match {
         case Some(f) if idxReady =>
           indexVerified(keyed.filter(call_function("graft_bloom_contains",
@@ -329,11 +330,13 @@ object CorpusBuilder {
       }
       // survivors are consumed by filter build, index append, docs
       // append and count — materialize once; output-sized
-      val staged = graft.util.Materialize.eager(fresh)
+      val staged = graft.streaming.ScoreStream.lap("corpus-stage")(
+        graft.util.Materialize.eager(fresh))
       val appended = staged.count()
       if (appended > 0) {
-        commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems,
-          fpp, corpusDir, idCol, idxSpec, lockToken)
+        graft.streaming.ScoreStream.lap("corpus-commit")(
+          commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems,
+            fpp, corpusDir, idCol, idxSpec, lockToken))
         // one store at a time: this corpus is monolithic-owned now
         ShardedBloom.deleteStore(spark, corpusDir)
       }
@@ -492,13 +495,17 @@ object CorpusBuilder {
       bloomPath: java.nio.file.Path, stored: Option[Array[Byte]],
       expectedItems: Long, fpp: Double, corpusDir: String, idCol: String,
       idxSpec: DigestIndex.Spec, lockToken: Option[String] = None): Unit = {
-    persistMergedFilter(spark, staged, docsDir, bloomPath, stored, expectedItems, fpp)
+    graft.streaming.ScoreStream.lap("corpus-commit-bloom")(
+      persistMergedFilter(spark, staged, docsDir, bloomPath, stored,
+        expectedItems, fpp))
     commitFault("bloom", corpusDir)
-    DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
-      idCol, DigestCol, corpusDir, idxSpec)
+    graft.streaming.ScoreStream.lap("corpus-commit-index")(
+      DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
+        idCol, DigestCol, corpusDir, idxSpec))
     commitFault("digest-index", corpusDir)
     requireBuildLock(corpusDir, lockToken)
-    staged.write.mode("append").parquet(docsDir)
+    graft.streaming.ScoreStream.lap("corpus-commit-docs")(
+      staged.write.mode("append").parquet(docsDir))
   }
 
   /** The filter half of [[commitBatch]] — the near-dup path interleaves
