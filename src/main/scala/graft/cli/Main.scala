@@ -287,7 +287,7 @@ object Main {
         else reports.foreach { case (store, rs) =>
           if (rs.isEmpty) println(s"$store: already compact")
           else rs.foreach(r => println(s"$store ${r.partition}: " +
-            s"${r.filesBefore} -> ${r.filesAfter} files (${r.bytes} bytes)"))
+            s"${r.filesBefore} -> ${r.filesAfter} (${r.bytes} bytes)"))
         }
 
       case "corpus" | "c" =>

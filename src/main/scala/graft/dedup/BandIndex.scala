@@ -10,23 +10,28 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType,
   *
   * [[Dedup.incrementalCandidates]]'s contract says "signature the
   * corpus ONCE at ingest (persist [[Dedup.banded]]'s output as a
-  * table)"; this is that table, with the one addition a 100 TB corpus
-  * needs: rows are directory-partitioned by a hash BUCKET of the band
+  * table)"; this is that table in the [[LsmIndex]] layout: per-batch
+  * appends land as FLAT single-file runs of banded rows (no shuffle,
+  * no dynamic-partition commit inside the trigger), compaction folds
+  * them into a bulk directory-partitioned by a hash BUCKET of the band
   * key (same layout idea as the IVF store,
   * [[graft.sim.Similarity.writeIvfStore]]). A batch probe computes the
   * buckets its own band keys hash to — a metadata-sized driver list,
-  * ≤ `buckets` ints — and reads ONLY those directories
-  * (`PartitionFilters` at the scan), with the batch side broadcast: the
-  * corpus side of the probe is never shuffled and, for a batch touching
-  * few buckets, mostly never read.
+  * ≤ `buckets` ints — and reads ONLY those bulk directories
+  * (`PartitionFilters` at the scan) plus the flat post-compaction
+  * tail, with the batch side broadcast: the corpus side of the probe
+  * is never shuffled and, for a batch touching few buckets, mostly
+  * never read.
   *
   * Like every derived store here (bloom shards, IVF layout), the index
   * is REBUILDABLE from the corpus table — the stored `(id, sig)`
   * projection re-bands in one pass — so losing it costs a rebuild,
   * never correctness. Freshness is declared by `bands-meta.json`
-  * (spec pointer, tmp+rename): a param change targets a fresh layout
-  * directory and flips the pointer only after the rebuild completes,
-  * exactly the [[ShardedBloom]] resize discipline.
+  * (spec + LSM state pointer, tmp+rename): a param change targets a
+  * fresh layout directory and flips the pointer only after the rebuild
+  * completes, exactly the [[ShardedBloom]] resize discipline. A
+  * pre-LSM (ver-1) meta parses as ABSENT, so legacy layouts migrate
+  * through the same rebuild path instead of being misread.
   *
   * Crash-safety direction: callers append to the index BEFORE the docs
   * append, so the index is always a SUPERSET of the corpus' band rows.
@@ -38,7 +43,7 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType,
   */
 object BandIndex {
 
-  /** Partition (bucket) column of the stored layout. */
+  /** Partition (bucket) column of the compacted bulk layout. */
   val BucketCol = "__bk"
 
   /** Declared index spec; doubles as the layout directory name so a
@@ -53,15 +58,36 @@ object BandIndex {
 
   private val MetaFile = "bands-meta.json"
 
-  /** The ACTIVE spec, or None when no index exists yet. */
+  private def metaJson(spec: Spec, st: LsmIndex.State): String =
+    s"""{"bands":${spec.bands},"buckets":${spec.buckets},${LsmIndex.render(st)}}"""
+
+  private val SpecRe = """"bands":(\d+),"buckets":(\d+)""".r.unanchored
+
+  /** The ACTIVE spec, or None when no LSM-shaped index exists yet
+    * (absent OR a pre-LSM ver-1 meta — the migration guard: callers
+    * rebuild rather than misread a legacy layout). */
   def readMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String): Option[Spec] =
-    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile).map { s =>
-      val m = """\{"bands":(\d+),"buckets":(\d+)\}""".r
-      s.trim match {
-        case m(b, k) => Spec(b.toInt, k.toInt)
-        case _ => sys.error(s"unreadable band-index meta at $storeDir/$MetaFile: $s")
+    readState(spark, storeDir).map(_._1)
+
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[(Spec, LsmIndex.State)] =
+    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile)
+      .flatMap { s =>
+        LsmIndex.parse(s).map { st =>
+          s match {
+            case SpecRe(b, k) => (Spec(b.toInt, k.toInt), st)
+            case _ => sys.error(
+              s"unreadable band-index meta at $storeDir/$MetaFile: $s")
+          }
+        }
       }
-    }
+
+  /** Any declared layout dir (even a superseded-spec or ver-1 one), for
+    * the referenced-never-deleted cleanup at a spec flip. */
+  private def declaredLayout(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[String] =
+    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile)
+      .collect { case SpecRe(b, k) => Spec(b.toInt, k.toInt).layoutDir }
 
   /** Does the ACTIVE layout directory for `spec` exist? A meta pointer
     * whose layout was deleted out-of-band must trigger a rebuild, not
@@ -73,56 +99,83 @@ object BandIndex {
   private def bucketOf(bandKey: Column, buckets: Int): Column =
     pmod(xxhash64(bandKey), lit(buckets.toLong)).cast(IntegerType)
 
-  /** Band + bucket + rebalance-by-partition-column + partitioned write —
-    * the write shape every partitioned append here uses (one task per
-    * touched bucket writes one file, not tasks × buckets small files). */
-  private def writeRows(docSigs: DataFrame, idCol: String, sigCol: String,
-      layout: String, spec: Spec, mode: String): Unit =
-    Dedup.banded(docSigs, idCol, sigCol, spec.bands)
-      .withColumn(BucketCol, bucketOf(col("band_key"), spec.buckets))
-      .hint("rebalance", BucketCol)
-      .write.partitionBy(BucketCol).mode(mode).parquet(layout)
+  private def layoutPath(storeDir: String, spec: Spec): String =
+    new Path(storeDir, spec.layoutDir).toString
 
-  /** Append band rows for newly-admitted docs to the active layout and
-    * declare the spec active (first append on a fresh corpus creates
-    * both). Call BEFORE the docs append — see class doc. */
+  private def bandedRows(docSigs: DataFrame, idCol: String, sigCol: String,
+      spec: Spec): DataFrame =
+    Dedup.banded(docSigs, idCol, sigCol, spec.bands)
+
+  /** Append band rows for newly-admitted docs as one FLAT run and swap
+    * the meta pointer (data before pointer; first append on a fresh
+    * corpus creates both). NO shuffle and NO dynamic-partition commit
+    * on this path — it runs inside every streaming trigger. Call
+    * BEFORE the docs append — see class doc. */
   def append(docSigs: DataFrame, idCol: String, sigCol: String,
       storeDir: String, spec: Spec): Unit = {
     val spark = docSigs.sparkSession
-    writeRows(docSigs, idCol, sigCol,
-      new Path(storeDir, spec.layoutDir).toString, spec, "append")
-    ensureMeta(spark, storeDir, spec)
+    val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
+      .getOrElse(LsmIndex.Empty)
+    val (_, next) = LsmIndex.writeRun(bandedRows(docSigs, idCol, sigCol, spec),
+      layoutPath(storeDir, spec), st)
+    writeMeta(spark, storeDir, spec, next)
   }
 
   /** Build the index from scratch out of the corpus' stored `(id, sig)`
     * projection — first index on an existing corpus, param change, lost
-    * layout. The new layout is fully written before the meta pointer
-    * flips; the superseded layout is removed after. */
+    * layout, ver-1 migration. The new layout (one bucket-partitioned
+    * bulk, zero runs) is fully written before the meta pointer flips;
+    * the superseded layout is removed after. */
   def rebuild(corpusSigs: DataFrame, idCol: String, sigCol: String,
       storeDir: String, spec: Spec): Unit = {
     val spark = corpusSigs.sparkSession
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val layoutPath = new Path(storeDir, spec.layoutDir)
+    val layout = new Path(storeDir, spec.layoutDir)
     // a half-written layout from a crashed rebuild is stale, not a
     // superset candidate — clear it so this rebuild starts clean
-    if (fs.exists(layoutPath)) fs.delete(layoutPath, true)
-    writeRows(corpusSigs, idCol, sigCol, layoutPath.toString, spec, "overwrite")
-    // an all-sig-less corpus writes zero rows; the layout dir must still
+    if (fs.exists(layout)) fs.delete(layout, true)
+    val bulk = "compact-0"
+    LsmIndex.writeBulk(bandedRows(corpusSigs, idCol, sigCol, spec),
+      s"${layout.toString}/$bulk", BucketCol,
+      bucketOf(col("band_key"), spec.buckets))
+    // an all-sig-less corpus writes zero rows; the bulk dir must still
     // exist so the probe's explicit-schema read sees "empty", not "lost"
-    if (!fs.exists(layoutPath)) fs.mkdirs(layoutPath)
-    ensureMeta(spark, storeDir, spec)
+    if (!fs.exists(new Path(layout, bulk))) fs.mkdirs(new Path(layout, bulk))
+    writeMeta(spark, storeDir, spec, LsmIndex.State(1L, Seq(bulk), Nil))
   }
 
-  private def ensureMeta(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, spec: Spec): Unit = {
-    val previous = readMeta(spark, storeDir)
-    if (!previous.contains(spec)) {
-      val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      ShardedBloom.atomicWrite(fs, new Path(storeDir, MetaFile),
-        s"""{"bands":${spec.bands},"buckets":${spec.buckets}}""".getBytes("UTF-8"))
-      previous.map(_.layoutDir).filter(_ != spec.layoutDir)
-        .foreach(old => fs.delete(new Path(storeDir, old), true))
+  /** Fold accumulated flat runs into the bucket-partitioned bulk —
+    * maintenance on the [[graft.streaming.CorpusBuilder.compactStores]]
+    * cadence, SERIALIZED with appends (the one-live-builder contract):
+    * both sides swap the same meta pointer. Tiered exactly as
+    * [[DigestIndex.compact]]. */
+  def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      spec: Spec, minRuns: Int = 4, maxBulks: Int = 4): Option[(Int, Int)] =
+    readState(spark, storeDir).filter(_._1 == spec).map(_._2).flatMap { st =>
+      val layout = layoutPath(storeDir, spec)
+      LsmIndex.compactStep(spark, layout, st,
+        BucketCol, bucketOf(col("band_key"), spec.buckets), minRuns, maxBulks)
+        .map { next =>
+          writeMeta(spark, storeDir, spec, next)
+          LsmIndex.sweep(spark, layout, next)
+          (st.runs.size, next.bulks.size)
+        }
     }
+
+  private def flatSchema(idType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("doc", idType),
+      StructField("sig", ArrayType(LongType)),
+      StructField("band_key", StringType)))
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, spec: Spec, st: LsmIndex.State): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val previous = declaredLayout(spark, storeDir)
+    ShardedBloom.atomicWrite(fs, new Path(storeDir, MetaFile),
+      metaJson(spec, st).getBytes("UTF-8"))
+    previous.filter(_ != spec.layoutDir)
+      .foreach(old => fs.delete(new Path(storeDir, old), true))
   }
 
   /** Default band-row count above which [[probe]] stops broadcasting
@@ -134,39 +187,34 @@ object BandIndex {
     * index: one row per colliding (new, corpus) pair with both
     * signatures for agreement scoring — [[Dedup.incrementalCandidates]]
     * over the persisted store. The batch's touched buckets arrive as
-    * `PartitionFilters` (the scan reads only those directories) and,
-    * while the batch stays under `maxBroadcastRows` band rows
-    * (trigger-bounded micro-batches always do), the batch side is
-    * broadcast so the corpus side never shuffles. A LARGER batch — a
-    * cap-less `AvailableNow` backfill over a big landing prefix —
-    * would OOM the driver as an unconditional broadcast, so past the
-    * threshold the join falls back to a shuffle on `band_key` (the
-    * backfill already pays batch-sized I/O; one shuffle of the pruned
-    * store side is the scale-correct shape, and AQE may still choose a
-    * broadcast from ACTUAL sizes, which is exactly the safe version of
-    * the hint). The band-row count is read from the already-
-    * materialized probe frame — no extra computation. */
+    * `PartitionFilters` on the compacted bulks (the scan reads only
+    * those directories) plus the flat run tail, and, while the batch
+    * stays under `maxBroadcastRows` band rows (trigger-bounded
+    * micro-batches always do), the batch side is broadcast so the
+    * corpus side never shuffles. A LARGER batch — a cap-less
+    * `AvailableNow` backfill over a big landing prefix — would OOM the
+    * driver as an unconditional broadcast, so past the threshold the
+    * join falls back to a shuffle on `band_key` (the backfill already
+    * pays batch-sized I/O; one shuffle of the pruned store side is the
+    * scale-correct shape, and AQE may still choose a broadcast from
+    * ACTUAL sizes, which is exactly the safe version of the hint). The
+    * band-row count is read from the already-materialized probe frame
+    * — no extra computation. */
   def probe(batchSigs: DataFrame, idCol: String, sigCol: String,
       storeDir: String, spec: Spec,
       maxBroadcastRows: Long = DefaultMaxBroadcastRows): DataFrame = {
     val spark = batchSigs.sparkSession
+    val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
+      .getOrElse(sys.error(s"no active band index at $storeDir for " +
+        s"${spec.layoutDir} — rebuild it from the corpus (id, sig) columns first"))
     // consumed twice (bucket list + join side) — materialize once
     val n = graft.util.Materialize.eager(
       Dedup.banded(batchSigs, idCol, sigCol, spec.bands)
         .withColumn(BucketCol, bucketOf(col("band_key"), spec.buckets)))
     val touched = n.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq // metadata-sized: ≤ buckets
-    // explicit schema: an empty layout (fresh corpus, all-short docs) has
-    // no footers to infer from and must read as empty, not throw; the
-    // bucket column is resolved from the directory values as usual
-    val schema = StructType(Seq(
-      StructField("doc", batchSigs.schema(idCol).dataType),
-      StructField("sig", ArrayType(LongType)),
-      StructField("band_key", StringType),
-      StructField(BucketCol, IntegerType)))
-    val store = spark.read.schema(schema)
-      .parquet(new Path(storeDir, spec.layoutDir).toString)
-      .filter(col(BucketCol).isin(touched: _*))
+    val store = LsmIndex.readLive(spark, layoutPath(storeDir, spec), st,
+      flatSchema(batchSigs.schema(idCol).dataType), BucketCol, Some(touched))
     val batchSide = n.select(col("doc").as("new_id"), col("sig").as("nsig"),
       col("band_key"))
     val guarded =

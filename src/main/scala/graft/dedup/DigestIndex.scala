@@ -14,19 +14,25 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * corpus-wide parquet scan on every batch that has at least one bloom
   * hit. At 100 TB that scan IS the per-batch cost: the bloom layer
   * already made the candidate set batch-sized, but the confirm side
-  * re-reads every footer. This store persists `(id, digest)` rows
-  * directory-partitioned by a hash BUCKET of the digest, so a batch
+  * re-reads every footer. This store persists `(id, digest)` rows in
+  * the [[LsmIndex]] layout: per-batch appends land as FLAT single-file
+  * runs (no shuffle, no dynamic-partition commit — the write side of
+  * the hot path is batch-sized), compaction folds them into a bulk
+  * directory-partitioned by a hash BUCKET of the digest, and a batch
   * verify reads ONLY the bucket directories its own candidate digests
-  * hash to (`PartitionFilters` at the scan, batch side broadcast) —
-  * per-batch verify I/O tracks the BATCH, not the corpus.
+  * hash to (`PartitionFilters` at the scan, batch side broadcast) plus
+  * the flat post-compaction tail — per-batch verify I/O tracks the
+  * BATCH plus one compaction cadence of runs, not the corpus.
   *
   * Like every derived store here (bloom shards, band index, IVF
   * layout), it is REBUILDABLE from the corpus table's stored digest
   * column, so losing it costs one rebuild scan, never correctness.
-  * Freshness is declared by `digests-meta.json` (spec pointer,
-  * tmp+rename): a bucketing change rebuilds into a fresh layout
-  * directory and flips the pointer only after the rebuild completes —
-  * the [[ShardedBloom]] resize discipline.
+  * Freshness is declared by `digests-meta.json` (spec + LSM state
+  * pointer, tmp+rename): a bucketing change rebuilds into a fresh
+  * layout directory and flips the pointer only after the rebuild
+  * completes — the [[ShardedBloom]] resize discipline. A pre-LSM
+  * (ver-1) meta parses as ABSENT, so legacy layouts migrate through
+  * the same rebuild path instead of being misread.
   *
   * Crash-safety direction: callers append to the index BEFORE the docs
   * append, so the index is always a SUPERSET of the corpus' digests
@@ -53,7 +59,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   */
 object DigestIndex {
 
-  /** Partition (bucket) column of the stored layout. */
+  /** Partition (bucket) column of the compacted bulk layout. */
   val BucketCol = "__dk"
 
   /** Declared index spec; doubles as the layout directory name so a
@@ -67,15 +73,36 @@ object DigestIndex {
 
   private val MetaFile = "digests-meta.json"
 
-  /** The ACTIVE spec, or None when no index exists yet. */
+  private def metaJson(spec: Spec, st: LsmIndex.State): String =
+    s"""{"buckets":${spec.buckets},${LsmIndex.render(st)}}"""
+
+  /** The ACTIVE spec, or None when no LSM-shaped index exists yet
+    * (absent OR a pre-LSM ver-1 meta — the migration guard: callers
+    * rebuild rather than misread a legacy layout). */
   def readMeta(spark: org.apache.spark.sql.SparkSession, storeDir: String): Option[Spec] =
-    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile).map { s =>
-      val m = """\{"buckets":(\d+)\}""".r
-      s.trim match {
-        case m(k) => Spec(k.toInt)
-        case _ => sys.error(s"unreadable digest-index meta at $storeDir/$MetaFile: $s")
+    readState(spark, storeDir).map(_._1)
+
+  private val BucketsRe = """"buckets":(\d+)""".r.unanchored
+
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[(Spec, LsmIndex.State)] =
+    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile)
+      .flatMap { s =>
+        LsmIndex.parse(s).map { st =>
+          s match {
+            case BucketsRe(k) => (Spec(k.toInt), st)
+            case _ => sys.error(
+              s"unreadable digest-index meta at $storeDir/$MetaFile: $s")
+          }
+        }
       }
-    }
+
+  /** Any declared layout dir (even a superseded-spec or ver-1 one), for
+    * the referenced-never-deleted cleanup at a spec flip. */
+  private def declaredLayout(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[String] =
+    graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile)
+      .collect { case BucketsRe(k) => Spec(k.toInt).layoutDir }
 
   /** Does the ACTIVE layout directory for `spec` exist? A meta pointer
     * whose layout was deleted out-of-band must trigger a rebuild, not
@@ -87,68 +114,89 @@ object DigestIndex {
   private def bucketOf(digest: Column, buckets: Int): Column =
     pmod(xxhash64(digest), lit(buckets.toLong)).cast(IntegerType)
 
-  /** Bucket + rebalance-by-partition-column + partitioned write — one
-    * task per touched bucket writes one file, not tasks × buckets
-    * small files (the shared write shape of every partitioned store
-    * here). */
-  private def writeRows(docDigests: DataFrame, idCol: String, digestCol: String,
-      layout: String, spec: Spec, mode: String): Unit =
-    docDigests.select(col(idCol).as("doc"), col(digestCol).as("digest"))
-      .withColumn(BucketCol, bucketOf(col("digest"), spec.buckets))
-      .hint("rebalance", BucketCol)
-      .write.partitionBy(BucketCol).mode(mode).parquet(layout)
+  private def layoutPath(storeDir: String, spec: Spec): String =
+    new Path(storeDir, spec.layoutDir).toString
 
-  /** Append `(id, digest)` rows for newly-admitted docs to the active
-    * layout and declare the spec active (first append on a fresh
-    * corpus creates both). Call BEFORE the docs append — see class
-    * doc. */
+  /** Append `(id, digest)` rows for newly-admitted docs as one FLAT run
+    * and swap the meta pointer (data before pointer; first append on a
+    * fresh corpus creates both). NO shuffle and NO dynamic-partition
+    * commit on this path — it runs inside every streaming trigger.
+    * Call BEFORE the docs append — see class doc. */
   def append(docDigests: DataFrame, idCol: String, digestCol: String,
       storeDir: String, spec: Spec): Unit = {
     val spark = docDigests.sparkSession
-    writeRows(docDigests, idCol, digestCol,
-      new Path(storeDir, spec.layoutDir).toString, spec, "append")
-    ensureMeta(spark, storeDir, spec)
+    val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
+      .getOrElse(LsmIndex.Empty)
+    val (_, next) = LsmIndex.writeRun(
+      docDigests.select(col(idCol).as("doc"), col(digestCol).as("digest")),
+      layoutPath(storeDir, spec), st)
+    writeMeta(spark, storeDir, spec, next)
   }
 
   /** Build the index from scratch out of the corpus' stored
     * `(id, digest)` projection — first index on an existing corpus,
-    * bucketing change, lost layout. The new layout is fully written
-    * before the meta pointer flips; the superseded layout is removed
-    * after. */
+    * bucketing change, lost layout, ver-1 migration. The new layout
+    * (one bucket-partitioned bulk, zero runs) is fully written before
+    * the meta pointer flips; the superseded layout is removed after. */
   def rebuild(corpusDigests: DataFrame, idCol: String, digestCol: String,
       storeDir: String, spec: Spec): Unit = {
     val spark = corpusDigests.sparkSession
     val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val layoutPath = new Path(storeDir, spec.layoutDir)
+    val layout = new Path(storeDir, spec.layoutDir)
     // a half-written layout from a crashed rebuild is stale, not a
     // superset candidate — clear it so this rebuild starts clean
-    if (fs.exists(layoutPath)) fs.delete(layoutPath, true)
-    writeRows(corpusDigests, idCol, digestCol, layoutPath.toString, spec, "overwrite")
-    // an empty corpus writes zero rows; the layout dir must still exist
+    if (fs.exists(layout)) fs.delete(layout, true)
+    val bulk = "compact-0"
+    LsmIndex.writeBulk(
+      corpusDigests.select(col(idCol).as("doc"), col(digestCol).as("digest")),
+      s"${layout.toString}/$bulk", BucketCol, bucketOf(col("digest"), spec.buckets))
+    // an empty corpus writes zero rows; the bulk dir must still exist
     // so the probe's explicit-schema read sees "empty", not "lost"
-    if (!fs.exists(layoutPath)) fs.mkdirs(layoutPath)
-    ensureMeta(spark, storeDir, spec)
+    if (!fs.exists(new Path(layout, bulk))) fs.mkdirs(new Path(layout, bulk))
+    writeMeta(spark, storeDir, spec, LsmIndex.State(1L, Seq(bulk), Nil))
   }
 
-  private def ensureMeta(spark: org.apache.spark.sql.SparkSession,
-      storeDir: String, spec: Spec): Unit = {
-    val previous = readMeta(spark, storeDir)
-    if (!previous.contains(spec)) {
-      val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      ShardedBloom.atomicWrite(fs, new Path(storeDir, MetaFile),
-        s"""{"buckets":${spec.buckets}}""".getBytes("UTF-8"))
-      previous.map(_.layoutDir).filter(_ != spec.layoutDir)
-        .foreach(old => fs.delete(new Path(storeDir, old), true))
+  /** Fold accumulated flat runs into the bucket-partitioned bulk —
+    * maintenance, run on the [[graft.streaming.CorpusBuilder.compactStores]]
+    * cadence, SERIALIZED with appends (the one-live-builder contract):
+    * both sides swap the same meta pointer. Tiered: an L1 fold's I/O
+    * is bounded by the run mass; a full merge (every `maxBulks` folds)
+    * rewrites the bulk set into one. Returns (runs folded, bulks
+    * after), or None when below the `minRuns` threshold. */
+  def compact(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      spec: Spec, minRuns: Int = 4, maxBulks: Int = 4): Option[(Int, Int)] =
+    readState(spark, storeDir).filter(_._1 == spec).map(_._2).flatMap { st =>
+      val layout = layoutPath(storeDir, spec)
+      LsmIndex.compactStep(spark, layout, st,
+        BucketCol, bucketOf(col("digest"), spec.buckets), minRuns, maxBulks)
+        .map { next =>
+          writeMeta(spark, storeDir, spec, next)
+          LsmIndex.sweep(spark, layout, next)
+          (st.runs.size, next.bulks.size)
+        }
     }
+
+  private def flatSchema(idType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(StructField("doc", idType), StructField("digest", StringType)))
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, spec: Spec, st: LsmIndex.State): Unit = {
+    val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val previous = declaredLayout(spark, storeDir)
+    ShardedBloom.atomicWrite(fs, new Path(storeDir, MetaFile),
+      metaJson(spec, st).getBytes("UTF-8"))
+    previous.filter(_ != spec.layoutDir)
+      .foreach(old => fs.delete(new Path(storeDir, old), true))
   }
 
   /** Matches between a batch's candidate `(id, digest)` rows and the
     * stored index: one row per (digest, new_id, corpus_id) triple. The
-    * candidates' touched buckets arrive as `PartitionFilters` (the
-    * scan reads only those directories) and the candidate side is
-    * broadcast, so the corpus side never shuffles — and for a batch
-    * touching few buckets, is mostly never read. Callers classify
-    * matches via [[Dedup.indexedDupDigests]]. */
+    * candidates' touched buckets arrive as `PartitionFilters` on the
+    * compacted bulks (the scan reads only those directories) plus the
+    * flat run tail, and the candidate side is broadcast, so the corpus
+    * side never shuffles — and for a batch touching few buckets, is
+    * mostly never read. Callers classify matches via
+    * [[Dedup.indexedDupDigests]]. */
   def probe(candidates: DataFrame, idCol: String, digestCol: String,
       storeDir: String, spec: Spec,
       /** Candidate-row guard on the broadcast, as [[BandIndex.probe]]:
@@ -159,6 +207,9 @@ object DigestIndex {
         * from actual sizes — the safe version of the hint). */
       maxBroadcastRows: Long = BandIndex.DefaultMaxBroadcastRows): DataFrame = {
     val spark = candidates.sparkSession
+    val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
+      .getOrElse(sys.error(s"no active digest index at $storeDir for " +
+        s"${spec.layoutDir} — rebuild it from the corpus digest column first"))
     // consumed twice (bucket list + join side) — materialize once;
     // candidates are bloom probe hits, batch-sized at most
     val n = graft.util.Materialize.eager(
@@ -167,15 +218,8 @@ object DigestIndex {
         .withColumn(BucketCol, bucketOf(col("digest"), spec.buckets)))
     val touched = n.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq // metadata-sized: ≤ buckets
-    // explicit schema: an empty layout (fresh corpus) has no footers to
-    // infer from and must read as empty, not throw
-    val schema = StructType(Seq(
-      StructField("doc", candidates.schema(idCol).dataType),
-      StructField("digest", StringType),
-      StructField(BucketCol, IntegerType)))
-    val store = spark.read.schema(schema)
-      .parquet(new Path(storeDir, spec.layoutDir).toString)
-      .filter(col(BucketCol).isin(touched: _*))
+    val store = LsmIndex.readLive(spark, layoutPath(storeDir, spec), st,
+      flatSchema(candidates.schema(idCol).dataType), BucketCol, Some(touched))
     val batchSide = n.drop(BucketCol)
     val guarded =
       if (n.count() <= maxBroadcastRows) broadcast(batchSide) else batchSide

@@ -1,0 +1,199 @@
+package graft.dedup
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The LSM layout shared by the persisted dedup indexes
+  * ([[DigestIndex]], [[BandIndex]]) — the [[graft.streaming.ClusterStream]]
+  * label-store treatment applied to the corpus gate's derived stores:
+  *
+  *   - APPEND (per micro-batch, the hot path) writes ONE FLAT
+  *     single-file run `layout/run-<seq>` — no rebalance shuffle, no
+  *     dynamic-partition commit. The r14 job-trace decomposition priced
+  *     the per-batch bucket-partitioned append at ~85% of a corpus
+  *     trigger's commit lap (docs/PERF.md r14 tail); a flat run write
+  *     is the known cure (the r13 label-LSM result).
+  *   - COMPACTION (maintenance cadence, [[graft.streaming.CorpusBuilder.compactStores]])
+  *     folds the accumulated runs into a bucket-partitioned bulk
+  *     `layout/compact-<seq>` (read-optimized: probes prune to touched
+  *     buckets via `PartitionFilters`), tiered so one fold's I/O is
+  *     bounded by the RUN mass, not the corpus: bulks accumulate up to
+  *     `maxBulks` before a full merge rewrites them into one.
+  *   - PROBES read the bucket-pruned bulks plus the flat
+  *     post-compaction tail — per-batch probe I/O tracks the batch
+  *     plus at most one compaction cadence of runs, never the corpus.
+  *
+  * Run/bulk names are DETERMINISTIC (`<kind>-<seq>`, seq persisted in
+  * the index meta): a crash between a run write and its meta swap
+  * leaves a ghost dir that the replayed batch OVERWRITES under the
+  * same name (mode Overwrite), so the window self-heals without
+  * lineage coupling — the corpus builder is deliberately not bound to
+  * one checkpoint lineage, so batch ids cannot name runs here.
+  * Referenced-never-deleted ([[graft.streaming.StoreManifest]]
+  * invariant 2): data dirs are written before the meta references
+  * them and swept only after a swap stops referencing them.
+  *
+  * Serialization contract: appends and compactions of one store must
+  * not interleave — the streaming builder's one-live-builder lock (or
+  * the batch caller's own serialization) provides it; `compactStores`
+  * acquires the same lock when called standalone. */
+private[dedup] object LsmIndex {
+
+  /** Live view of one index layout: the next dir sequence number, the
+    * bucket-partitioned bulks (oldest first) and the flat runs. */
+  final case class State(seq: Long, bulks: Seq[String], runs: Seq[String]) {
+    def live: Set[String] = (bulks ++ runs).toSet
+  }
+
+  /** Fresh-store state (first append / rebuild target). */
+  val Empty: State = State(0L, Nil, Nil)
+
+  /** Meta-fragment renderer — the index's own spec fields prefix it. */
+  def render(st: State): String = {
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString(",")
+    s""""ver":2,"seq":${st.seq},"bulks":[${arr(st.bulks)}],"runs":[${arr(st.runs)}]"""
+  }
+
+  private val SeqRe = """"seq":(\d+)""".r.unanchored
+  private val BulksRe = """"bulks":\[([^\]]*)\]""".r.unanchored
+  private val RunsRe = """"runs":\[([^\]]*)\]""".r.unanchored
+
+  /** Parse the state fragment out of a meta string; None for any
+    * pre-LSM (ver-1) meta — the caller treats that as "no trustable
+    * index" and rebuilds from the corpus (the migration guard: a ver-1
+    * layout mixes structures this reader must not guess at). */
+  def parse(s: String): Option[State] =
+    if (!s.contains(""""ver":2""")) None
+    else {
+      def names(re: scala.util.matching.Regex): Seq[String] = s match {
+        case re(inner) =>
+          inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty)
+        case _ => sys.error(s"unreadable LSM index meta: $s")
+      }
+      val seq = s match {
+        case SeqRe(n) => n.toLong
+        case _ => sys.error(s"unreadable LSM index meta (no seq): $s")
+      }
+      Some(State(seq, names(BulksRe), names(RunsRe)))
+    }
+
+  /** Write one flat run for `rows` and return (run name, next state).
+    * Single-file (`coalesce(1)`): the designed input is a micro-batch
+    * — batch-sized id/digest/band rows, orders of magnitude below the
+    * doc bytes — and a single file keeps the post-compaction tail at
+    * one footer per batch. Deterministic name + Overwrite self-heal
+    * the crash-between-run-and-meta window (see class doc). The
+    * caller persists the returned state AFTER this returns (data
+    * before pointer). */
+  def writeRun(rows: DataFrame, layout: String, st: State): (String, State) = {
+    val run = s"run-${st.seq}"
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$layout/$run")
+    (run, State(st.seq + 1, st.bulks, st.runs :+ run))
+  }
+
+  /** The layout's live rows in flat shape (no bucket column): bulks
+    * pruned to `touched` buckets (or read whole when None — the
+    * compaction path) unioned with the flat run tail. Explicit schema
+    * everywhere — an empty dir must read as empty, not throw. */
+  def readLive(spark: SparkSession, layout: String, st: State,
+      flatSchema: StructType, bucketCol: String,
+      touched: Option[Seq[Int]]): DataFrame = {
+    val bulkSchema = flatSchema.add(bucketCol,
+      org.apache.spark.sql.types.IntegerType)
+    val flatCols = flatSchema.fieldNames.map(col).toIndexedSeq
+    val bulks = st.bulks.map { b =>
+      val df = spark.read.schema(bulkSchema).parquet(s"$layout/$b")
+      touched.fold(df)(t => df.filter(col(bucketCol).isin(t: _*)))
+        .select(flatCols: _*)
+    }
+    val runs =
+      if (st.runs.isEmpty) Nil
+      else Seq(spark.read.schema(flatSchema)
+        .parquet(st.runs.map(r => s"$layout/$r"): _*))
+    (bulks ++ runs).reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        flatSchema))
+  }
+
+  /** Bucket + rebalance + partitioned write of a consolidated bulk —
+    * the read-optimized shape, paid only at compaction/rebuild time
+    * (one task per touched bucket writes one file; AQE's rebalance
+    * splits skewed buckets). Overwrite: a crashed fold's leftover is
+    * retried under the same deterministic name. */
+  def writeBulk(rows: DataFrame, dir: String, bucketCol: String,
+      bucketOf: org.apache.spark.sql.Column): Unit =
+    rows.withColumn(bucketCol, bucketOf)
+      .hint("rebalance", bucketCol)
+      .write.partitionBy(bucketCol).mode("overwrite").parquet(dir)
+
+  /** Read a set of parquet roots with footer-inferred schema, skipping
+    * roots with no data files (an empty run/bulk has rows to
+    * contribute only in the probe's explicit-schema world; compaction
+    * just drops it). Per-root loads — bulks carry partition dirs, runs
+    * don't, and one multi-root read trips Spark's conflicting-
+    * structure check. */
+  private def readForFold(spark: SparkSession, paths: Seq[String],
+      bucketCol: String): Option[DataFrame] =
+    paths.flatMap { p =>
+      try {
+        val df = spark.read.parquet(p)
+        Some(if (df.columns.contains(bucketCol)) df.drop(bucketCol) else df)
+      } catch {
+        // no footers to infer from — an empty dir contributes nothing
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer") || e.getMessage.contains("UNABLE") =>
+          None
+      }
+    }.reduceOption(_.unionByName(_))
+
+  /** One tiered compaction step, or None when not due. Folds the flat
+    * runs into a new bulk `compact-<seq>` — a FULL merge (every bulk +
+    * run, deduplicated) once `maxBulks` would be exceeded, else an
+    * L1 fold whose I/O is bounded by the run mass. The fold reads with
+    * footer-inferred schema (the id column's type is whatever the
+    * appends wrote — compaction has no candidates frame to take it
+    * from). Returns the state to persist; the caller swaps its meta
+    * pointer then calls [[sweep]]. */
+  def compactStep(spark: SparkSession, layout: String, st: State,
+      bucketCol: String, bucketOf: org.apache.spark.sql.Column,
+      minRuns: Int, maxBulks: Int): Option[State] =
+    if (st.runs.size < minRuns) None
+    else {
+      val target = s"compact-${st.seq}"
+      val full = st.bulks.size + 1 > maxBulks
+      val roots = (if (full) st.bulks else Nil) ++ st.runs
+      readForFold(spark, roots.map(r => s"$layout/$r"), bucketCol) match {
+        case None =>
+          // every folded root was empty: nothing to write — just drop
+          // the runs (and, on a full merge, the empty bulks)
+          Some(State(st.seq, if (full) Nil else st.bulks, Nil))
+        case Some(rows) =>
+          // replays duplicate run rows; the fold is where they die
+          writeBulk(rows.distinct(), s"$layout/$target", bucketCol, bucketOf)
+          // an all-duplicate fold can write zero rows; the dir must
+          // still exist so the pruned probe reads "empty", not "lost"
+          val fs = new Path(layout).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new Path(layout, target)))
+            fs.mkdirs(new Path(layout, target))
+          Some(State(st.seq + 1,
+            if (full) Seq(target) else st.bulks :+ target, Nil))
+      }
+    }
+
+  /** Referenced-never-deleted sweep: drop every child dir of `layout`
+    * the (already-swapped) state no longer references — superseded
+    * bulks, folded runs, crashed-write ghosts. */
+  def sweep(spark: SparkSession, layout: String, st: State): Unit = {
+    val p = new Path(layout)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath)
+        .filterNot(d => st.live.contains(d.getName))
+        .foreach(d => fs.delete(d, true))
+  }
+}

@@ -120,49 +120,70 @@ object CorpusBuilder {
 
   /** Bounded-growth maintenance for a corpus' on-disk stores.
     *
-    * Every commit appends ~one parquet file per touched bucket to the
-    * digest index and (near-dup mode) the band index, plus one-or-more
-    * files to the docs dir — after 10⁴ micro-batches a bucket directory
-    * holds 10⁴ tiny files and the "pruned" probe drowns in per-file
-    * open + footer reads. This runs [[graft.ingest.Compact.compactSmallFiles]]
-    * over the docs dir (schema-merged: exact-era and near-dup-era files
-    * carry different optional columns) and the ACTIVE index layouts
-    * (resolved via each store's meta pointer): only sub-`smallBytes`
-    * files merge, and only once `minFiles` of them accumulate, so one
-    * run's I/O is bounded by buckets × small-file mass — never O(corpus).
-    * Row content is preserved exactly, so every derived-store invariant
-    * (bloom superset, index superset, PartitionFilters pruning) holds
-    * across a compaction; bloom shards never fragment (merges rewrite
-    * shard files in place) and need no maintenance.
+    * Every commit appends one FLAT single-file run to the digest index
+    * and (near-dup mode) the band index ([[graft.dedup.LsmIndex]]),
+    * plus one-or-more files to the docs dir — left alone, the run tail
+    * and docs dir grow one file per batch forever and the probes drown
+    * in per-file open + footer reads. This runs
+    * [[graft.ingest.Compact.compactSmallFiles]] over the docs dir
+    * (schema-merged: exact-era and near-dup-era files carry different
+    * optional columns) and the tiered LSM fold over each ACTIVE index
+    * ([[graft.dedup.DigestIndex.compact]] /
+    * [[graft.dedup.BandIndex.compact]]): runs fold into a
+    * bucket-partitioned bulk once `minFiles` of them accumulate — an
+    * L1 fold's I/O is bounded by the RUN mass; the periodic full merge
+    * is the only corpus-proportional step and is amortized over
+    * `minFiles × maxBulks` batches. Row content is preserved exactly,
+    * so every derived-store invariant (bloom superset, index superset,
+    * PartitionFilters pruning) holds across a compaction; bloom shards
+    * never fragment (merges rewrite shard files in place) and need no
+    * maintenance.
     *
-    * Concurrency: compact-vs-append is safe by [[graft.ingest.Compact]]'s
-    * swap discipline (exactly-the-listed-files rewrite; concurrent
-    * appends stay). Compact-vs-compact is serialized through a
+    * Concurrency: the docs compaction is append-safe by
+    * [[graft.ingest.Compact]]'s swap discipline, but the index folds
+    * SWAP THE SAME META POINTER the per-batch appends swap — they must
+    * be serialized with the builder. The in-stream hook passes the
+    * builder's own `buildToken` (folds run inside the serialized
+    * foreachBatch); a standalone caller (CLI verb, batch maintenance)
+    * passes None and this method takes the one-live-builder BUILD.lock
+    * itself for the duration — failing LOUDLY if a builder is live
+    * (stop it first, or let its in-stream hook do the maintenance).
+    * Compact-vs-compact is additionally serialized through a
     * [[graft.state.StateStore]] lock under `corpusDir/maintenance` —
-    * a second caller (CLI verb racing the in-stream hook) skips the run
-    * and returns Nil rather than double-rewriting a leaf. A holder that
-    * crashes leaves a lock that breaks after the store's stale timeout;
-    * a half-done swap is recovered by the next run's recovery pass. */
+    * a second caller skips the run and returns Nil rather than
+    * double-rewriting a leaf. */
   def compactStores(spark: SparkSession, corpusDir: String,
       targetBytes: Long = 256L << 20, smallBytes: Long = 64L << 20,
-      minFiles: Int = 16): Seq[(String, Seq[graft.ingest.Compact.Report])] = {
-    val lock = new graft.state.StateStore(s"$corpusDir/maintenance")
-    lock.withLock("compact") {
-      val docsDir = s"$corpusDir/docs"
-      val targets =
-        (if (Files.exists(Paths.get(docsDir))) Seq("docs" -> (docsDir, true))
-         else Nil) ++
-        DigestIndex.readMeta(spark, corpusDir)
-          .filter(DigestIndex.layoutExists(spark, corpusDir, _))
-          .map(s => "digest-index" -> (s"$corpusDir/${s.layoutDir}", false)) ++
-        BandIndex.readMeta(spark, corpusDir)
-          .filter(BandIndex.layoutExists(spark, corpusDir, _))
-          .map(s => "band-index" -> (s"$corpusDir/${s.layoutDir}", false))
-      targets.map { case (name, (dir, mergeSchema)) =>
-        name -> graft.ingest.Compact.compactSmallFiles(spark, dir,
-          targetBytes, smallBytes, minFiles, mergeSchema)
-      }
-    }.getOrElse(Nil)
+      minFiles: Int = 16,
+      buildToken: Option[String] = None): Seq[(String, Seq[graft.ingest.Compact.Report])] = {
+    val owned = buildToken match {
+      case Some(_) => requireBuildLock(corpusDir, buildToken); None
+      case None => Some(acquireBuildLock(corpusDir,
+        s"maintenance pid=${ProcessHandle.current().pid()}"))
+    }
+    try {
+      val lock = new graft.state.StateStore(s"$corpusDir/maintenance")
+      lock.withLock("compact") {
+        val docsDir = s"$corpusDir/docs"
+        val docs =
+          if (!Files.exists(Paths.get(docsDir))) Nil
+          else Seq("docs" -> graft.ingest.Compact.compactSmallFiles(spark,
+            docsDir, targetBytes, smallBytes, minFiles, mergeSchema = true))
+        def foldReport(layout: String, folded: Option[(Int, Int)]) =
+          folded.map { case (runs, bulks) =>
+            graft.ingest.Compact.Report(layout, runs, bulks, 0L)
+          }.toSeq
+        val digest = DigestIndex.readMeta(spark, corpusDir)
+          .filter(DigestIndex.layoutExists(spark, corpusDir, _)).toSeq
+          .map(s => "digest-index" -> foldReport(s.layoutDir,
+            DigestIndex.compact(spark, corpusDir, s, minRuns = minFiles)))
+        val band = BandIndex.readMeta(spark, corpusDir)
+          .filter(BandIndex.layoutExists(spark, corpusDir, _)).toSeq
+          .map(s => "band-index" -> foldReport(s.layoutDir,
+            BandIndex.compact(spark, corpusDir, s, minRuns = minFiles)))
+        docs ++ digest ++ band
+      }.getOrElse(Nil)
+    } finally owned.foreach(t => releaseBuildLock(corpusDir, t))
   }
 
   /** Near-dup gate parameters: word-`shingleK`-gram MinHash signatures
@@ -242,7 +263,7 @@ object CorpusBuilder {
           // batchId is monotonic across restarts (checkpointed), so the
           // cadence survives stop/start without extra state
           if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-            compactStores(spark, corpusDir)
+            compactStores(spark, corpusDir, buildToken = Some(token))
           ()
         }
         .start()

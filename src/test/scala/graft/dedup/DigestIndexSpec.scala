@@ -96,6 +96,61 @@ class DigestIndexSpec extends SparkSpec {
       "a committed digest must drop; a ghost's own replay must be admitted")
   }
 
+  test("pre-LSM (ver-1) meta parses as ABSENT — legacy layouts migrate through rebuild") {
+    val dir = tmpDir("dix-v1")
+    // a ver-1 store: meta without the LSM state, layout root holding
+    // bucket-partitioned data directly (the pre-r15 shape)
+    val corpus = digested((0L until 10L).map(i => (i, s"v1 doc $i")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "digests-meta.json"), """{"buckets":8}""")
+    corpus.withColumn(DigestIndex.BucketCol,
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"digest"), lit(8L))
+          .cast("int"))
+      .write.partitionBy(DigestIndex.BucketCol)
+      .parquet(s"$dir/${spec.layoutDir}")
+    // the migration guard: a ver-1 meta must read as "no trustable
+    // index" (the CorpusBuilder resolve path then rebuilds), never be
+    // misparsed into the LSM reader
+    assert(DigestIndex.readMeta(spark, dir).isEmpty)
+    DigestIndex.rebuild(corpus, "doc_id", "digest", dir, spec)
+    assert(DigestIndex.readMeta(spark, dir).contains(spec))
+    val m = DigestIndex.probe(digested(Seq((90L, "v1 doc 3"))), "doc_id",
+      "digest", dir, spec).select("corpus_id").as[Long].collect().toSeq
+    assert(m == Seq(3L))
+  }
+
+  test("tiered compaction: runs fold at minRuns, bulks cap at maxBulks, every era stays probeable") {
+    val dir = tmpDir("dix-tiers")
+    (0 until 10).foreach { b =>
+      DigestIndex.append(digested(Seq((b.toLong, s"tier doc $b"))),
+        "doc_id", "digest", dir, spec)
+      if (b % 2 == 1)
+        DigestIndex.compact(spark, dir, spec, minRuns = 2, maxBulks = 2)
+    }
+    def children(prefix: String) =
+      Option(new java.io.File(s"$dir/${spec.layoutDir}").listFiles())
+        .map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    assert(children("compact-").size <= 2,
+      s"bulk tier must cap at maxBulks, got ${children("compact-")}")
+    assert(children("run-").isEmpty,
+      "every run must fold away at the cadence")
+    // content from the first era (merged through a full merge) and the
+    // last (latest L1 fold) both answer probes
+    val hits = DigestIndex.probe(
+      digested(Seq((100L, "tier doc 0"), (101L, "tier doc 9"))),
+      "doc_id", "digest", dir, spec)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits == Set(0L, 9L))
+    // below the threshold the fold is a no-op
+    DigestIndex.append(digested(Seq((20L, "tier doc 20"))),
+      "doc_id", "digest", dir, spec)
+    assert(DigestIndex.compact(spark, dir, spec, minRuns = 2).isEmpty)
+    assert(children("run-").size == 1)
+  }
+
   test("bloomNewDocsIndexed matches bloomNewDocs and never reads the corpus steady-state") {
     val dir = tmpDir("dix-bloom")
     val corpusRows = (0L until 40L).map(i => (i, s"doc $i"))

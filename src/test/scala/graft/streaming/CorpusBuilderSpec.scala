@@ -554,17 +554,25 @@ class CorpusBuilderSpec extends SparkSpec {
   }
 
   /** Visible data files per leaf directory (recursing into `col=value`
-    * partition dirs), the quantity compaction bounds. */
+    * partition dirs and the LSM layout's `run-*`/`compact-*` dirs),
+    * the quantity compaction bounds. */
   private def leafFileCounts(root: String): Map[String, Int] = {
     def walk(d: java.io.File): Seq[(String, Int)] = {
       val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
-      val parts = kids.filter(k => k.isDirectory && k.getName.contains("="))
+      val parts = kids.filter(k => k.isDirectory && (k.getName.contains("=")
+        || k.getName.startsWith("run-") || k.getName.startsWith("compact-")))
       if (parts.nonEmpty) parts.flatMap(walk)
       else Seq(d.getPath -> kids.count(k => k.isFile &&
         !k.getName.startsWith(".") && !k.getName.startsWith("_")))
     }
     walk(new java.io.File(root)).toMap
   }
+
+  /** The LSM index layout's uncompacted flat-run tail — compaction must
+    * keep it bounded (one footer read per tail run per probe). */
+  private def runDirCount(root: String): Int =
+    Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .count(f => f.isDirectory && f.getName.startsWith("run-"))
 
   test("50 micro-batches + periodic compaction keep exact-gate store file counts bounded") {
     val corpus = tmpDir("cb-compact")
@@ -589,6 +597,10 @@ class CorpusBuilderSpec extends SparkSpec {
       s"docs dir not bounded: $docsCounts")
     assert(idxCounts.values.max <= 15,
       s"digest index buckets not bounded: $idxCounts")
+    // the LSM fold keeps the flat run tail bounded by one compaction
+    // cadence (here 10 batches), not the batch count
+    assert(runDirCount(s"$corpus/${graft.dedup.DigestIndex.Spec(4).layoutDir}") <= 10,
+      "digest index run tail must fold away at the compaction cadence")
     // compaction preserved every row and the gate still drops replays
     assert(corpusDocs(corpus).count() == 100L)
     assert(corpusDocs(corpus).select("doc_id").distinct().count() == 100L)
@@ -618,6 +630,8 @@ class CorpusBuilderSpec extends SparkSpec {
       s"$corpus/${graft.dedup.BandIndex.Spec(4, 4).layoutDir}")
     assert(bandCounts.values.max <= 8,
       s"band index buckets not bounded: $bandCounts")
+    assert(runDirCount(s"$corpus/${graft.dedup.BandIndex.Spec(4, 4).layoutDir}") <= 4,
+      "band index run tail must fold away at the compaction cadence")
     // mixed-era docs survived the schema-merged compaction: exact-era
     // rows have null sig, near-dup rows kept theirs
     val docs = spark.read.option("mergeSchema", "true").parquet(s"$corpus/docs")
@@ -652,6 +666,12 @@ class CorpusBuilderSpec extends SparkSpec {
       e.getMessage.contains("BUILD.lock"), e.getMessage)
     // the refused builder must not have corrupted or created anything
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(corpus, "docs")))
+    // standalone maintenance must refuse to race a live builder too:
+    // the LSM index folds swap the same meta pointer the appends swap
+    val c = intercept[RuntimeException] {
+      CorpusBuilder.compactStores(spark, corpus)
+    }
+    assert(c.getMessage.contains("live builder"), c.getMessage)
     CorpusBuilder.releaseBuildLock(corpus, token)
     // lock gone -> a builder starts, drains, and releases on termination
     val q = CorpusBuilder.build(spark, s"$landing/*.json",
