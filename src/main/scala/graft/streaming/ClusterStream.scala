@@ -117,9 +117,10 @@ object ClusterStream {
     * the same count can be two orders of magnitude more driver heap —
     * 4M long pairs are ~67 MB of payload, 4M 200-char-URL pairs are
     * ~1.7 GB. This ceiling bounds the estimated collected PAYLOAD
-    * (id bytes + a small per-value overhead; JVM boxing multiplies the
-    * real heap by ~3-4×, which the default prices in: 256 MB payload
-    * ≈ ≤1 GB heap). Fixed-width id types can never reach it below the
+    * (id bytes at their COLLECTED width — string ids price UTF-16,
+    * ~2× their stored UTF-8 octets — plus a small per-value overhead;
+    * JVM boxing multiplies the real heap by ~3-4×, which the default
+    * prices in: 256 MB payload ≈ ≤1 GB heap). Fixed-width id types can never reach it below the
     * count ceiling, so long-id folds are guarded for free; var-width
     * folds price themselves with one cheap agg over the checkpointed
     * edges and route distributed when oversized. */
@@ -134,12 +135,19 @@ object ClusterStream {
     * (string/binary) need the data: if even the 32-byte lower bound
     * trips the ceiling the answer is moot (caller routes distributed
     * regardless), otherwise ONE small aggregation over the
-    * already-checkpointed edge frame measures the true mean width. */
+    * already-checkpointed edge frame measures the true mean width.
+    * The measured width is UTF-8 octets; a collected java.lang.String
+    * stores UTF-16 chars (~2× the octets for ASCII ids — URL doc-ids
+    * are ASCII), so StringType prices at 2× the measured mean to keep
+    * the 256 MB-payload ≈ ≤1 GB-heap mapping honest instead of
+    * spending the whole boxing margin on the encoding gap. */
   private[streaming] def estimatedPairBytes(edges: DataFrame, eCount: Long,
       idType: org.apache.spark.sql.types.DataType,
       maxLocalEdgeBytes: Long): Long = idType match {
     case org.apache.spark.sql.types.StringType |
          org.apache.spark.sql.types.BinaryType =>
+      val utf16 =
+        if (idType == org.apache.spark.sql.types.StringType) 2L else 1L
       val lowerBound = 2L * VarIdOverheadBytes
       if (eCount <= 0 || eCount > maxLocalEdgeBytes / lowerBound) lowerBound
       else {
@@ -147,7 +155,7 @@ object ClusterStream {
           avg(octet_length(col("a")) + octet_length(col("b")))).head()
         val payload = Option(row.get(0))
           .map(_.toString.toDouble).getOrElse(0.0)
-        math.max(lowerBound, math.ceil(payload).toLong + lowerBound)
+        math.max(lowerBound, math.ceil(payload).toLong * utf16 + lowerBound)
       }
     case dt => 2L * dt.defaultSize
   }
@@ -172,6 +180,14 @@ object ClusterStream {
     }
   private[streaming] def storeWriteEc(storeDir: String): scala.concurrent.ExecutionContext =
     storeWriteEcs(math.floorMod(storeDir.hashCode, StoreWriteStripes))
+
+  /** Upper bound on waiting for a fold's async store writes
+    * (`graft.cluster.storeWriteTimeout`, Spark time syntax, default
+    * generous — a micro-batch's two cache-fed writes finish in
+    * seconds; only a stalled filesystem reaches minutes). */
+  private[streaming] def storeWriteTimeoutMs(spark: SparkSession): Long =
+    org.apache.spark.network.util.JavaUtils.timeStringAsMs(
+      spark.conf.get("graft.cluster.storeWriteTimeout", "10m"))
 
   /** The three local properties `SparkContext.setJobGroup` writes —
     * captured on the SUBMITTING thread (the stream's micro-batch
@@ -375,9 +391,28 @@ object ClusterStream {
     // computation — they only need to be durable before a commit
     // registers them (every commit path awaits first)
     var storeWrites: Option[scala.concurrent.Future[Unit]] = None
-    def awaitWrites(): Unit =
-      storeWrites.foreach(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
+    // FINITE await (graft.cluster.storeWriteTimeout, default 10m): with
+    // job-group propagation a query.stop() already cancels in-flight
+    // writes, but a plain filesystem stall has no canceller — a bounded
+    // await converts a forever-wedged drain into a loud, retryable fold
+    // failure (the batch re-delivers from the checkpoint)
+    val writeWait = scala.concurrent.duration.Duration(
+      storeWriteTimeoutMs(spark), java.util.concurrent.TimeUnit.MILLISECONDS)
+    def awaitWrites(): Unit = storeWrites.foreach { f =>
+      try scala.concurrent.Await.result(f, writeWait)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          // kill the straggler's Spark jobs (they run under the
+          // stream's cancellable group) before the replay can overwrite
+          // the same batch dirs, then fail the fold loudly
+          Option(spark.sparkContext.getLocalProperty("spark.jobGroup.id"))
+            .foreach(spark.sparkContext.cancelJobGroup(_))
+          sys.error(s"async sig/band store write for batch $batchId did " +
+            s"not complete within $writeWait — failing the fold (set " +
+            "graft.cluster.storeWriteTimeout to raise the bound; the " +
+            "batch re-delivers on restart)")
+      }
+    }
     // the stream's job group, re-set on the writer stripe per
     // submission so query.stop() cancels in-flight store writes
     val jobProps = jobGroupSnapshot(spark.sparkContext)
@@ -637,9 +672,17 @@ object ClusterStream {
       // on ANY exit (incl. an exception upstream of the awaits): never
       // leave a straggler write racing a redelivered fold's overwrite
       // of the same batch dirs. `ready`, not `result` — a failed write
-      // must not mask the original exception on an already-failing path
-      storeWrites.foreach(f => scala.concurrent.Await.ready(
-        f, scala.concurrent.duration.Duration.Inf))
+      // must not mask the original exception on an already-failing
+      // path. Bounded like awaitWrites (a cancelled write settles
+      // promptly; a NON-job FS stall past the bound is warned loudly
+      // instead of wedging the failing path forever)
+      storeWrites.foreach { f =>
+        if (scala.util.Try(scala.concurrent.Await.ready(f, writeWait)).isFailure)
+          System.err.println(s"[cluster] WARNING: batch $batchId's async " +
+            s"store write is still unfinished after $writeWait — a " +
+            "straggler may race this batch's redelivery; investigate the " +
+            s"filesystem under $storeDir")
+      }
       sigsB.unpersist(blocking = false)
     }
   }
@@ -832,14 +875,7 @@ object ClusterStream {
         // a concurrent fold fail loudly instead of racing the sweep
         // (fold checks it on entry), and a second compaction cannot
         // start while one holds it
-        Files.createDirectories(lockFile(storeDir).getParent)
-        try Files.createFile(lockFile(storeDir))
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            sys.error(s"cluster store at $storeDir is already locked " +
-              "(labels/COMPACT.lock) — another compaction is running, or " +
-              "a crashed one left the lock: delete it after confirming")
-        }
+        val lockToken = acquireMaintenanceLock(storeDir, "compaction")
         try {
           def abs(rel: String) = s"$storeDir/$rel"
           val (sigTo, bandTo, edgeTo) = (s"sigs/compact-${m.batchId}",
@@ -910,7 +946,7 @@ object ClusterStream {
           sweepUnreferenced(storeDir, "edges", newEdge.toSet)
           sweepLabels(storeDir, newBuckets.values.toSet)
           Some((m.sigDirs.size, m.bandDirs.size, m.edgeDirs.size))
-        } finally Files.deleteIfExists(lockFile(storeDir))
+        } finally StoreManifest.releaseHolderLock(lockFile(storeDir), lockToken)
       }
     }
   }
@@ -943,14 +979,7 @@ object ClusterStream {
         s"cluster store at $storeDir has labels but no retained edge " +
           "dirs (predates edge retention) — expiry cannot recompute the " +
           "retained-window CC; rebuild the store")
-      Files.createDirectories(lockFile(storeDir).getParent)
-      try Files.createFile(lockFile(storeDir))
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          sys.error(s"cluster store at $storeDir is already locked " +
-            "(labels/COMPACT.lock) — another maintenance op is running, " +
-            "or a crashed one left the lock: delete it after confirming")
-      }
+      val lockToken = acquireMaintenanceLock(storeDir, "expiry")
       try {
         def abs(rel: String) = s"$storeDir/$rel"
         // the edge-dirs guard above only catches a PURE pre-upgrade
@@ -1069,7 +1098,7 @@ object ClusterStream {
         sweepUnreferenced(storeDir, "edges", edgeTo.toSet)
         sweepLabels(storeDir, written.map(bk => s"data/$tag/__bk=$bk"))
         (retainedDocs.map(_.count()).getOrElse(0L), labelRows)
-      } finally Files.deleteIfExists(lockFile(storeDir))
+      } finally StoreManifest.releaseHolderLock(lockFile(storeDir), lockToken)
     }
 
   /** Delete every dir under `storeDir/area` the manifest no longer
@@ -1112,20 +1141,25 @@ object ClusterStream {
     * ranks exactly as SQL `min` over the id column does. Catalyst's
     * interpreted ordering expects INTERNAL values — for StringType
     * that is UTF8String, whose byte-wise comparison differs from
-    * java.lang.String's UTF-16 ordering on supplementary characters —
-    * so string ids convert at the comparison; every other id type's
-    * external and internal representations coincide. */
+    * java.lang.String's UTF-16 ordering on supplementary characters;
+    * DecimalType collects as java.math.BigDecimal vs internal Decimal,
+    * Date/TimestampType as java.sql types vs Int/Long — so EVERY value
+    * converts through the type's Catalyst converter at the comparison
+    * (fixed-width converters are identity-cheap; the fold's driver
+    * path is already byte- and count-guarded). Pinned by
+    * ClusterStreamSpec's supplementary-character property: U+FF61
+    * orders BELOW U+10000 in UTF-16 code units but ABOVE it in UTF-8
+    * bytes — a min-label root chosen with String ordering would
+    * disagree with SQL `min` there. */
   private[streaming] def idOrdering(
       idType: org.apache.spark.sql.types.DataType): Ordering[Any] = {
     val ord = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(idType)
-    idType match {
-      case org.apache.spark.sql.types.StringType => new Ordering[Any] {
-        def compare(x: Any, y: Any): Int = ord.compare(
-          org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String]),
-          org.apache.spark.unsafe.types.UTF8String.fromString(y.asInstanceOf[String]))
-      }
-      case _ => ord
+    val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(idType)
+    new Ordering[Any] {
+      def compare(x: Any, y: Any): Int =
+        ord.compare(toInternal(x), toInternal(y))
     }
   }
 
@@ -1381,6 +1415,17 @@ object ClusterStream {
     * refuse to run under it). */
   private def lockFile(storeDir: String): Path =
     Paths.get(storeDir, "labels", "COMPACT.lock")
+
+  /** The maintenance lock, on [[StoreManifest]]'s holder-lock
+    * discipline (invariant 5) — the last hand-rolled copy folded onto
+    * the shared one. Maintenance needs no commit re-check beyond the
+    * pointer-movement guard both ops already carry (the manifest swap
+    * aborts if a fold advanced the batch pointer), so only the
+    * acquire/release halves are used here. */
+  private def acquireMaintenanceLock(storeDir: String, role: String): String =
+    StoreManifest.acquireHolderLock(lockFile(storeDir), role,
+      s"pid=${ProcessHandle.current().pid()}",
+      "maintenance runs BETWEEN drains")
 
   /** Jackson (bundled with Spark) for the manifest round-trip: a real
     * JSON parser, so no field value — a dir name with `]`, a checkpoint

@@ -74,10 +74,25 @@ object CorpusBuilder {
     Paths.get(corpusDir, "BUILD.lock")
 
   private[streaming] def acquireBuildLock(corpusDir: String,
-      holder: String): String =
-    StoreManifest.acquireHolderLock(buildLockPath(corpusDir), "builder",
-      holder, "the content gate's derived-store commits assume ONE " +
-        "builder per corpus")
+      holder: String): String = {
+    // the previous builder's lock releases ASYNCHRONOUSLY (a daemon
+    // watcher on its query's termination), so a back-to-back build —
+    // q.awaitTermination() then build() again — can arrive inside the
+    // release window. Retry briefly before declaring a live builder;
+    // a genuinely live one keeps the lock and fails loudly after.
+    val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+    while (true) {
+      try return StoreManifest.acquireHolderLock(buildLockPath(corpusDir),
+        "builder", holder, "the content gate's derived-store commits " +
+          "assume ONE builder per corpus")
+      catch {
+        case e: RuntimeException =>
+          if (System.nanoTime() >= deadline) throw e
+          Thread.sleep(100)
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private[streaming] def releaseBuildLock(corpusDir: String,
       token: String): Unit =

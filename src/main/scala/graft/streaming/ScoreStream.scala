@@ -52,28 +52,7 @@ object ScoreStream {
       body: => T): T =
     if (!sys.env.get("GRAFT_SCORE_DEBUG").contains("jobs")) body
     else {
-      val starts =
-        new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
-      val l = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val desc = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("spark.job.description")))
-            .orElse(Option(js.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short"))))
-            .getOrElse("?")
-          starts.put(js.jobId,
-            (System.nanoTime(), desc.linesIterator.next().take(90),
-              js.stageInfos.map(_.numTasks).sum))
-        }
-        override def onJobEnd(
-            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          Option(starts.remove(je.jobId)).foreach { case (t0, desc, tasks) =>
-            System.err.println(f"[score-job] #${je.jobId}%-4d " +
-              f"${(System.nanoTime() - t0) / 1e9}%6.3fs $tasks%4d tasks  $desc")
-          }
-        }
-      }
+      val l = new graft.util.JobTraceListener("score-job")
       spark.sparkContext.addSparkListener(l)
       try body finally spark.sparkContext.removeSparkListener(l)
     }

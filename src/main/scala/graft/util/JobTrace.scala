@@ -7,9 +7,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   * Spark job's duration, task count and call-site line to stderr — the
   * decomposition tool that tells a broadcast build from a store append
   * from scheduler dead time in ANY drain, not just the ScoreStream
-  * scorers (whose `GRAFT_SCORE_DEBUG=jobs` listener scopes the same
-  * trace to one replay). */
-class JobTraceListener extends SparkListener {
+  * scorers (whose `GRAFT_SCORE_DEBUG=jobs` listener is this class with
+  * a `score-job` tag, scoped to one replay). */
+class JobTraceListener(tag: String) extends SparkListener {
+  /** `spark.extraListeners` instantiates through the zero-arg ctor. */
+  def this() = this("job")
+
   private val starts =
     new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
 
@@ -18,15 +21,16 @@ class JobTraceListener extends SparkListener {
       .flatMap(p => Option(p.getProperty("spark.job.description")))
       .orElse(Option(js.properties)
         .flatMap(p => Option(p.getProperty("callSite.short"))))
+      .filter(_.nonEmpty) // a present-but-empty description has no lines
       .getOrElse("?")
     starts.put(js.jobId, (System.nanoTime(),
-      desc.linesIterator.next().take(90),
+      desc.linesIterator.nextOption().getOrElse("?").take(90),
       js.stageInfos.map(_.numTasks).sum))
   }
 
   override def onJobEnd(je: SparkListenerJobEnd): Unit =
     Option(starts.remove(je.jobId)).foreach { case (t0, desc, tasks) =>
-      System.err.println(f"[job] #${je.jobId}%-4d " +
+      System.err.println(f"[$tag] #${je.jobId}%-4d " +
         f"${(System.nanoTime() - t0) / 1e9}%6.3fs $tasks%4d tasks  $desc")
     }
 }

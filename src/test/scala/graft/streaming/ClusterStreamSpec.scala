@@ -281,6 +281,11 @@ class ClusterStreamSpec extends SparkSpec {
     assert(ClusterStream.estimatedPairBytes(
       spark.emptyDataFrame, 1000L,
       org.apache.spark.sql.types.LongType, 1L << 28) == 16L)
+    // StringType prices UTF-16 heap (2x the measured UTF-8 octets for
+    // ASCII ids), not raw octets: 8 octets -> 16 + 32 overhead
+    assert(ClusterStream.estimatedPairBytes(
+      Seq(("abcd", "efgh")).toDF("a", "b"), 1L,
+      org.apache.spark.sql.types.StringType, 1L << 28) == 48L)
   }
 
   test("expire drops old docs, re-roots retained components (batch CC over the retained window)") {
@@ -549,6 +554,58 @@ class ClusterStreamSpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: string-id union-find matches distributed CC on NON-BMP ids (UTF-16 vs UTF-8 order)") {
+    // the exact divergence idOrdering targets: U+FF61 (UTF-16 code unit
+    // 0xFF61, UTF-8 bytes EF BD A1) vs U+10000 (UTF-16 surrogate pair
+    // starting 0xD800, UTF-8 bytes F0 90 80 80). java.lang.String ranks
+    // U+10000 < U+FF61; SQL min (UTF8String bytes) ranks U+FF61 <
+    // U+10000 — a min-label root chosen with the naive String ordering
+    // would disagree with the oracle.
+    val ids = IndexedSeq("｡", "𐀀", "a", "z｡",
+      "z𐀀", "｡x", "𐀀x", "m", "é", "�")
+    // first, the crafted divergence is REAL: the naive ordering picks
+    // the other root on the two-node graph (red on the pre-fix shape)
+    val naiveMin = Seq("｡", "𐀀").min // java.lang.String order
+    val sqlMin = Seq(("｡", "𐀀")).toDF("a", "b")
+      .select(least(col("a"), col("b"))).head.getString(0)
+    assert(naiveMin == "𐀀" && sqlMin == "｡",
+      "the generator must cover ids where UTF-16 and UTF-8 orders diverge")
+    val ord = ClusterStream.idOrdering(org.apache.spark.sql.types.StringType)
+    assert(ord.compare("｡", "𐀀") < 0,
+      "idOrdering must rank as SQL min, not as java.lang.String")
+    val gen = org.scalacheck.Gen.listOfN(30,
+      org.scalacheck.Gen.zip(
+        org.scalacheck.Gen.choose(0, ids.size - 1),
+        org.scalacheck.Gen.choose(0, ids.size - 1)))
+    var seed = org.scalacheck.rng.Seed(4242L)
+    (1 to 20).foreach { _ =>
+      val edges = gen.pureApply(org.scalacheck.Gen.Parameters.default, seed)
+        .map { case (i, j) => (ids(i), ids(j)) }
+        .filter { case (a, b) => a != b }
+      seed = seed.next
+      val local = ClusterStream.unionFind(
+        edges.map { case (a, b) => (a: Any, b: Any) }.toArray, ord)
+      val dist = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(local == dist,
+        s"string union-find diverged from the distributed CC on $edges:\n" +
+          s"local=$local\ndist=$dist")
+    }
+  }
+
+  test("idOrdering converts external types whose internal twin differs (Decimal, Date)") {
+    // ADVICE r14: pre-fix, a DecimalType id would ClassCastException in
+    // the local union-find (java.math.BigDecimal vs Decimal); the
+    // converter-based ordering must rank external values as SQL does
+    val dec = ClusterStream.idOrdering(
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(dec.compare(new java.math.BigDecimal("1.50"),
+      new java.math.BigDecimal("2.25")) < 0)
+    val date = ClusterStream.idOrdering(org.apache.spark.sql.types.DateType)
+    assert(date.compare(java.sql.Date.valueOf("2020-01-01"),
+      java.sql.Date.valueOf("2021-01-01")) < 0)
+  }
+
   /** Every label row's denormalized comp index must equal the truth
     * derivable from the labels themselves: members = the component's
     * row count, bks = the set of buckets its members hash to. */
@@ -622,6 +679,40 @@ class ClusterStreamSpec extends SparkSpec {
         "a fold whose store write failed must not advance the pointer")
     } finally ClusterStream.afterStoreWrites = _ => ()
     // the redelivered batch (same id) folds cleanly over the debris
+    fold0()
+    assert(ClusterStream.lastBatch(store).contains(0L))
+    assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
+      batchClusters(docs))
+  }
+
+  test("a BLOCKED async store write fails the fold within graft.cluster.storeWriteTimeout") {
+    val work = graft.util.Workspace.temp("clusterstream-write-stall")
+    val store = s"$work/store"
+    val fam = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, fam), (2L, fam)).toDF("doc_id", "text")
+    def fold0() = ClusterStream.fold(spark, store, docs, "doc_id", "text",
+      3, 0.8, 128, 32, ClusterStream.DefaultBuckets, batchId = 0)
+    // a filesystem stall, simulated on the writer stripe: the hook runs
+    // inside the async write, AFTER the parquet writes — the fold's
+    // awaits must give up at the configured bound instead of wedging
+    val stall = new java.util.concurrent.CountDownLatch(1)
+    ClusterStream.afterStoreWrites = _ => stall.await()
+    spark.conf.set("graft.cluster.storeWriteTimeout", "2s")
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[Exception](fold0())
+      val took = (System.nanoTime() - t0) / 1e9
+      assert(e.getMessage.contains("storeWriteTimeout"),
+        s"the fold must name the timeout knob, got: ${e.getMessage}")
+      assert(took < 30.0, s"the bounded await must not wedge (took ${took}s)")
+      assert(ClusterStream.lastBatch(store).isEmpty,
+        "a timed-out fold must not advance the pointer")
+    } finally {
+      stall.countDown()
+      ClusterStream.afterStoreWrites = _ => ()
+      spark.conf.unset("graft.cluster.storeWriteTimeout")
+    }
+    // the redelivered batch (same id) folds cleanly once the FS is back
     fold0()
     assert(ClusterStream.lastBatch(store).contains(0L))
     assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
