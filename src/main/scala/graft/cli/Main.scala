@@ -51,6 +51,11 @@ object Main {
       |  score   --output <dir> [--band <loQ,hiQ> --value-col <c> | --label <c>] [--ngram 2|3] [--save-model <dir> | --load-model <dir>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  score --stream --load-model <dir> --output <dir> --checkpoint <dir> [--label <c>] [--id-col <c>] [--text-col <c>] [--max-files <n> | --max-bytes <b>] <parquetGlob>
       |  decontam --output <dir> --eval "<bool SQL>" [--fuzzy | --semantic [--threshold <t>] [--vec-col <c>]] [--k <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  decontam --save-model <dir> --eval "<bool SQL>" [--k <n>] [--w <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  decontam --stream --load-model <dir> --output <dir> --checkpoint <dir> [--k <n>] [--w <n>] [--min-shared <n>] [--id-col <c>] [--text-col <c>] [--max-files <n> | --max-bytes <b>] <parquetGlob>
+      |  dsir    --output <dir> --target "<bool SQL>" [--n <n>] [--buckets <n>] [--temperature <t>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  dsir    --save-model <dir> --target "<bool SQL>" [--buckets <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
+      |  dsir    --stream --load-model <dir> --threshold <t> --output <dir> --checkpoint <dir> [--buckets <n>] [--id-col <c>] [--text-col <c>] [--max-files <n> | --max-bytes <b>] <parquetGlob>
       |  imagedup --output <dir> [--radius <n> [--hash-bits <n>]] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  chunkdup --output <dir> [--ref "<bool SQL>"] [--k <n>] [--p <n>] [--id-col <c>] [--text-col <c>] [--warehouse <dir>] <ds.tbl|parquetDir>
       |  txlog versions --warehouse <dir> <ds.tbl>
@@ -123,6 +128,28 @@ object Main {
       case Some(sel) => base.selectExpr(sel.split(",").map(_.trim): _*)
       case None => base
     }
+  }
+
+  /** Sized parquet file-stream for the replay verbs (`cluster`,
+    * `score --stream`, `dsir --stream`, `decontam --stream`): one file
+    * per trigger by default; every replay's floor is PER-TRIGGER, so a
+    * backlogged landing zone should mega-batch with `--max-bytes` (or
+    * `--max-files`). The two are mutually exclusive — the file stream
+    * source rejects both limits at once. `schema` defaults to a one-off
+    * batch read of the same glob. */
+  private def sizedFileStream(spark: org.apache.spark.sql.SparkSession,
+      flags: Map[String, String], glob: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None) = {
+    require(!(flags.contains("max-files") && flags.contains("max-bytes")),
+      "--max-files and --max-bytes are mutually exclusive (the file " +
+        "stream source rejects both trigger limits at once) — pick one")
+    val reader = spark.readStream
+      .schema(schema.getOrElse(spark.read.parquet(glob).schema))
+    (flags.get("max-bytes") match {
+      case Some(b) => reader.option("maxBytesPerTrigger", b)
+      case None => reader.option("maxFilesPerTrigger",
+        flags.getOrElse("max-files", "1").toInt)
+    }).parquet(glob)
   }
 
   def main(args: Array[String]): Unit = {
@@ -370,24 +397,9 @@ object Main {
         // any orderable id) — a one-off batch read of the same glob
         // supplies the stream schema instead of hardcoding LongType
         val landed = spark.read.parquet(pos.head).schema
-        // --max-bytes: mega-batch landing — each fold pays a fixed
-        // per-trigger floor (docs/PERF.md round-12: ~2.6 s vs ~1 s of
-        // work at sf0.1), so a backlogged stream should batch by bytes.
-        // Spark's file source forbids combining it with
-        // maxFilesPerTrigger, so the file knob (default 1) only applies
-        // when no byte budget is given
-        require(!(flags.contains("max-files") && flags.contains("max-bytes")),
-          "--max-files and --max-bytes are mutually exclusive (the file " +
-            "stream source rejects both trigger limits at once) — pick one")
-        val reader = spark.readStream
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            landed(idCol0), landed(textCol0))))
-        val sized = flags.get("max-bytes") match {
-          case Some(b) => reader.option("maxBytesPerTrigger", b)
-          case None => reader.option("maxFilesPerTrigger",
-            flags.getOrElse("max-files", "1").toInt)
-        }
-        val in = sized.parquet(pos.head)
+        val in = sizedFileStream(spark, flags, pos.head,
+          Some(org.apache.spark.sql.types.StructType(Seq(
+            landed(idCol0), landed(textCol0)))))
         val labels = graft.streaming.ClusterStream.streamClusters(spark, in,
           store, req(flags, "checkpoint"),
           idCol = flags.getOrElse("id-col", "doc_id"),
@@ -648,21 +660,11 @@ object Main {
         require(pos.size == 1,
           "score --stream needs exactly one parquet landing glob")
         import org.apache.spark.sql.functions.{col => c, lit, lower}
-        require(!(flags.contains("max-files") && flags.contains("max-bytes")),
-          "--max-files and --max-bytes are mutually exclusive (the file " +
-            "stream source rejects both trigger limits at once) — pick one")
         val modelDir = req(flags, "load-model")
         val idCol = flags.getOrElse("id-col", "doc_id")
         val toksOf = graft.text.TextFunctions.tokens(
           lower(c(flags.getOrElse("text-col", "text"))))
-        val reader0 = spark.readStream
-          .schema(spark.read.parquet(pos.head).schema)
-        val sized = flags.get("max-bytes") match {
-          case Some(b) => reader0.option("maxBytesPerTrigger", b)
-          case None => reader0.option("maxFilesPerTrigger",
-            flags.getOrElse("max-files", "1").toInt)
-        }
-        val in = sized.parquet(pos.head)
+        val in = sizedFileStream(spark, flags, pos.head)
         val outDir = req(flags, "output")
         if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(modelDir, "cls")))
@@ -779,6 +781,42 @@ object Main {
         spark.read.parquet(req(flags, "output")).orderBy(c("rank")).collect()
           .foreach(r => println(f"#${r.getLong(0)} ${r.getString(1)} " +
             f"${r.getString(2)} (n=${r.getLong(3)}, pmi=${r.getDouble(4)}%.4f)"))
+
+      case "dsir" if flags.contains("stream") =>
+        // STREAMING DSIR gate (q127 as a verb): drain the parquet
+        // landing glob against a frozen --load-model lr/ table,
+        // appending documents with score >= --threshold to --output —
+        // DSIR as a filter, because a per-document threshold
+        // decomposes over micro-batches where a global top-n would not
+        require(pos.size == 1,
+          "dsir --stream needs exactly one parquet landing glob")
+        import org.apache.spark.sql.functions.{col => c, lower}
+        graft.curation.Dsir.gateStream(sizedFileStream(spark, flags, pos.head),
+          c(flags.getOrElse("id-col", "doc_id")),
+          graft.text.TextFunctions.tokens(
+            lower(c(flags.getOrElse("text-col", "text")))),
+          req(flags, "load-model"),
+          flags.getOrElse("buckets", "1024").toInt,
+          req(flags, "threshold").toDouble,
+          req(flags, "output"), req(flags, "checkpoint"))
+        println(s"gated rows: " + graft.streaming.ScoreStream
+          .output(spark, req(flags, "output")).count())
+
+      case "dsir" if flags.contains("save-model") =>
+        // the train-once half of the streaming gate: persist the
+        // frozen per-bucket log-ratio table (full domain, Laplace-
+        // smoothed) for --stream drains against a fixed target slice
+        require(pos.size == 1,
+          "dsir --save-model needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.{col => c, expr, lower}
+        graft.curation.Dsir.trainDsirModel(readTable(spark, flags, pos.head),
+          c(flags.getOrElse("id-col", "doc_id")),
+          graft.text.TextFunctions.tokens(
+            lower(c(flags.getOrElse("text-col", "text")))),
+          expr(req(flags, "target")),
+          flags.getOrElse("buckets", "1024").toInt, req(flags, "save-model"))
+        println(s"dsir model saved: ${req(flags, "save-model")}/lr " +
+          s"(target: ${req(flags, "target")})")
 
       case "dsir" =>
         // DSIR selection (q103/q118 as a verb): --target is a SQL
@@ -934,6 +972,40 @@ object Main {
           .orderBy(c("agreement"), c("query_id")).limit(10).collect()
           .foreach(r => println(f"vec ${r.getLong(0)} label ${r.get(1)}: " +
             f"agreement ${r.getDouble(3)}%.2f"))
+
+      case "decontam" if flags.contains("stream") =>
+        // STREAMING fuzzy decontamination (q129 as a verb): screen the
+        // parquet landing glob against a frozen --load-model fp/ set
+        // (built once from the benchmark suite with --save-model),
+        // appending flagged (id, n_shared) rows to --output
+        require(pos.size == 1,
+          "decontam --stream needs exactly one parquet landing glob")
+        graft.dedup.Dedup.decontaminateStream(
+          sizedFileStream(spark, flags, pos.head), req(flags, "load-model"),
+          req(flags, "output"), req(flags, "checkpoint"),
+          shingleK = flags.getOrElse("k", "3").toInt,
+          w = flags.getOrElse("w", "4").toInt,
+          minShared = flags.getOrElse("min-shared", "2").toInt,
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"))
+        println(s"flagged rows: " + graft.streaming.ScoreStream
+          .output(spark, req(flags, "output")).count())
+
+      case "decontam" if flags.contains("save-model") =>
+        // the train-once half of crawl-time decontamination: winnow
+        // the benchmark slice's fingerprints into a frozen fp/ set
+        require(pos.size == 1,
+          "decontam --save-model needs exactly one <ds.tbl|parquetDir>")
+        import org.apache.spark.sql.functions.expr
+        graft.dedup.Dedup.trainEvalFingerprints(
+          readTable(spark, flags, pos.head), expr(req(flags, "eval")),
+          req(flags, "save-model"),
+          shingleK = flags.getOrElse("k", "3").toInt,
+          w = flags.getOrElse("w", "4").toInt,
+          idCol = flags.getOrElse("id-col", "doc_id"),
+          textCol = flags.getOrElse("text-col", "text"))
+        println(s"eval fingerprints saved: ${req(flags, "save-model")}/fp " +
+          s"(eval: ${req(flags, "eval")})")
 
       case "decontam" =>
         // train/eval decontamination (q48/q123 as a verb): --eval is a

@@ -1297,12 +1297,19 @@ log[d] {
     * store) fold into a bucketed label store, recomputing only the
     * components those edges touch. The fold invariant is that the
     * labels equal the batch CC over all pairs seen, so q51's
-    * recursive-CTE oracle adjudicates the streaming path unchanged. */
+    * recursive-CTE oracle adjudicates the streaming path unchanged.
+    *
+    * Fed as THREE one-file triggers: the incremental coverage needs a
+    * fresh-store fold, a cross-batch probe and a bridging merge —
+    * three boundaries buy all three while not pricing the per-trigger
+    * floor twice more for nothing (the r14 six-trigger feed measured
+    * ~2x this floor; q153 is the 2-trigger mega-batch twin and the
+    * deep multi-fold orderings live in ClusterStreamSpec's soaks). */
   def q150(s: SparkSession, d: String): DataFrame = {
     val work = graft.util.Workspace.temp("graft-q150")
     val in = graft.streaming.ScoreStream.feed(
       Tables.documents(s, d).select(col("doc_id"), col("text")),
-      s"$work/landing")
+      s"$work/landing", files = 3)
     graft.streaming.ClusterStream.streamClusters(s, in,
         s"$work/store", s"$work/ckpt")
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
@@ -1337,12 +1344,13 @@ log[d] {
     * batch operator runs) ranks each maintained cluster by
     * (n_chars desc, doc_id). The fold invariant (labels ≡ batch CC at
     * every trigger) makes q121's oracle adjudicate unchanged — the
-    * hash pins the maintained clustering AND which member survives. */
+    * hash pins the maintained clustering AND which member survives.
+    * Three one-file triggers, as q150 (same floor-vs-coverage trade). */
   def q152(s: SparkSession, d: String): DataFrame = {
     val work = graft.util.Workspace.temp("graft-q152")
     val base = Tables.documents(s, d)
     val in = graft.streaming.ScoreStream.feed(
-      base.select(col("doc_id"), col("text")), s"$work/landing")
+      base.select(col("doc_id"), col("text")), s"$work/landing", files = 3)
     val labels = graft.streaming.ClusterStream.streamClusters(s, in,
       s"$work/store", s"$work/ckpt")
     graft.dedup.Dedup.keepBestFromLabels(

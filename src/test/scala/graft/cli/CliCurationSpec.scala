@@ -222,6 +222,73 @@ class CliCurationSpec extends SparkSpec {
       s"LM stream must equal the batch twin:\n$streamed\nvs\n$batch")
   }
 
+  test("dsir --save-model + --stream gates a landing glob; threshold equals the batch filter") {
+    val dir = tmpDir("cli-dsir-stream")
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "de", "der schnelle braune fuchs springt"),
+      (3L, "en", "the dog sleeps while the fox runs away"),
+      (4L, "de", "ganz andere worte bilden diesen satz"),
+      (5L, "en", "the lazy dog and the quick fox again"))
+      .toDF("doc_id", "lang", "text")
+    docs.write.parquet(s"$dir/in")
+    Main.run(spark, Array("dsir", "--save-model", s"$dir/model",
+      "--target", "lang = 'en'", "--buckets", "128", s"$dir/in"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/model", "lr")))
+    // two landed files, mega-batched; gate at score >= 0 (more
+    // target-like than the base rate)
+    docs.filter(col("doc_id") <= 2).select("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/landing")
+    docs.filter(col("doc_id") > 2).select("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(s"$dir/landing")
+    Main.run(spark, Array("dsir", "--stream", "--load-model", s"$dir/model",
+      "--threshold", "0.0", "--buckets", "128", "--output", s"$dir/kept",
+      "--checkpoint", s"$dir/ckpt", "--max-bytes", (64L << 20).toString,
+      s"$dir/landing"))
+    val streamed = graft.streaming.ScoreStream.output(spark, s"$dir/kept")
+      .select(col("__id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = graft.curation.Dsir.scoreDsirModel(docs, col("doc_id"),
+        graft.text.TextFunctions.tokens(lower(col("text"))),
+        s"$dir/model", numBuckets = 128)
+      .filter(col("score") >= 0.0)
+      .select(col("__id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"dsir stream must equal the batch filter:\n$streamed\nvs\n$batch")
+    val commits = new java.io.File(s"$dir/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits == 1, s"expected one mega-batch commit, got $commits")
+  }
+
+  test("decontam --save-model + --stream flags a landing glob; equals the batch fuzzy pass") {
+    val dir = tmpDir("cli-decontam-stream")
+    val leakSrc = "the capital of france is paris and the seine flows through it"
+    val docs = Seq(
+      (10L, true, leakSrc),                           // the eval doc
+      (1L, false, leakSrc.replace("seine", "river")), // drifted leak
+      (2L, false, "completely unrelated text about gardening and soil"),
+      (3L, false, leakSrc))                           // verbatim leak
+      .toDF("doc_id", "is_eval", "text")
+    docs.write.parquet(s"$dir/in")
+    Main.run(spark, Array("decontam", "--save-model", s"$dir/model",
+      "--eval", "is_eval", s"$dir/in"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/model", "fp")))
+    docs.filter(!col("is_eval")).select("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/landing")
+    Main.run(spark, Array("decontam", "--stream", "--load-model", s"$dir/model",
+      "--output", s"$dir/flagged", "--checkpoint", s"$dir/ckpt",
+      "--max-bytes", (64L << 20).toString, s"$dir/landing"))
+    val streamed = graft.streaming.ScoreStream.output(spark, s"$dir/flagged")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.dedup.Dedup.fuzzyContamination(docs, col("is_eval"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && streamed.map(_._1).contains(3L),
+      s"decontam stream must equal the batch fuzzy pass:\n$streamed\nvs\n$batch")
+  }
+
   test("select --budget keeps the greedy score-ordered prefix, via warehouse table ref") {
     val dir = tmpDir("cli-select")
     // warehouse-table input path: ds.tbl resolved through the registry
