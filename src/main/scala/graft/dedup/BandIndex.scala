@@ -112,12 +112,16 @@ object BandIndex {
     * on this path — it runs inside every streaming trigger. Call
     * BEFORE the docs append — see class doc. */
   def append(docSigs: DataFrame, idCol: String, sigCol: String,
-      storeDir: String, spec: Spec): Unit = {
+      storeDir: String, spec: Spec,
+      /** Run-file count for mega-batch appends — callers that counted
+        * the staged batch pass [[LsmIndex.runParts]]; the micro-batch
+        * default keeps the flat tail at one footer per batch. */
+      runFiles: Int = 1): Unit = {
     val spark = docSigs.sparkSession
     val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
       .getOrElse(LsmIndex.Empty)
     val (_, next) = LsmIndex.writeRun(bandedRows(docSigs, idCol, sigCol, spec),
-      layoutPath(storeDir, spec), st)
+      layoutPath(storeDir, spec), st, runFiles)
     writeMeta(spark, storeDir, spec, next)
   }
 

@@ -123,13 +123,17 @@ object DigestIndex {
     * commit on this path — it runs inside every streaming trigger.
     * Call BEFORE the docs append — see class doc. */
   def append(docDigests: DataFrame, idCol: String, digestCol: String,
-      storeDir: String, spec: Spec): Unit = {
+      storeDir: String, spec: Spec,
+      /** Run-file count for mega-batch appends — callers that counted
+        * the staged batch pass [[LsmIndex.runParts]]; the micro-batch
+        * default keeps the flat tail at one footer per batch. */
+      runFiles: Int = 1): Unit = {
     val spark = docDigests.sparkSession
     val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
       .getOrElse(LsmIndex.Empty)
     val (_, next) = LsmIndex.writeRun(
       docDigests.select(col(idCol).as("doc"), col(digestCol).as("digest")),
-      layoutPath(storeDir, spec), st)
+      layoutPath(storeDir, spec), st, runFiles)
     writeMeta(spark, storeDir, spec, next)
   }
 

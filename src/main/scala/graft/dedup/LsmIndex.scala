@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.StructType
   * not interleave — the streaming builder's one-live-builder lock (or
   * the batch caller's own serialization) provides it; `compactStores`
   * acquires the same lock when called standalone. */
-private[dedup] object LsmIndex {
+private[graft] object LsmIndex {
 
   /** Live view of one index layout: the next dir sequence number, the
     * bucket-partitioned bulks (oldest first) and the flat runs. */
@@ -81,18 +81,29 @@ private[dedup] object LsmIndex {
     }
 
   /** Write one flat run for `rows` and return (run name, next state).
-    * Single-file (`coalesce(1)`): the designed input is a micro-batch
-    * — batch-sized id/digest/band rows, orders of magnitude below the
-    * doc bytes — and a single file keeps the post-compaction tail at
-    * one footer per batch. Deterministic name + Overwrite self-heal
-    * the crash-between-run-and-meta window (see class doc). The
-    * caller persists the returned state AFTER this returns (data
+    * Single-file by default (`coalesce(1)`): the designed input is a
+    * micro-batch — batch-sized id/digest/band rows, orders of
+    * magnitude below the doc bytes — and one file keeps the
+    * post-compaction tail at one footer per batch. A `--max-bytes`
+    * MEGA-batch would serialize through one write task, so callers
+    * that know the batch's row count pass `parts` > 1 (they already
+    * counted the staged frame — see [[runParts]]); coalesce stays
+    * shuffle-free either way. Deterministic name + Overwrite
+    * self-heal the crash-between-run-and-meta window (see class doc).
+    * The caller persists the returned state AFTER this returns (data
     * before pointer). */
-  def writeRun(rows: DataFrame, layout: String, st: State): (String, State) = {
+  def writeRun(rows: DataFrame, layout: String, st: State,
+      parts: Int = 1): (String, State) = {
     val run = s"run-${st.seq}"
-    rows.coalesce(1).write.mode("overwrite").parquet(s"$layout/$run")
+    rows.coalesce(math.max(1, parts))
+      .write.mode("overwrite").parquet(s"$layout/$run")
     (run, State(st.seq + 1, st.bulks, st.runs :+ run))
   }
+
+  /** Run-file count for a known row count: one file per `perFile` rows,
+    * capped so a pathological count can't explode the flat tail. */
+  def runParts(rows: Long, perFile: Long): Int =
+    math.min(64L, (rows + perFile - 1) / perFile).toInt
 
   /** The layout's live rows in flat shape (no bucket column): bulks
     * pruned to `touched` buckets (or read whole when None — the

@@ -133,6 +133,16 @@ object CorpusBuilder {
     * ([[compactStores]] every N committed batches). */
   val DefaultCompactEvery = 64
 
+  /** Mega-batch run sizing: a micro-batch writes its index run as ONE
+    * file (one footer per batch on the probe's flat tail), but a
+    * `--max-bytes` backfill batch would serialize a GB-scale run
+    * through one task — past these per-file row targets the run write
+    * fans out ([[graft.dedup.LsmIndex.runParts]]). Digest rows are
+    * ~60 B (id + hex digest); band rows carry the k-hash signature
+    * (~0.5 KB at k=64). */
+  val DigestRowsPerRunFile: Long = 2L << 20
+  val BandRowsPerRunFile: Long = 256L << 10
+
   /** Bounded-growth maintenance for a corpus' on-disk stores.
     *
     * Every commit appends one FLAT single-file run to the digest index
@@ -372,7 +382,7 @@ object CorpusBuilder {
       if (appended > 0) {
         graft.streaming.ScoreStream.lap("corpus-commit")(
           commitBatch(spark, staged, docsDir, bloomPath, stored, expectedItems,
-            fpp, corpusDir, idCol, idxSpec, lockToken))
+            fpp, corpusDir, idCol, idxSpec, lockToken, appended))
         // one store at a time: this corpus is monolithic-owned now
         ShardedBloom.deleteStore(spark, corpusDir)
       }
@@ -402,7 +412,8 @@ object CorpusBuilder {
         ShardedBloom.mergeBatch(staged, "__h", corpusDir, declared)
         commitFault("bloom", corpusDir)
         DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
-          idCol, DigestCol, corpusDir, idxSpec)
+          idCol, DigestCol, corpusDir, idxSpec,
+          runFiles = graft.dedup.LsmIndex.runParts(appended, DigestRowsPerRunFile))
         commitFault("digest-index", corpusDir)
         requireBuildLock(corpusDir, lockToken)
         staged.drop("__h").write.mode("append").parquet(docsDir)
@@ -530,14 +541,16 @@ object CorpusBuilder {
   private def commitBatch(spark: SparkSession, staged: DataFrame, docsDir: String,
       bloomPath: java.nio.file.Path, stored: Option[Array[Byte]],
       expectedItems: Long, fpp: Double, corpusDir: String, idCol: String,
-      idxSpec: DigestIndex.Spec, lockToken: Option[String] = None): Unit = {
+      idxSpec: DigestIndex.Spec, lockToken: Option[String] = None,
+      appended: Long = 0L): Unit = {
     graft.streaming.ScoreStream.lap("corpus-commit-bloom")(
       persistMergedFilter(spark, staged, docsDir, bloomPath, stored,
         expectedItems, fpp))
     commitFault("bloom", corpusDir)
     graft.streaming.ScoreStream.lap("corpus-commit-index")(
       DigestIndex.append(staged.select(col(idCol), col(DigestCol)),
-        idCol, DigestCol, corpusDir, idxSpec))
+        idCol, DigestCol, corpusDir, idxSpec,
+        runFiles = graft.dedup.LsmIndex.runParts(appended, DigestRowsPerRunFile)))
     commitFault("digest-index", corpusDir)
     requireBuildLock(corpusDir, lockToken)
     graft.streaming.ScoreStream.lap("corpus-commit-docs")(
@@ -733,10 +746,13 @@ object CorpusBuilder {
       }
       commitFault("bloom", corpusDir)
       DigestIndex.append(fresh.select(col(idCol), col(DigestCol)),
-        idCol, DigestCol, corpusDir, idxSpec)
+        idCol, DigestCol, corpusDir, idxSpec,
+        runFiles = graft.dedup.LsmIndex.runParts(appended, DigestRowsPerRunFile))
       commitFault("digest-index", corpusDir)
       BandIndex.append(fresh.filter(col(SigCol).isNotNull)
-        .select(col(idCol), col(SigCol)), idCol, SigCol, corpusDir, bandSpec)
+        .select(col(idCol), col(SigCol)), idCol, SigCol, corpusDir, bandSpec,
+        runFiles = graft.dedup.LsmIndex.runParts(
+          appended * nd.bands, BandRowsPerRunFile))
       commitFault("band-index", corpusDir)
       requireBuildLock(corpusDir, lockToken)
       fresh.write.mode("append").parquet(docsDir)
