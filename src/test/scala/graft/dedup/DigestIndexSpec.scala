@@ -151,6 +151,35 @@ class DigestIndexSpec extends SparkSpec {
     assert(children("run-").size == 1)
   }
 
+  test("mega-batch runs fan out by row count; micro-batch runs stay single-file") {
+    // the sizing arithmetic
+    assert(LsmIndex.runParts(0L, 1000L) == 0) // writeRun clamps to 1
+    assert(LsmIndex.runParts(1L, 1000L) == 1)
+    assert(LsmIndex.runParts(1000L, 1000L) == 1)
+    assert(LsmIndex.runParts(1001L, 1000L) == 2)
+    assert(LsmIndex.runParts(Long.MaxValue, 1L) == 64, "cap at 64")
+    val dir = tmpDir("dix-parts")
+    // a "mega" append asked to fan out writes multiple files in ONE run
+    val rows = digested((0L until 40L).map(i => (i, s"wide doc $i")))
+      .repartition(8)
+    DigestIndex.append(rows, "doc_id", "digest", dir, spec, runFiles = 4)
+    val run = new java.io.File(s"$dir/${spec.layoutDir}/run-0")
+    assert(run.isDirectory)
+    val files = run.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(files == 4, s"expected 4 run files, got $files")
+    // ...and the probe reads the fanned-out run like any flat tail
+    val m = DigestIndex.probe(digested(Seq((100L, "wide doc 7"))), "doc_id",
+      "digest", dir, spec).select("corpus_id").as[Long].collect().toSeq
+    assert(m == Seq(7L))
+    // a micro-batch append (default) adds exactly one file
+    DigestIndex.append(digested(Seq((50L, "one more"))), "doc_id", "digest",
+      dir, spec)
+    val run1 = new java.io.File(s"$dir/${spec.layoutDir}/run-1")
+    assert(run1.listFiles().count(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")) == 1)
+  }
+
   test("bloomNewDocsIndexed matches bloomNewDocs and never reads the corpus steady-state") {
     val dir = tmpDir("dix-bloom")
     val corpusRows = (0L until 40L).map(i => (i, s"doc $i"))
