@@ -151,6 +151,49 @@ class DigestIndexSpec extends SparkSpec {
     assert(children("run-").size == 1)
   }
 
+  test("compaction crash windows: a crashed fold's leftover is overwritten; post-swap ghosts sweep") {
+    val dir = tmpDir("dix-crash")
+    (0 until 4).foreach { b =>
+      DigestIndex.append(digested(Seq((b.toLong, s"crash doc $b"))),
+        "doc_id", "digest", dir, spec)
+    }
+    val layout = s"$dir/${spec.layoutDir}"
+    // window 1 — crash BETWEEN the bulk write and the meta swap: the
+    // crashed fold left a (possibly partial) compact-<seq> dir that the
+    // meta never references. seq is unchanged, so the retried fold
+    // OVERWRITES the leftover under the same deterministic name.
+    digested(Seq((999L, "stale leftover row")))
+      .write.parquet(s"$layout/compact-4") // seq after 4 appends = 4
+    assert(DigestIndex.compact(spark, dir, spec, minRuns = 2).isDefined)
+    val hits = DigestIndex.probe(
+      digested(Seq((100L, "crash doc 2"), (101L, "stale leftover row"))),
+      "doc_id", "digest", dir, spec)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits == Set(2L),
+      s"the retried fold must overwrite the crashed leftover, got $hits")
+    // window 2 — crash AFTER the swap, BEFORE the sweep: unreferenced
+    // dirs survive until the next fold's sweep (referenced-never-
+    // deleted means they are harmless ghosts meanwhile)
+    digested(Seq((998L, "ghost row"))).write.parquet(s"$layout/run-77")
+    digested(Seq((997L, "ghost bulk row"))).write.parquet(s"$layout/compact-99")
+    (0 until 2).foreach { b =>
+      DigestIndex.append(digested(Seq((10L + b, s"post doc $b"))),
+        "doc_id", "digest", dir, spec)
+    }
+    assert(DigestIndex.compact(spark, dir, spec, minRuns = 2).isDefined)
+    val children = Option(new java.io.File(layout).listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    assert(!children.contains("run-77") && !children.contains("compact-99"),
+      s"unreferenced ghosts must sweep at the next fold: $children")
+    // every committed row still answers; no ghost row ever does
+    val all = DigestIndex.probe(
+      digested((0 until 4).map(i => (200L + i, s"crash doc $i")) ++
+        Seq((300L, "post doc 0"), (301L, "ghost row"))),
+      "doc_id", "digest", dir, spec)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(all == Set(0L, 1L, 2L, 3L, 10L), s"got $all")
+  }
+
   test("mega-batch runs fan out by row count; micro-batch runs stay single-file") {
     // the sizing arithmetic
     assert(LsmIndex.runParts(0L, 1000L) == 0) // writeRun clamps to 1
