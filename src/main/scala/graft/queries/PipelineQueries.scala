@@ -1039,7 +1039,7 @@ log[d] {
     graft.curation.LangModel.trainBigramModel(base, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model")
     val in = graft.streaming.ScoreStream.feed(
-      base.select(col("doc_id"), col("text")), s"$work/landing")
+      base.select(col("doc_id"), col("text")), s"$work/landing", files = 3)
     graft.curation.LangModel.scoreBigramStream(in, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model", s"$work/scored", s"$work/ckpt")
     val scored = graft.streaming.ScoreStream.output(s, s"$work/scored")
@@ -1064,7 +1064,8 @@ log[d] {
     graft.curation.Classifier.trainNbModel(base, col("doc_id"),
       tokens(lower(col("text"))), col("source"), s"$work/model")
     val in = graft.streaming.ScoreStream.feed(
-      base.select(col("doc_id"), col("source"), col("text")), s"$work/landing")
+      base.select(col("doc_id"), col("source"), col("text")), s"$work/landing",
+      files = 3)
     graft.curation.Classifier.scoreNbStream(in, col("doc_id"),
       tokens(lower(col("text"))), col("source"),
       s"$work/model", s"$work/scored", s"$work/ckpt")
@@ -1132,7 +1133,7 @@ log[d] {
       tokens(lower(col("text"))), col("lang") === "en",
       numBuckets = 256, modelDir = s"$work/model")
     val in = graft.streaming.ScoreStream.feed(
-      base.select(col("doc_id"), col("text")), s"$work/landing")
+      base.select(col("doc_id"), col("text")), s"$work/landing", files = 3)
     graft.curation.Dsir.gateStream(in, col("doc_id"),
       tokens(lower(col("text"))), s"$work/model", numBuckets = 256,
       threshold = 0.0, outDir = s"$work/kept", checkpointDir = s"$work/ckpt")
@@ -1162,7 +1163,7 @@ log[d] {
       col("doc_id") % 10 === 0, modelDir = s"$work/model")
     val in = graft.streaming.ScoreStream.feed(
       base.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id"), col("text")), s"$work/landing")
+        .select(col("doc_id"), col("text")), s"$work/landing", files = 3)
     graft.dedup.Dedup.decontaminateStream(in, s"$work/model",
       outDir = s"$work/flagged", checkpointDir = s"$work/ckpt")
     graft.streaming.ScoreStream.output(s, s"$work/flagged").orderBy(col("doc_id"))
@@ -1199,7 +1200,7 @@ log[d] {
       concat(lit("decon|"), col("vec_id").cast("string"))) % 16 === 0
     val evalSet = emb.filter(isEval)
     val in = graft.streaming.ScoreStream.feed(
-      emb.filter(!isEval), s"$work/landing")
+      emb.filter(!isEval), s"$work/landing", files = 3)
     graft.streaming.ScoreStream.replay(in, Seq(evalSet),
       outDir = s"$work/report", checkpointDir = s"$work/ckpt") { batch =>
       graft.sim.Similarity.semanticContamination(batch, evalSet, threshold = 0.25)
@@ -1221,7 +1222,7 @@ log[d] {
       base.filter(col("doc_id") % 10 === 0), k = 3, p = 8)
     val in = graft.streaming.ScoreStream.feed(
       base.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")),
-      s"$work/landing")
+      s"$work/landing", files = 3)
     graft.streaming.ScoreStream.replay(in, Seq(refD),
       outDir = s"$work/coverage", checkpointDir = s"$work/ckpt") { batch =>
       graft.dedup.Dedup.cdcCoverage(batch, refD, k = 3, p = 8)

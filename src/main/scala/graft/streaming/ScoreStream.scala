@@ -146,7 +146,17 @@ object ScoreStream {
     * `dir` as `files` parquet files and re-open it as a one-file-per-
     * trigger stream — the harness the streaming-twin queries use to
     * replay a known corpus through the live path so the batch oracle
-    * can adjudicate the result. */
+    * can adjudicate the result.
+    *
+    * Trigger-count policy (every query's floor is PER-TRIGGER):
+    * STATELESS drains — per-row scoring against a frozen artifact
+    * (q120/q122/q127/q129/q136/q139) and the incremental cluster fold
+    * (q150/q152) — pass `files = 3`: a fresh drain, a mid-stream
+    * boundary and a tail boundary exercise everything replay can do
+    * differently from batch. STATEFUL stream twins (the reservoir,
+    * quantile, count and diff stores — q135/q140/q141/q144/q151) keep
+    * the 6-file default: their value is cross-batch state-MERGE
+    * coverage, and more boundaries mean more merges under the gate. */
   def feed(df: DataFrame, dir: String, files: Int = 6): DataFrame = {
     lap("feed-write")(
       df.repartition(files).write.mode("overwrite").parquet(dir))
