@@ -1355,19 +1355,46 @@ object ClusterStream {
       m: Manifest, bks: Set[Int]): DataFrame = {
     val wanted = bks.toSeq.sorted.flatMap(b => m.buckets.get(b).map(b -> _))
     require(wanted.nonEmpty, "readBuckets called with no resolvable buckets")
-    wanted.groupBy(_._2).toSeq.sortBy(_._1).map { case (rel, entries) =>
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(s"$storeDir/labels/$rel")
-      val live =
-        if (rel.contains("/__bk=") || !df.columns.contains(SigBucketCol)) df
-        else df.filter(col(SigBucketCol)
-            .isin(entries.map(_._1): _*))
-          .drop(SigBucketCol)
+    def normalized(live: DataFrame): DataFrame = {
       val withIdx = if (live.columns.contains("members")) live
       else live.withColumn("members", lit(null).cast("long"))
         .withColumn("bks", lit(null).cast("array<int>"))
       withIdx.select(col("id"), col("comp"), col("members"), col("bks"))
-    }.reduce(_.unionByName(_))
+    }
+    // partitioned leaves are read ONCE PER GENERATION, pruned to the
+    // wanted buckets: per-leaf reads paid one mergeSchema/footer job
+    // PER BUCKET (the r15 q155 trace: ~33 tiny jobs per label read on
+    // an expired 64-bucket store — a job-count floor ∝ buckets on
+    // every clusters()/rootInfo/member fetch). The isin filter lands
+    // as PartitionFilters, so the read stays leaf-pruned; buckets of
+    // this generation repointed to NEWER dirs are excluded by it.
+    val PartLeaf = "(.+)/__bk=\\d+".r
+    val (partLeaves, flatDirs) = wanted.partition {
+      case (_, PartLeaf(_)) => true
+      case _ => false
+    }
+    val genReads = partLeaves
+      .groupBy { case (_, PartLeaf(gen)) => gen }.toSeq.sortBy(_._1)
+      .map { case (gen, entries) =>
+        normalized(spark.read.option("mergeSchema", "true")
+          .parquet(s"$storeDir/labels/$gen")
+          .filter(col(SigBucketCol).isin(entries.map(_._1): _*))
+          .drop(SigBucketCol))
+      }
+    // FLAT fold runs (`data/batch=<id>`, `__bk` a data column): many
+    // buckets point at one dir, and a dir may hold STALE rows of
+    // buckets since repointed elsewhere — each dir is filtered to
+    // exactly the buckets whose pointer targets it
+    val flatReads = flatDirs.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (rel, entries) =>
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(s"$storeDir/labels/$rel")
+        normalized(
+          if (!df.columns.contains(SigBucketCol)) df
+          else df.filter(col(SigBucketCol).isin(entries.map(_._1): _*))
+            .drop(SigBucketCol))
+      }
+    (genReads ++ flatReads).reduce(_.unionByName(_))
   }
 
   // ---- manifest (tmp + atomic rename; the pointer IS the commit) ----

@@ -17,11 +17,17 @@ class JobTraceListener(tag: String) extends SparkListener {
     new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
 
   override def onJobStart(js: SparkListenerJobStart): Unit = {
+    // filter BEFORE the fallbacks: a present-but-empty description must
+    // fall through, not swallow them. The result stage's NAME is the
+    // Spark-4-reliable call-site carrier ("count at Dedup.scala:123");
+    // callSite.short is kept for submission paths that still set it.
     val desc = Option(js.properties)
       .flatMap(p => Option(p.getProperty("spark.job.description")))
+      .filter(_.nonEmpty)
       .orElse(Option(js.properties)
-        .flatMap(p => Option(p.getProperty("callSite.short"))))
-      .filter(_.nonEmpty) // a present-but-empty description has no lines
+        .flatMap(p => Option(p.getProperty("callSite.short")))
+        .filter(_.nonEmpty))
+      .orElse(js.stageInfos.lastOption.map(_.name).filter(_.nonEmpty))
       .getOrElse("?")
     starts.put(js.jobId, (System.nanoTime(),
       desc.linesIterator.nextOption().getOrElse("?").take(90),
