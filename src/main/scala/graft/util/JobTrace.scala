@@ -30,7 +30,7 @@ class JobTraceListener(tag: String) extends SparkListener {
       .orElse(js.stageInfos.lastOption.map(_.name).filter(_.nonEmpty))
       .getOrElse("?")
     starts.put(js.jobId, (System.nanoTime(),
-      desc.linesIterator.nextOption().getOrElse("?").take(90),
+      desc.linesIterator.find(_.trim.nonEmpty).getOrElse("?").take(90),
       js.stageInfos.map(_.numTasks).sum))
   }
 
