@@ -110,7 +110,14 @@ object BandIndex {
     * the meta pointer (data before pointer; first append on a fresh
     * corpus creates both). NO shuffle and NO dynamic-partition commit
     * on this path — it runs inside every streaming trigger. Call
-    * BEFORE the docs append — see class doc. */
+    * BEFORE the docs append — see class doc.
+    *
+    * FAILS LOUDLY when a meta file exists but isn't ver-2 with this
+    * exact spec (the [[DigestIndex.append]] guard): silently starting
+    * from [[LsmIndex.Empty]] would have [[writeMeta]]'s pointer swap
+    * DELETE the previous layout, orphaning every existing band row.
+    * Only a truly ABSENT meta means a fresh store; everything else
+    * routes through [[rebuild]]. */
   def append(docSigs: DataFrame, idCol: String, sigCol: String,
       storeDir: String, spec: Spec,
       /** Run-file count for mega-batch appends — callers that counted
@@ -118,8 +125,21 @@ object BandIndex {
         * default keeps the flat tail at one footer per batch. */
       runFiles: Int = 1): Unit = {
     val spark = docSigs.sparkSession
-    val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
-      .getOrElse(LsmIndex.Empty)
+    val st = readState(spark, storeDir) match {
+      case Some((s, state)) if s == spec => state
+      case Some((other, _)) => sys.error(
+        s"band index at $storeDir is declared for ${other.layoutDir} but " +
+          s"this append arrived for ${spec.layoutDir} — rebuild() into the " +
+          "new spec first; a restart-from-empty append would orphan the " +
+          "active layout and break the index-superset-of-corpus invariant")
+      case None
+          if graft.streaming.StoreManifest
+            .readFsString(spark, storeDir, MetaFile).isDefined => sys.error(
+        s"band index at $storeDir has a pre-LSM (ver-1) meta — rebuild() " +
+          "it into the LSM layout first; appending over it would orphan " +
+          "every existing index row")
+      case None => LsmIndex.Empty
+    }
     val (_, next) = LsmIndex.writeRun(bandedRows(docSigs, idCol, sigCol, spec),
       layoutPath(storeDir, spec), st, runFiles)
     writeMeta(spark, storeDir, spec, next)
@@ -215,14 +235,17 @@ object BandIndex {
     val n = graft.util.Materialize.eager(
       Dedup.banded(batchSigs, idCol, sigCol, spec.bands)
         .withColumn(BucketCol, bucketOf(col("band_key"), spec.buckets)))
-    val touched = n.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq // metadata-sized: ≤ buckets
+    // ONE metadata-sized job (≤ buckets rows) serves both the prune
+    // list and the broadcast guard's cardinality
+    val perBucket = n.groupBy(BucketCol).count().collect()
+    val touched = perBucket.map(_.getInt(0)).toIndexedSeq
+    val bandRows = perBucket.map(_.getLong(1)).sum
     val store = LsmIndex.readLive(spark, layoutPath(storeDir, spec), st,
       flatSchema(batchSigs.schema(idCol).dataType), BucketCol, Some(touched))
     val batchSide = n.select(col("doc").as("new_id"), col("sig").as("nsig"),
       col("band_key"))
     val guarded =
-      if (n.count() <= maxBroadcastRows) broadcast(batchSide) else batchSide
+      if (bandRows <= maxBroadcastRows) broadcast(batchSide) else batchSide
     store.select(col("doc").as("corpus_id"), col("sig").as("csig"), col("band_key"))
       .join(guarded, "band_key")
       .select(col("new_id"), col("corpus_id"), col("nsig"), col("csig"))

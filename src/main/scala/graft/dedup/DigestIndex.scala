@@ -121,7 +121,15 @@ object DigestIndex {
     * and swap the meta pointer (data before pointer; first append on a
     * fresh corpus creates both). NO shuffle and NO dynamic-partition
     * commit on this path — it runs inside every streaming trigger.
-    * Call BEFORE the docs append — see class doc. */
+    * Call BEFORE the docs append — see class doc.
+    *
+    * FAILS LOUDLY when a meta file exists but isn't ver-2 with this
+    * exact spec (the superset-invariant guard): silently starting from
+    * [[LsmIndex.Empty]] would have [[writeMeta]]'s pointer swap DELETE
+    * the previous layout — orphaning every existing index row and
+    * re-admitting its duplicates through the gate. Only a truly ABSENT
+    * meta means a fresh store; everything else routes through
+    * [[rebuild]] (the [[graft.streaming.CorpusBuilder]] resolve path). */
   def append(docDigests: DataFrame, idCol: String, digestCol: String,
       storeDir: String, spec: Spec,
       /** Run-file count for mega-batch appends — callers that counted
@@ -129,13 +137,34 @@ object DigestIndex {
         * default keeps the flat tail at one footer per batch. */
       runFiles: Int = 1): Unit = {
     val spark = docDigests.sparkSession
-    val st = readState(spark, storeDir).filter(_._1 == spec).map(_._2)
-      .getOrElse(LsmIndex.Empty)
+    val st = requireAppendableState(spark, storeDir, spec)
     val (_, next) = LsmIndex.writeRun(
       docDigests.select(col(idCol).as("doc"), col(digestCol).as("digest")),
       layoutPath(storeDir, spec), st, runFiles)
     writeMeta(spark, storeDir, spec, next)
   }
+
+  /** [[append]]'s entry guard: the active LSM state when the meta is
+    * absent (fresh store → [[LsmIndex.Empty]]) or ver-2 with `spec`;
+    * a loud error for a ver-1 or other-spec meta — appending over
+    * those would orphan the existing layout at the pointer swap. */
+  private def requireAppendableState(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, spec: Spec): LsmIndex.State =
+    readState(spark, storeDir) match {
+      case Some((s, st)) if s == spec => st
+      case Some((other, _)) => sys.error(
+        s"digest index at $storeDir is declared for ${other.layoutDir} but " +
+          s"this append arrived for ${spec.layoutDir} — rebuild() into the " +
+          "new spec first; a restart-from-empty append would orphan the " +
+          "active layout and break the index-superset-of-corpus invariant")
+      case None
+          if graft.streaming.StoreManifest
+            .readFsString(spark, storeDir, MetaFile).isDefined => sys.error(
+        s"digest index at $storeDir has a pre-LSM (ver-1) meta — rebuild() " +
+          "it into the LSM layout first; appending over it would orphan " +
+          "every existing index row and re-admit their duplicates")
+      case None => LsmIndex.Empty
+    }
 
   /** Build the index from scratch out of the corpus' stored
     * `(id, digest)` projection — first index on an existing corpus,
@@ -220,13 +249,16 @@ object DigestIndex {
       candidates.select(col(idCol).as("new_id"), col(digestCol).as("digest"))
         .distinct()
         .withColumn(BucketCol, bucketOf(col("digest"), spec.buckets)))
-    val touched = n.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq // metadata-sized: ≤ buckets
+    // ONE metadata-sized job (≤ buckets rows) serves both the prune
+    // list and the broadcast guard's cardinality
+    val perBucket = n.groupBy(BucketCol).count().collect()
+    val touched = perBucket.map(_.getInt(0)).toIndexedSeq
+    val candRows = perBucket.map(_.getLong(1)).sum
     val store = LsmIndex.readLive(spark, layoutPath(storeDir, spec), st,
       flatSchema(candidates.schema(idCol).dataType), BucketCol, Some(touched))
     val batchSide = n.drop(BucketCol)
     val guarded =
-      if (n.count() <= maxBroadcastRows) broadcast(batchSide) else batchSide
+      if (candRows <= maxBroadcastRows) broadcast(batchSide) else batchSide
     store.select(col("doc").as("corpus_id"), col("digest"))
       .join(guarded, "digest")
       .select(col("digest"), col("new_id"), col("corpus_id"))

@@ -140,6 +140,24 @@ private[graft] object LsmIndex {
       .hint("rebalance", bucketCol)
       .write.partitionBy(bucketCol).mode("overwrite").parquet(dir)
 
+  /** Does the dir hold any data file (recursing through partition
+    * subdirs)? Hidden/metadata names (`_SUCCESS`, `.crc`) don't count.
+    * Emptiness is decided STRUCTURALLY — not by catching the schema-
+    * inference AnalysisException, whose message text varies across
+    * Spark versions (a changed message would turn a routine empty bulk
+    * into a hard compaction failure). */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean = fs.exists(p) && {
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      found = f.isFile && !name.startsWith("_") && !name.startsWith(".")
+    }
+    found
+  }
+
   /** Read a set of parquet roots with footer-inferred schema, skipping
     * roots with no data files (an empty run/bulk has rows to
     * contribute only in the probe's explicit-schema world; compaction
@@ -149,14 +167,12 @@ private[graft] object LsmIndex {
   private def readForFold(spark: SparkSession, paths: Seq[String],
       bucketCol: String): Option[DataFrame] =
     paths.flatMap { p =>
-      try {
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!hasDataFiles(fs, hp)) None // an empty dir contributes nothing
+      else {
         val df = spark.read.parquet(p)
         Some(if (df.columns.contains(bucketCol)) df.drop(bucketCol) else df)
-      } catch {
-        // no footers to infer from — an empty dir contributes nothing
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("infer") || e.getMessage.contains("UNABLE") =>
-          None
       }
     }.reduceOption(_.unionByName(_))
 

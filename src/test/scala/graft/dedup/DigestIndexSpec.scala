@@ -121,6 +121,58 @@ class DigestIndexSpec extends SparkSpec {
     assert(m == Seq(3L))
   }
 
+  test("append onto a MISMATCHED or ver-1 meta fails loudly; the active layout survives") {
+    // spec mismatch: the active layout must not be orphaned by a
+    // restart-from-empty append (the superset-invariant guard)
+    val dir = tmpDir("dix-append-guard")
+    val corpus = digested((0L until 20L).map(i => (i, s"guarded doc $i")))
+    DigestIndex.rebuild(corpus, "doc_id", "digest", dir, spec)
+    val other = DigestIndex.Spec(16)
+    val e = intercept[RuntimeException] {
+      DigestIndex.append(digested(Seq((90L, "fresh"))), "doc_id", "digest",
+        dir, other)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // the old layout and meta are intact — the probe still answers
+    assert(DigestIndex.readMeta(spark, dir).contains(spec))
+    val m = DigestIndex.probe(digested(Seq((91L, "guarded doc 3"))),
+      "doc_id", "digest", dir, spec)
+      .select("corpus_id").as[Long].collect().toSeq
+    assert(m == Seq(3L))
+
+    // ver-1 meta (same buckets value): a direct append would orphan the
+    // legacy rows and the pointer swap would delete them — fail loudly
+    val v1 = tmpDir("dix-append-v1")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(v1))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(v1, "digests-meta.json"), """{"buckets":8}""")
+    corpus.withColumn(DigestIndex.BucketCol,
+        pmod(xxhash64($"digest"), lit(8L)).cast("int"))
+      .write.partitionBy(DigestIndex.BucketCol)
+      .parquet(s"$v1/${spec.layoutDir}")
+    val e1 = intercept[RuntimeException] {
+      DigestIndex.append(digested(Seq((92L, "fresh"))), "doc_id", "digest",
+        v1, spec)
+    }
+    assert(e1.getMessage.contains("ver-1") &&
+      e1.getMessage.contains("rebuild"), e1.getMessage)
+    // the legacy layout survived the refused append
+    assert(spark.read.parquet(s"$v1/${spec.layoutDir}").count() == 20L)
+    // band-index twin of the same guard
+    val bDir = tmpDir("bix-append-guard")
+    val bSpec = BandIndex.Spec(bands = 4, buckets = 8)
+    val sigs = Dedup.stagedSigs(
+      (0L until 10L).map(i => (i, s"band guard doc $i word")).toDF("doc_id", "text"),
+      "doc_id", "text", shingleK = 2, k = 16)
+    BandIndex.rebuild(sigs, "doc", "sig", bDir, bSpec)
+    val eb = intercept[RuntimeException] {
+      BandIndex.append(sigs, "doc", "sig", bDir,
+        BandIndex.Spec(bands = 8, buckets = 8))
+    }
+    assert(eb.getMessage.contains("rebuild"), eb.getMessage)
+    assert(BandIndex.readMeta(spark, bDir).contains(bSpec))
+  }
+
   test("tiered compaction: runs fold at minRuns, bulks cap at maxBulks, every era stays probeable") {
     val dir = tmpDir("dix-tiers")
     (0 until 10).foreach { b =>
