@@ -313,6 +313,11 @@ object Main {
         if (reports.isEmpty) println("compact: nothing to do (or lock held)")
         else reports.foreach { case (store, rs) =>
           if (rs.isEmpty) println(s"$store: already compact")
+          // an index entry's Report counts (runs folded, bulks after),
+          // not files/bytes — print it as the LSM fold it is
+          else if (store.endsWith("-index"))
+            rs.foreach(r => println(s"$store ${r.partition}: folded " +
+              s"${r.filesBefore} runs into ${r.filesAfter} bulks"))
           else rs.foreach(r => println(s"$store ${r.partition}: " +
             s"${r.filesBefore} -> ${r.filesAfter} (${r.bytes} bytes)"))
         }

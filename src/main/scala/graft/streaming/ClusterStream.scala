@@ -398,10 +398,16 @@ object ClusterStream {
     // failure (the batch re-delivers from the checkpoint)
     val writeWait = scala.concurrent.duration.Duration(
       storeWriteTimeoutMs(spark), java.util.concurrent.TimeUnit.MILLISECONDS)
+    // set when awaitWrites already burned the full budget on this
+    // future: the finally-path drain then waits only a short fixed
+    // bound (the cancellation below settles a write promptly) instead
+    // of doubling the timeout on the same wedged future
+    var awaitTimedOut = false
     def awaitWrites(): Unit = storeWrites.foreach { f =>
       try scala.concurrent.Await.result(f, writeWait)
       catch {
         case _: java.util.concurrent.TimeoutException =>
+          awaitTimedOut = true
           // kill the straggler's Spark jobs (they run under the
           // stream's cancellable group) before the replay can overwrite
           // the same batch dirs, then fail the fold loudly
@@ -673,13 +679,19 @@ object ClusterStream {
       // leave a straggler write racing a redelivered fold's overwrite
       // of the same batch dirs. `ready`, not `result` — a failed write
       // must not mask the original exception on an already-failing
-      // path. Bounded like awaitWrites (a cancelled write settles
-      // promptly; a NON-job FS stall past the bound is warned loudly
-      // instead of wedging the failing path forever)
+      // path. Bounded like awaitWrites, but if awaitWrites ALREADY
+      // burned the full budget on this future, only a short drain is
+      // waited here (the cancellation settles a write promptly) — not
+      // a second full timeout on the same wedged future. A NON-job FS
+      // stall past the bound is warned loudly instead of wedging the
+      // failing path forever.
+      val drainWait = if (!awaitTimedOut) writeWait
+        else scala.concurrent.duration.Duration(10,
+          java.util.concurrent.TimeUnit.SECONDS)
       storeWrites.foreach { f =>
-        if (scala.util.Try(scala.concurrent.Await.ready(f, writeWait)).isFailure)
+        if (scala.util.Try(scala.concurrent.Await.ready(f, drainWait)).isFailure)
           System.err.println(s"[cluster] WARNING: batch $batchId's async " +
-            s"store write is still unfinished after $writeWait — a " +
+            s"store write is still unfinished after $drainWait — a " +
             "straggler may race this batch's redelivery; investigate the " +
             s"filesystem under $storeDir")
       }

@@ -76,9 +76,11 @@ object CorpusBuilder {
   private[streaming] def acquireBuildLock(corpusDir: String,
       holder: String): String = {
     // the previous builder's lock releases ASYNCHRONOUSLY (a daemon
-    // watcher on its query's termination), so a back-to-back build —
+    // watcher on its query's termination; [[awaitRelease]] is the
+    // synchronous alternative), so a back-to-back build —
     // q.awaitTermination() then build() again — can arrive inside the
-    // release window. Retry briefly before declaring a live builder;
+    // release window. Retry briefly ON CONTENTION ONLY before declaring
+    // a live builder (any other acquire failure propagates at once);
     // a genuinely live one keeps the lock and fails loudly after.
     val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
     while (true) {
@@ -86,7 +88,7 @@ object CorpusBuilder {
         "builder", holder, "the content gate's derived-store commits " +
           "assume ONE builder per corpus")
       catch {
-        case e: RuntimeException =>
+        case e: StoreManifest.AlreadyLockedException =>
           if (System.nanoTime() >= deadline) throw e
           Thread.sleep(100)
       }
@@ -97,6 +99,23 @@ object CorpusBuilder {
   private[streaming] def releaseBuildLock(corpusDir: String,
       token: String): Unit =
     StoreManifest.releaseHolderLock(buildLockPath(corpusDir), token)
+
+  /** The release watchers of live builds, by query id — joined by
+    * [[awaitRelease]] so sequential builds never race the asynchronous
+    * lock release. Entries remove themselves when the watcher exits. */
+  private val lockWatchers =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Thread]()
+
+  /** Block until `query`'s BUILD.lock has actually released (the query
+    * must already be terminated or terminating — this joins the release
+    * watcher, it does not stop the query). The synchronous complement
+    * to the watcher's async release: call between a drain's
+    * `awaitTermination()` and the next `build()`/maintenance call on
+    * the same corpus to hand the lock over deterministically. A query
+    * not started by [[build]] (or whose release already happened) is a
+    * no-op. */
+  def awaitRelease(query: StreamingQuery): Unit =
+    Option(lockWatchers.get(query.id)).foreach(_.join())
 
   /** Derived-store writes already made by a fold failing this re-check
     * are ghosts the gate absorbs by design (superset invariant). */
@@ -301,9 +320,13 @@ object CorpusBuilder {
     val watcher = new Thread(() => {
       try query.awaitTermination()
       catch { case _: Throwable => () }
-      finally releaseBuildLock(corpusDir, token)
+      finally {
+        try releaseBuildLock(corpusDir, token)
+        finally lockWatchers.remove(query.id)
+      }
     }, s"corpus-build-lock-${query.id}")
     watcher.setDaemon(true)
+    lockWatchers.put(query.id, watcher)
     watcher.start()
     query
   }

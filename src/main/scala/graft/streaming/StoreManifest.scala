@@ -119,11 +119,18 @@ object StoreManifest {
 
   // ---- invariant 5: holder lock + commit re-check ----
 
-  /** Atomically take an exclusive `role` lock, failing loudly if one is
-    * already held. Returns the token the holder's commits pass to
-    * [[requireHolderLock]]. A crashed holder leaves the lock for the
-    * operator to delete (the [[ClusterStream]] compaction-lock
-    * contract). */
+  /** [[acquireHolderLock]]'s CONTENTION failure — the lock file already
+    * exists. A dedicated type so retry loops (e.g. a back-to-back build
+    * arriving inside the previous builder's async release window) retry
+    * ONLY on contention and let every other failure — unreadable lock,
+    * permission error — propagate immediately. */
+  final class AlreadyLockedException(msg: String) extends RuntimeException(msg)
+
+  /** Atomically take an exclusive `role` lock, throwing
+    * [[AlreadyLockedException]] if one is already held. Returns the
+    * token the holder's commits pass to [[requireHolderLock]]. A
+    * crashed holder leaves the lock for the operator to delete (the
+    * [[ClusterStream]] compaction-lock contract). */
   def acquireHolderLock(lock: Path, role: String, holder: String,
       why: String): String = {
     Files.createDirectories(lock.getParent)
@@ -135,8 +142,9 @@ object StoreManifest {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         val cur = readIfExists(lock).map(_.trim).getOrElse("<unreadable>")
-        sys.error(s"store at ${lock.getParent} already has a live $role " +
-          s"($cur) — $why; stop it first, or if it crashed, delete $lock")
+        throw new AlreadyLockedException(
+          s"store at ${lock.getParent} already has a live $role " +
+            s"($cur) — $why; stop it first, or if it crashed, delete $lock")
     }
   }
 

@@ -678,11 +678,10 @@ class CorpusBuilderSpec extends SparkSpec {
       tmpDir("lock-ckpt-c"), corpus)
     q.awaitTermination()
     assert(corpusDocs(corpus).count() == 1L)
-    // the watcher releases asynchronously after termination
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(corpus, "BUILD.lock")) &&
-        System.nanoTime() < deadline) Thread.sleep(50)
+    // the watcher releases asynchronously after termination;
+    // awaitRelease is the synchronous hand-over — after it returns the
+    // lock is GONE, no polling
+    CorpusBuilder.awaitRelease(q)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(corpus, "BUILD.lock")),
       "the lock must release when the drain terminates")
