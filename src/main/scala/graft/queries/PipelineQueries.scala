@@ -1436,11 +1436,12 @@ log[d] {
         s"$work/store", s"$work/ckpt")
       ()
     }
-    // quarter-corpus halves: expire rewrites the WHOLE retained store
-    // (cut sig/band/edge dirs + a fresh CC generation — maintenance
-    // priced ∝ corpus by necessity, run between drains in production),
-    // so the bench pays it on a bounded slice; the adjudication is
-    // corpus-size-independent
+    // quarter-corpus halves: this expiry is the WORST case for the
+    // touched-partition cut — batch 0 and batch 2 docs interleave in
+    // every cluster, so nearly every component (and its label buckets)
+    // is touched; production expiries with mostly-disjoint horizons pay
+    // only the touched fraction. The bench slice stays bounded and the
+    // adjudication corpus-size-independent either way
     land(docs.filter(col("doc_id") % 4 === 0)); drain() // batch 0
     land(docs.filter(col("doc_id") % 4 === 2)); drain() // batch 1
     graft.streaming.ClusterStream.expire(s, s"$work/store", fromBatch = 1)

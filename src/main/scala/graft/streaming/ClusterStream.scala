@@ -615,25 +615,7 @@ object ClusterStream {
       // of a touched comp is a union-find key, so no stale index row
       // can survive a fold
       val tb = labels.keysIterator.map(bucketOfValue(_, idType, nBuckets)).toSet
-      val byComp: Map[Any, (Long, Seq[Int])] =
-        labels.toSeq.groupBy(_._2).map { case (c, ms) =>
-          c -> (ms.size.toLong,
-            ms.map(kv => bucketOfValue(kv._1, idType, nBuckets))
-              .toSet.toSeq.sorted)
-        }
-      val labelSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", idType),
-        org.apache.spark.sql.types.StructField("comp", idType),
-        org.apache.spark.sql.types.StructField("members",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("bks",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.IntegerType))))
-      val newLabels = spark.createDataFrame(
-        labels.toSeq.map { case (id, comp) =>
-          val (members, bks) = byComp(comp)
-          Row(id, comp, members, bks)
-        }.asJava, labelSchema)
+      val newLabels = driverLabelsDf(spark, labels, idType, nBuckets)
       val keep = cur.map(_.buckets.keySet.intersect(tb)) match {
         case Some(hit) if hit.nonEmpty =>
           val bkt = readBuckets(spark, storeDir, cur.get, hit)
@@ -967,20 +949,46 @@ object ClusterStream {
     * (state TTL, `pkg/usecase/usecase.go:37`); without one the sig/
     * band/label state grows forever. Drops every document that landed
     * BEFORE micro-batch `fromBatch` from the store and recomputes the
-    * labels as the exact batch CC over the RETAINED window: retained
-    * edges are the stored verified edges whose endpoints BOTH survive
-    * (an edge lands in the batch of its later endpoint, so the
-    * `__batch >= fromBatch` cut plus an endpoint semi-join is exact).
+    * labels as the exact batch CC over the RETAINED window — but pays
+    * only for the TOUCHED fraction (the fold's touched-bucket
+    * discipline applied to retention):
+    *
+    *  - sig/band/edge dirs: a flat per-batch run holds exactly its
+    *    landing batch, so it classifies BY NAME — wholly-retained runs
+    *    carry forward as manifest references (never rewritten, never
+    *    re-read), wholly-expired runs drop. Only consolidated dirs
+    *    (compact-* / expire-*) mix batches; each pays one cheap dirty
+    *    probe and is rewritten (filtered) only when it actually holds
+    *    expired rows.
+    *  - labels: only the components CONTAINING an expired doc are
+    *    recomputed — expired ids resolve to their comps through the
+    *    id-bucket-pruned label probe, the comps' denormalized bks
+    *    index bounds the member fetch, and the CC reruns over exactly
+    *    those comps' retained edges (size-guarded onto the fold's
+    *    driver union-find when batch-bounded). Wholly-retained
+    *    components' label rows and bucket pointers carry forward
+    *    untouched.
+    *
     * Recomputing from edges — not re-rooting labels — is what makes a
     * bridge doc's expiry SPLIT the component it once joined, matching
     * what a batch run over only the retained docs would produce; a
     * post-expiry drain therefore still satisfies the fold invariant
-    * over the retained window. Run BETWEEN drains (same lock as
+    * over the retained window. Edges whose EARLIER endpoint expired
+    * may survive in carried-forward dirs (rewriting every dir to drop
+    * them is exactly the full-store cut this replaces); they are DEAD
+    * by the store's read contract — every edge consumer filters
+    * endpoints against live members — and age out when a later horizon
+    * passes their landing batch. Run BETWEEN drains (same lock as
     * [[compactStores]]). Returns (retained docs, label rows), or None
     * when the store is empty. */
   def expire(spark: SparkSession, storeDir: String,
       fromBatch: Long): Option[(Long, Long)] =
     expireImpl(spark, storeDir, fromBatch, () => ())
+
+  /** Landing batch id of a flat per-batch run dir, by name (the
+    * [[isFlatRun]] convention: maintenance dirs never contain
+    * `/batch=`). */
+  private val FlatRunRe = """.*/batch=(\d+)""".r
 
   /** [[expire]] with a test seam fired between the consolidated cuts
     * and the manifest swap (the compactStoresImpl pattern). */
@@ -1021,74 +1029,188 @@ object ClusterStream {
           requireStamped("band", m.bandDirs)
         }
         val tag = s"expire-${m.batchId}-$fromBatch"
-        def cutWrite(dirs: Seq[String], to: String,
-            partitionedBk: Int, bucketKey: String): Seq[String] =
-          if (dirs.isEmpty) Nil
-          else {
-            val kept = readLsm(spark, storeDir, dirs)
-              .filter(col("__batch") >= fromBatch).drop(SigBucketCol)
-            // an all-expired cut registers NO dir (an empty partitioned
-            // write leaves nothing readable, and the manifest must
-            // never list a dir a multi-dir read would choke on)
-            if (kept.isEmpty) Nil
-            // the consolidated cut lands read-optimized, like a
-            // compaction (recomputed buckets — flat rows carried only
-            // the sentinel); sigs bucket by doc id, bands by band key
-            else if (partitionedBk > 0) {
-              kept.withColumn(SigBucketCol,
-                  pmod(hash(col(bucketKey)), lit(partitionedBk)))
-                .repartition(col(SigBucketCol))
-                .write.partitionBy(SigBucketCol)
-                .mode("overwrite").parquet(abs(to))
-              Seq(to)
-            } else {
-              kept.write.mode("overwrite").parquet(abs(to))
-              Seq(to)
-            }
+
+        // ---- the touched-partition cut. Flat per-batch runs classify
+        // by NAME; a consolidated dir pays one dirty probe and is
+        // rewritten (same layout, filtered) only when it actually holds
+        // expired rows. Returns (live dirs after the cut, the expired
+        // rows of every dropped/rewritten dir — lazily read, the label
+        // pass consumes only the sig area's). ----
+        def cutArea(area: String, dirs: Seq[String], partitionedBk: Int,
+            bucketKey: String): (Seq[String], Seq[DataFrame]) = {
+          val cut = dirs.zipWithIndex.map {
+            case (rel @ FlatRunRe(id), _) =>
+              if (id.toLong >= fromBatch) (Seq(rel), None)
+              else (Nil, Some(spark.read.parquet(abs(rel))))
+            case (rel, i) =>
+              val df = spark.read.parquet(abs(rel))
+              val expired = df.filter(col("__batch") < fromBatch)
+              if (expired.isEmpty) (Seq(rel), None) // wholly retained
+              else {
+                val kept = df.filter(col("__batch") >= fromBatch)
+                  .drop(SigBucketCol)
+                if (kept.isEmpty) (Nil, Some(expired)) // wholly expired
+                else {
+                  // the consolidated cut keeps its read-optimized
+                  // layout (recomputed buckets); deterministic name —
+                  // a crashed expiry's ghost is overwritten on retry
+                  val to = s"$area/$tag-$i"
+                  if (partitionedBk > 0)
+                    kept.withColumn(SigBucketCol,
+                        pmod(hash(col(bucketKey)), lit(partitionedBk)))
+                      .repartition(col(SigBucketCol))
+                      .write.partitionBy(SigBucketCol)
+                      .mode("overwrite").parquet(abs(to))
+                  else kept.write.mode("overwrite").parquet(abs(to))
+                  (Seq(to), Some(expired))
+                }
+              }
           }
-        val sigTo = cutWrite(m.sigDirs, s"sigs/$tag", m.sigBk, "doc")
-        val bandTo = cutWrite(m.bandDirs, s"bands/$tag", m.bandBk, "band_key")
-        val retainedDocs = sigTo.headOption.map(d =>
-          spark.read.parquet(abs(d)).select(col("doc")).distinct())
-        // retained edges: the batch cut keeps only edges whose LATER
-        // endpoint survives; the semi-join drops those whose earlier
-        // endpoint expired
-        val edgeTo: Seq[String] = retainedDocs match {
-          case Some(docs) if m.edgeDirs.nonEmpty =>
-            spark.read.parquet(m.edgeDirs.map(abs): _*)
-              .filter(col("__batch") >= fromBatch)
-              .join(docs.select(col("doc").as("a")), Seq("a"), "left_semi")
-              .join(docs.select(col("doc").as("b")), Seq("b"), "left_semi")
-              .select(col("a"), col("b"), col("__batch"))
-              .write.mode("overwrite").parquet(abs(s"edges/$tag"))
-            if (spark.read.parquet(abs(s"edges/$tag")).isEmpty) Nil
-            else Seq(s"edges/$tag")
-          case _ => Nil
+          (cut.flatMap(_._1), cut.flatMap(_._2))
         }
-        // the retained-window CC, written as a full label generation
-        val labelRows: Long = edgeTo match {
-          case Seq(e) =>
-            withCompIndex(
-                Dedup.connectedComponents(
-                    spark.read.parquet(abs(e)).select(col("a"), col("b")),
-                    "a", "b")
-                  .select(col("id"), col("comp")),
-                c => pmod(hash(c), lit(m.nBuckets)))
-              .repartition(col("__bk"))
-              .write.partitionBy("__bk").mode("overwrite")
-              .parquet(s"$storeDir/labels/data/$tag")
-            spark.read.parquet(s"$storeDir/labels/data/$tag").count()
-          case _ => 0L
-        }
-        val written: Set[Int] =
-          if (labelRows == 0L) Set.empty
-          else {
-            val base = Paths.get(storeDir, "labels", "data", tag)
-            val ls = Files.list(base)
-            try ls.iterator.asScala.map(_.getFileName.toString)
-              .filter(_.startsWith("__bk=")).map(_.drop(5).toInt).toSet
-            finally ls.close()
+        val (sigLive, sigExpired) = cutArea("sigs", m.sigDirs, m.sigBk, "doc")
+        val (bandLive, _) = cutArea("bands", m.bandDirs, m.bandBk, "band_key")
+        // edge dirs are never bucket-partitioned; dead edges (earlier
+        // endpoint expired) surviving in kept dirs are filtered at
+        // every read — see the class doc
+        val (edgeLive, _) = cutArea("edges", m.edgeDirs, 0, "")
+
+        // ---- expired docs: the sig rows the cut dropped. Materialized
+        // EAGERLY — the frames read dirs the post-swap sweep deletes ----
+        val expiredIds: Option[DataFrame] = sigExpired
+          .map(_.select(col("doc").as("id")))
+          .reduceOption(_.unionByName(_))
+          .map(df => graft.util.Materialize.eager(df.distinct()))
+
+        // ---- labels: recompute ONLY the touched components ----
+        val noChange = (m.buckets, m.rows, Option.empty[Long])
+        val (newBuckets, newRows, ccCountOpt) =
+          if (m.buckets.isEmpty) noChange
+          else expiredIds match {
+            case None => noChange // nothing expired anywhere
+            case Some(eIds) =>
+              val idType = eIds.schema("id").dataType
+              // the expired ids' own buckets — the label probe's prune
+              val eBks = eIds
+                .select(pmod(hash(col("id")), lit(m.nBuckets)).as("b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+              val hit = m.buckets.keySet.intersect(eBks)
+              if (hit.isEmpty) noChange // every expired doc was an unlabeled singleton
+              else {
+                val eLabeled = graft.util.Materialize.eager(
+                  readBuckets(spark, storeDir, m, hit).join(eIds, "id")
+                    .select(col("comp"), col("bks")))
+                // touched comps' member-bucket union: ≤ nBuckets ints,
+                // null (a legacy row without the index) widens to all
+                val bkRows = eLabeled.select(explode_outer(col("bks")).as("b"))
+                  .distinct().collect()
+                if (bkRows.isEmpty) noChange // expired docs all unlabeled
+                else {
+                  val tComps = graft.util.Materialize.eager(
+                    eLabeled.select(col("comp")).distinct())
+                  val tBks: Set[Int] =
+                    if (bkRows.exists(_.isNullAt(0))) m.buckets.keySet
+                    else bkRows.map(_.getInt(0)).toSet
+                      .intersect(m.buckets.keySet)
+                  // every row of the touched buckets, read ONCE: the
+                  // touched comps' members split out, the rest is the
+                  // keep side of the rewrite
+                  val tRows = graft.util.Materialize.eager(
+                    readBuckets(spark, storeDir, m, tBks))
+                  val members = graft.util.Materialize.eager(
+                    tRows.join(tComps, "comp")
+                      .select(col("id"), col("comp")))
+                  val mCount = members.count()
+                  val retained = graft.util.Materialize.eager(
+                    members.select(col("id"))
+                      .join(eIds, Seq("id"), "left_anti"))
+                  // retained edges of the touched comps: endpoints BOTH
+                  // live members — this one filter restricts to touched
+                  // comps (untouched comps' endpoints are not in R) AND
+                  // drops edges through expired docs, current or prior
+                  val tEdges =
+                    if (edgeLive.isEmpty) None
+                    else Some(graft.util.Materialize.eager(
+                      spark.read.parquet(edgeLive.map(abs): _*)
+                        .select(col("a"), col("b"))
+                        .join(retained.select(col("id").as("a")),
+                          Seq("a"), "left_semi")
+                        .join(retained.select(col("id").as("b")),
+                          Seq("b"), "left_semi")))
+                  val eCnt = tEdges.map(_.count()).getOrElse(0L)
+                  // the touched comps' new labels: the fold's guarded
+                  // local/distributed split — batch-bounded expiries run
+                  // the driver union-find, oversized ones distribute
+                  val (newLabels, ccCount): (Option[DataFrame], Long) =
+                    tEdges.filter(_ => eCnt > 0) match {
+                      case None => (None, 0L)
+                      case Some(edges) =>
+                        lazy val pairBytes = estimatedPairBytes(edges,
+                          eCnt, idType, MaxLocalEdgeBytes)
+                        if (eCnt <= MaxLocalEdges &&
+                            eCnt <= MaxLocalEdgeBytes / pairBytes) {
+                          val labels = unionFind(
+                            edges.collect().map(r => (r.get(0), r.get(1))),
+                            idOrdering(idType))
+                          (Some(driverLabelsDf(spark, labels, idType,
+                            m.nBuckets)), labels.size.toLong)
+                        } else {
+                          val cc = graft.util.Materialize.eager(
+                            Dedup.connectedComponents(edges, "a", "b")
+                              .select(col("id"), col("comp")))
+                          (Some(withCompIndex(cc,
+                              c => pmod(hash(c), lit(m.nBuckets)))
+                            .drop("__bk")), cc.count())
+                        }
+                    }
+                  // rewrite exactly the touched buckets: untouched rows
+                  // in them carry forward, untouched BUCKETS stay
+                  // manifest pointers at their existing dirs
+                  val keep = tRows.join(tComps, Seq("comp"), "left_anti")
+                  newLabels.map(keep.unionByName(_)).getOrElse(keep)
+                    .select(col("id"), col("comp"), col("members"),
+                      col("bks"))
+                    .withColumn("__bk", pmod(hash(col("id")), lit(m.nBuckets)))
+                    .repartition(col("__bk"))
+                    .write.partitionBy("__bk").mode("overwrite")
+                    .parquet(s"$storeDir/labels/data/$tag")
+                  val base = Paths.get(storeDir, "labels", "data", tag)
+                  val written: Set[Int] =
+                    if (!Files.exists(base)) Set.empty
+                    else {
+                      val ls = Files.list(base)
+                      try ls.iterator.asScala.map(_.getFileName.toString)
+                        .filter(_.startsWith("__bk=")).map(_.drop(5).toInt)
+                        .toSet
+                      finally ls.close()
+                    }
+                  // rows land only in buckets the rewrite owns; a
+                  // touched bucket with no surviving row leaves the map
+                  require(written.subsetOf(tBks),
+                    s"expiry rewrite produced buckets outside the " +
+                      s"touched set: ${written.diff(tBks)}")
+                  val nb = (m.buckets -- tBks) ++
+                    written.map(bk => bk -> s"data/$tag/__bk=$bk")
+                  // every touched-comp member was either relabeled or
+                  // dropped — the same row-total identity as the fold
+                  val nr =
+                    if (m.rows >= 0) m.rows - mCount + ccCount else -1L
+                  (nb, nr, Some(ccCount))
+                }
+              }
           }
+        // the post-expiry label count (returned + stamped): maintained
+        // arithmetic when the store tracks its total, one count for a
+        // legacy store
+        val labelRows: Long =
+          if (newRows >= 0) newRows
+          else if (newBuckets.isEmpty) 0L
+          else readBuckets(spark, storeDir, m.copy(buckets = newBuckets),
+            newBuckets.keySet).count()
+        val retainedDocs: Long =
+          if (sigLive.isEmpty) 0L
+          else readLsm(spark, storeDir, sigLive)
+            .select(col("doc")).distinct().count()
         // same interleave guard as compactStores: a fold that read the
         // manifest BEFORE the lock appeared may have committed while
         // the cut ran — swapping now would drop its registered dirs
@@ -1099,17 +1221,16 @@ object ClusterStream {
             s"(batch ${m.batchId} -> ${m2.map(_.batchId).getOrElse(-1L)})" +
             " — expiry runs BETWEEN drains; aborting the swap")
         // ver upgrades unconditionally: either the probe just proved
-        // the store stamped, or it already was — and the cut itself
-        // writes only stamped rows
-        writeManifest(storeDir, m.copy(
-          buckets = written.map(bk => bk -> s"data/$tag/__bk=$bk").toMap,
-          sigDirs = sigTo, bandDirs = bandTo, edgeDirs = edgeTo,
+        // the store stamped, or it already was — and live dirs carry
+        // only stamped rows
+        writeManifest(storeDir, m.copy(buckets = newBuckets,
+          sigDirs = sigLive, bandDirs = bandLive, edgeDirs = edgeLive,
           rows = labelRows, seq = m.seq + 1, ver = StampedVer))
-        sweepUnreferenced(storeDir, "sigs", sigTo.toSet)
-        sweepUnreferenced(storeDir, "bands", bandTo.toSet)
-        sweepUnreferenced(storeDir, "edges", edgeTo.toSet)
-        sweepLabels(storeDir, written.map(bk => s"data/$tag/__bk=$bk"))
-        (retainedDocs.map(_.count()).getOrElse(0L), labelRows)
+        sweepUnreferenced(storeDir, "sigs", sigLive.toSet)
+        sweepUnreferenced(storeDir, "bands", bandLive.toSet)
+        sweepUnreferenced(storeDir, "edges", edgeLive.toSet)
+        sweepLabels(storeDir, newBuckets.values.toSet)
+        (retainedDocs, labelRows)
       } finally StoreManifest.releaseHolderLock(lockFile(storeDir), lockToken)
     }
 
@@ -1121,6 +1242,35 @@ object ClusterStream {
       live: Set[String]): Unit =
     StoreManifest.sweepChildDirs(Paths.get(storeDir, area),
       name => live(s"$area/$name"))
+
+  /** Driver-side (id → comp) labels as a labels frame carrying the
+    * denormalized per-component index — the fast-path twin of
+    * [[withCompIndex]], shared by the fold and the touched-component
+    * expiry (both run their local union-find under the same byte/count
+    * guards, so the frame is batch-bounded by construction). */
+  private def driverLabelsDf(spark: SparkSession, labels: Map[Any, Any],
+      idType: org.apache.spark.sql.types.DataType,
+      nBuckets: Int): DataFrame = {
+    val byComp: Map[Any, (Long, Seq[Int])] =
+      labels.toSeq.groupBy(_._2).map { case (c, ms) =>
+        c -> (ms.size.toLong,
+          ms.map(kv => bucketOfValue(kv._1, idType, nBuckets))
+            .toSet.toSeq.sorted)
+      }
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("comp", idType),
+      org.apache.spark.sql.types.StructField("members",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType))))
+    spark.createDataFrame(
+      labels.toSeq.map { case (id, comp) =>
+        val (members, bks) = byComp(comp)
+        Row(id, comp, members, bks)
+      }.asJava, labelSchema)
+  }
 
   /** Attach the denormalized per-component index the fast path's probe
     * reads — (members, bks) on every label row — plus the `__bk`

@@ -342,6 +342,86 @@ class ClusterStreamSpec extends SparkSpec {
       Set((10L, 10L), (11L, 10L)))
   }
 
+  test("expiry rewrites ONLY touched state: retained runs and untouched label buckets carry forward by reference") {
+    val work = graft.util.Workspace.temp("clusterstream-expire-touch")
+    val famA = "alpha beta gamma delta epsilon zeta eta theta"
+    val famB = "one two three four five six seven eight nine"
+    val famC = "red orange yellow green blue indigo violet ultra"
+    def fold(docs: Seq[(Long, String)], b: Long) =
+      ClusterStream.fold(spark, s"$work/store",
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    // famA spans the horizon (touched, fully dies: doc 3's only edges
+    // go to expired docs); famB and famC are wholly retained — famC
+    // even SPANS two retained batches
+    fold(Seq((1L, famA), (2L, famA)), 0)
+    fold(Seq((3L, famA), (20L, famB), (21L, famB), (30L, famC)), 1)
+    fold(Seq((31L, famC)), 2)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L),
+        (30L, 30L), (31L, 30L)))
+    val before = ClusterStream.readManifest(s"$work/store").get
+    // the pin's precondition: the touched comp's member buckets are
+    // disjoint from the untouched comps' (deterministic murmur3 — if a
+    // future id change collides, pick different ids)
+    def bk(id: Long) = ClusterStream.bucketOfValue(id,
+      org.apache.spark.sql.types.LongType, before.nBuckets)
+    val touchedBks = Set(1L, 2L, 3L).map(bk)
+    val untouchedBks = Set(20L, 21L, 30L, 31L).map(bk)
+    assert(touchedBks.intersect(untouchedBks).isEmpty, "bucket collision")
+    // wholly-retained flat runs: record a data file's mtime
+    import scala.jdk.CollectionConverters._
+    def dataFile(rel: String): java.nio.file.Path = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/store/$rel"))
+      try s.iterator.asScala.find(_.getFileName.toString.endsWith(".parquet"))
+        .get
+      finally s.close()
+    }
+    val pinned = Seq("sigs/batch=1", "sigs/batch=2", "bands/batch=1",
+      "edges/batch=1").map(rel => (rel, dataFile(rel),
+      java.nio.file.Files.getLastModifiedTime(dataFile(rel))))
+
+    val stats = ClusterStream.expire(spark, s"$work/store", fromBatch = 1)
+    assert(stats.contains((5L, 4L)), s"(retained docs, labels): $stats")
+    // labels equal the batch CC over the retained docs (doc 3 is
+    // unlabeled: its only edges went to expired docs — DEAD edges in a
+    // carried-forward dir, filtered at read)
+    val retainedDocs = Seq((3L, famA), (20L, famB), (21L, famB),
+      (30L, famC), (31L, famC)).toDF("doc_id", "text")
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store")) ==
+      batchClusters(retainedDocs))
+    val after = ClusterStream.readManifest(s"$work/store").get
+    // every retained run carried forward AS A MANIFEST REFERENCE —
+    // identical rel paths, no expire-* rewrite anywhere
+    assert(after.sigDirs == Seq("sigs/batch=1", "sigs/batch=2"),
+      after.sigDirs.toString)
+    assert(after.bandDirs == Seq("bands/batch=1", "bands/batch=2"),
+      after.bandDirs.toString)
+    assert(after.edgeDirs == Seq("edges/batch=1", "edges/batch=2"),
+      after.edgeDirs.toString)
+    // ... and their files were not rewritten (same path, same mtime)
+    pinned.foreach { case (rel, path, mtime) =>
+      assert(java.nio.file.Files.exists(path), s"$rel data file vanished")
+      assert(java.nio.file.Files.getLastModifiedTime(path) == mtime,
+        s"$rel was rewritten by an expiry that never touched it")
+    }
+    // untouched label BUCKETS kept their exact pointers; touched ones
+    // moved to the expiry generation or left the map (comp died)
+    untouchedBks.foreach { b =>
+      assert(after.buckets.get(b) == before.buckets.get(b),
+        s"untouched bucket $b was repointed")
+    }
+    touchedBks.foreach { b =>
+      assert(!after.buckets.contains(b),
+        s"touched bucket $b should have left the map (its comp died)")
+    }
+    // the store still folds correctly after the touched-only cut
+    fold(Seq((32L, famC)), 3)
+    assert(streamedClusters(ClusterStream.clusters(spark, s"$work/store"))
+      .filter(_._2 == 30L).map(_._1) == Set(30L, 31L, 32L))
+  }
+
   test("a second checkpoint lineage on the same store fails loudly instead of no-oping") {
     val work = graft.util.Workspace.temp("clusterstream-lineage")
     val fam = "alpha beta gamma delta epsilon zeta"
