@@ -107,72 +107,109 @@ object Pipeline {
     * ONCE, transform per schema rule, append per destination.
     *
     * Single-pass contract (ref: one download per object, everything
-    * downstream in-memory — `pkg/usecase/load.go:186-249`): each rule's
-    * object set is read and JSON-parsed exactly once into a materialized
-    * batch ([[readBatch]]); source-row telemetry, quarantine, and the
-    * destination appends are all derived from that shared in-memory
-    * frame. At 100 TB the JSON parse IS the ingest cost, so parse
-    * amplification is the first thing this pipeline refuses to do. */
+    * downstream in-memory — `pkg/usecase/load.go:186-249`): objects are
+    * grouped by their matched-rule SET, read and JSON-parsed exactly
+    * once into a materialized batch ([[readBatch]]) shared by every
+    * matching rule with that parser; source-row telemetry, quarantine,
+    * and the destination appends are all derived from that shared
+    * in-memory frame. At 100 TB the JSON parse IS the ingest cost, so
+    * parse amplification is the first thing this pipeline refuses to do
+    * — including across OVERLAPPING event rules (N rules matching one
+    * object = N schema routes over one parse, exactly the reference's
+    * one-download set semantics, not N downloads). */
   def ingestObjects(spark: SparkSession, cfg: Config, objects: DataFrame): LoadResult = {
     val ingestId = UUID.randomUUID().toString
     val started = System.currentTimeMillis()
     val sourceLogs = Seq.newBuilder[(String, String, Long)] // (rule, path, rows)
-    val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
+    import scala.jdk.CollectionConverters._
+    // ONE listing pass evaluates every event rule's predicate and tags
+    // each object with its matched-rule set; unmatched objects drop
+    // (ignored object, ref behavior — `Rules.matchObjects` twin)
+    val ruleTags = array_compact(array(cfg.rules.event.zipWithIndex.map {
+      case (r, i) => when(r.predicate, lit(i)) }: _*))
+    val tagged = objects.withColumn("__rules", ruleTags)
+      .filter(size(col("__rules")) > 0)
+    // the distinct matched-rule sets actually occurring: bounded by the
+    // config's rule combinations, never ∝ objects — metadata-sized
+    import scala.math.Ordering.Implicits.seqOrdering
+    val sigs = tagged.select("__rules").distinct().collect()
+      .map(_.getSeq[Int](0).toList).sorted // deterministic: rule decl order
+    val results = sigs.toSeq.flatMap { sig =>
+      val group = sig.map(cfg.rules.event(_))
+      val matched = tagged
+        .filter(col("__rules") === array(sig.map(i => lit(i)): _*))
+        .select("path")
       // backfill guard: a 500k-object prefix would otherwise become one
       // driver path list feeding a single mega-batch (one cache holding
       // the whole backfill, one inference over everything). Chunking
       // bounds peak memory per batch; schema evolution absorbs drift
       // across chunks exactly as it does across separate ingests.
-      // The listing is consumed LAZILY (`toLocalIterator`: one listing
-      // partition in driver memory at a time), so driver footprint
-      // tracks max(partition, chunk) — NOT the whole backfill; a 5M-path
-      // backfill never materializes as one driver array.
+      // When chunking, the listing is consumed LAZILY (`toLocalIterator`:
+      // one listing partition in driver memory at a time), so driver
+      // footprint tracks max(partition, chunk) — NOT the whole backfill;
+      // a 5M-path backfill never materializes as one driver array.
+      // Unchunked, grouped() would buffer the whole listing through the
+      // iterator anyway, so a single collect is footprint-equivalent and
+      // saves the per-partition serialized driver jobs.
       // (an empty listing yields no chunks — grouped() never emits an
       // empty group, so every chunk below is non-empty)
-      import scala.jdk.CollectionConverters._
-      matched.select("path").toLocalIterator().asScala.map(_.getString(0))
-        .grouped(cfg.maxObjectsPerBatch.getOrElse(Int.MaxValue).max(1))
-        .flatMap { chunk =>
-      {
-        val batch = timed("readBatch")(
-          readBatch(spark, rule, chunk, cfg.distributedInference))
-        try {
-          if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
+      val chunks: Iterator[Seq[String]] = cfg.maxObjectsPerBatch match {
+        case None =>
+          val all: IndexedSeq[String] =
+            matched.collect().map(_.getString(0)).toIndexedSeq
+          if (all.isEmpty) Iterator.empty else Iterator.single(all)
+        case Some(n) =>
+          matched.toLocalIterator().asScala.map(_.getString(0)).grouped(n.max(1))
+      }
+      chunks.flatMap { chunk =>
+        // rules sharing (parser, multiDoc) parse the chunk ONCE; every
+        // such rule's schema passes run over that one cached batch
+        group.map(r => (r.parser, r.multiDoc)).distinct.flatMap { pk =>
+          val sharing = group.filter(r => (r.parser, r.multiDoc) == pk)
+          val batch = timed("readBatch")(
+            readBatch(spark, sharing.head, chunk, cfg.distributedInference))
+          try {
             // per-source decoded-row counts (ref SourceLog.RowCount,
             // `model/bigquery.go:19-26`) — aggregated over the cached
-            // batch, one metadata-sized row per object.
-            timed("sourceCounts")(batch.sourceCounts.collect()
-              .foreach(r => sourceLogs += ((rule.name, r.getString(0), r.getLong(1)))))
-          }
-          // SET semantics (ref Rego `log[d]`): every same-name schema
-          // rule emits — each costs one pass over the CACHED batch, same
-          // per-rule evaluation the reference does per record.
-          cfg.rules.schemaRulesFor(rule.schemaRule).flatMap { schemaRule =>
-            // invalid-row count rides the append job (observe below the
-            // validity filter) — the all-valid common case costs zero
-            // extra jobs; only a non-zero count triggers quarantine.
-            val invalidObs =
+            // batch ONCE, one metadata-sized row per object; each
+            // sharing rule logs the same counts under its own name
+            val counts: Seq[(String, Long)] =
               if (cfg.telemetry && cfg.dryRunDir.isEmpty)
-                Some(org.apache.spark.sql.Observation())
-              else None
-            val routed = Transform(batch.records, schemaRule, ingestId, invalidObs)
-            val res = cfg.dryRunDir match {
-              case Some(dir) =>
-                DumpSink.dump(Transform.pruneDataSchema(routed), dir, ingestId).map { case (ds, tbl) =>
-                  TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
+                timed("sourceCounts")(batch.sourceCounts.collect()
+                  .map(r => (r.getString(0), r.getLong(1))).toSeq)
+              else Nil
+            sharing.flatMap { rule =>
+              counts.foreach { case (p, n) => sourceLogs += ((rule.name, p, n)) }
+              // SET semantics (ref Rego `log[d]`): every same-name schema
+              // rule emits — each costs one pass over the CACHED batch,
+              // same per-rule evaluation the reference does per record.
+              cfg.rules.schemaRulesFor(rule.schemaRule).flatMap { schemaRule =>
+                // invalid-row count rides the append job (observe below
+                // the validity filter) — the all-valid common case costs
+                // zero extra jobs; only a non-zero count quarantines.
+                val invalidObs =
+                  if (cfg.telemetry && cfg.dryRunDir.isEmpty)
+                    Some(org.apache.spark.sql.Observation())
+                  else None
+                val routed = Transform(batch.records, schemaRule, ingestId, invalidObs)
+                val res = cfg.dryRunDir match {
+                  case Some(dir) =>
+                    DumpSink.dump(Transform.pruneDataSchema(routed), dir, ingestId).map { case (ds, tbl) =>
+                      TableSink.IngestResult(ds, tbl, "", 0, 0L, success = true)
+                    }
+                  case None => timed("append")(TableSink.append(spark, cfg.registry, routed,
+                    cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests))
                 }
-              case None => timed("append")(TableSink.append(spark, cfg.registry, routed,
-                cfg.dedup.getOrElse(false), knownDests = schemaRule.literalDests))
+                invalidObs.foreach { obs =>
+                  if (invalidCount(obs) > 0)
+                    timed("quarantine")(writeQuarantine(spark, cfg.registry, started,
+                      Transform.invalid(batch.records, schemaRule, ingestId)))
+                }
+                res
+              }
             }
-            invalidObs.foreach { obs =>
-              if (invalidCount(obs) > 0)
-                timed("quarantine")(writeQuarantine(spark, cfg.registry, started,
-                  Transform.invalid(batch.records, schemaRule, ingestId)))
-            }
-            res
-          }
-        } finally batch.release()
-      }
+          } finally batch.release()
+        }
       }
     }
     if (cfg.telemetry && cfg.dryRunDir.isEmpty) {
