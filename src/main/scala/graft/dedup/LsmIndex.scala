@@ -129,16 +129,42 @@ private[graft] object LsmIndex {
         flatSchema))
   }
 
-  /** Bucket + rebalance + partitioned write of a consolidated bulk —
-    * the read-optimized shape, paid only at compaction/rebuild time
-    * (one task per touched bucket writes one file; AQE's rebalance
-    * splits skewed buckets). Overwrite: a crashed fold's leftover is
-    * retried under the same deterministic name. */
+  /** Bucket + shuffle + partitioned write of a consolidated bulk — the
+    * read-optimized shape, paid only at compaction/rebuild/maintenance
+    * time. Overwrite: a crashed fold's leftover is retried under the
+    * same deterministic name.
+    *
+    * `rebalance = true` (the index folds) lets AQE split skewed buckets
+    * across tasks; `false` pins ONE task/file per bucket via an exact
+    * `repartition` — required wherever AQE may be off (the cluster
+    * fold's label write runs inside a streaming `foreachBatch`, where a
+    * rebalance hint would silently no-op into a per-input-partition
+    * fan-out) or where the one-file-per-bucket layout is load-bearing. */
   def writeBulk(rows: DataFrame, dir: String, bucketCol: String,
-      bucketOf: org.apache.spark.sql.Column): Unit =
-    rows.withColumn(bucketCol, bucketOf)
-      .hint("rebalance", bucketCol)
+      bucketOf: org.apache.spark.sql.Column, rebalance: Boolean = true): Unit = {
+    val bucketed = rows.withColumn(bucketCol, bucketOf)
+    (if (rebalance) bucketed.hint("rebalance", bucketCol)
+     else bucketed.repartition(col(bucketCol)))
       .write.partitionBy(bucketCol).mode("overwrite").parquet(dir)
+  }
+
+  /** Mixed-structure read of a store area's live dirs — flat runs and
+    * bucket-partitioned bulks under ONE frame, with flat rows carrying
+    * `sentinel` in `bucketCol` so a single `isin(buckets :+ sentinel)`
+    * prune serves both shapes (the [[graft.streaming.ClusterStream]]
+    * convention; the index probes use [[readLive]]'s explicit-schema
+    * twin, which prunes per-dir instead). All-flat stores — every drain
+    * before the first maintenance — read as one multi-root scan, the
+    * unpruned fast shape; mixed stores load per root (one multi-root
+    * read trips Spark's conflicting-directory check) and union. */
+  def readMixed(spark: SparkSession, paths: Seq[String],
+      isFlat: String => Boolean, bucketCol: String, sentinel: Int): DataFrame =
+    if (paths.forall(isFlat)) spark.read.parquet(paths: _*)
+    else paths.map { p =>
+      val df = spark.read.parquet(p)
+      if (df.columns.contains(bucketCol)) df
+      else df.withColumn(bucketCol, lit(sentinel))
+    }.reduce(_.unionByName(_))
 
   /** Does the dir hold any data file (recursing through partition
     * subdirs)? Hidden/metadata names (`_SUCCESS`, `.crc`) don't count.

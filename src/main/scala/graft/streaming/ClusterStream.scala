@@ -246,22 +246,14 @@ object ClusterStream {
     * runs; maintenance writes only `compact-*` / `expire-*`. */
   private def isFlatRun(rel: String): Boolean = rel.contains("/batch=")
 
-  /** Read an LSM area's (sigs or bands) live dirs. An all-flat store
-    * (no compaction yet — every drain before the first maintenance)
-    * reads as ONE multi-root scan, exactly the unpruned fast shape. A
-    * store with a compacted bulk mixes directory structures (a single
-    * multi-root read trips Spark's conflicting-directory check), so it
-    * loads per root and unions, with flat rows carrying the sentinel
-    * bucket so one prune filter serves both. */
+  /** Read an LSM area's (sigs or bands) live dirs —
+    * [[graft.dedup.LsmIndex.readMixed]] with this store's sentinel
+    * convention (one shared LSM core; the persisted dedup indexes are
+    * the other consumer). */
   private def readLsm(spark: SparkSession, storeDir: String,
       dirs: Seq[String]): DataFrame =
-    if (dirs.forall(isFlatRun))
-      spark.read.parquet(dirs.map(d => s"$storeDir/$d"): _*)
-    else dirs.map { d =>
-      val df = spark.read.parquet(s"$storeDir/$d")
-      if (df.columns.contains(SigBucketCol)) df
-      else df.withColumn(SigBucketCol, lit(FlatBucket))
-    }.reduce(_.unionByName(_))
+    graft.dedup.LsmIndex.readMixed(spark, dirs.map(d => s"$storeDir/$d"),
+      isFlatRun, SigBucketCol, FlatBucket)
 
   /** Drain `stream` with AvailableNow, folding each micro-batch into
     * the cluster state at `storeDir`; returns the final (id, comp)
@@ -753,11 +745,13 @@ object ClusterStream {
         }
       case _ => newLabels.limit(0)
     }
-    keep.unionByName(newLabels)
-      .select(col("id"), col("comp"), col("members"), col("bks"), col("__bk"))
-      .repartition(col("__bk")) // one file per touched bucket at any size
-      .write.partitionBy("__bk").mode("overwrite")
-      .parquet(s"$storeDir/labels/data/batch=$batchId")
+    // one file per touched bucket at any size (exact repartition — AQE
+    // is off inside the streaming foreachBatch, see LsmIndex.writeBulk)
+    graft.dedup.LsmIndex.writeBulk(
+      keep.unionByName(newLabels)
+        .select(col("id"), col("comp"), col("members"), col("bks")),
+      s"$storeDir/labels/data/batch=$batchId", "__bk", bucketOf(col("id")),
+      rebalance = false)
     // every changed row re-landed in its (id-stable) bucket, so the
     // written set must cover the computed touched set
     val written = {
@@ -879,21 +873,16 @@ object ClusterStream {
             // the compaction rewrite is where the read-optimized layout
             // is built: recompute every row's id-bucket (flat rows
             // carry only the sentinel) and land one file per bucket
-            sigs.withColumn(SigBucketCol, pmod(hash(col("doc")), lit(m.sigBk)))
-              .repartition(col(SigBucketCol))
-              .write.partitionBy(SigBucketCol)
-              .mode("overwrite").parquet(abs(sigTo))
+            graft.dedup.LsmIndex.writeBulk(sigs, abs(sigTo), SigBucketCol,
+              pmod(hash(col("doc")), lit(m.sigBk)), rebalance = false)
           else sigs.write.mode("overwrite").parquet(abs(sigTo))
           // the band bulk lands band-key-bucket partitioned (the probe
           // prunes it with the batch keys' bucket list) — same LSM
           // rewrite as the sigs, different prune key
           val bands = readLsm(spark, storeDir, m.bandDirs).drop(SigBucketCol)
           if (m.bandBk > 0)
-            bands.withColumn(SigBucketCol,
-                pmod(hash(col("band_key")), lit(m.bandBk)))
-              .repartition(col(SigBucketCol))
-              .write.partitionBy(SigBucketCol)
-              .mode("overwrite").parquet(abs(bandTo))
+            graft.dedup.LsmIndex.writeBulk(bands, abs(bandTo), SigBucketCol,
+              pmod(hash(col("band_key")), lit(m.bandBk)), rebalance = false)
           else bands.write.mode("overwrite").parquet(abs(bandTo))
           val newEdge = if (m.edgeDirs.isEmpty) Nil else {
             spark.read.parquet(m.edgeDirs.map(abs): _*)
@@ -908,12 +897,10 @@ object ClusterStream {
             if (m.buckets.isEmpty) m.buckets
             else {
               val gen = s"compact-${m.batchId}"
-              readBuckets(spark, storeDir, m, m.buckets.keySet)
-                .withColumn(SigBucketCol,
-                  pmod(hash(col("id")), lit(m.nBuckets)))
-                .repartition(col(SigBucketCol))
-                .write.partitionBy(SigBucketCol)
-                .mode("overwrite").parquet(s"$storeDir/labels/data/$gen")
+              graft.dedup.LsmIndex.writeBulk(
+                readBuckets(spark, storeDir, m, m.buckets.keySet),
+                s"$storeDir/labels/data/$gen", SigBucketCol,
+                pmod(hash(col("id")), lit(m.nBuckets)), rebalance = false)
               val base = Paths.get(storeDir, "labels", "data", gen)
               val ls = Files.list(base)
               val written = try ls.iterator.asScala
@@ -1056,11 +1043,9 @@ object ClusterStream {
                   // a crashed expiry's ghost is overwritten on retry
                   val to = s"$area/$tag-$i"
                   if (partitionedBk > 0)
-                    kept.withColumn(SigBucketCol,
-                        pmod(hash(col(bucketKey)), lit(partitionedBk)))
-                      .repartition(col(SigBucketCol))
-                      .write.partitionBy(SigBucketCol)
-                      .mode("overwrite").parquet(abs(to))
+                    graft.dedup.LsmIndex.writeBulk(kept, abs(to), SigBucketCol,
+                      pmod(hash(col(bucketKey)), lit(partitionedBk)),
+                      rebalance = false)
                   else kept.write.mode("overwrite").parquet(abs(to))
                   (Seq(to), Some(expired))
                 }
@@ -1167,13 +1152,12 @@ object ClusterStream {
                   // in them carry forward, untouched BUCKETS stay
                   // manifest pointers at their existing dirs
                   val keep = tRows.join(tComps, Seq("comp"), "left_anti")
-                  newLabels.map(keep.unionByName(_)).getOrElse(keep)
-                    .select(col("id"), col("comp"), col("members"),
-                      col("bks"))
-                    .withColumn("__bk", pmod(hash(col("id")), lit(m.nBuckets)))
-                    .repartition(col("__bk"))
-                    .write.partitionBy("__bk").mode("overwrite")
-                    .parquet(s"$storeDir/labels/data/$tag")
+                  graft.dedup.LsmIndex.writeBulk(
+                    newLabels.map(keep.unionByName(_)).getOrElse(keep)
+                      .select(col("id"), col("comp"), col("members"),
+                        col("bks")),
+                    s"$storeDir/labels/data/$tag", "__bk",
+                    pmod(hash(col("id")), lit(m.nBuckets)), rebalance = false)
                   val base = Paths.get(storeDir, "labels", "data", tag)
                   val written: Set[Int] =
                     if (!Files.exists(base)) Set.empty
