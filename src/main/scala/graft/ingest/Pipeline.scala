@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -79,6 +79,16 @@ object Pipeline {
 
   final case class LoadResult(ingestId: String, results: Seq[TableSink.IngestResult])
 
+  /** A per-invocation streaming query name: `prefix-<unique suffix>`.
+    * Spark refuses to start two ACTIVE queries with one name in a
+    * session, and pipelines legitimately run concurrently (two landing
+    * zones in one session; a test/verify harness running queries on a
+    * pool) — a fixed name made that a start-time collision. The prefix
+    * keeps logs/telemetry greppable ([[graft.streaming.StreamLog]]
+    * records the name as a label only). */
+  private[graft] def uniqueQueryName(prefix: String): String =
+    s"$prefix-${UUID.randomUUID().toString.take(8)}"
+
   /** Set GRAFT_TIMING=1 to print per-phase ingest timings to stderr —
     * the local feedback loop for keeping the ingest hot path flat. */
   private val timing = sys.env.contains("GRAFT_TIMING")
@@ -122,23 +132,8 @@ object Pipeline {
     val started = System.currentTimeMillis()
     val sourceLogs = Seq.newBuilder[(String, String, Long)] // (rule, path, rows)
     import scala.jdk.CollectionConverters._
-    // ONE listing pass evaluates every event rule's predicate and tags
-    // each object with its matched-rule set; unmatched objects drop
-    // (ignored object, ref behavior — `Rules.matchObjects` twin)
-    val ruleTags = array_compact(array(cfg.rules.event.zipWithIndex.map {
-      case (r, i) => when(r.predicate, lit(i)) }: _*))
-    val tagged = objects.withColumn("__rules", ruleTags)
-      .filter(size(col("__rules")) > 0)
-    // the distinct matched-rule sets actually occurring: bounded by the
-    // config's rule combinations, never ∝ objects — metadata-sized
-    import scala.math.Ordering.Implicits.seqOrdering
-    val sigs = tagged.select("__rules").distinct().collect()
-      .map(_.getSeq[Int](0).toList).sorted // deterministic: rule decl order
-    val results = sigs.toSeq.flatMap { sig =>
-      val group = sig.map(cfg.rules.event(_))
-      val matched = tagged
-        .filter(col("__rules") === array(sig.map(i => lit(i)): _*))
-        .select("path")
+    val results = cfg.rules.matchGroups(objects).flatMap { case (group, objs) =>
+      val matched = objs.select("path")
       // backfill guard: a 500k-object prefix would otherwise become one
       // driver path list feeding a single mega-batch (one cache holding
       // the whole backfill, one inference over everything). Chunking
@@ -370,18 +365,6 @@ object Pipeline {
       cached.join(broadcast(paths.toDF("path")), Seq("path"), "left_semi")
     }
 
-  /** Same single-parse body over an already-discovered line Dataset
-    * (streaming batches arrive as text lines; the caller holds the
-    * lines cache, so inference and the one materializing parse both
-    * run over memory, never re-reading the source files). */
-  private def ingestLines(spark: SparkSession, cfg: Config, rule: EventRule,
-      lines: Dataset[String], ingestId: String): Seq[TableSink.IngestResult] = {
-    val batch = parseOnce(spark, lines.toDF("value")
-      .withColumn(SourceCol, lit("")), cfg.distributedInference)
-    try ingestRecords(spark, cfg, rule, batch.records, ingestId)
-    finally batch.release()
-  }
-
   /** Transform + quarantine + append for one rule's parsed records —
     * shared by the streaming branches so validation rejects are never
     * silent there either (same contract as the batch path). */
@@ -442,7 +425,7 @@ object Pipeline {
         col("_metadata.file_size").as("size"),
         col("_metadata.file_modification_time").as("created_at"))
     lines.writeStream
-      .queryName("graft-ingest")
+      .queryName(uniqueQueryName("graft-ingest"))
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -458,20 +441,32 @@ object Pipeline {
             // file-source metadata has no checksum; keep the rule-visible
             // schema identical to ObjectSource.list (null never matches)
             .withColumn("md5", lit(null).cast("string"))
-          val results = cfg.rules.matchObjects(files).flatMap { case (rule, matched) =>
-            val paths = matched.select("path").collect().map(_.getString(0))
+          // matched-rule-set groups share one parse (the ingestObjects
+          // discipline, on the micro-batch)
+          val results = cfg.rules.matchGroups(files).flatMap { case (group, objs) =>
+            val paths = objs.select("path").collect().map(_.getString(0)).toIndexedSeq
             if (paths.isEmpty) Nil
-            else if (rule.multiDoc || rule.parser != "json") {
-              // non-line formats (concatenated JSON, csv, parquet) are
-              // re-read whole by path; the text-source lines are only the
-              // discovery signal for them
-              val b = readBatch(spark, rule, paths.toSeq, cfg.distributedInference)
-              try ingestRecords(spark, cfg, rule, b.records, ingestId)
-              finally b.release()
-            } else {
-              val lines = filterByPaths(cached, paths.toIndexedSeq)
-                .select("value").as[String]
-              ingestLines(spark, cfg, rule, lines, ingestId)
+            else group.map(r => (r.parser, r.multiDoc)).distinct.flatMap { pk =>
+              val sharing = group.filter(r => (r.parser, r.multiDoc) == pk)
+              if (pk == ("json", false)) {
+                // line-JSON rules parse the cached micro-batch lines —
+                // once for the whole sharing group
+                val lines = filterByPaths(cached, paths)
+                  .select("value").as[String]
+                val b = parseOnce(spark, lines.toDF("value")
+                  .withColumn(SourceCol, lit("")), cfg.distributedInference)
+                try sharing.flatMap(r =>
+                  ingestRecords(spark, cfg, r, b.records, ingestId))
+                finally b.release()
+              } else {
+                // non-line formats (concatenated JSON, csv, parquet) are
+                // re-read whole by path; the text-source lines are only
+                // the discovery signal for them
+                val b = readBatch(spark, sharing.head, paths, cfg.distributedInference)
+                try sharing.flatMap(r =>
+                  ingestRecords(spark, cfg, r, b.records, ingestId))
+                finally b.release()
+              }
             }
           }
           if (cfg.telemetry)
@@ -510,7 +505,7 @@ object Pipeline {
       .select(col("path"), col("length").as("size"),
         col("modificationTime").as("created_at"))
     files.writeStream
-      .queryName("graft-ingest")
+      .queryName(uniqueQueryName("graft-ingest"))
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -520,12 +515,16 @@ object Pipeline {
           .withColumn("bucket", lit(""))
           .withColumn("name", col("path"))
           .withColumn("md5", lit(null).cast("string"))
-        val results = cfg.rules.matchObjects(objects).flatMap { case (rule, matched) =>
-          val paths = matched.select("path").collect().map(_.getString(0)).toSeq
+        // matched-rule-set groups share one read+parse per (parser,
+        // multiDoc) — the ingestObjects discipline, on the micro-batch
+        val results = cfg.rules.matchGroups(objects).flatMap { case (group, objs) =>
+          val paths = objs.select("path").collect().map(_.getString(0)).toSeq
           if (paths.isEmpty) Nil
-          else {
-            val b = readBatch(spark, rule, paths, cfg.distributedInference)
-            try ingestRecords(spark, cfg, rule, b.records, ingestId)
+          else group.map(r => (r.parser, r.multiDoc)).distinct.flatMap { pk =>
+            val sharing = group.filter(r => (r.parser, r.multiDoc) == pk)
+            val b = readBatch(spark, sharing.head, paths, cfg.distributedInference)
+            try sharing.flatMap(r =>
+              ingestRecords(spark, cfg, r, b.records, ingestId))
             finally b.release()
           }
         }
@@ -557,7 +556,7 @@ object Pipeline {
     val cfg = resolveStreamDedup(cfg0)
     spark.readStream.format("text").load(spoolGlob)
       .writeStream
-      .queryName("graft-push-ingest")
+      .queryName(uniqueQueryName("graft-push-ingest"))
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>

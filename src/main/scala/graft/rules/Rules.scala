@@ -178,4 +178,27 @@ final case class Rules(event: Seq[EventRule], schema: Seq[SchemaRule]) {
     */
   def matchObjects(objects: DataFrame): Seq[(EventRule, DataFrame)] =
     event.map(r => r -> objects.filter(r.predicate))
+
+  /** [[matchObjects]] grouped by matched-rule SET — the parse-sharing
+    * discipline: ONE pass over the listing evaluates every rule's
+    * predicate and tags each object with the set of rules that matched,
+    * so the pipeline can read/parse each object once and fan all its
+    * routes out over that copy (the reference's one-download set
+    * semantics, `pkg/usecase/load.go:186-249`) instead of once per
+    * matching rule. Returns (rule group, their objects) with groups in
+    * declared-rule order; the distinct group count is bounded by the
+    * config's rule combinations, never ∝ objects. Unmatched objects
+    * drop (ignored object, ref behavior). */
+  def matchGroups(objects: DataFrame): Seq[(Seq[EventRule], DataFrame)] = {
+    val tags = array_compact(array(event.zipWithIndex.map {
+      case (r, i) => when(r.predicate, lit(i)) }: _*))
+    val tagged = objects.withColumn("__rules", tags)
+      .filter(size(col("__rules")) > 0)
+    import scala.math.Ordering.Implicits.seqOrdering
+    tagged.select("__rules").distinct().collect()
+      .map(_.getSeq[Int](0).toList).sorted.toSeq
+      .map(sig => (sig.map(event(_)),
+        tagged.filter(col("__rules") === array(sig.map(i => lit(i)): _*))
+          .drop("__rules")))
+  }
 }

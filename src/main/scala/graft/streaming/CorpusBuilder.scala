@@ -291,7 +291,7 @@ object CorpusBuilder {
       maxBytesPerTrigger.foreach(b => reader = reader.option("maxBytesPerTrigger", b))
       reader.json(landingGlob)
         .writeStream
-        .queryName("graft-corpus-builder")
+        .queryName(graft.ingest.Pipeline.uniqueQueryName("graft-corpus-builder"))
         .option("checkpointLocation", checkpointDir)
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

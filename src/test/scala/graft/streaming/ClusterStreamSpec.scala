@@ -422,6 +422,60 @@ class ClusterStreamSpec extends SparkSpec {
       .filter(_._2 == 30L).map(_._1) == Set(30L, 31L, 32L))
   }
 
+  test("an expiry that crashes before its swap leaves the store intact; the retry self-heals its ghosts") {
+    val work = graft.util.Workspace.temp("clusterstream-expire-crash")
+    val store = s"$work/store"
+    val famA = "alpha beta gamma delta epsilon zeta eta theta"
+    val famB = "one two three four five six seven eight nine"
+    def fold(docs: Seq[(Long, String)], b: Long) =
+      ClusterStream.fold(spark, store,
+        docs.toDF("doc_id", "text"), "doc_id", "text", 3, 0.8, 128, 32,
+        ClusterStream.DefaultBuckets, batchId = b)
+    fold(Seq((1L, famA), (2L, famA)), 0)
+    fold(Seq((3L, famA), (20L, famB), (21L, famB)), 1)
+    // compact first so the cut has a CONSOLIDATED dir to rewrite (the
+    // crash window's interesting case: a half-written expire-* ghost)
+    assert(ClusterStream.compactStores(spark, store, minDirs = 2).isDefined)
+    val before = streamedClusters(ClusterStream.clusters(spark, store))
+    // crash INSIDE the window: cut dirs written, swap never happens
+    val boom = intercept[RuntimeException] {
+      ClusterStream.expireImpl(spark, store, fromBatch = 1,
+        beforeSwap = () => throw new RuntimeException("crash before swap"))
+    }
+    assert(boom.getMessage.contains("crash before swap"))
+    // the manifest never moved: the store reads exactly as before, the
+    // ghost expire-* dirs are invisible (referenced-never-deleted means
+    // unreferenced-never-read)
+    assert(streamedClusters(ClusterStream.clusters(spark, store)) == before)
+    // the retried expiry overwrites its ghosts under the same
+    // deterministic names and commits; the read-out is the retained CC
+    val stats = ClusterStream.expire(spark, store, fromBatch = 1)
+    assert(stats.isDefined, "retry after crash must succeed")
+    assert(streamedClusters(ClusterStream.clusters(spark, store)) ==
+      batchClusters(Seq((3L, famA), (20L, famB), (21L, famB))
+        .toDF("doc_id", "text")))
+    // nothing unreferenced survives the successful retry's sweep
+    val m = ClusterStream.readManifest(store).get
+    import scala.jdk.CollectionConverters._
+    Seq("sigs", "bands", "edges").foreach { area =>
+      val base = java.nio.file.Paths.get(store, area)
+      if (java.nio.file.Files.exists(base)) {
+        val ls = java.nio.file.Files.list(base)
+        val children =
+          try ls.iterator.asScala.map(_.getFileName.toString).toSet
+          finally ls.close()
+        val live = (m.sigDirs ++ m.bandDirs ++ m.edgeDirs)
+          .filter(_.startsWith(s"$area/")).map(_.stripPrefix(s"$area/")).toSet
+        assert(children == live,
+          s"$area holds unswept ghosts: ${children.diff(live)}")
+      }
+    }
+    // and the store still folds
+    fold(Seq((22L, famB)), 2)
+    assert(streamedClusters(ClusterStream.clusters(spark, store))
+      .filter(_._2 == 20L).map(_._1) == Set(20L, 21L, 22L))
+  }
+
   test("a second checkpoint lineage on the same store fails loudly instead of no-oping") {
     val work = graft.util.Workspace.temp("clusterstream-lineage")
     val fam = "alpha beta gamma delta epsilon zeta"
