@@ -125,21 +125,10 @@ object BandIndex {
         * default keeps the flat tail at one footer per batch. */
       runFiles: Int = 1): Unit = {
     val spark = docSigs.sparkSession
-    val st = readState(spark, storeDir) match {
-      case Some((s, state)) if s == spec => state
-      case Some((other, _)) => sys.error(
-        s"band index at $storeDir is declared for ${other.layoutDir} but " +
-          s"this append arrived for ${spec.layoutDir} — rebuild() into the " +
-          "new spec first; a restart-from-empty append would orphan the " +
-          "active layout and break the index-superset-of-corpus invariant")
-      case None
-          if graft.streaming.StoreManifest
-            .readFsString(spark, storeDir, MetaFile).isDefined => sys.error(
-        s"band index at $storeDir has a pre-LSM (ver-1) meta — rebuild() " +
-          "it into the LSM layout first; appending over it would orphan " +
-          "every existing index row")
-      case None => LsmIndex.Empty
-    }
+    val st = LsmIndex.appendableState("band index", storeDir, spec.layoutDir,
+      readState(spark, storeDir).map { case (s, state) => (s.layoutDir, state) },
+      graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile)
+        .isDefined)
     val (_, next) = LsmIndex.writeRun(bandedRows(docSigs, idCol, sigCol, spec),
       layoutPath(storeDir, spec), st, runFiles)
     writeMeta(spark, storeDir, spec, next)

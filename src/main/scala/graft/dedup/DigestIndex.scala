@@ -144,27 +144,14 @@ object DigestIndex {
     writeMeta(spark, storeDir, spec, next)
   }
 
-  /** [[append]]'s entry guard: the active LSM state when the meta is
-    * absent (fresh store → [[LsmIndex.Empty]]) or ver-2 with `spec`;
-    * a loud error for a ver-1 or other-spec meta — appending over
-    * those would orphan the existing layout at the pointer swap. */
+  /** [[append]]'s entry guard — [[LsmIndex.appendableState]] with this
+    * store's kind/layout naming. */
   private def requireAppendableState(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, spec: Spec): LsmIndex.State =
-    readState(spark, storeDir) match {
-      case Some((s, st)) if s == spec => st
-      case Some((other, _)) => sys.error(
-        s"digest index at $storeDir is declared for ${other.layoutDir} but " +
-          s"this append arrived for ${spec.layoutDir} — rebuild() into the " +
-          "new spec first; a restart-from-empty append would orphan the " +
-          "active layout and break the index-superset-of-corpus invariant")
-      case None
-          if graft.streaming.StoreManifest
-            .readFsString(spark, storeDir, MetaFile).isDefined => sys.error(
-        s"digest index at $storeDir has a pre-LSM (ver-1) meta — rebuild() " +
-          "it into the LSM layout first; appending over it would orphan " +
-          "every existing index row and re-admit their duplicates")
-      case None => LsmIndex.Empty
-    }
+    LsmIndex.appendableState("digest index", storeDir, spec.layoutDir,
+      readState(spark, storeDir).map { case (s, st) => (s.layoutDir, st) },
+      graft.streaming.StoreManifest.readFsString(spark, storeDir, MetaFile)
+        .isDefined)
 
   /** Build the index from scratch out of the corpus' stored
     * `(id, digest)` projection — first index on an existing corpus,

@@ -80,6 +80,29 @@ private[graft] object LsmIndex {
       Some(State(seq, names(BulksRe), names(RunsRe)))
     }
 
+  /** The append entry guard shared by the index stores: the active LSM
+    * state when the declared layout matches the requested one, [[Empty]]
+    * when no meta exists at all (fresh store), and a loud error
+    * otherwise — appending over a mismatched-spec or pre-LSM (ver-1)
+    * meta would orphan the active layout at the pointer swap and break
+    * the index-superset-of-corpus invariant (duplicates re-admitted
+    * through the gate). */
+  def appendableState(kind: String, storeDir: String, requestedLayout: String,
+      active: Option[(String, State)], metaExists: Boolean): State =
+    active match {
+      case Some((layout, st)) if layout == requestedLayout => st
+      case Some((layout, _)) => sys.error(
+        s"$kind at $storeDir is declared for $layout but this append " +
+          s"arrived for $requestedLayout — rebuild() into the new spec " +
+          "first; a restart-from-empty append would orphan the active " +
+          "layout and break the index-superset-of-corpus invariant")
+      case None if metaExists => sys.error(
+        s"$kind at $storeDir has a pre-LSM (ver-1) meta — rebuild() it " +
+          "into the LSM layout first; appending over it would orphan " +
+          "every existing index row and re-admit their duplicates")
+      case None => Empty
+    }
+
   /** Write one flat run for `rows` and return (run name, next state).
     * Single-file by default (`coalesce(1)`): the designed input is a
     * micro-batch — batch-sized id/digest/band rows, orders of
@@ -167,19 +190,37 @@ private[graft] object LsmIndex {
     }.reduce(_.unionByName(_))
 
   /** Does the dir hold any data file (recursing through partition
-    * subdirs)? Hidden/metadata names (`_SUCCESS`, `.crc`) don't count.
-    * Emptiness is decided STRUCTURALLY — not by catching the schema-
-    * inference AnalysisException, whose message text varies across
-    * Spark versions (a changed message would turn a routine empty bulk
-    * into a hard compaction failure). */
+    * subdirs)? Hidden/metadata names (`_SUCCESS`, `.crc`) don't count —
+    * and neither does anything UNDER a hidden dir: a crashed write's
+    * `_temporary/.../part-*.parquet` has a data-looking basename but is
+    * invisible to Spark's reader, so counting it would re-create the
+    * read-an-empty-dir failure this check exists to avoid. Emptiness is
+    * decided STRUCTURALLY — not by catching the schema-inference
+    * AnalysisException, whose message text varies across Spark versions
+    * (a changed message would turn a routine empty bulk into a hard
+    * compaction failure). */
   private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): Boolean = fs.exists(p) && {
+    // Spark's visibility rule: `_`/`.`-prefixed names are hidden —
+    // except partition dirs (`__dk=0`), whose `=` marks them data
+    def hiddenName(n: String): Boolean =
+      (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
+    val root = fs.makeQualified(p) // listFiles yields qualified paths
+    def hiddenAncestor(f: Path): Boolean = {
+      var cur = f.getParent
+      var hidden = false
+      while (!hidden && cur != null && cur != root) {
+        hidden = hiddenName(cur.getName)
+        cur = cur.getParent
+      }
+      hidden
+    }
     val it = fs.listFiles(p, true)
     var found = false
     while (!found && it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      found = f.isFile && !name.startsWith("_") && !name.startsWith(".")
+      found = f.isFile && !hiddenName(f.getPath.getName) &&
+        !hiddenAncestor(f.getPath)
     }
     found
   }

@@ -188,7 +188,18 @@ final case class Rules(event: Seq[EventRule], schema: Seq[SchemaRule]) {
     * matching rule. Returns (rule group, their objects) with groups in
     * declared-rule order; the distinct group count is bounded by the
     * config's rule combinations, never ∝ objects. Unmatched objects
-    * drop (ignored object, ref behavior). */
+    * drop (ignored object, ref behavior).
+    *
+    * Granularity is deliberate: TOTAL parse work is always ≤ the
+    * per-rule alternative (each object parses exactly once, vs once
+    * per matching rule), while the fixed per-group overhead (an
+    * inference + count job sequence) multiplies with distinct match
+    * sets — in principle 2^rules, in any real config a handful. A
+    * coarser sharing (one parse over the UNION of all matched objects)
+    * would cut that overhead but LEAK inferred fields across rules:
+    * rule A's destinations would grow null columns for fields only
+    * rule B's objects carry, changing table schemas — so groups stay
+    * exactly the objects every rule in the group genuinely matched. */
   def matchGroups(objects: DataFrame): Seq[(Seq[EventRule], DataFrame)] = {
     val tags = array_compact(array(event.zipWithIndex.map {
       case (r, i) => when(r.predicate, lit(i)) }: _*))

@@ -1068,8 +1068,8 @@ object ClusterStream {
           .map(df => graft.util.Materialize.eager(df.distinct()))
 
         // ---- labels: recompute ONLY the touched components ----
-        val noChange = (m.buckets, m.rows, Option.empty[Long])
-        val (newBuckets, newRows, ccCountOpt) =
+        val noChange = (m.buckets, m.rows)
+        val (newBuckets, newRows) =
           if (m.buckets.isEmpty) noChange
           else expiredIds match {
             case None => noChange // nothing expired anywhere
@@ -1179,7 +1179,7 @@ object ClusterStream {
                   // dropped — the same row-total identity as the fold
                   val nr =
                     if (m.rows >= 0) m.rows - mCount + ccCount else -1L
-                  (nb, nr, Some(ccCount))
+                  (nb, nr)
                 }
               }
           }

@@ -322,7 +322,11 @@ object CorpusBuilder {
       catch { case _: Throwable => () }
       finally {
         try releaseBuildLock(corpusDir, token)
-        finally lockWatchers.remove(query.id)
+        // conditional remove: query ids are checkpoint-stable, so a
+        // descheduled watcher from a PREVIOUS build on this checkpoint
+        // must not delete the next build's freshly-registered watcher
+        // (that would silently no-op its awaitRelease)
+        finally lockWatchers.remove(query.id, Thread.currentThread())
       }
     }, s"corpus-build-lock-${query.id}")
     watcher.setDaemon(true)

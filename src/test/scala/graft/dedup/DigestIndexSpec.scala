@@ -244,6 +244,35 @@ class DigestIndexSpec extends SparkSpec {
       "doc_id", "digest", dir, spec)
       .select("corpus_id").as[Long].collect().toSet
     assert(all == Set(0L, 1L, 2L, 3L, 10L), s"got $all")
+    // window 3 — a run dir holding ONLY a crashed write's _temporary
+    // debris (data-looking basenames under a hidden dir): the fold must
+    // classify it EMPTY and fold on — not crash on the schema-less read,
+    // and not count the invisible debris as rows
+    (0 until 2).foreach { b =>
+      DigestIndex.append(digested(Seq((30L + b, s"tmp doc $b"))),
+        "doc_id", "digest", dir, spec)
+    }
+    val debris = new java.io.File(s"$layout/run-66/_temporary/0")
+    assert(debris.mkdirs())
+    digested(Seq((996L, "temp debris row"))).coalesce(1)
+      .write.parquet(s"$layout/run-66/_temporary/0/staging")
+    // splice the debris-only run into the meta as a live run
+    val metaPath = java.nio.file.Paths.get(dir, "digests-meta.json")
+    val meta = java.nio.file.Files.readString(metaPath)
+    val spliced = meta.replaceFirst("\"runs\":\\[",
+      java.util.regex.Matcher.quoteReplacement("\"runs\":[\"run-66\","))
+    java.nio.file.Files.writeString(metaPath, spliced)
+    // the out-of-band edit invalidates the Hadoop checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".digests-meta.json.crc"))
+    assert(DigestIndex.compact(spark, dir, spec, minRuns = 2).isDefined,
+      "a debris-only run must fold as empty, not crash")
+    val afterTmp = DigestIndex.probe(
+      digested(Seq((400L, "tmp doc 0"), (401L, "temp debris row"))),
+      "doc_id", "digest", dir, spec)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(afterTmp == Set(30L),
+      s"committed rows answer, debris rows never do: $afterTmp")
   }
 
   test("mega-batch runs fan out by row count; micro-batch runs stay single-file") {
