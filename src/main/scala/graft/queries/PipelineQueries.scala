@@ -732,12 +732,19 @@ log[d] {
       val in = s.readStream.schema(ev.schema).parquet(landing)
       val agg = graft.streaming.StreamOps.windowedAgg(in, "ts", "event_type",
         "value", "1 hour", watermark = "30 minutes")
-      agg.writeStream.format("parquet")
-        .option("path", s"$work/sink")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      // state width = the landing fan-in (8 files), not the session's
+      // batch shuffle width: the keyed state is a handful of event
+      // types × open windows, and every trigger (incl. the no-data
+      // watermark batch) pays per-partition store commits — see
+      // StreamOps.sizedStateStart
+      graft.streaming.StreamOps.sizedStateStart(s, 8) {
+        agg.writeStream.format("parquet")
+          .option("path", s"$work/sink")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }.awaitTermination()
     }
     drain()
     // sentinel: one event far past max ts, landed as a NEW file so the
@@ -793,13 +800,17 @@ log[d] {
     def drain(): Unit = {
       val in = s.readStream.schema(ev.schema).parquet(landing)
         .as[StreamOps.Event]
-      StreamOps.sessionize(in, gapMillis = 1800L * 1000, watermark = "30 minutes")
-        .writeStream.format("parquet")
-        .option("path", s"$work/sink")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      // state width = landing fan-in (8), not the batch shuffle width —
+      // one small struct per active user; see StreamOps.sizedStateStart
+      StreamOps.sizedStateStart(s, 8) {
+        StreamOps.sessionize(in, gapMillis = 1800L * 1000, watermark = "30 minutes")
+          .writeStream.format("parquet")
+          .option("path", s"$work/sink")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }.awaitTermination()
     }
     drain()
     // sentinel user far past max ts: the second drain's watermark passes
@@ -863,12 +874,19 @@ log[d] {
         col("l.click_id").as("click_id"), col("l.click_ts").as("click_ts"),
         col("r.purchase_id").as("purchase_id"),
         col("r.purchase_ts").as("purchase_ts"))
-    joined.writeStream.format("parquet")
-      .option("path", s"$work/sink")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start().awaitTermination()
+    // state width = landing fan-in (8): the interval join keeps FOUR
+    // state stores per partition, so the session's 32-wide batch
+    // default paid 128 store commits per trigger (incl. the no-data
+    // batch) to buffer a 6-hour window of ~50 users — measured at
+    // 85-90% of the query; see StreamOps.sizedStateStart
+    StreamOps.sizedStateStart(s, 8) {
+      joined.writeStream.format("parquet")
+        .option("path", s"$work/sink")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }.awaitTermination()
     // explicit schema: a selective join can legitimately emit NOTHING
     // (no click→purchase inside the window), leaving a data-file-less
     // sink that schema inference would refuse to read
@@ -914,13 +932,17 @@ log[d] {
       java.nio.file.Paths.get(work).getFileName.toString.hashCode.toLong & 0xffffffffL)
     val in = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
-    in.groupBy()
+    val writer = in.groupBy()
       .agg(count(lit(1)).as("n"),
         call_function("graft_misra_gries", col("term"), lit(100)).as("sk"))
       .writeStream.format("memory").queryName(sinkName)
       .option("checkpointLocation", s"$work/ckpt")
       .outputMode("complete").trigger(Trigger.AvailableNow())
-      .start().awaitTermination()
+    // global aggregation = ONE state row total; a 32-wide state
+    // shuffle paid 31 empty store commits per trigger × 6 triggers —
+    // see StreamOps.sizedStateStart
+    graft.streaming.StreamOps.sizedStateStart(s, 1)(writer.start())
+      .awaitTermination()
     val cands = s.table(sinkName)
       .select(explode(col("sk")).as("c"), col("n"))
       .select(col("c.term").as("term"), col("n"))
