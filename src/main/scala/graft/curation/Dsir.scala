@@ -56,15 +56,23 @@ object Dsir {
     val b = docs.select(id.as("__id"), isTarget.as("__tgt"), toks.as("__t"))
       .select(col("__id"), col("__tgt"),
         explode(featureBuckets(col("__t"), numBuckets)).as("bucket"))
-    val raw = b.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
-    val tgt = b.where(col("__tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
-    val totals = b.agg(
-      count(lit(1)).as("n_raw"),
-      sum(col("__tgt").cast("long")).as("n_tgt"))
+    // ONE corpus pass builds the whole model: per-bucket raw counts and
+    // target counts come out of the same materialized aggregate (the
+    // target count is the Σ of the 0/1 target flag, exactly the old
+    // filtered count with missing buckets already at 0 — the na.fill),
+    // and the totals re-aggregate its ≤ numBuckets rows. Before, raw /
+    // tgt / totals each re-ran tokenize+featureBuckets+explode over the
+    // corpus (4 source scans incl. the scoring pass; now 2).
+    val g = graft.util.Materialize.eager(
+      b.groupBy(col("bucket")).agg(
+        count(lit(1)).as("c_raw"),
+        sum(col("__tgt").cast("long")).as("c_tgt")))
+    val totals = g.agg(
+      sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"))
 
     // fixed-size model table: numBuckets rows, broadcast back
-    val lr = raw.join(tgt, Seq("bucket"), "left")
-      .na.fill(0L, Seq("c_tgt"))
+    val lr = g
       .crossJoin(broadcast(totals))
       .select(col("bucket"), round(
         log((col("c_tgt") + 1L).cast(DoubleType)) -
@@ -98,15 +106,18 @@ object Dsir {
   def trainDsirModel(docs: DataFrame, id: Column, toks: Column,
       isTarget: Column, numBuckets: Int, modelDir: String): Unit = {
     val b = featuresOf(docs, id, toks, isTarget, numBuckets)
-    val raw = b.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
-    val tgt = b.where(col("__tgt")).groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
-    val totals = b.agg(
-      count(lit(1)).as("n_raw"),
-      sum(col("__tgt").cast("long")).as("n_tgt"))
+    // one corpus pass, as [[importanceScores]]: raw/target counts from
+    // one materialized per-bucket aggregate, totals derived from it
+    val g = graft.util.Materialize.eager(
+      b.groupBy(col("bucket")).agg(
+        count(lit(1)).as("c_raw"),
+        sum(col("__tgt").cast("long")).as("c_tgt")))
+    val totals = g.agg(
+      sum(col("c_raw")).as("n_raw"),
+      sum(col("c_tgt")).as("n_tgt"))
     val domain = docs.sparkSession.range(numBuckets)
       .select(col("id").as("bucket"))
-    domain.join(raw, Seq("bucket"), "left")
-      .join(tgt, Seq("bucket"), "left")
+    domain.join(g, Seq("bucket"), "left")
       .na.fill(0L, Seq("c_raw", "c_tgt"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"), round(

@@ -87,11 +87,35 @@ object LangModel {
 
   def bigramCrossEntropy(docs: DataFrame, id: Column, toks: Column): DataFrame = {
     val big = bigramsOf(docs, id, toks)
-    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // ONE corpus aggregation feeds the whole model: the bigram count
+    // table is materialized once (vocabulary-bounded by Heaps' law) and
+    // the prefix counts DERIVE from it by exact integer re-aggregation
+    // (c1(w1) = Σ_w2 c12(w1,w2)) instead of a second corpus pass. The
+    // per-bigram log-probability is then evaluated once per DISTINCT
+    // bigram and joined back to the corpus-sized stream in a single
+    // join — before, the corpus stream re-tokenized per count table and
+    // joined the count tables row-by-row (4 source scans; now 2 + the
+    // vocab pass collapses into neither side changing its arithmetic:
+    // identical integer counts → identical rounded doubles).
+    val c12 = graft.util.Materialize.eager(
+      big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(toks).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    scoreBigrams(big, c12, c1, vocab)
+    // same Column tree as [[scoreBigrams]]' lp — evaluated per distinct
+    // bigram; on the self-train path every corpus bigram is in c12, so
+    // the inner join below is row-for-row the old left-join result
+    val lp = round(
+      log((coalesce(col("c1"), lit(0L)) + col("v")).cast(DoubleType)) -
+        log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast(DoubleType)), 6)
+    val score = c12.join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), lp.as("__lp"))
+    big.join(score, Seq("w1", "w2"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), dsum(col("__lp")).as("s"))
+      .select(col("__id"), col("n_bigrams"),
+        (col("s") / col("n_bigrams").cast(DoubleType)).as("xent"))
   }
 
   /** Train the bigram model ONCE and persist its three count tables
@@ -104,7 +128,11 @@ object LangModel {
     val big = bigramsOf(docs, id, toks)
     big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       .write.mode("overwrite").parquet(s"$modelDir/c12")
-    big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // the prefix counts are an exact re-aggregation of the bigram table
+    // just written (c1(w1) = Σ_w2 c12(w1,w2)) — read the artifact back
+    // instead of paying a second tokenize+explode pass over the corpus
+    docs.sparkSession.read.parquet(s"$modelDir/c12")
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       .write.mode("overwrite").parquet(s"$modelDir/c1")
     docs.select(explode(toks).as("w")).agg(countDistinct(col("w")).as("v"))
       .write.mode("overwrite").parquet(s"$modelDir/v")
@@ -179,12 +207,25 @@ object LangModel {
       .select(col("__id"), explode(arrays_zip(col("a"), col("b"), col("c"))).as("z"))
       .select(col("__id"),
         col("z.a").as("w1"), col("z.b").as("w2"), col("z.c").as("w3"))
-    val c123 = tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123"))
-    val c12 = tri.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c23 = tri.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23"))
-    val c2 = tri.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
-    val c3 = tri.groupBy(col("w3")).agg(count(lit(1)).as("c3"))
-    val n = tri.agg(count(lit(1)).as("n"))
+    // ONE corpus aggregation: the trigram count table is materialized
+    // once and every lower-order table DERIVES from it by exact integer
+    // re-aggregation (c12(w1,w2) = Σ_w3 c123, c23/c2/c3/N likewise) —
+    // before, each of the five count tables and the totals re-ran the
+    // tokenize+slice+explode pipeline over the corpus (the r16 plan
+    // audit counted 18 source scans / 54 exchanges in this one query).
+    // The interpolated probability is then evaluated once per DISTINCT
+    // trigram over the derived tables (all trigram-vocabulary-bounded)
+    // and joined back to the corpus-sized stream in a single join —
+    // identical integer counts → identical doubles → identical rounded
+    // terms, and dsum is a commutative decimal sum, so the result is
+    // bit-identical to the old five-join plan.
+    val c123 = graft.util.Materialize.eager(
+      tri.groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c123")))
+    val c12 = c123.groupBy(col("w1"), col("w2")).agg(sum(col("c123")).as("c12"))
+    val c23 = c123.groupBy(col("w2"), col("w3")).agg(sum(col("c123")).as("c23"))
+    val c2 = c123.groupBy(col("w2")).agg(sum(col("c123")).as("c2"))
+    val c3 = c123.groupBy(col("w3")).agg(sum(col("c123")).as("c3"))
+    val n = c123.agg(sum(col("c123")).as("n"))
     val vocab = tok.select(explode(col("__t")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val p =
@@ -192,15 +233,17 @@ object LangModel {
         lit(l2) * ((col("c23") + lit(1L)).cast(DoubleType) / (col("c2") + col("v")).cast(DoubleType)) +
         lit(l1) * ((col("c3") + lit(1L)).cast(DoubleType) / (col("n") + col("v")).cast(DoubleType))
     val lp = round(-log(p), 6)
-    tri.join(c123, Seq("w1", "w2", "w3"))
+    val score = c123
       .join(c12, Seq("w1", "w2"))
       .join(c23, Seq("w2", "w3"))
       .join(c2, Seq("w2"))
       .join(c3, Seq("w3"))
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("w3"), lp.as("__lp"))
+    tri.join(score, Seq("w1", "w2", "w3"))
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_trigrams"), dsum(lp).as("s"))
+      .agg(count(lit(1)).as("n_trigrams"), dsum(col("__lp")).as("s"))
       .select(col("__id"), col("n_trigrams"),
         (col("s") / col("n_trigrams").cast(DoubleType)).as("xent"))
   }

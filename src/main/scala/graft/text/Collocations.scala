@@ -57,11 +57,19 @@ object Collocations {
   def pmiTopK(docs: DataFrame, toks: Column, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k > 0)
     val tok = docs.select(toks.as("__t"))
-    val uni = tok.select(explode(col("__t")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("c_term"))
+    // both count tables are materialized once (vocabulary-bounded):
+    // uni feeds three downstream consumers (nUni + the x/y joins) and
+    // bi two (nBi + the candidate filter) — unmaterialized, each
+    // consumer re-ran its tokenize+explode corpus pass (5 source scans
+    // in the r16 plan audit; now 2, the structural floor: unigram and
+    // bigram streams are different explosions of the token array)
+    val uni = graft.util.Materialize.eager(
+      tok.select(explode(col("__t")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c_term")))
     val nUni = uni.agg(sum(col("c_term")).as("n_uni"))
-    val bi = tok.select(explode(bigramsOf(col("__t"))).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("pair_count"))
+    val bi = graft.util.Materialize.eager(
+      tok.select(explode(bigramsOf(col("__t"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("pair_count")))
     val nBi = bi.agg(sum(col("pair_count")).as("n_bi"))
 
     // support-filter FIRST: everything downstream is candidate-sized

@@ -52,13 +52,19 @@ object CorpusStats {
     * ([[graft.streaming.CountStream]]) feed this identical tail and
     * land the batch answer exactly. */
   def klDriftFromCounts(gt: DataFrame): DataFrame = {
-    val g = gt.groupBy(col("group")).agg(sum(col("c_gt")).as("n_g"))
-    val t = gt.groupBy(col("term")).agg(sum(col("c_gt")).as("c_t"))
+    // the count table is groups × vocabulary bounded but its lineage
+    // may be a full corpus pass (klDrift) or a store read (the q141
+    // streaming read-out) — and it feeds FOUR consumers (g, t, n via
+    // g, and the contribution join). Materialized once, the whole
+    // read-out runs over the checkpointed table.
+    val gtm = graft.util.Materialize.eager(gt)
+    val g = gtm.groupBy(col("group")).agg(sum(col("c_gt")).as("n_g"))
+    val t = gtm.groupBy(col("term")).agg(sum(col("c_gt")).as("c_t"))
     val n = g.agg(sum(col("n_g")).as("n"))
     val lnTerm = round(
       log(col("c_gt").cast(DoubleType)) - log(col("n_g").cast(DoubleType)) -
         log(col("c_t").cast(DoubleType)) + log(col("n").cast(DoubleType)), 6)
-    gt.join(t, Seq("term"))
+    gtm.join(t, Seq("term"))
       .join(broadcast(g), Seq("group"))
       .crossJoin(broadcast(n))
       .select(col("group"), col("n_g"),
@@ -86,6 +92,12 @@ object CorpusStats {
     */
   def docNovelty(docs: DataFrame, id: Column, toks: Column, k: Int): DataFrame = {
     require(k >= 1)
+    // deliberately NOT persisted: the postings feed only two branches
+    // (df count + the join back), and an r16 interleaved A/B measured
+    // the persist+eager variant SLOWER (1.65 → 1.93 s min) — caching
+    // the corpus-sized exploded postings costs more than re-running
+    // the shingle kernel once, locally and plausibly at scale (the
+    // cache write is itself a full materialization of the postings)
     val sh = docs.select(id.as("__id"), toks.as("__t"))
       .select(col("__id"), explode(array_distinct(
         call_function("graft_shingles", col("__t"), lit(k)))).as("g"))
@@ -131,10 +143,16 @@ object CorpusStats {
   def groupOverlap(docs: DataFrame, group: Column, text: Column,
       shingleK: Int = 3, w: Int = 4,
       maxGroupFreq: Int = DefaultMaxGroupFreq): DataFrame = {
-    val fps = docs.select(group.as("grp"), tokens(text).as("t"))
-      .select(col("grp"), explode(call_function("graft_winnow",
-        call_function("graft_shingles", col("t"), lit(shingleK)), lit(w))).as("fp"))
-      .distinct()
+    // materialized once: the distinct (group, fingerprint) postings
+    // feed FOUR consumers (sizes, the group-frequency cap, and both
+    // sides of the self-join) — unmaterialized, each re-ran the
+    // tokenize+shingle+winnow kernels over the corpus (4 source scans
+    // in the r16 plan audit; now 1)
+    val fps = graft.util.Materialize.eager(
+      docs.select(group.as("grp"), tokens(text).as("t"))
+        .select(col("grp"), explode(call_function("graft_winnow",
+          call_function("graft_shingles", col("t"), lit(shingleK)), lit(w))).as("fp"))
+        .distinct())
     val sizes = fps.groupBy(col("grp")).agg(count(lit(1)).as("n_fp"))
     val joinable =
       if (maxGroupFreq == Int.MaxValue) fps

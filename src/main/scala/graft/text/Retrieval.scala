@@ -55,11 +55,15 @@ object Retrieval {
 
     // postings: matched (doc, term) term frequencies; dl rides along
     // (functionally dependent on __id, so grouping by it adds nothing)
-    val tf = tok
+    // materialized once: tf is query-vocabulary-sized (tiny) but its
+    // lineage is a full corpus scan, and it feeds two consumers (the
+    // df count and the scoring join) — unmaterialized, the corpus was
+    // tokenized twice
+    val tf = graft.util.Materialize.eager(tok
       .select(col("__id"), col("dl"), explode(col("__t")).as("term"))
       .where(col("term").isin(vocabulary: _*))
       .groupBy(col("__id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val idf = log(
@@ -108,7 +112,12 @@ object Retrieval {
     require(k > 0)
     val tok = docs.select(id.as("__id"), explode(toks).as("term"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val tf = tok.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf"))
+    // per-(doc, term) counts feed two consumers (the df table and the
+    // scoring join); materialized once so the corpus tokenizes once —
+    // tf is the aggregated postings table (≤ one row per distinct term
+    // per doc), the smallest corpus-proportional frame in the plan
+    val tf = graft.util.Materialize.eager(
+      tok.groupBy(col("__id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val score = round(col("tf").cast(DoubleType) *
       (log((col("n") + 1L).cast(DoubleType)) -

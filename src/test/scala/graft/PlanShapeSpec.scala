@@ -496,6 +496,44 @@ class PlanShapeSpec extends SparkSpec {
       s"the probe shape is unchanged by the prune:\n$plan")
   }
 
+  test("scorer model tables derive from ONE materialized aggregate — corpus pass budgets hold (q115/q97/q103 shape)") {
+    import graft.text.TextFunctions.tokens
+    // source on disk so every corpus pass is a visible `Scan parquet`
+    val dir = tmpDir("plan-scorer")
+    (1L to 30L).map(i => (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 7} w${i % 3}",
+        i % 2 == 0))
+      .toDF("doc_id", "text", "tgt").write.parquet(s"$dir/docs")
+    val docs = spark.read.parquet(s"$dir/docs")
+    // simple mode prints the tree once (formatted repeats each node in
+    // the details section, double-counting)
+    def parquetScans(df: DataFrame): Int =
+      "Scan parquet".r.findAllIn(
+        df.queryExecution.explainString(ExplainMode.fromString("simple"))).length
+
+    // trigram LM: c123 is checkpointed during construction; c12/c23/
+    // c2/c3/N derive from it, so the remaining corpus scans are the
+    // scoring join + the vocab pass (was 7 + vocab = 8)
+    val tri = graft.curation.LangModel.trigramCrossEntropy(
+      docs, col("doc_id"), tokens(col("text")))
+    assert(parquetScans(tri) <= 2,
+      s"trigram LM must scan the corpus at most twice (score join + vocab):\n${formatted(tri)}")
+
+    // NB classifier: cwc/cls checkpointed; tokc/v/n derive — scoring
+    // is the only remaining corpus scan (was 6)
+    val nb = graft.curation.Classifier.naiveBayes(
+      docs, col("doc_id"), tokens(col("text")),
+      when(col("tgt"), lit("a")).otherwise(lit("b")))
+    assert(parquetScans(nb) <= 1,
+      s"NB must scan the corpus once (the scoring pass):\n${formatted(nb)}")
+
+    // DSIR: one materialized per-bucket aggregate carries raw+target
+    // counts and totals — only the scoring pass re-reads the corpus
+    val dsir = graft.curation.Dsir.importanceScores(
+      docs, col("doc_id"), tokens(col("text")), col("tgt"), numBuckets = 64)
+    assert(parquetScans(dsir) <= 1,
+      s"DSIR must scan the corpus once (the scoring pass):\n${formatted(dsir)}")
+  }
+
   test("domain filter: keep-list comes back broadcast — the corpus never reshuffles (q133 shape)") {
     import graft.curation.DomainFilter
     val df = (0L until 60L).map(i => (i, s"d${i % 4}", (i % 10) / 10.0))
