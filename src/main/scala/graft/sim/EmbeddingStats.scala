@@ -61,9 +61,18 @@ object EmbeddingStats {
     val e = base
       .select(col("nrm"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("dim"), (col("x") / col("nrm")).as("e"))
-    val s2 = e.groupBy(col("dim")).agg(dsum(col("e")).as("s"))
-      .agg(dsum(col("s") * col("s")).as("s2"))
-    val ss = e.agg(dsum(col("e") * col("e")).as("ss"))
+    // ONE pass over the exploded stream: the per-dim sufficient stats
+    // (Σe as dsum — the same expression as before — and Σe² kept in
+    // DECIMAL so the later global fold is the SAME exact decimal sum
+    // the old flat dsum ran, just reassociated; decimal addition is
+    // exact, so reassociation is bit-identical) — before, s2 and ss
+    // each re-ran the normalize+posexplode pass
+    val pd = graft.util.Materialize.eager(e.groupBy(col("dim")).agg(
+      dsum(col("e")).as("s"),
+      sum((col("e") * col("e"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("ssd")))
+    val s2 = pd.agg(dsum(col("s") * col("s")).as("s2"))
+    val ss = pd.agg(sum(col("ssd")).cast(DoubleType).as("ss"))
     val n = base.agg(count(lit(1)).as("n"))
     n.crossJoin(broadcast(s2)).crossJoin(broadcast(ss))
       .select(col("n"),
@@ -77,10 +86,13 @@ object EmbeddingStats {
     val e = emb.select(label.as("label"), posexplode(vec).as(Seq("dim", "xf")))
       .select(col("label"), col("dim").cast(LongType).as("dim"),
         col("xf").cast(DoubleType).as("x"))
-    val cs = e.groupBy(col("label"), col("dim"))
+    // materialized once: the (labels · dims)-sized stats frame feeds
+    // two consumers (the per-dim rollup and the join) — unmaterialized,
+    // each re-ran the posexplode pass over the corpus
+    val cs = graft.util.Materialize.eager(e.groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_c"),
         dsum(col("x")).as("s"),
-        dsum(col("x") * col("x")).as("sxx"))
+        dsum(col("x") * col("x")).as("sxx")))
     val ds = cs.groupBy(col("dim"))
       .agg(sum(col("n_c")).as("n_d"), dsum(col("s")).as("s_d"))
     val mu_c = col("s") / col("n_c").cast(DoubleType)
