@@ -177,10 +177,13 @@ object CountStream {
     val own = s"delta/batch=$batchId"
     t.write.mode("overwrite").parquet(s"$storeDir/$own")
     // a 0-row write may carry no data file — advance the pointer
-    // without listing a dir later multi-dir reads would choke on
-    val rows = spark.read.parquet(s"$storeDir/$own")
+    // without listing a dir later multi-dir reads would choke on.
+    // Emptiness comes from the just-written footers (driver metadata
+    // read), not a read-back Spark job the trigger would pay for.
+    val empty = StoreManifest.parquetRowCount(
+      Paths.get(storeDir).resolve(own)) == 0L
     val prior = cur.map(_._2).getOrElse(Nil)
-    val dirs = if (rows.isEmpty) prior else prior :+ own
+    val dirs = if (empty) prior else prior :+ own
     val live =
       if (dirs.size < compactEvery) dirs
       else {
@@ -289,15 +292,24 @@ object CountStream {
       shardBytes: Long = ShardBytes): Unit = {
     val shards = math.max(1L,
       (committedBytes(storeDir) + shardBytes - 1) / shardBytes).toInt
+    // single-shard stores (anything under shardBytes — the common
+    // metric store) write the merged plan directly: AQE's partition
+    // coalescing already lands the small post-agg output in one file,
+    // and an explicit repartition(1) would add a full extra exchange
+    // (plus its sort-before-repartition) of the store EVERY trigger.
+    // Only a store big enough to want multiple shard files pays the
+    // explicit round-robin spread.
+    val sharded = if (shards > 1) merged.repartition(shards) else merged
     StoreManifest.advanceGen(storeDir,
       writeGen = dir =>
-        merged.repartition(shards).write.mode("overwrite").parquet(dir),
+        sharded.write.mode("overwrite").parquet(dir),
       pointerFor = next => s"$next $batchId",
-      // cardinality check off the WRITTEN parquet (footer metadata — no
-      // recompute), and BEFORE the pointer move: an over-cardinality
-      // merge leaves the store at its last good generation
+      // cardinality check off the WRITTEN parquet (footer metadata read
+      // on the driver — no recompute, no Spark job), and BEFORE the
+      // pointer move: an over-cardinality merge leaves the store at its
+      // last good generation
       afterWrite = dir => {
-        val keys = spark.read.parquet(dir).count()
+        val keys = StoreManifest.parquetRowCount(Paths.get(dir))
         require(keys <= maxKeys,
           s"count store at $storeDir: merge produced $keys keys > maxKeys=" +
             s"$maxKeys — the (keys..., count) table only bounds state for " +

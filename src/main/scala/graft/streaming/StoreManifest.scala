@@ -46,6 +46,35 @@ object StoreManifest {
   def readIfExists(p: Path): Option[String] =
     if (Files.exists(p)) Some(Files.readString(p)) else None
 
+  /** Total row count of the parquet data files directly under `dir`,
+    * summed from the file FOOTERS on the driver — a metadata read, no
+    * Spark job. The per-trigger store disciplines use it for the
+    * emptiness / cardinality checks they run on files they JUST wrote:
+    * a `spark.read.parquet(dir).count()` there prices a whole
+    * scan-job's scheduling against information parquet already
+    * committed to every footer. Local-filesystem stores only (the
+    * java.nio contract every generation/delta store here already
+    * carries). */
+  def parquetRowCount(dir: Path): Long =
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      val ls = Files.list(dir)
+      val files =
+        try ls.iterator.asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.toList
+        finally ls.close()
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    }
+
   def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder[Path]())

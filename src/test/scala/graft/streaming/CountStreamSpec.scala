@@ -27,6 +27,19 @@ class CountStreamSpec extends SparkSpec {
     assert(CountStream.lastBatch(s"$work/store").exists(_ >= 4))
   }
 
+  test("parquetRowCount reads the written footers: matches count(), 0 on empty/missing") {
+    val work = graft.util.Workspace.temp("countstream-footer")
+    val dir = java.nio.file.Paths.get(s"$work/t")
+    corpus.repartition(3).write.parquet(dir.toString)
+    assert(StoreManifest.parquetRowCount(dir) ==
+      spark.read.parquet(dir.toString).count())
+    val empty = java.nio.file.Paths.get(s"$work/empty")
+    corpus.limit(0).write.parquet(empty.toString)
+    assert(StoreManifest.parquetRowCount(empty) == 0L)
+    assert(StoreManifest.parquetRowCount(
+      java.nio.file.Paths.get(s"$work/missing")) == 0L)
+  }
+
   test("a re-delivered batch id is skipped, not double-counted") {
     val work = graft.util.Workspace.temp("countstream-replay")
     val feed = ScoreStream.feed(corpus, s"$work/landing", files = 3)
